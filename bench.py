@@ -1,0 +1,62 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from marmaray_spark import queries as Q  # noqa: E402
+from marmaray_spark.session import SparkFactory  # noqa: E402
+
+# Headline set: one per operator family (scan+agg, join+topk, upsert window,
+# dedup anti-join, sort+batch). Grows as operators land.
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "upsert_last_write_wins",
+    "dedup_insert_anti_join",
+    "sorted_batched_output",
+    "validate_required_keys_valid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = SparkFactory("bench").get_or_create()
+
+    registry = Q.all_queries()
+    # warm the JVM + parquet footers with a trivial action
+    Q.load(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        t0 = time.time()
+        df = registry[name](spark, sf_dir)
+        n = df.count()  # force full execution without driver-side collect
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+"""Checkpoint/metadata managers and partition high-watermark planners."""
+
+from marmaray_spark.metadata.manager import (
+    FileSystemMetadataManager,
+    InMemoryMetadataManager,
+    MetadataManager,
+)
+from marmaray_spark.metadata.partition import (
+    DatePartitionManager,
+    PartitionManager,
+)
+
+__all__ = [
+    "MetadataManager",
+    "InMemoryMetadataManager",
+    "FileSystemMetadataManager",
+    "PartitionManager",
+    "DatePartitionManager",
+]

@@ -1,0 +1,109 @@
+"""ForkOperator — tag rows with fork keys, persist once, serve per-key views.
+
+Reference parity: M/common/forkoperator/ForkOperator.java:48-124 tags every
+record with a list of registered int keys via flatMap, persists the tagged
+RDD (DISK_ONLY default, :50-51), forces a count() action so downstream
+per-key filters don't recompute the source, and counts per key with
+accumulators (ForkFunction.java:54-83). FilterFunction.java:29-46 then
+filters by key membership.
+
+Spark-first translation: the tag is an ``array<int>`` column computed by a
+Catalyst expression (no UDF); the persist-then-count contract is kept
+because Catalyst does NOT dedupe work across two separate actions — without
+it a valid/error split would re-read and re-transform the source once per
+sink. Counts come from the same pass via ``observe()`` metrics instead of
+accumulators.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+FORK_COL = "__fork_keys__"
+
+# Well-known keys, mirroring AbstractDataConverter's VALID/ERROR channels
+# (M/common/converters/data/AbstractDataConverter.java:102-171).
+VALID_KEY = 0
+ERROR_KEY = 1
+
+_LEVELS = {
+    "DISK_ONLY": StorageLevel.DISK_ONLY,
+    "MEMORY_ONLY": StorageLevel.MEMORY_ONLY,
+    "MEMORY_AND_DISK": StorageLevel.MEMORY_AND_DISK,
+    "NONE": None,
+}
+
+
+class ForkOperator:
+    """Multi-way split with one source pass.
+
+    ``tag_expr`` must evaluate to ``array<int>`` of registered keys; a row
+    may carry several keys (overlapping forks are allowed, like the
+    reference) or none (dropped, like records tagged with no key).
+    """
+
+    def __init__(self, df: DataFrame, tag_expr: Column, keys: Sequence[int],
+                 persist_level: str = "DISK_ONLY") -> None:
+        if len(keys) < 1:
+            raise ValueError("at least one fork key must be registered")
+        self._keys = list(keys)
+        self._executed = False
+        self._counts: dict[int, int] = {}
+        level = _LEVELS.get(persist_level, StorageLevel.DISK_ONLY)
+        tagged = df.withColumn(FORK_COL, tag_expr.cast("array<int>"))
+        self._observation = Observation()
+        observed = tagged.observe(
+            self._observation,
+            F.count(F.lit(1)).alias("total"),
+            *[
+                F.sum(F.array_contains(F.col(FORK_COL), k).cast("long")).alias(f"key_{k}")
+                for k in self._keys
+            ],
+        )
+        self._tagged = observed.persist(level) if level is not None else observed
+
+    def execute(self) -> None:
+        """Materialize the tagged dataset (one source pass) and the counts.
+
+        Mirrors ForkOperator.execute()'s forced count() action
+        (ForkOperator.java:74-79).
+        """
+        self._tagged.count()
+        got = self._observation.get
+        self._counts = {k: int(got.get(f"key_{k}") or 0) for k in self._keys}
+        self._counts[-1] = int(got["total"])
+        self._executed = True
+
+    def get_fork_data(self, key: int) -> DataFrame:
+        """Per-key filtered view (FilterFunction semantics)."""
+        if key not in self._keys:
+            raise KeyError(f"fork key {key} was not registered")
+        if not self._executed:
+            self.execute()
+        return self._tagged.filter(F.array_contains(F.col(FORK_COL), key)).drop(FORK_COL)
+
+    def get_count(self, key: int) -> int:
+        if not self._executed:
+            self.execute()
+        return self._counts.get(key, 0)
+
+    @property
+    def total_count(self) -> int:
+        if not self._executed:
+            self.execute()
+        return self._counts.get(-1, 0)
+
+    def unpersist(self) -> None:
+        self._tagged.unpersist()
+
+
+def valid_error_fork(df: DataFrame, valid_cond: Column,
+                     persist_level: str = "DISK_ONLY") -> ForkOperator:
+    """The canonical two-way fork: rows matching ``valid_cond`` -> VALID_KEY,
+    the rest -> ERROR_KEY (AbstractDataConverter's success/error channels)."""
+    tag = F.when(valid_cond, F.array(F.lit(VALID_KEY))).otherwise(F.array(F.lit(ERROR_KEY)))
+    return ForkOperator(df, tag, [VALID_KEY, ERROR_KEY], persist_level)

@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the engine.
+
+Reference parity: M/common/spark/SparkFactory.java:93-128 builds a
+SparkContext with Kryo + pre-registered Avro schemas. On the DataFrame
+path none of that is needed (Tungsten binary rows are the exchange
+format), so this factory's job is reduced to: one shared session,
+scale-appropriate SQL conf, FAIR scheduling so multiple job-DAGs can
+share the session (JobManager semantics, M/common/job/JobManager.java).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB posture:
+# - AQE on: runtime partition coalescing + skew-join splitting replaces
+#   the reference's hand-rolled repartition heuristics
+#   (KafkaSource.java:117-127, FileSink.java:209-250).
+# - shuffle.partitions is a *starting* value; AQE coalesces down. On a
+#   real cluster this should be ~2-3x total cores; locally ~cores.
+# - maxPartitionBytes 128m keeps scan tasks memory-bounded at any SF.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.scheduler.mode": "FAIR",
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+class SparkFactory:
+    """Builds/serves the shared SparkSession (one per process).
+
+    Reference: M/common/spark/SparkFactory.java — single SparkContext
+    shared by every JobDag in the JobManager.
+    """
+
+    def __init__(self, app_name: str = "marmaray_spark", conf: dict[str, str] | None = None,
+                 master: str | None = None) -> None:
+        self.app_name = app_name
+        self.conf = dict(_DEFAULT_CONF)
+        if conf:
+            self.conf.update(conf)
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        self.master = master or f"local[{cpus}]"
+
+    def get_or_create(self) -> SparkSession:
+        builder = SparkSession.builder.master(self.master).appName(self.app_name)
+        for k, v in self.conf.items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
+
+
+def get_spark(app_name: str = "marmaray_spark", **conf: str) -> SparkSession:
+    """Convenience: shared tuned session."""
+    return SparkFactory(app_name, conf or None).get_or_create()

@@ -1,0 +1,75 @@
+"""End-to-end slice (SURVEY §7 step 1): partitioned parquet table ->
+ParquetWorkUnitCalculator -> ParquetSource -> SchemaProjectionConverter
+(valid/error fork) -> FileSink CSV + error table. Read back and verify."""
+
+import csv
+
+from pyspark.sql import functions as F
+
+from marmaray_spark.converters import SchemaProjectionConverter
+from marmaray_spark.metadata import InMemoryMetadataManager, PartitionManager
+from marmaray_spark.operators.errors import write_error_table
+from marmaray_spark.sinks.file import FileSink, estimate_size_mb, plan_num_files
+from marmaray_spark.sources.hive import ParquetSource, ParquetWorkUnitCalculator
+
+
+def test_slice(spark, orders, tmp_path):
+    # arrange: write orders as a month-partitioned table (FIXTURES.md F4)
+    table = tmp_path / "orders_table"
+    dirty = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(F.col("o_custkey")),
+    ).withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+    dirty.write.partitionBy("month").parquet(str(table))
+
+    meta = InMemoryMetadataManager()
+    pm = PartitionManager(table, meta)
+    calc = ParquetWorkUnitCalculator(pm)
+    source = ParquetSource(spark)
+
+    # run 1: first partition only
+    units = calc.compute_work_units()
+    assert len(units) == 1
+    first_month = units[0].partition_value
+    df = source.get_data(units[0])
+
+    conv = SchemaProjectionConverter(required_keys=["o_orderkey", "o_custkey"])
+    res = conv.map(df.drop("month"))
+
+    expected_part = dirty.filter(F.col("month") == first_month)
+    expected_bad = expected_part.filter(F.col("o_custkey").isNull()).count()
+    assert res.error_count == expected_bad
+    assert res.valid_count == expected_part.count() - expected_bad
+
+    # sink: CSV with header + error table
+    out = tmp_path / "out_csv"
+    sink = FileSink(out, fmt="csv", header=True, file_name_prefix="orders")
+    n_files = sink.write(res.valid)
+    assert n_files >= 1
+    write_error_table(res.errors, str(tmp_path / "orders_sink"))
+
+    # read back: valid rows round-trip
+    files = sorted(out.glob("orders_*"))
+    assert files, "renamed output files missing"
+    rows = []
+    for fp in files:
+        with open(fp) as f:
+            rows.extend(list(csv.DictReader(f)))
+    assert len(rows) == res.valid_count
+
+    err_back = spark.read.parquet(str(tmp_path / "orders_sink_error"))
+    assert err_back.count() == expected_bad
+    assert "hadoop_error_exception" in err_back.columns
+
+    # checkpoint commits -> next run picks the next partition
+    calc.save_next_run_state(units)
+    units2 = calc.compute_work_units()
+    assert units2[0].partition_value > first_month
+
+
+def test_file_sizing_plan(spark, lineitem):
+    mb = estimate_size_mb(lineitem)
+    assert mb > 0
+    assert plan_num_files(mb, -1) == 1
+    assert plan_num_files(100.0, 10.0) == 10
+    assert plan_num_files(0.5, 10.0) == 1

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry and its ``oracle_sql()`` twin at a chosen
+scale factor, then compares row count, column-name set, and an
+order-insensitive value multiset (floats rounded, timestamps normalized).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(6)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count {len(spark_pdf)} != oracle {len(oracle_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(f"columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}")
+        return problems
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    if len(a) == len(b):
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+                                          rtol=1e-5, atol=1e-6)
+        except AssertionError as e:
+            problems.append(f"values differ: {str(e).splitlines()[-1]}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from marmaray_spark.session import SparkFactory
+
+    spark = SparkFactory("verify_local").get_or_create()
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed, passed, rows_only = [], 0, 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failed.append((name, f"oracle error: {e}"))
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            passed += 1
+            print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{passed} passed, {len(failed)} failed, {rows_only} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
