@@ -196,6 +196,134 @@ def sorted_batched_output(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.floor((F.row_number().over(w) - 1) / 1000).cast("bigint")))
 
 
+@register(
+    "table_upsert_readback",
+    """
+    WITH old_batch AS (
+      SELECT user_id, event_id, event_type, value FROM events
+      WHERE event_id % 2 = 0
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    new_batch AS (
+      SELECT user_id, event_id, event_type, value FROM events
+      WHERE event_id % 2 = 1
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id, event_id, event_type, value FROM new_batch
+    UNION ALL
+    SELECT o.user_id, o.event_id, o.event_type, o.value FROM old_batch o
+    WHERE NOT EXISTS (SELECT 1 FROM new_batch n WHERE n.user_id = o.user_id)
+    """,
+)
+def table_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END sink parity: INSERT one batch into a real managed table,
+    UPSERT a second batch, read the snapshot back. Exercises the commit
+    log, partition-scoped copy-on-write, and last-write-wins key merge
+    (HoodieSink UPSERT + HoodieBasedMetadataManager atomicity)."""
+    import tempfile
+
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("user_id", "event_id", "event_type", "value"))
+
+    old_batch = latest_per_user(events.filter(F.col("event_id") % 2 == 0))
+    new_batch = latest_per_user(events.filter(F.col("event_id") % 2 == 1))
+
+    table = tempfile.mkdtemp(prefix="upsert_readback_")
+    sink = TableSink(spark, table, "user_id", partition_field="event_type")
+    sink.write(old_batch, WriteOp.INSERT)
+    sink.write(new_batch, WriteOp.UPSERT)
+    return sink.read().select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "kafka_incremental_fair_split",
+    """
+    WITH RECURSIVE evt AS (
+      SELECT event_id, CAST(user_id % 8 AS INT) AS partition,
+             CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1
+                  AS BIGINT) AS msg_offset
+      FROM events
+    ),
+    backlog AS (
+      SELECT partition, count(*) AS messages
+      FROM evt WHERE msg_offset >= 100 GROUP BY partition
+    ),
+    ordered AS (
+      SELECT partition, messages,
+             CAST(row_number() OVER (ORDER BY messages, partition) AS INT) AS rn,
+             CAST(count(*) OVER () AS INT) AS np,
+             CAST(sum(messages) OVER () AS BIGINT) AS total
+      FROM backlog
+    ),
+    alloc AS (
+      SELECT 0 AS rn, CAST(LEAST((SELECT max(total) FROM ordered), 3000) AS BIGINT)
+               AS pending,
+             (SELECT max(np) FROM ordered) AS remaining,
+             CAST(NULL AS BIGINT) AS take, CAST(NULL AS INT) AS partition,
+             (SELECT max(total) FROM ordered) > 3000 AS has_extra
+      UNION ALL
+      SELECT o.rn,
+             CASE WHEN a.has_extra
+                  THEN a.pending - LEAST(a.pending // a.remaining, o.messages)
+                  ELSE a.pending END,
+             a.remaining - 1,
+             CASE WHEN a.has_extra
+                  THEN LEAST(a.pending // a.remaining, o.messages)
+                  ELSE o.messages END,
+             o.partition, a.has_extra
+      FROM alloc a JOIN ordered o ON o.rn = a.rn + 1
+    )
+    SELECT e.partition, e.msg_offset, e.event_id
+    FROM evt e JOIN alloc a ON e.partition = a.partition
+    WHERE e.msg_offset >= 100 AND e.msg_offset < 100 + a.take
+    """,
+)
+def kafka_incremental_fair_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style incremental consume: events as an 8-partition stream
+    (partition = user_id % 8, dense per-partition offsets), checkpoint at
+    offset 100 per partition, cap 3000 messages fair-split across
+    partitions — the REAL KafkaWorkUnitCalculator plans the ranges
+    (driver-side, like the reference's consumer-RPC planner), the data
+    path is a pushed-down range filter. Oracle replicates the split
+    arithmetic with a recursive CTE."""
+    from marmaray_spark.metadata import InMemoryMetadataManager
+    from marmaray_spark.sources.kafka import (
+        KafkaWorkUnitCalculator,
+        StaticBroker,
+        filter_by_offset_ranges,
+    )
+
+    events = load(spark, sf_dir, "events")
+    stream = events.select(
+        "event_id",
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        (F.row_number().over(
+            W.partitionBy(F.col("user_id") % 8).orderBy("event_id")) - 1)
+        .cast("bigint").alias("msg_offset"),
+    )
+    # broker metadata: latest offset (= next offset after last message, i.e.
+    # the partition's message count for a dense 0-based log) — driver-side
+    # aggregate, mirroring the reference's consumer metadata RPC
+    latest = {int(r["partition"]): int(r["n"])
+              for r in stream.groupBy("partition").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    meta = InMemoryMetadataManager()
+    for p in latest:
+        meta.set(f"kafka.offset.t.{p}", "100")  # next-to-read position
+    calc = KafkaWorkUnitCalculator(
+        "t", StaticBroker({p: 0 for p in latest}, latest), meta, max_messages=3000)
+    ranges = calc.compute_work_units()
+    return (filter_by_offset_ranges(stream, ranges, "partition", "msg_offset")
+            .select("partition", "msg_offset", "event_id"))
+
+
 # ---------------------------------------------------------------------------
 # Relational capability (the DataFrame surface the operators imply)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,345 @@
+"""Managed parquet table with commit log: INSERT / BULK_INSERT /
+DEDUP_INSERT / UPSERT / NO_OP write semantics.
+
+Reference parity: HoodieSink (M/common/sinks/hoodie/HoodieSink.java:76-556)
+writes HoodieRecords with op dispatch (:533-546), a commit protocol
+(startCommit -> write -> commit-with-extra-metadata), DEDUP_INSERT via a
+filterExists anti-join (:446-449), auto-tuned bulk-insert parallelism
+numRecords*avgRecordSize/targetFileSize (:240-250) fed by rolling stats
+(SinkStatManager.java), and — when HoodieBasedMetadataManager is used —
+the source checkpoint embedded in the Hudi commit file so checkpoint and
+data commit atomically (M/common/metadata/HoodieBasedMetadataManager.java:54-176).
+
+Spark-first design (no Hudi jar):
+- A table is a directory of immutable *slices* (one directory of parquet
+  per (commit, partition)) plus a ``_commits/`` log of JSON files.
+- A commit atomically publishes {adds, removes, metadata} via
+  write-temp-then-rename of the commit JSON; data files written before the
+  rename are invisible until it lands, so a crashed run leaves only
+  orphans (cleanable), never a torn table.
+- Snapshot read = union of active slice paths — at 100 TB this stays
+  partition-parallel (each slice is just parquet) and partition-pruned
+  reads pass the slice list through ``spark.read.parquet(*paths)``.
+- UPSERT is a partition-scoped copy-on-write: only partitions containing
+  incoming keys are rewritten (old-minus-matching-keys + incoming); the
+  unpartitioned table degenerates to a full rewrite, as in any
+  copy-on-write store.
+
+Single-writer-per-table is assumed, as in the reference (one JobDag owns
+one sink table).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import tempfile
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marmaray_spark.metadata.manager import MetadataManager
+
+PARTITION_DIR_COL = "__pp__"  # duplicate of the partition column used only
+# for directory layout, so data files keep the real column for slice reads.
+
+
+class WriteOp(str, Enum):
+    """HoodieSink.HoodieWriteOperations parity (HoodieSink.java:533-546)."""
+
+    INSERT = "insert"
+    BULK_INSERT = "bulk_insert"
+    DEDUP_INSERT = "dedup_insert"
+    DEDUP_BULK_INSERT = "dedup_bulk_insert"
+    UPSERT = "upsert"
+    NO_OP = "no_op"
+
+
+@dataclass
+class Commit:
+    commit_id: str
+    op: str
+    adds: list[str] = field(default_factory=list)      # slice paths (relative)
+    removes: list[str] = field(default_factory=list)
+    metadata: dict[str, str] = field(default_factory=dict)
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+class CommitLog:
+    """JSON-file commit log under ``<table>/_commits``; last-wins manifest."""
+
+    def __init__(self, table_path: str | Path) -> None:
+        self.table_path = Path(table_path)
+        self.dir = self.table_path / "_commits"
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _files(self) -> list[Path]:
+        return sorted(self.dir.glob("[0-9]" * 12 + ".json"))
+
+    def next_commit_id(self) -> str:
+        files = self._files()
+        return f"{(int(files[-1].stem) + 1) if files else 0:012d}"
+
+    def commits(self) -> list[Commit]:
+        out = []
+        for p in self._files():
+            with open(p) as f:
+                out.append(Commit(**json.load(f)))
+        return out
+
+    def write(self, commit: Commit) -> None:
+        target = self.dir / f"{commit.commit_id}.json"
+        if target.exists():
+            raise FileExistsError(f"commit {commit.commit_id} already exists")
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(commit.__dict__, f, indent=2)
+            os.replace(tmp, target)  # the atomic publish point
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def active_slices(self) -> list[str]:
+        """Adds of all commits minus later removes (relative paths)."""
+        active: list[str] = []
+        for c in self.commits():
+            for r in c.removes:
+                if r in active:
+                    active.remove(r)
+            active.extend(c.adds)
+        return active
+
+    def latest_metadata(self) -> dict[str, str]:
+        commits = self.commits()
+        return dict(commits[-1].metadata) if commits else {}
+
+
+class TableMetadataManager(MetadataManager):
+    """Checkpoint map whose persistence is the table commit itself.
+
+    Reference: HoodieBasedMetadataManager — saveChanges() is deferred to the
+    sink commit so checkpoint+data are one atomic operation
+    (HoodieBasedMetadataManager.java:54-176).
+    """
+
+    def __init__(self, log: CommitLog) -> None:
+        super().__init__()
+        self._meta = log.latest_metadata()
+
+    def save_changes(self) -> None:
+        # No-op: TableSink.write() embeds all() into the commit JSON.
+        super().save_changes()
+
+
+class SinkStatManager:
+    """Rolling avg record size across runs, persisted via a MetadataManager.
+
+    Reference: M/common/sinks/SinkStatManager.java + HoodieSink.updateSinkStat
+    (:346-376). Feeds the bulk-insert parallelism auto-tune.
+    """
+
+    KEY = "sink_stat.avg_record_size"
+
+    def __init__(self, metadata: MetadataManager) -> None:
+        self.metadata = metadata
+
+    def get_avg_record_size(self, default: float = 100.0) -> float:
+        v = self.metadata.get(self.KEY)
+        return float(v) if v else default
+
+    def update(self, written_bytes: int, written_records: int) -> None:
+        if written_records <= 0:
+            return
+        new = written_bytes / written_records
+        prev = self.metadata.get(self.KEY)
+        # exponential rolling average, newest run weighted 50%
+        avg = new if prev is None else (float(prev) + new) / 2
+        self.metadata.set(self.KEY, f"{avg:.2f}")
+
+
+class TableSink:
+    """Writes DataFrames into a managed table with Hoodie-style ops."""
+
+    def __init__(self, spark: SparkSession, table_path: str | Path,
+                 record_key_field: str, partition_field: str | None = None,
+                 target_file_size_mb: float = 128.0,
+                 auto_tune_parallelism: bool = True) -> None:
+        self.spark = spark
+        self.table_path = Path(table_path)
+        self.key = record_key_field
+        self.partition = partition_field
+        self.target_file_size_mb = target_file_size_mb
+        self.auto_tune = auto_tune_parallelism
+        self.log = CommitLog(table_path)
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        """Snapshot: union of active slices."""
+        slices = self.log.active_slices()
+        if not slices:
+            raise FileNotFoundError(f"table {self.table_path} has no commits")
+        return self.spark.read.parquet(*[str(self.table_path / s) for s in slices])
+
+    def is_empty(self) -> bool:
+        return not self.log.active_slices()
+
+    # -- write path --------------------------------------------------------
+
+    def write(self, df: DataFrame, op: WriteOp = WriteOp.UPSERT,
+              metadata: MetadataManager | dict[str, str] | None = None) -> Commit | None:
+        """Run one write op; returns the Commit (None for NO_OP).
+
+        ``metadata`` (a manager's map or plain dict) is embedded in the
+        commit JSON — the atomic checkpoint+data contract.
+        """
+        if op == WriteOp.NO_OP:
+            return None
+        meta = metadata.all() if isinstance(metadata, MetadataManager) else dict(metadata or {})
+        commit_id = self.log.next_commit_id()
+
+        if op in (WriteOp.DEDUP_INSERT, WriteOp.DEDUP_BULK_INSERT):
+            df = self._dedup_against_existing(df)
+            op_effective = WriteOp.BULK_INSERT if op == WriteOp.DEDUP_BULK_INSERT \
+                else WriteOp.INSERT
+        else:
+            op_effective = op
+
+        # one count action feeds both the parallelism plan and the commit stats
+        n_incoming = df.count()
+        if op_effective == WriteOp.UPSERT and not self.is_empty():
+            adds, removes = self._upsert(commit_id, df, n_incoming)
+        else:
+            adds = self._append(commit_id, df, n_incoming)
+            removes = []
+
+        commit = Commit(commit_id=commit_id, op=op.value, adds=adds,
+                        removes=removes, metadata=meta,
+                        counts={"written": n_incoming})
+        self.log.write(commit)
+        if isinstance(metadata, MetadataManager):
+            metadata.save_changes()
+        self._update_stats(adds, n_incoming, metadata)
+        return commit
+
+    # -- op implementations ------------------------------------------------
+
+    def _partition_values(self, df: DataFrame) -> list[str]:
+        rows = df.select(self.partition).distinct().collect()
+        return [str(r[0]) for r in rows]
+
+    def _write_slices(self, commit_id: str, df: DataFrame, subdir: str,
+                      n_records: int | None = None) -> list[str]:
+        """Write df under data/<subdir>; returns slice paths (relative)."""
+        base = self.table_path / "data" / subdir
+        n_part = self._plan_parallelism(n_records) if n_records is not None else None
+        if n_part is not None:
+            df = df.repartition(n_part, self.key) if self.partition is None else \
+                df.repartition(n_part, self.partition, self.key)
+        if self.partition is not None:
+            (df.withColumn(PARTITION_DIR_COL, F.col(self.partition).cast("string"))
+             .write.mode("overwrite").partitionBy(PARTITION_DIR_COL)
+             .parquet(str(base)))
+            return [f"data/{subdir}/{d.name}" for d in sorted(base.iterdir())
+                    if d.is_dir() and d.name.startswith(f"{PARTITION_DIR_COL}=")]
+        df.write.mode("overwrite").parquet(str(base))
+        return [f"data/{subdir}"]
+
+    def _append(self, commit_id: str, df: DataFrame, n_records: int) -> list[str]:
+        return self._write_slices(commit_id, df, commit_id, n_records)
+
+    def _dedup_against_existing(self, df: DataFrame) -> DataFrame:
+        """filterExists: drop incoming whose key is already in the table
+        (HoodieSink.java:446-449)."""
+        if self.is_empty():
+            return df
+        existing = self.read().select(F.col(self.key)).distinct()
+        return df.join(existing, self.key, "left_anti")
+
+    def _upsert(self, commit_id: str, df: DataFrame,
+                n_incoming: int) -> tuple[list[str], list[str]]:
+        """Partition-scoped copy-on-write merge; last-write-wins per key.
+
+        Incoming must be unique per key (caller dedups a batch first, as the
+        reference's combine-before-upsert does).
+        """
+        slice_by_partition = self._active_by_partition()
+        if self.partition is None:
+            old = self.read()
+            merged = old.join(df.select(self.key), self.key, "left_anti").unionByName(df)
+            adds = self._write_slices(commit_id, merged, commit_id)
+            return adds, list(slice_by_partition.get(None, []))
+
+        touched = set(self._partition_values(df))
+        old_slices = [s for p, ss in slice_by_partition.items()
+                      if p in touched for s in ss]
+        if old_slices:
+            old = (self.spark.read
+                   .parquet(*[str(self.table_path / s) for s in old_slices]))
+            survivors = old.join(df.select(self.key), self.key, "left_anti")
+            merged = survivors.unionByName(df.select(*survivors.columns))
+        else:
+            merged = df
+        adds = self._write_slices(commit_id, merged, commit_id)
+        return adds, old_slices
+
+    def _active_by_partition(self) -> dict[str | None, list[str]]:
+        out: dict[str | None, list[str]] = {}
+        for s in self.log.active_slices():
+            name = Path(s).name
+            key = name.split("=", 1)[1] if name.startswith(f"{PARTITION_DIR_COL}=") else None
+            out.setdefault(key, []).append(s)
+        return out
+
+    # -- sizing ------------------------------------------------------------
+
+    def _plan_parallelism(self, n_records: int) -> int | None:
+        """ceil(records * avgRecordSize / targetFileSize), HoodieSink.java:240-250."""
+        if not self.auto_tune:
+            return None
+        stats = SinkStatManager(TableMetadataManager(self.log))
+        avg = stats.get_avg_record_size()
+        target_bytes = self.target_file_size_mb * 1024 * 1024
+        return max(1, math.ceil(n_records * avg / target_bytes))
+
+    def _slice_counts(self, slices: list[str]) -> dict[str, int]:
+        out = {}
+        for s in slices:
+            p = self.table_path / s
+            out[s] = sum(f.stat().st_size for f in p.rglob("*.parquet"))
+        return out
+
+    def _update_stats(self, adds: list[str], records: int,
+                      metadata: MetadataManager | dict | None) -> None:
+        if not isinstance(metadata, MetadataManager):
+            return
+        written = sum(self._slice_counts(adds).values())
+        SinkStatManager(metadata).update(written, records)
+
+    # -- maintenance -------------------------------------------------------
+
+    def clean_orphans(self) -> list[str]:
+        """Delete data dirs not referenced by any commit (crash leftovers)."""
+        import shutil
+
+        referenced = {s for c in self.log.commits() for s in c.adds}
+        removed = []
+        data = self.table_path / "data"
+        if not data.is_dir():
+            return removed
+        for d in sorted(data.iterdir()):
+            if not d.is_dir():
+                continue
+            rel = f"data/{d.name}"
+            subdirs = [f"data/{d.name}/{x.name}" for x in d.iterdir()
+                       if x.is_dir() and x.name.startswith(f"{PARTITION_DIR_COL}=")]
+            refs = [rel] + subdirs
+            if not any(r in referenced for r in refs):
+                shutil.rmtree(d)
+                removed.append(rel)
+        return removed

@@ -1,0 +1,137 @@
+"""Kafka work-unit calculator tests — fair-split arithmetic, bootstrap,
+data-loss handling, checkpoint round-trip. Modeled on the reference's
+TestKafkaWorkUnitCalculator scenarios (SURVEY §2.2)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from marmaray_spark.metadata import InMemoryMetadataManager
+from marmaray_spark.sources.kafka import (
+    DataLossError,
+    KafkaWorkUnitCalculator,
+    OffsetRange,
+    StaticBroker,
+    fair_split,
+    filter_by_offset_ranges,
+    ranges_to_kafka_json,
+)
+
+
+def test_fair_split_no_cap():
+    ranges = fair_split({0: 100, 1: 50}, {0: 10, 1: 0}, max_messages=1000)
+    assert ranges == [OffsetRange(1, 0, 50), OffsetRange(0, 10, 110)]
+
+
+def test_fair_split_small_partitions_drain_first():
+    # cap 100 across backlogs {5, 200, 300}: small gets all 5, the rest split
+    ranges = fair_split({0: 300, 1: 5, 2: 200}, {0: 0, 1: 0, 2: 0}, max_messages=100)
+    by_p = {r.partition: r.size for r in ranges}
+    # iteration: p1 take min(100//3,5)=5; p2 take min(95//2,200)=47; p0 take min(48//1,300)=48
+    assert by_p == {1: 5, 2: 47, 0: 48}
+    assert sum(by_p.values()) == 100
+
+
+def test_fair_split_even_split_when_all_large():
+    ranges = fair_split({0: 500, 1: 500}, {0: 0, 1: 0}, max_messages=100)
+    assert {r.partition: r.size for r in ranges} == {0: 50, 1: 50}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    backlogs=st.dictionaries(st.integers(0, 15), st.integers(0, 10_000),
+                             min_size=1, max_size=16),
+    cap=st.integers(1, 20_000),
+)
+def test_fair_split_properties(backlogs, cap):
+    backlogs = {p: b for p, b in backlogs.items() if b > 0}
+    if not backlogs:
+        return
+    starts = {p: 0 for p in backlogs}
+    ranges = fair_split(backlogs, starts, cap)
+    taken = {r.partition: r.size for r in ranges}
+    total = sum(taken.values())
+    # never exceeds cap or backlog; consumes min(total backlog, ~cap)
+    assert total <= max(cap, sum(backlogs.values()))
+    for p, t in taken.items():
+        assert 0 < t <= backlogs[p]
+    if sum(backlogs.values()) <= cap:
+        assert total == sum(backlogs.values())
+    else:
+        assert total <= cap
+
+
+def test_first_run_bootstraps_latest_no_work():
+    meta = InMemoryMetadataManager()
+    calc = KafkaWorkUnitCalculator("t", StaticBroker({0: 0, 1: 0}, {0: 900, 1: 500}), meta)
+    assert calc.compute_work_units() == []
+    calc.save_next_run_state()
+    assert calc.read_checkpointed_offsets() == {0: 900, 1: 500}
+
+
+def test_incremental_run_and_cap(tmp_path):
+    meta = InMemoryMetadataManager()
+    meta.set("kafka.offset.t.0", "100")
+    meta.set("kafka.offset.t.1", "200")
+    calc = KafkaWorkUnitCalculator(
+        "t", StaticBroker({0: 0, 1: 0}, {0: 400, 1: 260}), meta, max_messages=120)
+    ranges = calc.compute_work_units()
+    # backlogs {0: 300, 1: 60}: p1 takes min(120//2,60)=60, p0 takes min(60//1,300)=60
+    assert {r.partition: (r.from_offset, r.until_offset) for r in ranges} == {
+        1: (200, 260), 0: (100, 160)}
+    calc.save_next_run_state()
+    assert calc.read_checkpointed_offsets() == {0: 160, 1: 260}
+
+
+def test_new_partition_starts_at_earliest():
+    meta = InMemoryMetadataManager()
+    meta.set("kafka.offset.t.0", "50")
+    calc = KafkaWorkUnitCalculator(
+        "t", StaticBroker({0: 0, 1: 30}, {0: 60, 1: 40}), meta)
+    ranges = {r.partition: r for r in calc.compute_work_units()}
+    assert ranges[1].from_offset == 30 and ranges[1].until_offset == 40
+    assert ranges[0].from_offset == 50
+
+
+def test_data_loss_raises_without_reset_policy():
+    meta = InMemoryMetadataManager()
+    meta.set("kafka.offset.t.0", "10")
+    calc = KafkaWorkUnitCalculator("t", StaticBroker({0: 100}, {0: 200}), meta)
+    with pytest.raises(DataLossError, match="DATA_LOSS"):
+        calc.compute_work_units()
+
+
+def test_data_loss_reset_and_report():
+    meta = InMemoryMetadataManager()
+    meta.set("kafka.offset.t.0", "10")
+    reported = {}
+    calc = KafkaWorkUnitCalculator(
+        "t", StaticBroker({0: 100}, {0: 200}), meta,
+        reset_on_data_loss="earliest",
+        data_loss_reporter=lambda topic, lost: reported.update({topic: lost}))
+    ranges = calc.compute_work_units()
+    assert ranges == [OffsetRange(0, 100, 200)]
+    assert reported == {"t": 90}  # offsets 10..100 lost
+
+
+def test_no_new_messages():
+    meta = InMemoryMetadataManager()
+    meta.set("kafka.offset.t.0", "500")
+    calc = KafkaWorkUnitCalculator("t", StaticBroker({0: 0}, {0: 500}), meta)
+    assert calc.compute_work_units() == []
+    calc.save_next_run_state()
+    assert calc.read_checkpointed_offsets() == {0: 500}
+
+
+def test_ranges_to_kafka_json():
+    s, e = ranges_to_kafka_json("t", [OffsetRange(0, 5, 10), OffsetRange(2, 0, 7)])
+    assert '"t"' in s and '"0": 5' in s and '"2": 7' in e
+
+
+def test_filter_by_offset_ranges(spark):
+    df = spark.createDataFrame(
+        [(p, o) for p in range(3) for o in range(10)], ["partition", "offset"])
+    out = filter_by_offset_ranges(df, [OffsetRange(0, 2, 5), OffsetRange(2, 0, 1)])
+    got = {(r["partition"], r["offset"]) for r in out.collect()}
+    assert got == {(0, 2), (0, 3), (0, 4), (2, 0)}
+    assert filter_by_offset_ranges(df, []).count() == 0

@@ -1,0 +1,126 @@
+"""TableSink tests — modeled on T/common/sinks/hoodie/TestHoodieSink.java:
+insert / dedup-insert / upsert, metadata-manager embedding (atomic
+checkpoint+data), parallelism auto-tune, crash-orphan invisibility."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from marmaray_spark.sinks.table import (
+    CommitLog,
+    SinkStatManager,
+    TableMetadataManager,
+    TableSink,
+    WriteOp,
+)
+from marmaray_spark.metadata import InMemoryMetadataManager
+
+
+@pytest.fixture()
+def users(spark):
+    rows = [(1, "a", "2024-01-01", 10.0), (2, "b", "2024-01-01", 20.0),
+            (3, "c", "2024-01-02", 30.0), (4, "d", "2024-01-02", 40.0)]
+    return spark.createDataFrame(rows, ["uid", "name", "dt", "score"])
+
+
+def test_insert_and_read(spark, users, tmp_path):
+    sink = TableSink(spark, tmp_path / "t", "uid", partition_field="dt")
+    c = sink.write(users, WriteOp.INSERT)
+    assert c is not None and c.counts["written"] == 4
+    back = sink.read()
+    assert back.count() == 4
+    assert sorted(back.columns) == sorted(users.columns)
+
+
+def test_dedup_insert_filters_existing_keys(spark, users, tmp_path):
+    sink = TableSink(spark, tmp_path / "t", "uid", partition_field="dt")
+    sink.write(users, WriteOp.INSERT)
+    incoming = users.withColumn("uid", F.col("uid") + 2)  # uids 3..6; 3,4 exist
+    c = sink.write(incoming, WriteOp.DEDUP_INSERT)
+    assert c.counts["written"] == 2
+    assert sink.read().count() == 6
+    assert sink.read().filter(F.col("uid") == 3).count() == 1  # not duplicated
+
+
+def test_upsert_partition_scoped(spark, users, tmp_path):
+    sink = TableSink(spark, tmp_path / "t", "uid", partition_field="dt")
+    sink.write(users, WriteOp.INSERT)
+    # update uid=1 (dt=2024-01-01) and insert uid=9 in the same partition
+    updates = spark.createDataFrame(
+        [(1, "a2", "2024-01-01", 11.0), (9, "z", "2024-01-01", 90.0)],
+        ["uid", "name", "dt", "score"])
+    c = sink.write(updates, WriteOp.UPSERT)
+    back = sink.read()
+    assert back.count() == 5
+    assert back.filter(F.col("uid") == 1).first()["name"] == "a2"
+    assert back.filter(F.col("uid") == 9).count() == 1
+    # untouched partition's slices were NOT rewritten
+    assert all("2024-01-02" not in r for r in c.removes)
+    removed_partitions = {r.rsplit("=", 1)[1] for r in c.removes}
+    assert removed_partitions == {"2024-01-01"}
+
+
+def test_upsert_unpartitioned_full_rewrite(spark, users, tmp_path):
+    sink = TableSink(spark, tmp_path / "t", "uid")
+    sink.write(users.drop("dt"), WriteOp.INSERT)
+    updates = spark.createDataFrame([(2, "b2", 21.0)], ["uid", "name", "score"])
+    sink.write(updates, WriteOp.UPSERT)
+    back = sink.read()
+    assert back.count() == 4
+    assert back.filter(F.col("uid") == 2).first()["name"] == "b2"
+
+
+def test_upsert_into_empty_table_is_insert(spark, users, tmp_path):
+    sink = TableSink(spark, tmp_path / "t", "uid", partition_field="dt")
+    sink.write(users, WriteOp.UPSERT)
+    assert sink.read().count() == 4
+
+
+def test_atomic_metadata_embedding(spark, users, tmp_path):
+    """HoodieBasedMetadataManager parity: checkpoint rides the commit."""
+    sink = TableSink(spark, tmp_path / "t", "uid", partition_field="dt")
+    meta = TableMetadataManager(sink.log)
+    meta.set("kafka.offset.p0", "1234")
+    sink.write(users, WriteOp.INSERT, metadata=meta)
+    # a fresh manager over the same log sees the committed checkpoint
+    reloaded = TableMetadataManager(CommitLog(tmp_path / "t"))
+    assert reloaded.get("kafka.offset.p0") == "1234"
+
+
+def test_no_op(spark, users, tmp_path):
+    sink = TableSink(spark, tmp_path / "t", "uid")
+    assert sink.write(users, WriteOp.NO_OP) is None
+    assert sink.is_empty()
+
+
+def test_orphan_data_invisible_and_cleanable(spark, users, tmp_path):
+    sink = TableSink(spark, tmp_path / "t", "uid", partition_field="dt")
+    sink.write(users, WriteOp.INSERT)
+    # simulate a crashed write: data lands but no commit JSON
+    orphan = tmp_path / "t" / "data" / "999999999999"
+    users.limit(1).write.parquet(str(orphan))
+    assert sink.read().count() == 4  # orphan invisible
+    removed = sink.clean_orphans()
+    assert removed == ["data/999999999999"]
+    assert not orphan.exists()
+    assert sink.read().count() == 4
+
+
+def test_parallelism_auto_tune():
+    meta = InMemoryMetadataManager()
+    stats = SinkStatManager(meta)
+    assert stats.get_avg_record_size(default=100.0) == 100.0
+    stats.update(written_bytes=1000, written_records=10)   # 100 B/rec
+    stats.update(written_bytes=3000, written_records=10)   # 300 -> rolling 200
+    assert stats.get_avg_record_size() == pytest.approx(200.0)
+
+
+def test_commit_log_rejects_duplicate_commit(tmp_path):
+    log = CommitLog(tmp_path / "t")
+    from marmaray_spark.sinks.table import Commit
+    log.write(Commit(commit_id="000000000000", op="insert", adds=["data/x"]))
+    with pytest.raises(FileExistsError):
+        log.write(Commit(commit_id="000000000000", op="insert"))
+    assert json.loads((tmp_path / "t" / "_commits" / "000000000000.json")
+                      .read_text())["adds"] == ["data/x"]
