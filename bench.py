@@ -24,6 +24,13 @@ HEADLINE = [
     "dedup_insert_anti_join",
     "sorted_batched_output",
     "validate_required_keys_valid",
+    "kafka_incremental_fair_split",
+    "minhash_lsh_candidates",
+    "simhash_fingerprints",
+    "embedding_topk_bruteforce",
+    "embedding_srp_probe_topk",
+    "token_counts",
+    "hourly_windowed_agg",
 ]
 
 

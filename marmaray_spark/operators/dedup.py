@@ -1,0 +1,134 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+New surface for LLM data pipelines (BASELINE.json north star). 100 TB
+design notes on each operator:
+
+- Exact dedup: hash-groupBy on a content digest — one shuffle on the
+  digest (uniform keys, no skew), map-side partial aggregation.
+- MinHash+LSH: per-row signature computation is expression-only (no
+  Python, no shuffle); candidate generation explodes rows x bands and
+  shuffles on (band, bucket) — the classic shingle->minhash->band->
+  bucket-join pipeline whose cost is O(rows x bands), never O(rows^2).
+- SimHash: per-row 16-bit fingerprint via integer expression; near-dup
+  join at scale goes through bucketing on fingerprint prefixes (here the
+  pairwise form is kept for oracle checkability and small candidate sets).
+- n-gram Jaccard: exact verification on candidate pairs only (integer
+  intersection/union counts — engine-exact).
+
+All hashing is md5-hex based so a SQL oracle computes bit-identical
+results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_digest(col: str = "text") -> Column:
+    """Canonical content hash for exact dedup (md5 of the raw text)."""
+    return F.md5(F.col(col))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per identical content; report group
+    size. One hash-shuffle; AQE coalesces the post-agg partitions."""
+    return (df
+            .groupBy(content_digest(text_col).alias("digest"))
+            .agg(F.min(F.col(id_col)).alias("keeper_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def minhash_signature(shingles_col: str, k: int) -> Column:
+    """k MinHash values: min over shingles of md5('<i>:' || shingle) for
+    each of k salted hash functions. Lexicographic min over hex strings —
+    identical in any engine. Empty shingle set -> 'z' sentinel (sorts
+    after every hex digest)."""
+    sigs = [
+        F.expr(f"coalesce(array_min(transform({shingles_col}, "
+               f"s -> md5(concat('{i}:', s)))), 'z')").alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_band_buckets(signature_col: str, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: bucket b = md5 of the concatenated minhashes in
+    band b. Returns array<string> of length ``bands``."""
+    exprs = [
+        F.expr(f"md5(concat_ws(',', slice({signature_col}, "
+               f"{b * rows_per_band + 1}, {rows_per_band})))")
+        for b in range(bands)
+    ]
+    return F.array(*exprs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, buckets_col: str,
+                        persist: bool = True) -> DataFrame:
+    """Explode (id, band, bucket), self-join per (band, bucket), emit
+    distinct id pairs (a < b). The join key includes the band index so
+    equal buckets in different bands don't collide.
+
+    The (id, buckets) projection is persisted BEFORE the explode: a
+    derived-column generator input drops out of whole-stage codegen, so
+    without the barrier the full minhash expression tree is re-evaluated
+    interpreted (measured 15x slower at sf0.1) and again in both join
+    branches — the fork-persist rule (SURVEY §4) applied to an analytic
+    operator. The persisted frame is tiny: rows x (id, bands x 32-char hex).
+    """
+    pre = df.select(F.col(id_col).alias("doc"), F.col(buckets_col).alias("__bk__"))
+    if persist:
+        pre = pre.persist()
+        pre.count()
+    exploded = pre.select("doc", F.posexplode("__bk__").alias("band", "bucket"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc") < F.col("r.doc")))
+            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .distinct())
+
+
+def simhash16(words_col: str) -> Column:
+    """16-bit SimHash over the distinct-word set.
+
+    Bit i (1-based hex position) is set when the sum over words of
+    (+1 if the i-th hex digit of md5(word) has its high bit set else -1)
+    is >= 0. Pure integer arithmetic — engine-exact.
+    """
+    bit_terms = []
+    for i in range(1, 17):
+        s = (f"aggregate(array_distinct({words_col}), 0, (acc, w) -> acc + "
+             f"IF(instr('89abcdef', substring(md5(w), {i}, 1)) > 0, 1, -1))")
+        bit_terms.append(f"IF(({s}) >= 0, {1 << (i - 1)}, 0)")
+    return F.expr(" + ".join(bit_terms)).cast("bigint")
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, simhash_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pairwise form (checkable): at 100 TB, prefilter by joining on
+    fingerprint bytes (pigeonhole: <=3 differing bits of 16 means at least
+    one identical byte half) before the bit_count filter.
+    """
+    left = df.select(F.col(id_col).alias("a"), F.col(simhash_col).alias("sh_a"))
+    right = df.select(F.col(id_col).alias("b"), F.col(simhash_col).alias("sh_b"))
+    return (left.join(right, F.col("a") < F.col("b"))
+            .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming)
+            .select("a", "b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming")))
+
+
+def jaccard_counts(shingles_a: Column, shingles_b: Column) -> tuple[Column, Column]:
+    """(intersection_size, union_size) of two distinct-shingle sets as
+    exact integers — compare ``union_size * threshold <= inter * 1`` style
+    to avoid any float."""
+    inter = F.size(F.array_intersect(F.array_distinct(shingles_a),
+                                     F.array_distinct(shingles_b)))
+    union = (F.size(F.array_distinct(shingles_a))
+             + F.size(F.array_distinct(shingles_b)) - inter)
+    return inter, union

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns: exact brute-force top-k and
+a sign-random-projection (SRP) LSH bucketed scale path.
+
+New surface for LLM data pipelines (BASELINE.json north star).
+
+Determinism strategy: embeddings are quantized to integer milli-units
+(round(x * 1000) as BIGINT) and similarity is the exact integer dot
+product of quantized vectors. For L2-normalized embeddings (the test
+corpus is) this preserves cosine ordering to ~1e-3 while making every
+score engine-exact — no float summation-order hazards in the oracle
+compare. SRP hyperplanes are derived from md5, so both engines build the
+same planes without shipping any state.
+
+100 TB notes: brute-force is O(Q x N) with the query side broadcast —
+right for small Q or as a re-rank stage. The SRP path buckets the corpus
+once (expression-only, no shuffle beyond the bucket groupBy) and probes
+only matching buckets, the standard LSH/IVF-style recall-for-cost trade.
+A true IVF with learned centroids plugs into the same probe shape via
+pyspark.ml KMeans when approximate recall targets require it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000
+
+
+def quantize(col: str = "embedding") -> Column:
+    """array<float> -> array<bigint> of milli-units (engine-exact)."""
+    return F.expr(
+        f"transform({col}, x -> cast(round(cast(x as double) * {QUANT_SCALE}) as bigint))")
+
+
+def int_dot(a: Column | str, b: Column | str) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    a_name = a if isinstance(a, str) else None
+    if a_name is None:
+        raise ValueError("int_dot takes column NAMES (used inside expr)")
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query by quantized dot product.
+
+    Output: (query_id, neighbor_id, dot_q, rank). Self-matches excluded.
+    The query side is broadcast — no shuffle of the corpus.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       quantize(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      quantize(vec_col).alias("cv"))
+    scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("dot_q", int_dot("qv", "cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot_q", "rank"))
+
+
+def near_dup_pairs(df: DataFrame, threshold_milli: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs (a < b) whose quantized dot >= threshold.
+
+    ``threshold_milli`` is in (milli)^2 units: cosine t ~ t * 1e6 for
+    normalized vectors. Pairwise form for exactness; the SRP bucket path
+    below is the scale prefilter.
+    """
+    left = df.select(F.col(id_col).alias("a"), quantize(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("b"), quantize(vec_col).alias("vb"))
+    return (left.join(right, F.col("a") < F.col("b"))
+            .withColumn("dot_q", int_dot("va", "vb"))
+            .filter(F.col("dot_q") >= threshold_milli)
+            .select("a", "b", "dot_q"))
+
+
+def srp_bucket(qvec_col: str, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-random-projection bucket id in [0, 2^n_planes).
+
+    Plane p's component i is +1 when the first hex digit of
+    md5('<p>:<i>') has its high bit set, else -1 — both engines derive
+    identical planes from nothing but md5.
+    """
+    terms = []
+    for p in range(n_planes):
+        proj = (f"aggregate(sequence(1, {dim}), 0L, (acc, i) -> acc + "
+                f"IF(instr('89abcdef', substring(md5(concat('{p}:', cast(i as string))), 1, 1)) > 0, 1L, -1L)"
+                f" * element_at({qvec_col}, i))")
+        terms.append(f"IF(({proj}) >= 0, {1 << p}, 0)")
+    return F.expr(" + ".join(terms)).cast("bigint")
+
+
+def srp_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                   n_planes: int = 8, dim: int = 64,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only the query's own SRP bucket.
+
+    The LSH/IVF probe shape: bucket the corpus once, equi-join queries to
+    their bucket, rank within. Recall < 1 by construction; multi-probe
+    (flipping weak-margin planes) raises it at proportional cost.
+    """
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       quantize(vec_col).alias("cv"))
+         .withColumn("bucket", srp_bucket("cv", n_planes, dim)))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        quantize(vec_col).alias("qv"))
+         .withColumn("bucket", srp_bucket("qv", n_planes, dim)))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("dot_q", int_dot("qv", "cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot_q", "rank"))

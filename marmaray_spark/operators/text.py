@@ -1,0 +1,124 @@
+"""Text-analysis operators for LLM data pipelines: tokenization, shingles,
+language ID, quality scoring, token counting, document fingerprinting.
+
+New surface (not in the reference — BASELINE.json north star): designed for
+100 TB by being pure Catalyst expressions (whole-stage codegen, no Python
+in the hot path) that are embarrassingly parallel per row — no shuffle, no
+driver state. Every function returns a Column; determinism across engines
+is guaranteed by building all hashing on md5 hex strings and all scores on
+integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A hex digit whose high bit is set — the 1-bit extractor used by simhash
+# and SRP-LSH (deterministic, identical in any engine with md5+strpos).
+HIGH_HEX = "89abcdef"
+
+# Small per-language stopword lists for the n-gram/stopword lang-id
+# heuristic. Top function words; enough to separate the four languages.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"],
+}
+
+
+def words(col: str = "text") -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+def word_shingles(words_col: str, n: int = 3) -> Column:
+    """n-word shingles: positions i..i+n-1 joined by a single space.
+
+    Guarded for short docs (size < n -> empty array; Spark's
+    ``sequence(1, 0)`` counts DOWN rather than being empty, so the guard
+    is an explicit IF). Mirrors the SQL
+    ``list_transform(generate_series(1, len-n+1), i -> ...)`` form.
+    """
+    return F.expr(
+        f"IF(size({words_col}) < {n}, array(), "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {n}))))"
+    )
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def subword_count(col: str = "text") -> Column:
+    """BPE-ish token proxy: runs of letters, runs of digits, single
+    punctuation — a cheap, deterministic token-count estimate."""
+    return F.regexp_count(F.lower(F.col(col)), F.lit(BPE_ISH_PATTERN))
+
+
+def punct_count(col: str = "text") -> Column:
+    return F.length(F.regexp_replace(F.col(col), r"[^.!?,;:]", ""))
+
+
+def stopword_hits(words_col: str, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(
+        f"aggregate({words_col}, 0, "
+        f"(acc, w) -> acc + IF(array_contains(array({sw}), w), 1, 0))"
+    )
+
+
+def lang_id(words_col: str) -> Column:
+    """Stopword-vote language ID: argmax of per-language stopword hits,
+    'und' (undetermined) when no list scores > 0; ties broken by language
+    code order (deterministic)."""
+    scores = {lang: stopword_hits(words_col, lang) for lang in sorted(STOPWORDS)}
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so earlier codes win ties (last when() wins in a fold-left chain)
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    return F.when(best_score > 0, pred).otherwise(F.lit("und"))
+
+
+def quality_score(col: str = "text", words_col: str | None = None) -> Column:
+    """Integer quality score in [0, 100]: rewards reasonable length,
+    sentence punctuation, and stopword presence; penalizes very short or
+    punctuation-free text. All-integer arithmetic => engine-exact.
+
+      +40 if 20 <= n_tokens <= 1000 (else +10 if n_tokens >= 5)
+      +20 if punct_count >= 1
+      +20 if stopword_hits(en) >= 1
+      +20 if avg token length in [3, 12] (scaled integer compare)
+    """
+    w = words_col if words_col is not None else f"split(trim(lower({col})), '\\\\s+')"
+    n_tok = F.expr(f"size({w})")
+    sum_len = F.expr(f"aggregate({w}, 0, (acc, x) -> acc + length(x))")
+    sw = ", ".join(f"'{x}'" for x in STOPWORDS["en"])
+    sw_hits = F.expr(f"aggregate({w}, 0, "
+                     f"(acc, x) -> acc + IF(array_contains(array({sw}), x), 1, 0))")
+    return (
+        F.when((n_tok >= 20) & (n_tok <= 1000), 40)
+        .otherwise(F.when(n_tok >= 5, 10).otherwise(0))
+        + F.when(punct_count(col) >= 1, 20).otherwise(0)
+        + F.when(sw_hits >= 1, 20).otherwise(0)
+        + F.when((sum_len >= 3 * n_tok) & (sum_len <= 12 * n_tok), 20).otherwise(0)
+    ).cast("int")
+
+
+def fingerprint_bottom_k(shingles_col: str, k: int = 4) -> Column:
+    """Bottom-k document sketch: the k lexicographically smallest md5 hex
+    digests of the doc's distinct shingles, joined with '|'. Two docs share
+    a fingerprint iff their shingle sets' k smallest hashes coincide — a
+    compact near-dup prefilter (bottom-k minwise sketch)."""
+    return F.expr(
+        f"array_join(slice(array_sort(transform(array_distinct({shingles_col}), "
+        f"s -> md5(s))), 1, {k}), '|')"
+    )

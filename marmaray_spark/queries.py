@@ -356,6 +356,516 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("count_order")))
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: text analysis (operators/text.py)
+# ---------------------------------------------------------------------------
+
+def _with_words(df: DataFrame) -> DataFrame:
+    from marmaray_spark.operators.text import words
+    return df.withColumn("w", words("text"))
+
+
+_SQL_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_WORDS}) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS INT) AS n_subwords,
+           n_chars
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex proxy
+    (operators/text.py) — per-row expressions, no shuffle."""
+    from marmaray_spark.operators.text import subword_count, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        subword_count("text").alias("n_subwords"),
+        "n_chars",
+    )
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS w,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+             list_sum(list_transform({_SQL_WORDS}, x -> CASE WHEN x IN
+               ('the','and','of','to','in','is','that','it','for','was')
+               THEN 1 ELSE 0 END)) AS sw_hits
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(
+        (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 40
+              WHEN len(w) >= 5 THEN 10 ELSE 0 END)
+        + (CASE WHEN punct >= 1 THEN 20 ELSE 0 END)
+        + (CASE WHEN sw_hits >= 1 THEN 20 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(w, x -> length(x))) BETWEEN 3 * len(w)
+                AND 12 * len(w) THEN 20 ELSE 0 END)
+      AS INT) AS quality
+    FROM t
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: integer score from length/punctuation/stopword
+    signals (operators/text.py quality_score)."""
+    from marmaray_spark.operators.text import quality_score
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    return docs.select("doc_id", quality_score("text", words_col="w").alias("quality"))
+
+
+@register(
+    "lang_id_stopwords",
+    """
+    WITH sc AS (
+      SELECT doc_id, lang,
+        list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+          x -> CASE WHEN x IN ('the','and','of','to','in','is','that','it','for','was')
+               THEN 1 ELSE 0 END)) AS s_en,
+        list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+          x -> CASE WHEN x IN ('el','la','de','que','y','en','los','del','se','por')
+               THEN 1 ELSE 0 END)) AS s_es,
+        list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+          x -> CASE WHEN x IN ('der','die','und','das','ist','von','mit','den','nicht','ein')
+               THEN 1 ELSE 0 END)) AS s_de,
+        list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+          x -> CASE WHEN x IN ('le','la','les','et','des','est','dans','que','pour','une')
+               THEN 1 ELSE 0 END)) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM sc
+    """,
+)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword votes (operators/text.py lang_id);
+    deterministic tie-break by language code."""
+    from marmaray_spark.operators.text import lang_id
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
+                       lang_id("w").alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                            i -> array_to_string(w[i:i+2], ' ')) AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_sort(list_transform(list_distinct(shingles), s -> md5(s)))[1:4],
+             '|') AS fingerprint
+    FROM sh
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: bottom-4 minwise sketch over 3-word
+    shingles (operators/text.py fingerprint_bottom_k)."""
+    from marmaray_spark.operators.text import fingerprint_bottom_k, word_shingles
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    return (docs.withColumn("shingles", word_shingles("w", 3))
+            .select("doc_id", fingerprint_bottom_k("shingles", 4).alias("fingerprint")))
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: deduplication (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_keep_min",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS dup_count
+    FROM unioned GROUP BY md5(text)
+    """,
+)
+def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, min-id keeper
+    (operators/dedup.py exact_dedup). Duplicates injected by re-unioning
+    a third of the corpus under shifted ids."""
+    from marmaray_spark.operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (docs.filter(F.col("doc_id") % 3 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return exact_dedup(docs.unionByName(dup), "doc_id", "text")
+
+
+_SQL_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
+    "i -> array_to_string(w[i:i+2], ' '))"
+)
+
+
+def _sql_minhash_sig(k: int) -> str:
+    parts = ", ".join(
+        f"coalesce(list_min(list_transform(shingles, s -> md5(concat('{i}:', s)))), 'z')"
+        for i in range(k)
+    )
+    return f"[{parts}]"
+
+
+def _sql_bands(bands: int, rows: int) -> str:
+    parts = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{b * rows + rows}], ','))"
+        for b in range(bands)
+    )
+    return f"[{parts}]"
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+    sig AS (SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM sh),
+    bands AS (SELECT doc_id, {_sql_bands(8, 2)} AS buckets FROM sig),
+    exploded AS (
+      SELECT doc_id AS doc, b.band, buckets[b.band] AS bucket
+      FROM bands, (SELECT unnest(generate_series(1, 8)) AS band) b
+    )
+    SELECT DISTINCT l.doc AS a, r.doc AS b
+    FROM exploded l JOIN exploded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 16 salted md5 minhashes, 8 bands x
+    2 rows, bucket-join (operators/dedup.py). O(rows x bands), never
+    O(rows^2)."""
+    from marmaray_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from marmaray_spark.operators.text import word_shingles
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    banded = (docs.withColumn("shingles", word_shingles("w", 3))
+              .withColumn("sig", minhash_signature("shingles", 16))
+              .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
+    return lsh_candidate_pairs(banded, "doc_id", "buckets")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE doc_id < 100),
+    sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS shingles FROM t)
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(len(list_intersect(l.shingles, r.shingles)) AS INT) AS inter_size,
+           CAST(len(l.shingles) + len(r.shingles)
+                - len(list_intersect(l.shingles, r.shingles)) AS INT) AS union_size
+    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+    WHERE len(list_intersect(l.shingles, r.shingles)) >= 1
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity: exact integer intersection/union counts
+    over distinct 3-word shingles for pairs sharing >= 1 shingle
+    (operators/dedup.py jaccard_counts); a threshold is an integer
+    cross-multiply (inter * K >= union). Bounded to doc_id < 100 — at
+    scale this runs on LSH candidates only."""
+    from marmaray_spark.operators.dedup import jaccard_counts
+    from marmaray_spark.operators.text import word_shingles
+
+    docs = (_with_words(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+            .withColumn("shingles", F.array_distinct(word_shingles("w", 3))))
+    left = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    right = docs.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    inter, union = jaccard_counts(F.col("sh_a"), F.col("sh_b"))
+    return (pairs
+            .withColumn("inter_size", inter.cast("int"))
+            .withColumn("union_size", union.cast("int"))
+            .filter(F.col("inter_size") >= 1)
+            .select("a", "b", "inter_size", "union_size"))
+
+
+def _sql_simhash(words_expr: str) -> str:
+    terms = []
+    for i in range(1, 17):
+        s = (f"list_sum(list_transform(list_distinct({words_expr}), w -> "
+             f"CASE WHEN strpos('89abcdef', substr(md5(w), {i}, 1)) > 0 "
+             f"THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN coalesce({s}, 0) >= 0 THEN {1 << (i - 1)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+    SELECT doc_id, CAST({_sql_simhash('w')} AS BIGINT) AS simhash
+    FROM t
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 16-bit fingerprint over the distinct-word set, md5-derived
+    bit votes (operators/dedup.py simhash16)."""
+    from marmaray_spark.operators.dedup import simhash16
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    return docs.select("doc_id", simhash16("w").alias("simhash"))
+
+
+@register(
+    "simhash_near_dup_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, CAST({_sql_simhash('w')} AS BIGINT) AS simhash FROM t)
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM s l JOIN s r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: pairs within hamming distance 3
+    (operators/dedup.py simhash_near_dup_pairs)."""
+    from marmaray_spark.operators.dedup import simhash16, simhash_near_dup_pairs
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    hashed = docs.select("doc_id", simhash16("w").alias("simhash"))
+    return (simhash_near_dup_pairs(hashed, "doc_id", "simhash", 3)
+            .withColumn("hamming", F.col("hamming").cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline: similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_SQL_QUANT = ("list_transform(embedding, "
+              "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+
+_SQL_DOT = ("list_sum(list_transform(generate_series(1, 64), "
+            "i -> q.qv[i] * c.cv[i]))")
+
+
+@register(
+    "embedding_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_SQL_QUANT} AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, {_SQL_QUANT} AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, CAST({_SQL_DOT} AS BIGINT) AS dot_q
+      FROM q JOIN c ON q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dot_q,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact baseline): integer-quantized dot
+    product over L2-normalized embeddings, query side broadcast
+    (operators/similarity.py brute_force_topk)."""
+    from marmaray_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH c AS (SELECT vec_id, label, {_SQL_QUANT} AS v FROM embeddings
+               WHERE vec_id < 200)
+    SELECT q.vec_id AS a, c.vec_id AS b,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> q.v[i] * c.v[i])) AS BIGINT) AS dot_q
+    FROM c q JOIN c c ON q.vec_id < c.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+          i -> q.v[i] * c.v[i])) >= 900000
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with quantized dot >= 0.9e6
+    (cosine ~0.9 for unit vectors). Bounded to vec_id < 200; at scale the
+    SRP bucket join prefilters (operators/similarity.py near_dup_pairs)."""
+    from marmaray_spark.operators.similarity import near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return near_dup_pairs(emb, threshold_milli=900000)
+
+
+def _sql_srp_bucket(vcol: str, n_planes: int = 8) -> str:
+    terms = []
+    for p in range(n_planes):
+        proj = (f"list_sum(list_transform(generate_series(1, 64), i -> "
+                f"(CASE WHEN strpos('89abcdef', substr(md5(concat('{p}:', CAST(i AS VARCHAR))), 1, 1)) > 0 "
+                f"THEN 1 ELSE -1 END) * {vcol}[i]))")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "embedding_srp_bucket_histogram",
+    f"""
+    WITH c AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings)
+    SELECT CAST({_sql_srp_bucket('v')} AS BIGINT) AS bucket,
+           count(*) AS n, min(vec_id) AS min_vec_id
+    FROM c GROUP BY 1
+    """,
+)
+def embedding_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketing (the ANN scale path's coarse quantizer): 8
+    md5-derived hyperplanes -> 256 buckets; histogram proves identical
+    plane construction in both engines (operators/similarity.py
+    srp_bucket)."""
+    from marmaray_spark.operators.similarity import quantize, srp_bucket
+
+    emb = load(spark, sf_dir, "embeddings").withColumn("v", quantize("embedding"))
+    return (emb.withColumn("bucket", srp_bucket("v", 8, 64))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id")))
+
+
+@register(
+    "embedding_srp_probe_topk",
+    f"""
+    WITH c AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings),
+    b AS (SELECT vec_id, v, CAST({_sql_srp_bucket('v')} AS BIGINT) AS bucket FROM c),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> q.qv[i] * c.v[i])) AS BIGINT) AS dot_q
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.query_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, dot_q,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def embedding_srp_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: probe only the query's SRP bucket, rank by exact
+    quantized dot within it (operators/similarity.py srp_probe_topk) —
+    the IVF/LSH probe shape that replaces O(N) scans at 100 TB."""
+    from marmaray_spark.operators.similarity import srp_probe_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = srp_probe_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Stream-shaped analytics on events (streaming/ has the readStream twin)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hourly_windowed_agg",
+    """
+    SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the Structured Streaming
+    watermark+window pipeline in streaming/): integer hour buckets from
+    epoch-nanos — engine-exact group keys."""
+    events = load(spark, sf_dir, "events")
+    return (events
+            .groupBy((F.col("ts") / F.lit(3600000000000)).cast("bigint")
+                     .alias("hour_bucket"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@register(
+    "sessionization_gap30m",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(1 + sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap splits sessions (lag + cumsum
+    pattern; streaming twin = session_window). Integer nano arithmetic."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(F.col("ts") - F.lag("ts").over(w) > 1800000000000, 1).otherwise(0)
+    return (events.withColumn("new_session", gap)
+            .groupBy("user_id")
+            .agg((F.sum("new_session") + 1).cast("bigint").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (operators/multimodal.py; decode kernels stubbed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary columns: payload + typed metadata (byte length,
+    magic-bytes hex) — the expression-only half of the media pipeline;
+    decode kernels are mapInPandas stubs tested in pytest
+    (operators/multimodal.py)."""
+    from marmaray_spark.operators.multimodal import synth_media_from_text
+
+    docs = load(spark, sf_dir, "documents")
+    media = synth_media_from_text(docs, "doc_id", "text")
+    return media.select("media_id",
+                        F.col("meta.byte_len").alias("byte_len"),
+                        F.col("meta.head_hex").alias("head_hex"))
+
+
 @register(
     "top_revenue_orders",
     """

@@ -1,0 +1,159 @@
+"""LLM-pipeline operator tests: text analysis, dedup family, similarity
+search, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marmaray_spark.operators.dedup import (
+    exact_dedup,
+    lsh_band_buckets,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash16,
+    simhash_near_dup_pairs,
+)
+from marmaray_spark.operators.multimodal import (
+    extract_image_features,
+    resize_images,
+    sample_frames,
+    synth_media_from_text,
+)
+from marmaray_spark.operators.similarity import brute_force_topk, srp_probe_topk
+from marmaray_spark.operators.text import lang_id, quality_score, words, word_shingles
+
+
+@pytest.fixture(scope="module")
+def multiling(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was happy for a while"),
+        (2, "el perro corre por la calle y se va del parque"),
+        (3, "der hund ist von den kindern und das ist nicht schlecht"),
+        (4, "le chat est dans les jardins et il mange pour une heure"),
+        (5, "zzz qqq xxx"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"]).withColumn("w", words("text"))
+
+
+def test_lang_id_discriminates(spark, multiling):
+    got = {r["id"]: r["pred"] for r in
+           multiling.select("id", lang_id("w").alias("pred")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "und"}
+
+
+def test_quality_score_range_and_signal(spark, multiling):
+    scores = {r["id"]: r["q"] for r in
+              multiling.select("id", quality_score("text", "w").alias("q")).collect()}
+    assert all(0 <= s <= 100 for s in scores.values())
+    assert scores[1] > scores[5]  # real sentence beats garbage
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], ["id", "text"]) \
+        .withColumn("w", words("text"))
+    got = {r["id"]: r["s"] for r in
+           df.select("id", word_shingles("w", 3).alias("s")).collect()}
+    assert got[1] == []
+    assert got[2] == ["a b c", "b c d"]
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["id", "text"])
+    out = {r["keeper_id"]: r["dup_count"]
+           for r in exact_dedup(df, "id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_duplicate(spark):
+    base = "spark engine reads parquet files and writes tables with commits " * 3
+    near = base.replace("writes", "stores")  # one-word change
+    far = "completely different words about cooking pasta at home tonight"
+    df = (spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
+          .withColumn("w", words("text"))
+          .withColumn("sh", word_shingles("w", 3))
+          .withColumn("sig", minhash_signature("sh", 16))
+          .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(df, "id", "buckets").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    df = (spark.createDataFrame([(1, "a b c d e f g"), (2, "a b c d e f g")],
+                                ["id", "text"])
+          .withColumn("w", words("text"))
+          .withColumn("sh", word_shingles("w", 3))
+          .withColumn("sig", minhash_signature("sh", 16))
+          .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
+    assert lsh_candidate_pairs(df, "id", "buckets").count() == 1
+
+
+def test_simhash_near_dup(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # one word differs
+            (3, "totally unrelated vocabulary here now")]
+    df = (spark.createDataFrame(rows, ["id", "text"])
+          .withColumn("w", words("text"))
+          .select("id", simhash16("w").alias("sh")))
+    hashes = {r["id"]: r["sh"] for r in df.collect()}
+    assert all(0 <= h < 2 ** 16 for h in hashes.values())
+    pairs = simhash_near_dup_pairs(df, "id", "sh", max_hamming=4)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
+    rows.append((4, [0.9, 0.1, 0.0, 0.0]))  # closest to vec 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = brute_force_topk(df.filter(F.col("vec_id") == 0), df, k=1)
+    row = out.first()
+    assert row["neighbor_id"] == 4 and row["rank"] == 1
+    # self-match excluded
+    assert out.filter(F.col("neighbor_id") == 0).count() == 0
+
+
+def test_srp_probe_subset_of_bruteforce_scores(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(queries, embeddings, k=50)
+    probe = srp_probe_topk(queries, embeddings, k=5)
+    brute_scores = {(r["query_id"], r["neighbor_id"]): r["dot_q"]
+                    for r in brute.collect()}
+    for r in probe.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        # any probed neighbor's score matches the exact score
+        if key in brute_scores:
+            assert brute_scores[key] == r["dot_q"]
+
+
+def test_multimodal_pipeline(spark, documents):
+    media = synth_media_from_text(documents.limit(20), "doc_id", "text")
+    assert media.schema["meta"].dataType.fieldNames() == ["source", "byte_len", "head_hex"]
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r["channels"] == 3 and r["width"] >= 16 for r in rows)
+    assert all(r["aspect_milli"] == r["width"] * 1000 // r["height"] for r in rows)
+
+    resized = resize_images(media, 224, 224)
+    assert resized.filter((F.col("width") != 224) | (F.col("height") != 224)).count() == 0
+    # payload round-trips through Arrow unchanged
+    orig = {r["media_id"]: r["payload"] for r in media.select("media_id", "payload").collect()}
+    back = {r["media_id"]: r["payload"] for r in resized.collect()}
+    assert orig == back
+
+
+def test_frame_sampling_fanout(spark, documents):
+    media = synth_media_from_text(documents.limit(5), "doc_id", "text", media_type="video")
+    frames = sample_frames(media, every_n_bytes=64)
+    per_doc = {r["media_id"]: r["n"] for r in
+               frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    lens = {r["media_id"]: r["meta"]["byte_len"] for r in media.collect()}
+    for mid, n in per_doc.items():
+        assert n == (lens[mid] + 63) // 64
+
+
+def test_image_decode_stub_raises_on_empty(spark):
+    from marmaray_spark.operators.multimodal import _decode_image
+    with pytest.raises(NotImplementedError):
+        _decode_image(b"")
