@@ -1,0 +1,242 @@
+"""Job orchestration: JobDag (one source->converter->sinks pipeline with
+checkpoint discipline), JobSubDag (n-ary sink tree), JobManager (multi-DAG
+scheduling on one shared SparkSession).
+
+Reference parity:
+- JobDag.execute (M/common/job/JobDag.java:140-211): init previous run
+  state -> compute work units -> save next state in memory -> if work:
+  source.getData -> sink tree execute -> commit -> metadata
+  saveChanges() persisted ONLY after success -> post-job actions.
+- JobSubDag (M/common/job/JobSubDag.java:74-225): child sub-dags execute
+  in parallel threads, commit in ascending priority order.
+- JobManager (M/common/job/JobManager.java:134-255): shared SparkSession,
+  per-DAG driver threads (ThreadPoolService: 6 job-dag + 2 action
+  threads, ThreadPoolService.java:47-56), optional DAG ordering by last
+  execution time — longest-running/stale first
+  (ExecutionTimeJobExecutionStrategy.java:66-105), job-level locking,
+  TimeoutManager watchdog (job 180 min default,
+  M/utilities/listener/TimeoutManager.java:35-38).
+
+Spark-first notes: each DAG thread sets a FAIR scheduler pool + job
+group, so concurrent DAGs share executors fairly and a watchdog can
+cancel exactly one DAG's Spark jobs (sc.cancelJobGroup) — the Python
+equivalent of the reference's SparkListener-based stage-stall killer.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from dataclasses import dataclass, field
+from typing import Any, Callable, Protocol, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from marmaray_spark.metadata.manager import MetadataManager
+
+DEFAULT_JOB_DAG_THREADS = 6   # ThreadPoolService.java:52-56
+DEFAULT_ACTION_THREADS = 2
+DEFAULT_JOB_TIMEOUT_MIN = 180  # TimeoutManager.java:35-38
+LAST_RUNTIME_KEY = "jobdag.last_runtime_ms"
+LAST_EXECUTED_KEY = "jobdag.last_executed_unixtime"
+
+
+class WorkUnitCalculator(Protocol):
+    def compute_work_units(self) -> list[Any]: ...
+    def save_next_run_state(self, work_units: list[Any]) -> None: ...
+
+
+class JobDagAction(Protocol):
+    """Post-job hook (reference: IJobDagAction) — receives success flag."""
+
+    def execute(self, success: bool) -> None: ...
+
+
+@dataclass
+class SinkNode:
+    """A sink stage in the sub-dag tree: writes a DataFrame, then commits.
+
+    ``priority`` orders commit() calls ascending (JobSubDag semantics) —
+    e.g. the error-table sink commits before the data sink so a failure
+    between the two never loses error records.
+    """
+
+    name: str
+    write: Callable[[DataFrame], Any]
+    commit: Callable[[], None] = lambda: None
+    priority: int = 100
+
+
+class JobSubDag:
+    """n-ary sink tree: execute children in parallel, commit by priority."""
+
+    def __init__(self, nodes: Sequence[SinkNode],
+                 max_threads: int = DEFAULT_JOB_DAG_THREADS) -> None:
+        self.nodes = list(nodes)
+        self.max_threads = max_threads
+
+    def execute(self, payload: DataFrame) -> dict[str, Any]:
+        results: dict[str, Any] = {}
+        with ThreadPoolExecutor(max_workers=self.max_threads) as pool:
+            futures = {pool.submit(n.write, payload): n for n in self.nodes}
+            for fut in as_completed(futures):
+                node = futures[fut]
+                results[node.name] = fut.result()  # raises on node failure
+        return results
+
+    def commit(self) -> None:
+        for node in sorted(self.nodes, key=lambda n: n.priority):
+            node.commit()
+
+
+class JobDag:
+    """One pipeline: work-unit plan -> source -> transform -> sink tree.
+
+    The checkpoint contract (IWorkUnitCalculator.java:36-90): next-run
+    state is computed up front but ``metadata.save_changes()`` runs only
+    after every sink has committed.
+    """
+
+    def __init__(self, name: str,
+                 work_unit_calculator: WorkUnitCalculator,
+                 get_data: Callable[[Any], DataFrame],
+                 sub_dag: JobSubDag,
+                 metadata: MetadataManager,
+                 transform: Callable[[DataFrame], DataFrame] | None = None,
+                 actions: Sequence[JobDagAction] = ()) -> None:
+        self.name = name
+        self.calc = work_unit_calculator
+        self.get_data = get_data
+        self.sub_dag = sub_dag
+        self.metadata = metadata
+        self.transform = transform or (lambda df: df)
+        self.actions = list(actions)
+        self.last_error: BaseException | None = None
+
+    def execute(self, spark: SparkSession | None = None, pool: str | None = None) -> bool:
+        """Returns True when work was processed and committed (False = no
+        work). Raises on failure after running post-actions."""
+        sc = spark.sparkContext if spark is not None else None
+        if sc is not None:
+            sc.setLocalProperty("spark.scheduler.pool", pool or self.name)
+            sc.setJobGroup(self.name, f"JobDag {self.name}", interruptOnCancel=True)
+        started = time.time()
+        success = False
+        had_work = False
+        try:
+            work_units = self.calc.compute_work_units()
+            if work_units:
+                had_work = True
+                for wu in work_units:
+                    payload = self.transform(self.get_data(wu))
+                    self.sub_dag.execute(payload)
+                self.sub_dag.commit()
+                self.calc.save_next_run_state(work_units)
+            # runtime stats feed ExecutionTimeJobExecutionStrategy ordering
+            self.metadata.set(LAST_RUNTIME_KEY, str(int((time.time() - started) * 1000)))
+            self.metadata.set(LAST_EXECUTED_KEY, str(int(time.time())))
+            self.metadata.save_changes()   # the only persistence point
+            success = True
+            return had_work
+        except BaseException as e:
+            self.last_error = e
+            raise
+        finally:
+            if sc is not None:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            for action in self.actions:
+                try:
+                    action.execute(success)
+                except Exception:   # noqa: BLE001 — actions never mask the job result
+                    pass
+
+
+class ExecutionTimeOrdering:
+    """Longest-running-or-stale-first DAG ordering
+    (ExecutionTimeJobExecutionStrategy.java:66-105): DAGs never executed
+    (or not within the lookback) go first, then by last runtime desc."""
+
+    def __init__(self, lookback_hours: int = 6) -> None:
+        self.lookback_s = lookback_hours * 3600
+
+    def order(self, dags: Sequence[JobDag]) -> list[JobDag]:
+        now = time.time()
+
+        def key(dag: JobDag):
+            last_exec = int(dag.metadata.get(LAST_EXECUTED_KEY) or 0)
+            runtime = int(dag.metadata.get(LAST_RUNTIME_KEY) or 0)
+            stale = last_exec < now - self.lookback_s
+            return (0 if stale else 1, -runtime)
+
+        return sorted(dags, key=key)
+
+
+class TimeoutManager:
+    """Wall-clock watchdog: cancels a DAG's Spark job group on timeout
+    (reference kills stalled jobs via SparkListener,
+    TimeoutManager.java:32-120; job default 180 min)."""
+
+    def __init__(self, spark: SparkSession,
+                 timeout_min: float = DEFAULT_JOB_TIMEOUT_MIN) -> None:
+        self.spark = spark
+        self.timeout_s = timeout_min * 60
+        self._timers: dict[str, threading.Timer] = {}
+        self.timed_out: set[str] = set()
+
+    def watch(self, job_group: str) -> None:
+        timer = threading.Timer(self.timeout_s, self._cancel, args=(job_group,))
+        timer.daemon = True
+        timer.start()
+        self._timers[job_group] = timer
+
+    def _cancel(self, job_group: str) -> None:
+        self.timed_out.add(job_group)
+        self.spark.sparkContext.cancelJobGroup(job_group)
+
+    def done(self, job_group: str) -> None:
+        t = self._timers.pop(job_group, None)
+        if t is not None:
+            t.cancel()
+
+
+class JobManager:
+    """Runs many JobDags concurrently on one shared SparkSession."""
+
+    def __init__(self, spark: SparkSession,
+                 max_threads: int = DEFAULT_JOB_DAG_THREADS,
+                 timeout_min: float = DEFAULT_JOB_TIMEOUT_MIN,
+                 order_by_execution_time: bool = True) -> None:
+        self.spark = spark
+        self.max_threads = max_threads
+        self.timeouts = TimeoutManager(spark, timeout_min)
+        self.ordering = ExecutionTimeOrdering() if order_by_execution_time else None
+        self.dags: list[JobDag] = []
+
+    def add_job_dag(self, dag: JobDag) -> None:
+        self.dags.append(dag)
+
+    def run(self) -> dict[str, bool | BaseException]:
+        """Execute all DAGs; returns {name: True/False (work processed) or
+        the exception that failed it}. One DAG failing does not stop the
+        others (JobManager.java isolates per-dag failures)."""
+        ordered = self.ordering.order(self.dags) if self.ordering else list(self.dags)
+        results: dict[str, bool | BaseException] = {}
+
+        def run_one(dag: JobDag):
+            self.timeouts.watch(dag.name)
+            try:
+                return dag.execute(self.spark, pool=dag.name)
+            finally:
+                self.timeouts.done(dag.name)
+
+        with ThreadPoolExecutor(max_workers=self.max_threads) as pool:
+            futures = {pool.submit(run_one, d): d for d in ordered}
+            for fut in as_completed(futures):
+                dag = futures[fut]
+                try:
+                    results[dag.name] = fut.result()
+                except BaseException as e:  # noqa: BLE001
+                    results[dag.name] = e
+        return results

@@ -1,0 +1,98 @@
+"""Structured Streaming incremental ingestion — the streaming twin of the
+batch work-unit path.
+
+The reference has no true streaming (SURVEY §1.6/§2.10): Kafka is bounded
+micro-batch RDDs over checkpointed OffsetRanges. The modern equivalent is
+``readStream`` + ``Trigger.AvailableNow`` (bounded catch-up per run, rate
+capped by maxOffsetsPerTrigger == max_messages semantics) with Spark's own
+checkpointLocation replacing the metadata manager, plus watermarked
+event-time operators the reference lacks entirely (late/duplicate handling
+was pushed to sink key semantics; here it's first-class).
+
+Sinks go through ``foreachBatch`` so every micro-batch reuses the exact
+batch writers (TableSink ops, FileSink) — one code path for both modes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def read_parquet_stream(spark: SparkSession, path: str, schema: T.StructType,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based incremental source: new files become micro-batches (the
+    streaming twin of the partition work-unit calculator)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_counts(events: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour", watermark: str = "2 hours",
+                    keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Watermarked tumbling-window aggregation (batch twin:
+    queries.hourly_windowed_agg)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), *keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value")))
+
+
+def session_windows(events: DataFrame, ts_col: str = "ts",
+                    gap: str = "30 minutes", watermark: str = "2 hours",
+                    key: str = "user_id") -> DataFrame:
+    """Gap-based session windows (batch twin: sessionization_gap30m)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap), key)
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def dedup_stream(events: DataFrame, key_cols: list[str], ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup within the watermark horizon — the streaming
+    face of DEDUP_INSERT (state-store backed instead of sink anti-join)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def foreach_batch_table_sink(stream: DataFrame, table_path: str,
+                             record_key_field: str,
+                             partition_field: str | None,
+                             op: str,
+                             checkpoint_dir: str,
+                             transform: Callable[[DataFrame], DataFrame] | None = None,
+                             ) -> DataStreamWriter:
+    """Route a stream into a managed TableSink via foreachBatch.
+
+    Exactly-once: Spark's checkpoint makes batch delivery at-least-once
+    across restarts; TableSink's commit log plus the per-batch epoch id in
+    commit metadata makes replayed batches detectable/idempotent (the
+    HoodieBasedMetadataManager pattern carried to streaming).
+    """
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sink = TableSink(batch_df.sparkSession, table_path, record_key_field,
+                         partition_field)
+        if any(c.metadata.get("epoch") == str(epoch_id) for c in sink.log.commits()):
+            return  # replayed batch — already committed
+        df = transform(batch_df) if transform is not None else batch_df
+        sink.write(df, WriteOp(op), metadata={"epoch": str(epoch_id)})
+
+    return (stream.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def run_available_now(writer: DataStreamWriter) -> None:
+    """Process everything currently available, then stop — one bounded
+    incremental run, the reference's micro-batch execution model."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()

@@ -1,0 +1,168 @@
+"""Orchestration tests — modeled on T/common/job/TestJobManager.java,
+TestJobDag.java, TestJobSubDag.java: checkpoint-only-on-success, commit
+priority order, parallel DAGs on one session, retries, timeout."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from marmaray_spark.metadata import InMemoryMetadataManager
+from marmaray_spark.plans.dag import (
+    ExecutionTimeOrdering,
+    JobDag,
+    JobManager,
+    JobSubDag,
+    SinkNode,
+    TimeoutManager,
+)
+from marmaray_spark.plans.retry import SimpleRetryStrategy, retryable
+
+
+class OneShotCalc:
+    def __init__(self, units):
+        self.units = units
+        self.saved = None
+
+    def compute_work_units(self):
+        return self.units
+
+    def save_next_run_state(self, wu):
+        self.saved = wu
+
+
+def test_jobdag_happy_path_commits_checkpoint(spark, customer):
+    meta = InMemoryMetadataManager()
+    written = {}
+    calc = OneShotCalc(["u1"])
+    dag = JobDag(
+        "d1", calc,
+        get_data=lambda wu: customer,
+        sub_dag=JobSubDag([SinkNode("sink", lambda df: written.update(n=df.count()))]),
+        metadata=meta,
+        transform=lambda df: df.filter(F.col("c_acctbal") >= 0),
+    )
+    assert dag.execute(spark) is True
+    assert written["n"] == customer.filter(F.col("c_acctbal") >= 0).count()
+    assert calc.saved == ["u1"]
+    assert meta.get("jobdag.last_runtime_ms") is not None
+
+
+def test_jobdag_failure_skips_checkpoint(spark, customer):
+    meta = InMemoryMetadataManager()
+    calc = OneShotCalc(["u1"])
+
+    def boom(df):
+        raise RuntimeError("sink failed")
+
+    dag = JobDag("d2", calc, lambda wu: customer,
+                 JobSubDag([SinkNode("bad", boom)]), meta)
+    with pytest.raises(RuntimeError, match="sink failed"):
+        dag.execute(spark)
+    assert calc.saved is None          # work-unit state NOT advanced
+    assert meta.get("jobdag.last_runtime_ms") is None
+
+
+def test_jobdag_no_work(spark):
+    meta = InMemoryMetadataManager()
+    dag = JobDag("d3", OneShotCalc([]), lambda wu: None, JobSubDag([]), meta)
+    assert dag.execute(spark) is False
+    assert meta.get("jobdag.last_executed_unixtime") is not None
+
+
+def test_subdag_commit_priority_order(spark, customer):
+    order = []
+    nodes = [
+        SinkNode("data", lambda df: df.count(), commit=lambda: order.append("data"),
+                 priority=50),
+        SinkNode("errors", lambda df: df.count(), commit=lambda: order.append("errors"),
+                 priority=1),
+    ]
+    sub = JobSubDag(nodes)
+    sub.execute(customer)
+    sub.commit()
+    assert order == ["errors", "data"]  # ascending priority
+
+
+def test_post_actions_run_on_failure(spark, customer):
+    ran = []
+
+    class Action:
+        def execute(self, success):
+            ran.append(success)
+
+    dag = JobDag("d4", OneShotCalc(["u"]), lambda wu: customer,
+                 JobSubDag([SinkNode("bad", lambda df: 1 / 0)]),
+                 InMemoryMetadataManager(), actions=[Action()])
+    with pytest.raises(ZeroDivisionError):
+        dag.execute(spark)
+    assert ran == [False]
+
+
+def test_jobmanager_parallel_dags_isolated_failures(spark, customer, orders):
+    mgr = JobManager(spark, max_threads=4, order_by_execution_time=False)
+    counts = {}
+    mgr.add_job_dag(JobDag(
+        "ok", OneShotCalc(["u"]), lambda wu: customer,
+        JobSubDag([SinkNode("s", lambda df: counts.update(ok=df.count()))]),
+        InMemoryMetadataManager()))
+    mgr.add_job_dag(JobDag(
+        "bad", OneShotCalc(["u"]), lambda wu: orders,
+        JobSubDag([SinkNode("s", lambda df: 1 / 0)]),
+        InMemoryMetadataManager()))
+    results = mgr.run()
+    assert results["ok"] is True
+    assert isinstance(results["bad"], ZeroDivisionError)
+    assert counts["ok"] == customer.count()
+
+
+def test_execution_time_ordering():
+    def mk(name, last_exec, runtime):
+        m = InMemoryMetadataManager()
+        if last_exec:
+            m.set("jobdag.last_executed_unixtime", str(int(time.time())))
+            m.set("jobdag.last_runtime_ms", str(runtime))
+        return JobDag(name, OneShotCalc([]), lambda wu: None, JobSubDag([]), m)
+
+    never = mk("never", None, 0)
+    slow = mk("slow", True, 90_000)
+    fast = mk("fast", True, 1_000)
+    ordered = ExecutionTimeOrdering().order([fast, slow, never])
+    assert [d.name for d in ordered] == ["never", "slow", "fast"]
+
+
+def test_timeout_manager_cancels_job_group(spark):
+    tm = TimeoutManager(spark, timeout_min=0.002)  # 120 ms
+    tm.watch("g1")
+    time.sleep(0.4)
+    assert "g1" in tm.timed_out
+    tm2 = TimeoutManager(spark, timeout_min=10)
+    tm2.watch("g2")
+    tm2.done("g2")
+    time.sleep(0.05)
+    assert "g2" not in tm2.timed_out
+
+
+def test_retry_strategy_counts():
+    calls = []
+
+    @retryable(num_retries=3, wait_ms=1)
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise ValueError("transient")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert len(calls) == 3
+
+    strategy = SimpleRetryStrategy(num_retries=1, wait_ms=1)
+    attempts = []
+
+    def always_fails():
+        attempts.append(1)
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        strategy.call(always_fails)
+    assert len(attempts) == 2  # 1 original + 1 retry
