@@ -187,13 +187,14 @@ def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sorted_batched_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CassandraSSTableSink bulk path: total sort by (partition, clustering)
     keys + stable size-capped batch assignment
-    (CassandraSSTableSink.java:155-192,262-284). Batch = 1000 rows."""
-    lineitem = load(spark, sf_dir, "lineitem")
-    w = W.orderBy("l_orderkey", "l_linenumber")
-    return (lineitem
-            .select("l_orderkey", "l_linenumber")
-            .withColumn("batch_id",
-                        F.floor((F.row_number().over(w) - 1) / 1000).cast("bigint")))
+    (CassandraSSTableSink.java:155-192,262-284). Batch = 1000 rows.
+
+    Uses the range-partitioned two-phase row-number (operators/batching.py)
+    — no single-task global window, so the plan survives 100 TB."""
+    from marmaray_spark.operators.batching import batched_by_size
+
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return batched_by_size(lineitem, ["l_orderkey", "l_linenumber"], 1000)
 
 
 @register(

@@ -168,23 +168,32 @@ class TableSink:
     def __init__(self, spark: SparkSession, table_path: str | Path,
                  record_key_field: str, partition_field: str | None = None,
                  target_file_size_mb: float = 128.0,
-                 auto_tune_parallelism: bool = True) -> None:
+                 auto_tune_parallelism: bool = True,
+                 bulk_insert_partitioner=None) -> None:
+        """``bulk_insert_partitioner``: optional (df, n_partitions) -> df
+        hook overriding the pre-write repartition — the
+        UserDefinedBulkInsertPartitioner plugin point
+        (HoodieSink.java:456-465)."""
         self.spark = spark
         self.table_path = Path(table_path)
         self.key = record_key_field
         self.partition = partition_field
         self.target_file_size_mb = target_file_size_mb
         self.auto_tune = auto_tune_parallelism
+        self.bulk_insert_partitioner = bulk_insert_partitioner
         self.log = CommitLog(table_path)
 
     # -- read path ---------------------------------------------------------
 
     def read(self) -> DataFrame:
-        """Snapshot: union of active slices."""
+        """Snapshot: union of active slices. mergeSchema handles slices
+        written before a column was added (schema evolution — the
+        Cassandra sink's ALTER ADD analogue, SURVEY §1.4)."""
         slices = self.log.active_slices()
         if not slices:
             raise FileNotFoundError(f"table {self.table_path} has no commits")
-        return self.spark.read.parquet(*[str(self.table_path / s) for s in slices])
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*[str(self.table_path / s) for s in slices]))
 
     def is_empty(self) -> bool:
         return not self.log.active_slices()
@@ -239,8 +248,11 @@ class TableSink:
         base = self.table_path / "data" / subdir
         n_part = self._plan_parallelism(n_records) if n_records is not None else None
         if n_part is not None:
-            df = df.repartition(n_part, self.key) if self.partition is None else \
-                df.repartition(n_part, self.partition, self.key)
+            if self.bulk_insert_partitioner is not None:
+                df = self.bulk_insert_partitioner(df, n_part)
+            else:
+                df = df.repartition(n_part, self.key) if self.partition is None else \
+                    df.repartition(n_part, self.partition, self.key)
         if self.partition is not None:
             (df.withColumn(PARTITION_DIR_COL, F.col(self.partition).cast("string"))
              .write.mode("overwrite").partitionBy(PARTITION_DIR_COL)
@@ -271,7 +283,8 @@ class TableSink:
         slice_by_partition = self._active_by_partition()
         if self.partition is None:
             old = self.read()
-            merged = old.join(df.select(self.key), self.key, "left_anti").unionByName(df)
+            merged = (old.join(df.select(self.key), self.key, "left_anti")
+                      .unionByName(df, allowMissingColumns=True))
             adds = self._write_slices(commit_id, merged, commit_id)
             return adds, list(slice_by_partition.get(None, []))
 
@@ -279,10 +292,12 @@ class TableSink:
         old_slices = [s for p, ss in slice_by_partition.items()
                       if p in touched for s in ss]
         if old_slices:
-            old = (self.spark.read
+            old = (self.spark.read.option("mergeSchema", "true")
                    .parquet(*[str(self.table_path / s) for s in old_slices]))
             survivors = old.join(df.select(self.key), self.key, "left_anti")
-            merged = survivors.unionByName(df.select(*survivors.columns))
+            # allowMissingColumns: incoming batches may add columns (schema
+            # evolution) — old rows get nulls, like ALTER TABLE ADD
+            merged = survivors.unionByName(df, allowMissingColumns=True)
         else:
             merged = df
         adds = self._write_slices(commit_id, merged, commit_id)

