@@ -358,6 +358,148 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Relational surface: windows, as-of join, rollup, pivot, set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_last_purchase",
+    """
+    WITH evs AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), marked AS (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_event_id
+      FROM evs
+    )
+    SELECT event_id AS click_event_id, user_id, last_purchase_event_id
+    FROM marked WHERE event_type = 'click'
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Spark lacks a native one): for each click, the user's
+    most recent prior-or-same-instant purchase. Implemented as the
+    union-tag + last_value(ignore nulls) running window — one shuffle on
+    the key, no range-join blowup; the scalable merge_asof."""
+    events = load(spark, sf_dir, "events")
+    evs = events.filter(F.col("event_type").isin("click", "purchase"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    marked = evs.withColumn(
+        "last_purchase_event_id",
+        F.last(F.when(F.col("event_type") == "purchase", F.col("event_id")),
+               ignorenulls=True).over(w))
+    return (marked.filter(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("click_event_id"), "user_id",
+                    "last_purchase_event_id"))
+
+
+@register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand-total rows with NULL
+    grouping keys)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (lineitem.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@register(
+    "pivot_priority_revenue",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS order_year,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2)
+             AS urgent,
+           round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2)
+             AS high,
+           round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2)
+             AS low
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order revenue by year x priority (pivot == conditional agg;
+    Spark's .pivot() with explicit values avoids a distinct-scan pass)."""
+    orders = load(spark, sf_dir, "orders")
+    return (orders
+            .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+            .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+            .agg(F.round(F.sum("o_totalprice"), 2))
+            .withColumnsRenamed({"1-URGENT": "urgent", "2-HIGH": "high",
+                                 "5-LOW": "low"}))
+
+
+@register(
+    "running_customer_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_revenue,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+    FROM orders
+    """,
+)
+def running_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running windows: cumulative revenue + order sequence per customer
+    (deterministic full ordering -> identical float accumulation order in
+    both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2)
+        .alias("running_revenue"),
+        F.row_number().over(w).cast("int").alias("order_seq"))
+
+
+@register(
+    "set_ops_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with orders EXCEPT the BUILDING segment
+    (Catalyst plans EXCEPT as a left-anti aggregate)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (orders.select(F.col("o_custkey").alias("custkey")).distinct()
+            .exceptAll(customer.filter(F.col("c_mktsegment") == "BUILDING")
+                       .select(F.col("c_custkey").alias("custkey")).distinct()))
+
+
+@register("sketch_cardinalities")  # no oracle: HLL/KLL sketches are
+# engine-specific estimates; the driver records a rows-only check
+def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate analytics: HyperLogLog distinct counts + approximate
+    quantiles per event type — the constant-memory sketch path used at
+    100 TB where exact distinct/quantile would shuffle everything."""
+    events = load(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+                 F.percentile_approx("value", 0.5).alias("p50_value"),
+                 F.percentile_approx("value", 0.99).alias("p99_value")))
+
+
+# ---------------------------------------------------------------------------
 # LLM-data-pipeline: text analysis (operators/text.py)
 # ---------------------------------------------------------------------------
 
