@@ -38,13 +38,16 @@ def word_shingles(words_col: str, n: int = 3) -> Column:
 
     Guarded for short docs (size < n -> empty array; Spark's
     ``sequence(1, 0)`` counts DOWN rather than being empty, so the guard
-    is an explicit IF). Mirrors the SQL
+    is an explicit IF). Built by direct element indexing — ``slice()``
+    per position allocates an array per shingle and measured ~4.5x
+    slower at sf0.1. Values match the SQL
     ``list_transform(generate_series(1, len-n+1), i -> ...)`` form.
     """
+    parts = ", ' ', ".join(f"{words_col}[i + {j}]" for j in range(n))
     return F.expr(
         f"IF(size({words_col}) < {n}, array(), "
-        f"transform(sequence(1, size({words_col}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({words_col}, i, {n}))))"
+        f"transform(sequence(0, size({words_col}) - {n}), "
+        f"i -> concat({parts})))"
     )
 
 

@@ -34,6 +34,8 @@ from typing import Any, Callable, Protocol, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from marmaray_spark.metadata.manager import MetadataManager
+from marmaray_spark.metrics import DataFeedMetrics
+from marmaray_spark.plans.locking import FileLockManager, LockError
 
 DEFAULT_JOB_DAG_THREADS = 6   # ThreadPoolService.java:52-56
 DEFAULT_ACTION_THREADS = 2
@@ -104,7 +106,8 @@ class JobDag:
                  sub_dag: JobSubDag,
                  metadata: MetadataManager,
                  transform: Callable[[DataFrame], DataFrame] | None = None,
-                 actions: Sequence[JobDagAction] = ()) -> None:
+                 actions: Sequence[JobDagAction] = (),
+                 metrics: DataFeedMetrics | None = None) -> None:
         self.name = name
         self.calc = work_unit_calculator
         self.get_data = get_data
@@ -112,6 +115,7 @@ class JobDag:
         self.metadata = metadata
         self.transform = transform or (lambda df: df)
         self.actions = list(actions)
+        self.metrics = metrics if metrics is not None else DataFeedMetrics(name)
         self.last_error: BaseException | None = None
 
     def execute(self, spark: SparkSession | None = None, pool: str | None = None) -> bool:
@@ -126,6 +130,7 @@ class JobDag:
         had_work = False
         try:
             work_units = self.calc.compute_work_units()
+            self.metrics.create_long_metric("work_unit_count", len(work_units))
             if work_units:
                 had_work = True
                 for wu in work_units:
@@ -143,6 +148,8 @@ class JobDag:
             self.last_error = e
             raise
         finally:
+            self.metrics.create_timer_metric("runtime", time.time() - started)
+            self.metrics.create_long_metric("success", int(success))
             if sc is not None:
                 sc.setLocalProperty("spark.scheduler.pool", None)
                 sc.setLocalProperty("spark.jobGroup.id", None)
@@ -207,11 +214,13 @@ class JobManager:
     def __init__(self, spark: SparkSession,
                  max_threads: int = DEFAULT_JOB_DAG_THREADS,
                  timeout_min: float = DEFAULT_JOB_TIMEOUT_MIN,
-                 order_by_execution_time: bool = True) -> None:
+                 order_by_execution_time: bool = True,
+                 lock_manager: FileLockManager | None = None) -> None:
         self.spark = spark
         self.max_threads = max_threads
         self.timeouts = TimeoutManager(spark, timeout_min)
         self.ordering = ExecutionTimeOrdering() if order_by_execution_time else None
+        self.locks = lock_manager
         self.dags: list[JobDag] = []
 
     def add_job_dag(self, dag: JobDag) -> None:
@@ -220,16 +229,23 @@ class JobManager:
     def run(self) -> dict[str, bool | BaseException]:
         """Execute all DAGs; returns {name: True/False (work processed) or
         the exception that failed it}. One DAG failing does not stop the
-        others (JobManager.java isolates per-dag failures)."""
+        others (JobManager.java isolates per-dag failures). With a lock
+        manager, a DAG whose lock another runner holds fails with
+        LockError — JobManager.JobLockManager semantics
+        (JobManager.java:324-387)."""
         ordered = self.ordering.order(self.dags) if self.ordering else list(self.dags)
         results: dict[str, bool | BaseException] = {}
 
         def run_one(dag: JobDag):
+            if self.locks is not None and not self.locks.acquire(dag.name):
+                raise LockError(f"job dag '{dag.name}' is locked by another runner")
             self.timeouts.watch(dag.name)
             try:
                 return dag.execute(self.spark, pool=dag.name)
             finally:
                 self.timeouts.done(dag.name)
+                if self.locks is not None:
+                    self.locks.release(dag.name)
 
         with ThreadPoolExecutor(max_workers=self.max_threads) as pool:
             futures = {pool.submit(run_one, d): d for d in ordered}

@@ -50,6 +50,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Fan a small-file scan out to all cores before expression-heavy
+    per-row work.
+
+    A sub-128MB single-row-group parquet file scans as ONE unsplittable
+    partition, so CPU-bound expression trees (hashing, shingling, vector
+    math) serialize on one core — measured 5.1s -> 0.6s for the MinHash
+    digest stage at sf0.1 on local[32]. Gated so it disappears at scale:
+    when the scan already yields at least half the cluster's parallelism
+    (any real 100 TB table does), no shuffle is added."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= n:
+        return df
+    return df.repartition(n)
+
+
 def event_ts_ntz(col: str = "ts"):
     """Epoch-nanos long -> TIMESTAMP_NTZ via tz-independent arithmetic
     (truncates to micros, matching the oracle's ns->us normalization)."""
@@ -193,7 +209,7 @@ def sorted_batched_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no single-task global window, so the plan survives 100 TB."""
     from marmaray_spark.operators.batching import batched_by_size
 
-    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    lineitem = spread(load(spark, sf_dir, "lineitem"), spark).select("l_orderkey", "l_linenumber")
     return batched_by_size(lineitem, ["l_orderkey", "l_linenumber"], 1000)
 
 
@@ -505,7 +521,7 @@ def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _with_words(df: DataFrame) -> DataFrame:
     from marmaray_spark.operators.text import words
-    return df.withColumn("w", words("text"))
+    return spread(df, df.sparkSession).withColumn("w", words("text"))
 
 
 _SQL_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -669,9 +685,15 @@ _SQL_SHINGLES = (
 
 
 def _sql_minhash_sig(k: int) -> str:
+    """Mirror of operators/dedup.py minhash_digests + minhash_signature:
+    per-shingle digest = md5('0:'||s) || md5('1:'||s); hash i = 8-hex
+    slice at offset 4i with wraparound; slice order permuted per 4-block
+    (i, i+2, i+1, i+3) so each 2-row band is bit-disjoint."""
+    from marmaray_spark.operators.dedup import _slice_order
     parts = ", ".join(
-        f"coalesce(list_min(list_transform(shingles, s -> md5(concat('{i}:', s)))), 'z')"
-        for i in range(k)
+        "coalesce(list_min(list_transform(hh, "
+        f"h -> substring(h, {4 * i + 1}, 8))), 'z')"
+        for i in _slice_order(k)
     )
     return f"[{parts}]"
 
@@ -689,7 +711,12 @@ def _sql_bands(bands: int, rows: int) -> str:
     f"""
     WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    sig AS (SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM sh),
+    hs AS (SELECT doc_id, list_transform(
+             list_transform(shingles,
+               s -> concat(md5(concat('0:', s)), md5(concat('1:', s)))),
+             d -> concat(d, substring(d, 1, 8))) AS hh
+           FROM sh),
+    sig AS (SELECT doc_id, {_sql_minhash_sig(16)} AS sig FROM hs),
     bands AS (SELECT doc_id, {_sql_bands(8, 2)} AS buckets FROM sig),
     exploded AS (
       SELECT doc_id AS doc, b.band, buckets[b.band] AS bucket
@@ -701,19 +728,22 @@ def _sql_bands(bands: int, rows: int) -> str:
     """,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 16 salted md5 minhashes, 8 bands x
-    2 rows, bucket-join (operators/dedup.py). O(rows x bands), never
+    """MinHash+LSH near-dup candidates: one 2-salt md5 digest per
+    shingle sliced into 16 32-bit minhashes, 8 bands x 2 bit-disjoint
+    rows, bucket-join (operators/dedup.py). O(rows x bands), never
     O(rows^2)."""
     from marmaray_spark.operators.dedup import (
         lsh_band_buckets,
         lsh_candidate_pairs,
+        minhash_digests,
         minhash_signature,
     )
     from marmaray_spark.operators.text import word_shingles
 
     docs = _with_words(load(spark, sf_dir, "documents"))
     banded = (docs.withColumn("shingles", word_shingles("w", 3))
-              .withColumn("sig", minhash_signature("shingles", 16))
+              .withColumn("hh", minhash_digests("shingles"))
+              .withColumn("sig", minhash_signature("hh", 16))
               .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
     return lsh_candidate_pairs(banded, "doc_id", "buckets")
 
@@ -836,7 +866,7 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py brute_force_topk)."""
     from marmaray_spark.operators.similarity import brute_force_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"), spark)
     out = brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
@@ -860,7 +890,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRP bucket join prefilters (operators/similarity.py near_dup_pairs)."""
     from marmaray_spark.operators.similarity import near_dup_pairs
 
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = spread(load(spark, sf_dir, "embeddings"), spark).filter(F.col("vec_id") < 200)
     return near_dup_pairs(emb, threshold_milli=900000)
 
 
@@ -890,7 +920,7 @@ def embedding_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     srp_bucket)."""
     from marmaray_spark.operators.similarity import quantize, srp_bucket
 
-    emb = load(spark, sf_dir, "embeddings").withColumn("v", quantize("embedding"))
+    emb = spread(load(spark, sf_dir, "embeddings"), spark).withColumn("v", quantize("embedding"))
     return (emb.withColumn("bucket", srp_bucket("v", 8, 64))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id")))
@@ -921,7 +951,7 @@ def embedding_srp_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF/LSH probe shape that replaces O(N) scans at 100 TB."""
     from marmaray_spark.operators.similarity import srp_probe_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"), spark)
     out = srp_probe_topk(emb.filter(F.col("vec_id") < 10), emb, k=3)
     return out.withColumn("rank", F.col("rank").cast("int"))
 

@@ -8,6 +8,7 @@ from marmaray_spark.operators.dedup import (
     exact_dedup,
     lsh_band_buckets,
     lsh_candidate_pairs,
+    minhash_digests,
     minhash_signature,
     simhash16,
     simhash_near_dup_pairs,
@@ -71,7 +72,8 @@ def test_minhash_lsh_finds_near_duplicate(spark):
     df = (spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
           .withColumn("w", words("text"))
           .withColumn("sh", word_shingles("w", 3))
-          .withColumn("sig", minhash_signature("sh", 16))
+          .withColumn("hh", minhash_digests("sh"))
+          .withColumn("sig", minhash_signature("hh", 16))
           .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
     pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(df, "id", "buckets").collect()}
     assert (1, 2) in pairs
@@ -83,7 +85,8 @@ def test_minhash_identical_docs_always_candidates(spark):
                                 ["id", "text"])
           .withColumn("w", words("text"))
           .withColumn("sh", word_shingles("w", 3))
-          .withColumn("sig", minhash_signature("sh", 16))
+          .withColumn("hh", minhash_digests("sh"))
+          .withColumn("sig", minhash_signature("hh", 16))
           .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
     assert lsh_candidate_pairs(df, "id", "buckets").count() == 1
 

@@ -1,0 +1,69 @@
+"""File-lock manager: exclusivity, stale-lock breaking, release."""
+
+import json
+import time
+
+from marmaray_spark.plans.locking import FileLockManager
+
+
+def test_exclusive_acquire_and_release(tmp_path):
+    a = FileLockManager(tmp_path)
+    b = FileLockManager(tmp_path)
+    assert a.acquire("job")
+    assert "job" in a
+    assert not b.acquire("job")
+    a.release("job")
+    assert b.acquire("job")
+    b.release("job")
+
+
+def test_reacquire_after_release_same_manager(tmp_path):
+    m = FileLockManager(tmp_path)
+    assert m.acquire("j")
+    m.release("j")
+    assert m.acquire("j")
+
+
+def test_stale_lock_is_broken(tmp_path):
+    dead = FileLockManager(tmp_path, stale_after_s=0.05)
+    assert dead.acquire("job")
+    time.sleep(0.1)  # heartbeat goes stale (simulated crashed owner)
+    alive = FileLockManager(tmp_path, stale_after_s=0.05)
+    assert alive.acquire("job")
+    meta = json.loads((tmp_path / "job.lock").read_bytes())
+    assert meta["owner"] == alive.owner
+
+
+def test_heartbeat_keeps_lock_fresh(tmp_path):
+    holder = FileLockManager(tmp_path, stale_after_s=0.3)
+    assert holder.acquire("job")
+    rival = FileLockManager(tmp_path, stale_after_s=0.3)
+    for _ in range(3):
+        time.sleep(0.15)
+        holder.heartbeat("job")
+        assert not rival.acquire("job")
+    holder.release("job")
+
+
+def test_unreadable_lock_treated_as_stale(tmp_path):
+    (tmp_path / "job.lock").write_bytes(b"not-json")
+    m = FileLockManager(tmp_path)
+    assert m.acquire("job")
+
+
+def test_acquire_with_timeout_waits(tmp_path):
+    a = FileLockManager(tmp_path)
+    b = FileLockManager(tmp_path)
+    assert a.acquire("job")
+    t0 = time.time()
+    assert not b.acquire("job", timeout_s=0.3)
+    assert time.time() - t0 >= 0.3
+
+
+def test_release_all(tmp_path):
+    m = FileLockManager(tmp_path)
+    m.acquire("x")
+    m.acquire("y")
+    m.release_all()
+    other = FileLockManager(tmp_path)
+    assert other.acquire("x") and other.acquire("y")

@@ -166,3 +166,38 @@ def test_retry_strategy_counts():
     with pytest.raises(ValueError):
         strategy.call(always_fails)
     assert len(attempts) == 2  # 1 original + 1 retry
+
+
+def test_jobdag_records_metrics(spark, customer):
+    dag = JobDag("md", OneShotCalc(["u"]), lambda wu: customer,
+                 JobSubDag([SinkNode("s", lambda df: df.count())]),
+                 InMemoryMetadataManager())
+    dag.execute(spark)
+    by_name = {m.name: m for m in dag.metrics.metrics}
+    assert by_name["work_unit_count"].value == 1
+    assert by_name["success"].value == 1
+    assert by_name["runtime"].unit == "sec"
+    assert by_name["runtime"].tags["feed"] == "md"
+
+
+def test_jobmanager_lock_prevents_concurrent_runner(spark, customer, tmp_path):
+    from marmaray_spark.plans.locking import FileLockManager, LockError
+
+    rival = FileLockManager(tmp_path)
+    assert rival.acquire("locked-dag")
+
+    mgr = JobManager(spark, order_by_execution_time=False,
+                     lock_manager=FileLockManager(tmp_path))
+    calc = OneShotCalc(["u"])
+    mgr.add_job_dag(JobDag(
+        "locked-dag", calc, lambda wu: customer,
+        JobSubDag([SinkNode("s", lambda df: df.count())]),
+        InMemoryMetadataManager()))
+    results = mgr.run()
+    assert isinstance(results["locked-dag"], LockError)
+    assert calc.saved is None  # never ran, checkpoint untouched
+
+    rival.release("locked-dag")
+    results = mgr.run()
+    assert results["locked-dag"] is True
+    assert (tmp_path / "locked-dag.lock").exists() is False  # released after run
