@@ -29,6 +29,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "embedding_topk_bruteforce",
     "embedding_srp_probe_topk",
+    "embedding_ivf_probe_topk",
     "token_counts",
     "hourly_windowed_agg",
 ]

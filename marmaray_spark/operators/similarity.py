@@ -93,6 +93,78 @@ def srp_bucket(qvec_col: str, n_planes: int = 8, dim: int = 64) -> Column:
     return F.expr(" + ".join(terms)).cast("bigint")
 
 
+def _dots_expr(vec_col: str, centroids: list[list[int]]) -> str:
+    """SQL array of exact integer dots against centroid literal vectors."""
+    dots = ", ".join(
+        "aggregate(zip_with({v}, array({c}), (x, y) -> x * y), 0L, "
+        "(acc, t) -> acc + t)".format(
+            v=vec_col, c=", ".join(f"{x}L" for x in cv))
+        for cv in centroids)
+    return f"array({dots})"
+
+
+def ivf_cell(vec_col: str, centroids: list[list[int]]) -> Column:
+    """0-based index of the nearest centroid (max dot; first-max wins, so
+    ties break toward the lowest index).
+
+    The centroids ride in the plan as literals — an IVF coarse quantizer
+    is tiny metadata (k x dim ints), so cell assignment is a pure
+    projection: NO shuffle, no join, scales to any corpus size. Learned
+    (pyspark.ml KMeans) or deterministic centroids plug in identically —
+    only the literal values differ."""
+    d = _dots_expr(vec_col, centroids)
+    return F.expr(
+        f"cast(array_position({d}, array_max({d})) - 1 as bigint)")
+
+
+def ivf_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                   n_centroids: int = 16, nprobe: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: assign every corpus vector to its nearest
+    centroid cell (expression-only), probe each query's ``nprobe``
+    closest cells, rank by exact quantized dot within them.
+
+    Centroid "training" here is deterministic — the ``n_centroids``
+    lowest-id corpus vectors — so a SQL oracle reproduces the index
+    bit-for-bit; swap in KMeans cluster centers for learned recall
+    without touching the probe plan. Cells partition the corpus, so the
+    ``nprobe`` probed cells never yield duplicate neighbors.
+
+    100 TB: corpus side is scan + projection + one equi-join on cell id
+    against the broadcast (tiny) probe list; only the query side (small
+    by definition) pays a window."""
+    cent_rows = (corpus.filter(F.col(id_col) < n_centroids)
+                 .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("cv"))
+                 .orderBy("cid").collect())      # k x dim ints: driver metadata
+    cids = [r["cid"] for r in cent_rows]
+    cents = [r["cv"] for r in cent_rows]
+    cid_lit = F.array(*[F.lit(c) for c in cids])
+
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       quantize(vec_col).alias("cv"))
+         .withColumn("cell", F.element_at(cid_lit, (ivf_cell("cv", cents) + 1).cast("int"))))
+
+    q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv"))
+    probes = (q.select("query_id", "qv",
+                       F.posexplode(F.expr(_dots_expr("qv", cents)))
+                       .alias("cell_idx", "dot_c"))
+              .withColumn("__pr", F.row_number().over(
+                  W.partitionBy("query_id")
+                  .orderBy(F.col("dot_c").desc(), F.col("cell_idx"))))
+              .filter(F.col("__pr") <= nprobe)
+              .select("query_id", "qv",
+                      F.element_at(cid_lit, F.col("cell_idx").cast("int") + 1)
+                      .alias("cell")))
+
+    scored = (c.join(F.broadcast(probes), "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("dot_q", int_dot("qv", "cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot_q", "rank"))
+
+
 def srp_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
                    n_planes: int = 8, dim: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -956,6 +956,54 @@ def embedding_srp_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@register(
+    "embedding_ivf_probe_topk",
+    f"""
+    WITH c AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 16),
+    assign AS (
+      SELECT c.vec_id, c.v, cent.cid,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> c.v[i] * cent.cv[i])) AS BIGINT) AS dot_c
+      FROM c, cent
+    ),
+    cells AS (
+      SELECT vec_id, v, cid AS cell FROM assign
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot_c DESC, cid) = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, v AS qv, cid AS cell FROM assign
+      WHERE vec_id < 10
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot_c DESC, cid) <= 2
+    ),
+    scored AS (
+      SELECT q.query_id, t.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> q.qv[i] * t.v[i])) AS BIGINT) AS dot_q
+      FROM qprobe q JOIN cells t ON q.cell = t.cell AND q.query_id != t.vec_id
+    )
+    SELECT query_id, neighbor_id, dot_q,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot_q DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def embedding_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic centroid cells (expression-only corpus
+    assignment — centroids are plan literals, zero shuffle), nprobe=2
+    probed cells per query, exact quantized dot within them
+    (operators/similarity.py ivf_probe_topk)."""
+    from marmaray_spark.operators.similarity import ivf_probe_topk
+
+    emb = spread(load(spark, sf_dir, "embeddings"), spark)
+    out = ivf_probe_topk(emb.filter(F.col("vec_id") < 10), emb,
+                         k=3, n_centroids=16, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Stream-shaped analytics on events (streaming/ has the readStream twin)
 # ---------------------------------------------------------------------------

@@ -160,3 +160,25 @@ def test_image_decode_stub_raises_on_empty(spark):
     from marmaray_spark.operators.multimodal import _decode_image
     with pytest.raises(NotImplementedError):
         _decode_image(b"")
+
+
+def test_ivf_probe_finds_identical_vector(spark):
+    import math
+
+    from marmaray_spark.operators.similarity import ivf_probe_topk
+
+    # 20 unit vectors in 4-d; vec 17 duplicates vec 3 exactly
+    def unit(seed):
+        vals = [math.sin(seed * 7 + i) for i in range(4)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    rows = [(i, unit(i)) for i in range(17)] + [(17, unit(3)), (18, unit(5)), (19, unit(8))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivf_probe_topk(df.filter("vec_id = 3"), df, k=1,
+                         n_centroids=4, nprobe=2, vec_col="embedding")
+    got = out.collect()
+    assert len(got) == 1
+    # the exact duplicate must rank first within the probed cells
+    assert got[0]["neighbor_id"] == 17
+    assert got[0]["rank"] == 1
