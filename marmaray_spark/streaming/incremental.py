@@ -62,6 +62,52 @@ def dedup_stream(events: DataFrame, key_cols: list[str], ts_col: str = "ts",
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def stateful_running_totals(events: DataFrame, key_col: str = "user_id",
+                            value_col: str = "value",
+                            idle_timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: per-key running event count + value sum
+    carried across micro-batches via ``applyInPandasWithState``.
+
+    The shape Spark's built-in windowed aggs can't express: arbitrary
+    per-key state with programmatic update logic and optional idle-state
+    expiry (processing-time timeout emits a final row and frees the
+    state). State lives in the executor state store, partitioned by key
+    — no driver state, so the operator scales with the cluster exactly
+    like a shuffle.
+
+    Output (update mode): one row per key per trigger —
+    (key, events_total, value_total, expired).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, events_total long, value_total double, expired boolean"
+    state_schema = "cnt long, total double"
+
+    def update_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            cnt, total = state.get
+            state.remove()
+            yield pd.DataFrame({key_col: [key[0]], "events_total": [cnt],
+                                "value_total": [float(total)], "expired": [True]})
+            return
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((cnt, float(total)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({key_col: [key[0]], "events_total": [cnt],
+                            "value_total": [float(total)], "expired": [False]})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_ms is not None else GroupStateTimeout.NoTimeout)
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(update_fn, out_schema, state_schema,
+                                    "update", timeout))
+
+
 def foreach_batch_table_sink(stream: DataFrame, table_path: str,
                              record_key_field: str,
                              partition_field: str | None,

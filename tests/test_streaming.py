@@ -108,3 +108,37 @@ def test_session_windows(spark, event_batches):
     assert sorted(per_user[7]) == [2, 2]
     # user 8: 11:05 and 12:40 far apart -> two singleton sessions
     assert sorted(per_user[8]) == [1, 1]
+
+
+def test_stateful_running_totals_across_batches(spark, event_batches, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    with maxFilesPerTrigger=1 the two parquet drops arrive as separate
+    triggers and the second trigger's totals include the first's."""
+    from marmaray_spark.streaming.incremental import stateful_running_totals
+
+    src, schema = event_batches
+    stream = read_parquet_stream(spark, f"{src}/batch*", schema,
+                                 max_files_per_trigger=1)
+    out = stateful_running_totals(stream, "user_id", "value")
+    seen = []
+
+    def capture(batch_df, epoch_id):
+        seen.append({(r["user_id"]): (r["events_total"], r["value_total"])
+                     for r in batch_df.collect()})
+
+    q = (out.writeStream.foreachBatch(capture)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert len(seen) >= 2
+    final = {}
+    for batch in seen:
+        final.update(batch)
+    # user 7: events 1,2 (batch0) + 4,4-dup (batch1) = 4 events, sum 1+2+4+4
+    assert final[7] == (4, 11.0)
+    # user 8: events 3 (batch0) + 5 (batch1) = 2 events, sum 3+5
+    assert final[8] == (2, 8.0)
+    # intermediate state was visible: some batch saw user 7 with fewer events
+    assert any(batch.get(7, (0, 0))[0] < 4 for batch in seen if 7 in batch)
