@@ -94,3 +94,13 @@ def test_partition_pruned_source(spark, orders, tmp_path):
     plan = plan_of(df.select("o_orderkey"))
     m = re.search(r"RequiredDataFilters: \[.*month.*\]|PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "1994-01" in plan
+
+
+def test_ivf_probe_broadcasts_and_assigns_without_shuffle(spark):
+    """IVF: centroid literals make cell assignment a projection; the only
+    join is corpus-cell x broadcast probe list."""
+    df = Q.all_queries()["embedding_ivf_probe_topk"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere: nothing shuffles both sides
+    assert "SortMergeJoin" not in plan
