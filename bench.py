@@ -31,6 +31,7 @@ HEADLINE = [
     "embedding_srp_probe_topk",
     "embedding_ivf_probe_topk",
     "token_counts",
+    "multimodal_image_features",
     "hourly_windowed_agg",
 ]
 

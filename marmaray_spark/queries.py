@@ -957,6 +957,38 @@ def embedding_srp_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + (octet_length(encode(text)) % 240) AS INT) AS width,
+           CAST(16 + (ascii(substr(text, 1, 1)) % 240) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST((16 + (octet_length(encode(text)) % 240)) * 1000
+                // (16 + (ascii(substr(text, 1, 1)) % 240)) AS BIGINT) AS aspect_milli,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal decode path: synth binary payloads ->
+    Arrow-batched mapInPandas decode kernel -> typed features
+    (operators/multimodal.py extract_image_features). The stub decode is
+    deterministic byte arithmetic, so the oracle checks the WHOLE
+    mapInPandas pipeline — batch shapes, binary round-trip, schema — not
+    just the metadata projection."""
+    from marmaray_spark.operators.multimodal import (
+        extract_image_features,
+        synth_media_from_text,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"), spark)
+    media = (synth_media_from_text(docs, "doc_id", "text")
+             .filter(F.octet_length("payload") > 0))
+    return extract_image_features(media)
+
+
+@register(
     "embedding_ivf_probe_topk",
     f"""
     WITH c AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings),
