@@ -47,7 +47,12 @@ def plan_num_files(size_mb: float, file_size_mb: float) -> int:
     """-1 => single file; else ceil(total/target), >=1 (FileSink.java:209-221)."""
     if file_size_mb <= 0:
         return 1
-    return max(1, math.ceil(size_mb / file_size_mb))
+    n = size_mb / file_size_mb
+    if not math.isfinite(n):
+        raise ValueError(
+            f"file_size_mb={file_size_mb!r} is too small for dataset of "
+            f"{size_mb} MB (file count overflows)")
+    return max(1, math.ceil(n))
 
 
 class FileSink:

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure-arithmetic operators.
+
+The reference tests these with hand-picked cases
+(T/common/sources/kafka/TestKafkaWorkUnitCalculator.java); properties
+pin the INVARIANTS the arithmetic must hold at any input shape —
+stronger coverage for the code most likely to silently drift.
+No Spark session needed: driver-side planning math only.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from marmaray_spark.sinks.file import plan_num_files
+from marmaray_spark.sources.kafka import fair_split
+
+backlogs = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=64),
+    values=st.integers(min_value=0, max_value=10_000_000),
+    min_size=1, max_size=32,
+)
+
+
+def _starts(msgs):
+    return {p: p * 1000 for p in msgs}
+
+
+@settings(max_examples=300, deadline=None)
+@given(msgs=backlogs, cap=st.integers(min_value=1, max_value=20_000_000))
+def test_fair_split_never_exceeds_cap_or_backlog(msgs, cap):
+    ranges = fair_split(msgs, _starts(msgs), cap)
+    taken = {r.partition: r.until_offset - r.from_offset for r in ranges}
+    # per-partition: takes no more than that partition's backlog
+    assert all(0 < taken[p] <= msgs[p] for p in taken)
+    # total: never exceeds the cap (KafkaSourceConfiguration max_messages)
+    assert sum(taken.values()) <= cap
+
+
+@settings(max_examples=300, deadline=None)
+@given(msgs=backlogs, cap=st.integers(min_value=1, max_value=20_000_000))
+def test_fair_split_drains_everything_when_under_cap(msgs, cap):
+    total = sum(msgs.values())
+    if total <= cap:
+        ranges = fair_split(msgs, _starts(msgs), cap)
+        assert sum(r.until_offset - r.from_offset for r in ranges) == total
+
+
+@settings(max_examples=300, deadline=None)
+@given(msgs=backlogs, cap=st.integers(min_value=1, max_value=20_000_000))
+def test_fair_split_offsets_start_at_checkpoints(msgs, cap):
+    starts = _starts(msgs)
+    for r in fair_split(msgs, starts, cap):
+        assert r.from_offset == starts[r.partition]
+        assert r.until_offset > r.from_offset
+
+
+@settings(max_examples=300, deadline=None)
+@given(msgs=backlogs, cap=st.integers(min_value=1, max_value=20_000_000))
+def test_fair_split_small_partitions_drain_first(msgs, cap):
+    """The fair-split promise: when capped, a partition that got LESS than
+    its backlog implies every smaller-backlog partition drained fully or
+    received at least as fair a share (sorted-ascending allocation)."""
+    ranges = {r.partition: r.until_offset - r.from_offset
+              for r in fair_split(msgs, _starts(msgs), cap)}
+    short = [p for p, m in msgs.items() if ranges.get(p, 0) < m]
+    if short:
+        starved_min = min(ranges.get(p, 0) for p in short)
+        for p, m in msgs.items():
+            if m <= starved_min:
+                assert ranges.get(p, 0) == m  # fully drained
+
+
+@settings(max_examples=300, deadline=None)
+@given(msgs=backlogs, cap=st.integers(min_value=1, max_value=20_000_000))
+def test_fair_split_deterministic(msgs, cap):
+    a = fair_split(msgs, _starts(msgs), cap)
+    b = fair_split(dict(reversed(list(msgs.items()))), _starts(msgs), cap)
+    assert a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(size_mb=st.floats(min_value=0, max_value=1e7, allow_nan=False),
+       target=st.one_of(st.just(-1.0),
+                        st.floats(min_value=1e-3, max_value=1e5,
+                                  allow_nan=False)))
+def test_plan_num_files_bounds(size_mb, target):
+    n = plan_num_files(size_mb, target)
+    assert n >= 1
+    if target > 0:
+        # enough files that each stays under target (+1 file of slack)
+        assert n * target >= size_mb
+
+
+def test_plan_num_files_rejects_overflowing_target():
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_num_files(1e7, 5e-324)  # denormal target -> infinite file count
