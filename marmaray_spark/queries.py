@@ -957,6 +957,33 @@ def embedding_srp_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           CAST(min(user_id) AS BIGINT) AS min_user_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-phase aggregation (operators/skew.py): group by
+    (key, deterministic salt) then merge partials by key. event_type has
+    few distinct values — exactly the hot-reduce-key shape; the oracle is
+    the PLAIN group-by, proving salting changes the plan, not the answer."""
+    from marmaray_spark.operators.skew import salted_aggregate
+
+    events = load(spark, sf_dir, "events")
+    return salted_aggregate(
+        events, ["event_type"],
+        {"n": ("count", "event_id"),
+         "max_event_id": ("max", "event_id"),
+         "min_user_id": ("min", "user_id")},
+        salt_buckets=32, salt_source=["event_id"])
+
+
+@register(
     "multimodal_image_features",
     """
     SELECT doc_id AS media_id,
