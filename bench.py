@@ -20,6 +20,7 @@ from marmaray_spark.session import SparkFactory  # noqa: E402
 HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
+    "regional_revenue",
     "upsert_last_write_wins",
     "dedup_insert_anti_join",
     "sorted_batched_output",

@@ -1173,3 +1173,42 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue"))
             .orderBy(F.col("revenue").desc(), "o_orderkey")
             .limit(10))
+
+
+@register(
+    "regional_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way join: the fact table joins a chain of
+    dimensions, every dimension side broadcast — one shuffle total (the
+    final group-by), regardless of corpus size. Catalyst reorders the
+    dimension chain; the explicit broadcasts pin the hash side."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01"))
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (lineitem
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("region_name"),
+                     F.col("n_name").alias("nation_name"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))

@@ -60,9 +60,14 @@ class FileSink:
 
     def __init__(self, path: str | Path, fmt: str = "csv", sep: str = ",",
                  header: bool = True, file_size_mb: float = -1,
-                 mode: str = "overwrite", file_name_prefix: str | None = None) -> None:
+                 mode: str = "overwrite", file_name_prefix: str | None = None,
+                 compression: str | None = None) -> None:
         if fmt not in ("csv", "json"):
             raise ValueError(f"unsupported file sink format {fmt!r}")
+        # lz4 = the reference's sequence-file codec (FileSink.java LZ4
+        # saveAsNewAPIHadoopFile); gzip/snappy/zstd equally valid here.
+        if compression not in (None, "none", "lz4", "gzip", "snappy", "zstd", "bzip2"):
+            raise ValueError(f"unsupported compression {compression!r}")
         self.path = Path(path)
         self.fmt = fmt
         self.sep = sep
@@ -70,6 +75,7 @@ class FileSink:
         self.file_size_mb = file_size_mb
         self.mode = mode
         self.file_name_prefix = file_name_prefix
+        self.compression = compression
 
     def write(self, df: DataFrame) -> int:
         """Write; returns the number of data files produced."""
@@ -79,6 +85,8 @@ class FileSink:
         if self.mode == "overwrite" and self.path.exists():
             shutil.rmtree(self.path)  # HdfsFileSink.java:61-77 deletes dest first
         writer = out.write.mode(self.mode)
+        if self.compression:
+            writer = writer.option("compression", self.compression)
         if self.fmt == "csv":
             writer.option("sep", self.sep).option("header", str(self.header).lower()) \
                   .option("quote", '"').option("escape", '"').csv(str(self.path))

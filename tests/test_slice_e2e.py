@@ -73,3 +73,24 @@ def test_file_sizing_plan(spark, lineitem):
     assert plan_num_files(mb, -1) == 1
     assert plan_num_files(100.0, 10.0) == 10
     assert plan_num_files(0.5, 10.0) == 1
+
+
+def test_file_sink_compressed_output(spark, customer, tmp_path):
+    """LZ4-compressed CSV (reference: LZ4 sequence files) round-trips."""
+    from marmaray_spark.sinks.file import FileSink
+
+    dest = tmp_path / "lz4_out"
+    FileSink(dest, fmt="csv", compression="lz4", header=True).write(customer)
+    files = list(dest.glob("part-*.csv.lz4"))
+    assert files, f"no lz4 parts in {list(dest.iterdir())}"
+    back = spark.read.option("header", True).csv(str(dest))
+    assert back.count() == customer.count()
+
+
+def test_file_sink_rejects_bad_compression(tmp_path):
+    import pytest
+
+    from marmaray_spark.sinks.file import FileSink
+
+    with pytest.raises(ValueError, match="compression"):
+        FileSink(tmp_path, compression="rar")
