@@ -502,8 +502,29 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .select(F.col("c_custkey").alias("custkey")).distinct()))
 
 
+@register(
+    "exact_cardinalities",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(median(value), 2) AS p50_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def exact_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of sketch_cardinalities: the accuracy baseline the
+    sketches approximate (and the oracle-checkable face of the pair —
+    HLL/KLL internals are engine-specific by nature)."""
+    events = load(spark, sf_dir, "events")
+    return (events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.expr("median(value)"), 2).alias("p50_value")))
+
+
 @register("sketch_cardinalities")  # no oracle: HLL/KLL sketches are
-# engine-specific estimates; the driver records a rows-only check
+# engine-specific estimates; the driver records a rows-only check and
+# exact_cardinalities above is the hash-checked accuracy baseline
 def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate analytics: HyperLogLog distinct counts + approximate
     quantiles per event type — the constant-memory sketch path used at
