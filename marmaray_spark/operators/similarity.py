@@ -42,19 +42,52 @@ def int_dot(a: Column | str, b: Column | str) -> Column:
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
 
 
+def _local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Arrow-batched per-batch top-k prefilter (tree top-k, phase 1).
+
+    A global-per-query top-k element is top-k within every subset that
+    contains it, so keeping k rows per query per Arrow batch loses
+    nothing — and shrinks the rank window's shuffle input from N x Q
+    scored rows to (batches x Q x k). At 100 TB that converts the
+    dominant shuffle into a constant-size merge.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            yield (pdf.sort_values(["query_id", "dot_q", "neighbor_id"],
+                                   ascending=[True, False, True])
+                   .groupby("query_id", sort=False).head(k))
+
+    return scored.mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, dot_q long")
+
+
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     local_prefilter: bool = False) -> DataFrame:
     """Exact top-k neighbors per query by quantized dot product.
 
     Output: (query_id, neighbor_id, dot_q, rank). Self-matches excluded.
     The query side is broadcast — no shuffle of the corpus.
+
+    ``local_prefilter`` is the scale switch: the plain plan shuffles all
+    N x Q scored rows into the rank window — fine while that fits a
+    shuffle (small SF), wrong at 100 TB. The prefilter caps the window's
+    input at batches x Q x k rows for one Arrow pass; results are
+    identical (asserted in tests), so flip it when N x Q outgrows the
+    cluster's shuffle comfort, or skip brute force entirely for the
+    SRP/IVF probe paths.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        quantize(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       quantize(vec_col).alias("cv"))
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("dot_q", int_dot("qv", "cv")))
+              .withColumn("dot_q", int_dot("qv", "cv"))
+              .select("query_id", "neighbor_id", "dot_q"))
+    if local_prefilter:
+        scored = _local_topk(scored, k)
     w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -182,3 +182,26 @@ def test_ivf_probe_finds_identical_vector(spark):
     # the exact duplicate must rank first within the probed cells
     assert got[0]["neighbor_id"] == 17
     assert got[0]["rank"] == 1
+
+
+def test_brute_force_topk_tree_prefilter_identical(spark):
+    """The Arrow local-top-k prefilter must not change results — same
+    rows, same ranks, deterministic tiebreaks."""
+    import math
+
+    from marmaray_spark.operators.similarity import brute_force_topk
+
+    def unit(seed):
+        vals = [math.cos(seed * 3 + i) for i in range(8)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    df = spark.createDataFrame([(i, unit(i)) for i in range(60)],
+                               ["vec_id", "embedding"]).repartition(6)
+    q = df.filter("vec_id < 4")
+    plain = sorted(map(tuple, brute_force_topk(
+        q, df, k=5, local_prefilter=False).collect()))
+    tree = sorted(map(tuple, brute_force_topk(
+        q, df, k=5, local_prefilter=True).collect()))
+    assert plain == tree
+    assert len(plain) == 4 * 5
