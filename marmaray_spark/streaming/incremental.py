@@ -33,6 +33,33 @@ def read_parquet_stream(spark: SparkSession, path: str, schema: T.StructType,
     return reader.parquet(path)
 
 
+def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
+                      max_offsets_per_trigger: int | None = 1_000_000,
+                      starting_offsets: str = "latest") -> DataFrame:
+    """Kafka incremental source: the streaming twin of
+    sources/kafka.KafkaWorkUnitCalculator.
+
+    ``maxOffsetsPerTrigger`` IS the reference's max_messages rate cap
+    (KafkaSourceConfiguration.java:43-44) enforced by Spark per trigger
+    with the same fair per-partition proration; ``failOnDataLoss`` stays
+    true so missing offsets raise (KafkaWorkUnitCalculator data-loss
+    semantics — pass a reset policy downstream to mimic
+    KafkaOffsetResetter instead). Value arrives as binary; decode with
+    converters.JsonDecodeConverter / from_avro at the edge.
+
+    Untestable in this container (no broker) — construction only; the
+    offset planning logic itself is covered via sources/kafka.py.
+    """
+    reader = (spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", bootstrap_servers)
+              .option("subscribe", topic)
+              .option("startingOffsets", starting_offsets)
+              .option("failOnDataLoss", "true"))
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
 def windowed_counts(events: DataFrame, ts_col: str = "ts",
                     window: str = "1 hour", watermark: str = "2 hours",
                     keys: tuple[str, ...] = ("event_type",)) -> DataFrame:

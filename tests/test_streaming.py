@@ -142,3 +142,16 @@ def test_stateful_running_totals_across_batches(spark, event_batches, tmp_path):
     assert final[8] == (2, 8.0)
     # intermediate state was visible: some batch saw user 7 with fewer events
     assert any(batch.get(7, (0, 0))[0] < 4 for batch in seen if 7 in batch)
+
+
+def test_read_kafka_stream_construction(spark):
+    """No broker/connector in this container: the reader must build its
+    options and fail only at .load() with the connector-missing error —
+    proving the construction path is wired for a real deployment."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from marmaray_spark.streaming.incremental import read_kafka_stream
+
+    with pytest.raises(AnalysisException, match="kafka"):
+        read_kafka_stream(spark, "localhost:9092", "events_topic")
