@@ -47,6 +47,11 @@ from marmaray_spark.metadata.manager import MetadataManager
 PARTITION_DIR_COL = "__pp__"  # duplicate of the partition column used only
 # for directory layout, so data files keep the real column for slice reads.
 
+COMMIT_COL = "_commit_id"  # per-record commit stamp (Hudi
+# _hoodie_commit_time analogue): set when a record is first written,
+# PRESERVED through upsert rewrites and compaction, so incremental pull
+# (read_incremental) selects exactly the records a commit introduced.
+
 
 class WriteOp(str, Enum):
     """HoodieSink.HoodieWriteOperations parity (HoodieSink.java:533-546)."""
@@ -104,10 +109,15 @@ class CommitLog:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def active_slices(self) -> list[str]:
-        """Adds of all commits minus later removes (relative paths)."""
+    def active_slices(self, as_of: str | None = None) -> list[str]:
+        """Adds of all commits minus later removes (relative paths).
+
+        ``as_of``: replay the log only up to and including that commit id
+        — the time-travel view of the table at that commit."""
         active: list[str] = []
         for c in self.commits():
+            if as_of is not None and c.commit_id > as_of:
+                break
             for r in c.removes:
                 if r in active:
                     active.remove(r)
@@ -185,15 +195,30 @@ class TableSink:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self) -> DataFrame:
+    def read(self, as_of: str | None = None, with_meta: bool = False) -> DataFrame:
         """Snapshot: union of active slices. mergeSchema handles slices
         written before a column was added (schema evolution — the
-        Cassandra sink's ALTER ADD analogue, SURVEY §1.4)."""
-        slices = self.log.active_slices()
+        Cassandra sink's ALTER ADD analogue, SURVEY §1.4).
+
+        ``as_of``: time travel — the table as of that commit id.
+        ``with_meta``: keep the per-record ``_commit_id`` stamp."""
+        slices = self.log.active_slices(as_of=as_of)
         if not slices:
             raise FileNotFoundError(f"table {self.table_path} has no commits")
-        return (self.spark.read.option("mergeSchema", "true")
-                .parquet(*[str(self.table_path / s) for s in slices]))
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(*[str(self.table_path / s) for s in slices]))
+        return df if with_meta or COMMIT_COL not in df.columns \
+            else df.drop(COMMIT_COL)
+
+    def read_incremental(self, since: str) -> DataFrame:
+        """Incremental pull (Hudi incremental-query analogue): records
+        first written AFTER commit ``since`` and still current. Upsert
+        rewrites preserve survivors' original stamps, so carried-over
+        rows are NOT re-emitted — each record appears in exactly one
+        incremental window. Scale note: the stamp filter prunes at the
+        parquet level (min/max on a literal column per slice)."""
+        snap = self.read(with_meta=True)
+        return snap.filter(F.col(COMMIT_COL) > since).drop(COMMIT_COL)
 
     def is_empty(self) -> bool:
         return not self.log.active_slices()
@@ -218,6 +243,9 @@ class TableSink:
                 else WriteOp.INSERT
         else:
             op_effective = op
+        # stamp incoming records with this commit (survivors of an upsert
+        # keep their original stamp — see _upsert)
+        df = df.withColumn(COMMIT_COL, F.lit(commit_id))
 
         # one count action feeds both the parallelism plan and the commit stats
         n_incoming = df.count()
@@ -337,6 +365,28 @@ class TableSink:
         SinkStatManager(metadata).update(written, records)
 
     # -- maintenance -------------------------------------------------------
+
+    def compact(self) -> Commit | None:
+        """Rewrite the active slices into fresh right-sized ones — the
+        small-file maintenance every copy-on-write table needs: many
+        small commits leave many small slices, and scan cost follows
+        file count. Snapshot contents and per-record commit stamps are
+        unchanged; the checkpoint metadata of the latest commit is
+        carried forward so TableMetadataManager still resumes correctly."""
+        slices = self.log.active_slices()
+        if not slices:
+            return None
+        commit_id = self.log.next_commit_id()
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(*[str(self.table_path / s) for s in slices]))
+        n = df.count()
+        adds = self._write_slices(commit_id, df, commit_id, n)
+        commit = Commit(commit_id=commit_id, op="compact", adds=adds,
+                        removes=list(slices),
+                        metadata=self.log.latest_metadata(),
+                        counts={"written": n})
+        self.log.write(commit)
+        return commit
 
     def clean_orphans(self) -> list[str]:
         """Delete data dirs not referenced by any commit (crash leftovers)."""

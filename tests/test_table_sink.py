@@ -124,3 +124,51 @@ def test_commit_log_rejects_duplicate_commit(tmp_path):
         log.write(Commit(commit_id="000000000000", op="insert"))
     assert json.loads((tmp_path / "t" / "_commits" / "000000000000.json")
                       .read_text())["adds"] == ["data/x"]
+
+
+def test_time_travel_and_incremental_pull(spark, tmp_path):
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "tt", record_key_field="k")
+    c0 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+                 WriteOp.INSERT)
+    c1 = t.write(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+                 WriteOp.UPSERT)
+
+    # snapshot now: upserted values
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+        {(1, "a"), (2, "B"), (3, "c")}
+    # time travel to c0: pre-upsert table
+    assert {(r["k"], r["v"]) for r in t.read(as_of=c0.commit_id).collect()} == \
+        {(1, "a"), (2, "b")}
+    # incremental since c0: only records first written by c1 — the
+    # carried-over survivor k=1 is NOT re-emitted
+    inc = {(r["k"], r["v"]) for r in t.read_incremental(since=c0.commit_id).collect()}
+    assert inc == {(2, "B"), (3, "c")}
+    # _commit_id never leaks into default reads
+    assert "_commit_id" not in t.read().columns
+
+
+def test_compaction_preserves_snapshot_and_stamps(spark, tmp_path):
+    from marmaray_spark.sinks.table import CommitLog, TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "cp", record_key_field="k")
+    c0 = t.write(spark.createDataFrame([(1, "a")], ["k", "v"]), WriteOp.INSERT,
+                 metadata={"ckpt": "42"})
+    t.write(spark.createDataFrame([(2, "b")], ["k", "v"]), WriteOp.INSERT,
+            metadata={"ckpt": "43"})
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+
+    cc = t.compact()
+    assert cc.op == "compact"
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    # one active slice set now; old slices removed from the manifest
+    assert t.log.active_slices() == cc.adds
+    # checkpoint metadata carried forward through the compaction commit
+    assert CommitLog(tmp_path / "cp").latest_metadata()["ckpt"] == "43"
+    # incremental semantics survive compaction (stamps preserved)
+    inc = {r["k"] for r in t.read_incremental(since=c0.commit_id).collect()}
+    assert inc == {2}
+    # orphan cleanup removes the replaced data dirs
+    removed = t.clean_orphans()
+    assert removed == []  # removed slices are still referenced by history
