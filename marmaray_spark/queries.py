@@ -260,6 +260,43 @@ def table_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_incremental_pull",
+    """
+    SELECT user_id, event_id, event_type, value FROM events
+    WHERE event_id % 2 = 1
+    QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def table_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental pull: INSERT a first batch, UPSERT a
+    second, then read_incremental(since=first commit) — exactly the
+    second batch's records come back (survivors keep their original
+    commit stamp and are not re-emitted). The oracle is the second
+    batch's defining SQL."""
+    import tempfile
+
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("user_id", "event_id", "event_type", "value"))
+
+    table = tempfile.mkdtemp(prefix="incremental_pull_")
+    sink = TableSink(spark, table, "user_id", partition_field="event_type")
+    c0 = sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 0)),
+                    WriteOp.INSERT)
+    sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 1)),
+               WriteOp.UPSERT)
+    return (sink.read_incremental(since=c0.commit_id)
+            .select("user_id", "event_id", "event_type", "value"))
+
+
+@register(
     "kafka_incremental_fair_split",
     """
     WITH RECURSIVE evt AS (
