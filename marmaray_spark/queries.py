@@ -1270,3 +1270,73 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"),
                  F.count(F.lit(1)).alias("n_lineitems")))
+
+
+_SQL_QUALITY = f"""
+      CAST(
+        (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 40
+              WHEN len(w) >= 5 THEN 10 ELSE 0 END)
+        + (CASE WHEN length(regexp_replace(text, '[^.!?,;:]', '', 'g')) >= 1
+                THEN 20 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(w, x -> CASE WHEN x IN
+               ('the','and','of','to','in','is','that','it','for','was')
+               THEN 1 ELSE 0 END)) >= 1 THEN 20 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(w, x -> length(x))) BETWEEN 3 * len(w)
+                AND 12 * len(w) THEN 20 ELSE 0 END)
+      AS INT)
+"""
+
+_SQL_PRED_LANG = """
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           ELSE 'fr' END
+"""
+
+
+@register(
+    "corpus_prep_pipeline",
+    f"""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    d AS (SELECT doc_id, text, {_SQL_WORDS} AS w
+          FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+    scored AS (
+      SELECT doc_id, w, {_SQL_QUALITY} AS quality,
+        list_sum(list_transform(w, x -> CASE WHEN x IN ('the','and','of','to','in','is','that','it','for','was') THEN 1 ELSE 0 END)) AS s_en,
+        list_sum(list_transform(w, x -> CASE WHEN x IN ('el','la','de','que','y','en','los','del','se','por') THEN 1 ELSE 0 END)) AS s_es,
+        list_sum(list_transform(w, x -> CASE WHEN x IN ('der','die','und','das','ist','von','mit','den','nicht','ein') THEN 1 ELSE 0 END)) AS s_de,
+        list_sum(list_transform(w, x -> CASE WHEN x IN ('le','la','les','et','des','est','dans','que','pour','une') THEN 1 ELSE 0 END)) AS s_fr
+      FROM d
+    )
+    SELECT {_SQL_PRED_LANG} AS pred_lang,
+           count(*) AS n_docs,
+           CAST(sum(len(w)) AS BIGINT) AS total_tokens,
+           round(avg(quality), 2) AS avg_quality
+    FROM scored
+    WHERE quality >= 60
+    GROUP BY 1
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM data-prep chain as ONE query: exact dedup (keep
+    min-id per content digest) -> quality gate (score >= 60) -> language
+    ID -> per-language corpus stats. Each stage is an already
+    oracle-checked operator; this checks their COMPOSITION end-to-end.
+    One digest shuffle + one broadcast semi-join + one final agg."""
+    from marmaray_spark.operators.dedup import exact_dedup
+    from marmaray_spark.operators.text import lang_id, quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    keepers = exact_dedup(docs, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id"))
+    kept = _with_words(docs.join(F.broadcast(keepers), "doc_id", "left_semi"))
+    scored = kept.select(
+        "doc_id", "w",
+        quality_score("text", words_col="w").alias("quality"),
+        lang_id("w").alias("pred_lang"))
+    return (scored.filter(F.col("quality") >= 60)
+            .groupBy("pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size("w")).cast("bigint").alias("total_tokens"),
+                 F.round(F.avg("quality"), 2).alias("avg_quality")))
