@@ -102,6 +102,35 @@ class _Timer:
         return False
 
 
+def write_metrics_table(spark, metrics: "list[Metric]", path: str) -> int:
+    """Persist metrics as a date-partitioned parquet diagnostic table.
+
+    Reference parity: UtilTable<MetricRecord> (M/common/dataset/
+    UtilTable.java:47-95) — typed diagnostic records written as
+    date-partitioned parquet. Returns rows written."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("unit", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("ts", T.DoubleType()),
+        T.StructField("datestr", T.StringType()),
+    ])
+    rows = [(m.name, float(m.value), m.unit, dict(m.tags), float(m.ts),
+             datetime.datetime.fromtimestamp(m.ts, datetime.timezone.utc)
+             .strftime("%Y-%m-%d"))
+            for m in metrics]
+    if not rows:
+        return 0
+    (spark.createDataFrame(rows, schema)
+     .write.mode("append").partitionBy("datestr").parquet(path))
+    return len(rows)
+
+
 class ChargebackCalculator:
     """Attributes processed-row cost per (feed, key) — IChargebackCalculator."""
 

@@ -45,3 +45,21 @@ def test_chargeback_accumulates_per_feed():
     costs = cb.computed_costs()
     assert costs["feed_a"] == 2.0
     assert costs["feed_b"] == 0.5
+
+
+def test_write_metrics_table_date_partitioned(spark, tmp_path):
+    from marmaray_spark.metrics import write_metrics_table
+
+    feed = DataFeedMetrics("f1")
+    feed.create_long_metric("rows", 10)
+    feed.create_timer_metric("write", 1.5)
+    out = str(tmp_path / "metrics_table")
+    assert write_metrics_table(spark, feed.metrics, out) == 2
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert "datestr" in back.columns
+    got = {r["name"]: (r["value"], r["unit"]) for r in back.collect()}
+    assert got["rows"] == (10.0, "count")
+    assert got["write"] == (1.5, "sec")
+    assert back.select("tags").first()["tags"]["feed"] == "f1"

@@ -155,3 +155,52 @@ def test_read_kafka_stream_construction(spark):
 
     with pytest.raises(AnalysisException, match="kafka"):
         read_kafka_stream(spark, "localhost:9092", "events_topic")
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg: an event older than the watermark arrives
+    in a later micro-batch and is dropped from its (already finalized)
+    window — the late-data contract the reference delegated to sink key
+    semantics, first-class here."""
+    src = tmp_path / "late_src"
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    # b0 advances max event time to 12:00 (wm 11:50 once committed);
+    # b1 lets the engine finalize+emit the 10:00 window under that wm;
+    # b2 then delivers a LATE 10:30 event for the already-emitted window.
+    batch0 = [(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+              (2, "2024-01-01 12:00:00", 7, "click", 1.0)]
+    batch1 = [(3, "2024-01-01 12:05:00", 7, "click", 1.0)]
+    batch2 = [(4, "2024-01-01 10:30:00", 7, "click", 1.0),   # LATE
+              (5, "2024-01-01 12:10:00", 7, "click", 1.0)]
+    import os
+    import time as _time
+
+    for i, rows in enumerate([batch0, batch1, batch2]):
+        (spark.createDataFrame(rows, schema)
+         .withColumn("ts", F.to_timestamp("ts"))
+         .coalesce(1).write.parquet(str(src / f"b{i}")))
+        # distinct mtimes pin trigger order (file source sorts by mod time)
+        now = _time.time() + i * 10
+        for root, _dirs, files in os.walk(src / f"b{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now, now))
+
+    full_schema = spark.read.parquet(str(src / "b0")).schema
+    stream = read_parquet_stream(spark, f"{src}/b*", full_schema,
+                                 max_files_per_trigger=1)
+    agg = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("late_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["window"]["start"].hour, []).append(r["n"])
+    # the 10:00 window was finalized+emitted ONCE with only the on-time
+    # event; the later 10:30 arrival neither merged nor re-emitted it
+    # (append mode emits each window exactly once)
+    assert got.get(10) == [1]
+    # the 12:00 window never finalized (wm stops at 12:00)
+    assert 12 not in got
