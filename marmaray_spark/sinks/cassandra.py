@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from marmaray_spark.operators.batching import batched_by_size
@@ -119,21 +120,56 @@ class CassandraBulkSink:
     """
 
     def __init__(self, schema: CassandraSchema, output_path: str | Path,
-                 batch_rows: int = 100_000) -> None:
+                 batch_rows: int = 100_000,
+                 min_batch_duration_s: float = 0.0) -> None:
+        """``min_batch_duration_s`` > 0 enables throttled mode: batches
+        load one at a time with at least that much wall-clock between
+        batch starts — the reference's cluster-protection throttle
+        (CassandraSSTableSink.java:155-192 min batch duration sleep;
+        streamthrottlembits is the connector-level analogue)."""
         self.schema = schema
         self.output_path = str(output_path)
         self.batch_rows = batch_rows
+        self.min_batch_duration_s = min_batch_duration_s
 
-    def write(self, df: DataFrame) -> int:
+    def _prepare(self, df: DataFrame) -> DataFrame:
         cols = [c for c in df.columns if c in self.schema.fields]
         keys = self.schema.partition_keys + self.schema.clustering_keys
         projected = df.select(*cols)
         for k in keys:  # required-key validation (null keys are rejects)
             projected = projected.filter(projected[k].isNotNull())
-        batched = batched_by_size(projected, keys, self.batch_rows)
+        return batched_by_size(projected, keys, self.batch_rows)
+
+    def write(self, df: DataFrame) -> int:
+        keys = self.schema.partition_keys + self.schema.clustering_keys
+        batched = self._prepare(df)
+        if self.min_batch_duration_s > 0:
+            return self._write_throttled(batched, keys)
         (batched
          .repartitionByRange("batch_id", *keys)
          .sortWithinPartitions("batch_id", *keys)
          .write.mode("overwrite").partitionBy("batch_id")
          .parquet(self.output_path))
         return len(list(Path(self.output_path).glob("batch_id=*")))
+
+    def _write_throttled(self, batched: DataFrame, keys: list[str]) -> int:
+        """One batch per loader run, min duration between batch starts.
+        The batched frame is persisted so each loop reads a slice, not a
+        full recompute (the fork-persist rule)."""
+        import time
+
+        batched = batched.persist()
+        batch_ids = sorted(r["batch_id"] for r in
+                           batched.select("batch_id").distinct().collect())
+        for i, b in enumerate(batch_ids):
+            started = time.time()
+            (batched.filter(F.col("batch_id") == b)
+             .sortWithinPartitions(*keys)
+             .write.mode("overwrite")
+             .parquet(f"{self.output_path}/batch_id={b}"))
+            if i < len(batch_ids) - 1:
+                remaining = self.min_batch_duration_s - (time.time() - started)
+                if remaining > 0:
+                    time.sleep(remaining)
+        batched.unpersist()
+        return len(batch_ids)

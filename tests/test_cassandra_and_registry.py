@@ -121,3 +121,24 @@ def test_custom_bulk_insert_partitioner(spark, tmp_path):
     sink.write(df, WriteOp.BULK_INSERT)
     assert calls["n"] >= 1
     assert sink.read().count() == 100
+
+
+def test_bulk_sink_throttled_batches(spark, customer, tmp_path):
+    """Throttled mode: one batch per loader run, min wall-clock between
+    batch starts, same rows as the unthrottled path."""
+    import time
+
+    from marmaray_spark.sinks.cassandra import CassandraBulkSink, CassandraSchema
+
+    schema = CassandraSchema.from_struct(
+        customer.schema, "ks", "t", partition_keys=["c_nationkey"],
+        clustering_keys=["c_custkey"])
+    sink = CassandraBulkSink(schema, tmp_path / "thr", batch_rows=60,
+                             min_batch_duration_s=0.3)
+    t0 = time.time()
+    n_batches = sink.write(customer)
+    elapsed = time.time() - t0
+    assert n_batches >= 2
+    assert elapsed >= 0.3 * (n_batches - 1)  # throttle actually paced
+    back = spark.read.parquet(str(tmp_path / "thr"))
+    assert back.count() == customer.count()
