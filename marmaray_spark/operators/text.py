@@ -125,3 +125,55 @@ def fingerprint_bottom_k(shingles_col: str, k: int = 4) -> Column:
         f"array_join(slice(array_sort(transform(array_distinct({shingles_col}), "
         f"s -> md5(s))), 1, {k}), '|')"
     )
+
+
+def chunk_spans(words_col: str, chunk_size: int, overlap: int) -> Column:
+    """Overlapping token-window spans: array of (chunk_idx, start, len)
+    structs covering the word array with stride chunk_size - overlap.
+
+    The chunking staple of training-data prep (long documents -> model-
+    sized windows). Expression-only; explode downstream for one row per
+    chunk. The last chunk may be shorter; a document shorter than one
+    chunk yields exactly one span.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    # number of chunks: ceil(max(size - overlap, 1) / stride)
+    n = (f"greatest(1, cast(ceil((size({words_col}) - {overlap}) "
+         f"/ {stride}.0) as int))")
+    return F.expr(
+        f"transform(sequence(0, {n} - 1), "
+        f"i -> struct(i as chunk_idx, i * {stride} + 1 as start, "
+        f"least({chunk_size}, size({words_col}) - i * {stride}) as len))")
+
+
+def chunk_documents(df, id_col: str, words_col: str,
+                    chunk_size: int, overlap: int = 0):
+    """One row per chunk: (id, chunk_idx, n_tokens, chunk_text)."""
+    spans = chunk_spans(words_col, chunk_size, overlap)
+    return (df.select(F.col(id_col), F.col(words_col),
+                      F.explode(spans).alias("c"))
+            .select(F.col(id_col),
+                    F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.col("c.len").cast("int").alias("n_tokens"),
+                    F.expr(f"concat_ws(' ', slice({words_col}, c.start, c.len))")
+                    .alias("chunk_text")))
+
+
+def deterministic_sample(df, id_col: str, pct: float, salt: str = "s0"):
+    """Keep ~pct% of rows by md5-hash prefix of the id — deterministic
+    across engines, retries and partitionings (unlike rand()/sample()).
+
+    A row survives when the first 4 hex chars of md5('<salt>:<id>') sort
+    below the pct threshold — fixed-width lowercase hex compares
+    lexicographically == numerically, so any engine with md5 agrees
+    row-for-row. Stratify by calling per stratum with different pct."""
+    if not 0 <= pct <= 100:
+        raise ValueError("pct in [0, 100]")
+    if pct == 100:
+        return df       # threshold would be 5 hex chars; keep-all is exact
+    threshold = format(round(pct / 100 * 65536), "04x")
+    prefix = F.expr(
+        f"substring(md5(concat('{salt}:', cast({id_col} as string))), 1, 4)")
+    return df.filter(prefix < threshold)

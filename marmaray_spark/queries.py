@@ -1340,3 +1340,52 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.size("w")).cast("bigint").alias("total_tokens"),
                  F.round(F.avg("quality"), 2).alias("avg_quality")))
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE doc_id < 200),
+    c AS (SELECT doc_id, w,
+                 unnest(generate_series(0,
+                   greatest(1, CAST(ceil((len(w) - 32) / 96.0) AS INT)) - 1))
+                 AS chunk_idx
+          FROM t)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(least(128, len(w) - chunk_idx * 96) AS INT) AS n_tokens,
+           array_to_string(w[chunk_idx * 96 + 1 :
+                             chunk_idx * 96 + least(128, len(w) - chunk_idx * 96)],
+                           ' ') AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training windows: 128-token chunks with
+    32-token overlap (stride 96), one row per chunk, expression-only
+    explode (operators/text.py chunk_documents). Bounded to doc_id < 200
+    for the oracle; unbounded it is a pure map — no shuffle at any
+    scale."""
+    from marmaray_spark.operators.text import chunk_documents
+
+    docs = _with_words(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    out = chunk_documents(docs, "doc_id", "w", chunk_size=128, overlap=32)
+    return out.withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+
+
+@register(
+    "doc_sample_10pct",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE substring(md5(concat('s0:', CAST(doc_id AS VARCHAR))), 1, 4) < '199a'
+    """,
+)
+def doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by md5-prefix threshold
+    (operators/text.py deterministic_sample): reproducible across
+    engines, retries and partitionings — the sampling primitive for
+    eval holdouts and data ablations (rand()-based sample() is none of
+    those things)."""
+    from marmaray_spark.operators.text import deterministic_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return deterministic_sample(docs, "doc_id", pct=10)

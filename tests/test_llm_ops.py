@@ -205,3 +205,37 @@ def test_brute_force_topk_tree_prefilter_identical(spark):
         q, df, k=5, local_prefilter=True).collect()))
     assert plain == tree
     assert len(plain) == 4 * 5
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from marmaray_spark.operators.text import chunk_documents, words
+
+    df = (spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),   # 10 words, 2 chunks
+         (2, "a b c")],                                # shorter than one chunk
+        ["id", "text"]).withColumn("w", words("text")))
+    out = chunk_documents(df, "id", "w", chunk_size=6, overlap=2)
+    got = {(r["id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in out.collect()}
+    # doc 1: stride 4 -> chunks [w0..w5], [w4..w9]
+    assert got[(1, 0)] == (6, "w0 w1 w2 w3 w4 w5")
+    assert got[(1, 1)] == (6, "w4 w5 w6 w7 w8 w9")
+    # doc 2: single short chunk
+    assert got[(2, 0)] == (3, "a b c")
+    assert len(got) == 3
+    # every token of doc 1 appears in some chunk (coverage)
+    text1 = " ".join(t for (i, _), (_, t) in sorted(got.items()) if i == 1)
+    assert all(f"w{j}" in text1.split() for j in range(10))
+
+
+def test_deterministic_sample_stable_and_bounded(spark):
+    from marmaray_spark.operators.text import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    a = {r["id"] for r in deterministic_sample(df, "id", 10).collect()}
+    b = {r["id"] for r in deterministic_sample(df.repartition(7), "id", 10).collect()}
+    assert a == b                      # partitioning-independent
+    assert 100 < len(a) < 320          # ~10% of 2000, binomial slack
+    full = deterministic_sample(df, "id", 100).count()
+    assert full == 2000
+    assert deterministic_sample(df, "id", 0).count() == 0
