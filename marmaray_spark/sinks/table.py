@@ -72,6 +72,9 @@ class Commit:
     removes: list[str] = field(default_factory=list)
     metadata: dict[str, str] = field(default_factory=dict)
     counts: dict[str, int] = field(default_factory=dict)
+    # per-slice record-key range: {slice: [min_key, max_key]} — the
+    # key-lookup index (HoodieIndex analogue, see TableSink.slices_for_keys)
+    key_stats: dict[str, list] = field(default_factory=dict)
 
 
 class CommitLog:
@@ -257,7 +260,8 @@ class TableSink:
 
         commit = Commit(commit_id=commit_id, op=op.value, adds=adds,
                         removes=removes, metadata=meta,
-                        counts={"written": n_incoming})
+                        counts={"written": n_incoming},
+                        key_stats=self._collect_key_stats(adds))
         self.log.write(commit)
         if isinstance(metadata, MetadataManager):
             metadata.save_changes()
@@ -295,10 +299,22 @@ class TableSink:
 
     def _dedup_against_existing(self, df: DataFrame) -> DataFrame:
         """filterExists: drop incoming whose key is already in the table
-        (HoodieSink.java:446-449)."""
+        (HoodieSink.java:446-449). The existing side reads only slices
+        whose key range overlaps the incoming batch's (key_stats footer
+        index — real Hudi does this with a bloom index); one tiny
+        min/max agg on incoming buys skipping whole slices on the big
+        side."""
         if self.is_empty():
             return df
-        existing = self.read().select(F.col(self.key)).distinct()
+        bounds = df.agg(F.min(self.key).alias("lo"),
+                        F.max(self.key).alias("hi")).collect()[0]
+        slices = self.slices_for_key_range(bounds["lo"], bounds["hi"]) \
+            if bounds["lo"] is not None else []
+        if not slices:
+            return df
+        existing = (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*[str(self.table_path / s) for s in slices])
+                    .select(F.col(self.key)).distinct())
         return df.join(existing, self.key, "left_anti")
 
     def _upsert(self, commit_id: str, df: DataFrame,
@@ -338,6 +354,69 @@ class TableSink:
             key = name.split("=", 1)[1] if name.startswith(f"{PARTITION_DIR_COL}=") else None
             out.setdefault(key, []).append(s)
         return out
+
+    # -- key index (HoodieIndex analogue) ----------------------------------
+
+    def _collect_key_stats(self, adds: list[str]) -> dict[str, list]:
+        """Record-key [min, max] per written slice, from parquet FOOTERS
+        only (no Spark job, no data read) — the index feeds
+        ``slices_for_key_range`` so key lookups and dedup anti-joins scan
+        only slices whose key range overlaps."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, list] = {}
+        for s in adds:
+            lo = hi = None
+            for f in sorted((self.table_path / s).rglob("*.parquet")):
+                try:
+                    md = pq.ParquetFile(f).metadata
+                    ci = next((i for i in range(md.num_columns)
+                               if md.row_group(0).column(i).path_in_schema
+                               == self.key), None)
+                    if ci is None:
+                        continue
+                    for r in range(md.num_row_groups):
+                        st = md.row_group(r).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = st.min, st.max
+                        lo = mn if lo is None or mn < lo else lo
+                        hi = mx if hi is None or mx > hi else hi
+                except Exception:   # noqa: BLE001 — stats are an optimization
+                    lo = hi = None
+                    break
+            if lo is not None:
+                try:
+                    json.dumps([lo, hi])
+                    stats[s] = [lo, hi]
+                except (TypeError, ValueError):
+                    pass
+        return stats
+
+    def key_stats(self) -> dict[str, list]:
+        """Latest known [min, max] per ACTIVE slice (unknown slices absent)."""
+        out: dict[str, list] = {}
+        for c in self.log.commits():
+            out.update(c.key_stats or {})
+        active = set(self.log.active_slices())
+        return {s: v for s, v in out.items() if s in active}
+
+    def slices_for_key_range(self, lo, hi) -> list[str]:
+        """Active slices whose key range may overlap [lo, hi]; slices
+        with no recorded stats are kept (conservative)."""
+        stats = self.key_stats()
+        return [s for s in self.log.active_slices()
+                if s not in stats or not (stats[s][1] < lo or stats[s][0] > hi)]
+
+    def lookup(self, key_value) -> DataFrame:
+        """Point lookup by record key, scanning only overlapping slices."""
+        slices = self.slices_for_key_range(key_value, key_value)
+        if not slices:
+            return self.read().limit(0)
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(*[str(self.table_path / s) for s in slices]))
+        df = df.drop(COMMIT_COL) if COMMIT_COL in df.columns else df
+        return df.filter(F.col(self.key) == key_value)
 
     # -- sizing ------------------------------------------------------------
 
@@ -384,7 +463,8 @@ class TableSink:
         commit = Commit(commit_id=commit_id, op="compact", adds=adds,
                         removes=list(slices),
                         metadata=self.log.latest_metadata(),
-                        counts={"written": n})
+                        counts={"written": n},
+                        key_stats=self._collect_key_stats(adds))
         self.log.write(commit)
         return commit
 

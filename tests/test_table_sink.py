@@ -172,3 +172,43 @@ def test_compaction_preserves_snapshot_and_stamps(spark, tmp_path):
     # orphan cleanup removes the replaced data dirs
     removed = t.clean_orphans()
     assert removed == []  # removed slices are still referenced by history
+
+
+def test_key_stats_index_prunes_slices(spark, tmp_path):
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "ks", record_key_field="k")
+    c0 = t.write(spark.createDataFrame([(i, "lo") for i in range(100)],
+                                       ["k", "v"]), WriteOp.INSERT)
+    c1 = t.write(spark.createDataFrame([(i, "hi") for i in range(1000, 1100)],
+                                       ["k", "v"]), WriteOp.INSERT)
+    stats = t.key_stats()
+    assert set(stats) == set(c0.adds) | set(c1.adds)
+    # a range inside the low slice prunes the high slice (and vice versa)
+    assert set(t.slices_for_key_range(5, 10)) == set(c0.adds)
+    assert set(t.slices_for_key_range(1050, 1060)) == set(c1.adds)
+    assert t.slices_for_key_range(500, 600) == []
+
+    # point lookup: correct row, pruned scan
+    got = t.lookup(1042).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1042, "hi")]
+    assert t.lookup(555).count() == 0
+
+
+def test_dedup_insert_uses_range_pruning(spark, tmp_path):
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "dp", record_key_field="k")
+    t.write(spark.createDataFrame([(i, "old") for i in range(50)], ["k", "v"]),
+            WriteOp.INSERT)
+    # disjoint key range: nothing to anti-join against (fast path)
+    t.write(spark.createDataFrame([(i, "new") for i in range(100, 150)],
+                                  ["k", "v"]), WriteOp.DEDUP_INSERT)
+    assert t.read().count() == 100
+    # overlapping range: existing keys are filtered out
+    t.write(spark.createDataFrame([(40, "dup"), (41, "dup"), (200, "fresh")],
+                                  ["k", "v"]), WriteOp.DEDUP_INSERT)
+    back = {r["k"]: r["v"] for r in t.read().collect()}
+    assert back[40] == "old" and back[41] == "old"
+    assert back[200] == "fresh"
+    assert len(back) == 101
