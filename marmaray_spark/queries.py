@@ -1389,3 +1389,50 @@ def doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return deterministic_sample(docs, "doc_id", pct=10)
+
+
+@register(
+    "table_change_capture",
+    """
+    WITH old_batch AS (
+      SELECT user_id FROM events WHERE event_id % 2 = 0
+      QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    new_batch AS (
+      SELECT user_id, event_id, event_type, value FROM events
+      WHERE event_id % 2 = 1
+      QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT n.user_id, n.event_id, n.event_type, n.value,
+           CASE WHEN o.user_id IS NOT NULL THEN 'update' ELSE 'insert' END
+             AS change_op
+    FROM new_batch n LEFT JOIN old_batch o ON n.user_id = o.user_id
+    """,
+)
+def table_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END change capture: after INSERT + UPSERT, read_changes of
+    the upsert commit tags each record 'update' (key existed) or
+    'insert' (new key) — the CDC view downstream consumers subscribe
+    to. The oracle recomputes the same classification relationally."""
+    import tempfile
+
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("user_id", "event_id", "event_type", "value"))
+
+    table = tempfile.mkdtemp(prefix="change_capture_")
+    sink = TableSink(spark, table, "user_id", partition_field="event_type")
+    sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 0)),
+               WriteOp.INSERT)
+    c1 = sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 1)),
+                    WriteOp.UPSERT)
+    return (sink.read_changes(c1.commit_id)
+            .select("user_id", "event_id", "event_type", "value", "change_op"))

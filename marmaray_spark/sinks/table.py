@@ -213,6 +213,30 @@ class TableSink:
         return df if with_meta or COMMIT_COL not in df.columns \
             else df.drop(COMMIT_COL)
 
+    def read_changes(self, commit_id: str) -> DataFrame:
+        """Change capture for one commit: the after-image of every record
+        it introduced, tagged ``change_op`` = 'insert' (new key) or
+        'update' (key overwritten an earlier record). Copy-on-write
+        tables have no delete op (reference parity: HoodieSink exposes
+        none either). Built from commit stamps + the time-travel
+        snapshot, so it works for any historical commit."""
+        commits = [c.commit_id for c in self.log.commits()]
+        if commit_id not in commits:
+            raise KeyError(f"unknown commit {commit_id!r}")
+        snap = self.read(as_of=commit_id, with_meta=True)
+        mine = snap.filter(F.col(COMMIT_COL) == commit_id).drop(COMMIT_COL)
+        i = commits.index(commit_id)
+        if i == 0:
+            return mine.withColumn("change_op", F.lit("insert"))
+        prev_keys = (self.read(as_of=commits[i - 1])
+                     .select(self.key).distinct()
+                     .withColumn("__existed__", F.lit(True)))
+        return (mine.join(prev_keys, self.key, "left")
+                .withColumn("change_op",
+                            F.when(F.col("__existed__"), F.lit("update"))
+                            .otherwise(F.lit("insert")))
+                .drop("__existed__"))
+
     def read_incremental(self, since: str) -> DataFrame:
         """Incremental pull (Hudi incremental-query analogue): records
         first written AFTER commit ``since`` and still current. Upsert

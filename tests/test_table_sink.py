@@ -212,3 +212,23 @@ def test_dedup_insert_uses_range_pruning(spark, tmp_path):
     assert back[40] == "old" and back[41] == "old"
     assert back[200] == "fresh"
     assert len(back) == 101
+
+
+def test_read_changes_insert_vs_update(spark, tmp_path):
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "cdc", record_key_field="k")
+    c0 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+                 WriteOp.INSERT)
+    c1 = t.write(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+                 WriteOp.UPSERT)
+
+    ch0 = {(r["k"], r["change_op"]) for r in t.read_changes(c0.commit_id).collect()}
+    assert ch0 == {(1, "insert"), (2, "insert")}
+    ch1 = {(r["k"], r["v"], r["change_op"])
+           for r in t.read_changes(c1.commit_id).collect()}
+    assert ch1 == {(2, "B", "update"), (3, "c", "insert")}
+
+    import pytest
+    with pytest.raises(KeyError):
+        t.read_changes("999999999999")
