@@ -1436,3 +1436,23 @@ def table_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WriteOp.UPSERT)
     return (sink.read_changes(c1.commit_id)
             .select("user_id", "event_id", "event_type", "value", "change_op"))
+
+
+@register(
+    "zorder_values",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST((((CAST(c_custkey AS BIGINT) >> 0) & 1) << 0) + (((CAST(c_custkey AS BIGINT) >> 1) & 1) << 2) + (((CAST(c_custkey AS BIGINT) >> 2) & 1) << 4) + (((CAST(c_custkey AS BIGINT) >> 3) & 1) << 6) + (((CAST(c_custkey AS BIGINT) >> 4) & 1) << 8) + (((CAST(c_custkey AS BIGINT) >> 5) & 1) << 10) + (((CAST(c_custkey AS BIGINT) >> 6) & 1) << 12) + (((CAST(c_custkey AS BIGINT) >> 7) & 1) << 14) + (((CAST(c_custkey AS BIGINT) >> 8) & 1) << 16) + (((CAST(c_custkey AS BIGINT) >> 9) & 1) << 18) + (((CAST(c_custkey AS BIGINT) >> 10) & 1) << 20) + (((CAST(c_custkey AS BIGINT) >> 11) & 1) << 22) + (((CAST(c_custkey AS BIGINT) >> 12) & 1) << 24) + (((CAST(c_custkey AS BIGINT) >> 13) & 1) << 26) + (((CAST(c_custkey AS BIGINT) >> 14) & 1) << 28) + (((CAST(c_custkey AS BIGINT) >> 15) & 1) << 30) + (((CAST(c_nationkey AS BIGINT) >> 0) & 1) << 1) + (((CAST(c_nationkey AS BIGINT) >> 1) & 1) << 3) + (((CAST(c_nationkey AS BIGINT) >> 2) & 1) << 5) + (((CAST(c_nationkey AS BIGINT) >> 3) & 1) << 7) + (((CAST(c_nationkey AS BIGINT) >> 4) & 1) << 9) + (((CAST(c_nationkey AS BIGINT) >> 5) & 1) << 11) + (((CAST(c_nationkey AS BIGINT) >> 6) & 1) << 13) + (((CAST(c_nationkey AS BIGINT) >> 7) & 1) << 15) + (((CAST(c_nationkey AS BIGINT) >> 8) & 1) << 17) + (((CAST(c_nationkey AS BIGINT) >> 9) & 1) << 19) + (((CAST(c_nationkey AS BIGINT) >> 10) & 1) << 21) + (((CAST(c_nationkey AS BIGINT) >> 11) & 1) << 23) + (((CAST(c_nationkey AS BIGINT) >> 12) & 1) << 25) + (((CAST(c_nationkey AS BIGINT) >> 13) & 1) << 27) + (((CAST(c_nationkey AS BIGINT) >> 14) & 1) << 29) + (((CAST(c_nationkey AS BIGINT) >> 15) & 1) << 31) AS BIGINT) AS z
+    FROM customer
+    """,
+)
+def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (custkey, nationkey) — the clustering key for
+    multi-dimension file pruning (operators/zorder.py; layout payoff
+    proven in tests/test_zorder.py via parquet footer ranges)."""
+    from marmaray_spark.operators.zorder import zorder_value
+
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey", "c_nationkey",
+        zorder_value(["c_custkey", "c_nationkey"], bits=16).alias("z"))
