@@ -492,6 +492,36 @@ class TableSink:
         self.log.write(commit)
         return commit
 
+    def vacuum(self, retain_last_n_commits: int = 5) -> list[str]:
+        """Physically delete slices that are no longer active AND were
+        removed at least ``retain_last_n_commits`` commits ago. Bounds
+        storage growth of copy-on-write history; time travel / change
+        capture older than the horizon stops working (the trade every
+        retention policy makes). Returns deleted slice paths."""
+        import shutil
+
+        commits = self.log.commits()
+        if len(commits) <= retain_last_n_commits:
+            return []
+        horizon = commits[-retain_last_n_commits].commit_id
+        active = set(self.log.active_slices())
+        # slices removed by a commit at or before the horizon
+        expired = [r for c in commits if c.commit_id <= horizon
+                   for r in c.removes if r not in active]
+        deleted = []
+        for s in dict.fromkeys(expired):   # ordered unique
+            p = self.table_path / s
+            if p.exists():
+                shutil.rmtree(p, ignore_errors=True)
+                deleted.append(s)
+                # a partition slice lives under data/<commit>/<pp=..>; drop
+                # the parent dir too once empty
+                parent = p.parent
+                if parent != self.table_path / "data" and parent.is_dir() \
+                        and not any(parent.iterdir()):
+                    parent.rmdir()
+        return deleted
+
     def clean_orphans(self) -> list[str]:
         """Delete data dirs not referenced by any commit (crash leftovers)."""
         import shutil

@@ -89,6 +89,15 @@ def dedup_stream(events: DataFrame, key_cols: list[str], ts_col: str = "ts",
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def enrich_with_dimension(stream: DataFrame, dim: DataFrame,
+                          on: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the CURRENT
+    dimension snapshot (re-resolved per trigger for file-based dims).
+    The static side broadcasts when small; no state store involved —
+    the streaming twin of the dispersal flows' dimension projection."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stateful_running_totals(events: DataFrame, key_col: str = "user_id",
                             value_col: str = "value",
                             idle_timeout_ms: int | None = None) -> DataFrame:

@@ -204,3 +204,20 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert got.get(10) == [1]
     # the 12:00 window never finalized (wm stops at 12:00)
     assert 12 not in got
+
+
+def test_stream_static_enrichment_join(spark, event_batches, tmp_path):
+    from marmaray_spark.streaming.incremental import enrich_with_dimension
+
+    src, schema = event_batches
+    dim = spark.createDataFrame([(7, "gold"), (8, "basic")],
+                                ["user_id", "tier"])
+    stream = read_parquet_stream(spark, f"{src}/batch*", schema)
+    out = enrich_with_dimension(stream, dim, on="user_id")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("enrich_out").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT user_id, tier FROM enrich_out").collect()
+    tiers = {r["user_id"]: r["tier"] for r in rows}
+    assert tiers == {7: "gold", 8: "basic"}
+    assert len(rows) == 6  # every event enriched

@@ -232,3 +232,26 @@ def test_read_changes_insert_vs_update(spark, tmp_path):
     import pytest
     with pytest.raises(KeyError):
         t.read_changes("999999999999")
+
+
+def test_vacuum_deletes_expired_slices_only(spark, tmp_path):
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "vac", record_key_field="k")
+    mk = lambda v: spark.createDataFrame([(1, v)], ["k", "v"])  # noqa: E731
+    commits = [t.write(mk(f"v{i}"), WriteOp.UPSERT) for i in range(6)]
+
+    # retention window still covers every remove: nothing deleted
+    assert t.vacuum(retain_last_n_commits=10) == []
+
+    deleted = t.vacuum(retain_last_n_commits=2)
+    assert deleted  # old rewritten slices are gone from disk
+    for s in deleted:
+        assert not (tmp_path / "vac" / s).exists()
+    # snapshot unaffected
+    assert [(r["k"], r["v"]) for r in t.read().collect()] == [(1, "v5")]
+    # recent time travel still works; ancient does not
+    assert t.read(as_of=commits[-2].commit_id).count() == 1
+    import pytest
+    with pytest.raises(Exception):
+        t.read(as_of=commits[0].commit_id).collect()
