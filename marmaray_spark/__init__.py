@@ -23,8 +23,26 @@ control plane (planning, checkpointing, orchestration).
 """
 
 from marmaray_spark.config import Configuration
+from marmaray_spark.metrics import ChargebackCalculator, DataFeedMetrics
+from marmaray_spark.plans.dag import JobDag, JobManager, JobSubDag, SinkNode
+from marmaray_spark.plans.locking import FileLockManager
 from marmaray_spark.session import SparkFactory, get_spark
+from marmaray_spark.sinks.table import TableSink, WriteOp
 
 __version__ = "0.1.0"
 
-__all__ = ["Configuration", "SparkFactory", "get_spark", "__version__"]
+__all__ = [
+    "ChargebackCalculator",
+    "Configuration",
+    "DataFeedMetrics",
+    "FileLockManager",
+    "JobDag",
+    "JobManager",
+    "JobSubDag",
+    "SinkNode",
+    "SparkFactory",
+    "TableSink",
+    "WriteOp",
+    "get_spark",
+    "__version__",
+]

@@ -221,3 +221,37 @@ def test_stream_static_enrichment_join(spark, event_batches, tmp_path):
     tiers = {r["user_id"]: r["tier"] for r in rows}
     assert tiers == {7: "gold", 8: "basic"}
     assert len(rows) == 6  # every event enriched
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: clicks join views per user within the
+    event-time constraint, state bounded by watermarks on both sides —
+    the join shape no incremental-batch framework can express."""
+    src = tmp_path / "ss_src"
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    rows = [(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+            (2, "2024-01-01 10:05:00", 7, "view", 2.0),
+            (3, "2024-01-01 10:07:00", 8, "click", 3.0),
+            (4, "2024-01-01 11:30:00", 8, "view", 4.0)]  # too far from click
+    (spark.createDataFrame(rows, schema)
+     .withColumn("ts", F.to_timestamp("ts"))
+     .coalesce(1).write.parquet(str(src / "b0")))
+    full_schema = spark.read.parquet(str(src / "b0")).schema
+
+    base = read_parquet_stream(spark, f"{src}/b*", full_schema)
+    clicks = (base.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "10 minutes"))
+    views = (base.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "10 minutes"))
+    joined = clicks.join(
+        views,
+        F.expr("user_id = v_user AND "
+               "view_ts BETWEEN click_ts AND click_ts + INTERVAL 30 MINUTES"))
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ss_out").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["view_ts"].minute)
+           for r in spark.sql("SELECT * FROM ss_out").collect()}
+    assert got == {(7, 5)}   # user 7's view within 30 min; user 8's is not
