@@ -43,8 +43,13 @@ def main() -> None:
     spark = SparkFactory("bench").get_or_create()
 
     registry = Q.all_queries()
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers with a trivial action, and the Python
+    # worker pool (Arrow path) so the first mapInPandas query doesn't pay
+    # interpreter spin-up inside its timing
     Q.load(spark, sf_dir, "region").count()
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers * 4).repartition(n_workers).mapInPandas(
+        lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0
