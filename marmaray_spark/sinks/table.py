@@ -61,6 +61,7 @@ class WriteOp(str, Enum):
     DEDUP_INSERT = "dedup_insert"
     DEDUP_BULK_INSERT = "dedup_bulk_insert"
     UPSERT = "upsert"
+    INSERT_OVERWRITE = "insert_overwrite"   # replace touched partitions
     NO_OP = "no_op"
 
 
@@ -278,6 +279,8 @@ class TableSink:
         n_incoming = df.count()
         if op_effective == WriteOp.UPSERT and not self.is_empty():
             adds, removes = self._upsert(commit_id, df, n_incoming)
+        elif op_effective == WriteOp.INSERT_OVERWRITE and not self.is_empty():
+            adds, removes = self._insert_overwrite(commit_id, df, n_incoming)
         else:
             adds = self._append(commit_id, df, n_incoming)
             removes = []
@@ -370,6 +373,40 @@ class TableSink:
             merged = df
         adds = self._write_slices(commit_id, merged, commit_id)
         return adds, old_slices
+
+    def _insert_overwrite(self, commit_id: str, df: DataFrame,
+                          n_incoming: int) -> tuple[list[str], list[str]]:
+        """Replace the partitions the incoming batch touches (whole table
+        when unpartitioned) — Hudi INSERT_OVERWRITE(_TABLE): backfills
+        and recomputations without key-level merging."""
+        slice_by_partition = self._active_by_partition()
+        if self.partition is None:
+            removes = [s for ss in slice_by_partition.values() for s in ss]
+        else:
+            touched = set(self._partition_values(df))
+            removes = [s for p, ss in slice_by_partition.items()
+                       if p in touched for s in ss]
+        adds = self._write_slices(commit_id, df, commit_id, n_incoming)
+        return adds, removes
+
+    def restore(self, as_of: str) -> Commit:
+        """Roll the table back to its state at commit ``as_of`` (Delta
+        RESTORE / Hudi savepoint-rollback): a NEW commit whose manifest
+        re-activates exactly the slices active then — history is never
+        rewritten, so the rollback itself is auditable and reversible
+        (as long as vacuum hasn't deleted the old slices)."""
+        target = self.log.active_slices(as_of=as_of)
+        missing = [s for s in target if not (self.table_path / s).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to {as_of}: slices vacuumed: {missing[:3]}")
+        current = self.log.active_slices()
+        commit = Commit(commit_id=self.log.next_commit_id(), op="restore",
+                        adds=target, removes=list(current),
+                        metadata=self.log.latest_metadata(),
+                        counts={}, key_stats={})
+        self.log.write(commit)
+        return commit
 
     def _active_by_partition(self) -> dict[str | None, list[str]]:
         out: dict[str | None, list[str]] = {}

@@ -255,3 +255,46 @@ def test_vacuum_deletes_expired_slices_only(spark, tmp_path):
     import pytest
     with pytest.raises(Exception):
         t.read(as_of=commits[0].commit_id).collect()
+
+
+def test_insert_overwrite_replaces_touched_partitions(spark, tmp_path):
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "ow", record_key_field="k",
+                  partition_field="p")
+    t.write(spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], ["k", "v", "p"]),
+        WriteOp.INSERT)
+    # overwrite partition x only; y untouched
+    t.write(spark.createDataFrame([(9, "NEW", "x")], ["k", "v", "p"]),
+            WriteOp.INSERT_OVERWRITE)
+    back = {(r["k"], r["v"], r["p"]) for r in t.read().collect()}
+    assert back == {(9, "NEW", "x"), (3, "c", "y")}
+
+
+def test_restore_rolls_back_and_is_reversible(spark, tmp_path):
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "rs", record_key_field="k")
+    c0 = t.write(spark.createDataFrame([(1, "a")], ["k", "v"]), WriteOp.INSERT)
+    c1 = t.write(spark.createDataFrame([(1, "b")], ["k", "v"]), WriteOp.UPSERT)
+    assert t.read().collect()[0]["v"] == "b"
+
+    t.restore(c0.commit_id)
+    assert t.read().collect()[0]["v"] == "a"
+    # rollback is itself a commit: roll forward again by restoring to c1
+    t.restore(c1.commit_id)
+    assert t.read().collect()[0]["v"] == "b"
+
+
+def test_restore_fails_after_vacuum(spark, tmp_path):
+    import pytest
+
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "rv", record_key_field="k")
+    mk = lambda v: spark.createDataFrame([(1, v)], ["k", "v"])  # noqa: E731
+    commits = [t.write(mk(f"v{i}"), WriteOp.UPSERT) for i in range(6)]
+    t.vacuum(retain_last_n_commits=2)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(commits[0].commit_id)
