@@ -34,6 +34,9 @@ HEADLINE = [
     "token_counts",
     "multimodal_image_features",
     "hourly_windowed_agg",
+    "skew_salted_agg",
+    "zorder_values",
+    "corpus_prep_pipeline",
 ]
 
 
