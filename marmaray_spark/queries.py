@@ -1456,3 +1456,43 @@ def zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         "c_custkey", "c_nationkey",
         zorder_value(["c_custkey", "c_nationkey"], bits=16).alias("z"))
+
+
+@register(
+    "range_join_price_bands",
+    """
+    WITH iv AS (
+      SELECT o_orderkey AS band_id,
+             CAST(round(o_totalprice * 0.9) AS BIGINT) AS lo,
+             CAST(round(o_totalprice * 1.1) AS BIGINT) AS hi
+      FROM orders WHERE o_orderkey < 100
+    ),
+    pt AS (SELECT o_orderkey AS point_order,
+                  CAST(round(o_totalprice) AS BIGINT) AS price
+           FROM orders)
+    SELECT iv.band_id, count(*) AS n_in_band, min(pt.point_order) AS min_order
+    FROM pt JOIN iv ON iv.lo <= pt.price AND pt.price <= iv.hi
+    GROUP BY iv.band_id
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join at scale: orders priced within ±10% of each probe
+    order's total, via the bucketed range join (operators/rangejoin.py)
+    — hash equi-join on price buckets + exact predicate, never the
+    BroadcastNestedLoop cross product a raw range join plans."""
+    from marmaray_spark.operators.rangejoin import bucketed_range_join
+
+    orders = load(spark, sf_dir, "orders")
+    intervals = (orders.filter(F.col("o_orderkey") < 100)
+                 .select(F.col("o_orderkey").alias("band_id"),
+                         F.round(F.col("o_totalprice") * 0.9).cast("bigint")
+                         .alias("lo"),
+                         F.round(F.col("o_totalprice") * 1.1).cast("bigint")
+                         .alias("hi")))
+    points = orders.select(F.col("o_orderkey").alias("point_order"),
+                           F.round("o_totalprice").cast("bigint").alias("price"))
+    joined = bucketed_range_join(points, intervals, "price", "lo", "hi",
+                                 bucket_width=20000)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_in_band"),
+        F.min("point_order").alias("min_order"))

@@ -239,3 +239,30 @@ def test_deterministic_sample_stable_and_bounded(spark):
     full = deterministic_sample(df, "id", 100).count()
     assert full == 2000
     assert deterministic_sample(df, "id", 0).count() == 0
+
+
+def test_bucketed_range_join_matches_naive_and_avoids_nested_loop(spark):
+    from marmaray_spark.operators.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame([(i, i * 7 % 100) for i in range(200)],
+                                   ["pid", "v"])
+    intervals = spark.createDataFrame(
+        [(1, 10, 25), (2, 20, 22), (3, 90, 99), (4, 0, 100)],
+        ["iid", "lo", "hi"])
+
+    got = bucketed_range_join(points, intervals, "v", "lo", "hi",
+                              bucket_width=10)
+    naive = points.join(intervals,
+                        (intervals.lo <= points.v) & (points.v <= intervals.hi))
+    assert sorted(map(tuple, got.select("pid", "iid").collect())) == \
+        sorted(map(tuple, naive.select("pid", "iid").collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan   # the whole point
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert ("NestedLoop" in naive_plan or "CartesianProduct" in naive_plan)  # unaided plan
+
+    import pytest
+    with pytest.raises(ValueError, match="overlapping"):
+        bucketed_range_join(points.withColumnRenamed("pid", "iid"),
+                            intervals, "v", "lo", "hi", 10)
