@@ -55,3 +55,23 @@ def write_error_table(errors: DataFrame, table_path: str) -> None:
     """Append error records to ``<table>_error`` parquet, date-partitioned."""
     (errors.write.mode("append").partitionBy("error_date")
      .parquet(table_path.rstrip("/") + "_error"))
+
+
+def read_error_table(spark, table_path: str,
+                     error_date: str | None = None) -> DataFrame:
+    """Read the ``<table>_error`` table back (optionally one date
+    partition — partition-pruned scan)."""
+    df = spark.read.parquet(table_path.rstrip("/") + "_error")
+    return df.filter(F.col("error_date") == error_date) if error_date else df
+
+
+def replay_error_records(spark, table_path: str, schema,
+                         error_date: str | None = None) -> DataFrame:
+    """Quarantine replay: parse ``hadoop_error_source_data`` back into
+    typed rows so fixed records re-enter the pipeline (the operational
+    follow-up the reference's error tables exist for). Rows whose JSON no
+    longer matches ``schema`` parse to nulls — validate again downstream."""
+    errs = read_error_table(spark, table_path, error_date)
+    return (errs.select(F.from_json("hadoop_error_source_data", schema)
+                        .alias("r"))
+            .select("r.*"))

@@ -60,3 +60,30 @@ def test_empty_tag_drops_rows(spark, customer):
 def test_no_keys_registered_raises(spark, customer):
     with pytest.raises(ValueError):
         ForkOperator(customer, F.array(F.lit(0)), [])
+
+
+def test_error_table_roundtrip_and_replay(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.operators.errors import (
+        read_error_table,
+        replay_error_records,
+        to_error_records,
+        write_error_table,
+    )
+
+    bad = spark.createDataFrame([(1, None, 5.0), (2, "x", None)],
+                                "id long, name string, score double")
+    errs = to_error_records(bad, "required key missing",
+                            row_key=F.col("id").cast("string"))
+    path = str(tmp_path / "mytable")
+    write_error_table(errs, path)
+
+    back = read_error_table(spark, path)
+    assert back.count() == 2
+    assert set(back.select("hadoop_error_exception").distinct()
+               .toPandas()["hadoop_error_exception"]) == {"required key missing"}
+
+    replayed = replay_error_records(spark, path, bad.schema)
+    rows = {r["id"]: (r["name"], r["score"]) for r in replayed.collect()}
+    assert rows == {1: (None, 5.0), 2: ("x", None)}
