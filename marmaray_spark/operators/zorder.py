@@ -39,6 +39,19 @@ def zorder_value(cols: list[str], bits: int = 16) -> Column:
     return F.expr(" + ".join(terms))
 
 
+def rank_bucket(df: DataFrame, col: str, bits: int = 16,
+                out_col: str | None = None) -> DataFrame:
+    """Map ANY orderable column (float, string, timestamp) into integer
+    rank space [0, 2^bits) via ntile — the preprocessing that makes it
+    z-orderable. One pass over a single-column window; for very large
+    inputs substitute approx percentiles for the same effect."""
+    from pyspark.sql import Window as W
+
+    out = out_col or f"{col}_rank"
+    return df.withColumn(
+        out, (F.ntile(1 << bits).over(W.orderBy(F.col(col))) - 1).cast("bigint"))
+
+
 def zorder_cluster(df: DataFrame, cols: list[str], bits: int = 16,
                    num_partitions: int | None = None) -> DataFrame:
     """Cluster rows by Morton value: one range shuffle (the same cost a

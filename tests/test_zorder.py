@@ -2,6 +2,7 @@
 min/max ranges bounded on BOTH dimensions)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from marmaray_spark.operators.zorder import zorder_cluster, zorder_value
 
@@ -82,3 +83,19 @@ def test_zorder_bounds_both_dimensions(spark, tmp_path):
     assert z_y < s_y                 # z-layout prunes on y too
     # correctness: clustering only reorders rows
     assert spark.read.parquet(zpath).count() == len(rows)
+
+
+def test_rank_bucket_maps_floats_to_zorderable_ints(spark):
+    from marmaray_spark.operators.zorder import rank_bucket, zorder_value
+
+    df = spark.createDataFrame([(i, i * 0.37 % 13.0) for i in range(256)],
+                               ["id", "price"])
+    ranked = rank_bucket(df, "price", bits=4)
+    vals = [r["price_rank"] for r in ranked.collect()]
+    assert min(vals) == 0 and max(vals) == 15
+    # order-preserving: higher price never gets a lower bucket
+    rows = sorted((r["price"], r["price_rank"]) for r in ranked.collect())
+    assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
+    # and the result feeds zorder_value directly
+    z = ranked.withColumn("id_r", (F.col("id") % 16).cast("bigint"))
+    z.select(zorder_value(["id_r", "price_rank"], bits=4).alias("z")).collect()
