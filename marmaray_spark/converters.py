@@ -223,3 +223,40 @@ def encode_json_lines(df: DataFrame, row_identifier: str | None = None) -> DataF
         out = df.select(F.col(row_identifier).cast("string").alias("key"),
                         F.to_json(F.struct(*df.columns)).alias("line"))
     return out
+
+
+class ConverterChain:
+    """Run converters in sequence: each stage's valid stream feeds the
+    next; every stage's rejects land in ONE merged error table with a
+    ``hadoop_changelog_columns`` stage tag saying which stage rejected
+    the row.
+
+    Reference: the DAG wires one converter per edge and Kafka converters
+    chain row-level update functions (KafkaSourceDataConverter.java:54-56);
+    real pipelines validate in layers (decode -> schema -> domain), and
+    operationally you want one error table for the whole feed.
+    """
+
+    def __init__(self, stages: Sequence[tuple[str, DataConverter]]) -> None:
+        if not stages:
+            raise ValueError("need at least one stage")
+        names = [n for n, _ in stages]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate stage names: {names}")
+        self.stages = list(stages)
+
+    def map(self, df: DataFrame) -> ConversionResult:
+        valid = df
+        all_errors: DataFrame | None = None
+        valid_count = 0
+        error_count = 0
+        for name, conv in self.stages:
+            res = conv.map(valid)
+            valid = res.valid
+            valid_count = res.valid_count
+            error_count += res.error_count
+            staged = res.errors.withColumn("hadoop_changelog_columns",
+                                           F.lit(name))
+            all_errors = staged if all_errors is None \
+                else all_errors.unionByName(staged)
+        return ConversionResult(valid, all_errors, valid_count, error_count)

@@ -150,27 +150,51 @@ def ivf_cell(vec_col: str, centroids: list[list[int]]) -> Column:
         f"cast(array_position({d}, array_max({d})) - 1 as bigint)")
 
 
+def train_ivf_centroids(corpus: DataFrame, n_centroids: int,
+                        vec_col: str = "embedding", seed: int = 7,
+                        max_iter: int = 20) -> list[list[int]]:
+    """Learn IVF centroids with pyspark.ml KMeans, returned quantized so
+    they plug straight into ``ivf_probe_topk(centroids=...)``. Training
+    is the offline index-build step: run once, persist the (tiny) list,
+    reuse across query workloads."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return [[int(round(float(x) * QUANT_SCALE)) for x in c]
+            for c in model.clusterCenters()]
+
+
 def ivf_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
                    n_centroids: int = 16, nprobe: int = 2,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: list[list[int]] | None = None) -> DataFrame:
     """IVF approximate top-k: assign every corpus vector to its nearest
     centroid cell (expression-only), probe each query's ``nprobe``
     closest cells, rank by exact quantized dot within them.
 
-    Centroid "training" here is deterministic — the ``n_centroids``
+    Default centroid "training" is deterministic — the ``n_centroids``
     lowest-id corpus vectors — so a SQL oracle reproduces the index
-    bit-for-bit; swap in KMeans cluster centers for learned recall
-    without touching the probe plan. Cells partition the corpus, so the
-    ``nprobe`` probed cells never yield duplicate neighbors.
+    bit-for-bit; pass ``centroids`` (e.g. from ``train_ivf_centroids``'s
+    KMeans) for learned recall with the IDENTICAL probe plan. Cells
+    partition the corpus, so the ``nprobe`` probed cells never yield
+    duplicate neighbors — and probing all cells is exactly brute force.
 
     100 TB: corpus side is scan + projection + one equi-join on cell id
     against the broadcast (tiny) probe list; only the query side (small
     by definition) pays a window."""
-    cent_rows = (corpus.filter(F.col(id_col) < n_centroids)
-                 .select(F.col(id_col).alias("cid"), quantize(vec_col).alias("cv"))
-                 .orderBy("cid").collect())      # k x dim ints: driver metadata
-    cids = [r["cid"] for r in cent_rows]
-    cents = [r["cv"] for r in cent_rows]
+    if centroids is not None:
+        cids = list(range(len(centroids)))
+        cents = [list(c) for c in centroids]
+    else:
+        cent_rows = (corpus.filter(F.col(id_col) < n_centroids)
+                     .select(F.col(id_col).alias("cid"),
+                             quantize(vec_col).alias("cv"))
+                     .orderBy("cid").collect())   # k x dim ints: driver metadata
+        cids = [r["cid"] for r in cent_rows]
+        cents = [r["cv"] for r in cent_rows]
     cid_lit = F.array(*[F.lit(c) for c in cids])
 
     c = (corpus.select(F.col(id_col).alias("neighbor_id"),

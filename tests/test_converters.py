@@ -107,3 +107,45 @@ def test_json_encode_with_row_identifier(spark, customer):
     rows = out.collect()
     assert set(out.columns) == {"key", "line"}
     assert all(r["line"].startswith("{") for r in rows)
+
+
+def test_converter_chain_merges_stage_errors(spark):
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.converters import ConverterChain, SchemaProjectionConverter
+
+    class Positive(SchemaProjectionConverter):
+        def validity(self, df):
+            return F.col("score") > 0
+
+        def error_message(self, df):
+            return F.lit("score not positive")
+
+    rows = [(1, "a", 5.0), (None, "b", 3.0), (3, "c", -1.0), (4, None, 2.0)]
+    df = spark.createDataFrame(rows, "id long, name string, score double")
+
+    chain = ConverterChain([
+        ("required", SchemaProjectionConverter(required_keys=["id", "name"])),
+        ("domain", Positive()),
+    ])
+    res = chain.map(df)
+
+    # survivors: only id=1 (id=None and name=None fail stage 1; id=3
+    # fails the domain stage)
+    valid_ids = sorted(r["id"] for r in res.valid.collect())
+    assert valid_ids == [1]
+    assert res.valid_count == 1 and res.error_count == 3
+
+    stages = [r["hadoop_changelog_columns"]
+              for r in res.errors.select("hadoop_changelog_columns").collect()]
+    assert sorted(stages) == ["domain", "required", "required"]
+
+
+def test_converter_chain_rejects_dup_names():
+    import pytest
+
+    from marmaray_spark.converters import ConverterChain, SchemaProjectionConverter
+
+    with pytest.raises(ValueError, match="duplicate"):
+        ConverterChain([("a", SchemaProjectionConverter()),
+                        ("a", SchemaProjectionConverter())])

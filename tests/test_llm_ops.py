@@ -266,3 +266,32 @@ def test_bucketed_range_join_matches_naive_and_avoids_nested_loop(spark):
     with pytest.raises(ValueError, match="overlapping"):
         bucketed_range_join(points.withColumnRenamed("pid", "iid"),
                             intervals, "v", "lo", "hi", 10)
+
+
+def test_ivf_learned_centroids_full_probe_equals_brute_force(spark):
+    """KMeans-trained centroids through the same probe plan; probing ALL
+    cells partitions-then-scans the whole corpus, so results must equal
+    exact brute force — validates the learned-index path end to end."""
+    import math
+
+    from marmaray_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_probe_topk,
+        train_ivf_centroids,
+    )
+
+    def unit(seed):
+        vals = [math.sin(seed * 5 + i * 0.7) for i in range(8)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    df = spark.createDataFrame([(i, unit(i)) for i in range(80)],
+                               ["vec_id", "embedding"])
+    cents = train_ivf_centroids(df, n_centroids=4, seed=11)
+    assert len(cents) == 4 and len(cents[0]) == 8
+
+    q = df.filter("vec_id < 3")
+    ivf = sorted(map(tuple, ivf_probe_topk(
+        q, df, k=4, nprobe=4, centroids=cents).collect()))
+    exact = sorted(map(tuple, brute_force_topk(q, df, k=4).collect()))
+    assert ivf == exact
