@@ -506,6 +506,27 @@ class TableSink:
 
     # -- maintenance -------------------------------------------------------
 
+    def consume_changes(self, metadata: MetadataManager,
+                        checkpoint_key: str = "table_consumer.last_commit",
+                        max_commits: int | None = None) -> list[tuple[str, DataFrame]]:
+        """Incremental change consumer: the table as an upstream source
+        for downstream pipelines. Returns [(commit_id, change_df), ...]
+        for commits after the checkpointed one (oldest first, optionally
+        capped — the max_messages idea applied to commits) and advances
+        the checkpoint in ``metadata`` (caller persists via
+        save_changes() only after its own sinks commit — the standard
+        work-unit contract). Maintenance commits (compact/restore) are
+        skipped: they introduce no records."""
+        last = metadata.get(checkpoint_key) or ""
+        pending = [c for c in self.log.commits()
+                   if c.commit_id > last and c.op not in ("compact", "restore")]
+        if max_commits is not None:
+            pending = pending[:max_commits]
+        out = [(c.commit_id, self.read_changes(c.commit_id)) for c in pending]
+        if pending:
+            metadata.set(checkpoint_key, pending[-1].commit_id)
+        return out
+
     def compact(self) -> Commit | None:
         """Rewrite the active slices into fresh right-sized ones — the
         small-file maintenance every copy-on-write table needs: many

@@ -298,3 +298,44 @@ def test_restore_fails_after_vacuum(spark, tmp_path):
     t.vacuum(retain_last_n_commits=2)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         t.restore(commits[0].commit_id)
+
+
+def test_consume_changes_incrementally(spark, tmp_path):
+    from marmaray_spark.metadata import InMemoryMetadataManager
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "cons", record_key_field="k")
+    t.write(spark.createDataFrame([(1, "a")], ["k", "v"]), WriteOp.INSERT)
+    t.write(spark.createDataFrame([(1, "b"), (2, "c")], ["k", "v"]),
+            WriteOp.UPSERT)
+
+    meta = InMemoryMetadataManager()
+    batch1 = t.consume_changes(meta)
+    assert [cid for cid, _ in batch1] == ["000000000000", "000000000001"]
+    ops = {cid: {(r["k"], r["change_op"]) for r in df.collect()}
+           for cid, df in batch1}
+    assert ops["000000000000"] == {(1, "insert")}
+    assert ops["000000000001"] == {(1, "update"), (2, "insert")}
+
+    # nothing new -> empty; checkpoint advanced
+    assert t.consume_changes(meta) == []
+
+    # new commit + a compaction: only the data commit is consumed
+    t.write(spark.createDataFrame([(3, "d")], ["k", "v"]), WriteOp.INSERT)
+    t.compact()
+    batch2 = t.consume_changes(meta)
+    assert len(batch2) == 1
+    assert {r["k"] for r in batch2[0][1].collect()} == {3}
+    assert t.consume_changes(meta) == []
+
+
+def test_consume_changes_respects_max_commits(spark, tmp_path):
+    from marmaray_spark.metadata import InMemoryMetadataManager
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "cap", record_key_field="k")
+    for i in range(3):
+        t.write(spark.createDataFrame([(i, "v")], ["k", "v"]), WriteOp.INSERT)
+    meta = InMemoryMetadataManager()
+    assert len(t.consume_changes(meta, max_commits=2)) == 2
+    assert len(t.consume_changes(meta)) == 1
