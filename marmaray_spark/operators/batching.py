@@ -33,18 +33,30 @@ OFFSET_COL = "__part_offset__"
 def global_row_numbers(df: DataFrame, sort_cols: list[str],
                        num_partitions: int | None = None,
                        out_col: str = "row_num") -> DataFrame:
-    """1-based global row numbers in (sort_cols) order, shuffle-scalable."""
+    """1-based global row numbers in (sort_cols) order, shuffle-scalable.
+
+    Local numbering decodes ``monotonically_increasing_id`` — Spark
+    packs (partition id << 33) + per-partition row counter, assigned in
+    row order within each already-range-sorted partition. Pure JVM
+    projection: no second exchange (a ``row_number() OVER (PARTITION BY
+    spark_partition_id())`` window forces a full hash shuffle right
+    after the range exchange) and no Python round-trip of the data
+    (an Arrow pass measured slower than the shuffle it saved).
+    """
     cols = [F.col(c) for c in sort_cols]
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = (df.repartitionByRange(int(n), *cols)
-              .withColumn(PART_COL, F.spark_partition_id()))
-    local = ranged.withColumn(
-        LOCAL_RN, F.row_number().over(W.partitionBy(PART_COL).orderBy(*cols)))
-    # MUST materialize: spark_partition_id is nondeterministic and the
-    # range boundaries are sampled — the offsets branch and the join
-    # branch below would otherwise re-evaluate `local` independently and
-    # can disagree (observed: overlapping row numbers). One persisted
-    # evaluation makes both branches read identical partition ids.
+              .sortWithinPartitions(*cols))
+    mid = F.monotonically_increasing_id()
+    local = (ranged.withColumn("__mid__", mid)
+             .withColumn(PART_COL, F.shiftright("__mid__", 33).cast("int"))
+             .withColumn(LOCAL_RN,
+                         (F.col("__mid__").bitwiseAND((1 << 33) - 1) + 1))
+             .drop("__mid__"))
+    # MUST materialize: range boundaries are sampled, so the offsets
+    # branch and the join branch below would otherwise re-evaluate
+    # `local` independently and can disagree (observed: overlapping row
+    # numbers). One persisted evaluation fixes the partition layout.
     local = local.persist()
     local.count()
     # tiny: one row per partition
