@@ -154,6 +154,40 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, simhash_col: str,
                     .alias("hamming")))
 
 
+def simhash_banded_near_dup(df: DataFrame, id_col: str, simhash_col: str,
+                            max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup at scale: pigeonhole banding instead of all
+    pairs. Split the 16-bit fingerprint into 4 nibbles; two fingerprints
+    within hamming distance 3 differ in at most 3 nibbles, so they MUST
+    share at least one (band_idx, nibble) — equi-join candidates on
+    that, then apply the exact hamming filter. O(rows x 4) keys, never
+    O(rows^2); same recall as the pairwise form for
+    ``max_hamming`` <= 3 (guaranteed by pigeonhole)."""
+    if max_hamming > 3:
+        raise ValueError("pigeonhole with 4 bands guarantees recall only "
+                         "for max_hamming <= 3 over 16 bits")
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col(simhash_col), b * 4).bitwiseAND(0xF)
+                 .alias("nibble"))
+        for b in range(4)
+    ])
+    tagged = df.select(F.col(id_col).alias("id"),
+                       F.col(simhash_col).alias("sh"),
+                       F.explode(bands).alias("bk"))
+    left = tagged.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"),
+                         F.col("bk").alias("bk_a"))
+    right = tagged.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"),
+                          F.col("bk").alias("bk_b"))
+    return (left.join(right, (F.col("bk_a") == F.col("bk_b"))
+                      & (F.col("a") < F.col("b")))
+            .select("a", "b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def jaccard_counts(shingles_a: Column, shingles_b: Column) -> tuple[Column, Column]:
     """(intersection_size, union_size) of two distinct-shingle sets as
     exact integers — compare ``union_size * threshold <= inter * 1`` style

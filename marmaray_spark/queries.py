@@ -1496,3 +1496,28 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_in_band"),
         F.min("point_order").alias("min_order"))
+
+
+@register(
+    "simhash_banded_near_dup",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, CAST({_sql_simhash('w')} AS BIGINT) AS simhash FROM t)
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM s l JOIN s r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def simhash_banded_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup via pigeonhole banding (operators/dedup.py
+    simhash_banded_near_dup): O(rows x 4) bucket join instead of all
+    pairs. The ORACLE is the exact pairwise SQL — hash-equality proves
+    the banding loses nothing for hamming <= 3 (the pigeonhole
+    guarantee), cross-engine."""
+    from marmaray_spark.operators.dedup import simhash16, simhash_banded_near_dup
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", simhash16("w").alias("simhash"))
+    out = simhash_banded_near_dup(sh, "doc_id", "simhash", max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))

@@ -295,3 +295,27 @@ def test_ivf_learned_centroids_full_probe_equals_brute_force(spark):
         q, df, k=4, nprobe=4, centroids=cents).collect()))
     exact = sorted(map(tuple, brute_force_topk(q, df, k=4).collect()))
     assert ivf == exact
+
+
+def test_simhash_banded_equals_pairwise(spark):
+    from marmaray_spark.operators.dedup import (
+        simhash16,
+        simhash_banded_near_dup,
+        simhash_near_dup_pairs,
+    )
+    from marmaray_spark.operators.text import words
+
+    texts = [(i, f"common words everywhere plus token{i % 5} and token{i % 7}")
+             for i in range(40)]
+    sh = (spark.createDataFrame(texts, ["id", "text"])
+          .withColumn("w", words("text"))
+          .select("id", simhash16("w").alias("sh")))
+    banded = sorted(map(tuple, simhash_banded_near_dup(
+        sh, "id", "sh", max_hamming=3).collect()))
+    pairwise = sorted(map(tuple, simhash_near_dup_pairs(
+        sh, "id", "sh", max_hamming=3).collect()))
+    assert banded == pairwise and len(banded) > 0
+
+    import pytest
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_banded_near_dup(sh, "id", "sh", max_hamming=4)
