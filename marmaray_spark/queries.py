@@ -1521,3 +1521,30 @@ def simhash_banded_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", simhash16("w").alias("simhash"))
     out = simhash_banded_near_dup(sh, "doc_id", "simhash", max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@register(
+    "embedding_norm_check",
+    f"""
+    WITH q AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings)
+    SELECT CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> v[i] * v[i])) // 100000 AS BIGINT) AS norm_sq_bucket,
+           count(*) AS n
+    FROM q GROUP BY 1
+    """,
+)
+def embedding_norm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: histogram of quantized squared L2 norms
+    (bucketed to 0.1 in milli^2 units). Unit vectors cluster at bucket
+    10 — the ingest-time sanity gate before any cosine math trusts
+    normalization. Exact integer arithmetic (operators/similarity.py
+    quantize + int_dot self-dot)."""
+    from marmaray_spark.operators.similarity import int_dot, quantize
+
+    emb = spread(load(spark, sf_dir, "embeddings"), spark) \
+        .withColumn("v", quantize("embedding"))
+    return (emb.select(F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L, "
+                              "(acc, t) -> acc + t) div 100000")
+                       .alias("norm_sq_bucket"))
+            .groupBy("norm_sq_bucket")
+            .agg(F.count(F.lit(1)).alias("n")))
