@@ -183,11 +183,17 @@ class TableSink:
                  record_key_field: str, partition_field: str | None = None,
                  target_file_size_mb: float = 128.0,
                  auto_tune_parallelism: bool = True,
-                 bulk_insert_partitioner=None) -> None:
+                 bulk_insert_partitioner=None,
+                 cluster_by_key: bool = False) -> None:
         """``bulk_insert_partitioner``: optional (df, n_partitions) -> df
         hook overriding the pre-write repartition — the
         UserDefinedBulkInsertPartitioner plugin point
-        (HoodieSink.java:456-465)."""
+        (HoodieSink.java:456-465).
+
+        ``cluster_by_key``: sort each written file by the record key, so
+        slice footers carry TIGHT disjoint key ranges — the key index
+        (slices_for_key_range) and parquet row-group pruning both get
+        sharper the same way Hudi's sorted bulk-insert layout does."""
         self.spark = spark
         self.table_path = Path(table_path)
         self.key = record_key_field
@@ -195,6 +201,7 @@ class TableSink:
         self.target_file_size_mb = target_file_size_mb
         self.auto_tune = auto_tune_parallelism
         self.bulk_insert_partitioner = bulk_insert_partitioner
+        self.cluster_by_key = cluster_by_key
         self.log = CommitLog(table_path)
 
     # -- read path ---------------------------------------------------------
@@ -309,9 +316,16 @@ class TableSink:
         if n_part is not None:
             if self.bulk_insert_partitioner is not None:
                 df = self.bulk_insert_partitioner(df, n_part)
+            elif self.cluster_by_key:
+                # range partition + sort: files carry disjoint key ranges
+                df = df.repartitionByRange(n_part, self.key) \
+                    if self.partition is None else \
+                    df.repartitionByRange(n_part, F.col(self.partition), F.col(self.key))
             else:
                 df = df.repartition(n_part, self.key) if self.partition is None else \
                     df.repartition(n_part, self.partition, self.key)
+        if self.cluster_by_key:
+            df = df.sortWithinPartitions(self.key)
         if self.partition is not None:
             (df.withColumn(PARTITION_DIR_COL, F.col(self.partition).cast("string"))
              .write.mode("overwrite").partitionBy(PARTITION_DIR_COL)

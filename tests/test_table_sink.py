@@ -339,3 +339,34 @@ def test_consume_changes_respects_max_commits(spark, tmp_path):
     meta = InMemoryMetadataManager()
     assert len(t.consume_changes(meta, max_commits=2)) == 2
     assert len(t.consume_changes(meta)) == 1
+
+
+def test_cluster_by_key_writes_sorted_disjoint_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "clus", record_key_field="k",
+                  cluster_by_key=True, target_file_size_mb=0.001,
+                  auto_tune_parallelism=True)
+    import random
+    rng = random.Random(5)
+    rows = [(i, "x" * 50) for i in range(5000)]
+    rng.shuffle(rows)
+    t.write(spark.createDataFrame(rows, ["k", "v"]), WriteOp.BULK_INSERT)
+
+    files = sorted((tmp_path / "clus").rglob("*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ci = next(i for i in range(md.num_columns)
+                  if md.row_group(0).column(i).path_in_schema == "k")
+        st = md.row_group(0).column(ci).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    # each file internally bounded AND files pairwise disjoint on key
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
+    # reads still correct
+    assert t.read().count() == 5000
