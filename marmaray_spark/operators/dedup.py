@@ -188,6 +188,51 @@ def simhash_banded_near_dup(df: DataFrame, id_col: str, simhash_col: str,
             .distinct())
 
 
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate GROUPS from candidate pairs: each node labeled with the
+    minimum id reachable through the pair graph (connected components by
+    iterative min-label propagation).
+
+    The step no single SQL pass expresses: per iteration every node
+    takes min(own label, neighbors' labels) — one join + one groupBy —
+    until a fixpoint (<= graph diameter iterations, tiny for near-dup
+    clusters). Each iteration ``localCheckpoint``s: persist alone caches
+    data but the LOGICAL plan still compounds per iteration (planning
+    cost grows exponentially, OOMs the driver around iteration ~30);
+    checkpointing truncates lineage so cost per iteration is constant.
+    Returns (node, component).
+    """
+    sym = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+           .unionByName(pairs.select(F.col(b).alias("src"),
+                                     F.col(a).alias("dst"))))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym.dst == labels.node)
+                        .groupBy("src")
+                        .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("component")))
+                              .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def jaccard_counts(shingles_a: Column, shingles_b: Column) -> tuple[Column, Column]:
     """(intersection_size, union_size) of two distinct-shingle sets as
     exact integers — compare ``union_size * threshold <= inter * 1`` style

@@ -1548,3 +1548,34 @@ def embedding_norm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("norm_sq_bucket"))
             .groupBy("norm_sq_bucket")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "near_dup_groups",
+    f"""
+    WITH RECURSIVE pairs AS ({_ORACLES["minhash_lsh_candidates"]}),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT component, count(*) AS group_size, max(node) AS max_member
+    FROM comp GROUP BY component
+    """,
+)
+def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUP discovery: MinHash-LSH candidate pairs -> iterative
+    min-label connected components (operators/dedup.py, the
+    driver-looped custom operator) -> per-group stats. The oracle
+    computes the same components with a recursive CTE — cross-engine
+    agreement on an ITERATIVE algorithm's fixpoint."""
+    from marmaray_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    labels = connected_components(pairs)
+    return (labels.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.max("node").alias("max_member")))

@@ -319,3 +319,24 @@ def test_simhash_banded_equals_pairwise(spark):
     import pytest
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_banded_near_dup(sh, "id", "sh", max_hamming=4)
+
+
+def test_connected_components_labels_groups(spark):
+    from marmaray_spark.operators.dedup import connected_components
+
+    # two chains and one isolated pair: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (21, 20)], ["a", "b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from marmaray_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], ["a", "b"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(chain, max_iter=40).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 31
