@@ -1579,3 +1579,33 @@ def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (labels.groupBy("component")
             .agg(F.count(F.lit(1)).alias("group_size"),
                  F.max("node").alias("max_member")))
+
+
+@register(
+    "table_profile",
+    """
+    SELECT 'event_type' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+           CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM events
+                 WHERE event_type IS NOT NULL GROUP BY event_type)) AS BIGINT)
+             AS top_freq
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM events
+                 WHERE user_id IS NOT NULL GROUP BY user_id)) AS BIGINT)
+    FROM events
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data-quality profile (operators/profile.py): row/null/
+    exact-distinct counts + top-value frequency (the skew signal) per
+    column, computed in one wide aggregate pass."""
+    from marmaray_spark.operators.profile import profile_table
+
+    events = load(spark, sf_dir, "events")
+    return profile_table(events, cols=["event_type", "user_id"])

@@ -340,3 +340,18 @@ def test_connected_components_long_chain_converges(spark):
            for r in connected_components(chain, max_iter=40).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 31
+
+
+def test_profile_table_metrics(spark):
+    from marmaray_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (4, "a")], ["id", "tag"])
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n_rows"] == 5
+    assert prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 4
+    assert prof["id"]["top_freq"] == 2        # id=4 twice
+    assert prof["tag"]["n_nulls"] == 1
+    assert prof["tag"]["n_distinct"] == 2
+    assert prof["tag"]["top_freq"] == 3       # 'a' three times
