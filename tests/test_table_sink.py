@@ -370,3 +370,33 @@ def test_cluster_by_key_writes_sorted_disjoint_files(spark, tmp_path):
         assert lo1 <= hi1 < lo2
     # reads still correct
     assert t.read().count() == 5000
+
+
+def test_change_stream_replicates_into_downstream_table(spark, tmp_path):
+    """Chained pipelines: B consumes A's per-commit changes (checkpointed)
+    and applies them as upserts — after any number of incremental runs,
+    B's snapshot equals A's. The table-as-source contract end to end."""
+    from marmaray_spark.metadata import InMemoryMetadataManager
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    a = TableSink(spark, tmp_path / "A", record_key_field="k")
+    b = TableSink(spark, tmp_path / "B", record_key_field="k")
+    meta = InMemoryMetadataManager()
+
+    def replicate():
+        for _cid, changes in a.consume_changes(meta):
+            b.write(changes.drop("change_op"), WriteOp.UPSERT)
+
+    a.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+            WriteOp.INSERT)
+    replicate()
+    a.write(spark.createDataFrame([(2, "B2"), (3, "c")], ["k", "v"]),
+            WriteOp.UPSERT)
+    a.write(spark.createDataFrame([(4, "d")], ["k", "v"]), WriteOp.INSERT)
+    replicate()
+
+    snap_a = {(r["k"], r["v"]) for r in a.read().collect()}
+    snap_b = {(r["k"], r["v"]) for r in b.read().collect()}
+    assert snap_a == snap_b == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # replication is incremental: B saw 3 commits' worth of changes
+    assert len(b.log.commits()) == 3
