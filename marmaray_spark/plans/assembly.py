@@ -16,6 +16,9 @@ module is the equivalent factory for this engine's parts. Keys:
     sink.partition_field      (table) optional partition column
     sink.op                   (table) insert|bulk_insert|dedup_insert|
                               upsert|insert_overwrite
+    sink.cluster_by_key       (table) sorted disjoint-range slices
+    sink.target_file_size_mb  (table) parallelism auto-tune target
+    sink.compression          (csv/json) lz4|gzip|snappy|zstd
     error_table.path          optional error-table parquet dir
     checkpoints.path          metadata manager directory
 
@@ -88,14 +91,18 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
     if sink_type == "table":
         table = TableSink(spark, config.get_required("sink.path"),
                           record_key_field=config.get_required("sink.record_key"),
-                          partition_field=config.get("sink.partition_field"))
+                          partition_field=config.get("sink.partition_field"),
+                          cluster_by_key=config.get_bool("sink.cluster_by_key", False),
+                          target_file_size_mb=config.get_float(
+                              "sink.target_file_size_mb", 128.0))
         op = WriteOp(config.get("sink.op", "upsert"))
         nodes.append(SinkNode(
             "table", lambda df: table.write(df, op, metadata=meta.all()),
             priority=100))
     elif sink_type in ("csv", "json"):
         fsink = FileSink(config.get_required("sink.path"), fmt=sink_type,
-                         file_size_mb=config.get_float("sink.file_size_mb", -1))
+                         file_size_mb=config.get_float("sink.file_size_mb", -1),
+                         compression=config.get("sink.compression"))
         nodes.append(SinkNode("file", fsink.write, priority=100))
     else:
         raise ValueError(f"unknown sink.type {sink_type!r}")
