@@ -1609,3 +1609,40 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     return profile_table(events, cols=["event_type", "user_id"])
+
+
+@register(
+    "fuzzy_dedup_corpus",
+    f"""
+    WITH RECURSIVE pairs AS ({_ORACLES["minhash_lsh_candidates"]}),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    drops AS (SELECT node FROM comp WHERE node != component)
+    SELECT count(*) AS n_docs_kept,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+    """,
+)
+def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE fuzzy-dedup flow as one query: MinHash-LSH candidate
+    pairs -> connected components -> drop every non-representative
+    member (keep the min-id doc per near-dup group) -> corpus stats.
+    This is the operation a 100 TB pretraining pipeline runs: one
+    banding shuffle, a few tiny label-propagation iterations over the
+    (sparse) duplicate graph, one broadcast anti-join over the corpus."""
+    from marmaray_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    labels = connected_components(pairs)
+    drops = labels.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias("doc_id"))
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.join(F.broadcast(drops), "doc_id", "left_anti")
+    return kept.agg(F.count(F.lit(1)).alias("n_docs_kept"),
+                    F.sum("n_chars").cast("bigint").alias("total_chars"))
