@@ -1614,7 +1614,17 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_dedup_corpus",
     f"""
-    WITH RECURSIVE pairs AS ({_ORACLES["minhash_lsh_candidates"]}),
+    WITH RECURSIVE cand AS ({_ORACLES["minhash_lsh_candidates"]}),
+    shing AS (SELECT doc_id,
+                     list_distinct({_SQL_SHINGLES}) AS sh
+              FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)),
+    pairs AS (
+      SELECT c.a, c.b FROM cand c
+      JOIN shing l ON l.doc_id = c.a
+      JOIN shing r ON r.doc_id = c.b
+      WHERE len(list_intersect(l.sh, r.sh)) * 2 >=
+            (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))
+    ),
     edges AS (SELECT a AS src, b AS dst FROM pairs
               UNION ALL SELECT b, a FROM pairs),
     reach(node, label) AS (
@@ -1631,14 +1641,25 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE fuzzy-dedup flow as one query: MinHash-LSH candidate
-    pairs -> connected components -> drop every non-representative
-    member (keep the min-id doc per near-dup group) -> corpus stats.
-    This is the operation a 100 TB pretraining pipeline runs: one
-    banding shuffle, a few tiny label-propagation iterations over the
-    (sparse) duplicate graph, one broadcast anti-join over the corpus."""
-    from marmaray_spark.operators.dedup import connected_components
+    pairs -> EXACT Jaccard verification (>= 0.5 over distinct shingles,
+    integer cross-multiply — LSH false positives never merge groups) ->
+    connected components -> drop every non-representative member (keep
+    the min-id doc per near-dup group) -> corpus stats. This is the
+    operation a 100 TB pretraining pipeline runs: one banding shuffle,
+    verification only on the (sparse) candidate set, a few tiny
+    label-propagation iterations, one broadcast anti-join."""
+    from marmaray_spark.operators.dedup import connected_components, jaccard_counts
+    from marmaray_spark.operators.text import word_shingles
 
-    pairs = minhash_lsh_candidates(spark, sf_dir)
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    sh = (_with_words(load(spark, sf_dir, "documents"))
+          .select("doc_id", F.array_distinct(word_shingles("w", 3)).alias("sh")))
+    l = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    r = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter, union = jaccard_counts(F.col("sh_a"), F.col("sh_b"))
+    pairs = (cand.join(l, "a").join(r, "b")
+             .filter(inter * 2 >= union)
+             .select("a", "b"))
     labels = connected_components(pairs)
     drops = labels.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias("doc_id"))
