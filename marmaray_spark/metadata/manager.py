@@ -52,7 +52,16 @@ class MetadataManager:
 
 
 class InMemoryMetadataManager(MetadataManager):
-    """For tests / single-process pipelines."""
+    """For tests / single-process pipelines. Counts save_changes() calls so
+    tests can assert the persist-only-on-success contract."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.saved_count = 0
+
+    def save_changes(self) -> None:
+        self.saved_count += 1
+        super().save_changes()
 
 
 class FileSystemMetadataManager(MetadataManager):

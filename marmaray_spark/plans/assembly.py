@@ -96,9 +96,21 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                           target_file_size_mb=config.get_float(
                               "sink.target_file_size_mb", 128.0))
         op = WriteOp(config.get("sink.op", "upsert"))
-        nodes.append(SinkNode(
-            "table", lambda df: table.write(df, op, metadata=meta.all()),
-            priority=100))
+
+        # Two-phase: the write phase only STAGES slices (invisible to
+        # readers); publication happens in the commit phase, which
+        # JobSubDag fires in priority order after EVERY sink's write
+        # succeeded (JobSubDag.java commit-by-priority). A sibling-sink
+        # failure therefore never leaves a published-but-uncheckpointed
+        # table commit (the duplicate-reprocess hazard).
+        def write_table(df: DataFrame, _table=table, _op=op):
+            state["staged"] = _table.stage(df, _op, metadata=meta.all())
+
+        def commit_table(_table=table):
+            _table.commit_staged(state.pop("staged", None))
+
+        nodes.append(SinkNode("table", write_table, commit=commit_table,
+                              priority=100))
     elif sink_type in ("csv", "json"):
         fsink = FileSink(config.get_required("sink.path"), fmt=sink_type,
                          file_size_mb=config.get_float("sink.file_size_mb", -1),

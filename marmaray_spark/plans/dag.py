@@ -131,13 +131,18 @@ class JobDag:
         try:
             work_units = self.calc.compute_work_units()
             self.metrics.create_long_metric("work_unit_count", len(work_units))
+            # Unconditional, like JobDag.java:165 (saveNextRunState before
+            # hasWorkUnits): a calculator may advance state on an EMPTY run
+            # (Kafka first-run bootstrap) and that checkpoint must still be
+            # persisted below, else the job re-bootstraps forever. The write
+            # is in-memory; durability stays gated on save_changes().
+            self.calc.save_next_run_state(work_units)
             if work_units:
                 had_work = True
                 for wu in work_units:
                     payload = self.transform(self.get_data(wu))
                     self.sub_dag.execute(payload)
                 self.sub_dag.commit()
-                self.calc.save_next_run_state(work_units)
             # runtime stats feed ExecutionTimeJobExecutionStrategy ordering
             self.metadata.set(LAST_RUNTIME_KEY, str(int((time.time() - started) * 1000)))
             self.metadata.set(LAST_EXECUTED_KEY, str(int(time.time())))

@@ -39,10 +39,14 @@ class FileLockManager:
     """
 
     def __init__(self, lock_dir: str | os.PathLike,
-                 stale_after_s: float = 2 * 3600.0) -> None:
+                 stale_after_s: float = 2 * 3600.0,
+                 grace_s: float = 10.0) -> None:
         self.dir = Path(lock_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.stale_after_s = stale_after_s
+        # unparsable lock files younger than this are treated as HELD, not
+        # stale — a writer may be mid-publish; only old garbage is breakable
+        self.grace_s = grace_s
         self.owner = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
         self._held: set[str] = set()
 
@@ -62,37 +66,79 @@ class FileLockManager:
             time.sleep(poll_s)
 
     def _try_acquire(self, key: str) -> bool:
+        """Publish the fully-written payload with os.link — the lock file is
+        never observable empty/partial, and link fails atomically when the
+        path already exists. Stale locks are claimed by os.rename of the
+        stale inode to a per-owner name: exactly one breaker's rename
+        succeeds; everyone then races a fresh link, which again admits one."""
         path = self._path(key)
         payload = json.dumps({"owner": self.owner, "key": key,
                               "ts": time.time()}).encode()
+        tmp = path.with_suffix(f".tmp-{self.owner}")
+        tmp.write_bytes(payload)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+            try:
+                os.link(tmp, path)
+                self._held.add(key)
+                return True
+            except FileExistsError:
+                pass
             if not self._is_stale(path):
                 return False
-            # break the stale lock atomically: write a claim file, rename over
-            claim = path.with_suffix(f".claim-{self.owner}")
-            claim.write_bytes(payload)
-            os.replace(claim, path)
-            self._held.add(key)
-            return True
-        with os.fdopen(fd, "wb") as f:
-            f.write(payload)
-        self._held.add(key)
-        return True
+            # claim the stale file before removing it: rename of one inode
+            # succeeds for exactly one breaker; the losers see ENOENT and
+            # fall through to the (single-winner) link race below.
+            broken = path.with_suffix(f".broken-{self.owner}")
+            try:
+                if not self._is_stale(path):  # last-moment re-check: a fresh
+                    return False              # lock may have replaced the stale one
+                os.rename(path, broken)
+            except FileNotFoundError:
+                pass
+            else:
+                try:
+                    os.unlink(broken)
+                except FileNotFoundError:
+                    pass
+            try:
+                os.link(tmp, path)
+                self._held.add(key)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            try:
+                tmp.unlink()
+            except FileNotFoundError:
+                pass
 
     def _is_stale(self, path: Path) -> bool:
         try:
-            meta = json.loads(path.read_bytes())
+            raw = path.read_bytes()
+        except FileNotFoundError:
+            return True   # already gone; the rename/link path handles the race
+        except OSError:
+            return False  # unreadable but present — treat as held, retry later
+        try:
+            meta = json.loads(raw)
             return time.time() - float(meta["ts"]) > self.stale_after_s
-        except (OSError, ValueError, KeyError):
-            return True  # unreadable lock ⇒ treat as crashed owner
+        except (ValueError, KeyError, TypeError):
+            # garbled/legacy content: young ⇒ writer mid-publish (held);
+            # only old garbage counts as a crashed owner
+            try:
+                return time.time() - path.stat().st_mtime > self.grace_s
+            except OSError:
+                return False
 
     def heartbeat(self, key: str) -> None:
-        """Refresh the lock timestamp so long runs aren't broken as stale."""
+        """Refresh the lock timestamp so long runs aren't broken as stale.
+        Atomic replace — readers never observe a truncated file."""
         if key in self._held:
-            self._path(key).write_bytes(json.dumps(
+            path = self._path(key)
+            tmp = path.with_suffix(f".hb-{self.owner}")
+            tmp.write_bytes(json.dumps(
                 {"owner": self.owner, "key": key, "ts": time.time()}).encode())
+            os.replace(tmp, path)
 
     def release(self, key: str) -> None:
         if key in self._held:

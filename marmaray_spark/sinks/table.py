@@ -66,6 +66,16 @@ class WriteOp(str, Enum):
 
 
 @dataclass
+class StagedWrite:
+    """Phase-1 result of TableSink.stage: data files are on disk, commit
+    JSON not yet published. Pass to TableSink.commit_staged."""
+
+    commit: "Commit"
+    metadata: object = None   # MetadataManager | dict | None, as given to stage
+    n_records: int = 0
+
+
+@dataclass
 class Commit:
     commit_id: str
     op: str
@@ -260,12 +270,18 @@ class TableSink:
 
     # -- write path --------------------------------------------------------
 
-    def write(self, df: DataFrame, op: WriteOp = WriteOp.UPSERT,
-              metadata: MetadataManager | dict[str, str] | None = None) -> Commit | None:
-        """Run one write op; returns the Commit (None for NO_OP).
+    def stage(self, df: DataFrame, op: WriteOp = WriteOp.UPSERT,
+              metadata: MetadataManager | dict[str, str] | None = None,
+              ) -> "StagedWrite | None":
+        """Phase 1 of the two-phase write: run the Spark job and land all
+        slice data files, but do NOT publish the commit JSON — the table
+        is unchanged for readers until ``commit_staged`` runs. A crash
+        between the phases leaves only orphan data dirs (clean_orphans).
 
-        ``metadata`` (a manager's map or plain dict) is embedded in the
-        commit JSON — the atomic checkpoint+data contract.
+        This is what makes JobSubDag's commit-by-priority real
+        (JobSubDag.java commit ordering): every sink writes, THEN commits
+        fire in priority order, so a sibling-sink failure never leaves a
+        half-published job. Returns None for NO_OP.
         """
         if op == WriteOp.NO_OP:
             return None
@@ -296,11 +312,27 @@ class TableSink:
                         removes=removes, metadata=meta,
                         counts={"written": n_incoming},
                         key_stats=self._collect_key_stats(adds))
-        self.log.write(commit)
-        if isinstance(metadata, MetadataManager):
-            metadata.save_changes()
-        self._update_stats(adds, n_incoming, metadata)
-        return commit
+        return StagedWrite(commit=commit, metadata=metadata,
+                           n_records=n_incoming)
+
+    def commit_staged(self, staged: "StagedWrite | None") -> Commit | None:
+        """Phase 2: atomically publish the staged commit (rename of the
+        commit JSON), persist the embedded checkpoint, update sink stats."""
+        if staged is None:
+            return None
+        self.log.write(staged.commit)
+        if isinstance(staged.metadata, MetadataManager):
+            staged.metadata.save_changes()
+        self._update_stats(staged.commit.adds, staged.n_records, staged.metadata)
+        return staged.commit
+
+    def write(self, df: DataFrame, op: WriteOp = WriteOp.UPSERT,
+              metadata: MetadataManager | dict[str, str] | None = None) -> Commit | None:
+        """Single-phase convenience: stage + commit back-to-back; returns
+        the Commit (None for NO_OP). ``metadata`` (a manager's map or
+        plain dict) is embedded in the commit JSON — the atomic
+        checkpoint+data contract."""
+        return self.commit_staged(self.stage(df, op, metadata))
 
     # -- op implementations ------------------------------------------------
 
@@ -575,11 +607,17 @@ class TableSink:
         commits = self.log.commits()
         if len(commits) <= retain_last_n_commits:
             return []
-        horizon = commits[-retain_last_n_commits].commit_id
-        active = set(self.log.active_slices())
-        # slices removed by a commit at or before the horizon
-        expired = [r for c in commits if c.commit_id <= horizon
-                   for r in c.removes if r not in active]
+        # A slice is deletable only if NO retained commit's snapshot
+        # references it — keyed off snapshots, not off when its remove
+        # landed, so a slice re-activated by restore() inside the window
+        # (removed early, re-added, removed again later) survives and
+        # time travel / read_changes keep working for every retained commit.
+        retained = commits[-retain_last_n_commits:]
+        keep: set[str] = set()
+        for c in retained:
+            keep.update(self.log.active_slices(as_of=c.commit_id))
+        keep.update(self.log.active_slices())
+        expired = [s for c in commits for s in c.adds if s not in keep]
         deleted = []
         for s in dict.fromkeys(expired):   # ordered unique
             p = self.table_path / s

@@ -170,9 +170,13 @@ class KafkaWorkUnitCalculator:
 
     # -- state commit ------------------------------------------------------
 
-    def save_next_run_state(self) -> None:
+    def save_next_run_state(self, work_units: list[OffsetRange] | None = None) -> None:
         """Write planned next offsets to the metadata manager (in-memory;
-        the manager's save_changes()/commit embedding persists them)."""
+        the manager's save_changes()/commit embedding persists them).
+
+        Accepts the work-unit list to satisfy the WorkUnitCalculator
+        protocol (JobDag passes it); the next state was already derived in
+        compute_work_units, so the argument is advisory."""
         if self._next_state is None:
             raise RuntimeError("compute_work_units() has not run")
         for p, o in self._next_state.items():

@@ -157,16 +157,37 @@ def foreach_batch_table_sink(stream: DataFrame, table_path: str,
     across restarts; TableSink's commit log plus the per-batch epoch id in
     commit metadata makes replayed batches detectable/idempotent (the
     HoodieBasedMetadataManager pattern carried to streaming).
+
+    The epoch key is namespaced by the streaming query's id (read from the
+    checkpoint metadata), because epoch ids restart from 0 with every fresh
+    checkpointLocation — an un-namespaced guard would silently drop the
+    first batches of a NEW query pointed at an existing table when its
+    epochs 0..N collide with a previous query's commits.
     """
+    import hashlib
+    import json as _json
+    from pathlib import Path
+
     from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    def query_namespace() -> str:
+        # Structured Streaming writes {"id": "<uuid>"} into
+        # <checkpoint>/metadata at query start; a reset checkpoint dir gets
+        # a fresh uuid. Fall back to the path when not yet present.
+        try:
+            return _json.loads((Path(checkpoint_dir) / "metadata").read_text())["id"]
+        except (OSError, ValueError, KeyError):
+            return hashlib.sha1(
+                str(Path(checkpoint_dir).resolve()).encode()).hexdigest()[:16]
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sink = TableSink(batch_df.sparkSession, table_path, record_key_field,
                          partition_field)
-        if any(c.metadata.get("epoch") == str(epoch_id) for c in sink.log.commits()):
-            return  # replayed batch — already committed
+        epoch_key = f"{query_namespace()}:{epoch_id}"
+        if any(c.metadata.get("epoch") == epoch_key for c in sink.log.commits()):
+            return  # replayed batch of THIS query — already committed
         df = transform(batch_df) if transform is not None else batch_df
-        sink.write(df, WriteOp(op), metadata={"epoch": str(epoch_id)})
+        sink.write(df, WriteOp(op), metadata={"epoch": epoch_key})
 
     return (stream.writeStream
             .foreachBatch(write_batch)

@@ -73,3 +73,32 @@ def test_unknown_types_fail_at_assembly(spark, tmp_path):
     })
     with pytest.raises(ValueError, match="source.type"):
         build_job_dag(spark, bad)
+
+
+def test_table_commit_deferred_until_sibling_sinks_succeed(spark, source_table,
+                                                           tmp_path):
+    """Two-phase contract: if a sibling sink fails after the table node's
+    write phase, the table commit must NOT be published and the checkpoint
+    must not advance — the rerun reprocesses the same work unit exactly
+    once (no duplicate rows)."""
+    from marmaray_spark.plans.dag import SinkNode
+
+    cfg = _config(tmp_path, source_table)
+    dag = build_job_dag(spark, cfg)
+
+    def boom(df):
+        raise RuntimeError("sibling sink failed")
+
+    dag.sub_dag.nodes.append(SinkNode("boom", boom, priority=50))
+    with pytest.raises(RuntimeError, match="sibling sink failed"):
+        dag.execute(spark)
+
+    # nothing published: the table has no commits at all
+    t = TableSink(spark, tmp_path / "out_table", record_key_field="o_orderkey")
+    assert t.is_empty()
+
+    # a clean rerun from the same config processes the work exactly once
+    dag2 = build_job_dag(spark, _config(tmp_path, source_table))
+    assert dag2.execute(spark) is True
+    assert t.read().count() > 0
+    assert len(t.log.commits()) == 1

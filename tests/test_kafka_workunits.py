@@ -135,3 +135,24 @@ def test_filter_by_offset_ranges(spark):
     got = {(r["partition"], r["offset"]) for r in out.collect()}
     assert got == {(0, 2), (0, 3), (0, 4), (2, 0)}
     assert filter_by_offset_ranges(df, []).count() == 0
+
+
+def test_first_run_bootstrap_persists_through_jobdag(spark, tmp_path, customer=None):
+    """Empty bootstrap run must still persist the checkpoint (JobDag calls
+    save_next_run_state unconditionally, JobDag.java:165) — otherwise a
+    Kafka-fed DAG re-bootstraps forever and never consumes."""
+    from marmaray_spark.metadata import FileSystemMetadataManager
+    from marmaray_spark.plans.dag import JobDag, JobSubDag
+    from marmaray_spark.sources.kafka import KafkaWorkUnitCalculator, StaticBroker
+
+    meta = FileSystemMetadataManager(tmp_path / "ck")
+    broker = StaticBroker({0: 0, 1: 0}, {0: 100, 1: 50})
+    calc = KafkaWorkUnitCalculator("t", broker, meta)
+    dag = JobDag("kjob", calc, lambda wu: None, JobSubDag([]), meta)
+    assert dag.execute(spark) is False   # bootstrap: no work units
+
+    # a FRESH manager over the same dir sees the bootstrapped offsets
+    meta2 = FileSystemMetadataManager(tmp_path / "ck")
+    calc2 = KafkaWorkUnitCalculator("t", broker, meta2)
+    assert calc2.read_checkpointed_offsets() == {0: 100, 1: 50}
+    assert calc2.compute_work_units() == []   # caught up, not re-bootstrapping

@@ -45,10 +45,15 @@ def test_heartbeat_keeps_lock_fresh(tmp_path):
     holder.release("job")
 
 
-def test_unreadable_lock_treated_as_stale(tmp_path):
+def test_unreadable_lock_grace_period(tmp_path):
+    # A young garbled lock file is a writer mid-publish: HELD, not stolen.
     (tmp_path / "job.lock").write_bytes(b"not-json")
-    m = FileLockManager(tmp_path)
-    assert m.acquire("job")
+    m = FileLockManager(tmp_path, grace_s=60.0)
+    assert not m.acquire("job")
+    # Past the grace period the same garbage means a crashed owner: stale.
+    m2 = FileLockManager(tmp_path, grace_s=0.05)
+    time.sleep(0.1)
+    assert m2.acquire("job")
 
 
 def test_acquire_with_timeout_waits(tmp_path):

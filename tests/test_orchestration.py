@@ -59,8 +59,11 @@ def test_jobdag_failure_skips_checkpoint(spark, customer):
                  JobSubDag([SinkNode("bad", boom)]), meta)
     with pytest.raises(RuntimeError, match="sink failed"):
         dag.execute(spark)
-    assert calc.saved is None          # work-unit state NOT advanced
+    # save_next_run_state DID run (JobDag.java:165 calls it unconditionally,
+    # in-memory) — but nothing was PERSISTED: save_changes never fired.
+    assert calc.saved == ["u1"]
     assert meta.get("jobdag.last_runtime_ms") is None
+    assert meta.saved_count == 0
 
 
 def test_jobdag_no_work(spark):

@@ -255,3 +255,23 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     got = {(r["user_id"], r["view_ts"].minute)
            for r in spark.sql("SELECT * FROM ss_out").collect()}
     assert got == {(7, 5)}   # user 7's view within 30 min; user 8's is not
+
+
+def test_fresh_query_on_existing_table_not_skipped(spark, event_batches, tmp_path):
+    """Epoch ids restart at 0 with a fresh checkpointLocation; the replay
+    guard is namespaced by query id so a NEW query's first batches are not
+    mistaken for replays of an old query's epochs (silent data loss)."""
+    src, schema = event_batches
+    table = tmp_path / "ns_table"
+    run_available_now(foreach_batch_table_sink(
+        read_parquet_stream(spark, f"{src}/batch*", schema),
+        str(table), "event_id", None, "insert", str(tmp_path / "ck_a")))
+    sink = TableSink(spark, table, "event_id")
+    n1 = sink.read().count()
+    assert n1 > 0
+
+    # brand-new query (fresh checkpoint) over the same source, same table
+    run_available_now(foreach_batch_table_sink(
+        read_parquet_stream(spark, f"{src}/batch*", schema),
+        str(table), "event_id", None, "insert", str(tmp_path / "ck_b")))
+    assert sink.read().count() == 2 * n1

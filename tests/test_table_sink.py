@@ -400,3 +400,45 @@ def test_change_stream_replicates_into_downstream_table(spark, tmp_path):
     assert snap_a == snap_b == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
     # replication is incremental: B saw 3 commits' worth of changes
     assert len(b.log.commits()) == 3
+
+
+def test_vacuum_keeps_slices_reactivated_by_restore(spark, tmp_path):
+    """A slice removed early, re-added by restore() inside the retention
+    window, must survive vacuum — time travel to every retained commit
+    stays readable (keying deletion off remove-commit ids alone broke this)."""
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "vrs", record_key_field="k")
+    mk = lambda v: spark.createDataFrame([(1, v)], ["k", "v"])  # noqa: E731
+    c0 = t.write(mk("v0"), WriteOp.INSERT)    # slice S0
+    t.write(mk("v1"), WriteOp.UPSERT)         # removes S0, adds S1
+    t.write(mk("v2"), WriteOp.UPSERT)         # removes S1, adds S2
+    r = t.restore(c0.commit_id)               # re-activates S0 (in window)
+    t.write(mk("v3"), WriteOp.UPSERT)         # removes S0 again, adds S3
+
+    deleted = t.vacuum(retain_last_n_commits=3)   # window: c2, restore, c4
+    # S1 (dead before the window) is deletable; S0 is referenced by the
+    # restore commit's snapshot and must remain readable
+    assert t.read(as_of=r.commit_id).collect()[0]["v"] == "v0"
+    assert t.read().collect()[0]["v"] == "v3"
+    for s in deleted:
+        assert s not in t.log.active_slices(as_of=r.commit_id)
+
+
+def test_two_phase_stage_then_commit(spark, tmp_path):
+    """stage() lands data but publishes nothing; commit_staged() is the
+    single visibility point (JobSubDag commit-by-priority contract)."""
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "tp", record_key_field="k")
+    staged = t.stage(spark.createDataFrame([(1, "a")], ["k", "v"]),
+                     WriteOp.INSERT, metadata={"ck": "1"})
+    assert t.is_empty()                        # invisible until commit
+    assert (tmp_path / "tp" / "data").exists()  # but data files staged
+    c = t.commit_staged(staged)
+    assert c is not None and not t.is_empty()
+    assert t.read().collect()[0]["v"] == "a"
+    assert t.log.latest_metadata() == {"ck": "1"}
+    # NO_OP stages to None and commit_staged(None) is a no-op
+    assert t.stage(t.read(), WriteOp.NO_OP) is None
+    assert t.commit_staged(None) is None
