@@ -65,19 +65,19 @@ def _local_topk(scored: DataFrame, k: int) -> DataFrame:
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     local_prefilter: bool = False) -> DataFrame:
+                     local_prefilter: bool = True) -> DataFrame:
     """Exact top-k neighbors per query by quantized dot product.
 
     Output: (query_id, neighbor_id, dot_q, rank). Self-matches excluded.
     The query side is broadcast — no shuffle of the corpus.
 
-    ``local_prefilter`` is the scale switch: the plain plan shuffles all
-    N x Q scored rows into the rank window — fine while that fits a
-    shuffle (small SF), wrong at 100 TB. The prefilter caps the window's
-    input at batches x Q x k rows for one Arrow pass; results are
-    identical (asserted in tests), so flip it when N x Q outgrows the
-    cluster's shuffle comfort, or skip brute force entirely for the
-    SRP/IVF probe paths.
+    ``local_prefilter`` (the DEFAULT — the scale plan is the declared
+    plan): the tree top-k prefilter caps the rank window's shuffle input
+    at batches x Q x k rows for one Arrow pass, instead of shuffling all
+    N x Q scored rows. Results are identical to the plain plan (asserted
+    in tests); turn it off only to A/B the physical plans. For corpora
+    where even one full scan per query set is too much, use the SRP/IVF
+    probe paths instead.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        quantize(vec_col).alias("qv"))
@@ -99,13 +99,68 @@ def near_dup_pairs(df: DataFrame, threshold_milli: int,
     """All pairs (a < b) whose quantized dot >= threshold.
 
     ``threshold_milli`` is in (milli)^2 units: cosine t ~ t * 1e6 for
-    normalized vectors. Pairwise form for exactness; the SRP bucket path
-    below is the scale prefilter.
+    normalized vectors. BASELINE ONLY — an all-pairs non-equi join that
+    exists to measure ``srp_banded_near_dup_pairs``'s recall on bounded
+    samples; the banded form is the declared/scale path.
     """
     left = df.select(F.col(id_col).alias("a"), quantize(vec_col).alias("va"))
     right = df.select(F.col(id_col).alias("b"), quantize(vec_col).alias("vb"))
     return (left.join(right, F.col("a") < F.col("b"))
             .withColumn("dot_q", int_dot("va", "vb"))
+            .filter(F.col("dot_q") >= threshold_milli)
+            .select("a", "b", "dot_q"))
+
+
+def srp_band_buckets(qvec_col: str, bands: int = 4, planes_per_band: int = 4,
+                     dim: int = 64) -> Column:
+    """Array of ``bands`` SRP bucket ids; band b uses hyperplanes
+    b*planes_per_band .. (b+1)*planes_per_band - 1 (same md5 plane
+    derivation as ``srp_bucket``, so both engines agree bit-for-bit).
+
+    Banding is to SRP what LSH bands are to MinHash: two vectors at
+    cosine ~0.9 collide in ONE 16-plane bucket with p~0.29, but in AT
+    LEAST ONE of 4 4-plane bands with p~0.95 — recall without all-pairs.
+    """
+    cols = []
+    for b_i in range(bands):
+        terms = []
+        for j in range(planes_per_band):
+            p = b_i * planes_per_band + j
+            proj = (f"aggregate(sequence(1, {dim}), 0L, (acc, i) -> acc + "
+                    f"IF(instr('89abcdef', substring(md5(concat('{p}:', cast(i as string))), 1, 1)) > 0, 1L, -1L)"
+                    f" * element_at({qvec_col}, i))")
+            terms.append(f"IF(({proj}) >= 0, {1 << j}, 0)")
+        cols.append(F.expr(" + ".join(terms)).cast("bigint"))
+    return F.array(*cols)
+
+
+def srp_banded_near_dup_pairs(df: DataFrame, threshold_milli: int,
+                              bands: int = 4, planes_per_band: int = 4,
+                              id_col: str = "vec_id", vec_col: str = "embedding",
+                              dim: int = 64) -> DataFrame:
+    """Embedding near-dup at scale: banded-SRP candidates -> exact
+    quantized-dot verification. Output (a, b, dot_q), a < b.
+
+    The declared/scale plan: candidate generation is O(rows x bands)
+    bucket equi-joins (never O(rows^2)); the exact dot runs only on the
+    sparse candidate set. The (id, v, buckets) projection is persisted
+    before the explode for the same interpreted-re-eval reason as
+    lsh_candidate_pairs (fork-persist rule).
+    """
+    base = (df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("v"))
+            .withColumn("bks", srp_band_buckets("v", bands, planes_per_band, dim))
+            .persist())
+    base.count()
+    tagged = base.select("id", F.posexplode("bks").alias("band", "bucket"))
+    left = tagged.select(F.col("id").alias("a"), "band", "bucket")
+    right = tagged.select(F.col("id").alias("b"), "band", "bucket")
+    cand = (left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    withv = (cand
+             .join(base.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+             .join(base.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b"))
+    return (withv.withColumn("dot_q", int_dot("va", "vb"))
             .filter(F.col("dot_q") >= threshold_milli)
             .select("a", "b", "dot_q"))
 

@@ -809,35 +809,47 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     f"""
-    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents WHERE doc_id < 100),
+    WITH cand AS ({_ORACLES["minhash_lsh_candidates"]}),
+    t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
     sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS shingles FROM t)
-    SELECT l.doc_id AS a, r.doc_id AS b,
+    SELECT cand.a AS a, cand.b AS b,
            CAST(len(list_intersect(l.shingles, r.shingles)) AS INT) AS inter_size,
            CAST(len(l.shingles) + len(r.shingles)
                 - len(list_intersect(l.shingles, r.shingles)) AS INT) AS union_size
-    FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-    WHERE len(list_intersect(l.shingles, r.shingles)) >= 1
+    FROM cand JOIN sh l ON l.doc_id = cand.a JOIN sh r ON r.doc_id = cand.b
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard similarity: exact integer intersection/union counts
-    over distinct 3-word shingles for pairs sharing >= 1 shingle
-    (operators/dedup.py jaccard_counts); a threshold is an integer
-    cross-multiply (inter * K >= union). Bounded to doc_id < 100 — at
-    scale this runs on LSH candidates only."""
-    from marmaray_spark.operators.dedup import jaccard_counts
+    """n-gram Jaccard verification ON LSH CANDIDATES (the scale plan IS
+    the declared plan): exact integer intersection/union counts over
+    distinct 3-word shingles for each MinHash+LSH candidate pair
+    (operators/dedup.py jaccard_counts); a threshold downstream is an
+    integer cross-multiply (inter * K >= union). Cost = signatures
+    O(rows x bands) + exact counts on the sparse candidate set — never
+    all pairs, no id bound."""
+    from marmaray_spark.operators.dedup import (
+        jaccard_counts,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_digests,
+        minhash_signature,
+    )
     from marmaray_spark.operators.text import word_shingles
 
-    docs = (_with_words(load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
-            .withColumn("shingles", F.array_distinct(word_shingles("w", 3))))
-    left = docs.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    right = docs.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    pairs = left.join(right, F.col("a") < F.col("b"))
+    docs = (_with_words(load(spark, sf_dir, "documents"))
+            .withColumn("shingles", word_shingles("w", 3)))
+    banded = (docs.withColumn("hh", minhash_digests("shingles"))
+              .withColumn("sig", minhash_signature("hh", 16))
+              .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
+    cand = lsh_candidate_pairs(banded, "doc_id", "buckets")
+    sh = docs.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    pairs = (cand
+             .join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+             .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b"))
     inter, union = jaccard_counts(F.col("sh_a"), F.col("sh_b"))
     return (pairs
             .withColumn("inter_size", inter.cast("int"))
             .withColumn("union_size", union.cast("int"))
-            .filter(F.col("inter_size") >= 1)
             .select("a", "b", "inter_size", "union_size"))
 
 
@@ -868,26 +880,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash16("w").alias("simhash"))
 
 
-@register(
-    "simhash_near_dup_pairs",
-    f"""
-    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
-    s AS (SELECT doc_id, CAST({_sql_simhash('w')} AS BIGINT) AS simhash FROM t)
-    SELECT l.doc_id AS a, r.doc_id AS b,
-           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
-    FROM s l JOIN s r ON l.doc_id < r.doc_id
-    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
-    """,
-)
-def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: pairs within hamming distance 3
-    (operators/dedup.py simhash_near_dup_pairs)."""
-    from marmaray_spark.operators.dedup import simhash16, simhash_near_dup_pairs
-
-    docs = _with_words(load(spark, sf_dir, "documents"))
-    hashed = docs.select("doc_id", simhash16("w").alias("simhash"))
-    return (simhash_near_dup_pairs(hashed, "doc_id", "simhash", 3)
-            .withColumn("hamming", F.col("hamming").cast("int")))
+# NOTE: the pairwise simhash_near_dup_pairs form is NOT a declared query —
+# it is an all-pairs non-equi join kept in operators/dedup.py solely as the
+# accuracy baseline and as the ORACLE SQL for simhash_banded_near_dup below
+# (hash-equality proves the pigeonhole banding loses nothing).
 
 
 # ---------------------------------------------------------------------------
@@ -929,27 +925,49 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+def _sql_srp_band_bucket(vcol: str, band: int, planes_per_band: int = 4) -> str:
+    """DuckDB mirror of operators/similarity.srp_band_buckets, one band."""
+    terms = []
+    for j in range(planes_per_band):
+        p = band * planes_per_band + j
+        proj = (f"list_sum(list_transform(generate_series(1, 64), i -> "
+                f"(CASE WHEN strpos('89abcdef', substr(md5(concat('{p}:', CAST(i AS VARCHAR))), 1, 1)) > 0 "
+                f"THEN 1 ELSE -1 END) * {vcol}[i]))")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 @register(
     "embedding_near_dup_pairs",
     f"""
-    WITH c AS (SELECT vec_id, label, {_SQL_QUANT} AS v FROM embeddings
-               WHERE vec_id < 200)
-    SELECT q.vec_id AS a, c.vec_id AS b,
+    WITH c AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings),
+    bk AS (SELECT vec_id, v,
+           [{", ".join(f"CAST({_sql_srp_band_bucket('v', b)} AS BIGINT)" for b in range(4))}]
+           AS bks FROM c),
+    e AS (SELECT vec_id, g.band, bks[g.band] AS bucket
+          FROM bk, (SELECT unnest(generate_series(1, 4)) AS band) g),
+    cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+             FROM e l JOIN e r ON l.band = r.band AND l.bucket = r.bucket
+                              AND l.vec_id < r.vec_id)
+    SELECT cand.a AS a, cand.b AS b,
            CAST(list_sum(list_transform(generate_series(1, 64),
-                i -> q.v[i] * c.v[i])) AS BIGINT) AS dot_q
-    FROM c q JOIN c c ON q.vec_id < c.vec_id
+                i -> ql.v[i] * qr.v[i])) AS BIGINT) AS dot_q
+    FROM cand JOIN c ql ON ql.vec_id = cand.a JOIN c qr ON qr.vec_id = cand.b
     WHERE list_sum(list_transform(generate_series(1, 64),
-          i -> q.v[i] * c.v[i])) >= 900000
+          i -> ql.v[i] * qr.v[i])) >= 900000
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with quantized dot >= 0.9e6
-    (cosine ~0.9 for unit vectors). Bounded to vec_id < 200; at scale the
-    SRP bucket join prefilters (operators/similarity.py near_dup_pairs)."""
-    from marmaray_spark.operators.similarity import near_dup_pairs
+    """Embedding-cosine near-dup, scale plan AS the declared plan:
+    banded-SRP candidate generation (4 bands x 4 hyperplanes, O(rows x
+    bands) equi-joins) then exact quantized-dot verification >= 0.9e6
+    (cosine ~0.9 for unit vectors) on the sparse candidate set — no
+    all-pairs join, no id bound (operators/similarity.py
+    srp_banded_near_dup_pairs)."""
+    from marmaray_spark.operators.similarity import srp_banded_near_dup_pairs
 
-    emb = spread(load(spark, sf_dir, "embeddings"), spark).filter(F.col("vec_id") < 200)
-    return near_dup_pairs(emb, threshold_milli=900000)
+    emb = spread(load(spark, sf_dir, "embeddings"), spark)
+    return srp_banded_near_dup_pairs(emb, threshold_milli=900000)
 
 
 def _sql_srp_bucket(vcol: str, n_planes: int = 8) -> str:

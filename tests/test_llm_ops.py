@@ -355,3 +355,26 @@ def test_profile_table_metrics(spark):
     assert prof["tag"]["n_nulls"] == 1
     assert prof["tag"]["n_distinct"] == 2
     assert prof["tag"]["top_freq"] == 3       # 'a' three times
+
+
+def test_srp_banded_near_dup_subset_of_pairwise(spark):
+    """Banded-SRP near-dup emits a SUBSET of the exact pairwise result
+    (precision 1.0 by construction: exact dot verification on candidates),
+    with high recall — near-identical vectors agree on every hyperplane,
+    so every such pair shares all 4 band buckets."""
+    from marmaray_spark.operators.similarity import (
+        near_dup_pairs,
+        srp_banded_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 200)
+    exact = {(r["a"], r["b"]): r["dot_q"]
+             for r in near_dup_pairs(emb, threshold_milli=900000).collect()}
+    banded = {(r["a"], r["b"]): r["dot_q"]
+              for r in srp_banded_near_dup_pairs(emb, threshold_milli=900000).collect()}
+    assert set(banded).issubset(set(exact))        # no false positives
+    for k, v in banded.items():
+        assert v == exact[k]                       # identical exact dots
+    if exact:                                      # recall on the test corpus
+        assert len(banded) / len(exact) >= 0.8

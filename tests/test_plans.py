@@ -104,3 +104,19 @@ def test_ivf_probe_broadcasts_and_assigns_without_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     # no sort-merge join anywhere: nothing shuffles both sides
     assert "SortMergeJoin" not in plan
+
+
+def test_no_allpairs_plan_in_any_declared_query(spark):
+    """The scale plan IS the declared plan: no declared query may compile
+    to a CartesianProduct, and the only tolerated BroadcastNestedLoopJoin
+    is brute-force top-k's broadcast of a tiny fixed query set against the
+    corpus scan (linear in corpus size, never quadratic)."""
+    allowed_bnlj = {"embedding_topk_bruteforce"}
+    offenders = {}
+    for name, fn in Q.all_queries().items():
+        plan = plan_of(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
