@@ -165,6 +165,46 @@ class JsonDecodeConverter(DataConverter):
                                 fork.get_count(VALID_KEY), fork.get_count(ERROR_KEY))
 
 
+class AvroDecodeConverter(DataConverter):
+    """Decode an Avro-binary column against a registry-served ``.avsc``
+    schema; malformed payloads fan to the error channel with the raw
+    bytes preserved (hex-stringified in the error record).
+
+    Reference: KafkaSourceDataConverter.java:43-103 decode step backed by
+    HDFSSchemaService.getReader (HDFSSchemaService.java:62,173-195) — the
+    reader is pinned to an explicit schema version or follows latest.
+    Decode runs via functions/avro_codec.decode_avro (Arrow-batched
+    mapInPandas; see that module for why not ``from_avro``).
+    """
+
+    OK = "__avro_ok__"
+
+    def __init__(self, registry, name: str, version: int | None = None,
+                 value_col: str = "value") -> None:
+        self.registry = registry
+        self.name = name
+        self.version = version
+        self.value_col = value_col
+
+    def map(self, df: DataFrame) -> ConversionResult:
+        from marmaray_spark.functions.avro_codec import decode_avro
+
+        avsc = self.registry.get_avro_schema(self.name, self.version)
+        decoded = decode_avro(df, avsc, value_col=self.value_col, ok_col=self.OK)
+        fork = valid_error_fork(decoded, F.col(self.OK), self.persist_level)
+        decoded_fields = [f for f in decoded.columns
+                          if f not in df.columns and f != self.OK]
+        valid = fork.get_fork_data(VALID_KEY).select(*decoded_fields)
+        err_src = (fork.get_fork_data(ERROR_KEY)
+                   .select(*[F.hex(F.col(c)).alias(c)
+                             if dict(df.dtypes).get(c) == "binary" else F.col(c)
+                             for c in df.columns]))
+        errors = to_error_records(
+            err_src, F.lit(f"malformed avro payload (schema {self.name})"))
+        return ConversionResult(valid, errors,
+                                fork.get_count(VALID_KEY), fork.get_count(ERROR_KEY))
+
+
 def with_columns(df: DataFrame,
                  update_fns: Mapping[str, Column] | Sequence[Callable[[DataFrame], DataFrame]]
                  ) -> DataFrame:

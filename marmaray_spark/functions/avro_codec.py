@@ -1,0 +1,323 @@
+"""Avro binary wire codec + Arrow-batched Spark decode/encode kernels.
+
+Reference parity: the reference's canonical Kafka flow decodes ``byte[]``
+payloads against versioned ``.avsc`` schemas served by a schema service
+(M/common/schema/HDFSSchemaService.java:62,173-195 getReader for an
+explicit version and for latest). This engine keeps that wire-format
+contract: payloads are standard Avro binary (no container header), the
+schema rides in the registry, not the message.
+
+The container ships neither the spark-avro jar (``from_avro`` raises
+AVRO_NOT_LOADED) nor the avro/fastavro wheels, so the codec below
+implements the public Avro 1.x binary spec directly: zigzag-varint
+int/long, little-endian IEEE float/double, length-prefixed utf8/bytes,
+1-byte booleans, union branch index + value, block-encoded arrays/maps,
+depth-first records. Supported subset — records of primitives, nullable
+unions ``["null", T]``, arrays/maps of these, nested records — covers the
+event-payload shapes the reference moves.
+
+Scale posture: per-record binary decode is inherently Python-side work
+here; it runs as an Arrow-batched ``mapInPandas`` kernel (batch framing,
+zero-copy column transfer), the same pattern as operators/multimodal.py —
+never a row-at-a-time UDF. With the spark-avro jar present, the
+`decode_avro` kernel swaps for ``from_avro`` with no plan-shape change.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "string", "bytes"}
+
+
+def parse_schema(avsc: str | dict) -> dict | list | str:
+    return json.loads(avsc) if isinstance(avsc, str) else avsc
+
+
+class AvroCodecError(ValueError):
+    pass
+
+
+# -- schema mapping ---------------------------------------------------------
+
+_AVRO_TO_SPARK = {
+    "boolean": T.BooleanType(), "int": T.IntegerType(), "long": T.LongType(),
+    "float": T.FloatType(), "double": T.DoubleType(), "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def avro_to_structtype(avsc: str | dict) -> T.StructType:
+    """Avro record schema -> Spark StructType (the engine's schema currency).
+    Mirrors the reference's Avro-Schema->internal-schema converter role."""
+    schema = parse_schema(avsc)
+
+    def field_type(s) -> tuple[T.DataType, bool]:
+        if isinstance(s, str):
+            if s == "null":
+                return T.NullType(), True
+            return _AVRO_TO_SPARK[s], False
+        if isinstance(s, list):      # union: only ["null", X] supported
+            branches = [b for b in s if b != "null"]
+            if len(branches) != 1 or "null" not in s:
+                raise AvroCodecError(f"unsupported union {s}")
+            dt, _ = field_type(branches[0])
+            return dt, True
+        t = s["type"]
+        if t == "record":
+            return avro_to_structtype(s), False
+        if t == "array":
+            dt, nullable = field_type(s["items"])
+            return T.ArrayType(dt, nullable), False
+        if t == "map":
+            dt, nullable = field_type(s["values"])
+            return T.MapType(T.StringType(), dt, nullable), False
+        raise AvroCodecError(f"unsupported avro type {s!r}")
+
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise AvroCodecError("top-level schema must be a record")
+    fields = []
+    for f in schema["fields"]:
+        dt, nullable = field_type(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(fields)
+
+
+# -- binary encode ----------------------------------------------------------
+
+def _write_long(n: int, out: bytearray) -> None:
+    n = (n << 1) ^ (n >> 63)        # zigzag
+    while (n & ~0x7F) != 0:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+
+
+def _encode(schema, val, out: bytearray) -> None:
+    if isinstance(schema, list):
+        branches = list(schema)
+        if val is None:
+            _write_long(branches.index("null"), out)
+            return
+        concrete = next(b for b in branches if b != "null")
+        _write_long(branches.index(concrete), out)
+        _encode(concrete, val, out)
+        return
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return
+        if t == "boolean":
+            out.append(1 if val else 0)
+        elif t in ("int", "long"):
+            _write_long(int(val), out)
+        elif t == "float":
+            out.extend(struct.pack("<f", float(val)))
+        elif t == "double":
+            out.extend(struct.pack("<d", float(val)))
+        elif t == "string":
+            b = str(val).encode("utf-8")
+            _write_long(len(b), out)
+            out.extend(b)
+        elif t == "bytes":
+            _write_long(len(val), out)
+            out.extend(val)
+        else:
+            raise AvroCodecError(f"unsupported primitive {t!r}")
+        return
+    t = schema["type"]
+    if t == "record":
+        for f in schema["fields"]:
+            _encode(f["type"], None if val is None else val.get(f["name"]), out)
+    elif t == "array":
+        items = list(val or [])
+        if items:
+            _write_long(len(items), out)
+            for it in items:
+                _encode(schema["items"], it, out)
+        _write_long(0, out)
+    elif t == "map":
+        entries = dict(val or {})
+        if entries:
+            _write_long(len(entries), out)
+            for k, v in entries.items():
+                _encode("string", k, out)
+                _encode(schema["values"], v, out)
+        _write_long(0, out)
+    elif t in PRIMITIVES:
+        _encode(t, val, out)
+    else:
+        raise AvroCodecError(f"unsupported avro type {schema!r}")
+
+
+def encode_record(avsc: str | dict, value: dict) -> bytes:
+    out = bytearray()
+    _encode(parse_schema(avsc), value, out)
+    return bytes(out)
+
+
+# -- binary decode ----------------------------------------------------------
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        if pos >= len(buf):
+            raise AvroCodecError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise AvroCodecError("varint too long")
+    return (acc >> 1) ^ -(acc & 1), pos      # un-zigzag
+
+
+def _decode(schema, buf: bytes, pos: int) -> tuple[Any, int]:
+    if isinstance(schema, list):
+        idx, pos = _read_long(buf, pos)
+        if not 0 <= idx < len(schema):
+            raise AvroCodecError(f"union branch {idx} out of range")
+        return _decode(schema[idx], buf, pos)
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return None, pos
+        if t == "boolean":
+            if pos >= len(buf):
+                raise AvroCodecError("truncated boolean")
+            return buf[pos] != 0, pos + 1
+        if t in ("int", "long"):
+            return _read_long(buf, pos)
+        if t == "float":
+            if pos + 4 > len(buf):
+                raise AvroCodecError("truncated float")
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if t == "double":
+            if pos + 8 > len(buf):
+                raise AvroCodecError("truncated double")
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if t in ("string", "bytes"):
+            n, pos = _read_long(buf, pos)
+            if n < 0 or pos + n > len(buf):
+                raise AvroCodecError(f"truncated {t}")
+            raw = bytes(buf[pos:pos + n])
+            return (raw.decode("utf-8") if t == "string" else raw), pos + n
+        raise AvroCodecError(f"unsupported primitive {t!r}")
+    t = schema["type"]
+    if t == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _decode(f["type"], buf, pos)
+        return rec, pos
+    if t == "array":
+        items = []
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:                 # block with byte-size prefix
+                n = -n
+                _, pos = _read_long(buf, pos)
+            for _ in range(n):
+                v, pos = _decode(schema["items"], buf, pos)
+                items.append(v)
+    if t == "map":
+        entries = {}
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return entries, pos
+            if n < 0:
+                n = -n
+                _, pos = _read_long(buf, pos)
+            for _ in range(n):
+                k, pos = _decode("string", buf, pos)
+                entries[k], pos = _decode(schema["values"], buf, pos)
+    if t in PRIMITIVES:
+        return _decode(t, buf, pos)
+    raise AvroCodecError(f"unsupported avro type {schema!r}")
+
+
+def decode_record(avsc: str | dict, payload: bytes) -> dict:
+    """Strict decode: trailing bytes are corruption, not tolerated."""
+    val, pos = _decode(parse_schema(avsc), payload, 0)
+    if pos != len(payload):
+        raise AvroCodecError(f"{len(payload) - pos} trailing bytes")
+    return val
+
+
+# -- Spark kernels ----------------------------------------------------------
+
+def encode_avro(df: DataFrame, avsc: str | dict,
+                out_col: str = "value") -> DataFrame:
+    """Encode every row into one Avro-binary column (the Kafka-producer
+    side of the wire contract) — Arrow-batched mapInPandas."""
+    schema = parse_schema(avsc)
+    names = [f["name"] for f in schema["fields"]]
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise AvroCodecError(f"dataframe lacks schema fields {missing}")
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            payloads = [
+                encode_record(schema,
+                              {n: (None if pd.isna(rec[n]) else rec[n])
+                               for n in names})
+                for rec in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame({out_col: payloads})
+
+    return df.select(*names).mapInPandas(kernel, schema=f"{out_col} binary")
+
+
+def decode_avro(df: DataFrame, avsc: str | dict, value_col: str = "value",
+                ok_col: str = "__avro_ok__") -> DataFrame:
+    """Decode an Avro-binary column into typed fields + an ``ok`` marker
+    (False = malformed payload; decoded fields null). Non-value columns
+    pass through untouched, so the caller can fork errors with the raw
+    payload preserved — the AbstractDataConverter valid|error contract."""
+    schema = parse_schema(avsc)
+    out_struct = avro_to_structtype(schema)
+    clash = [f.name for f in out_struct.fields if f.name in df.columns]
+    if clash:
+        raise AvroCodecError(f"decoded fields collide with input columns: {clash}")
+
+    # every decoded field is nullable HERE regardless of the avro schema:
+    # corrupt payloads emit a null-filled row tagged ok=False
+    decoded_fields = [T.StructField(f.name, f.dataType, True)
+                      for f in out_struct.fields]
+    full = T.StructType(list(df.schema.fields) + decoded_fields
+                        + [T.StructField(ok_col, T.BooleanType(), False)])
+    names = [f.name for f in out_struct.fields]
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            decoded = {n: [] for n in names}
+            oks = []
+            for payload in pdf[value_col]:
+                try:
+                    rec = decode_record(schema, bytes(payload))
+                    oks.append(True)
+                except (AvroCodecError, TypeError):
+                    rec = {}
+                    oks.append(False)
+                for n in names:
+                    decoded[n].append(rec.get(n))
+            out = pdf.copy()
+            for n in names:
+                out[n] = decoded[n]
+            out[ok_col] = oks
+            yield out
+
+    return df.mapInPandas(kernel, schema=full)

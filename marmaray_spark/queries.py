@@ -123,6 +123,43 @@ def validate_required_keys_error_count(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "avro_registry_decode",
+    """
+    SELECT event_id, user_id, event_type, value, props FROM events
+    """,
+)
+def avro_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro wire-format roundtrip through the versioned schema registry:
+    encode events as Avro binary payloads (the Kafka producer side),
+    register the ``.avsc`` in a FileSystemSchemaRegistry, decode through
+    ``get_reader`` (HDFSSchemaService.java:62,173-195 latest-version
+    semantics) via AvroDecodeConverter. The oracle is the plain
+    projection — hash equality proves the wire codec is lossless
+    (doubles roundtrip bit-exact through IEEE binary). Both encode and
+    decode are Arrow-batched mapInPandas kernels; see
+    functions/avro_codec.py for the no-spark-avro-jar rationale."""
+    import tempfile
+
+    from marmaray_spark.converters import AvroDecodeConverter
+    from marmaray_spark.functions.avro_codec import encode_avro
+    from marmaray_spark.schema_registry import FileSystemSchemaRegistry
+
+    avsc = {"type": "record", "name": "event", "fields": [
+        {"name": "event_id", "type": ["null", "long"]},
+        {"name": "user_id", "type": ["null", "long"]},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "value", "type": ["null", "double"]},
+        {"name": "props", "type": ["null", "string"]},
+    ]}
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props")
+    reg = FileSystemSchemaRegistry(tempfile.mkdtemp(prefix="avroreg_"))
+    reg.put_avro_schema("event", avsc)
+    wire = encode_avro(events, avsc, out_col="payload")
+    return AvroDecodeConverter(reg, "event", value_col="payload").map(wire).valid
+
+
+@register(
     "fork_tag_counts",
     """
     SELECT CASE WHEN value IS NOT NULL AND value >= 0 THEN 'valid' ELSE 'error' END

@@ -4,12 +4,17 @@ Reference parity: HDFSSchemaService reads versioned ``<name>.<version>.avsc``
 files from an HDFS dir, serving the max version unless one is pinned
 (M/common/schema/HDFSSchemaService.java:59-170); readers decode Kafka
 byte[] payloads against the registered schema
-(ISchemaService.ISchemaServiceReader).
+(ISchemaService.ISchemaServiceReader, getReader :173-195).
 
-Spark-first: schemas are StructType JSON (``<name>.<version>.json``) —
-the engine's one schema currency — and the decode path is
-``from_json(value, registry.get_schema(name))`` (JsonDecodeConverter),
-covering the wire-format role Avro played in the reference.
+Two schema currencies live side by side in one directory:
+
+- ``<name>.<version>.json`` — StructType JSON, the engine's native
+  schema; decode path ``from_json`` (JsonDecodeConverter).
+- ``<name>.<version>.avsc`` — Avro record schemas for binary wire
+  payloads (the reference's canonical Kafka format); decode path
+  ``get_reader(...)`` -> functions/avro_codec.decode_avro.
+
+Both serve max-version-unless-pinned, the HDFSSchemaService contract.
 """
 
 from __future__ import annotations
@@ -17,10 +22,13 @@ from __future__ import annotations
 import json
 import re
 from pathlib import Path
+from typing import Callable
 
+from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 _FILE_RE = re.compile(r"^(?P<name>.+)\.(?P<version>\d+)\.json$")
+_AVSC_RE = re.compile(r"^(?P<name>.+)\.(?P<version>\d+)\.avsc$")
 
 
 class SchemaNotFoundError(KeyError):
@@ -76,3 +84,53 @@ class FileSystemSchemaRegistry:
             raise FileExistsError(f"schema {name!r} version {v} already exists")
         (self.directory / f"{name}.{v}.json").write_text(json.dumps(schema.jsonValue()))
         return v
+
+    # -- Avro (.avsc) leg — HDFSSchemaService.java:59-170 semantics --------
+
+    def _avro_versions(self, name: str) -> dict[int, Path]:
+        out: dict[int, Path] = {}
+        if not self.directory.is_dir():
+            return out
+        for p in self.directory.iterdir():
+            m = _AVSC_RE.match(p.name)
+            if m and m.group("name") == name:
+                out[int(m.group("version"))] = p
+        return out
+
+    def put_avro_schema(self, name: str, avsc: str | dict,
+                        version: int | None = None) -> int:
+        """Register an Avro record schema version (``<name>.<version>.avsc``)."""
+        from marmaray_spark.functions.avro_codec import parse_schema
+
+        schema = parse_schema(avsc)
+        if not (isinstance(schema, dict) and schema.get("type") == "record"):
+            raise ValueError("avsc must be a record schema")
+        self.directory.mkdir(parents=True, exist_ok=True)
+        versions = self._avro_versions(name)
+        v = version if version is not None else (max(versions) + 1 if versions else 1)
+        if v in versions:
+            raise FileExistsError(f"avro schema {name!r} version {v} already exists")
+        (self.directory / f"{name}.{v}.avsc").write_text(json.dumps(schema))
+        return v
+
+    def get_avro_schema(self, name: str, version: int | None = None) -> dict:
+        """Max version unless pinned (HDFSSchemaService.java:122-147)."""
+        versions = self._avro_versions(name)
+        if not versions:
+            raise SchemaNotFoundError(f"no .avsc files for {name!r}")
+        v = version if version is not None else max(versions)
+        if v not in versions:
+            raise SchemaNotFoundError(f"avro schema {name!r} has no version {v}")
+        return json.loads(versions[v].read_text())
+
+    def get_reader(self, name: str, version: int | None = None,
+                   value_col: str = "value") -> Callable[[DataFrame], DataFrame]:
+        """Decode callable for Avro-binary payloads against the registered
+        schema — HDFSSchemaService.getReader (:173-195): explicit version
+        when pinned, latest otherwise. The returned function maps a
+        DataFrame with a binary ``value_col`` to one with typed decoded
+        columns plus the ``__avro_ok__`` corruption marker."""
+        from marmaray_spark.functions.avro_codec import decode_avro
+
+        schema = self.get_avro_schema(name, version)
+        return lambda df: decode_avro(df, schema, value_col=value_col)

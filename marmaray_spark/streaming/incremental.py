@@ -45,7 +45,9 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
     true so missing offsets raise (KafkaWorkUnitCalculator data-loss
     semantics — pass a reset policy downstream to mimic
     KafkaOffsetResetter instead). Value arrives as binary; decode with
-    converters.JsonDecodeConverter / from_avro at the edge.
+    converters.AvroDecodeConverter (registry-served .avsc, the
+    reference's canonical wire format) or JsonDecodeConverter at the
+    edge.
 
     Untestable in this container (no broker) — construction only; the
     offset planning logic itself is covered via sources/kafka.py.

@@ -1,0 +1,115 @@
+"""Avro wire codec + registry reader tests — modeled on the reference's
+schema-service coverage (T/common/schema/: TestHDFSSchemaService reader
+for latest and pinned versions, decode failures)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from marmaray_spark.converters import AvroDecodeConverter
+from marmaray_spark.functions.avro_codec import (
+    AvroCodecError,
+    avro_to_structtype,
+    decode_avro,
+    decode_record,
+    encode_avro,
+    encode_record,
+)
+from marmaray_spark.schema_registry import (
+    FileSystemSchemaRegistry,
+    SchemaNotFoundError,
+)
+
+AVSC = {"type": "record", "name": "event", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "name", "type": ["null", "string"]},
+    {"name": "score", "type": ["null", "double"]},
+]}
+
+
+# -- pure codec -------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+       st.one_of(st.none(), st.text(max_size=50)),
+       st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False)))
+def test_codec_roundtrip_property(i, s, f):
+    rec = {"id": i, "name": s, "score": f}
+    assert decode_record(AVSC, encode_record(AVSC, rec)) == rec
+
+
+def test_codec_rejects_truncated_and_trailing():
+    payload = encode_record(AVSC, {"id": 1, "name": "x", "score": 2.5})
+    with pytest.raises(AvroCodecError):
+        decode_record(AVSC, payload[:-1])
+    with pytest.raises(AvroCodecError):
+        decode_record(AVSC, payload + b"\x00")
+
+
+def test_avro_to_structtype():
+    st_ = avro_to_structtype(AVSC)
+    assert st_.simpleString() == "struct<id:bigint,name:string,score:double>"
+    assert [f.nullable for f in st_.fields] == [False, True, True]
+
+
+# -- registry reader semantics (HDFSSchemaService.java:59-195) ---------------
+
+def test_registry_avro_versions_latest_and_pinned(tmp_path):
+    reg = FileSystemSchemaRegistry(tmp_path)
+    v1 = dict(AVSC)
+    v2 = {**AVSC, "fields": AVSC["fields"] + [
+        {"name": "extra", "type": ["null", "long"]}]}
+    assert reg.put_avro_schema("event", v1) == 1
+    assert reg.put_avro_schema("event", v2) == 2
+    assert len(reg.get_avro_schema("event")["fields"]) == 4          # latest
+    assert len(reg.get_avro_schema("event", 1)["fields"]) == 3       # pinned
+    with pytest.raises(SchemaNotFoundError):
+        reg.get_avro_schema("event", 9)
+    with pytest.raises(SchemaNotFoundError):
+        reg.get_avro_schema("nope")
+    with pytest.raises(FileExistsError):
+        reg.put_avro_schema("event", v1, version=2)
+
+
+def test_registry_reader_decodes_with_pinned_version(spark, tmp_path):
+    reg = FileSystemSchemaRegistry(tmp_path)
+    reg.put_avro_schema("event", AVSC)
+    payloads = [(encode_record(AVSC, {"id": i, "name": f"n{i}", "score": i / 2}),)
+                for i in range(5)]
+    df = spark.createDataFrame(payloads, "value binary")
+    out = reg.get_reader("event")(df)
+    rows = {r["id"]: (r["name"], r["score"], r["__avro_ok__"])
+            for r in out.collect()}
+    assert rows == {i: (f"n{i}", i / 2, True) for i in range(5)}
+
+
+# -- Spark kernels + converter fork ------------------------------------------
+
+def test_encode_decode_spark_roundtrip(spark, customer):
+    avsc = {"type": "record", "name": "cust", "fields": [
+        {"name": "c_custkey", "type": ["null", "long"]},
+        {"name": "c_name", "type": ["null", "string"]},
+        {"name": "c_acctbal", "type": ["null", "double"]},
+    ]}
+    src = customer.select("c_custkey", "c_name", "c_acctbal").limit(200)
+    wire = encode_avro(src, avsc, out_col="payload")
+    back = decode_avro(wire, avsc, value_col="payload") \
+        .select("c_custkey", "c_name", "c_acctbal")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_converter_forks_malformed_payloads(spark, tmp_path):
+    reg = FileSystemSchemaRegistry(tmp_path)
+    reg.put_avro_schema("event", AVSC)
+    good = [(encode_record(AVSC, {"id": i, "name": "ok", "score": 1.0}),)
+            for i in range(3)]
+    bad = [(b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff",), (b"",)]
+    df = spark.createDataFrame(good + bad, "value binary")
+    res = AvroDecodeConverter(reg, "event").map(df)
+    assert res.valid_count == 3 and res.error_count == 2
+    assert res.valid.filter(F.col("name") == "ok").count() == 3
+    errs = res.errors.collect()
+    assert len(errs) == 2
+    assert all("avro" in r["hadoop_error_exception"].lower()
+               or "avro" in str(r).lower() for r in errs)
