@@ -251,6 +251,44 @@ def sorted_batched_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cassandra_writetime_batches",
+    """
+    SELECT user_id, event_id, event_type, value,
+           CAST(epoch_ns(ts) AS BIGINT) AS ts,
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS "orderTsField",
+           'run-20260813' AS "timestamp",
+           CAST(floor((row_number() OVER (ORDER BY user_id, event_id) - 1)
+                      / 1000) AS BIGINT) AS batch_id
+    FROM events
+    """,
+)
+def cassandra_writetime_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassandra dispersal with write-time parity: the bulk sink's
+    loader-ready frame carrying BOTH extra converter columns —
+    ``orderTsField`` (source ts normalized to MICROSECONDS, the upsert
+    ordering column, CassandraSinkDataConverter.java:160-162,208-212 +
+    TimeUnitUtil) and the constant dispersal ``timestamp``
+    (TimestampInfo, :184-190) — plus sorted size-capped batch ids
+    (CassandraSSTableSink shape, no single-task window)."""
+    from marmaray_spark.sinks.cassandra import (
+        CassandraBulkSink,
+        CassandraSchema,
+        TimestampInfo,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts")
+    ti = TimestampInfo(timestamp="run-20260813")
+    schema = CassandraSchema.from_struct(
+        events.schema, "marmaray", "events_by_user",
+        partition_keys=["user_id"], clustering_keys=["event_id"],
+        timestamp_info=ti, written_time_field="ts")
+    sink = CassandraBulkSink(schema, output_path="/unused", batch_rows=1000,
+                             timestamp_info=ti, written_time_field="ts")
+    return sink.prepare(events)
+
+
+@register(
     "table_upsert_readback",
     """
     WITH old_batch AS (

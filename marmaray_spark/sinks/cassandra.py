@@ -32,6 +32,49 @@ from pyspark.sql import types as T
 
 from marmaray_spark.operators.batching import batched_by_size
 
+ORDER_TS_FIELD = "orderTsField"  # CassandraSinkDataConverter.java:73
+DEFAULT_DISPERSAL_TIMESTAMP_FIELD = "timestamp"  # CassandraSinkConfiguration.java:101
+
+
+@dataclass(frozen=True)
+class TimestampInfo:
+    """Job-level dispersal timestamp appended to every row
+    (utilities/TimestampInfo.java + CassandraSinkDataConverter.java:184-190):
+    customers stamp dispersed data with the run's timestamp, written as a
+    string column or — with ``save_as_long`` — a bigint."""
+
+    timestamp: str | None = None
+    save_as_long: bool = False
+    field_name: str = DEFAULT_DISPERSAL_TIMESTAMP_FIELD
+
+    @property
+    def has_timestamp(self) -> bool:
+        return self.timestamp is not None
+
+    @classmethod
+    def empty(cls) -> "TimestampInfo":
+        return cls()
+
+
+def to_microseconds(col_name: str) -> "F.Column":
+    """Snap an epoch value of unknown unit (s/ms/us/ns) to MICROSECONDS —
+    TimeUnitUtil.convertToMicroSeconds (range [1e15, 1e18), multiply or
+    integer-divide by 1000 until inside; out-of-range raises, matching the
+    reference's JobRuntimeException). Integer ``div`` keeps ns->us exact —
+    a double division here would be off-by-one near 2^53."""
+    c = f"cast({col_name} as bigint)"
+    lo, hi = 10**15, 10**18
+    return F.expr(f"""CASE
+        WHEN {c} IS NULL THEN NULL
+        WHEN {c} >= {lo} AND {c} < {hi} THEN {c}
+        WHEN {c} >= {hi} THEN {c} div 1000
+        WHEN {c} >= {10**12} THEN {c} * 1000
+        WHEN {c} >= {10**9} THEN {c} * 1000000
+        WHEN {c} >= {10**6} THEN {c} * 1000000000
+        ELSE cast(raise_error(concat('Input timestamp doesn''t have expected ',
+             'time unit (s/ms/us/ns): ', cast({c} as string))) as bigint)
+    END""")
+
 # Spark type -> CQL type (CassandraSchemaField.java:33-40 name set)
 _CQL_TYPES: dict[str, str] = {
     "string": "text",
@@ -70,15 +113,32 @@ class CassandraSchema:
     def from_struct(cls, schema: T.StructType, keyspace: str, table: str,
                     partition_keys: list[str],
                     clustering_keys: list[str] | None = None,
-                    filtered_fields: list[str] | None = None) -> "CassandraSchema":
+                    filtered_fields: list[str] | None = None,
+                    timestamp_info: "TimestampInfo | None" = None,
+                    written_time_field: str | None = None) -> "CassandraSchema":
         """StructType -> Cassandra schema; drops ``_``-prefixed and
-        filtered fields (CassandraSchemaConverter rules)."""
+        filtered fields (CassandraSchemaConverter rules).
+
+        ``timestamp_info``: adds the dispersal-timestamp column (text or
+        bigint) to the table schema (CassandraSchemaConverter.java:48-69).
+        ``written_time_field``: source column whose microsecond-normalized
+        value is written as ``orderTsField`` bigint — the write-time
+        ordering column (CassandraSinkDataConverter.java:160-162,208-212).
+        """
         drop = set(filtered_fields or [])
         fields = {f.name: cql_type_of(f.dataType) for f in schema.fields
                   if not f.name.startswith("_") and f.name not in drop}
         for k in partition_keys + (clustering_keys or []):
             if k not in fields:
                 raise KeyError(f"key column {k!r} missing from schema")
+        if timestamp_info is not None and timestamp_info.has_timestamp:
+            fields[timestamp_info.field_name] = \
+                "bigint" if timestamp_info.save_as_long else "text"
+        if written_time_field is not None:
+            if written_time_field not in fields:
+                raise KeyError(f"written-time column {written_time_field!r} "
+                               f"missing from schema")
+            fields[ORDER_TS_FIELD] = "bigint"
         return cls(keyspace, table, list(partition_keys),
                    list(clustering_keys or []), fields)
 
@@ -121,24 +181,46 @@ class CassandraBulkSink:
 
     def __init__(self, schema: CassandraSchema, output_path: str | Path,
                  batch_rows: int = 100_000,
-                 min_batch_duration_s: float = 0.0) -> None:
+                 min_batch_duration_s: float = 0.0,
+                 timestamp_info: TimestampInfo | None = None,
+                 written_time_field: str | None = None) -> None:
         """``min_batch_duration_s`` > 0 enables throttled mode: batches
         load one at a time with at least that much wall-clock between
         batch starts — the reference's cluster-protection throttle
         (CassandraSSTableSink.java:155-192 min batch duration sleep;
-        streamthrottlembits is the connector-level analogue)."""
+        streamthrottlembits is the connector-level analogue).
+
+        ``timestamp_info`` / ``written_time_field`` mirror the sink data
+        converter's extra columns: a constant dispersal timestamp on every
+        row, and the microsecond-normalized write-time ordering column
+        (CassandraSinkDataConverter.java:85,111,160-162,184-190,208-212)."""
         self.schema = schema
         self.output_path = str(output_path)
         self.batch_rows = batch_rows
         self.min_batch_duration_s = min_batch_duration_s
+        self.timestamp_info = timestamp_info or TimestampInfo.empty()
+        self.written_time_field = written_time_field
 
-    def _prepare(self, df: DataFrame) -> DataFrame:
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Loader-ready frame: projection + key validation + dispersal
+        timestamp + orderTsField (us) + stable size-capped batch ids."""
         cols = [c for c in df.columns if c in self.schema.fields]
         keys = self.schema.partition_keys + self.schema.clustering_keys
         projected = df.select(*cols)
         for k in keys:  # required-key validation (null keys are rejects)
             projected = projected.filter(projected[k].isNotNull())
+        if self.written_time_field is not None:
+            projected = projected.withColumn(
+                ORDER_TS_FIELD, to_microseconds(self.written_time_field))
+        ti = self.timestamp_info
+        if ti.has_timestamp:
+            value = F.lit(int(ti.timestamp)).cast("bigint") if ti.save_as_long \
+                else F.lit(ti.timestamp)
+            projected = projected.withColumn(ti.field_name, value)
         return batched_by_size(projected, keys, self.batch_rows)
+
+    # backwards-compatible private alias
+    _prepare = prepare
 
     def write(self, df: DataFrame) -> int:
         keys = self.schema.partition_keys + self.schema.clustering_keys

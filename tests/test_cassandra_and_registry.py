@@ -142,3 +142,63 @@ def test_bulk_sink_throttled_batches(spark, customer, tmp_path):
     assert elapsed >= 0.3 * (n_batches - 1)  # throttle actually paced
     back = spark.read.parquet(str(tmp_path / "thr"))
     assert back.count() == customer.count()
+
+
+def test_to_microseconds_unit_snapping(spark):
+    """TimeUnitUtil.convertToMicroSeconds parity: s/ms/us/ns all snap to
+    microseconds; sub-second magnitudes raise (JobRuntimeException twin)."""
+    from marmaray_spark.sinks.cassandra import to_microseconds
+
+    base_us = 1_700_000_000_000_000          # ~2023-11 in us
+    rows = [(1, base_us // 1_000_000),        # seconds
+            (2, base_us // 1_000),            # milliseconds
+            (3, base_us),                     # microseconds
+            (4, base_us * 1_000)]             # nanoseconds
+    df = spark.createDataFrame(rows, "id int, v long")
+    out = {r["id"]: r["us"] for r in
+           df.select("id", to_microseconds("v").alias("us")).collect()}
+    assert out == {1: base_us, 2: base_us, 3: base_us, 4: base_us}
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    bad = spark.createDataFrame([(1, 999)], "id int, v long")
+    with pytest.raises(Exception):
+        bad.select(to_microseconds("v").alias("us")).collect()
+
+
+def test_timestamp_info_extends_schema_and_prepare(spark, tmp_path):
+    """TimestampInfo + written-time columns land in DDL and in the
+    loader-ready frame (CassandraSinkDataConverter.java:85,111,184-212)."""
+    from marmaray_spark.sinks.cassandra import (
+        CassandraBulkSink,
+        CassandraSchema,
+        TimestampInfo,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, "a", 1_700_000_000_000), (2, 20, "b", 1_700_000_000_001)],
+        "k long, c long, payload string, wt long")   # wt in milliseconds
+    ti = TimestampInfo(timestamp="1700000000", save_as_long=True)
+    schema = CassandraSchema.from_struct(
+        df.schema, "ks", "t", partition_keys=["k"], clustering_keys=["c"],
+        timestamp_info=ti, written_time_field="wt")
+    ddl = schema.create_table_cql()
+    assert "timestamp bigint" in ddl and "orderTsField bigint" in ddl
+
+    sink = CassandraBulkSink(schema, tmp_path / "out", batch_rows=10,
+                             timestamp_info=ti, written_time_field="wt")
+    rows = {r["k"]: r for r in sink.prepare(df).collect()}
+    assert rows[1]["orderTsField"] == 1_700_000_000_000_000    # ms -> us
+    assert rows[1]["timestamp"] == 1700000000                  # long dispersal ts
+    assert rows[1]["batch_id"] == 0
+
+    # string-typed dispersal timestamp -> text column
+    ti2 = TimestampInfo(timestamp="run-1")
+    s2 = CassandraSchema.from_struct(df.schema, "ks", "t", ["k"],
+                                     timestamp_info=ti2)
+    assert "timestamp text" in s2.create_table_cql()
+
+    import pytest
+    with pytest.raises(KeyError, match="written-time"):
+        CassandraSchema.from_struct(df.schema, "ks", "t", ["k"],
+                                    written_time_field="nope")
