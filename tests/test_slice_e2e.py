@@ -94,3 +94,42 @@ def test_file_sink_rejects_bad_compression(tmp_path):
 
     with pytest.raises(ValueError, match="compression"):
         FileSink(tmp_path, compression="rar")
+
+
+def test_sequence_file_sink_roundtrip_lz4(spark, orders, tmp_path):
+    """SequenceFile (Text,Text) + LZ4 write and read-back — the reference's
+    sequence branch (FileSink.java:134-165) with the JSON converter
+    providing (row_identifier key, json line) pairs."""
+    from marmaray_spark.converters import encode_json_lines
+    from marmaray_spark.sinks.file import SequenceFileSink
+
+    src = orders.limit(500).select("o_orderkey", "o_custkey", "o_totalprice")
+    pairs = encode_json_lines(src, row_identifier="o_orderkey")
+
+    sink = SequenceFileSink(tmp_path / "seq", file_size_mb=0.01,
+                            compression="lz4")
+    n_files = sink.write(pairs)
+    assert n_files >= 2                      # size-targeted multi-file output
+    files = list((tmp_path / "seq").glob("part-*"))
+    assert len(files) == n_files
+    # SequenceFile magic header + the configured codec recorded per file
+    blob = files[0].read_bytes()
+    assert blob.startswith(b"SEQ") and b"Lz4Codec" in blob
+
+    back = sink.read(spark)
+    assert back.count() == 500
+    keys = {r["key"] for r in back.select("key").collect()}
+    assert keys == {str(r["o_orderkey"]) for r in src.collect()}
+    # values are intact json lines
+    import json
+    row = json.loads(back.first()["line"])
+    assert set(row) == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def test_sequence_file_sink_rejects_unknown_codec(tmp_path):
+    import pytest
+
+    from marmaray_spark.sinks.file import SequenceFileSink
+
+    with pytest.raises(ValueError, match="not supported"):
+        SequenceFileSink(tmp_path / "x", compression="gzip")
