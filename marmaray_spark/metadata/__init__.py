@@ -4,6 +4,8 @@ from marmaray_spark.metadata.manager import (
     FileSystemMetadataManager,
     InMemoryMetadataManager,
     MetadataManager,
+    MultiMetadataManager,
+    TableBackedMetadataManager,
 )
 from marmaray_spark.metadata.partition import (
     DatePartitionManager,
@@ -14,6 +16,8 @@ __all__ = [
     "MetadataManager",
     "InMemoryMetadataManager",
     "FileSystemMetadataManager",
+    "TableBackedMetadataManager",
+    "MultiMetadataManager",
     "PartitionManager",
     "DatePartitionManager",
 ]

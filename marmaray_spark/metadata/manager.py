@@ -64,6 +64,106 @@ class InMemoryMetadataManager(MetadataManager):
         super().save_changes()
 
 
+class TableBackedMetadataManager(MetadataManager):
+    """Second durable checkpoint backend: the metadata map rides a managed
+    TableSink table as (job, seq, checkpoint-JSON) rows, partitioned by
+    job — any engine that reads the table reads the checkpoints.
+
+    Reference parity: CassandraBasedMetadataManager
+    (M/common/metadata/CassandraBasedMetadataManager.java:65-290) — one
+    serialized checkpoint row per save keyed by job, up to
+    ``max_checkpoints`` retained with the oldest deleted before each
+    insert (:188-222), latest row loaded at startup (generateMetaDataMap).
+    ``seq`` replaces wall-clock time_stamp for deterministic ordering.
+    """
+
+    def __init__(self, spark, table_path, job: str,
+                 max_checkpoints: int = 5) -> None:
+        super().__init__()
+        from marmaray_spark.sinks.table import TableSink
+
+        self.spark = spark
+        self.job = job
+        self.max_checkpoints = max_checkpoints
+        self.table = TableSink(spark, table_path, record_key_field="seq",
+                               partition_field="job")
+        self._meta = self._load()
+
+    def _rows(self):
+        if self.table.is_empty():
+            return []
+        df = self.table.read().filter(f"job = '{self.job}'")
+        return sorted(df.collect(), key=lambda r: r["seq"])
+
+    def _load(self) -> dict[str, str]:
+        rows = self._rows()
+        if not rows:
+            return {}
+        return {str(k): str(v)
+                for k, v in json.loads(rows[-1]["checkpoint"]).items()}
+
+    def save_changes(self) -> None:
+        """Append the serialized map as the next (job, seq) row, pruning
+        to the newest ``max_checkpoints`` via a partition-scoped
+        INSERT_OVERWRITE (the delete-oldest-then-insert protocol)."""
+        from marmaray_spark.sinks.table import WriteOp
+
+        rows = self._rows()
+        next_seq = (rows[-1]["seq"] + 1) if rows else 0
+        keep = [(self.job, r["seq"], r["checkpoint"]) for r in rows]
+        keep.append((self.job, next_seq, json.dumps(self._meta, sort_keys=True)))
+        keep = keep[-self.max_checkpoints:]
+        df = self.spark.createDataFrame(keep, "job string, seq long, checkpoint string")
+        self.table.write(df, WriteOp.INSERT_OVERWRITE)
+        super().save_changes()
+
+    def checkpoint_history(self) -> list[dict[str, str]]:
+        """Oldest-first retained checkpoint maps (ops introspection)."""
+        return [json.loads(r["checkpoint"]) for r in self._rows()]
+
+
+class MultiMetadataManager(MetadataManager):
+    """Fan-out writes / merged reads across child managers.
+
+    Reference parity: MultiMetadataManager
+    (M/common/metadata/MultiMetadataManager.java:47-189): set/remove apply
+    to every child AND the merged map; the startup load merges all
+    children per key, larger string value winning on mismatch
+    (loadMetadata :160-189 compareTo>0 rule — checkpoints are
+    monotonically encoded strings, so max = newest); saveChanges pushes
+    the merged map into every child, then saves each.
+    """
+
+    def __init__(self, managers: list[MetadataManager]) -> None:
+        super().__init__()
+        if not managers:
+            raise ValueError("need at least one child manager")
+        self.managers = list(managers)
+        merged: dict[str, str] = {}
+        for m in self.managers:
+            for k, v in m.all().items():
+                if k not in merged or v > merged[k]:
+                    merged[k] = v
+        self._meta = merged
+
+    def set(self, key: str, value: str) -> None:
+        super().set(key, value)
+        for m in self.managers:
+            m.set(key, value)
+
+    def remove(self, key: str) -> str | None:
+        for m in self.managers:
+            m.remove(key)
+        return super().remove(key)
+
+    def save_changes(self) -> None:
+        for m in self.managers:
+            for k, v in self._meta.items():
+                m.set(k, v)
+            m.save_changes()
+        super().save_changes()
+
+
 class FileSystemMetadataManager(MetadataManager):
     """JSON-snapshot-per-run checkpoint store with retain-N pruning."""
 

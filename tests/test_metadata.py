@@ -68,3 +68,70 @@ def test_date_partition_start_date(tmp_path):
                               start_date="2024-01-01")
     assert pm.list_partitions() == ["datestr=2024-01-01", "datestr=2024-02-01"]
     assert pm.next_partition() == "datestr=2024-01-01"
+
+
+def test_table_backed_manager_roundtrip_and_retention(spark, tmp_path):
+    """TestCassandraBasedMetadataManager parity: latest checkpoint loads
+    on startup; each save appends a retained row; oldest rows beyond
+    max_checkpoints are pruned before insert."""
+    from marmaray_spark.metadata import TableBackedMetadataManager
+
+    t = tmp_path / "meta_table"
+    m = TableBackedMetadataManager(spark, t, job="feed1", max_checkpoints=3)
+    assert m.all() == {}
+
+    for i in range(5):
+        m.set("offset", str(100 + i))
+        m.save_changes()
+
+    # a fresh manager over the same table resumes from the LATEST save
+    m2 = TableBackedMetadataManager(spark, t, job="feed1", max_checkpoints=3)
+    assert m2.get("offset") == "104"
+    # retention: only the newest 3 checkpoints survive
+    hist = m2.checkpoint_history()
+    assert [h["offset"] for h in hist] == ["102", "103", "104"]
+
+
+def test_table_backed_manager_isolates_jobs(spark, tmp_path):
+    from marmaray_spark.metadata import TableBackedMetadataManager
+
+    t = tmp_path / "meta_table"
+    a = TableBackedMetadataManager(spark, t, job="a")
+    b = TableBackedMetadataManager(spark, t, job="b")
+    a.set("k", "va"); a.save_changes()
+    b.set("k", "vb"); b.save_changes()
+    assert TableBackedMetadataManager(spark, t, job="a").get("k") == "va"
+    assert TableBackedMetadataManager(spark, t, job="b").get("k") == "vb"
+
+
+def test_multi_metadata_manager_fanout_and_merge(tmp_path):
+    """TestMultiMetadataManager parity: writes fan out to every child,
+    startup load merges children with larger-string-wins on mismatch,
+    saveChanges persists every child."""
+    from marmaray_spark.metadata import (
+        FileSystemMetadataManager,
+        InMemoryMetadataManager,
+        MultiMetadataManager,
+    )
+
+    fs1 = FileSystemMetadataManager(tmp_path / "m1")
+    fs2 = FileSystemMetadataManager(tmp_path / "m2")
+    multi = MultiMetadataManager([fs1, fs2])
+    multi.set("cp", "000000000005")
+    multi.save_changes()
+
+    # both children persisted the same value
+    assert FileSystemMetadataManager(tmp_path / "m1").get("cp") == "000000000005"
+    assert FileSystemMetadataManager(tmp_path / "m2").get("cp") == "000000000005"
+
+    # children disagree (one missed a run): larger string value wins
+    lag = InMemoryMetadataManager(); lag.set("cp", "000000000003")
+    ahead = InMemoryMetadataManager(); ahead.set("cp", "000000000007")
+    ahead.set("only_ahead", "x")
+    merged = MultiMetadataManager([lag, ahead])
+    assert merged.get("cp") == "000000000007"
+    assert merged.get("only_ahead") == "x"
+
+    # remove fans out too
+    merged.remove("cp")
+    assert lag.get("cp") is None and ahead.get("cp") is None
