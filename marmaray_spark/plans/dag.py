@@ -213,6 +213,94 @@ class TimeoutManager:
             t.cancel()
 
 
+class StageStallWatchdog:
+    """Stage-progress watchdog: cancels a job group when its Spark stages
+    stop making task progress, on top of the wall-clock job timeout.
+
+    Reference parity: TimeoutManager (utilities/listener/TimeoutManager.java:
+    32-120) tracks last activity per stage via a SparkListener and kills
+    stalled stages; the Python-side equivalent polls
+    ``sc.statusTracker()`` (SparkStatusTracker over the same listener
+    data): per active job of a watched group, the signature
+    (stage, completedTasks, activeTasks, failedTasks) must change within
+    ``stage_stall_min`` or the whole group is cancelled
+    (``cancelJobGroup`` with interruptOnCancel, the analogue of the
+    reference's sc.cancelStage + job kill). Poll frequency is 1/min in
+    the reference (FREQUENCY_IN_MINS); tests pass a faster ``poll_s``.
+    """
+
+    def __init__(self, spark: SparkSession,
+                 job_timeout_min: float = DEFAULT_JOB_TIMEOUT_MIN,
+                 stage_stall_min: float = DEFAULT_JOB_TIMEOUT_MIN,
+                 poll_s: float = 60.0) -> None:
+        self.spark = spark
+        self.job_timeout_s = job_timeout_min * 60
+        self.stage_stall_s = stage_stall_min * 60
+        self.poll_s = poll_s
+        self._watched: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.timed_out: set[str] = set()
+        self.stalled: set[str] = set()
+
+    def watch(self, job_group: str) -> None:
+        now = time.time()
+        with self._lock:
+            self._watched[job_group] = {"start": now, "last_progress": now,
+                                        "sig": None}
+            if self._thread is None:
+                self._thread = threading.Thread(target=self._loop, daemon=True)
+                self._thread.start()
+
+    def done(self, job_group: str) -> None:
+        with self._lock:
+            self._watched.pop(job_group, None)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _signature(self, job_group: str) -> tuple[bool, tuple]:
+        """(any job running, sorted per-stage task-progress tuple)."""
+        tracker = self.spark.sparkContext.statusTracker()
+        sig = []
+        running = False
+        for jid in tracker.getJobIdsForGroup(job_group):
+            info = tracker.getJobInfo(jid)
+            if info is None or info.status != "RUNNING":
+                continue
+            running = True
+            for sid in info.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si is not None:
+                    sig.append((sid, si.numCompletedTasks, si.numActiveTasks,
+                                si.numFailedTasks))
+        return running, tuple(sorted(sig))
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.poll_s):
+            now = time.time()
+            with self._lock:
+                items = list(self._watched.items())
+            for group, state in items:
+                if now - state["start"] > self.job_timeout_s:
+                    self.timed_out.add(group)
+                    self._cancel(group)
+                    continue
+                running, sig = self._signature(group)
+                if not running or sig != state["sig"]:
+                    # driver-side work between jobs is not a stage stall
+                    state["sig"] = sig
+                    state["last_progress"] = now
+                elif now - state["last_progress"] > self.stage_stall_s:
+                    self.stalled.add(group)
+                    self._cancel(group)
+
+    def _cancel(self, job_group: str) -> None:
+        self.done(job_group)
+        self.spark.sparkContext.cancelJobGroup(job_group)
+
+
 class JobManager:
     """Runs many JobDags concurrently on one shared SparkSession."""
 
@@ -220,10 +308,19 @@ class JobManager:
                  max_threads: int = DEFAULT_JOB_DAG_THREADS,
                  timeout_min: float = DEFAULT_JOB_TIMEOUT_MIN,
                  order_by_execution_time: bool = True,
-                 lock_manager: FileLockManager | None = None) -> None:
+                 lock_manager: FileLockManager | None = None,
+                 stage_stall_min: float | None = None,
+                 stall_poll_s: float = 60.0) -> None:
+        """``stage_stall_min`` switches the watchdog from wall-clock-only
+        to stage-progress stall detection (TimeoutManager.java parity)."""
         self.spark = spark
         self.max_threads = max_threads
-        self.timeouts = TimeoutManager(spark, timeout_min)
+        if stage_stall_min is not None:
+            self.timeouts: TimeoutManager | StageStallWatchdog = \
+                StageStallWatchdog(spark, timeout_min, stage_stall_min,
+                                   poll_s=stall_poll_s)
+        else:
+            self.timeouts = TimeoutManager(spark, timeout_min)
         self.ordering = ExecutionTimeOrdering() if order_by_execution_time else None
         self.locks = lock_manager
         self.dags: list[JobDag] = []

@@ -204,3 +204,63 @@ def test_jobmanager_lock_prevents_concurrent_runner(spark, customer, tmp_path):
     results = mgr.run()
     assert results["locked-dag"] is True
     assert (tmp_path / "locked-dag.lock").exists() is False  # released after run
+
+
+def test_stage_stall_watchdog_cancels_stalled_group(spark):
+    """TimeoutManager.java stage-stall parity: a group whose stages make
+    no task progress is cancelled; the sleeping collect raises."""
+    import threading
+
+    from marmaray_spark.plans.dag import StageStallWatchdog
+
+    wd = StageStallWatchdog(spark, job_timeout_min=10,
+                            stage_stall_min=4 / 60, poll_s=0.5)
+    wd.watch("stall-group")
+    err = {}
+
+    def work():
+        sc = spark.sparkContext
+        sc.setJobGroup("stall-group", "deliberate stall", interruptOnCancel=True)
+        try:
+            spark.range(8).repartition(8).selectExpr(
+                "java_method('java.lang.Thread','sleep',600000L)").collect()
+        except Exception as e:  # noqa: BLE001
+            err["e"] = e
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(90)
+    wd.stop()
+    assert not t.is_alive(), "stalled job was never cancelled"
+    assert "stall-group" in wd.stalled
+    assert "e" in err
+
+
+def test_stage_stall_watchdog_leaves_progressing_jobs_alone(spark, lineitem):
+    """A job that keeps completing tasks is NOT a stall, even with an
+    aggressive stall threshold relative to total runtime."""
+    import threading
+
+    from marmaray_spark.plans.dag import StageStallWatchdog
+
+    wd = StageStallWatchdog(spark, job_timeout_min=10,
+                            stage_stall_min=30 / 60, poll_s=0.3)
+    wd.watch("busy-group")
+    out = {}
+
+    def work():
+        sc = spark.sparkContext
+        sc.setJobGroup("busy-group", "healthy", interruptOnCancel=True)
+        try:
+            out["n"] = lineitem.groupBy("l_returnflag").count().count()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(60)
+    wd.stop()
+    assert out.get("n", 0) > 0
+    assert "busy-group" not in wd.stalled and "busy-group" not in wd.timed_out
