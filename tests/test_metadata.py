@@ -135,3 +135,36 @@ def test_multi_metadata_manager_fanout_and_merge(tmp_path):
     # remove fans out too
     merged.remove("cp")
     assert lag.get("cp") is None and ahead.get("cp") is None
+
+
+def test_metadata_cli_print_and_prune(tmp_path, capsys):
+    """marmaray-tools parity: HDFSMetadataPrinter (file or dir->latest)
+    and HDFSMetadataPruner (retain-N, fake-delete mode)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from metadata_cli import main as cli
+
+    from marmaray_spark.metadata import FileSystemMetadataManager
+
+    m = FileSystemMetadataManager(tmp_path, num_retained=100)
+    for i in range(6):
+        m.set("offset", str(i))
+        m.save_changes()
+    assert len(list(tmp_path.glob("*.json"))) == 6
+
+    # print: explicit file and dir-means-latest
+    assert cli(["print", "-m", str(tmp_path / "000000000002.json")]) == 0
+    assert "Value: 2" in capsys.readouterr().out
+    assert cli(["print", "-m", str(tmp_path)]) == 0
+    assert "Value: 5" in capsys.readouterr().out
+
+    # fake prune deletes nothing
+    assert cli(["prune", "-p", str(tmp_path), "-n", "2", "-f"]) == 0
+    assert "would be removed" in capsys.readouterr().out
+    assert len(list(tmp_path.glob("*.json"))) == 6
+
+    # real prune retains newest 2, and the manager still loads the latest
+    assert cli(["prune", "-p", str(tmp_path), "-n", "2"]) == 0
+    left = sorted(p.name for p in tmp_path.glob("*.json"))
+    assert left == ["000000000004.json", "000000000005.json"]
+    assert FileSystemMetadataManager(tmp_path).get("offset") == "5"
