@@ -20,6 +20,32 @@ from typing import Any, Iterator, Mapping
 import yaml
 
 KEY_SEP = "."
+SCOPE_OVERRIDE_MAPPING_KEY = "scope_override_map"  # Configuration.java constant
+
+
+def resolve_scope_map(tree: Mapping[str, Any], scope: str | None) -> dict[str, Any]:
+    """ConfigScopeResolver.projectOverrideScopeOverDefault semantics
+    (M/common/configuration/ConfigScopeResolver.java, golden-filed by
+    configWithScopes.yaml + the two expected outputs):
+
+    - ``scope_override_map`` maps scope -> parent scope.
+    - No scope requested -> the tree is returned UNCHANGED (identity,
+      TestConfigScopeResolver.testNoConfigOverrideWhenScopeIsAbsent).
+    - Resolving scope s: deep-merge subtree s over its parent's subtree,
+      promote the result to the top level, and drop every scope subtree
+      and the map itself. Unknown scope raises.
+    """
+    if scope is None:
+        return dict(tree)
+    tree = dict(tree)
+    smap = tree.pop(SCOPE_OVERRIDE_MAPPING_KEY, None)
+    if not isinstance(smap, Mapping) or scope not in smap:
+        raise KeyError(f"unknown config scope {scope!r}")
+    scope_names = set(smap) | set(smap.values())
+    unscoped = {k: v for k, v in tree.items() if k not in scope_names}
+    parent = smap[scope]
+    merged = _deep_merge(dict(tree.get(parent) or {}), tree.get(scope) or {})
+    return _deep_merge(unscoped, merged)
 
 
 def _flatten(tree: Mapping[str, Any], prefix: str = "") -> Iterator[tuple[str, Any]]:
@@ -68,6 +94,9 @@ class Configuration:
     def from_tree(cls, tree: Mapping[str, Any], scope: str | None = None,
                   scope_root: str = "scope_overrides") -> "Configuration":
         tree = dict(tree)
+        if SCOPE_OVERRIDE_MAPPING_KEY in tree:
+            # reference-style scope->parent mapping (ConfigScopeResolver)
+            return cls(dict(_flatten(resolve_scope_map(tree, scope))))
         scopes = tree.pop(scope_root, None)
         if scope is not None:
             if not isinstance(scopes, Mapping) or scope not in scopes:

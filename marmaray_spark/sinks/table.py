@@ -272,7 +272,7 @@ class TableSink:
 
     def stage(self, df: DataFrame, op: WriteOp = WriteOp.UPSERT,
               metadata: MetadataManager | dict[str, str] | None = None,
-              ) -> "StagedWrite | None":
+              commit_id: str | None = None) -> "StagedWrite | None":
         """Phase 1 of the two-phase write: run the Spark job and land all
         slice data files, but do NOT publish the commit JSON — the table
         is unchanged for readers until ``commit_staged`` runs. A crash
@@ -282,11 +282,25 @@ class TableSink:
         (JobSubDag.java commit ordering): every sink writes, THEN commits
         fire in priority order, so a sibling-sink failure never leaves a
         half-published job. Returns None for NO_OP.
+
+        ``commit_id``: user-defined commit id instead of the next
+        sequential one (HoodieSink.setCommitTime — a caller coordinating
+        several writes can pin the id, HoodieSink.java user-commit-time
+        path). Must keep the log monotonic: 12 digits, greater than the
+        last published commit; a duplicate fails at publish time.
         """
         if op == WriteOp.NO_OP:
             return None
         meta = metadata.all() if isinstance(metadata, MetadataManager) else dict(metadata or {})
-        commit_id = self.log.next_commit_id()
+        if commit_id is not None:
+            if len(commit_id) != 12 or not commit_id.isdigit():
+                raise ValueError(f"commit_id must be 12 digits, got {commit_id!r}")
+            if commit_id < self.log.next_commit_id():
+                raise ValueError(
+                    f"commit_id {commit_id!r} is not after the last commit "
+                    f"(next sequential is {self.log.next_commit_id()!r})")
+        else:
+            commit_id = self.log.next_commit_id()
 
         if op in (WriteOp.DEDUP_INSERT, WriteOp.DEDUP_BULK_INSERT):
             df = self._dedup_against_existing(df)
@@ -327,12 +341,13 @@ class TableSink:
         return staged.commit
 
     def write(self, df: DataFrame, op: WriteOp = WriteOp.UPSERT,
-              metadata: MetadataManager | dict[str, str] | None = None) -> Commit | None:
+              metadata: MetadataManager | dict[str, str] | None = None,
+              commit_id: str | None = None) -> Commit | None:
         """Single-phase convenience: stage + commit back-to-back; returns
         the Commit (None for NO_OP). ``metadata`` (a manager's map or
         plain dict) is embedded in the commit JSON — the atomic
         checkpoint+data contract."""
-        return self.commit_staged(self.stage(df, op, metadata))
+        return self.commit_staged(self.stage(df, op, metadata, commit_id=commit_id))
 
     # -- op implementations ------------------------------------------------
 

@@ -56,3 +56,79 @@ def test_subset():
     sub = c.subset("marmaray.kafka", strip=True)
     assert sub.get("source.topic") == "base_topic"
     assert len(sub) == 2
+
+
+# -- reference-style scope_override_map golden files -------------------------
+# Structure mirrors marmaray/src/test/resources/configWithScopes.yaml and its
+# two expected outputs (TestConfigScopeResolver.testConfigOverride).
+
+_SCOPED_TREE = {
+    "scope_override_map": {"bootstrap": "default", "incremental": "default"},
+    "database": {"connection": {"type": "jdbc", "port": 5000}},
+    "bootstrap": {
+        "spark_properties": {"spark.executor.memory": "8g",
+                             "spark.network.timeout": "120s"},
+        "pipeline": {"tables": {
+            "from_bootstrap": {"heya": 3},
+            "target_table": {"parallelism": 1000,
+                             "combine_before_insert": False}}},
+    },
+    "incremental": {
+        "spark_properties": {"spark.executor.memory": "4g",
+                             "spark.network.timeout": "100s"},
+        "pipeline": {"tables": {
+            "target_table": {"metrics_prefix": "hoover",
+                             "parallelism": 100,
+                             "combine_before_insert": True}}},
+    },
+    "default": {
+        "pipeline": {"tables": {
+            "from_default": {"hello": 1},
+            "target_table": {"parallelism": 10,
+                             "parquet_max_file_size": 2147483647}}},
+    },
+}
+
+
+def test_scope_override_map_bootstrap_golden():
+    from marmaray_spark.config import resolve_scope_map
+
+    out = resolve_scope_map(_SCOPED_TREE, "bootstrap")
+    assert out == {
+        "database": {"connection": {"type": "jdbc", "port": 5000}},
+        "spark_properties": {"spark.executor.memory": "8g",
+                             "spark.network.timeout": "120s"},
+        "pipeline": {"tables": {
+            "from_default": {"hello": 1},              # inherited non-primitive
+            "from_bootstrap": {"heya": 3},             # scope non-primitive
+            "target_table": {"parallelism": 1000,      # overridden
+                             "combine_before_insert": False,
+                             "parquet_max_file_size": 2147483647}}},  # inherited
+    }
+
+
+def test_scope_override_map_incremental_golden():
+    from marmaray_spark.config import resolve_scope_map
+
+    out = resolve_scope_map(_SCOPED_TREE, "incremental")
+    tt = out["pipeline"]["tables"]["target_table"]
+    assert tt == {"metrics_prefix": "hoover", "parallelism": 100,
+                  "combine_before_insert": True,
+                  "parquet_max_file_size": 2147483647}
+    assert out["spark_properties"]["spark.executor.memory"] == "4g"
+    assert "from_bootstrap" not in out["pipeline"]["tables"]
+
+
+def test_scope_override_map_absent_scope_is_identity_and_unknown_raises():
+    from marmaray_spark.config import resolve_scope_map
+
+    assert resolve_scope_map(_SCOPED_TREE, None) == _SCOPED_TREE
+    import pytest
+    with pytest.raises(KeyError):
+        resolve_scope_map(_SCOPED_TREE, "non-existent-scope")
+
+
+def test_from_tree_detects_scope_override_map():
+    cfg = Configuration.from_tree(dict(_SCOPED_TREE), scope="bootstrap")
+    assert cfg.get_int("pipeline.tables.target_table.parallelism", -1) == 1000
+    assert cfg.get("database.connection.type") == "jdbc"

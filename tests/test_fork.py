@@ -87,3 +87,51 @@ def test_error_table_roundtrip_and_replay(spark, tmp_path):
     replayed = replay_error_records(spark, path, bad.schema)
     rows = {r["id"]: (r["name"], r["score"]) for r in replayed.collect()}
     assert rows == {1: (None, 5.0), 2: ("x", None)}
+
+
+def test_fork_persist_level_matrix(spark, customer):
+    """TestForkOperator persist-level matrix (:109-125) + record-mix cases
+    (error-only / correct-only / mixed): every configured level yields
+    identical counts and per-key data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.operators.fork import ERROR_KEY, VALID_KEY, ForkOperator
+
+    df = customer.limit(400)
+    cond = F.col("c_acctbal") >= 0
+
+    expected_valid = df.filter(cond).count()
+    expected_error = df.filter(~cond | F.col("c_acctbal").isNull()).count()
+
+    for level in ("DISK_ONLY", "MEMORY_ONLY", "MEMORY_AND_DISK", "NONE"):
+        tag = (F.when(cond, F.array(F.lit(VALID_KEY)))
+               .otherwise(F.array(F.lit(ERROR_KEY))))
+        fork = ForkOperator(df, tag, [VALID_KEY, ERROR_KEY], persist_level=level)
+        fork.execute()
+        assert fork.get_count(VALID_KEY) == expected_valid, level
+        assert fork.get_count(ERROR_KEY) == expected_error, level
+        assert fork.get_fork_data(VALID_KEY).count() == expected_valid, level
+        fork.unpersist()
+
+    # error-only and correct-only mixes (TestForkOperator record mixes)
+    all_error = (F.when(F.lit(False), F.array(F.lit(VALID_KEY)))
+                 .otherwise(F.array(F.lit(ERROR_KEY))))
+    fk = ForkOperator(df, all_error, [VALID_KEY, ERROR_KEY])
+    fk.execute()
+    assert fk.get_count(VALID_KEY) == 0
+    assert fk.get_count(ERROR_KEY) == df.count()
+    assert fk.get_fork_data(VALID_KEY).count() == 0
+    fk.unpersist()
+
+    all_valid = (F.when(F.lit(True), F.array(F.lit(VALID_KEY)))
+                 .otherwise(F.array(F.lit(ERROR_KEY))))
+    fk2 = ForkOperator(df, all_valid, [VALID_KEY, ERROR_KEY])
+    fk2.execute()
+    assert fk2.get_count(ERROR_KEY) == 0
+    assert fk2.get_count(VALID_KEY) == df.count()
+    fk2.unpersist()
+
+    # unregistered key access raises (reference: invalid fork key)
+    with pytest.raises(KeyError):
+        fk2.get_fork_data(99)

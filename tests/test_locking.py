@@ -72,3 +72,55 @@ def test_release_all(tmp_path):
     m.release_all()
     other = FileLockManager(tmp_path)
     assert other.acquire("x") and other.acquire("y")
+
+
+def test_contended_acquire_exactly_one_winner(tmp_path):
+    """TestJobManager lock-contention parity: N managers race one key;
+    exactly one acquires, and after release exactly one waiter wins."""
+    import threading
+
+    managers = [FileLockManager(tmp_path) for _ in range(8)]
+    results = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def racer(i):
+        barrier.wait()
+        results[i] = managers[i].acquire("contested")
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads: t.start()
+    for t in threads: t.join(10)
+    assert sum(1 for r in results if r) == 1
+
+    winner = results.index(True)
+    managers[winner].release("contested")
+    again = [m.acquire("contested") for m in managers]
+    assert sum(1 for r in again if r) == 1
+
+
+def test_stale_break_race_single_winner(tmp_path):
+    """Two waiters observing the same stale lock: the rename-claim protocol
+    admits exactly one."""
+    import json
+    import threading
+    import time as _time
+
+    # a crashed owner's lock, old enough to be stale
+    (tmp_path / "job.lock").write_bytes(json.dumps(
+        {"owner": "dead", "key": "job", "ts": _time.time() - 9999}).encode())
+
+    managers = [FileLockManager(tmp_path, stale_after_s=1.0) for _ in range(6)]
+    results = [None] * 6
+    barrier = threading.Barrier(6)
+
+    def breaker(i):
+        barrier.wait()
+        results[i] = managers[i].acquire("job")
+
+    threads = [threading.Thread(target=breaker, args=(i,)) for i in range(6)]
+    for t in threads: t.start()
+    for t in threads: t.join(10)
+    assert sum(1 for r in results if r) == 1
+    # the winner's payload is intact (never observable empty/partial)
+    meta = json.loads((tmp_path / "job.lock").read_bytes())
+    assert meta["owner"] == managers[results.index(True)].owner

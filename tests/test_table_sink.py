@@ -442,3 +442,47 @@ def test_two_phase_stage_then_commit(spark, tmp_path):
     # NO_OP stages to None and commit_staged(None) is a no-op
     assert t.stage(t.read(), WriteOp.NO_OP) is None
     assert t.commit_staged(None) is None
+
+
+def test_user_defined_commit_id(spark, tmp_path):
+    """TestHoodieSink.testUserDefinedCommitTime parity: a caller-pinned
+    commit id is used instead of the next sequential one; the log stays
+    monotonic (stale or malformed ids rejected; duplicates fail at
+    publish)."""
+    import pytest
+
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "uc", record_key_field="k")
+    mk = lambda v: spark.createDataFrame([(1, v)], ["k", "v"])  # noqa: E731
+    c0 = t.write(mk("a"), WriteOp.INSERT)
+    assert c0.commit_id == "000000000000"
+
+    c1 = t.write(mk("b"), WriteOp.UPSERT, commit_id="000000000042")
+    assert c1.commit_id == "000000000042"
+    # sequential numbering continues AFTER the pinned id
+    c2 = t.write(mk("c"), WriteOp.UPSERT)
+    assert c2.commit_id == "000000000043"
+    # time travel to the pinned commit works like any other
+    assert t.read(as_of="000000000042").collect()[0]["v"] == "b"
+
+    with pytest.raises(ValueError, match="not after"):
+        t.write(mk("x"), WriteOp.UPSERT, commit_id="000000000001")
+    with pytest.raises(ValueError, match="12 digits"):
+        t.write(mk("x"), WriteOp.UPSERT, commit_id="42")
+
+
+def test_no_op_write_with_metadata_persists_nothing(spark, tmp_path):
+    """TestHoodieSink NO_OP paths: no commit, no data, metadata manager
+    NOT saved (the checkpoint must not advance on a no-op)."""
+    from marmaray_spark.metadata import InMemoryMetadataManager
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    t = TableSink(spark, tmp_path / "noop", record_key_field="k")
+    meta = InMemoryMetadataManager()
+    meta.set("cp", "5")
+    assert t.write(spark.createDataFrame([(1, "a")], ["k", "v"]),
+                   WriteOp.NO_OP, metadata=meta) is None
+    assert t.is_empty()
+    assert not (tmp_path / "noop" / "data").exists()
+    assert meta.saved_count == 0
