@@ -127,6 +127,61 @@ def fingerprint_bottom_k(shingles_col: str, k: int = 4) -> Column:
     )
 
 
+def dup_word_bps(words_col: str) -> Column:
+    """Repeated-word mass in basis points: (n_tokens - n_distinct) * 10000
+    div n_tokens. The classic repetition signal from the Gopher quality
+    rules (Rae et al. 2021, table A1) — high values mean the document is
+    mostly the same words over and over. Integer div => engine-exact."""
+    return F.expr(
+        f"CAST((size({words_col}) - size(array_distinct({words_col}))) * 10000 "
+        f"div greatest(size({words_col}), 1) AS INT)")
+
+
+def top_ngram_bps(words_col: str, n: int = 2) -> Column:
+    """Fraction (basis points) of n-gram slots taken by the single most
+    frequent n-gram — Gopher's "top n-gram fraction" repetition rule.
+
+    Expression-only: occurrences counted with filter() over the row's own
+    shingle array (O(distinct x total) per row — bounded by document
+    length, no shuffle, no Python)."""
+    return _top_ngram_bps_expr(words_col, n)
+
+
+def _top_ngram_bps_expr(words_col: str, n: int) -> Column:
+    parts = ", ' ', ".join(f"{words_col}[i + {j}]" for j in range(n))
+    sh = (f"IF(size({words_col}) < {n}, array(), "
+          f"transform(sequence(0, size({words_col}) - {n}), "
+          f"i -> concat({parts})))")
+    return F.expr(
+        f"CAST(IF(size({sh}) = 0, 0, "
+        f"array_max(transform(array_distinct({sh}), "
+        f"s -> size(filter({sh}, x -> x = s)))) * 10000 div size({sh})) AS INT)")
+
+
+def mean_word_len_x100(words_col: str) -> Column:
+    """Mean token length scaled x100, integer div (Gopher bounds 3..10)."""
+    return F.expr(
+        f"CAST(aggregate({words_col}, 0, (acc, x) -> acc + length(x)) * 100 "
+        f"div greatest(size({words_col}), 1) AS INT)")
+
+
+def symbol_word_bps(col: str, words_col: str) -> Column:
+    """Symbol-to-word ratio in basis points (Gopher's #/... rule
+    generalized to all non-alphanumeric-non-space characters)."""
+    return F.expr(
+        f"CAST(length(regexp_replace({col}, '[a-z0-9 ]', '')) * 10000 "
+        f"div greatest(size({words_col}), 1) AS INT)")
+
+
+def gopher_repetition_pass(words_col: str) -> Column:
+    """Boolean Gopher-style repetition gate: duplicate-word mass < 65%,
+    top 2-gram < 20%, top 3-gram < 18% of their slots. Thresholds follow
+    the shape (not the exact corpus-tuned constants) of Gopher table A1."""
+    return ((dup_word_bps(words_col) < 6500)
+            & (_top_ngram_bps_expr(words_col, 2) < 2000)
+            & (_top_ngram_bps_expr(words_col, 3) < 1800))
+
+
 def chunk_spans(words_col: str, chunk_size: int, overlap: int) -> Column:
     """Overlapping token-window spans: array of (chunk_idx, start, len)
     structs covering the word array with stride chunk_size - overlap.

@@ -68,9 +68,15 @@ class FileLockManager:
     def _try_acquire(self, key: str) -> bool:
         """Publish the fully-written payload with os.link — the lock file is
         never observable empty/partial, and link fails atomically when the
-        path already exists. Stale locks are claimed by os.rename of the
-        stale inode to a per-owner name: exactly one breaker's rename
-        succeeds; everyone then races a fresh link, which again admits one."""
+        path already exists.
+
+        Stale locks are broken under a breaker mutex (a ``.break`` file,
+        itself acquired by single-winner os.link): only ONE process may
+        break a given lock at a time, and it re-verifies staleness while
+        holding the mutex — so a freshly-published lock can never be
+        mistaken for the stale one and stolen (the check-then-rename race
+        a mutex-less breaker has). A breaker that crashes mid-break leaves
+        a ``.break`` file that is itself breakable after ``grace_s``."""
         path = self._path(key)
         payload = json.dumps({"owner": self.owner, "key": key,
                               "ts": time.time()}).encode()
@@ -85,30 +91,42 @@ class FileLockManager:
                 pass
             if not self._is_stale(path):
                 return False
-            # claim the stale file before removing it: rename of one inode
-            # succeeds for exactly one breaker; the losers see ENOENT and
-            # fall through to the (single-winner) link race below.
-            broken = path.with_suffix(f".broken-{self.owner}")
-            try:
-                if not self._is_stale(path):  # last-moment re-check: a fresh
-                    return False              # lock may have replaced the stale one
-                os.rename(path, broken)
-            except FileNotFoundError:
-                pass
-            else:
-                try:
-                    os.unlink(broken)
-                except FileNotFoundError:
-                    pass
-            try:
-                os.link(tmp, path)
-                self._held.add(key)
-                return True
-            except FileExistsError:
-                return False
+            return self._break_and_claim(key, path, tmp)
         finally:
             try:
                 tmp.unlink()
+            except FileNotFoundError:
+                pass
+
+    def _break_and_claim(self, key: str, path: Path, tmp: Path) -> bool:
+        """Break a stale lock while holding the single-winner breaker
+        mutex; returns True iff this owner ends up holding the lock."""
+        bpath = path.with_suffix(".break")
+        try:  # clear a crashed breaker's leftover mutex (held only for ms)
+            if time.time() - bpath.stat().st_mtime > self.grace_s:
+                bpath.unlink()
+        except (FileNotFoundError, OSError):
+            pass
+        try:
+            os.link(tmp, bpath)
+        except FileExistsError:
+            return False    # another breaker is mid-break; let it finish
+        try:
+            if not self._is_stale(path):
+                return False        # someone re-published while we queued
+            try:
+                os.unlink(path)     # safe: no other breaker can be active
+            except FileNotFoundError:
+                pass
+            try:
+                os.link(tmp, path)  # still races fresh acquirers: one winner
+            except FileExistsError:
+                return False
+            self._held.add(key)
+            return True
+        finally:
+            try:
+                bpath.unlink()
             except FileNotFoundError:
                 pass
 
@@ -130,11 +148,26 @@ class FileLockManager:
             except OSError:
                 return False
 
+    def _still_owns(self, path: Path) -> bool:
+        """True when the on-disk lock still carries this manager's owner id
+        — false means the lock went stale and was broken + re-acquired by
+        someone else (our hold is void, like an expired ZK session)."""
+        try:
+            return json.loads(path.read_bytes()).get("owner") == self.owner
+        except (OSError, ValueError, AttributeError):
+            return False
+
     def heartbeat(self, key: str) -> None:
         """Refresh the lock timestamp so long runs aren't broken as stale.
-        Atomic replace — readers never observe a truncated file."""
+        Atomic replace — readers never observe a truncated file. Raises
+        LockError if the lock was broken as stale and taken by another
+        owner (never clobbers the new owner's lock)."""
         if key in self._held:
             path = self._path(key)
+            if not self._still_owns(path):
+                self._held.discard(key)
+                raise LockError(f"lock {key!r} was broken as stale and is "
+                                "no longer held by this owner")
             tmp = path.with_suffix(f".hb-{self.owner}")
             tmp.write_bytes(json.dumps(
                 {"owner": self.owner, "key": key, "ts": time.time()}).encode())
@@ -143,8 +176,11 @@ class FileLockManager:
     def release(self, key: str) -> None:
         if key in self._held:
             self._held.discard(key)
+            path = self._path(key)
+            if not self._still_owns(path):
+                return      # broken as stale + re-acquired: not ours to unlink
             try:
-                self._path(key).unlink()
+                path.unlink()
             except FileNotFoundError:
                 pass
 

@@ -783,6 +783,158 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", fingerprint_bottom_k("shingles", 4).alias("fingerprint")))
 
 
+_SQL_SH2 = ("list_transform(generate_series(1, greatest(len(w) - 1, 0)), "
+            "i -> array_to_string(w[i:i+1], ' '))")
+_SQL_SH3 = ("list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
+            "i -> array_to_string(w[i:i+2], ' '))")
+
+
+def _sql_top_ngram_bps(sh: str) -> str:
+    return (f"CASE WHEN len({sh}) = 0 THEN 0 ELSE "
+            f"list_max(list_transform(list_distinct({sh}), "
+            f"s -> len(list_filter({sh}, x -> x = s)))) * 10000 // len({sh}) END")
+
+
+@register(
+    "gopher_quality_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_tokens,
+             CAST((len(w) - len(list_distinct(w))) * 10000
+                  // greatest(len(w), 1) AS INT) AS dup_word_bps,
+             CAST({_sql_top_ngram_bps(_SQL_SH2)} AS INT) AS top2_bps,
+             CAST({_sql_top_ngram_bps(_SQL_SH3)} AS INT) AS top3_bps,
+             CAST(list_sum(list_transform(w, x -> length(x))) * 100
+                  // greatest(len(w), 1) AS INT) AS mean_word_len_x100,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10000
+                  // greatest(len(w), 1) AS INT) AS symbol_word_bps
+      FROM t
+    )
+    SELECT *, (dup_word_bps < 6500 AND top2_bps < 2000 AND top3_bps < 1800)
+              AS gopher_pass
+    FROM s
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality rules (Rae et al. 2021 table A1
+    shape): duplicate-word mass, top 2/3-gram fraction, mean word length,
+    symbol ratio — all integer basis points, all per-row expressions in
+    whole-stage codegen; no shuffle (operators/text.py)."""
+    from marmaray_spark.operators.text import (dup_word_bps,
+                                               gopher_repetition_pass,
+                                               mean_word_len_x100,
+                                               symbol_word_bps, top_ngram_bps)
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        dup_word_bps("w").alias("dup_word_bps"),
+        top_ngram_bps("w", 2).alias("top2_bps"),
+        top_ngram_bps("w", 3).alias("top3_bps"),
+        mean_word_len_x100("w").alias("mean_word_len_x100"),
+        symbol_word_bps("text", "w").alias("symbol_word_bps"),
+        gopher_repetition_pass("w").alias("gopher_pass"),
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 4, 0)),
+               i -> array_to_string(w[i:i+4], ' '))) AS grams
+      FROM t
+    ), corpus AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      FROM g WHERE doc_id % 97 <> 0
+    ), test AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT c.doc_id, any_value(c.n_grams) AS n_grams, COUNT(*) AS n_overlap
+      FROM corpus c JOIN test USING (gram) GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           CAST(n_overlap * 10000 // greatest(n_grams, 1) AS INT) AS overlap_bps,
+           n_overlap * 10000 // greatest(n_grams, 1) >= 2000 AS contaminated
+    FROM hits
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): 5-gram overlap
+    of each corpus doc against a held-out eval slice (doc_id % 97 == 0).
+    Eval n-gram set broadcast; corpus side = explode + broadcast hash join
+    + one groupBy(doc_id) — linear, never all-pairs."""
+    from marmaray_spark.operators.decontam import decontaminate
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    test_set = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, test_set, n=5, contaminated_bps=2000)
+
+
+@register(
+    "term_heavy_hitters",
+    f"""
+    SELECT term, COUNT(*) AS cnt
+    FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY cnt DESC, term
+    LIMIT 25
+    """,
+)
+def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: top-25 terms by frequency, ties broken
+    by term. Map-side partial aggregation does the heavy lifting; the
+    ordered limit is a TakeOrderedAndProject (per-partition top-k then a
+    25-row driver merge), never a global sort of the term dictionary."""
+    from marmaray_spark.operators.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select(F.explode(words("text")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "term")
+            .limit(25))
+
+
+@register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.25), 4) AS p25,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.50), 4) AS p50,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.75), 4) AS p75,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.90), 4) AS p90,
+           ROUND(quantile_cont(CAST(value AS DOUBLE), 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (the
+    distribution-profiling staple). Exact `percentile` is a one-shuffle
+    sort-based agg; at 100 TB swap in `approx_percentile` (KLL-style
+    sketch, mergeable, bounded memory) — the sketch twin is covered by
+    tests/test_llm_ops.py error-bound checks."""
+    ev = load(spark, sf_dir, "events")
+    pct = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p90": 0.90, "p99": 0.99}
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        *[F.round(F.expr(f"percentile(CAST(value AS DOUBLE), {q})"), 4).alias(a)
+          for a, q in pct.items()])
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline: deduplication (operators/dedup.py)
 # ---------------------------------------------------------------------------

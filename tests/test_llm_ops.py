@@ -378,3 +378,81 @@ def test_srp_banded_near_dup_subset_of_pairwise(spark):
         assert v == exact[k]                       # identical exact dots
     if exact:                                      # recall on the test corpus
         assert len(banded) / len(exact) >= 0.8
+
+
+def test_gopher_repetition_signals(spark):
+    """Repetitive docs fail the gate; varied prose passes; integer basis
+    points behave at the edges (empty/one-word docs)."""
+    from marmaray_spark.operators.text import (dup_word_bps,
+                                               gopher_repetition_pass,
+                                               mean_word_len_x100,
+                                               top_ngram_bps)
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),          # one word
+        (2, "buy now buy now buy now buy now buy now buy now"),  # one 2-gram
+        (3, "the quick brown fox jumps over the lazy dog while "
+            "seven wizards brew strong coffee at dawn"),         # varied
+        (4, ""),                                                 # empty
+        (5, "word"),                                             # single token
+    ]
+    df = (spark.createDataFrame(rows, ["doc_id", "text"])
+          .withColumn("w", F.split(F.trim(F.lower("text")), r"\s+")))
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        dup_word_bps("w").alias("dup"),
+        top_ngram_bps("w", 2).alias("top2"),
+        mean_word_len_x100("w").alias("mwl"),
+        gopher_repetition_pass("w").alias("ok")).collect()}
+
+    assert got[1]["dup"] == 8750 and not got[1]["ok"]     # 7/8 repeats
+    assert got[2]["top2"] > 4000 and not got[2]["ok"]     # "buy now" dominates
+    assert got[3]["dup"] == 588 and got[3]["ok"]          # 1 repeat / 17
+    assert got[4]["dup"] == 0                             # no div-by-zero
+    assert got[5]["dup"] == 0 and got[5]["top2"] == 0 and got[5]["mwl"] == 400
+
+
+def test_decontaminate_flags_overlap_and_broadcasts(spark):
+    from marmaray_spark.operators.decontam import decontaminate
+
+    mk = lambda rows: (spark.createDataFrame(rows, ["doc_id", "text"])  # noqa: E731
+                       .withColumn("w", F.split(F.trim(F.lower("text")), r"\s+")))
+    test_set = mk([(100, "alpha beta gamma delta epsilon zeta")])
+    corpus = mk([
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),   # contains eval
+        (2, "one two three four five six seven eight nine"),    # clean
+        (3, "x y alpha beta gamma delta epsilon pad pad2 pad3 "
+            "pad4 pad5 pad6 pad7 pad8 pad9 pad10 pad11"),       # partial
+    ])
+    out = decontaminate(corpus, test_set, n=5, contaminated_bps=2000)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 2 not in rows                       # zero-overlap docs omitted
+    assert rows[1]["contaminated"]             # 2 of 4 grams shared
+    assert rows[1]["n_overlap"] == 2 and rows[1]["n_grams"] == 4
+    assert not rows[3]["contaminated"]         # 1 of 14 grams -> 714 bps
+    assert rows[3]["overlap_bps"] == 714
+    # eval side must be the broadcast side; corpus side never nested-loops
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+
+def test_approx_percentile_within_sketch_error_of_exact(spark):
+    """The 100 TB twin of event_value_percentiles: approx_percentile's
+    rank error is bounded by 1/accuracy — verify the sketch lands within
+    the equivalent value window of the exact answer."""
+    import random
+
+    rng = random.Random(7)
+    vals = [(rng.gauss(50.0, 15.0),) for _ in range(20000)]
+    df = spark.createDataFrame(vals, ["v"])
+    acc = 1000      # rank error <= n/acc = 20 rows
+    row = df.select(
+        F.expr("percentile(v, array(0.5, 0.9, 0.99))").alias("exact"),
+        F.expr(f"approx_percentile(v, array(0.5, 0.9, 0.99), {acc})").alias("approx"),
+        F.expr("sort_array(collect_list(v))").alias("sorted_v")).collect()[0]
+    n = len(row["sorted_v"])
+    for q, exact, approx in zip([0.5, 0.9, 0.99], row["exact"], row["approx"]):
+        rank = int(q * (n - 1))
+        lo = row["sorted_v"][max(0, rank - n // acc - 1)]
+        hi = row["sorted_v"][min(n - 1, rank + n // acc + 1)]
+        assert lo <= approx <= hi, (q, exact, approx, lo, hi)

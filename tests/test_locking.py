@@ -124,3 +124,28 @@ def test_stale_break_race_single_winner(tmp_path):
     # the winner's payload is intact (never observable empty/partial)
     meta = json.loads((tmp_path / "job.lock").read_bytes())
     assert meta["owner"] == managers[results.index(True)].owner
+
+
+def test_heartbeat_and_release_after_stale_break_do_not_clobber(tmp_path):
+    """An owner whose lock was broken as stale must not heartbeat or
+    release over the new owner's lock (expired-session semantics)."""
+    import json
+
+    import pytest
+
+    from marmaray_spark.plans.locking import LockError
+
+    slow = FileLockManager(tmp_path, stale_after_s=0.05)
+    assert slow.acquire("job")
+    import time as _t
+    _t.sleep(0.1)                      # let slow's lock go stale
+    thief = FileLockManager(tmp_path, stale_after_s=0.05)
+    assert thief.acquire("job")        # breaks + re-acquires
+
+    with pytest.raises(LockError):
+        slow.heartbeat("job")
+    assert "job" not in slow           # hold voided
+    slow.release("job")                # no-op, must not unlink thief's lock
+    meta = json.loads((tmp_path / "job.lock").read_bytes())
+    assert meta["owner"] == thief.owner
+    thief.heartbeat("job")             # real owner still fine
