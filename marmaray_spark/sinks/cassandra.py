@@ -164,7 +164,14 @@ class CassandraSchema:
 
     def insert_cql(self) -> str:
         """Prepared-statement INSERT (CassandraSinkCQLDataConverter path)."""
-        cols = list(self.fields)
+        return self.insert_cql_for(list(self.fields))
+
+    def insert_cql_for(self, cols: list[str]) -> str:
+        """Prepared INSERT over a column subset (a frame missing optional
+        columns writes only what it has — Cassandra unset-column rules)."""
+        unknown = [c for c in cols if c not in self.fields]
+        if unknown:
+            raise KeyError(f"columns not in table schema: {unknown}")
         return (f"INSERT INTO {self.keyspace}.{self.table} "
                 f"({', '.join(cols)}) VALUES ({', '.join('?' for _ in cols)})")
 

@@ -202,3 +202,106 @@ def test_timestamp_info_extends_schema_and_prepare(spark, tmp_path):
     with pytest.raises(KeyError, match="written-time"):
         CassandraSchema.from_struct(df.schema, "ks", "t", ["k"],
                                     written_time_field="nope")
+
+
+# -- client-protocol execution (CqlInsertSink + in-process cluster) ----------
+
+def _client_schema():
+    from pyspark.sql import types as T
+
+    from marmaray_spark.sinks.cassandra import CassandraSchema
+    struct = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("src_ts", T.LongType()),
+    ])
+    return CassandraSchema.from_struct(
+        struct, "ks", "users", ["user_id"], written_time_field="src_ts")
+
+
+def test_cql_client_sink_executes_ddl_and_inserts_lww(spark, tmp_path):
+    """CassandraClientSink.java:60-131 parity, actually executed: DDL on
+    the driver, per-partition sessions on executors, USING TIMESTAMP
+    last-write-wins on replay."""
+    from marmaray_spark.sinks.cassandra import CassandraBulkSink
+    from marmaray_spark.sinks.cql_client import (CqlInsertSink,
+                                                 DirectoryCqlCluster)
+
+    schema = _client_schema()
+    cluster = DirectoryCqlCluster(tmp_path / "cluster")
+    sink = CqlInsertSink(schema, cluster.session_factory(),
+                         use_write_timestamp=True)
+
+    ddl = sink.setup()
+    assert ddl[0].startswith("CREATE KEYSPACE")
+    assert "PRIMARY KEY (user_id)" in ddl[1]
+
+    base_us = 1_600_000_000_000_000
+    rows = [
+        (1, "old", 1.0, base_us + 1_000_000),
+        (1, "new", 2.0, base_us + 2_000_000),   # later writetime -> wins
+        (2, "only", 3.0, base_us + 500_000),
+        (3, None, 4.0, base_us + 1),            # null non-key ok
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "name", "score", "src_ts"]) \
+              .repartition(4)
+    prepared = CassandraBulkSink(schema, tmp_path / "unused",
+                                 written_time_field="src_ts").prepare(df)
+    n = sink.write(prepared.drop("batch_id"))
+    assert n == 4                               # all rows executed
+
+    table = cluster.table(schema)
+    assert set(table) == {(1,), (2,), (3,)}
+    assert table[(1,)]["name"] == "new" and table[(1,)]["score"] == 2.0
+    assert table[(1,)]["orderTsField"] == base_us + 2_000_000
+    assert table[(3,)]["name"] is None
+
+
+def test_cql_client_sink_lww_insertion_order_independent(spark, tmp_path):
+    """The LATER writetime wins even when it is executed FIRST — pure
+    timestamp semantics, not arrival order."""
+    from marmaray_spark.sinks.cql_client import (CqlInsertSink,
+                                                 DirectoryCqlCluster)
+
+    schema = _client_schema()
+    cluster = DirectoryCqlCluster(tmp_path / "c2")
+    sink = CqlInsertSink(schema, cluster.session_factory(),
+                         use_write_timestamp=True)
+    sink.setup()
+    from marmaray_spark.sinks.cassandra import ORDER_TS_FIELD
+    newer_first = spark.createDataFrame(
+        [(7, "winner", 1.0, 2_000_000_000_000_000),
+         (7, "loser", 0.0, 1_500_000_000_000_000)],
+        ["user_id", "name", "score", ORDER_TS_FIELD]).coalesce(1)
+    assert sink.write(newer_first) == 2
+    assert cluster.table(schema)[(7,)]["name"] == "winner"
+
+
+def test_cql_client_sink_alter_and_subset_insert(spark, tmp_path):
+    """Pre-existing table: setup emits only ALTER ADD; a frame missing an
+    optional column inserts the subset (Cassandra unset-column rules)."""
+    import pytest
+
+    from marmaray_spark.sinks.cql_client import (CqlInsertSink,
+                                                 DirectoryCqlCluster)
+
+    schema = _client_schema()
+    cluster = DirectoryCqlCluster(tmp_path / "c3")
+    sink = CqlInsertSink(schema, cluster.session_factory())
+
+    stmts = sink.setup(existing_columns={"user_id", "name", "src_ts"})
+    assert all(s.startswith("ALTER TABLE ks.users ADD") for s in stmts)
+    assert {s.rsplit(" ", 2)[-2] for s in stmts} == {"score", "orderTsField"}
+
+    df = spark.createDataFrame([(5, "no-score", 123)],
+                               ["user_id", "name", "src_ts"]).coalesce(1)
+    assert sink.write(df) == 1
+    row = cluster.table(schema)[(5,)]
+    assert row["name"] == "no-score" and "score" not in row
+
+    with pytest.raises(KeyError, match="key columns"):
+        sink.write(spark.createDataFrame([("x",)], ["name"]))
+    with pytest.raises(KeyError, match="orderTsField"):
+        CqlInsertSink(schema, cluster.session_factory(),
+                      use_write_timestamp=True).write(df)
