@@ -232,3 +232,28 @@ def deterministic_sample(df, id_col: str, pct: float, salt: str = "s0"):
     prefix = F.expr(
         f"substring(md5(concat('{salt}:', cast({id_col} as string))), 1, 4)")
     return df.filter(prefix < threshold)
+
+
+def stratified_sample(df, id_col: str, strata_col: str,
+                      pcts: dict[str, float], default_pct: float = 100.0,
+                      salt: str = "s0"):
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    md5-threshold percentage (e.g. downsample dominant languages, keep
+    all of the rare ones — the corpus-rebalancing staple). Same hash
+    contract as deterministic_sample: engine/retry/partitioning-stable.
+    Strata not listed keep ``default_pct``."""
+    for p in list(pcts.values()) + [default_pct]:
+        if not 0 <= p <= 100:
+            raise ValueError("pct in [0, 100]")
+
+    def hexthr(pct: float) -> str:
+        return format(min(round(pct / 100 * 65536), 65535), "04x") \
+            if pct < 100 else "ffff~"   # '~' sorts above hex: keep-all
+
+    prefix = (f"substring(md5(concat('{salt}:', "
+              f"cast({id_col} as string))), 1, 4)")
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN '{hexthr(p)}'"
+        for s, p in sorted(pcts.items()))
+    thr = f"CASE {cases} ELSE '{hexthr(default_pct)}' END"
+    return df.filter(F.expr(f"{prefix} < {thr}"))

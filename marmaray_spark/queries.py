@@ -935,6 +935,106 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
           for a, q in pct.items()])
 
 
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+             CAST(doc_id % 32 AS INT) AS bucket
+      FROM documents
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT bucket, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(CAST(SUM(n_tokens) AS BIGINT) * 10000 // 512 AS INT) AS fill_bps
+    FROM c GROUP BY bucket, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): deterministic
+    concat-and-chunk into 512-token training sequences, salted into 32
+    independent streams so the running-sum window parallelizes (size
+    n_buckets ~4x cluster cores at 100 TB)."""
+    from marmaray_spark.operators.packing import packing_stats
+    from marmaray_spark.operators.text import token_count
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", token_count("text").cast("long").alias("n_tokens")))
+    return packing_stats(docs, id_col="doc_id", tokens_col="n_tokens",
+                         seq_len=512, n_buckets=32)
+
+
+@register(
+    "doc_distinctive_terms",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term <> '' GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+      WHERE term <> '' GROUP BY term
+    ), s AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
+             CAST(tf.tf AS BIGINT) * 10000 // CAST(dfq.df AS BIGINT) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS BIGINT) * 10000 // CAST(dfq.df AS BIGINT)
+                        DESC, tf.term) AS rn
+      FROM tf JOIN dfq USING (term)
+    )
+    SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score
+    FROM s WHERE rn = 1
+    """,
+)
+def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most distinctive term by integer tf-over-df score
+    (tf * 10000 div df — the TF-IDF shape with an engine-exact integer
+    inverse-frequency in place of the float log). One explode, two
+    partial-agg shuffles, one equi-join on term, one per-doc window —
+    every key uniform; no N^2, no floats."""
+    from marmaray_spark.operators.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    terms = (docs.select("doc_id", F.explode(words("text")).alias("term"))
+             .filter(F.col("term") != ""))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(dfq, "term")
+              .withColumn("score", F.expr("tf * 10000 div df")))
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "term", "tf", "df", "score"))
+
+
+@register(
+    "stratified_language_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN lang = 'en' THEN '199a' ELSE '6666' END
+    """,
+)
+def stratified_language_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep 10% of dominant-language (en) docs and 40%
+    of everything else, by per-stratum deterministic md5 thresholds
+    (operators/text.py stratified_sample) — a pure pushed-down filter, no
+    shuffle, stable across engines/retries/partitionings."""
+    from marmaray_spark.operators.text import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang",
+                             {"en": 10.0}, default_pct=40.0) \
+        .select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline: deduplication (operators/dedup.py)
 # ---------------------------------------------------------------------------

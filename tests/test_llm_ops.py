@@ -456,3 +456,54 @@ def test_approx_percentile_within_sketch_error_of_exact(spark):
         lo = row["sorted_v"][max(0, rank - n // acc - 1)]
         hi = row["sorted_v"][min(n - 1, rank + n // acc + 1)]
         assert lo <= approx <= hi, (q, exact, approx, lo, hi)
+
+
+def test_pack_sequences_deterministic_chunking(spark):
+    from marmaray_spark.operators.packing import pack_sequences, packing_stats
+
+    rows = [(i, 100) for i in range(10)]             # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_sequences(df, id_col="doc_id", tokens_col="n_tokens",
+                            seq_len=256, n_buckets=1).collect()
+    by_doc = {r["doc_id"]: r["bin_id"] for r in packed}
+    # stream: doc i starts at i*100; bin = (i*100) div 256
+    assert by_doc == {i: (i * 100) // 256 for i in range(10)}
+
+    stats = packing_stats(df, id_col="doc_id", tokens_col="n_tokens",
+                          seq_len=256, n_buckets=1).collect()
+    assert sum(r["n_docs"] for r in stats) == 10
+    assert sum(r["sum_tokens"] for r in stats) == 1000
+    # a doc longer than seq_len overflows its bin: fill > 10000 bps
+    big = spark.createDataFrame([(1, 600)], ["doc_id", "n_tokens"])
+    (over,) = packing_stats(big, id_col="doc_id", tokens_col="n_tokens",
+                            seq_len=256, n_buckets=1).collect()
+    assert over["fill_bps"] > 10000
+
+    import pytest
+    with pytest.raises(ValueError):
+        pack_sequences(df, id_col="doc_id", tokens_col="n_tokens", seq_len=0)
+
+
+def test_stratified_sample_quotas_and_stability(spark):
+    from marmaray_spark.operators.text import (deterministic_sample,
+                                               stratified_sample)
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(df, "doc_id", "lang", {"en": 10.0},
+                            default_pct=50.0)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 120 <= counts["en"] <= 280        # ~10% of 2000
+    assert 850 <= counts["de"] <= 1150       # ~50% of 2000
+    # same hash contract as the unstratified sampler: en slice == plain 10%
+    en_plain = {r["doc_id"] for r in
+                deterministic_sample(df.filter(F.col("lang") == "en"),
+                                     "doc_id", 10.0).collect()}
+    en_strat = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+    assert en_plain == en_strat
+    # default_pct=100 keeps every unlisted stratum
+    keep_all = stratified_sample(df, "doc_id", "lang", {"en": 0.0},
+                                 default_pct=100.0)
+    assert keep_all.filter(F.col("lang") == "de").count() == 2000
+    assert keep_all.filter(F.col("lang") == "en").count() == 0
