@@ -63,3 +63,34 @@ def test_boto3_client_gated(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_boto3)
     with pytest.raises(NotImplementedError):
         Boto3Client()
+
+
+def test_boto3_client_uploads_to_mock_s3(spark, tmp_path):
+    """The boto3 leg of AwsFileSink parity, exercised against moto's mock
+    S3: staged parts upload as {key}_{part:05d}, staging dir removed,
+    object bytes round-trip."""
+    import pytest
+
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+
+    from marmaray_spark.sinks.object_store import Boto3Client, ObjectStoreSink
+
+    with moto.mock_aws():
+        boto3.client("s3", region_name="us-east-1").create_bucket(Bucket="disp")
+        sink = ObjectStoreSink(Boto3Client(region="us-east-1"), "disp",
+                               "out/orders", fmt="csv",
+                               staging_dir=tmp_path / "stage")
+        df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+        keys = sink.write(df.coalesce(1))
+        assert keys == ["out/orders_00000.csv"]
+        assert not (tmp_path / "stage").exists()
+
+        s3 = boto3.client("s3", region_name="us-east-1")
+        listed = [o["Key"] for o in
+                  s3.list_objects_v2(Bucket="disp")["Contents"]]
+        assert listed == keys
+        body = s3.get_object(Bucket="disp",
+                             Key=keys[0])["Body"].read().decode()
+        lines = body.strip().splitlines()
+        assert lines[0] == "k,v" and set(lines[1:]) == {"1,a", "2,b", "3,c"}
