@@ -37,6 +37,14 @@ HEADLINE = [
     "skew_salted_agg",
     "zorder_values",
     "corpus_prep_pipeline",
+    "gopher_quality_rules",
+    "benchmark_decontamination",
+    "term_heavy_hitters",
+    "event_value_percentiles",
+    "sequence_packing",
+    "doc_distinctive_terms",
+    "stratified_language_sample",
+    "training_data_pipeline",
 ]
 
 

@@ -849,8 +849,8 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               generate_series(1, greatest(len(w) - 4, 0)),
-               i -> array_to_string(w[i:i+4], ' '))) AS grams
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> array_to_string(w[i:i+2], ' '))) AS grams
       FROM t
     ), corpus AS (
       SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
@@ -864,21 +864,25 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
            CAST(n_overlap AS BIGINT) AS n_overlap,
            CAST(n_overlap * 10000 // greatest(n_grams, 1) AS INT) AS overlap_bps,
-           n_overlap * 10000 // greatest(n_grams, 1) >= 2000 AS contaminated
+           n_overlap * 10000 // greatest(n_grams, 1) >= 500 AS contaminated
     FROM hits
     """,
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/decontam.py): 5-gram overlap
-    of each corpus doc against a held-out eval slice (doc_id % 97 == 0).
-    Eval n-gram set broadcast; corpus side = explode + broadcast hash join
-    + one groupBy(doc_id) — linear, never all-pairs."""
+    """Benchmark decontamination (operators/decontam.py): 3-gram overlap
+    of each corpus doc against a held-out eval slice (doc_id % 97 == 0);
+    flag at >= 5% of the doc's distinct 3-grams. (The synthetic docs are
+    30-160 tokens of a tiny vocabulary, so 5-grams almost never collide —
+    3-grams give the check teeth; at real corpus scale use 8-13-gram
+    windows per GPT-3/PaLM practice.) Eval n-gram set broadcast; corpus
+    side = explode + broadcast hash join + one groupBy(doc_id) — linear,
+    never all-pairs."""
     from marmaray_spark.operators.decontam import decontaminate
 
     docs = _with_words(load(spark, sf_dir, "documents"))
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     test_set = docs.filter(F.col("doc_id") % 97 == 0)
-    return decontaminate(corpus, test_set, n=5, contaminated_bps=2000)
+    return decontaminate(corpus, test_set, n=3, contaminated_bps=500)
 
 
 @register(
@@ -1281,20 +1285,22 @@ def _sql_srp_band_bucket(vcol: str, band: int, planes_per_band: int = 4) -> str:
                 i -> ql.v[i] * qr.v[i])) AS BIGINT) AS dot_q
     FROM cand JOIN c ql ON ql.vec_id = cand.a JOIN c qr ON qr.vec_id = cand.b
     WHERE list_sum(list_transform(generate_series(1, 64),
-          i -> ql.v[i] * qr.v[i])) >= 900000
+          i -> ql.v[i] * qr.v[i])) >= 400000
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, scale plan AS the declared plan:
     banded-SRP candidate generation (4 bands x 4 hyperplanes, O(rows x
-    bands) equi-joins) then exact quantized-dot verification >= 0.9e6
-    (cosine ~0.9 for unit vectors) on the sparse candidate set — no
+    bands) equi-joins) then exact quantized-dot verification >= 0.4e6
+    (cosine ~0.4 — the synthetic embeddings are near-orthogonal, max
+    pairwise cosine ~0.51, so a realistic 0.9 bar matches nothing)
+    on the sparse candidate set — no
     all-pairs join, no id bound (operators/similarity.py
     srp_banded_near_dup_pairs)."""
     from marmaray_spark.operators.similarity import srp_banded_near_dup_pairs
 
     emb = spread(load(spark, sf_dir, "embeddings"), spark)
-    return srp_banded_near_dup_pairs(emb, threshold_milli=900000)
+    return srp_banded_near_dup_pairs(emb, threshold_milli=400000)
 
 
 def _sql_srp_bucket(vcol: str, n_planes: int = 8) -> str:
@@ -1589,8 +1595,8 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
-      AND o.o_orderdate < TIMESTAMP '1995-01-01'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY r.r_name, n.n_name
     """,
 )
@@ -1601,7 +1607,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension chain; the explicit broadcasts pin the hash side."""
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01"))
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
@@ -1638,6 +1644,121 @@ _SQL_PRED_LANG = """
            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
            ELSE 'fr' END
 """
+
+
+@register(
+    "training_data_pipeline",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_WORDS} AS w,
+             doc_id % 97 = 0 AS is_eval
+      FROM documents
+    ), flags AS (
+      SELECT doc_id, w, is_eval,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper,
+             ((len(w) - len(list_distinct(w))) * 10000
+               // greatest(len(w), 1) < 6500
+              AND {_sql_top_ngram_bps(_SQL_SH2)} < 2000
+              AND {_sql_top_ngram_bps(_SQL_SH3)} < 1800) AS gopher_ok
+      FROM base
+    ), grams AS (
+      SELECT doc_id, is_eval,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> array_to_string(w[i:i+2], ' '))) AS g
+      FROM base
+    ), contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gram
+            FROM grams WHERE NOT is_eval) c
+      JOIN (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE is_eval) t
+        USING (gram)
+      GROUP BY c.doc_id, c.n_grams
+      HAVING COUNT(*) * 10000 // greatest(c.n_grams, 1) >= 500
+    ), gated AS (
+      SELECT f.*, f.is_keeper AND NOT f.is_eval AS u,
+             con.doc_id IS NOT NULL AS dirty
+      FROM flags f LEFT JOIN contaminated con USING (doc_id)
+    ), survivors AS (
+      SELECT doc_id, n_tokens, CAST(doc_id % 32 AS INT) AS bucket
+      FROM gated WHERE u AND gopher_ok AND NOT dirty
+    ), packed AS (
+      SELECT bucket, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS bin_id
+      FROM survivors
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_input,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE is_eval) AS n_eval_heldout,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM gated WHERE u) AS n_unique,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM gated WHERE u AND gopher_ok)
+        AS n_quality,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM gated
+        WHERE u AND gopher_ok AND NOT dirty) AS n_clean,
+      (SELECT CAST(COUNT(DISTINCT (bucket, bin_id)) AS BIGINT) FROM packed)
+        AS n_sequences,
+      (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM survivors)
+        AS total_tokens
+    """,
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-data funnel as ONE composed plan: exact
+    dedup (keep-min per content digest) -> Gopher repetition gate ->
+    benchmark decontamination against the held-out eval slice -> token
+    packing into 512-token sequences; returns the one-row funnel report
+    (inputs, held out, unique, quality-pass, clean, packed sequences,
+    total tokens).
+
+    Every stage is the scale shape proven individually: digest window,
+    per-row integer gates, broadcast n-gram join, salted packing windows.
+    One row out — the pipeline-run summary a 100 TB corpus build logs."""
+    from marmaray_spark.operators.decontam import decontaminate
+    from marmaray_spark.operators.packing import pack_sequences
+    from marmaray_spark.operators.text import (gopher_repetition_pass,
+                                               token_count)
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    base = (docs.select("doc_id", "text", "w",
+                        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+                        token_count("text").cast("long").alias("n_tokens")))
+    flags = base.withColumn(
+        "is_keeper",
+        F.col("doc_id") == F.min("doc_id").over(
+            W.partitionBy(F.md5("text")))) \
+        .withColumn("gopher_ok", gopher_repetition_pass("w"))
+
+    corpus = flags.filter(~F.col("is_eval"))
+    eval_set = flags.filter(F.col("is_eval"))
+    dirty = (decontaminate(corpus, eval_set, n=3, contaminated_bps=500)
+             .filter(F.col("contaminated"))
+             .select("doc_id").withColumn("dirty", F.lit(True)))
+    gated = (flags.join(F.broadcast(dirty), "doc_id", "left")
+             .withColumn("dirty", F.coalesce("dirty", F.lit(False)))
+             .withColumn("u", F.col("is_keeper") & ~F.col("is_eval")))
+
+    survivors = gated.filter(F.col("u") & F.col("gopher_ok") & ~F.col("dirty")) \
+        .select("doc_id", "n_tokens")
+    packed = pack_sequences(survivors, id_col="doc_id", tokens_col="n_tokens",
+                            seq_len=512, n_buckets=32)
+
+    # bins joined back per doc so the funnel AND the packing report come
+    # out of ONE aggregate (countDistinct skips the null bins of
+    # non-survivors) — no 1-row x 1-row join anywhere in the plan
+    enriched = gated.join(packed.select("doc_id", "bucket", "bin_id"),
+                          "doc_id", "left")
+    return enriched.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("is_eval").cast("long")).alias("n_eval_heldout"),
+        F.sum(F.col("u").cast("long")).alias("n_unique"),
+        F.sum((F.col("u") & F.col("gopher_ok")).cast("long")).alias("n_quality"),
+        F.sum((F.col("u") & F.col("gopher_ok") & ~F.col("dirty")).cast("long"))
+        .alias("n_clean"),
+        F.countDistinct("bucket", "bin_id").alias("n_sequences"),
+        F.coalesce(F.sum(F.when(F.col("bin_id").isNotNull(),
+                                F.col("n_tokens"))), F.lit(0))
+        .cast("long").alias("total_tokens"))
 
 
 @register(
