@@ -30,6 +30,7 @@ HEADLINE = [
     "simhash_fingerprints",
     "embedding_topk_bruteforce",
     "embedding_srp_probe_topk",
+    "embedding_srp_multiprobe_topk",
     "embedding_ivf_probe_topk",
     "token_counts",
     "multimodal_image_features",

@@ -284,6 +284,78 @@ def ivf_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .select("query_id", "neighbor_id", "dot_q", "rank"))
 
 
+def srp_projections(qvec_col: str, n_planes: int = 8, dim: int = 64) -> Column:
+    """Array of the ``n_planes`` signed hyperplane projections (exact
+    integer dots against the md5-derived +/-1 planes of ``srp_bucket``).
+    Materialize this ONCE as a column; bucket and probe sets derive from
+    it without recomputing the dots."""
+    projs = [
+        (f"aggregate(sequence(1, {dim}), 0L, (acc, i) -> acc + "
+         f"IF(instr('89abcdef', substring(md5(concat('{p}:', cast(i as string))), 1, 1)) > 0, 1L, -1L)"
+         f" * element_at({qvec_col}, i))")
+        for p in range(n_planes)
+    ]
+    return F.expr(f"array({', '.join(projs)})")
+
+
+def srp_bucket_from_projections(proj_col: str, n_planes: int = 8) -> Column:
+    """Bucket id from a materialized projection array (sign bits)."""
+    return F.expr(" + ".join(
+        f"IF({proj_col}[{p}] >= 0, {1 << p}, 0)" for p in range(n_planes)
+    )).cast("bigint")
+
+
+def srp_multiprobe_buckets(proj_col: str, n_planes: int = 8,
+                           extra_probes: int = 2) -> Column:
+    """Multi-probe bucket set: the vector's own bucket plus the buckets
+    reached by flipping each of its ``extra_probes`` weakest-margin
+    planes (smallest |projection| — the planes most likely to have put a
+    true neighbor on the other side). Ties break by plane index. The
+    classic multi-probe LSH recall lift (Lv et al., VLDB'07): probe cost
+    grows linearly, no extra tables, buckets stay disjoint."""
+    if not 0 <= extra_probes <= n_planes:
+        raise ValueError("0 <= extra_probes <= n_planes")
+    own = " + ".join(f"IF({proj_col}[{p}] >= 0, {1 << p}, 0)"
+                     for p in range(n_planes))
+    ordered = (f"array_sort(transform(sequence(0, {n_planes - 1}), "
+               f"p -> struct(abs({proj_col}[p]) as a, p as p)))")
+    flips = (f"transform(slice({ordered}, 1, {extra_probes}), "
+             f"s -> cast(({own}) ^ shiftleft(1L, s.p) as bigint))")
+    return F.expr(f"concat(array(cast(({own}) as bigint)), {flips})")
+
+
+def srp_multiprobe_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                        n_planes: int = 8, dim: int = 64,
+                        extra_probes: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k with multi-probe recall lift: corpus bucketed
+    once (single bucket per vector, unchanged index); each query probes
+    its own bucket PLUS ``extra_probes`` weakest-margin flips. Probed
+    buckets are disjoint, so no dedup step is needed.
+
+    100 TB: identical shape to ``srp_probe_topk`` — the corpus side is
+    scan + bucket projection + ONE equi-join against the broadcast
+    (queries x probes) list; only the probe list grows (1 + extra_probes
+    rows per query)."""
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       quantize(vec_col).alias("cv"))
+         .withColumn("bucket", srp_bucket("cv", n_planes, dim)))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        quantize(vec_col).alias("qv"))
+         .withColumn("__pr", srp_projections("qv", n_planes, dim))
+         .withColumn("bucket", F.explode(
+             srp_multiprobe_buckets("__pr", n_planes, extra_probes)))
+         .drop("__pr"))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("dot_q", int_dot("qv", "cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot_q", "rank"))
+
+
 def srp_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
                    n_planes: int = 8, dim: int = 64,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

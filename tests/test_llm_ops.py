@@ -507,3 +507,39 @@ def test_stratified_sample_quotas_and_stability(spark):
                                  default_pct=100.0)
     assert keep_all.filter(F.col("lang") == "de").count() == 2000
     assert keep_all.filter(F.col("lang") == "en").count() == 0
+
+
+def test_srp_multiprobe_recall_lift(spark, embeddings):
+    """Multi-probe SRP: extra_probes=0 equals single-probe exactly; with
+    probes the candidate set is a superset (disjoint buckets, no dupes)
+    and brute-force recall never decreases."""
+    from marmaray_spark.operators.similarity import (brute_force_topk,
+                                                     srp_multiprobe_topk,
+                                                     srp_probe_topk)
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    BIG = 10 ** 6   # no top-k truncation: compare full candidate sets
+
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in srp_probe_topk(q, embeddings, k=BIG).collect()}
+    zero = {(r["query_id"], r["neighbor_id"])
+            for r in srp_multiprobe_topk(q, embeddings, k=BIG,
+                                         extra_probes=0).collect()}
+    assert zero == single
+
+    multi = srp_multiprobe_topk(q, embeddings, k=BIG, extra_probes=2)
+    rows = multi.collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))        # disjoint buckets: no dupes
+    assert single <= set(pairs)                 # superset of single-probe
+    assert len(pairs) > len(single)             # probes actually add candidates
+
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(q, embeddings, k=10).collect()}
+    r_single = len(truth & single) / len(truth)
+    r_multi = len(truth & set(pairs)) / len(truth)
+    assert r_multi >= r_single
+
+    import pytest
+    with pytest.raises(ValueError):
+        srp_multiprobe_topk(q, embeddings, k=5, extra_probes=9)
