@@ -95,3 +95,49 @@ def test_plan_num_files_rejects_overflowing_target():
 
     with pytest.raises(ValueError):
         plan_num_files(1e7, 5e-324)  # denormal target -> infinite file count
+
+
+# -- sequence packing (operators/packing.py) ---------------------------------
+
+@given(sizes=st.lists(st.integers(min_value=1, max_value=900),
+                      min_size=1, max_size=60),
+       seq_len=st.sampled_from([128, 512]),
+       n_buckets=st.sampled_from([1, 4]))
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_matches_python_model(spark, sizes, seq_len,
+                                             n_buckets):
+    """Spark packing == the obvious sequential Python model, for any doc
+    mix: per bucket, docs concatenate in id order and each doc lands in
+    the bin where it starts; every doc is assigned exactly once."""
+    from marmaray_spark.operators.packing import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    got = {r["doc_id"]: (r["bucket"], r["bin_id"])
+           for r in pack_sequences(df, id_col="doc_id", tokens_col="n_tokens",
+                                   seq_len=seq_len,
+                                   n_buckets=n_buckets).collect()}
+    assert len(got) == len(rows)                  # conservation
+    cursors = {}
+    for i, n in rows:                             # ids ascending = pack order
+        b = i % n_buckets
+        start = cursors.get(b, 0)
+        assert got[i] == (b, start // seq_len), (i, n, got[i])
+        cursors[b] = start + n
+
+
+def test_decontaminate_bounds_on_testdata(spark):
+    """overlap_bps in (0, 10000]; n_overlap <= n_grams; eval docs never
+    appear in the report (they are not corpus rows)."""
+    from pyspark.sql import functions as F
+
+    import marmaray_spark.queries as Q
+
+    out = Q.all_queries()["benchmark_decontamination"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert out, "check must not be vacuous at sf0.001"
+    for r in out:
+        assert 0 < r["n_overlap"] <= r["n_grams"]
+        assert 0 < r["overlap_bps"] <= 10000
+        assert r["doc_id"] % 97 != 0
+        assert r["contaminated"] == (r["overlap_bps"] >= 500)
