@@ -275,3 +275,75 @@ def test_fresh_query_on_existing_table_not_skipped(spark, event_batches, tmp_pat
         read_parquet_stream(spark, f"{src}/batch*", schema),
         str(table), "event_id", None, "insert", str(tmp_path / "ck_b")))
     assert sink.read().count() == 2 * n1
+
+
+def test_avro_wire_stream_to_table_e2e(spark, tmp_path):
+    """The canonical marmaray Kafka topology end-to-end, minus only the
+    broker: binary Avro payloads arrive as a stream -> registry-served
+    .avsc decode (AvroDecodeConverter) -> valid|error fork -> table
+    upsert via foreachBatch; a second micro-batch upserts over the first
+    and the malformed payload lands in the error channel, not the table."""
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.converters import AvroDecodeConverter
+    from marmaray_spark.functions.avro_codec import encode_record
+    from marmaray_spark.schema_registry import FileSystemSchemaRegistry
+    from marmaray_spark.sinks.table import TableSink
+    from marmaray_spark.streaming.incremental import foreach_batch_table_sink
+
+    avsc = {"type": "record", "name": "Rider", "fields": [
+        {"name": "rider_id", "type": "long"},
+        {"name": "city", "type": "string"},
+        {"name": "fare", "type": "double"}]}
+    registry = FileSystemSchemaRegistry(tmp_path / "registry")
+    registry.put_avro_schema("rider", avsc)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+
+    def land(batch_name, records, garbage=False):
+        rows = [(encode_record(avsc, r),) for r in records]
+        if garbage:
+            rows.append((b"\x02\x04ab",))  # truncated: fare bytes missing
+        spark.createDataFrame(rows, "value binary") \
+            .write.mode("overwrite").parquet(str(inbox / batch_name))
+
+    land("b0", [{"rider_id": 1, "city": "sf", "fare": 10.0},
+                {"rider_id": 2, "city": "la", "fare": 20.0}])
+
+    conv = AvroDecodeConverter(registry, "rider")
+    errors = []
+
+    def transform(batch_df):
+        res = conv.map(batch_df)
+        errors.append(res.errors.count())
+        return res.valid.select("rider_id", "city", "fare")
+
+    stream = (spark.readStream.schema("value binary")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(inbox / "*")))
+    q = foreach_batch_table_sink(
+        stream, tmp_path / "table", record_key_field="rider_id",
+        partition_field=None, op="upsert",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=transform).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    t = TableSink(spark, tmp_path / "table", record_key_field="rider_id")
+    got = {r["rider_id"]: (r["city"], r["fare"]) for r in t.read().collect()}
+    assert got == {1: ("sf", 10.0), 2: ("la", 20.0)}
+    assert sum(errors) == 0
+
+    # second wave: update rider 1, new rider 3, one malformed payload
+    land("b1", [{"rider_id": 1, "city": "nyc", "fare": 33.0},
+                {"rider_id": 3, "city": "chi", "fare": 7.5}], garbage=True)
+    q2 = foreach_batch_table_sink(
+        stream, tmp_path / "table", record_key_field="rider_id",
+        partition_field=None, op="upsert",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=transform).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+
+    got = {r["rider_id"]: (r["city"], r["fare"]) for r in t.read().collect()}
+    assert got == {1: ("nyc", 33.0), 2: ("la", 20.0), 3: ("chi", 7.5)}
+    assert sum(errors) == 1          # the garbage payload forked to errors
