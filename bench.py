@@ -35,6 +35,7 @@ HEADLINE = [
     "token_counts",
     "multimodal_image_features",
     "hourly_windowed_agg",
+    "events_resample_locf",
     "skew_salted_agg",
     "zorder_values",
     "corpus_prep_pipeline",

@@ -1556,6 +1556,50 @@ def hourly_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_resample_locf",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_ns(ts) AS tsn,
+             CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+      FROM events
+    ), b AS (
+      SELECT event_type, tsn // 900000000000 AS bkt,
+             COUNT(*) AS n_events, AVG(cents) AS avg_c
+      FROM e GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, MIN(bkt) AS lo, MAX(bkt) AS hi FROM b GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi)) AS bkt FROM r
+    ), dense AS (
+      SELECT s.event_type, s.bkt, COALESCE(b.n_events, 0) AS n_events, b.avg_c
+      FROM spine s LEFT JOIN b USING (event_type, bkt)
+    )
+    SELECT event_type, CAST(bkt * 900 AS BIGINT) AS bucket_start_s,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(last_value(avg_c IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY bkt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS value_filled
+    FROM dense
+    """,
+)
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: 15-min rollup per event type with a
+    dense per-key spine (generated from each key's own min/max bucket —
+    no driver collect, no global range) and last-observation-carried-
+    forward gap fill (operators/timeseries.py resample_locf). Values
+    quantized to integer cents before averaging so exact-integer-sum /
+    exact-count keeps the double division engine-exact."""
+    from marmaray_spark.operators.timeseries import resample_locf
+
+    events = load(spark, sf_dir, "events")
+    cents = events.withColumn(
+        "cents", F.expr("cast(round(cast(value as double) * 100) as bigint)"))
+    return resample_locf(cents, key_col="event_type", ts_ns_col="ts",
+                         value_col="cents", every_s=900)
+
+
+@register(
     "sessionization_gap30m",
     """
     WITH marked AS (

@@ -543,3 +543,29 @@ def test_srp_multiprobe_recall_lift(spark, embeddings):
     import pytest
     with pytest.raises(ValueError):
         srp_multiprobe_topk(q, embeddings, k=5, extra_probes=9)
+
+
+def test_resample_locf_gapfill_and_edges(spark):
+    from marmaray_spark.operators.timeseries import resample_locf
+
+    NS = 1_000_000_000
+    rows = [  # key a: buckets 0, 3 (gap 1-2); key b: single bucket
+        ("a", 5 * NS, 100), ("a", 8 * NS, 200),       # bucket 0: avg 150
+        ("a", 35 * NS, 400),                          # bucket 3
+        ("b", 70 * NS, 7),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {(r["k"], r["bucket_start_s"]): (r["n_events"], r["value_filled"])
+           for r in resample_locf(df, key_col="k", ts_ns_col="ts",
+                                  value_col="v", every_s=10).collect()}
+    assert out[("a", 0)] == (2, 150.0)
+    assert out[("a", 10)] == (0, 150.0)      # gap: count 0, value carried
+    assert out[("a", 20)] == (0, 150.0)
+    assert out[("a", 30)] == (1, 400.0)
+    assert out[("b", 70)] == (1, 7.0)
+    assert len(out) == 5                     # dense spine, nothing beyond
+
+    import pytest
+    with pytest.raises(ValueError):
+        resample_locf(df, key_col="k", ts_ns_col="ts", value_col="v",
+                      every_s=0)
