@@ -83,6 +83,10 @@ def main() -> None:
         warm[name] = round(runs[1], 3)
         print(f"# {name}: {n} rows, cold {runs[0]:.2f}s warm {runs[1]:.2f}s",
               file=sys.stderr)
+        # queries that persist (LSH bucket barriers) re-persist inside
+        # their own timed run; dropping leftovers between queries stops
+        # cache-pressure crosstalk from skewing later measurements
+        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "headline_query_wall_time",
