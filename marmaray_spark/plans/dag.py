@@ -28,6 +28,7 @@ from __future__ import annotations
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor, as_completed
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from dataclasses import dataclass
 from typing import Any, Callable, Protocol, Sequence
 
@@ -53,6 +54,73 @@ class JobDagAction(Protocol):
     """Post-job hook (reference: IJobDagAction) — receives success flag."""
 
     def execute(self, success: bool) -> None: ...
+
+
+class JobDagActions:
+    """Parallel post-run action runner (JobDagActions.java:100-135 +
+    ThreadPoolService timeout semantics): every action runs on its own
+    thread with a per-action timeout; a failure or timeout marks the
+    aggregate result False and is REPORTED (``action_result`` /
+    ``action_execution_time`` metrics, tagged by action class) but never
+    raised into the job — actions respond to the run, they don't change
+    its outcome. ``execute`` returns only after every action finished or
+    timed out (TestJobDagActions.testWaitForActionsToFinish)."""
+
+    DEFAULT_TIMEOUT_S = 120.0
+
+    def __init__(self, metrics: "DataFeedMetrics | None" = None,
+                 target: str = "anonymous", max_threads: int = 4) -> None:
+        self.metrics = metrics
+        self.target = target
+        self.max_threads = max_threads
+        self._actions: list[tuple[JobDagAction, float]] = []
+
+    def add(self, action: JobDagAction,
+            timeout_s: float = DEFAULT_TIMEOUT_S) -> None:
+        self._actions.append((action, timeout_s))
+
+    def execute(self, success: bool) -> bool:
+        """Run all actions in parallel; True iff every one succeeded
+        within its timeout."""
+        if not self._actions:
+            return True
+        all_ok = True
+        pool = ThreadPoolExecutor(max_workers=self.max_threads,
+                                  thread_name_prefix="jobdag-action")
+        started = time.time()
+        futures = [(pool.submit(self._timed, a, success), a, t)
+                   for a, t in self._actions]
+        for fut, action, timeout_s in futures:
+            ok = True
+            try:    # per-action deadline measured from submission
+                fut.result(timeout=max(0.0, started + timeout_s - time.time()))
+            except FuturesTimeoutError:
+                fut.cancel()
+                ok = False
+            except Exception:   # noqa: BLE001 — never mask the job result
+                ok = False
+            all_ok &= ok
+            if self.metrics is not None:
+                self.metrics.create_long_metric(
+                    "action_result", int(ok),
+                    tags={"action": type(action).__name__,
+                          "action_target": self.target})
+        # don't join overrunning actions: a hung action must not block the
+        # job's completion (its thread is abandoned, like the reference's
+        # ThreadPoolService timeout)
+        pool.shutdown(wait=False, cancel_futures=True)
+        return all_ok
+
+    def _timed(self, action: JobDagAction, success: bool) -> None:
+        started = time.time()
+        try:
+            action.execute(success)
+        finally:
+            if self.metrics is not None:
+                self.metrics.create_timer_metric(
+                    "action_execution_time", time.time() - started,
+                    tags={"action": type(action).__name__,
+                          "action_target": self.target})
 
 
 @dataclass
@@ -158,11 +226,11 @@ class JobDag:
             if sc is not None:
                 sc.setLocalProperty("spark.scheduler.pool", None)
                 sc.setLocalProperty("spark.jobGroup.id", None)
+            runner = JobDagActions(self.metrics, target=self.name)
             for action in self.actions:
-                try:
-                    action.execute(success)
-                except Exception:   # noqa: BLE001 — actions never mask the job result
-                    pass
+                runner.add(action, timeout_s=getattr(
+                    action, "timeout_s", JobDagActions.DEFAULT_TIMEOUT_S))
+            runner.execute(success)   # parallel, isolated, never raises
 
 
 class ExecutionTimeOrdering:

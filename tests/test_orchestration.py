@@ -264,3 +264,107 @@ def test_stage_stall_watchdog_leaves_progressing_jobs_alone(spark, lineitem):
     wd.stop()
     assert out.get("n", 0) > 0
     assert "busy-group" not in wd.stalled and "busy-group" not in wd.timed_out
+
+
+# -- JobDagActions (parallel post-run actions, TestJobDagActions parity) -----
+
+def test_actions_run_in_parallel_and_wait_for_finish():
+    """testActionsRunInParallel + testWaitForActionsToFinish: N sleeping
+    actions overlap (wall << sum) and all finished when execute returns."""
+    import time as _t
+
+    from marmaray_spark.plans.dag import JobDagActions
+
+    done = []
+
+    class Sleeper:
+        def __init__(self, i): self.i = i
+        def execute(self, success):
+            _t.sleep(0.4)
+            done.append(self.i)
+
+    runner = JobDagActions(max_threads=4)
+    for i in range(4):
+        runner.add(Sleeper(i))
+    t0 = _t.time()
+    assert runner.execute(True) is True
+    wall = _t.time() - t0
+    assert wall < 1.2                  # 4 x 0.4s sequential would be 1.6s
+    assert sorted(done) == [0, 1, 2, 3]
+
+
+def test_action_exception_isolated_and_reported():
+    """testExecuteHandlesException + testJobDagMetricsReporting: one
+    failing action doesn't stop the others or raise; result/time metrics
+    are emitted per action."""
+    from marmaray_spark.metrics import DataFeedMetrics
+    from marmaray_spark.plans.dag import JobDagActions
+
+    ran = []
+
+    class Boom:
+        def execute(self, success): raise RuntimeError("boom")
+
+    class Fine:
+        def execute(self, success): ran.append(success)
+
+    metrics = DataFeedMetrics("feed1")
+    runner = JobDagActions(metrics, target="feed1")
+    runner.add(Boom())
+    runner.add(Fine())
+    assert runner.execute(False) is False    # aggregate reflects the failure
+    assert ran == [False]                    # the healthy action still ran
+
+    by_name = {}
+    for m in metrics._metrics:
+        by_name.setdefault(m.name, []).append(m)
+    results = {m.tags["action"]: m.value for m in by_name["action_result"]}
+    assert results == {"Boom": 0.0, "Fine": 1.0}
+    assert {m.tags["action"] for m in by_name["action_execution_time"]} == \
+        {"Boom", "Fine"}
+
+
+def test_action_timeout_counts_as_failure_without_blocking():
+    """testTimeoutForLongRunningActions: an overrunning action fails the
+    aggregate and execute() returns without waiting for it."""
+    import time as _t
+
+    from marmaray_spark.plans.dag import JobDagActions
+
+    class Hang:
+        timeout_s = 0.3
+        def execute(self, success): _t.sleep(10)
+
+    class Quick:
+        def execute(self, success): pass
+
+    runner = JobDagActions()
+    runner.add(Hang(), timeout_s=0.3)
+    runner.add(Quick())
+    t0 = _t.time()
+    assert runner.execute(True) is False
+    assert _t.time() - t0 < 2.0        # did not join the 10s sleeper
+
+
+def test_jobdag_runs_actions_in_parallel_runner(spark, customer):
+    """JobDag wires its actions through the parallel runner: a raising
+    action neither fails the dag nor blocks the success action."""
+    from marmaray_spark.plans.dag import JobDag, JobSubDag, SinkNode
+    from marmaray_spark.metadata import InMemoryMetadataManager
+
+    calls = []
+
+    class Raising:
+        def execute(self, success): raise ValueError("x")
+
+    class Recording:
+        def execute(self, success): calls.append(success)
+
+    sink = SinkNode("collect", lambda df: df.count())
+    dag = JobDag("adag", OneShotCalc(["u"]),
+                 lambda wu: customer.limit(5),
+                 JobSubDag([sink]),
+                 InMemoryMetadataManager(),
+                 actions=[Raising(), Recording()])
+    assert dag.execute(spark) is True
+    assert calls == [True]
