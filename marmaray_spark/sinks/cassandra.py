@@ -101,6 +101,26 @@ def cql_type_of(dt: T.DataType) -> str:
     return _CQL_TYPES[name]
 
 
+@dataclass(frozen=True)
+class ClusterKey:
+    """Clustering key with sort order (ClusterKey.java: ``name:ORDER``
+    config form, ASC default)."""
+
+    name: str
+    order: str = "ASC"
+
+    def __post_init__(self) -> None:
+        if self.order not in ("ASC", "DESC"):
+            raise ValueError(f"order must be ASC or DESC, got {self.order!r}")
+
+    @classmethod
+    def parse(cls, spec: "str | ClusterKey") -> "ClusterKey":
+        if isinstance(spec, ClusterKey):
+            return spec
+        name, _, order = spec.partition(":")
+        return cls(name, order.upper() or "ASC")
+
+
 @dataclass
 class CassandraSchema:
     keyspace: str
@@ -108,6 +128,8 @@ class CassandraSchema:
     partition_keys: list[str]
     clustering_keys: list[str] = field(default_factory=list)
     fields: dict[str, str] = field(default_factory=dict)   # name -> cql type
+    # clustering sort orders, name -> ASC|DESC (only non-ASC matter for DDL)
+    clustering_order: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def from_struct(cls, schema: T.StructType, keyspace: str, table: str,
@@ -124,11 +146,16 @@ class CassandraSchema:
         ``written_time_field``: source column whose microsecond-normalized
         value is written as ``orderTsField`` bigint — the write-time
         ordering column (CassandraSinkDataConverter.java:160-162,208-212).
+        ``clustering_keys`` entries may carry a sort order as ``name:desc``
+        (ClusterKey.java config form; ASC default).
         """
         drop = set(filtered_fields or [])
         fields = {f.name: cql_type_of(f.dataType) for f in schema.fields
                   if not f.name.startswith("_") and f.name not in drop}
-        for k in partition_keys + (clustering_keys or []):
+        cks = [ClusterKey.parse(k) for k in (clustering_keys or [])]
+        clustering_keys = [ck.name for ck in cks]
+        order = {ck.name: ck.order for ck in cks}
+        for k in partition_keys + clustering_keys:
             if k not in fields:
                 raise KeyError(f"key column {k!r} missing from schema")
         if timestamp_info is not None and timestamp_info.has_timestamp:
@@ -140,7 +167,7 @@ class CassandraSchema:
                                f"missing from schema")
             fields[ORDER_TS_FIELD] = "bigint"
         return cls(keyspace, table, list(partition_keys),
-                   list(clustering_keys or []), fields)
+                   clustering_keys, fields, clustering_order=order)
 
     # -- DDL generation (pure string builders) -----------------------------
 
@@ -153,8 +180,17 @@ class CassandraSchema:
         pk = f"({', '.join(self.partition_keys)})"
         if self.clustering_keys:
             pk = f"({pk}, {', '.join(self.clustering_keys)})"
-        return (f"CREATE TABLE IF NOT EXISTS {self.keyspace}.{self.table} "
-                f"({cols}, PRIMARY KEY {pk})")
+        ddl = (f"CREATE TABLE IF NOT EXISTS {self.keyspace}.{self.table} "
+               f"({cols}, PRIMARY KEY {pk})")
+        if any(self.clustering_order.get(k) == "DESC"
+               for k in self.clustering_keys):
+            # CassandraSchemaManager.java:251 — clause lists every
+            # clustering key with its effective order
+            order = ", ".join(
+                f"{k} {self.clustering_order.get(k, 'ASC')}"
+                for k in self.clustering_keys)
+            ddl += f" WITH CLUSTERING ORDER BY ({order})"
+        return ddl
 
     def alter_add_cql(self, existing_columns: set[str]) -> list[str]:
         """ALTER TABLE ADD for schema evolution — one statement per new

@@ -305,3 +305,42 @@ def test_cql_client_sink_alter_and_subset_insert(spark, tmp_path):
     with pytest.raises(KeyError, match="orderTsField"):
         CqlInsertSink(schema, cluster.session_factory(),
                       use_write_timestamp=True).write(df)
+
+
+def test_clustering_order_ddl(spark):
+    """TestCassandraSinkSchemaManager clustering-order goldens: DESC keys
+    emit WITH CLUSTERING ORDER BY listing every clustering key with its
+    effective order; all-ASC emits no clause; bad specs raise."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from marmaray_spark.sinks.cassandra import CassandraSchema, ClusterKey
+
+    struct = T.StructType([
+        T.StructField("country", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("gym_name", T.StringType()),
+        T.StructField("members", T.IntegerType()),
+    ])
+    two = CassandraSchema.from_struct(
+        struct, "ks", "gyms", ["country"],
+        clustering_keys=["city:desc", "gym_name"])
+    assert two.create_table_cql().endswith(
+        "PRIMARY KEY ((country), city, gym_name)) "
+        "WITH CLUSTERING ORDER BY (city DESC, gym_name ASC)")
+
+    one = CassandraSchema.from_struct(
+        struct, "ks", "gyms", ["country"], clustering_keys=["city:desc"])
+    assert one.create_table_cql().endswith(
+        "WITH CLUSTERING ORDER BY (city DESC)")
+
+    plain = CassandraSchema.from_struct(
+        struct, "ks", "gyms", ["country"], clustering_keys=["city"])
+    assert "CLUSTERING ORDER" not in plain.create_table_cql()
+    # parse forms: explicit ClusterKey, mixed case, default
+    assert ClusterKey.parse("x:desc") == ClusterKey("x", "DESC")
+    assert ClusterKey.parse(ClusterKey("y")) == ClusterKey("y", "ASC")
+    with pytest.raises(ValueError):
+        ClusterKey("z", "SIDEWAYS")
+    # ordered keys still validate against the schema and keep sink compat
+    assert two.clustering_keys == ["city", "gym_name"]
