@@ -198,18 +198,52 @@ class CassandraSchema:
         return [f"ALTER TABLE {self.keyspace}.{self.table} ADD {n} {t}"
                 for n, t in self.fields.items() if n not in existing_columns]
 
-    def insert_cql(self) -> str:
+    def insert_cql(self, ttl_s: int | None = None) -> str:
         """Prepared-statement INSERT (CassandraSinkCQLDataConverter path)."""
-        return self.insert_cql_for(list(self.fields))
+        return self.insert_cql_for(list(self.fields), ttl_s=ttl_s)
 
-    def insert_cql_for(self, cols: list[str]) -> str:
+    def insert_cql_for(self, cols: list[str], ttl_s: int | None = None) -> str:
         """Prepared INSERT over a column subset (a frame missing optional
-        columns writes only what it has — Cassandra unset-column rules)."""
+        columns writes only what it has — Cassandra unset-column rules).
+        ``ttl_s`` appends USING TTL (CassandraSinkSchemaManager
+        generateInsertStmt TTL leg)."""
         unknown = [c for c in cols if c not in self.fields]
         if unknown:
             raise KeyError(f"columns not in table schema: {unknown}")
-        return (f"INSERT INTO {self.keyspace}.{self.table} "
+        stmt = (f"INSERT INTO {self.keyspace}.{self.table} "
                 f"({', '.join(cols)}) VALUES ({', '.join('?' for _ in cols)})")
+        if ttl_s is not None:
+            if ttl_s <= 0:
+                raise ValueError("ttl_s must be positive")
+            stmt += f" USING TTL {ttl_s}"
+        return stmt
+
+    def validate(self) -> list[str]:
+        """Problems that make the schema unusable — empty when valid
+        (CassandraSinkSchemaManager.getValidSchema checks): non-empty
+        keyspace/table/fields/partition keys, no key shared between
+        partition and clustering lists, every key a schema field."""
+        problems = []
+        if not self.keyspace:
+            problems.append("empty keyspace")
+        if not self.table:
+            problems.append("empty table name")
+        if not self.fields:
+            problems.append("no fields")
+        if not self.partition_keys:
+            problems.append("no partition keys")
+        shared = set(self.partition_keys) & set(self.clustering_keys)
+        if shared:
+            problems.append(f"keys in both partition and clustering: {sorted(shared)}")
+        missing = [k for k in [*self.partition_keys, *self.clustering_keys]
+                   if k not in self.fields]
+        if missing:
+            problems.append(f"keys not in fields: {missing}")
+        return problems
+
+    @property
+    def is_valid(self) -> bool:
+        return not self.validate()
 
 
 class CassandraBulkSink:

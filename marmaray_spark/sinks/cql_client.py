@@ -143,10 +143,12 @@ class CqlInsertSink:
     """
 
     def __init__(self, schema: CassandraSchema, session_factory,
-                 use_write_timestamp: bool = False) -> None:
+                 use_write_timestamp: bool = False,
+                 ttl_s: int | None = None) -> None:
         self.schema = schema
         self.session_factory = session_factory
         self.use_write_timestamp = use_write_timestamp
+        self.ttl_s = ttl_s      # USING TTL on every insert (schema manager TTL leg)
 
     def setup(self, existing_columns: set[str] | None = None,
               replication_factor: int = 3) -> list[str]:
@@ -172,7 +174,7 @@ class CqlInsertSink:
                    + self.schema.clustering_keys if k not in cols]
         if missing:
             raise KeyError(f"key columns missing from frame: {missing}")
-        insert = self.schema.insert_cql_for(cols)
+        insert = self.schema.insert_cql_for(cols, ttl_s=self.ttl_s)
         if self.use_write_timestamp and ORDER_TS_FIELD not in df.columns:
             raise KeyError(f"use_write_timestamp needs {ORDER_TS_FIELD!r}; "
                            "prepare the frame with written_time_field")

@@ -344,3 +344,41 @@ def test_clustering_order_ddl(spark):
         ClusterKey("z", "SIDEWAYS")
     # ordered keys still validate against the schema and keep sink compat
     assert two.clustering_keys == ["city", "gym_name"]
+
+
+def test_insert_ttl_and_schema_validation(spark, tmp_path):
+    """TestCassandraSinkSchemaManager parity: USING TTL on the insert
+    statement (present iff configured, positive), and getValidSchema
+    checks - shared partition/cluster key, empty keyspace/table/fields/
+    partition keys all invalid."""
+    import pytest
+
+    from marmaray_spark.sinks.cassandra import CassandraSchema
+    from marmaray_spark.sinks.cql_client import (CqlInsertSink,
+                                                 DirectoryCqlCluster)
+
+    s = _client_schema()
+    assert s.insert_cql_for(["user_id", "name"], ttl_s=10000).endswith(
+        "(user_id, name) VALUES (?, ?) USING TTL 10000")
+    assert "USING TTL" not in s.insert_cql()
+    with pytest.raises(ValueError):
+        s.insert_cql(ttl_s=0)
+
+    assert s.is_valid and s.validate() == []
+    bad = CassandraSchema("ks", "t", ["k"], ["k"], {"k": "text"})
+    assert not bad.is_valid
+    assert "partition and clustering" in bad.validate()[0]
+    assert not CassandraSchema("", "t", ["k"], [], {"k": "text"}).is_valid
+    assert not CassandraSchema("ks", "", ["k"], [], {"k": "text"}).is_valid
+    assert not CassandraSchema("ks", "t", [], [], {"k": "text"}).is_valid
+    assert not CassandraSchema("ks", "t", ["k"], [], {}).is_valid
+
+    # the executed path carries the TTL onto every spooled statement
+    cluster = DirectoryCqlCluster(tmp_path / "ttl")
+    sink = CqlInsertSink(s, cluster.session_factory(), ttl_s=500)
+    df = spark.createDataFrame([(1, "a", 1.0, 123)],
+                               ["user_id", "name", "score", "src_ts"]).coalesce(1)
+    assert sink.write(df) == 1
+    inserts = [r for r in cluster.statements() if "INSERT" in r["cql"]]
+    assert inserts and all(r["cql"].endswith("USING TTL 500") for r in inserts)
+    assert cluster.table(s)[(1,)]["name"] == "a"   # replay unaffected by TTL
