@@ -194,7 +194,8 @@ class TableSink:
                  target_file_size_mb: float = 128.0,
                  auto_tune_parallelism: bool = True,
                  bulk_insert_partitioner=None,
-                 cluster_by_key: bool = False) -> None:
+                 cluster_by_key: bool = False,
+                 metrics=None) -> None:
         """``bulk_insert_partitioner``: optional (df, n_partitions) -> df
         hook overriding the pre-write repartition — the
         UserDefinedBulkInsertPartitioner plugin point
@@ -203,7 +204,12 @@ class TableSink:
         ``cluster_by_key``: sort each written file by the record key, so
         slice footers carry TIGHT disjoint key ranges — the key index
         (slices_for_key_range) and parquet row-group pruning both get
-        sharper the same way Hudi's sorted bulk-insert layout does."""
+        sharper the same way Hudi's sorted bulk-insert layout does.
+
+        ``metrics``: optional DataFeedMetrics; every published commit
+        emits output_rowcount / total_file_count / total_write_size
+        (HoodieSink HoodieWriteMetrics, TestHoodieSink.testHoodieSinkMetrics
+        names)."""
         self.spark = spark
         self.table_path = Path(table_path)
         self.key = record_key_field
@@ -212,6 +218,7 @@ class TableSink:
         self.auto_tune = auto_tune_parallelism
         self.bulk_insert_partitioner = bulk_insert_partitioner
         self.cluster_by_key = cluster_by_key
+        self.metrics = metrics
         self.log = CommitLog(table_path)
 
     # -- read path ---------------------------------------------------------
@@ -338,6 +345,17 @@ class TableSink:
         if isinstance(staged.metadata, MetadataManager):
             staged.metadata.save_changes()
         self._update_stats(staged.commit.adds, staged.n_records, staged.metadata)
+        if self.metrics is not None:
+            files = [f for s in staged.commit.adds
+                     for f in (self.table_path / s).rglob("*.parquet")]
+            tags = {"commit": staged.commit.commit_id, "op": staged.commit.op}
+            self.metrics.create_long_metric(
+                "output_rowcount", staged.n_records, tags=tags)
+            self.metrics.create_long_metric(
+                "total_file_count", len(files), tags=tags)
+            self.metrics.create_long_metric(
+                "total_write_size", sum(f.stat().st_size for f in files),
+                tags=tags)
         return staged.commit
 
     def write(self, df: DataFrame, op: WriteOp = WriteOp.UPSERT,

@@ -486,3 +486,33 @@ def test_no_op_write_with_metadata_persists_nothing(spark, tmp_path):
     assert t.is_empty()
     assert not (tmp_path / "noop" / "data").exists()
     assert meta.saved_count == 0
+
+
+def test_sink_write_metrics(spark, tmp_path):
+    """TestHoodieSink.testHoodieSinkMetrics names: every published commit
+    emits output_rowcount / total_file_count / total_write_size, tagged
+    by commit and op; NO_OP emits nothing."""
+    from marmaray_spark.metrics import DataFeedMetrics
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    metrics = DataFeedMetrics("feed-x")
+    t = TableSink(spark, tmp_path / "m", record_key_field="k",
+                  metrics=metrics)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["k", "v"])
+    c = t.write(df, WriteOp.INSERT)
+
+    by_name = {}
+    for m in metrics._metrics:
+        by_name.setdefault(m.name, []).append(m)
+    (rowcount,) = by_name["output_rowcount"]
+    assert rowcount.value == 50
+    assert rowcount.tags["commit"] == c.commit_id
+    assert rowcount.tags["op"] == "insert"
+    (files,) = by_name["total_file_count"]
+    assert files.value >= 1
+    (size,) = by_name["total_write_size"]
+    assert size.value > 0
+
+    n_before = len(metrics._metrics)
+    assert t.write(df, WriteOp.NO_OP) is None
+    assert len(metrics._metrics) == n_before
