@@ -1,0 +1,116 @@
+"""Pure-stdlib media codecs: uncompressed 24-bit BMP and PCM-16 WAV.
+
+The container ships no image/audio libraries, but these two formats need
+none — struct + numpy decode them exactly. They make the multimodal
+operators REAL for BMP/WAV payloads (decode, feature-extract, resize,
+duration/RMS) while compressed formats (JPEG/PNG/MP3) stay behind the
+documented deterministic-stub seam in operators/multimodal.py.
+
+Everything here is per-payload Python called from Arrow-batched
+mapInPandas kernels — the bytes never leave the executor.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class MediaCodecError(ValueError):
+    pass
+
+
+# -- BMP (BITMAPINFOHEADER, 24bpp, bottom-up, no compression) ----------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> BMP bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise MediaCodecError("pixels must be (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    row_len = (w * 3 + 3) & ~3          # rows pad to 4 bytes
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):      # bottom-up
+        rows += pixels[y, :, ::-1].tobytes() + pad   # RGB -> BGR on disk
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3) uint8 RGB. Strict: 24bpp uncompressed only."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise MediaCodecError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_size, w, h, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hdr_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise MediaCodecError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    flipped = h > 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    if offset + row_len * h > len(payload):
+        raise MediaCodecError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, np.uint8, row_len * h, offset)
+    rows = rows.reshape(h, row_len)[:, :w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()      # BGR -> RGB
+
+
+def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of (h, w, 3)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+# -- WAV (RIFF, PCM 16-bit) --------------------------------------------------
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int,
+                     channels: int = 1) -> bytes:
+    """int16 samples (interleaved when channels > 1) -> WAV bytes."""
+    if samples.dtype != np.int16:
+        raise MediaCodecError("samples must be int16")
+    data = samples.tobytes()
+    block = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV bytes -> (sample_rate, channels, int16 samples). Walks RIFF
+    chunks; strict PCM-16 only."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaCodecError("not a WAV payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            codec, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if codec != 1 or bits != 16:
+                raise MediaCodecError(f"unsupported WAV (codec={codec}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)    # chunks pad to even
+    if rate is None or data is None:
+        raise MediaCodecError("WAV missing fmt/data chunk")
+    return rate, channels, np.frombuffer(data, np.int16)
+
+
+def wav_rms_milli(samples: np.ndarray) -> int:
+    """Integer RMS in milli-units of full scale (deterministic)."""
+    if samples.size == 0:
+        return 0
+    mean_sq = float(np.mean((samples.astype(np.float64) / 32768.0) ** 2))
+    return int(round(mean_sq ** 0.5 * 1000))

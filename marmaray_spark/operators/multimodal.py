@@ -2,10 +2,12 @@
 decode / feature-extract / resize / frame-sample as Arrow-batched
 mapInPandas stages.
 
-New surface for LLM data pipelines (BASELINE.json north star). The
-container has no image/audio codecs, so the decode kernels are STUBBED
-behind ``_decode_image``/``_decode_audio`` (deterministic fakes driven by
-the payload bytes; a real deployment swaps in PIL/soundfile). Everything
+New surface for LLM data pipelines (BASELINE.json north star). Decode is
+REAL for formats that need no external libraries — uncompressed 24-bit
+BMP and PCM-16 WAV (functions/media_codec.py: header parse, pixel/sample
+arrays, nearest-neighbor resize, RMS) — while compressed formats
+(JPEG/PNG/MP3) stay behind deterministic byte-driven stubs (a real
+deployment swaps in PIL/soundfile at the same seam). Everything
 Spark-side — schema, batch shape, partition-local processing — is real:
 
 - media rows are (id, media_type, payload binary, meta struct);
@@ -59,23 +61,32 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str,
     return attach_media_metadata(out)
 
 
-# -- decode kernels (STUBS — deterministic fakes; swap for real codecs) ------
+# -- decode kernels: REAL for BMP/WAV, deterministic stubs otherwise ---------
 
 def _decode_image(payload: bytes) -> tuple[int, int, int]:
-    """STUB: (width, height, channels) derived from the byte stream.
-    Real impl: PIL.Image.open(io.BytesIO(payload)).size — not available
-    in this container."""
+    """(width, height, channels). REAL parse for BMP payloads; other
+    formats fall back to the deterministic byte-driven stub (real impl
+    for those: PIL at this same seam)."""
     if payload is None or len(payload) == 0:
-        raise NotImplementedError("real image decode requires PIL; empty payload")
+        raise NotImplementedError("empty payload (compressed formats need PIL)")
+    if payload[:2] == b"BM":
+        from marmaray_spark.functions.media_codec import decode_bmp
+        px = decode_bmp(bytes(payload))
+        return px.shape[1], px.shape[0], px.shape[2]
     w = 16 + (len(payload) % 240)
     h = 16 + (payload[0] % 240)
     return w, h, 3
 
 
 def _decode_audio(payload: bytes) -> tuple[int, int]:
-    """STUB: (sample_rate, n_samples). Real impl: soundfile.read."""
+    """(sample_rate, n_samples). REAL parse for PCM-16 WAV payloads;
+    other formats fall back to the stub (soundfile at this seam)."""
     if payload is None or len(payload) == 0:
-        raise NotImplementedError("real audio decode requires soundfile; empty payload")
+        raise NotImplementedError("empty payload (compressed formats need soundfile)")
+    if payload[:4] == b"RIFF":
+        from marmaray_spark.functions.media_codec import decode_wav
+        rate, channels, samples = decode_wav(bytes(payload))
+        return rate, len(samples) // max(channels, 1)
     return 16000, len(payload) * 4
 
 
@@ -107,20 +118,67 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return cols.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = ("media_id long, sample_rate int, n_samples long, "
+                         "duration_ms long, rms_milli int")
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio decode + features via mapInPandas: sample rate, sample
+    count, integer duration and RMS loudness (milli-units). REAL for
+    PCM-16 WAV payloads; stub-decoded otherwise (rms -1 marks the stub
+    path so downstream filters can tell)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from marmaray_spark.functions.media_codec import (decode_wav,
+                                                          wav_rms_milli)
+
+        def one(payload):
+            if payload is not None and bytes(payload[:4]) == b"RIFF":
+                rate, channels, samples = decode_wav(bytes(payload))
+                n = len(samples) // max(channels, 1)
+                return rate, n, n * 1000 // rate, wav_rms_milli(samples)
+            rate, n = _decode_audio(payload)
+            return rate, n, n * 1000 // rate, -1
+
+        for pdf in batches:
+            feats = pdf["payload"].map(one)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": feats.map(lambda f: f[0]).astype("int32"),
+                "n_samples": feats.map(lambda f: f[1]).astype("int64"),
+                "duration_ms": feats.map(lambda f: f[2]).astype("int64"),
+                "rms_milli": feats.map(lambda f: f[3]).astype("int32"),
+            })
+
+    cols = df.filter(F.col("media_type") == "audio").select("media_id", "payload")
+    return cols.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
 RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """STUB resize: passes payload through, rewrites dims — the real kernel
-    would re-encode pixels; the Spark plumbing (batch in/out, binary
-    column round-trip) is what's exercised."""
+    """Resize: REAL nearest-neighbor re-encode for BMP payloads
+    (decode -> sample grid -> encode_bmp); other formats pass payload
+    through with rewritten dims (the stub seam — a real kernel re-encodes
+    there too). Batch in/out, binary column round-trip."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from marmaray_spark.functions.media_codec import (decode_bmp,
+                                                          encode_bmp,
+                                                          resize_nearest)
+
+        def one(payload):
+            if payload is not None and bytes(payload[:2]) == b"BM":
+                px = resize_nearest(decode_bmp(bytes(payload)),
+                                    target_w, target_h)
+                return encode_bmp(px)
+            return payload
+
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": target_w,
                 "height": target_h,
-                "payload": pdf["payload"],
+                "payload": pdf["payload"].map(one),
             })
 
     cols = df.filter(F.col("media_type") == "image").select("media_id", "payload")

@@ -569,3 +569,73 @@ def test_resample_locf_gapfill_and_edges(spark):
     with pytest.raises(ValueError):
         resample_locf(df, key_col="k", ts_ns_col="ts", value_col="v",
                       every_s=0)
+
+
+def test_real_bmp_decode_resize_roundtrip(spark):
+    """BMP payloads decode for real: exact header dims, nearest-neighbor
+    resize re-encodes decodable pixels, corrupt headers raise."""
+    import numpy as np
+    import pytest
+
+    from marmaray_spark.functions.media_codec import (MediaCodecError,
+                                                      decode_bmp, encode_bmp)
+    from marmaray_spark.operators.multimodal import (attach_media_metadata,
+                                                     extract_image_features,
+                                                     resize_images)
+
+    def gradient(h, w):
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 3
+        px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 5
+        px[:, :, 2] = 7
+        return px
+
+    # codec round-trip is exact (incl. non-multiple-of-4 row padding)
+    px = gradient(33, 21)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    rows = [(1, "image", bytearray(encode_bmp(gradient(40, 60)))),
+            (2, "image", bytearray(encode_bmp(gradient(8, 8))))]
+    media = attach_media_metadata(
+        spark.createDataFrame(rows, "media_id long, media_type string, payload binary"))
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (60, 40)   # real dims
+    assert (feats[2]["width"], feats[2]["height"]) == (8, 8)
+    assert feats[1]["aspect_milli"] == 1500
+
+    resized = {r["media_id"]: r for r in resize_images(media, 16, 16).collect()}
+    out_px = decode_bmp(bytes(resized[1]["payload"]))
+    assert out_px.shape == (16, 16, 3)                # really re-encoded
+    assert np.array_equal(out_px, decode_bmp(bytes(resized[1]["payload"])))
+
+    with pytest.raises(MediaCodecError):
+        decode_bmp(b"BM" + b"\x00" * 60)              # truncated/invalid
+
+
+def test_real_wav_decode_and_features(spark):
+    """WAV payloads decode for real: rate/duration from the header, RMS
+    from the samples; non-WAV audio takes the stub path (rms -1)."""
+    import math
+
+    import numpy as np
+
+    from marmaray_spark.functions.media_codec import encode_wav_pcm16
+    from marmaray_spark.operators.multimodal import (attach_media_metadata,
+                                                     extract_audio_features)
+
+    rate = 8000
+    t = np.arange(rate)                     # 1 second
+    sine = (np.sin(2 * math.pi * 440 * t / rate) * 16384).astype(np.int16)
+    silence = np.zeros(rate // 2, np.int16)  # 0.5 s
+    rows = [(1, "audio", bytearray(encode_wav_pcm16(sine, rate))),
+            (2, "audio", bytearray(encode_wav_pcm16(silence, rate))),
+            (3, "audio", bytearray(b"not-a-wav-payload"))]
+    media = attach_media_metadata(
+        spark.createDataFrame(rows, "media_id long, media_type string, payload binary"))
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+
+    assert got[1]["sample_rate"] == rate and got[1]["duration_ms"] == 1000
+    # sine RMS = amplitude/sqrt(2) = 16384/32768/1.414 ~ 0.354
+    assert 350 <= got[1]["rms_milli"] <= 358
+    assert got[2]["rms_milli"] == 0 and got[2]["duration_ms"] == 500
+    assert got[3]["rms_milli"] == -1          # stub path flagged
