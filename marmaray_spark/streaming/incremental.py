@@ -146,6 +146,69 @@ def stateful_running_totals(events: DataFrame, key_col: str = "user_id",
                                     "update", timeout))
 
 
+def streaming_near_dup_flags(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", bands: int = 8,
+                             rows_per_band: int = 2, k: int = 16,
+                             shingle_n: int = 3) -> DataFrame:
+    """Streaming corpus near-dup detection, stage 1: stateful LSH bucket
+    memory (the incremental twin of operators/dedup.lsh_candidate_pairs).
+
+    Each arriving document computes its MinHash signature and explodes to
+    ``bands`` (band, bucket) keys — pure expressions, same hashes as the
+    batch operator. Per key, ``applyInPandasWithState`` remembers the
+    minimum doc id ever seen in that bucket (executor state store,
+    partitioned by bucket — no driver state) and emits (doc_id, band,
+    known): known = the bucket already held an EARLIER doc (a previous
+    micro-batch, or a lower id in this one).
+
+    Stage 2 is batch-side in the sink (foreachBatch): a doc is a near-dup
+    candidate iff ANY of its bands is known — aggregations can't follow a
+    stateful operator in update mode, and the per-doc ANY is a plain
+    groupBy inside each micro-batch anyway.
+
+    100 TB posture: state is one long per occupied bucket; the shuffle
+    key (band, bucket) is the same O(rows x bands) key set the batch LSH
+    join uses; watermark-free (bucket memory is meant to live for the
+    whole corpus build — bound it by partitioning the corpus build into
+    epochs if state must stay below a budget).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from marmaray_spark.operators.dedup import (lsh_band_buckets,
+                                                minhash_digests,
+                                                minhash_signature)
+    from marmaray_spark.operators.text import word_shingles, words
+
+    tagged = (docs
+              .withColumn("__w", words(text_col))
+              .withColumn("__sh", word_shingles("__w", shingle_n))
+              .withColumn("__hh", minhash_digests("__sh"))
+              .withColumn("__sig", minhash_signature("__hh", k))
+              .withColumn("__bk", lsh_band_buckets("__sig", bands, rows_per_band))
+              .select(F.col(id_col).cast("long").alias("doc_id"),
+                      F.posexplode("__bk").alias("band", "bucket")))
+
+    def update_fn(key, pdf_iter, state):
+        seen = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdf_iter)).sort_values("doc_id")
+        known = []
+        for did in pdf["doc_id"]:
+            known.append(seen is not None and int(seen) != int(did))
+            seen = int(did) if seen is None else min(int(seen), int(did))
+        state.update((int(seen),))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                            "band": pdf["band"].astype("int32"),
+                            "known": known})
+
+    return (tagged.groupBy("band", "bucket")
+            .applyInPandasWithState(update_fn,
+                                    outputStructType="doc_id long, band int, known boolean",
+                                    stateStructType="min_seen long",
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def foreach_batch_table_sink(stream: DataFrame, table_path: str,
                              record_key_field: str,
                              partition_field: str | None,

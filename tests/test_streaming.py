@@ -347,3 +347,55 @@ def test_avro_wire_stream_to_table_e2e(spark, tmp_path):
     got = {r["rider_id"]: (r["city"], r["fare"]) for r in t.read().collect()}
     assert got == {1: ("nyc", 33.0), 2: ("la", 20.0), 3: ("chi", 7.5)}
     assert sum(errors) == 1          # the garbage payload forked to errors
+
+
+def test_streaming_near_dup_filter_across_batches(spark, tmp_path):
+    """Streaming LSH dedup: stateful bucket memory carries across
+    micro-batches (checkpointed), so a wave-2 near-duplicate of a wave-1
+    doc is flagged while novel docs pass; per-doc decision is the batch-
+    side ANY over band flags."""
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.streaming.incremental import streaming_near_dup_flags
+
+    base = ("spark engine reads parquet files and writes tables with "
+            "commits and checkpoints for incremental runs " * 2)
+    near = base.replace("writes", "stores")          # near-dup of base
+    other = ("completely different vocabulary about cooking pasta sauce "
+             "at home tonight with garlic and fresh basil leaves " * 2)
+    novel = ("yet another topic entirely about mountain hiking trails "
+             "maps compasses and weather forecasts for the weekend " * 2)
+
+    inbox = tmp_path / "docs"
+    inbox.mkdir()
+    decisions = {}
+
+    def land(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.mode("overwrite").parquet(str(inbox / name))
+
+    def run_wave():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(inbox / "*")))
+        flags = streaming_near_dup_flags(stream)
+
+        def sink(batch_df, epoch_id):
+            for r in (batch_df.groupBy("doc_id")
+                      .agg(F.max(F.col("known").cast("int")).alias("dup"))
+                      .collect()):
+                decisions[r["doc_id"]] = max(decisions.get(r["doc_id"], 0),
+                                             r["dup"])
+
+        q = (flags.writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    land("w1", [(1, base), (2, other)])
+    run_wave()
+    assert decisions == {1: 0, 2: 0}            # first sighting: both pass
+
+    land("w2", [(3, near), (4, novel)])
+    run_wave()
+    assert decisions[3] == 1                    # near-dup of doc 1 flagged
+    assert decisions[4] == 0                    # novel doc passes
