@@ -639,3 +639,24 @@ def test_real_wav_decode_and_features(spark):
     assert 350 <= got[1]["rms_milli"] <= 358
     assert got[2]["rms_milli"] == 0 and got[2]["duration_ms"] == 500
     assert got[3]["rms_milli"] == -1          # stub path flagged
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, embeddings):
+    """IVF: recall vs brute force is non-decreasing as nprobe grows, and
+    probing every cell IS brute force (cells partition the corpus)."""
+    from marmaray_spark.operators.similarity import (brute_force_topk,
+                                                     ivf_probe_topk)
+
+    q = embeddings.filter(F.col("vec_id") < 8)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(q, embeddings, k=5).collect()}
+
+    last = -1.0
+    for nprobe in (1, 2, 4, 16):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_probe_topk(q, embeddings, k=5, n_centroids=16,
+                                       nprobe=nprobe).collect()}
+        recall = len(truth & got) / len(truth)
+        assert recall >= last, (nprobe, recall, last)
+        last = recall
+    assert last == 1.0          # nprobe == n_centroids: exact
