@@ -2232,3 +2232,43 @@ def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(F.broadcast(drops), "doc_id", "left_anti")
     return kept.agg(F.count(F.lit(1)).alias("n_docs_kept"),
                     F.sum("n_chars").cast("bigint").alias("total_chars"))
+
+
+@register(
+    "dedup_modality_agreement",
+    f"""
+    WITH tp AS ({{minhash}}),
+    ep AS (SELECT a, b FROM ({{embed}}) s),
+    agree AS (SELECT count(*) AS n FROM tp JOIN ep USING (a, b))
+    SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_text_pairs,
+           CAST((SELECT count(*) FROM ep) AS BIGINT) AS n_embed_pairs,
+           CAST((SELECT n FROM agree) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM tp) - (SELECT n FROM agree) AS BIGINT)
+             AS n_text_only,
+           CAST((SELECT count(*) FROM ep) - (SELECT n FROM agree) AS BIGINT)
+             AS n_embed_only
+    """.format(minhash=_ORACLES["minhash_lsh_candidates"],
+               embed=_ORACLES["embedding_near_dup_pairs"]),
+)
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup QA: how much do TEXT near-dup candidates
+    (MinHash-LSH over 3-word shingles) and EMBEDDING near-dups
+    (banded-SRP + exact quantized dot >= 0.4) agree? The report a corpus
+    team reads before trusting either signal alone. Both inputs are the
+    already-bucketed scale plans; the agreement is one full-outer
+    equi-join on the (a, b) pair key — uniform, never all-pairs."""
+    text = (minhash_lsh_candidates(spark, sf_dir)
+            .withColumn("t", F.lit(1)))
+    embed = (embedding_near_dup_pairs(spark, sf_dir)
+             .select("a", "b").withColumn("e", F.lit(1)))
+    joined = text.join(embed, ["a", "b"], "full")
+    return joined.agg(
+        F.count("t").cast("bigint").alias("n_text_pairs"),
+        F.count("e").cast("bigint").alias("n_embed_pairs"),
+        F.coalesce(F.sum((F.col("t").isNotNull() & F.col("e").isNotNull())
+                         .cast("long")), F.lit(0))
+        .cast("bigint").alias("n_both"),
+        F.coalesce(F.sum(F.col("e").isNull().cast("long")), F.lit(0))
+        .cast("bigint").alias("n_text_only"),
+        F.coalesce(F.sum(F.col("t").isNull().cast("long")), F.lit(0))
+        .cast("bigint").alias("n_embed_only"))
