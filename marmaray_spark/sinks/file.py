@@ -104,6 +104,52 @@ class FileSink:
         return len(parts)
 
 
+class VersionedFileSink:
+    """VERSION dispersal (FileSinkConfiguration.DispersalType.VERSION,
+    the reference's DEFAULT): every run lands in its own
+    ``<path>/<version>/`` directory — consumers keep reading the old
+    version until the new one is complete, and ``retain_versions`` old
+    runs stay available for rollback (the retain-N idea the metadata
+    manager uses, applied to dispersal output). OVERWRITE dispersal is
+    ``FileSink(mode="overwrite")``.
+    """
+
+    def __init__(self, path: str | Path, retain_versions: int | None = None,
+                 **filesink_kwargs) -> None:
+        if retain_versions is not None and retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        self.path = Path(path)
+        self.retain_versions = retain_versions
+        self.kwargs = filesink_kwargs
+
+    def versions(self) -> list[str]:
+        if not self.path.exists():
+            return []
+        return sorted(p.name for p in self.path.iterdir()
+                      if p.is_dir() and p.name.isdigit())
+
+    def latest_path(self) -> Path | None:
+        vs = self.versions()
+        return self.path / vs[-1] if vs else None
+
+    def write(self, df: DataFrame, version: str | None = None) -> str:
+        """Write a new version (12-digit id, monotonic — next sequential
+        when not supplied); prune beyond ``retain_versions``. Returns the
+        version id."""
+        if version is None:
+            vs = self.versions()
+            version = f"{(int(vs[-1]) + 1) if vs else 0:012d}"
+        elif not (len(version) == 12 and version.isdigit()):
+            raise ValueError(f"version must be 12 digits, got {version!r}")
+        if version in self.versions():
+            raise FileExistsError(f"version {version} already dispersed")
+        FileSink(self.path / version, mode="error", **self.kwargs).write(df)
+        if self.retain_versions is not None:
+            for old in self.versions()[:-self.retain_versions]:
+                shutil.rmtree(self.path / old, ignore_errors=True)
+        return version
+
+
 class SequenceFileSink:
     """Hadoop SequenceFile (Text key / Text value) output with optional
     LZ4 block compression — FileSink.java:134-165 sequence branch, the

@@ -133,3 +133,37 @@ def test_sequence_file_sink_rejects_unknown_codec(tmp_path):
 
     with pytest.raises(ValueError, match="not supported"):
         SequenceFileSink(tmp_path / "x", compression="gzip")
+
+
+def test_versioned_dispersal(spark, tmp_path):
+    """VERSION dispersal (the reference's default DispersalType): each
+    run lands in its own 12-digit version dir; old versions stay readable
+    until retention prunes the oldest; duplicate/bad versions raise."""
+    import pytest
+
+    from marmaray_spark.sinks.file import VersionedFileSink
+
+    sink = VersionedFileSink(tmp_path / "disp", retain_versions=2,
+                             fmt="csv", file_name_prefix="out")
+    df1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    df2 = spark.createDataFrame([(2, "b")], ["k", "v"])
+
+    v0 = sink.write(df1)
+    assert v0 == "000000000000"
+    v1 = sink.write(df2)
+    assert sink.versions() == [v0, v1]
+    # both versions readable concurrently (consumers pin a version)
+    assert spark.read.option("header", True).csv(
+        str(tmp_path / "disp" / v0)).collect()[0]["v"] == "a"
+    assert sink.latest_path().name == v1
+
+    v2 = sink.write(df1)                      # retention: v0 pruned
+    assert sink.versions() == [v1, v2]
+    assert not (tmp_path / "disp" / v0).exists()
+
+    with pytest.raises(FileExistsError):
+        sink.write(df1, version=v2)
+    with pytest.raises(ValueError):
+        sink.write(df1, version="7")
+    with pytest.raises(ValueError):
+        VersionedFileSink(tmp_path / "x", retain_versions=0)
