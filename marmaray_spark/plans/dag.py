@@ -369,6 +369,42 @@ class StageStallWatchdog:
         self.spark.sparkContext.cancelJobGroup(job_group)
 
 
+class JobStatus:
+    """BaseStatus.java twin: starts SUCCESS and can only be downgraded
+    (SUCCESS < IN_PROGRESS < FAILURE — setStatus keeps the worse of the
+    two); exceptions accumulate; merge folds another status in."""
+
+    SUCCESS, IN_PROGRESS, FAILURE = "SUCCESS", "IN_PROGRESS", "FAILURE"
+    _ORDER = {SUCCESS: 0, IN_PROGRESS: 1, FAILURE: 2}
+
+    def __init__(self) -> None:
+        self.status = self.SUCCESS
+        self.exceptions: list[BaseException] = []
+
+    def set_status(self, status: str) -> None:
+        if self._ORDER[status] > self._ORDER[self.status]:
+            self.status = status
+
+    def add_exception(self, e: BaseException) -> None:
+        self.exceptions.append(e)
+
+    def merge(self, other: "JobStatus") -> None:
+        self.set_status(other.status)
+        self.exceptions.extend(other.exceptions)
+
+
+def aggregate_status(results: dict[str, "bool | BaseException"]) -> JobStatus:
+    """JobManagerStatus shape: fold per-dag outcomes into one status —
+    any exception downgrades to FAILURE and is carried; bool outcomes
+    (work/no-work) stay SUCCESS."""
+    agg = JobStatus()
+    for outcome in results.values():
+        if isinstance(outcome, BaseException):
+            agg.set_status(JobStatus.FAILURE)
+            agg.add_exception(outcome)
+    return agg
+
+
 class JobManager:
     """Runs many JobDags concurrently on one shared SparkSession."""
 

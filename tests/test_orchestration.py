@@ -368,3 +368,57 @@ def test_jobdag_runs_actions_in_parallel_runner(spark, customer):
                  actions=[Raising(), Recording()])
     assert dag.execute(spark) is True
     assert calls == [True]
+
+
+def test_job_status_downgrade_only_and_merge():
+    """TestBaseStatus parity: status only moves toward worse; merge folds
+    status + exceptions."""
+    from marmaray_spark.plans.dag import JobStatus
+
+    s = JobStatus()
+    assert s.status == JobStatus.SUCCESS
+    s.set_status(JobStatus.IN_PROGRESS)
+    assert s.status == JobStatus.IN_PROGRESS
+    s.set_status(JobStatus.SUCCESS)            # cannot upgrade
+    assert s.status == JobStatus.IN_PROGRESS
+    s.set_status(JobStatus.FAILURE)
+    assert s.status == JobStatus.FAILURE
+
+    other = JobStatus()
+    other.add_exception(ValueError("x"))
+    other.set_status(JobStatus.FAILURE)
+    fresh = JobStatus()
+    fresh.merge(other)
+    assert fresh.status == JobStatus.FAILURE
+    assert len(fresh.exceptions) == 1
+
+
+def test_jobmanager_aggregate_status(spark, customer, orders):
+    """TestJobManagerStatus shape: per-dag outcomes fold into one status;
+    a failing dag downgrades the aggregate and carries its exception."""
+    from marmaray_spark.metadata import InMemoryMetadataManager
+    from marmaray_spark.plans.dag import (JobDag, JobStatus, JobSubDag,
+                                          SinkNode, aggregate_status)
+
+    ok = JobDag("ok2", OneShotCalc(["u"]), lambda wu: customer,
+                JobSubDag([SinkNode("s", lambda df: df.count())]),
+                InMemoryMetadataManager())
+
+    def boom(df):
+        raise RuntimeError("sink died")
+
+    bad = JobDag("bad2", OneShotCalc(["u"]), lambda wu: orders,
+                 JobSubDag([SinkNode("s", boom)]),
+                 InMemoryMetadataManager())
+
+    from marmaray_spark.plans.dag import JobManager
+    mgr = JobManager(spark, max_threads=2, order_by_execution_time=False)
+    mgr.add_job_dag(ok)
+    mgr.add_job_dag(bad)
+    results = mgr.run()
+    agg = aggregate_status(results)
+    assert agg.status == JobStatus.FAILURE
+    assert len(agg.exceptions) == 1 and "sink died" in str(agg.exceptions[0])
+
+    only_ok = aggregate_status({"ok2": True, "idle": False})
+    assert only_ok.status == JobStatus.SUCCESS and only_ok.exceptions == []
