@@ -195,3 +195,46 @@ class FileSystemMetadataManager(MetadataManager):
         for old in self._snapshots()[: -self.num_retained]:
             old.unlink()
         super().save_changes()
+
+
+class JobManagerMetadataTracker:
+    """Manager-level metadata: every dag's (string) map aggregated into
+    ONE atomic JSON file per write (JobManagerMetadataTracker.java /
+    TestHDFSJobLevelMetadataTracker semantics: N dags, one file on disk,
+    read back on restart). Per-dag checkpoints stay in their own
+    MetadataManagers; this tracker carries manager-scope bookkeeping
+    (per-feed run stats, chargeback inputs)."""
+
+    FILENAME = "jobmanager_metadata.json"
+
+    def __init__(self, directory: str | Path) -> None:
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._maps: dict[str, dict[str, str]] = {}
+        target = self.directory / self.FILENAME
+        if target.exists():
+            loaded = json.loads(target.read_text())
+            self._maps = {str(d): {str(k): str(v) for k, v in m.items()}
+                          for d, m in loaded.items()}
+
+    def set(self, dag_name: str, metadata: dict[str, str]) -> None:
+        self._maps[dag_name] = {str(k): str(v) for k, v in metadata.items()}
+
+    def get(self, dag_name: str) -> dict[str, str] | None:
+        m = self._maps.get(dag_name)
+        return dict(m) if m is not None else None
+
+    def contains(self, dag_name: str) -> bool:
+        return dag_name in self._maps
+
+    def write(self) -> None:
+        """Persist every dag's map as one file, atomically (tmp+replace —
+        readers never see a partial manager state)."""
+        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(self._maps, f, indent=2, sort_keys=True)
+            os.replace(tmp, self.directory / self.FILENAME)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)

@@ -168,3 +168,29 @@ def test_metadata_cli_print_and_prune(tmp_path, capsys):
     left = sorted(p.name for p in tmp_path.glob("*.json"))
     assert left == ["000000000004.json", "000000000005.json"]
     assert FileSystemMetadataManager(tmp_path).get("offset") == "5"
+
+
+def test_jobmanager_metadata_tracker(tmp_path):
+    """TestHDFSJobLevelMetadataTracker parity: N dag maps -> ONE file on
+    disk; a fresh tracker over the same path reads the previous run's
+    state back; rewrite stays a single file."""
+    from marmaray_spark.metadata.manager import JobManagerMetadataTracker
+
+    t = JobManagerMetadataTracker(tmp_path / "jm")
+    t.set("topic1", {"metaKey1": "metaValue1", "metaKey2": "metaValue2"})
+    t.set("topic2", {"metaKey1": "metaValue1"})
+    t.write()
+    files = [p for p in (tmp_path / "jm").iterdir() if p.is_file()]
+    assert len(files) == 1                               # one aggregated file
+
+    back = JobManagerMetadataTracker(tmp_path / "jm")    # restart
+    assert back.get("topic1") == {"metaKey1": "metaValue1",
+                                  "metaKey2": "metaValue2"}
+    assert back.contains("topic2") and not back.contains("nope")
+    assert back.get("nope") is None
+
+    back.set("topic2", {"metaKey1": "updated"})
+    back.write()
+    assert len([p for p in (tmp_path / "jm").iterdir() if p.is_file()]) == 1
+    assert JobManagerMetadataTracker(tmp_path / "jm").get("topic2") == \
+        {"metaKey1": "updated"}
