@@ -2272,3 +2272,74 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_text_only"),
         F.coalesce(F.sum(F.col("t").isNull().cast("long")), F.lit(0))
         .cast("bigint").alias("n_embed_only"))
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH sc AS (
+      SELECT doc_id, lang,
+        list_sum(list_transform({_SQL_WORDS}, x -> CASE WHEN x IN
+          ('the','and','of','to','in','is','that','it','for','was')
+          THEN 1 ELSE 0 END)) AS s_en,
+        list_sum(list_transform({_SQL_WORDS}, x -> CASE WHEN x IN
+          ('el','la','de','que','y','en','los','del','se','por')
+          THEN 1 ELSE 0 END)) AS s_es,
+        list_sum(list_transform({_SQL_WORDS}, x -> CASE WHEN x IN
+          ('der','die','und','das','ist','von','mit','den','nicht','ein')
+          THEN 1 ELSE 0 END)) AS s_de,
+        list_sum(list_transform({_SQL_WORDS}, x -> CASE WHEN x IN
+          ('le','la','les','et','des','est','dans','que','pour','une')
+          THEN 1 ELSE 0 END)) AS s_fr
+      FROM documents
+    )
+    SELECT lang AS labeled_lang,
+           {_SQL_PRED_LANG} AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sc GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality report: confusion matrix of labeled vs
+    predicted language (the operator-QA view a corpus team watches when
+    tuning the classifier). One groupBy over per-row expression scores —
+    no joins, no Python."""
+    from marmaray_spark.operators.text import lang_id
+
+    docs = _with_words(load(spark, sf_dir, "documents"))
+    return (docs.select(F.col("lang").alias("labeled_lang"),
+                        lang_id("w").alias("pred_lang"))
+            .groupBy("labeled_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "top_terms_per_language",
+    f"""
+    WITH terms AS (
+      SELECT lang, unnest({_SQL_WORDS}) AS term FROM documents
+    ), counts AS (
+      SELECT lang, term, COUNT(*) AS cnt FROM terms
+      WHERE term <> '' GROUP BY lang, term
+    )
+    SELECT lang, term, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                  ORDER BY cnt DESC, term) AS rn FROM counts)
+    WHERE rn <= 5
+    """,
+)
+def top_terms_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the 5 most frequent terms of each language.
+    Map-side partial agg on (lang, term), then a per-language rank window
+    — group key cardinality bounds the window partitions; no global
+    sort."""
+    from marmaray_spark.operators.text import words
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (docs.select("lang", F.explode(words("text")).alias("term"))
+              .filter(F.col("term") != "")
+              .groupBy("lang", "term").agg(F.count("*").alias("cnt")))
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5)
+            .select("lang", "term", "cnt", "rank"))
