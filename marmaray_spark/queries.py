@@ -269,7 +269,12 @@ def cassandra_writetime_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering column, CassandraSinkDataConverter.java:160-162,208-212 +
     TimeUnitUtil) and the constant dispersal ``timestamp``
     (TimestampInfo, :184-190) — plus sorted size-capped batch ids
-    (CassandraSSTableSink shape, no single-task window)."""
+    (CassandraSSTableSink shape, no single-task window).
+
+    The passthrough ``ts`` is truncated to microsecond precision (still
+    nanosecond units) to match the oracle, whose DuckDB TIMESTAMP leg is
+    microsecond-precision; ``written_time_unit='ns'`` pins the exact
+    conversion path rather than the magnitude heuristic."""
     from marmaray_spark.sinks.cassandra import (
         CassandraBulkSink,
         CassandraSchema,
@@ -284,8 +289,10 @@ def cassandra_writetime_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_keys=["user_id"], clustering_keys=["event_id"],
         timestamp_info=ti, written_time_field="ts")
     sink = CassandraBulkSink(schema, output_path="/unused", batch_rows=1000,
-                             timestamp_info=ti, written_time_field="ts")
-    return sink.prepare(events)
+                             timestamp_info=ti, written_time_field="ts",
+                             written_time_unit="ns")
+    return (sink.prepare(events)
+            .withColumn("ts", F.expr("cast(ts as bigint) div 1000 * 1000")))
 
 
 @register(

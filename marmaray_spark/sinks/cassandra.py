@@ -56,12 +56,33 @@ class TimestampInfo:
         return cls()
 
 
-def to_microseconds(col_name: str) -> "F.Column":
-    """Snap an epoch value of unknown unit (s/ms/us/ns) to MICROSECONDS —
+def to_microseconds(col_name: str, *, dtype: "T.DataType | None" = None,
+                    unit: str | None = None) -> "F.Column":
+    """Normalize an epoch value to MICROSECONDS.
+
+    Exact legs (preferred whenever the caller knows what it has):
+    - ``dtype`` Timestamp/TimestampNTZ -> ``unix_micros`` (no guessing);
+    - ``unit`` in {s, ms, us, ns} -> exact integer scaling.
+
+    Otherwise the reference's magnitude heuristic —
     TimeUnitUtil.convertToMicroSeconds (range [1e15, 1e18), multiply or
     integer-divide by 1000 until inside; out-of-range raises, matching the
-    reference's JobRuntimeException). Integer ``div`` keeps ns->us exact —
-    a double division here would be off-by-one near 2^53."""
+    reference's JobRuntimeException). The heuristic misclassifies pre-2001
+    nanosecond inputs (they fall in the "already-us" range), which is why
+    typed callers must use the exact legs. Integer ``div`` keeps ns->us
+    exact — a double division here would be off-by-one near 2^53."""
+    if dtype is not None and isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(col_name).cast("timestamp"))
+    if unit is not None:
+        scaled = {
+            "s": f"cast({col_name} as bigint) * 1000000",
+            "ms": f"cast({col_name} as bigint) * 1000",
+            "us": f"cast({col_name} as bigint)",
+            "ns": f"cast({col_name} as bigint) div 1000",
+        }
+        if unit not in scaled:
+            raise ValueError(f"unit must be one of s/ms/us/ns, got {unit!r}")
+        return F.expr(scaled[unit])
     c = f"cast({col_name} as bigint)"
     lo, hi = 10**15, 10**18
     return F.expr(f"""CASE
@@ -260,7 +281,8 @@ class CassandraBulkSink:
                  batch_rows: int = 100_000,
                  min_batch_duration_s: float = 0.0,
                  timestamp_info: TimestampInfo | None = None,
-                 written_time_field: str | None = None) -> None:
+                 written_time_field: str | None = None,
+                 written_time_unit: str | None = None) -> None:
         """``min_batch_duration_s`` > 0 enables throttled mode: batches
         load one at a time with at least that much wall-clock between
         batch starts — the reference's cluster-protection throttle
@@ -270,13 +292,20 @@ class CassandraBulkSink:
         ``timestamp_info`` / ``written_time_field`` mirror the sink data
         converter's extra columns: a constant dispersal timestamp on every
         row, and the microsecond-normalized write-time ordering column
-        (CassandraSinkDataConverter.java:85,111,160-162,184-190,208-212)."""
+        (CassandraSinkDataConverter.java:85,111,160-162,184-190,208-212).
+
+        ``written_time_unit`` (s/ms/us/ns) pins the epoch unit of a LONG
+        written-time column for EXACT conversion; timestamp-typed columns
+        convert exactly regardless. Only an untyped long with no declared
+        unit falls back to the reference's magnitude heuristic (which is
+        wrong for pre-2001 nanosecond values — see ``to_microseconds``)."""
         self.schema = schema
         self.output_path = str(output_path)
         self.batch_rows = batch_rows
         self.min_batch_duration_s = min_batch_duration_s
         self.timestamp_info = timestamp_info or TimestampInfo.empty()
         self.written_time_field = written_time_field
+        self.written_time_unit = written_time_unit
 
     def prepare(self, df: DataFrame) -> DataFrame:
         """Loader-ready frame: projection + key validation + dispersal
@@ -288,7 +317,11 @@ class CassandraBulkSink:
             projected = projected.filter(projected[k].isNotNull())
         if self.written_time_field is not None:
             projected = projected.withColumn(
-                ORDER_TS_FIELD, to_microseconds(self.written_time_field))
+                ORDER_TS_FIELD,
+                to_microseconds(
+                    self.written_time_field,
+                    dtype=df.schema[self.written_time_field].dataType,
+                    unit=self.written_time_unit))
         ti = self.timestamp_info
         if ti.has_timestamp:
             value = F.lit(int(ti.timestamp)).cast("bigint") if ti.save_as_long \
