@@ -43,10 +43,24 @@ def all_oracles() -> dict[str, str]:
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects by default; read as epoch-nanos long (ordering and
-        # arithmetic preserved; convert at the edge with event_ts_ntz()).
+        # events.parquet has shipped both as INT64 TIMESTAMP(NANOS) and as a
+        # us-precision TIMESTAMP across driver regenerations. Normalize `ts`
+        # to epoch-nanos long at the scan edge so every downstream plan (and
+        # every DuckDB oracle via epoch_ns(ts)) sees one representation.
+        # The conversion is a per-row projection — no shuffle, fully codegen.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        dt = dict(df.dtypes).get("ts", "bigint")
+        if dt == "timestamp_ntz":
+            # tz-independent: naive timestamps are epoch-anchored as-written,
+            # matching DuckDB's epoch_ns() on the same naive value.
+            df = df.withColumn(
+                "ts",
+                F.expr("timestampdiff(MICROSECOND, "
+                       "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
+        elif dt == "timestamp":
+            df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000).cast("long"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
