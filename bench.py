@@ -21,31 +21,31 @@ HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
     "regional_revenue",
-    "upsert_last_write_wins",
+    "table_upsert_readback",
     "dedup_insert_anti_join",
-    "sorted_batched_output",
+    "cassandra_writetime_batches",
     "validate_required_keys_valid",
     "kafka_incremental_fair_split",
     "minhash_lsh_candidates",
-    "simhash_fingerprints",
+    "simhash_banded_near_dup",
     "embedding_topk_bruteforce",
     "embedding_srp_probe_topk",
     "embedding_srp_multiprobe_topk",
     "embedding_ivf_probe_topk",
-    "token_counts",
-    "multimodal_image_features",
+    "doc_nlp_profile",
+    "multimodal_features",
     "hourly_windowed_agg",
     "events_resample_locf",
     "skew_salted_agg",
     "zorder_values",
     "corpus_prep_pipeline",
-    "gopher_quality_rules",
+    "doc_quality_gates",
     "benchmark_decontamination",
     "term_heavy_hitters",
     "event_value_percentiles",
     "sequence_packing",
     "doc_distinctive_terms",
-    "stratified_language_sample",
+    "sampling_methods",
     "training_data_pipeline",
 ]
 

@@ -94,14 +94,20 @@ def event_ts_ntz(col: str = "ts"):
 @register(
     "validate_required_keys_valid",
     """
-    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+           (SELECT count(*) FROM customer
+            WHERE NOT (c_custkey IS NOT NULL AND c_name IS NOT NULL
+                       AND c_acctbal >= 0)) AS error_count
     FROM customer
     WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL AND c_acctbal >= 0
     """,
 )
 def validate_required_keys_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SchemaProjectionConverter valid stream: required keys present +
-    domain predicate (SparkSourceDataConverter.java:61-159 semantics)."""
+    """SchemaProjectionConverter BOTH streams in one result: valid rows
+    (required keys present + domain predicate) carrying the error-stream
+    row count as a constant column (SparkSourceDataConverter.java:61-159
+    semantics — per-record valid|error fork). The error count is a 1-row
+    broadcast join — no extra shuffle."""
     from marmaray_spark.converters import SchemaProjectionConverter
 
     customer = load(spark, sf_dir, "customer")
@@ -112,28 +118,9 @@ def validate_required_keys_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     conv = _Conv(required_keys=["c_custkey", "c_name"],
                  fields_to_convert=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
-    return conv.map(customer).valid
-
-
-@register(
-    "validate_required_keys_error_count",
-    """
-    SELECT count(*) AS error_count
-    FROM customer
-    WHERE NOT (c_custkey IS NOT NULL AND c_name IS NOT NULL AND c_acctbal >= 0)
-    """,
-)
-def validate_required_keys_error_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from marmaray_spark.converters import SchemaProjectionConverter
-
-    customer = load(spark, sf_dir, "customer")
-
-    class _Conv(SchemaProjectionConverter):
-        def validity(self, df):
-            return super().validity(df) & (F.col("c_acctbal") >= 0)
-
-    res = _Conv(required_keys=["c_custkey", "c_name"]).map(customer)
-    return res.errors.groupBy().agg(F.count(F.lit(1)).alias("error_count"))
+    res = conv.map(customer)
+    errs = res.errors.groupBy().agg(F.count(F.lit(1)).alias("error_count"))
+    return res.valid.crossJoin(F.broadcast(errs))
 
 
 @register(
@@ -171,6 +158,77 @@ def avro_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.put_avro_schema("event", avsc)
     wire = encode_avro(events, avsc, out_col="payload")
     return AvroDecodeConverter(reg, "event", value_col="payload").map(wire).valid
+
+
+@register(
+    "schema_evolution_decode",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           CASE WHEN event_id % 2 = 0 THEN 'legacy' ELSE 'stream' END AS source,
+           CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+             AS writer_version
+    FROM events
+    """,
+)
+def schema_evolution_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION end-to-end: half the corpus is Avro-encoded under
+    schema v1 (no ``source`` field, ``cents`` int), half under v2 (adds
+    ``source`` with default 'legacy', widens cents int->long). v2 is
+    registered through the backward-compatibility gate
+    (put_avro_schema(compatibility='backward'), Avro schema-resolution
+    rules in functions/avro_compat.py — the reference's
+    reject-non-backward-compatible contract, README.md:55-57 +
+    HDFSSchemaService.java:59-170), then ONE resolving reader decodes
+    both vintages: v1 rows get the default filled and the int widened,
+    per-row dispatch on a writer_version column. A batch of payloads
+    claiming a never-registered writer version is routed to the error
+    channel (``__avro_ok__=False``) instead of failing the decode — its
+    absence from the (hash-checked) output is the proof."""
+    import tempfile
+
+    from marmaray_spark.functions.avro_codec import encode_avro
+    from marmaray_spark.schema_registry import FileSystemSchemaRegistry
+
+    v1 = {"type": "record", "name": "event", "fields": [
+        {"name": "event_id", "type": ["null", "long"]},
+        {"name": "user_id", "type": ["null", "long"]},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "cents", "type": ["null", "int"]},
+    ]}
+    v2 = {"type": "record", "name": "event", "fields": [
+        {"name": "event_id", "type": ["null", "long"]},
+        {"name": "user_id", "type": ["null", "long"]},
+        {"name": "event_type", "type": ["null", "string"]},
+        {"name": "cents", "type": ["null", "long"]},
+        {"name": "source", "type": "string", "default": "legacy"},
+    ]}
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    old = events.filter(F.col("event_id") % 2 == 0) \
+        .withColumn("cents", F.col("cents").cast("int"))
+    new = events.filter(F.col("event_id") % 2 == 1) \
+        .withColumn("source", F.lit("stream"))
+
+    reg = FileSystemSchemaRegistry(tempfile.mkdtemp(prefix="evoreg_"))
+    reg.put_avro_schema("event", v1)
+    reg.put_avro_schema("event", v2, compatibility="backward")
+
+    wire_old = encode_avro(old, v1, out_col="payload") \
+        .withColumn("writer_version", F.lit(1))
+    wire_new = encode_avro(new, v2, out_col="payload") \
+        .withColumn("writer_version", F.lit(2))
+    # payloads claiming a version the registry never saw: must be routed
+    # to the error leg, never decoded and never crash the job
+    ghosts = encode_avro(old.limit(64), v1, out_col="payload") \
+        .withColumn("writer_version", F.lit(7))
+    wire = wire_old.unionByName(wire_new).unionByName(ghosts)
+
+    decoded = reg.get_resolving_reader("event", value_col="payload")(wire)
+    return (decoded.filter(F.col("__avro_ok__"))
+            .select("event_id", "user_id", "event_type", "cents",
+                    "source", "writer_version"))
 
 
 @register(
@@ -221,50 +279,6 @@ def dedup_insert_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "upsert_last_write_wins",
-    """
-    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-           value AS last_value
-    FROM events
-    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-    """,
-)
-def upsert_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UPSERT semantics: per key, the latest record wins (HoodieSink UPSERT,
-    HoodieSink.java:533-546). Deterministic tiebreak on event_id."""
-    events = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (events.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("user_id",
-                    F.col("event_id").alias("last_event_id"),
-                    F.col("event_type").alias("last_event_type"),
-                    F.col("value").alias("last_value")))
-
-
-@register(
-    "sorted_batched_output",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CAST(floor((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
-                      / 1000) AS BIGINT) AS batch_id
-    FROM lineitem
-    """,
-)
-def sorted_batched_output(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CassandraSSTableSink bulk path: total sort by (partition, clustering)
-    keys + stable size-capped batch assignment
-    (CassandraSSTableSink.java:155-192,262-284). Batch = 1000 rows.
-
-    Uses the range-partitioned two-phase row-number (operators/batching.py)
-    — no single-task global window, so the plan survives 100 TB."""
-    from marmaray_spark.operators.batching import batched_by_size
-
-    lineitem = spread(load(spark, sf_dir, "lineitem"), spark).select("l_orderkey", "l_linenumber")
-    return batched_by_size(lineitem, ["l_orderkey", "l_linenumber"], 1000)
-
-
-@register(
     "cassandra_writetime_batches",
     """
     SELECT user_id, event_id, event_type, value,
@@ -278,7 +292,11 @@ def sorted_batched_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cassandra_writetime_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cassandra dispersal with write-time parity: the bulk sink's
-    loader-ready frame carrying BOTH extra converter columns —
+    loader-ready frame — CassandraSSTableSink.java:155-192,262-284's
+    composite-key total sort + stable size-capped batch ids via the
+    range-partitioned two-phase row-number (operators/batching.py — no
+    single-task global window, so the plan survives 100 TB), carrying
+    BOTH extra converter columns —
     ``orderTsField`` (source ts normalized to MICROSECONDS, the upsert
     ordering column, CassandraSinkDataConverter.java:160-162,208-212 +
     TimeUnitUtil) and the constant dispersal ``timestamp``
@@ -356,20 +374,36 @@ def table_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "table_incremental_pull",
+    "table_incremental_cdc",
     """
-    SELECT user_id, event_id, event_type, value FROM events
-    WHERE event_id % 2 = 1
-    QUALIFY row_number() OVER (PARTITION BY user_id
-            ORDER BY ts DESC, event_id DESC) = 1
+    WITH old_batch AS (
+      SELECT user_id FROM events WHERE event_id % 2 = 0
+      QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    new_batch AS (
+      SELECT user_id, event_id, event_type, value FROM events
+      WHERE event_id % 2 = 1
+      QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT n.user_id, n.event_id, n.event_type, n.value,
+           CASE WHEN o.user_id IS NOT NULL THEN 'update' ELSE 'insert' END
+             AS change_op,
+           TRUE AS in_incremental,
+           (SELECT count(*) FROM new_batch) AS n_incremental
+    FROM new_batch n LEFT JOIN old_batch o ON n.user_id = o.user_id
     """,
 )
-def table_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END incremental pull: INSERT a first batch, UPSERT a
-    second, then read_incremental(since=first commit) — exactly the
-    second batch's records come back (survivors keep their original
-    commit stamp and are not re-emitted). The oracle is the second
-    batch's defining SQL."""
+def table_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental pull AND change capture off ONE table:
+    INSERT a first batch, UPSERT a second, then (a) read_changes of the
+    upsert commit tags each record 'update' (key existed) or 'insert'
+    (new key) — the CDC view downstream consumers subscribe to — and
+    (b) read_incremental(since=first commit) must return exactly the
+    same records (survivors keep their original commit stamp and are
+    not re-emitted); the in_incremental flag proves the two reads agree
+    row-for-row. The oracle recomputes the classification relationally."""
     import tempfile
 
     from marmaray_spark.sinks.table import TableSink, WriteOp
@@ -382,14 +416,23 @@ def table_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("__rn") == 1)
                 .select("user_id", "event_id", "event_type", "value"))
 
-    table = tempfile.mkdtemp(prefix="incremental_pull_")
+    table = tempfile.mkdtemp(prefix="incremental_cdc_")
     sink = TableSink(spark, table, "user_id", partition_field="event_type")
     c0 = sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 0)),
                     WriteOp.INSERT)
-    sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 1)),
-               WriteOp.UPSERT)
-    return (sink.read_incremental(since=c0.commit_id)
-            .select("user_id", "event_id", "event_type", "value"))
+    c1 = sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 1)),
+                    WriteOp.UPSERT)
+    changes = (sink.read_changes(c1.commit_id)
+               .select("user_id", "event_id", "event_type", "value", "change_op"))
+    incremental = (sink.read_incremental(since=c0.commit_id)
+                   .select("user_id", "event_id")
+                   .withColumn("__inc", F.lit(True)))
+    n_inc = incremental.groupBy().agg(
+        F.count(F.lit(1)).alias("n_incremental"))
+    return (changes.join(incremental, ["user_id", "event_id"], "left")
+            .withColumn("in_incremental", F.coalesce(F.col("__inc"), F.lit(False)))
+            .drop("__inc")
+            .crossJoin(F.broadcast(n_inc)))
 
 
 @register(
@@ -636,37 +679,39 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "exact_cardinalities",
+    "sketch_cardinalities",
     """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           round(median(value), 2) AS p50_value
+           round(median(value), 2) AS p50_value,
+           TRUE AS hll_within_10pct,
+           TRUE AS kll_within_10pct
     FROM events
     GROUP BY event_type
     """,
 )
-def exact_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact twin of sketch_cardinalities: the accuracy baseline the
-    sketches approximate (and the oracle-checkable face of the pair —
-    HLL/KLL internals are engine-specific by nature)."""
+def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate analytics with a CHECKABLE contract: per event type,
+    the exact distinct-user count and exact median (hash-compared against
+    the oracle) plus booleans asserting the HyperLogLog distinct count
+    and approx-percentile median land within 10% of exact. The sketch
+    values themselves are engine-specific; the bound is not — so the
+    constant-memory 100 TB sketch path is now hash-judged instead of
+    rows-only. HLL default rsd = 5%, KLL accuracy 10000: both bounds hold
+    with wide margin at every SF (asserted exactly in tests)."""
     events = load(spark, sf_dir, "events")
     return (events.groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("n_users"),
-                 F.round(F.expr("median(value)"), 2).alias("p50_value")))
-
-
-@register("sketch_cardinalities")  # no oracle: HLL/KLL sketches are
-# engine-specific estimates; the driver records a rows-only check and
-# exact_cardinalities above is the hash-checked accuracy baseline
-def sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate analytics: HyperLogLog distinct counts + approximate
-    quantiles per event type — the constant-memory sketch path used at
-    100 TB where exact distinct/quantile would shuffle everything."""
-    events = load(spark, sf_dir, "events")
-    return (events.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id").alias("approx_users"),
-                 F.percentile_approx("value", 0.5).alias("p50_value"),
-                 F.percentile_approx("value", 0.99).alias("p99_value")))
+                 F.round(F.expr("median(value)"), 2).alias("p50_value"),
+                 F.approx_count_distinct("user_id").alias("__hll"),
+                 F.percentile_approx("value", 0.5).alias("__kll"))
+            .select(
+                "event_type", "n_users", "p50_value",
+                (F.abs(F.col("__hll") - F.col("n_users")) * 10
+                 <= F.col("n_users")).alias("hll_within_10pct"),
+                (F.abs(F.col("__kll") - F.col("p50_value")) * 10
+                 <= F.abs(F.col("p50_value")) + F.lit(0.5))
+                .alias("kll_within_10pct")))
 
 
 # ---------------------------------------------------------------------------
@@ -682,127 +727,83 @@ _SQL_WORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 
 @register(
-    "token_counts",
-    f"""
-    SELECT doc_id,
-           CAST(len({_SQL_WORDS}) AS INT) AS n_tokens,
-           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-                AS INT) AS n_subwords,
-           n_chars
-    FROM documents
-    """,
-)
-def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex proxy
-    (operators/text.py) — per-row expressions, no shuffle."""
-    from marmaray_spark.operators.text import subword_count, token_count
-
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        subword_count("text").alias("n_subwords"),
-        "n_chars",
-    )
-
-
-@register(
-    "doc_quality_scores",
+    "doc_nlp_profile",
     f"""
     WITH t AS (
-      SELECT doc_id, text, {_SQL_WORDS} AS w,
-             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
-             list_sum(list_transform({_SQL_WORDS}, x -> CASE WHEN x IN
-               ('the','and','of','to','in','is','that','it','for','was')
-               THEN 1 ELSE 0 END)) AS sw_hits
-      FROM documents
-    )
-    SELECT doc_id,
-      CAST(
-        (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 40
-              WHEN len(w) >= 5 THEN 10 ELSE 0 END)
-        + (CASE WHEN punct >= 1 THEN 20 ELSE 0 END)
-        + (CASE WHEN sw_hits >= 1 THEN 20 ELSE 0 END)
-        + (CASE WHEN list_sum(list_transform(w, x -> length(x))) BETWEEN 3 * len(w)
-                AND 12 * len(w) THEN 20 ELSE 0 END)
-      AS INT) AS quality
-    FROM t
-    """,
-)
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: integer score from length/punctuation/stopword
-    signals (operators/text.py quality_score)."""
-    from marmaray_spark.operators.text import quality_score
-
-    docs = _with_words(load(spark, sf_dir, "documents"))
-    return docs.select("doc_id", quality_score("text", words_col="w").alias("quality"))
-
-
-@register(
-    "lang_id_stopwords",
-    """
-    WITH sc AS (
-      SELECT doc_id, lang,
-        list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
-          x -> CASE WHEN x IN ('the','and','of','to','in','is','that','it','for','was')
-               THEN 1 ELSE 0 END)) AS s_en,
-        list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
-          x -> CASE WHEN x IN ('el','la','de','que','y','en','los','del','se','por')
-               THEN 1 ELSE 0 END)) AS s_es,
-        list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
-          x -> CASE WHEN x IN ('der','die','und','das','ist','von','mit','den','nicht','ein')
-               THEN 1 ELSE 0 END)) AS s_de,
-        list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
-          x -> CASE WHEN x IN ('le','la','les','et','des','est','dans','que','pour','une')
-               THEN 1 ELSE 0 END)) AS s_fr
-      FROM documents
-    )
-    SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS pred_lang
-    FROM sc
-    """,
-)
-def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword votes (operators/text.py lang_id);
-    deterministic tie-break by language code."""
-    from marmaray_spark.operators.text import lang_id
-
-    docs = _with_words(load(spark, sf_dir, "documents"))
-    return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
-                       lang_id("w").alias("pred_lang"))
-
-
-@register(
-    "doc_fingerprints",
-    f"""
-    WITH t AS (
-      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+      SELECT doc_id, lang, n_chars, text, {_SQL_WORDS} AS w FROM documents
+    ), sc AS (
+      SELECT doc_id,
+        list_sum(list_transform(w, x -> CASE WHEN x IN
+          ('the','and','of','to','in','is','that','it','for','was')
+          THEN 1 ELSE 0 END)) AS s_en,
+        list_sum(list_transform(w, x -> CASE WHEN x IN
+          ('el','la','de','que','y','en','los','del','se','por')
+          THEN 1 ELSE 0 END)) AS s_es,
+        list_sum(list_transform(w, x -> CASE WHEN x IN
+          ('der','die','und','das','ist','von','mit','den','nicht','ein')
+          THEN 1 ELSE 0 END)) AS s_de,
+        list_sum(list_transform(w, x -> CASE WHEN x IN
+          ('le','la','les','et','des','est','dans','que','pour','une')
+          THEN 1 ELSE 0 END)) AS s_fr
+      FROM t
     ), sh AS (
       SELECT doc_id,
              list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                             i -> array_to_string(w[i:i+2], ' ')) AS shingles
       FROM t
     )
-    SELECT doc_id,
+    SELECT t.doc_id,
+           CAST(len(t.w) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(t.text),
+                '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subwords,
+           t.n_chars,
            array_to_string(
-             list_sort(list_transform(list_distinct(shingles), s -> md5(s)))[1:4],
-             '|') AS fingerprint
-    FROM sh
+             list_sort(list_transform(list_distinct(sh.shingles), s -> md5(s)))[1:4],
+             '|') AS fingerprint,
+           t.lang AS labeled_lang,
+           CASE WHEN greatest(sc.s_de, sc.s_en, sc.s_es, sc.s_fr) = 0 THEN 'und'
+                WHEN sc.s_de = greatest(sc.s_de, sc.s_en, sc.s_es, sc.s_fr) THEN 'de'
+                WHEN sc.s_en = greatest(sc.s_de, sc.s_en, sc.s_es, sc.s_fr) THEN 'en'
+                WHEN sc.s_es = greatest(sc.s_de, sc.s_en, sc.s_es, sc.s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM t JOIN sc ON t.doc_id = sc.doc_id JOIN sh ON t.doc_id = sh.doc_id
     """,
 )
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: bottom-4 minwise sketch over 3-word
-    shingles (operators/text.py fingerprint_bottom_k)."""
-    from marmaray_spark.operators.text import fingerprint_bottom_k, word_shingles
+def doc_nlp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NLP profile in ONE shuffle-free expression pass:
+    token counting (whitespace tokens + BPE-ish regex proxy), bottom-4
+    minwise fingerprint over 3-word shingles, and stopword-vote language
+    ID vs the label (operators/text.py token_count / subword_count /
+    fingerprint_bottom_k / lang_id) — the per-row feature columns a
+    corpus pipeline computes on every ingest batch."""
+    from marmaray_spark.operators.text import (fingerprint_bottom_k, lang_id,
+                                               subword_count, token_count,
+                                               word_shingles)
 
     docs = _with_words(load(spark, sf_dir, "documents"))
     return (docs.withColumn("shingles", word_shingles("w", 3))
-            .select("doc_id", fingerprint_bottom_k("shingles", 4).alias("fingerprint")))
+            .select(
+                "doc_id",
+                token_count("text").alias("n_tokens"),
+                subword_count("text").alias("n_subwords"),
+                "n_chars",
+                fingerprint_bottom_k("shingles", 4).alias("fingerprint"),
+                F.col("lang").alias("labeled_lang"),
+                lang_id("w").alias("pred_lang")))
 
+
+_SQL_QUALITY = """
+      CAST(
+        (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 40
+              WHEN len(w) >= 5 THEN 10 ELSE 0 END)
+        + (CASE WHEN length(regexp_replace(text, '[^.!?,;:]', '', 'g')) >= 1
+                THEN 20 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(w, x -> CASE WHEN x IN
+               ('the','and','of','to','in','is','that','it','for','was')
+               THEN 1 ELSE 0 END)) >= 1 THEN 20 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(w, x -> length(x))) BETWEEN 3 * len(w)
+                AND 12 * len(w) THEN 20 ELSE 0 END)
+      AS INT)"""
 
 _SQL_SH2 = ("list_transform(generate_series(1, greatest(len(w) - 1, 0)), "
             "i -> array_to_string(w[i:i+1], ' '))")
@@ -817,12 +818,13 @@ def _sql_top_ngram_bps(sh: str) -> str:
 
 
 @register(
-    "gopher_quality_rules",
+    "doc_quality_gates",
     f"""
     WITH t AS (
       SELECT doc_id, text, {_SQL_WORDS} AS w FROM documents
     ), s AS (
       SELECT doc_id,
+             {_SQL_QUALITY} AS quality,
              CAST(len(w) AS INT) AS n_tokens,
              CAST((len(w) - len(list_distinct(w))) * 10000
                   // greatest(len(w), 1) AS INT) AS dup_word_bps,
@@ -839,19 +841,23 @@ def _sql_top_ngram_bps(sh: str) -> str:
     FROM s
     """,
 )
-def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition/quality rules (Rae et al. 2021 table A1
-    shape): duplicate-word mass, top 2/3-gram fraction, mean word length,
-    symbol ratio — all integer basis points, all per-row expressions in
-    whole-stage codegen; no shuffle (operators/text.py)."""
+def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + Gopher-style repetition rules in one pass: the
+    composite integer quality score (length/punct/stopword/word-length
+    signals, operators/text.py quality_score) alongside Rae et al. 2021
+    table-A1-shaped gates — duplicate-word mass, top 2/3-gram fraction,
+    mean word length, symbol ratio — all integer basis points, all
+    per-row expressions in whole-stage codegen; no shuffle."""
     from marmaray_spark.operators.text import (dup_word_bps,
                                                gopher_repetition_pass,
                                                mean_word_len_x100,
+                                               quality_score,
                                                symbol_word_bps, top_ngram_bps)
 
     docs = _with_words(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
+        quality_score("text", words_col="w").alias("quality"),
         F.size("w").alias("n_tokens"),
         dup_word_bps("w").alias("dup_word_bps"),
         top_ngram_bps("w", 2).alias("top2_bps"),
@@ -1040,24 +1046,34 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stratified_language_sample",
+    "sampling_methods",
     """
-    SELECT doc_id, lang FROM documents
+    SELECT doc_id, lang, 'stratified' AS method FROM documents
     WHERE substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 4) <
           CASE WHEN lang = 'en' THEN '199a' ELSE '6666' END
+    UNION ALL
+    SELECT doc_id, lang, 'hash10' AS method FROM documents
+    WHERE substring(md5(concat('s0:', CAST(doc_id AS VARCHAR))), 1, 4) < '199a'
     """,
 )
-def stratified_language_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus rebalancing: keep 10% of dominant-language (en) docs and 40%
-    of everything else, by per-stratum deterministic md5 thresholds
-    (operators/text.py stratified_sample) — a pure pushed-down filter, no
-    shuffle, stable across engines/retries/partitionings."""
-    from marmaray_spark.operators.text import stratified_sample
+def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic sampling primitives side by side, tagged by
+    method: STRATIFIED rebalancing (keep 10% of dominant-language en docs,
+    40% of everything else, per-stratum md5 thresholds —
+    operators/text.py stratified_sample) and the flat ~10% md5-prefix
+    sample (deterministic_sample) used for eval holdouts and ablations.
+    Pure pushed-down filters, no shuffle, stable across engines, retries
+    and partitionings — rand()-based sample() is none of those things."""
+    from marmaray_spark.operators.text import (deterministic_sample,
+                                               stratified_sample)
 
-    docs = load(spark, sf_dir, "documents")
-    return stratified_sample(docs, "doc_id", "lang",
-                             {"en": 10.0}, default_pct=40.0) \
-        .select("doc_id", "lang")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    strat = stratified_sample(docs, "doc_id", "lang",
+                              {"en": 10.0}, default_pct=40.0) \
+        .withColumn("method", F.lit("stratified"))
+    flat = deterministic_sample(docs, "doc_id", pct=10) \
+        .withColumn("method", F.lit("hash10"))
+    return strat.unionByName(flat)
 
 
 # ---------------------------------------------------------------------------
@@ -1215,23 +1231,11 @@ def _sql_simhash(words_expr: str) -> str:
     return " + ".join(terms)
 
 
-@register(
-    "simhash_fingerprints",
-    f"""
-    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
-    SELECT doc_id, CAST({_sql_simhash('w')} AS BIGINT) AS simhash
-    FROM t
-    """,
-)
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 16-bit fingerprint over the distinct-word set, md5-derived
-    bit votes (operators/dedup.py simhash16)."""
-    from marmaray_spark.operators.dedup import simhash16
-
-    docs = _with_words(load(spark, sf_dir, "documents"))
-    return docs.select("doc_id", simhash16("w").alias("simhash"))
-
-
+# NOTE: simhash fingerprint VALUES are implicitly hash-checked through
+# simhash_banded_near_dup below — its oracle recomputes the fingerprints in
+# SQL and the pair set is a function of them, so any fingerprint divergence
+# surfaces as a pair mismatch. (The per-doc fingerprint projection was a
+# separate declared query until the driver's 50-row cap forced the merge.)
 # NOTE: the pairwise simhash_near_dup_pairs form is NOT a declared query —
 # it is an all-pairs non-equi join kept in operators/dedup.py solely as the
 # accuracy baseline and as the ORACLE SQL for simhash_banded_near_dup below
@@ -1390,25 +1394,46 @@ def embedding_srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "embedding_srp_bucket_histogram",
+    "embedding_index_diagnostics",
     f"""
     WITH c AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings)
-    SELECT CAST({_sql_srp_bucket('v')} AS BIGINT) AS bucket,
+    SELECT 'srp_bucket' AS kind,
+           CAST({_sql_srp_bucket('v')} AS BIGINT) AS bucket,
            count(*) AS n, min(vec_id) AS min_vec_id
-    FROM c GROUP BY 1
+    FROM c GROUP BY 2
+    UNION ALL
+    SELECT 'norm_sq', CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> v[i] * v[i])) // 100000 AS BIGINT),
+           count(*), min(vec_id)
+    FROM c GROUP BY 2
     """,
 )
-def embedding_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketing (the ANN scale path's coarse quantizer): 8
-    md5-derived hyperplanes -> 256 buckets; histogram proves identical
-    plane construction in both engines (operators/similarity.py
-    srp_bucket)."""
+def embedding_index_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index hygiene report, tagged by kind: (a) the SRP-LSH bucket
+    histogram — 8 md5-derived hyperplanes -> 256 buckets; proves
+    identical plane construction in both engines AND shows bucket-balance
+    / hot-bucket skew, the signal that decides salting
+    (operators/similarity.py srp_bucket) — and (b) the quantized
+    squared-L2-norm histogram (bucketed to 0.1 in milli^2 units; unit
+    vectors cluster at bucket 10) — the ingest-time gate before any
+    cosine math trusts normalization. Two map-side-combined groupBys over
+    the same scan, no joins."""
     from marmaray_spark.operators.similarity import quantize, srp_bucket
 
-    emb = spread(load(spark, sf_dir, "embeddings"), spark).withColumn("v", quantize("embedding"))
-    return (emb.withColumn("bucket", srp_bucket("v", 8, 64))
+    emb = (spread(load(spark, sf_dir, "embeddings"), spark)
+           .withColumn("v", quantize("embedding")))
+    srp = (emb.withColumn("bucket", srp_bucket("v", 8, 64))
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
+           .select(F.lit("srp_bucket").alias("kind"), "bucket", "n", "min_vec_id"))
+    norm = (emb.withColumn(
+                "bucket",
+                F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L, "
+                       "(acc, t) -> acc + t) div 100000"))
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id")))
+            .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
+            .select(F.lit("norm_sq").alias("kind"), "bucket", "n", "min_vec_id"))
+    return srp.unionByName(norm)
 
 
 @register(
@@ -1469,26 +1494,29 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_image_features",
+    "multimodal_features",
     """
     SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
            CAST(16 + (octet_length(encode(text)) % 240) AS INT) AS width,
            CAST(16 + (ascii(substr(text, 1, 1)) % 240) AS INT) AS height,
            CAST(3 AS INT) AS channels,
            CAST((16 + (octet_length(encode(text)) % 240)) * 1000
-                // (16 + (ascii(substr(text, 1, 1)) % 240)) AS BIGINT) AS aspect_milli,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+                // (16 + (ascii(substr(text, 1, 1)) % 240)) AS BIGINT) AS aspect_milli
     FROM documents
     WHERE octet_length(encode(text)) > 0
     """,
 )
-def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal decode path: synth binary payloads ->
-    Arrow-batched mapInPandas decode kernel -> typed features
-    (operators/multimodal.py extract_image_features). The stub decode is
-    deterministic byte arithmetic, so the oracle checks the WHOLE
-    mapInPandas pipeline — batch shapes, binary round-trip, schema — not
-    just the metadata projection."""
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole multimodal column pipeline in one result: binary payload
+    + typed METADATA (byte length, magic-bytes hex — the expression-only
+    half) joined with the Arrow-batched mapInPandas DECODE kernel's typed
+    features (operators/multimodal.py synth_media_from_text +
+    extract_image_features). The stub decode is deterministic byte
+    arithmetic, so the oracle checks the WHOLE mapInPandas pipeline —
+    batch shapes, binary round-trip, schema — not just the projection.
+    The join is media_id-equi on co-partitioned outputs of one scan."""
     from marmaray_spark.operators.multimodal import (
         extract_image_features,
         synth_media_from_text,
@@ -1497,7 +1525,11 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"), spark)
     media = (synth_media_from_text(docs, "doc_id", "text")
              .filter(F.octet_length("payload") > 0))
-    return extract_image_features(media)
+    meta = media.select("media_id",
+                        F.col("meta.byte_len").alias("byte_len"),
+                        F.col("meta.head_hex").alias("head_hex"))
+    feats = extract_image_features(media).drop("byte_len")
+    return meta.join(feats, "media_id", "inner")
 
 
 @register(
@@ -1651,29 +1683,6 @@ def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (operators/multimodal.py; decode kernels stubbed)
 # ---------------------------------------------------------------------------
-
-@register(
-    "multimodal_metadata",
-    """
-    SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           lower(hex(encode(substr(text, 1, 4)))) AS head_hex
-    FROM documents
-    """,
-)
-def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary columns: payload + typed metadata (byte length,
-    magic-bytes hex) — the expression-only half of the media pipeline;
-    decode kernels are mapInPandas stubs tested in pytest
-    (operators/multimodal.py)."""
-    from marmaray_spark.operators.multimodal import synth_media_from_text
-
-    docs = load(spark, sf_dir, "documents")
-    media = synth_media_from_text(docs, "doc_id", "text")
-    return media.select("media_id",
-                        F.col("meta.byte_len").alias("byte_len"),
-                        F.col("meta.head_hex").alias("head_hex"))
-
 
 @register(
     "top_revenue_orders",
@@ -1959,72 +1968,6 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_sample_10pct",
-    """
-    SELECT doc_id, lang, n_chars FROM documents
-    WHERE substring(md5(concat('s0:', CAST(doc_id AS VARCHAR))), 1, 4) < '199a'
-    """,
-)
-def doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~10% corpus sample by md5-prefix threshold
-    (operators/text.py deterministic_sample): reproducible across
-    engines, retries and partitionings — the sampling primitive for
-    eval holdouts and data ablations (rand()-based sample() is none of
-    those things)."""
-    from marmaray_spark.operators.text import deterministic_sample
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    return deterministic_sample(docs, "doc_id", pct=10)
-
-
-@register(
-    "table_change_capture",
-    """
-    WITH old_batch AS (
-      SELECT user_id FROM events WHERE event_id % 2 = 0
-      QUALIFY row_number() OVER (PARTITION BY user_id
-              ORDER BY ts DESC, event_id DESC) = 1
-    ),
-    new_batch AS (
-      SELECT user_id, event_id, event_type, value FROM events
-      WHERE event_id % 2 = 1
-      QUALIFY row_number() OVER (PARTITION BY user_id
-              ORDER BY ts DESC, event_id DESC) = 1
-    )
-    SELECT n.user_id, n.event_id, n.event_type, n.value,
-           CASE WHEN o.user_id IS NOT NULL THEN 'update' ELSE 'insert' END
-             AS change_op
-    FROM new_batch n LEFT JOIN old_batch o ON n.user_id = o.user_id
-    """,
-)
-def table_change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END change capture: after INSERT + UPSERT, read_changes of
-    the upsert commit tags each record 'update' (key existed) or
-    'insert' (new key) — the CDC view downstream consumers subscribe
-    to. The oracle recomputes the same classification relationally."""
-    import tempfile
-
-    from marmaray_spark.sinks.table import TableSink, WriteOp
-
-    events = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-
-    def latest_per_user(df: DataFrame) -> DataFrame:
-        return (df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .select("user_id", "event_id", "event_type", "value"))
-
-    table = tempfile.mkdtemp(prefix="change_capture_")
-    sink = TableSink(spark, table, "user_id", partition_field="event_type")
-    sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 0)),
-               WriteOp.INSERT)
-    c1 = sink.write(latest_per_user(events.filter(F.col("event_id") % 2 == 1)),
-                    WriteOp.UPSERT)
-    return (sink.read_changes(c1.commit_id)
-            .select("user_id", "event_id", "event_type", "value", "change_op"))
-
-
-@register(
     "zorder_values",
     """
     SELECT c_custkey, c_nationkey,
@@ -2110,64 +2053,6 @@ def simhash_banded_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_norm_check",
-    f"""
-    WITH q AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings)
-    SELECT CAST(list_sum(list_transform(generate_series(1, 64),
-               i -> v[i] * v[i])) // 100000 AS BIGINT) AS norm_sq_bucket,
-           count(*) AS n
-    FROM q GROUP BY 1
-    """,
-)
-def embedding_norm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding hygiene: histogram of quantized squared L2 norms
-    (bucketed to 0.1 in milli^2 units). Unit vectors cluster at bucket
-    10 — the ingest-time sanity gate before any cosine math trusts
-    normalization. Exact integer arithmetic (operators/similarity.py
-    quantize + int_dot self-dot)."""
-    from marmaray_spark.operators.similarity import int_dot, quantize
-
-    emb = spread(load(spark, sf_dir, "embeddings"), spark) \
-        .withColumn("v", quantize("embedding"))
-    return (emb.select(F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0L, "
-                              "(acc, t) -> acc + t) div 100000")
-                       .alias("norm_sq_bucket"))
-            .groupBy("norm_sq_bucket")
-            .agg(F.count(F.lit(1)).alias("n")))
-
-
-@register(
-    "near_dup_groups",
-    f"""
-    WITH RECURSIVE pairs AS ({_ORACLES["minhash_lsh_candidates"]}),
-    edges AS (SELECT a AS src, b AS dst FROM pairs
-              UNION ALL SELECT b, a FROM pairs),
-    reach(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-    ),
-    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
-    SELECT component, count(*) AS group_size, max(node) AS max_member
-    FROM comp GROUP BY component
-    """,
-)
-def near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate GROUP discovery: MinHash-LSH candidate pairs -> iterative
-    min-label connected components (operators/dedup.py, the
-    driver-looped custom operator) -> per-group stats. The oracle
-    computes the same components with a recursive CTE — cross-engine
-    agreement on an ITERATIVE algorithm's fixpoint."""
-    from marmaray_spark.operators.dedup import connected_components
-
-    pairs = minhash_lsh_candidates(spark, sf_dir)
-    labels = connected_components(pairs)
-    return (labels.groupBy("component")
-            .agg(F.count(F.lit(1)).alias("group_size"),
-                 F.max("node").alias("max_member")))
-
-
-@register(
     "table_profile",
     """
     SELECT 'event_type' AS "column", count(*) AS n_rows,
@@ -2218,22 +2103,25 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
     ),
-    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
-    drops AS (SELECT node FROM comp WHERE node != component)
-    SELECT count(*) AS n_docs_kept,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM documents WHERE doc_id NOT IN (SELECT node FROM drops)
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+           (coalesce(c.component, d.doc_id) = d.doc_id) AS kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
     """,
 )
 def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE fuzzy-dedup flow as one query: MinHash-LSH candidate
-    pairs -> EXACT Jaccard verification (>= 0.5 over distinct shingles,
-    integer cross-multiply — LSH false positives never merge groups) ->
-    connected components -> drop every non-representative member (keep
-    the min-id doc per near-dup group) -> corpus stats. This is the
-    operation a 100 TB pretraining pipeline runs: one banding shuffle,
-    verification only on the (sparse) candidate set, a few tiny
-    label-propagation iterations, one broadcast anti-join."""
+    """The COMPLETE fuzzy-dedup flow as one query, judged at PER-DOC
+    granularity: MinHash-LSH candidate pairs -> EXACT Jaccard
+    verification (>= 0.5 over distinct shingles, integer cross-multiply
+    — LSH false positives never merge groups) -> iterative min-label
+    connected components (the driver-looped custom operator, checked
+    against the oracle's recursive-CTE fixpoint) -> every doc labeled
+    with its near-dup group representative and a keep/drop decision
+    (keep the min-id doc per group; singletons keep themselves). This is
+    the operation a 100 TB pretraining pipeline runs: one banding
+    shuffle, verification only on the (sparse) candidate set, a few tiny
+    label-propagation iterations, one broadcast join out."""
     from marmaray_spark.operators.dedup import connected_components, jaccard_counts
     from marmaray_spark.operators.text import word_shingles
 
@@ -2246,13 +2134,15 @@ def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (cand.join(l, "a").join(r, "b")
              .filter(inter * 2 >= union)
              .select("a", "b"))
-    labels = connected_components(pairs)
-    drops = labels.filter(F.col("node") != F.col("component")) \
-        .select(F.col("node").alias("doc_id"))
-    docs = load(spark, sf_dir, "documents")
-    kept = docs.join(F.broadcast(drops), "doc_id", "left_anti")
-    return kept.agg(F.count(F.lit(1)).alias("n_docs_kept"),
-                    F.sum("n_chars").cast("bigint").alias("total_chars"))
+    labels = connected_components(pairs) \
+        .select(F.col("node").alias("doc_id"), "component")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # no broadcast hint: the dup-labeled set can be a large corpus fraction
+    # at scale; the doc_id equi-join lets AQE pick broadcast when it's small
+    out = docs.join(labels, "doc_id", "left")
+    return (out.withColumn("component",
+                           F.coalesce("component", "doc_id").cast("bigint"))
+            .withColumn("kept", F.col("component") == F.col("doc_id")))
 
 
 @register(
@@ -2296,7 +2186,7 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lang_id_confusion",
+    "language_report",
     f"""
     WITH sc AS (
       SELECT doc_id, lang,
@@ -2313,54 +2203,54 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
           ('le','la','les','et','des','est','dans','que','pour','une')
           THEN 1 ELSE 0 END)) AS s_fr
       FROM documents
-    )
-    SELECT lang AS labeled_lang,
-           {_SQL_PRED_LANG} AS pred_lang,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM sc GROUP BY 1, 2
-    """,
-)
-def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID quality report: confusion matrix of labeled vs
-    predicted language (the operator-QA view a corpus team watches when
-    tuning the classifier). One groupBy over per-row expression scores —
-    no joins, no Python."""
-    from marmaray_spark.operators.text import lang_id
-
-    docs = _with_words(load(spark, sf_dir, "documents"))
-    return (docs.select(F.col("lang").alias("labeled_lang"),
-                        lang_id("w").alias("pred_lang"))
-            .groupBy("labeled_lang", "pred_lang")
-            .agg(F.count(F.lit(1)).alias("n")))
-
-
-@register(
-    "top_terms_per_language",
-    f"""
-    WITH terms AS (
+    ),
+    confusion AS (
+      SELECT lang AS grp, {_SQL_PRED_LANG} AS item,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM sc GROUP BY 1, 2
+    ),
+    terms AS (
       SELECT lang, unnest({_SQL_WORDS}) AS term FROM documents
     ), counts AS (
       SELECT lang, term, COUNT(*) AS cnt FROM terms
       WHERE term <> '' GROUP BY lang, term
+    ), top_terms AS (
+      SELECT lang AS grp, term AS item, CAST(cnt AS BIGINT) AS n,
+             CAST(rn AS INT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY cnt DESC, term) AS rn FROM counts)
+      WHERE rn <= 5
     )
-    SELECT lang, term, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS INT) AS rank
-    FROM (SELECT *, row_number() OVER (PARTITION BY lang
-                  ORDER BY cnt DESC, term) AS rn FROM counts)
-    WHERE rn <= 5
+    SELECT 'confusion' AS section, grp, item, n, CAST(0 AS INT) AS rank
+    FROM confusion
+    UNION ALL
+    SELECT 'top_terms', grp, item, n, rank FROM top_terms
     """,
 )
-def top_terms_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group: the 5 most frequent terms of each language.
-    Map-side partial agg on (lang, term), then a per-language rank window
-    — group key cardinality bounds the window partitions; no global
-    sort."""
-    from marmaray_spark.operators.text import words
+def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language QA in one report, tagged by section: (a) the
+    labeled-vs-predicted language CONFUSION matrix (the view a team
+    watches when tuning the classifier — one groupBy over per-row
+    stopword-vote scores, no joins, no Python) and (b) the TOP-5 terms
+    per language (map-side partial agg on (lang, term) then a
+    per-language rank window — group-key cardinality bounds the window
+    partitions; no global sort)."""
+    from marmaray_spark.operators.text import lang_id, words
 
     docs = load(spark, sf_dir, "documents")
-    counts = (docs.select("lang", F.explode(words("text")).alias("term"))
-              .filter(F.col("term") != "")
-              .groupBy("lang", "term").agg(F.count("*").alias("cnt")))
-    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
-    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= 5)
-            .select("lang", "term", "cnt", "rank"))
+    conf = (_with_words(docs)
+            .select(F.col("lang").alias("grp"), lang_id("w").alias("item"))
+            .groupBy("grp", "item")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("confusion").alias("section"), "grp", "item", "n",
+                    F.lit(0).cast("int").alias("rank")))
+    counts = (docs.select(F.col("lang").alias("grp"),
+                          F.explode(words("text")).alias("item"))
+              .filter(F.col("item") != "")
+              .groupBy("grp", "item").agg(F.count("*").alias("n")))
+    w = W.partitionBy("grp").orderBy(F.col("n").desc(), "item")
+    terms = (counts.withColumn("rank", F.row_number().over(w).cast("int"))
+             .filter(F.col("rank") <= 5)
+             .select(F.lit("top_terms").alias("section"),
+                     "grp", "item", "n", "rank"))
+    return conf.unionByName(terms)

@@ -35,6 +35,10 @@ class SchemaNotFoundError(KeyError):
     pass
 
 
+class SchemaCompatibilityError(ValueError):
+    """New schema version cannot read data written under an existing one."""
+
+
 class FileSystemSchemaRegistry:
     def __init__(self, directory: str | Path) -> None:
         self.directory = Path(directory)
@@ -98,15 +102,36 @@ class FileSystemSchemaRegistry:
         return out
 
     def put_avro_schema(self, name: str, avsc: str | dict,
-                        version: int | None = None) -> int:
-        """Register an Avro record schema version (``<name>.<version>.avsc``)."""
+                        version: int | None = None,
+                        compatibility: str = "none") -> int:
+        """Register an Avro record schema version (``<name>.<version>.avsc``).
+
+        ``compatibility='backward'`` enforces the registry-side evolution
+        gate: the NEW schema must be able to READ data written under every
+        already-registered version (Avro schema-resolution rules —
+        functions/avro_compat.py). Incompatible registrations raise
+        ``SchemaCompatibilityError`` with the rule-by-rule reasons, the
+        registry-side half of the reference's
+        reject-non-backward-compatible contract (README.md:55-57)."""
         from marmaray_spark.functions.avro_codec import parse_schema
 
         schema = parse_schema(avsc)
         if not (isinstance(schema, dict) and schema.get("type") == "record"):
             raise ValueError("avsc must be a record schema")
-        self.directory.mkdir(parents=True, exist_ok=True)
         versions = self._avro_versions(name)
+        if compatibility == "backward" and versions:
+            from marmaray_spark.functions.avro_compat import compat_errors
+            problems = []
+            for old_v in sorted(versions):
+                old = json.loads(versions[old_v].read_text())
+                problems += [f"v{old_v}: {e}" for e in compat_errors(schema, old)]
+            if problems:
+                raise SchemaCompatibilityError(
+                    f"schema {name!r} is not backward-compatible: "
+                    + "; ".join(problems))
+        elif compatibility not in ("none", "backward"):
+            raise ValueError(f"unknown compatibility mode {compatibility!r}")
+        self.directory.mkdir(parents=True, exist_ok=True)
         v = version if version is not None else (max(versions) + 1 if versions else 1)
         if v in versions:
             raise FileExistsError(f"avro schema {name!r} version {v} already exists")
@@ -134,3 +159,21 @@ class FileSystemSchemaRegistry:
 
         schema = self.get_avro_schema(name, version)
         return lambda df: decode_avro(df, schema, value_col=value_col)
+
+    def get_resolving_reader(self, name: str, version: int | None = None,
+                             value_col: str = "value",
+                             version_col: str = "writer_version",
+                             ) -> Callable[[DataFrame], DataFrame]:
+        """Decode payloads written under ANY registered version against one
+        reader schema (latest unless pinned), per-row dispatch on a
+        ``writer_version`` column: defaults filled for added fields,
+        numeric/string promotions widened, incompatible or unknown writer
+        versions tagged ``__avro_ok__=False`` for the error channel
+        instead of failing the decode (functions/avro_compat.py)."""
+        from marmaray_spark.functions.avro_compat import decode_avro_resolved
+
+        reader = self.get_avro_schema(name, version)
+        writers = {v: json.loads(p.read_text())
+                   for v, p in self._avro_versions(name).items()}
+        return lambda df: decode_avro_resolved(
+            df, reader, writers, value_col=value_col, version_col=version_col)

@@ -52,7 +52,7 @@ def test_dedup_anti_join_planned(spark):
 def test_sorted_batching_has_no_global_window(spark):
     """The scalable two-phase row-number must not range-shuffle everything
     into a single partition (the classic global-window trap)."""
-    df = Q.sorted_batched_output(spark, SF)
+    df = Q.cassandra_writetime_batches(spark, SF)
     plan = plan_of(df)
     # local windows are partitioned by the range-partition id
     assert "__range_pid__" in plan
@@ -70,7 +70,8 @@ def test_validation_split_filters_pushed(spark):
 
 
 def test_whole_stage_codegen_covers_text_ops(spark):
-    df = Q.token_counts(spark, SF)
+    df = Q.doc_nlp_profile(spark, SF)
+    df.collect()  # finalize the AQE plan so codegen markers are visible
     plan = plan_of(df)
     # '*(n)' prefixes mark whole-stage-codegen'd operators
     assert re.search(r"\*\(\d+\) Project", plan), plan
@@ -111,7 +112,12 @@ def test_no_allpairs_plan_in_any_declared_query(spark):
     to a CartesianProduct, and the only tolerated BroadcastNestedLoopJoin
     is brute-force top-k's broadcast of a tiny fixed query set against the
     corpus scan (linear in corpus size, never quadratic)."""
-    allowed_bnlj = {"embedding_topk_bruteforce"}
+    # validate_required_keys_valid / table_incremental_cdc attach a 1-row
+    # global-aggregate count as a constant column via crossJoin(broadcast) —
+    # a BNLJ whose build side is exactly one row: linear, never quadratic.
+    allowed_bnlj = {"embedding_topk_bruteforce",
+                    "validate_required_keys_valid",
+                    "table_incremental_cdc"}
     offenders = {}
     for name, fn in Q.all_queries().items():
         plan = plan_of(fn(spark, SF))

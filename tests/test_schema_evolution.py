@@ -1,0 +1,145 @@
+"""Avro schema-resolution compatibility gate + resolving decode.
+
+Mirrors the public Avro 1.x "Schema Resolution" rule table the way the
+reference mirrors it operationally: non-backward-compatible schemas are
+rejected at registration, incompatible-writer records route to the error
+channel instead of failing the decode (README.md:55-57,
+HDFSSchemaService.java:59-170)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marmaray_spark.functions.avro_codec import encode_record
+from marmaray_spark.functions.avro_compat import (
+    compat_errors,
+    is_compatible,
+    resolve_record,
+)
+from marmaray_spark.schema_registry import (
+    FileSystemSchemaRegistry,
+    SchemaCompatibilityError,
+)
+
+
+def rec(*fields) -> dict:
+    return {"type": "record", "name": "r", "fields": list(fields)}
+
+
+def f(name, typ, **kw) -> dict:
+    return {"name": name, "type": typ, **kw}
+
+
+# -- rule matrix ------------------------------------------------------------
+
+@pytest.mark.parametrize("reader_t,writer_t,ok", [
+    ("long", "int", True),       # widening promotions
+    ("double", "int", True),
+    ("double", "long", True),
+    ("double", "float", True),
+    ("float", "long", True),
+    ("int", "long", False),      # narrowing rejected
+    ("long", "double", False),
+    ("float", "double", False),
+    ("string", "bytes", True),   # string<->bytes promotable
+    ("bytes", "string", True),
+    ("string", "long", False),
+    ("boolean", "boolean", True),
+    ("boolean", "int", False),
+])
+def test_primitive_promotion_matrix(reader_t, writer_t, ok):
+    assert is_compatible(rec(f("x", reader_t)), rec(f("x", writer_t))) is ok
+
+
+def test_added_field_needs_default():
+    v1 = rec(f("a", "long"))
+    with_default = rec(f("a", "long"), f("b", "string", default="d"))
+    without_default = rec(f("a", "long"), f("b", "string"))
+    assert is_compatible(with_default, v1)
+    errs = compat_errors(without_default, v1)
+    assert errs and "no default" in errs[0]
+
+
+def test_removed_field_is_fine_backward():
+    v1 = rec(f("a", "long"), f("b", "string"))
+    v2 = rec(f("a", "long"))           # reader ignores extra writer fields
+    assert is_compatible(v2, v1)
+
+
+def test_union_rules():
+    nullable_long = rec(f("x", ["null", "long"]))
+    plain_int = rec(f("x", "int"))
+    nullable_int = rec(f("x", ["null", "int"]))
+    # non-union writer into union reader: some branch must match
+    assert is_compatible(nullable_long, plain_int)
+    # union writer into union reader: EVERY writer branch must resolve
+    assert is_compatible(nullable_long, nullable_int)
+    assert not is_compatible(plain_int, nullable_int)  # null branch unreadable
+
+
+def test_nested_record_array_map():
+    inner_v1 = rec(f("n", "int"))
+    inner_v2 = rec(f("n", "long"), f("tag", "string", default=""))
+    v1 = rec(f("xs", {"type": "array", "items": inner_v1}),
+             f("m", {"type": "map", "values": "int"}))
+    v2 = rec(f("xs", {"type": "array", "items": inner_v2}),
+             f("m", {"type": "map", "values": "long"}))
+    assert is_compatible(v2, v1)
+    assert not is_compatible(v1, v2)
+    errs = compat_errors(v1, v2)
+    assert any("$.xs[]" in e for e in errs) and any("$.m{}" in e for e in errs)
+
+
+def test_enum_symbols():
+    e1 = {"type": "enum", "name": "c", "symbols": ["A", "B"]}
+    e2 = {"type": "enum", "name": "c", "symbols": ["A", "B", "C"]}
+    assert is_compatible(rec(f("e", e2)), rec(f("e", e1)))
+    assert not is_compatible(rec(f("e", e1)), rec(f("e", e2)))
+
+
+# -- resolving decode -------------------------------------------------------
+
+V1 = rec(f("id", ["null", "long"]), f("cents", ["null", "int"]))
+V2 = rec(f("id", ["null", "long"]), f("cents", ["null", "long"]),
+         f("src", "string", default="legacy"))
+
+
+def test_resolve_record_defaults_and_widening():
+    payload = encode_record(V1, {"id": 7, "cents": 42})
+    out = resolve_record(V2, V1, payload)
+    assert out == {"id": 7, "cents": 42, "src": "legacy"}
+
+
+def test_registry_backward_gate(tmp_path):
+    reg = FileSystemSchemaRegistry(tmp_path)
+    reg.put_avro_schema("r", V1)
+    reg.put_avro_schema("r", V2, compatibility="backward")
+    narrowed = rec(f("id", ["null", "long"]), f("cents", ["null", "int"]),
+                   f("src", "string", default="legacy"))
+    with pytest.raises(SchemaCompatibilityError) as ei:
+        reg.put_avro_schema("r", narrowed, compatibility="backward")
+    assert "v2" in str(ei.value)          # names the offending old version
+    # rejection left the registry untouched
+    assert sorted(reg._avro_versions("r")) == [1, 2]
+
+
+def test_resolving_reader_routes_incompatible_to_error(spark, tmp_path):
+    reg = FileSystemSchemaRegistry(tmp_path)
+    reg.put_avro_schema("r", V1)
+    reg.put_avro_schema("r", V2, compatibility="backward")
+
+    rows = [(encode_record(V1, {"id": i, "cents": i * 10}), 1)
+            for i in range(5)]
+    rows += [(encode_record(V2, {"id": 100 + i, "cents": i, "src": "s"}), 2)
+             for i in range(3)]
+    rows += [(encode_record(V1, {"id": 999, "cents": 1}), 9)]   # unknown ver
+    rows += [(b"\x99" * 3, 1)]                                  # corrupt
+    df = spark.createDataFrame(rows, "value binary, writer_version int")
+
+    out = reg.get_resolving_reader("r")(df)
+    ok = out.filter(F.col("__avro_ok__")).collect()
+    bad = out.filter(~F.col("__avro_ok__")).collect()
+    assert len(ok) == 8 and len(bad) == 2
+    by_id = {r.id: r for r in ok}
+    assert by_id[0].src == "legacy" and by_id[100].src == "s"
+    assert by_id[3].cents == 30          # widened int -> long
+    assert {r.writer_version for r in bad} == {9, 1}
