@@ -1,10 +1,13 @@
-"""Pure-stdlib media codecs: uncompressed 24-bit BMP and PCM-16 WAV.
+"""Pure-stdlib media codecs: uncompressed 24-bit BMP, PCM-16 WAV, and
+zlib-compressed 8-bit RGB(A) PNG.
 
-The container ships no image/audio libraries, but these two formats need
-none — struct + numpy decode them exactly. They make the multimodal
-operators REAL for BMP/WAV payloads (decode, feature-extract, resize,
-duration/RMS) while compressed formats (JPEG/PNG/MP3) stay behind the
-documented deterministic-stub seam in operators/multimodal.py.
+The container ships no image/audio libraries, but these formats need
+none — struct + numpy decode BMP/WAV exactly, and PNG's DEFLATE layer is
+stdlib ``zlib``, so a COMPRESSED format is decoded for real too (all
+five scanline filters). They make the multimodal operators REAL for
+BMP/WAV/PNG payloads (decode, feature-extract, resize, duration/RMS)
+while JPEG/MP3 stay behind the documented deterministic-stub seam in
+operators/multimodal.py.
 
 Everything here is per-payload Python called from Arrow-batched
 mapInPandas kernels — the bytes never leave the executor.
@@ -13,6 +16,7 @@ mapInPandas kernels — the bytes never leave the executor.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -67,6 +71,98 @@ def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarr
     ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
     xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
     return pixels[ys][:, xs]
+
+
+# -- PNG (8-bit RGB/RGBA, non-interlaced; DEFLATE via stdlib zlib) -----------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, filter 0 rows)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise MediaCodecError("pixels must be (h, w, 3) uint8")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _unfilter_png(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters. Returns (h, w*bpp) uint8."""
+    stride = w * bpp
+    out = np.zeros((h, stride), np.uint16)
+    raw = np.frombuffer(raw, np.uint8)
+    if raw.size != h * (stride + 1):
+        raise MediaCodecError("PNG scanline data has the wrong length")
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype, line = int(rows[y, 0]), rows[y, 1:].astype(np.uint16)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, np.uint16)
+        if ftype == 0:                       # None
+            out[y] = line
+        elif ftype == 2:                     # Up
+            out[y] = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):             # Sub / Average / Paeth scan left
+            cur = out[y]
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise MediaCodecError(f"unknown PNG filter {ftype}")
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Strict: 8-bit RGB or RGBA
+    (alpha dropped), non-interlaced, single image."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise MediaCodecError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, ctype_png, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or ctype_png not in (2, 6) or comp != 0 \
+                    or filt != 0 or interlace != 0:
+                raise MediaCodecError(
+                    f"unsupported PNG (depth={depth}, color={ctype_png}, "
+                    f"interlace={interlace})")
+            bpp = 3 if ctype_png == 2 else 4
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size                 # len + type + body + crc
+    if w is None or not idat:
+        raise MediaCodecError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise MediaCodecError(f"PNG inflate failed: {e}") from e
+    px = _unfilter_png(raw, h, w, bpp).reshape(h, w, bpp)
+    return px[:, :, :3].copy()
 
 
 # -- WAV (RIFF, PCM 16-bit) --------------------------------------------------

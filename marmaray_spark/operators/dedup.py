@@ -95,7 +95,8 @@ def lsh_band_buckets(signature_col: str, bands: int, rows_per_band: int) -> Colu
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, buckets_col: str,
-                        persist: bool = True) -> DataFrame:
+                        persist: bool = True,
+                        max_bucket_width: int | None = None) -> DataFrame:
     """Explode (id, band, bucket), self-join per (band, bucket), emit
     distinct id pairs (a < b). The join key includes the band index so
     equal buckets in different bands don't collide.
@@ -106,20 +107,53 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, buckets_col: str,
     interpreted (measured 15x slower at sf0.1) and again in both join
     branches — the fork-persist rule (SURVEY §4) applied to an analytic
     operator. The persisted frame is tiny: rows x (id, bands x 32-char hex).
-    """
+
+    ``max_bucket_width`` is the HOT-BUCKET fallback for boilerplate-heavy
+    corpora (e.g. 30% identical docs land one bucket with W members ->
+    W^2/2 candidate pairs from a single task). Buckets wider than the cap
+    switch from all-pairs to STAR topology: every member pairs with the
+    bucket's min-id anchor — O(W) candidates, connectivity through the
+    anchor preserved, so downstream connected components still merge the
+    group after verification. Recall caveat (document, don't hide): two
+    docs near-dup to each other but NOT to the anchor lose their direct
+    edge in hot buckets — exactly the mass-duplication case where members
+    are mutually near-identical, so in practice the verified star keeps
+    the component intact. Off (None) by default: the declared oracle is
+    the exact all-pairs set."""
     pre = df.select(F.col(id_col).alias("doc"), F.col(buckets_col).alias("__bk__"))
     if persist:
         pre = pre.persist()
         pre.count()
     exploded = pre.select("doc", F.posexplode("__bk__").alias("band", "bucket"))
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    return (left.join(right,
-                      (F.col("l.band") == F.col("r.band"))
-                      & (F.col("l.bucket") == F.col("r.bucket"))
-                      & (F.col("l.doc") < F.col("r.doc")))
-            .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
-            .distinct())
+    if max_bucket_width is None:
+        left = exploded.alias("l")
+        right = exploded.alias("r")
+        return (left.join(right,
+                          (F.col("l.band") == F.col("r.band"))
+                          & (F.col("l.bucket") == F.col("r.bucket"))
+                          & (F.col("l.doc") < F.col("r.doc")))
+                .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+                .distinct())
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("band", "bucket")
+    sized = (exploded
+             .withColumn("__n__", F.count(F.lit(1)).over(w))
+             .withColumn("__mn__", F.min("doc").over(w)))
+    small = sized.filter(F.col("__n__") <= max_bucket_width) \
+        .select("doc", "band", "bucket")
+    left = small.alias("l")
+    right = small.alias("r")
+    pairs_small = (left.join(right,
+                             (F.col("l.band") == F.col("r.band"))
+                             & (F.col("l.bucket") == F.col("r.bucket"))
+                             & (F.col("l.doc") < F.col("r.doc")))
+                   .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b")))
+    # hot buckets: star over the anchor — no join at all, one linear pass
+    pairs_hot = (sized.filter((F.col("__n__") > max_bucket_width)
+                              & (F.col("doc") != F.col("__mn__")))
+                 .select(F.col("__mn__").alias("a"), F.col("doc").alias("b")))
+    return pairs_small.unionByName(pairs_hot).distinct()
 
 
 def simhash16(words_col: str) -> Column:
@@ -155,7 +189,8 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, simhash_col: str,
 
 
 def simhash_banded_near_dup(df: DataFrame, id_col: str, simhash_col: str,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket_width: int | None = None) -> DataFrame:
     """SimHash near-dup at scale: pigeonhole banding instead of all
     pairs. Split the 16-bit fingerprint into 4 nibbles; two fingerprints
     within hamming distance 3 differ in at most 3 nibbles, so they MUST
@@ -175,6 +210,38 @@ def simhash_banded_near_dup(df: DataFrame, id_col: str, simhash_col: str,
     tagged = df.select(F.col(id_col).alias("id"),
                        F.col(simhash_col).alias("sh"),
                        F.explode(bands).alias("bk"))
+    if max_bucket_width is not None:
+        # hot-bucket fallback (see lsh_candidate_pairs): a saturated
+        # fingerprint space (boilerplate-duplicated corpus) turns one
+        # (band, nibble) bucket quadratic; cap it to a star over the
+        # bucket's min-id anchor. Off by default — the declared oracle
+        # is the exact pairwise set.
+        from pyspark.sql import Window
+        w = Window.partitionBy("bk")
+        sized = (tagged
+                 .withColumn("__n__", F.count(F.lit(1)).over(w))
+                 .withColumn("__mnrec__", F.min(F.struct("id", "sh")).over(w))
+                 .withColumn("__mn__", F.col("__mnrec__.id"))
+                 .withColumn("__mnsh__", F.col("__mnrec__.sh")))
+        small = sized.filter(F.col("__n__") <= max_bucket_width)
+        left = small.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"),
+                            F.col("bk").alias("bk_a"))
+        right = small.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"),
+                             F.col("bk").alias("bk_b"))
+        pairs_small = (left.join(right, (F.col("bk_a") == F.col("bk_b"))
+                                 & (F.col("a") < F.col("b")))
+                       .select("a", "b", F.col("sh_a"), F.col("sh_b")))
+        pairs_hot = (sized.filter((F.col("__n__") > max_bucket_width)
+                                  & (F.col("id") != F.col("__mn__")))
+                     .select(F.col("__mn__").alias("a"), F.col("id").alias("b"),
+                             F.col("__mnsh__").alias("sh_a"),
+                             F.col("sh").alias("sh_b")))
+        return (pairs_small.unionByName(pairs_hot)
+                .select("a", "b",
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                        .alias("hamming"))
+                .filter(F.col("hamming") <= max_hamming)
+                .distinct())
     left = tagged.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"),
                          F.col("bk").alias("bk_a"))
     right = tagged.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"),

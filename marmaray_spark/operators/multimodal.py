@@ -64,14 +64,19 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str,
 # -- decode kernels: REAL for BMP/WAV, deterministic stubs otherwise ---------
 
 def _decode_image(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, channels). REAL parse for BMP payloads; other
-    formats fall back to the deterministic byte-driven stub (real impl
-    for those: PIL at this same seam)."""
+    """(width, height, channels). REAL parse for BMP and PNG payloads
+    (functions/media_codec.py — PNG incl. the zlib inflate + all five
+    scanline filters); other formats fall back to the deterministic
+    byte-driven stub (real impl for those: PIL at this same seam)."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload (compressed formats need PIL)")
     if payload[:2] == b"BM":
         from marmaray_spark.functions.media_codec import decode_bmp
         px = decode_bmp(bytes(payload))
+        return px.shape[1], px.shape[0], px.shape[2]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from marmaray_spark.functions.media_codec import decode_png
+        px = decode_png(bytes(payload))
         return px.shape[1], px.shape[0], px.shape[2]
     w = 16 + (len(payload) % 240)
     h = 16 + (payload[0] % 240)
@@ -163,7 +168,9 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     there too). Batch in/out, binary column round-trip."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from marmaray_spark.functions.media_codec import (decode_bmp,
+                                                          decode_png,
                                                           encode_bmp,
+                                                          encode_png,
                                                           resize_nearest)
 
         def one(payload):
@@ -171,6 +178,10 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 px = resize_nearest(decode_bmp(bytes(payload)),
                                     target_w, target_h)
                 return encode_bmp(px)
+            if payload is not None and bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+                px = resize_nearest(decode_png(bytes(payload)),
+                                    target_w, target_h)
+                return encode_png(px)
             return payload
 
         for pdf in batches:

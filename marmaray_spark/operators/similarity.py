@@ -137,7 +137,8 @@ def srp_band_buckets(qvec_col: str, bands: int = 4, planes_per_band: int = 4,
 def srp_banded_near_dup_pairs(df: DataFrame, threshold_milli: int,
                               bands: int = 4, planes_per_band: int = 4,
                               id_col: str = "vec_id", vec_col: str = "embedding",
-                              dim: int = 64) -> DataFrame:
+                              dim: int = 64,
+                              max_bucket_width: int | None = None) -> DataFrame:
     """Embedding near-dup at scale: banded-SRP candidates -> exact
     quantized-dot verification. Output (a, b, dot_q), a < b.
 
@@ -146,17 +147,41 @@ def srp_banded_near_dup_pairs(df: DataFrame, threshold_milli: int,
     sparse candidate set. The (id, v, buckets) projection is persisted
     before the explode for the same interpreted-re-eval reason as
     lsh_candidate_pairs (fork-persist rule).
-    """
+
+    ``max_bucket_width``: hot-bucket star fallback (see
+    dedup.lsh_candidate_pairs) for corpora with mass-replicated vectors —
+    a bucket wider than the cap emits only (min-id anchor, member)
+    candidates, O(W) instead of O(W^2); dot verification still runs, so
+    only true near-dups of the anchor survive. Off by default (declared
+    oracle = exact candidate set)."""
     base = (df.select(F.col(id_col).alias("id"), quantize(vec_col).alias("v"))
             .withColumn("bks", srp_band_buckets("v", bands, planes_per_band, dim))
             .persist())
     base.count()
     tagged = base.select("id", F.posexplode("bks").alias("band", "bucket"))
-    left = tagged.select(F.col("id").alias("a"), "band", "bucket")
-    right = tagged.select(F.col("id").alias("b"), "band", "bucket")
-    cand = (left.join(right, ["band", "bucket"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    if max_bucket_width is None:
+        left = tagged.select(F.col("id").alias("a"), "band", "bucket")
+        right = tagged.select(F.col("id").alias("b"), "band", "bucket")
+        cand = (left.join(right, ["band", "bucket"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+    else:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bucket")
+        sized = (tagged
+                 .withColumn("__n__", F.count(F.lit(1)).over(w))
+                 .withColumn("__mn__", F.min("id").over(w)))
+        small = sized.filter(F.col("__n__") <= max_bucket_width) \
+            .select("id", "band", "bucket")
+        left = small.select(F.col("id").alias("a"), "band", "bucket")
+        right = small.select(F.col("id").alias("b"), "band", "bucket")
+        pairs_small = (left.join(right, ["band", "bucket"])
+                       .filter(F.col("a") < F.col("b"))
+                       .select("a", "b"))
+        pairs_hot = (sized.filter((F.col("__n__") > max_bucket_width)
+                                  & (F.col("id") != F.col("__mn__")))
+                     .select(F.col("__mn__").alias("a"), F.col("id").alias("b")))
+        cand = pairs_small.unionByName(pairs_hot).distinct()
     withv = (cand
              .join(base.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
              .join(base.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b"))

@@ -660,3 +660,145 @@ def test_ivf_recall_monotone_in_nprobe(spark, embeddings):
         assert recall >= last, (nprobe, recall, last)
         last = recall
     assert last == 1.0          # nprobe == n_centroids: exact
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs_and_keeps_components(spark):
+    """30% boilerplate duplication: the capped candidate set is O(W) per
+    hot bucket instead of O(W^2), every anchor edge survives exact
+    verification (members are identical), and connected components over
+    the capped pairs equal components over the full pairs."""
+    from marmaray_spark.operators.dedup import connected_components
+    from marmaray_spark.operators.text import words as words_fn
+
+    boiler = "terms of service apply to all users of this website " * 2
+    uniq = [f"unique document number {i} about topic {i * 7} today" for i in range(20)]
+    rows = [(i, boiler) for i in range(100)] + \
+           [(100 + i, t) for i, t in enumerate(uniq)]
+    df = (spark.createDataFrame(rows, ["id", "text"])
+          .withColumn("w", words_fn("text"))
+          .withColumn("sh", word_shingles("w", 3))
+          .withColumn("hh", minhash_digests("sh"))
+          .withColumn("sig", minhash_signature("hh", 16))
+          .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
+
+    full = lsh_candidate_pairs(df, "id", "buckets", persist=False)
+    capped = lsh_candidate_pairs(df, "id", "buckets", persist=False,
+                                 max_bucket_width=16)
+    n_full, n_capped = full.count(), capped.count()
+    # 100 identical docs -> C(100,2) = 4950 uncapped pairs; star caps at 99
+    assert n_full >= 4950
+    assert n_capped <= 99 + 50        # anchors + slack for small buckets
+    # capped pairs are a subset of real candidates
+    fullset = {(r["a"], r["b"]) for r in full.collect()}
+    assert {(r["a"], r["b"]) for r in capped.collect()} <= fullset
+
+    comp_full = {(r["node"], r["component"])
+                 for r in connected_components(full).collect()}
+    comp_capped = {(r["node"], r["component"])
+                   for r in connected_components(capped).collect()}
+    assert comp_capped == comp_full
+
+
+def test_simhash_hot_bucket_cap_matches_on_duplicated_corpus(spark):
+    """Identical docs share a fingerprint: the capped star keeps every
+    member within hamming 0 of the anchor, so the component set (what
+    dedup consumes) is unchanged while the pair count collapses."""
+    from marmaray_spark.operators.dedup import (connected_components,
+                                                simhash16,
+                                                simhash_banded_near_dup)
+    from marmaray_spark.operators.text import words as words_fn
+
+    rows = [(i, "legal boilerplate footer text repeated everywhere")
+            for i in range(60)]
+    rows += [(100 + i, f"distinct content {i} with words {i * 3} {i * 5}")
+             for i in range(10)]
+    sh = (spark.createDataFrame(rows, ["id", "text"])
+          .withColumn("w", words_fn("text"))
+          .select("id", simhash16("w").alias("sh")))
+    full = simhash_banded_near_dup(sh, "id", "sh", max_hamming=3)
+    capped = simhash_banded_near_dup(sh, "id", "sh", max_hamming=3,
+                                     max_bucket_width=16)
+    assert capped.count() < full.count()
+    comp_full = {(r["node"], r["component"])
+                 for r in connected_components(full).collect()}
+    comp_capped = {(r["node"], r["component"])
+                   for r in connected_components(capped).collect()}
+    assert comp_capped == comp_full
+
+
+def test_real_png_decode_resize_roundtrip(spark):
+    """PNG payloads decode for REAL — stdlib zlib inflate + all five
+    scanline filters — through the same multimodal kernels as BMP."""
+    import numpy as np
+    import pytest
+    import struct
+    import zlib
+
+    from marmaray_spark.functions.media_codec import (MediaCodecError,
+                                                      decode_png, encode_png)
+    from marmaray_spark.operators.multimodal import (attach_media_metadata,
+                                                     extract_image_features,
+                                                     resize_images)
+
+    def gradient(h, w):
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 3
+        px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 5
+        px[:, :, 2] = 11
+        return px
+
+    # round-trip through DEFLATE is exact
+    px = gradient(29, 17)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+    # every scanline filter type unfilters correctly: hand-build a PNG
+    # whose rows use filters 0..4 over known pixels
+    h, w = 5, 4
+    ref = gradient(h, w)
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = ref[y].reshape(-1).astype(np.int16)
+        prev = ref[y - 1].reshape(-1).astype(np.int16) if y else np.zeros(w * 3, np.int16)
+        filt = np.zeros(w * 3, np.int16)
+        for x in range(w * 3):
+            a = line[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1}.get(ftype)
+            if pred is None:            # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (sig + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), ref)
+
+    # through the Spark kernels: real dims + real resize re-encode
+    rows = [(1, "image", bytearray(encode_png(gradient(40, 60)))),
+            (2, "image", bytearray(encode_png(gradient(8, 8))))]
+    media = attach_media_metadata(
+        spark.createDataFrame(rows, "media_id long, media_type string, payload binary"))
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (60, 40)
+    assert feats[1]["aspect_milli"] == 1500
+    resized = {r["media_id"]: r for r in resize_images(media, 16, 16).collect()}
+    assert decode_png(bytes(resized[1]["payload"])).shape == (16, 16, 3)
+
+    with pytest.raises(MediaCodecError):
+        decode_png(sig + b"\x00" * 20)                 # missing chunks
+    with pytest.raises(MediaCodecError):
+        decode_png(b"\x89PNH" + b"\x00" * 30)          # bad signature
+    bad = (sig + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", b"not-deflate") + chunk(b"IEND", b""))
+    with pytest.raises(MediaCodecError):
+        decode_png(bad)                                # inflate failure

@@ -1,0 +1,140 @@
+"""Skew stress: run the bucketed dedup/ANN operators on the adversarial
+.skewdata tables and MEASURE per-stage task skew (max vs median task
+time) through Spark's REST status API.
+
+Converts the "argued scale-safe" plans into measured ones (VERDICT round
+2 item 3): boilerplate-heavy corpora make one LSH / SimHash / SRP bucket
+hot; the numbers here show (a) how bad the uncapped quadratic blowup is
+and (b) that the ``max_bucket_width`` star fallback bounds it.
+
+Usage: python tools/stress_skew.py [skew_dir]     (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from marmaray_spark.session import SparkFactory  # noqa: E402
+
+UI_PORT = 4050
+
+
+def _api(path: str):
+    with urllib.request.urlopen(f"http://localhost:{UI_PORT}/api/v1{path}",
+                                timeout=10) as r:
+        return json.load(r)
+
+
+def stage_skew(stage_floor: int) -> dict:
+    """Max/median task duration over every stage since ``stage_floor``;
+    returns the worst stage plus the count of stages with >10x skew."""
+    apps = _api("/applications")
+    app_id = apps[0]["id"]
+    worst = {"skew": 0.0}
+    over10 = 0
+    for st in _api(f"/applications/{app_id}/stages?status=complete"):
+        if st["stageId"] < stage_floor or st["numCompleteTasks"] < 2:
+            continue
+        try:
+            q = _api(f"/applications/{app_id}/stages/{st['stageId']}"
+                     f"/{st['attemptId']}/taskSummary?quantiles=0.5,1.0")
+        except Exception:
+            continue
+        med, mx = q["executorRunTime"]
+        skew = (mx / med) if med > 0 else float(mx > 0)
+        if med >= 50 and skew > 10:     # ignore sub-50ms noise stages
+            over10 += 1
+        if skew > worst["skew"] and med >= 50:
+            worst = {"skew": round(skew, 1), "stage": st["stageId"],
+                     "name": st["name"].split("\n")[0][:60],
+                     "median_ms": med, "max_ms": mx,
+                     "tasks": st["numCompleteTasks"]}
+    return {"worst_stage": worst, "stages_over_10x": over10}
+
+
+def run(name: str, fn, spark) -> dict:
+    floor = max([s.stageId for s in
+                 spark.sparkContext.statusTracker().getActiveStageIds()] or [0])
+    # floor from the REST side instead: remember current completed count
+    apps = _api("/applications")
+    app_id = apps[0]["id"]
+    done = [s["stageId"] for s in
+            _api(f"/applications/{app_id}/stages?status=complete")]
+    floor = (max(done) + 1) if done else 0
+    t0 = time.time()
+    n = fn()
+    wall = round(time.time() - t0, 2)
+    out = {"rows": n, "wall_s": wall}
+    out.update(stage_skew(floor))
+    print(f"# {name}: {json.dumps(out)}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    skew_dir = sys.argv[1] if len(sys.argv) > 1 else ".skewdata"
+    spark = SparkFactory(app_name="stress_skew",
+                         conf={"spark.ui.enabled": "true",
+                               "spark.ui.port": str(UI_PORT)}).get_or_create()
+    from marmaray_spark.operators.batching import batched_by_size
+    from marmaray_spark.operators.dedup import (lsh_band_buckets,
+                                                lsh_candidate_pairs,
+                                                minhash_digests,
+                                                minhash_signature,
+                                                simhash16,
+                                                simhash_banded_near_dup)
+    from marmaray_spark.operators.similarity import srp_banded_near_dup_pairs
+    from marmaray_spark.operators.text import word_shingles, words
+
+    docs = (spark.read.parquet(f"{skew_dir}/documents.parquet")
+            .withColumn("w", words("text"))
+            .withColumn("sh", word_shingles("w", 3)))
+    banded = (docs.withColumn("hh", minhash_digests("sh"))
+              .withColumn("sig", minhash_signature("hh", 16))
+              .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
+    sims = docs.select("doc_id", simhash16("w").alias("simhash"))
+    emb = spark.read.parquet(f"{skew_dir}/embeddings.parquet")
+    events = spark.read.parquet(f"{skew_dir}/events.parquet")
+
+    results = {}
+    results["lsh_capped_w64"] = run(
+        "lsh_capped_w64",
+        lambda: lsh_candidate_pairs(banded, "doc_id", "buckets",
+                                    max_bucket_width=64).count(), spark)
+    # uncapped on a 20% slice only: the full hot bucket is ~36k docs ->
+    # ~6.5e8 candidate pairs, which is exactly the blowup the cap exists
+    # to prevent; the slice still carries a ~7k-wide hot bucket
+    banded_slice = banded.filter(F.col("doc_id") % 5 == 0)
+    results["lsh_uncapped_20pct"] = run(
+        "lsh_uncapped_20pct",
+        lambda: lsh_candidate_pairs(banded_slice, "doc_id", "buckets").count(),
+        spark)
+    results["simhash_capped_w64"] = run(
+        "simhash_capped_w64",
+        lambda: simhash_banded_near_dup(sims, "doc_id", "simhash",
+                                        max_bucket_width=64).count(), spark)
+    results["embedding_near_dup_capped_w64"] = run(
+        "embedding_near_dup_capped_w64",
+        lambda: srp_banded_near_dup_pairs(emb, threshold_milli=400000,
+                                          max_bucket_width=64).count(),
+        spark)
+    results["batched_hot_user"] = run(
+        "batched_hot_user",
+        lambda: batched_by_size(events.select("user_id", "event_id"),
+                                ["user_id", "event_id"], 1000)
+        .groupBy().agg(F.max("batch_id")).count(), spark)
+
+    print(json.dumps({"sf": "skew-sf1", **{k: {kk: vv for kk, vv in v.items()}
+                                           for k, v in results.items()}}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
