@@ -50,16 +50,31 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
     edge.
 
     Untestable in this container (no broker) — construction only; the
-    offset planning logic itself is covered via sources/kafka.py.
+    offset planning logic itself is covered via sources/kafka.py and the
+    option contract by tests/test_kafka_workunits.py seam goldens.
     """
-    reader = (spark.readStream.format("kafka")
-              .option("kafka.bootstrap.servers", bootstrap_servers)
-              .option("subscribe", topic)
-              .option("startingOffsets", starting_offsets)
-              .option("failOnDataLoss", "true"))
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_stream_options(bootstrap_servers, topic,
+                                     max_offsets_per_trigger,
+                                     starting_offsets).items():
+        reader = reader.option(k, v)
     return reader.load()
+
+
+def kafka_stream_options(bootstrap_servers: str, topic: str,
+                         max_offsets_per_trigger: int | None = 1_000_000,
+                         starting_offsets: str = "latest") -> dict[str, str]:
+    """The exact option dict handed to the kafka connector — split out so
+    the wire contract is testable without a broker in the environment."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
 
 
 def windowed_counts(events: DataFrame, ts_col: str = "ts",

@@ -382,3 +382,74 @@ def test_insert_ttl_and_schema_validation(spark, tmp_path):
     inserts = [r for r in cluster.statements() if "INSERT" in r["cql"]]
     assert inserts and all(r["cql"].endswith("USING TTL 500") for r in inserts)
     assert cluster.table(s)[(1,)]["name"] == "a"   # replay unaffected by TTL
+
+
+def test_sstable_loader_frame_contract(spark, lineitem, tmp_path):
+    """Seam golden for the env-blocked CqlBulkOutputFormat leg
+    (CassandraSSTableSink.java:222-232): what the SSTable bulk loader
+    requires of its input frame, asserted on prepare() output —
+    (a) every schema column present and CQL-typed, (b) no null
+    partition/clustering keys, (c) GLOBAL composite-key order across
+    ascending batch ids (sstables are written in token/clustering order),
+    (d) contiguous batch ids from 0, none over the size cap."""
+    cs = CassandraSchema.from_struct(
+        lineitem.select("l_orderkey", "l_linenumber", "l_quantity").schema,
+        "ks", "li", ["l_orderkey"], ["l_linenumber"])
+    sink = CassandraBulkSink(cs, tmp_path / "unused", batch_rows=1500)
+    out = sink.prepare(lineitem)
+
+    # (a) columns + CQL type mapping for each
+    assert set(cs.fields) <= set(out.columns)
+    for name in cs.fields:
+        assert cql_type_of(out.schema[name].dataType)  # raises if unmappable
+
+    # (b) keys never null
+    assert out.filter(F.col("l_orderkey").isNull()
+                      | F.col("l_linenumber").isNull()).count() == 0
+
+    rows = out.select("batch_id", "l_orderkey", "l_linenumber").collect()
+    n = len(rows)
+    # (c) sorting batches by id then comparing the composite key sequence
+    seq = [(r["batch_id"], r["l_orderkey"], r["l_linenumber"]) for r in rows]
+    assert sorted(seq) == sorted(seq, key=lambda t: (t[1], t[2], t[0]))
+
+    # (d) contiguity + cap
+    sizes = {}
+    for b, *_ in seq:
+        sizes[b] = sizes.get(b, 0) + 1
+    assert set(sizes) == set(range(len(sizes)))
+    assert all(v <= 1500 for v in sizes.values())
+    assert sum(sizes.values()) == n
+
+
+def test_bulk_sink_multi_key_declared_sort_order(spark, tmp_path):
+    """Port of TestCassandraSSTableSink.testComputeSortOrder: with
+    partition keys declared ('e', 'a') — NOT alphabetical — and
+    clustering key 'b', the loader frame sorts by (e, a, b), i.e. the
+    declared key order decides the composite sort, not column order."""
+    rows = [(a, b, c, d, e) for e in (3, 1, 2) for a in (2, 1)
+            for b in ("z", "y") for c in (0,) for d in (0,)]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "a int, b string, c int, d int, e int")
+    cs = CassandraSchema.from_struct(
+        df.schema, "ks", "t", partition_keys=["e", "a"], clustering_keys=["b"])
+    sink = CassandraBulkSink(cs, tmp_path / "o", batch_rows=100)
+    out = [ (r["e"], r["a"], r["b"]) for r in
+            sink.prepare(df).select("e", "a", "b", "batch_id").collect() ]
+    assert out == sorted(out)            # (e, a, b) ascending — declared order
+
+
+def test_bulk_sink_null_required_keys_rejected(spark, tmp_path):
+    """Port of testWriteMockErrorDataToCassandra's required-field rule:
+    rows missing a partition or clustering key never reach the loader
+    frame (the valid|error fork's reject leg)."""
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (None, "y", 2.0), (3, None, 3.0), (4, "w", 4.0)],
+        "pk int, ck string, v double")
+    cs = CassandraSchema.from_struct(df.schema, "ks", "t",
+                                     partition_keys=["pk"],
+                                     clustering_keys=["ck"])
+    sink = CassandraBulkSink(cs, tmp_path / "o", batch_rows=10)
+    got = {(r["pk"], r["ck"]) for r in sink.prepare(df).collect()}
+    assert got == {(1, "x"), (4, "w")}

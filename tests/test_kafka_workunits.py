@@ -156,3 +156,88 @@ def test_first_run_bootstrap_persists_through_jobdag(spark, tmp_path, customer=N
     calc2 = KafkaWorkUnitCalculator("t", broker, meta2)
     assert calc2.read_checkpointed_offsets() == {0: 100, 1: 50}
     assert calc2.compute_work_units() == []   # caught up, not re-bootstrapping
+
+
+# -- seam goldens: the wire contract the env-blocked legs must satisfy ------
+
+def test_kafka_batch_read_offsets_json_contract():
+    """ranges_to_kafka_json must emit EXACTLY the JSON shape the kafka
+    batch connector requires for startingOffsets/endingOffsets: topic ->
+    stringified-partition -> long, every planned partition present in
+    both maps, until >= from."""
+    import json
+
+    ranges = [OffsetRange(0, 10, 110), OffsetRange(3, 0, 47)]
+    start, end = ranges_to_kafka_json("events", ranges)
+    assert json.loads(start) == {"events": {"0": 10, "3": 0}}
+    assert json.loads(end) == {"events": {"0": 110, "3": 47}}
+    s, e = json.loads(start)["events"], json.loads(end)["events"]
+    assert set(s) == set(e)
+    assert all(isinstance(v, int) for v in {**s, **e}.values())
+    assert all(e[p] >= s[p] for p in s)
+
+
+def test_kafka_stream_options_contract():
+    """The readStream option dict pinned against the public Structured
+    Streaming + Kafka integration contract (option names are
+    case-sensitive strings; values all strings)."""
+    from marmaray_spark.streaming.incremental import kafka_stream_options
+
+    opts = kafka_stream_options("broker1:9092,broker2:9092", "events",
+                                max_offsets_per_trigger=1_000_000,
+                                starting_offsets="earliest")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "1000000",
+    }
+    assert all(isinstance(v, str) for v in opts.values())
+    # rate cap omitted entirely (not "None") when unset
+    assert "maxOffsetsPerTrigger" not in kafka_stream_options(
+        "b:9092", "t", max_offsets_per_trigger=None)
+
+
+def test_multi_topic_calculators_share_metadata_without_collision():
+    """KafkaTestHelper-style multi-topic case: two topics checkpointing
+    through ONE metadata manager keep independent offsets, including a
+    partition id shared by both topics."""
+    meta = InMemoryMetadataManager()
+    b1 = StaticBroker({0: 0, 1: 0}, {0: 100, 1: 50})
+    b2 = StaticBroker({0: 0}, {0: 900})
+    c1 = KafkaWorkUnitCalculator("topicA", b1, meta, bootstrap_at="earliest")
+    c2 = KafkaWorkUnitCalculator("topicB", b2, meta, bootstrap_at="earliest")
+    # bootstrap both, then plan
+    for c in (c1, c2):
+        assert c.compute_work_units() == []
+        c.save_next_run_state()
+    wu1 = c1.compute_work_units()
+    wu2 = c2.compute_work_units()
+    assert {(r.partition, r.until_offset) for r in wu1} == {(0, 100), (1, 50)}
+    assert {(r.partition, r.until_offset) for r in wu2} == {(0, 900)}
+    c1.save_next_run_state(wu1)
+    c2.save_next_run_state(wu2)
+    assert c1.read_checkpointed_offsets() == {0: 100, 1: 50}
+    assert c2.read_checkpointed_offsets() == {0: 900}
+
+
+def test_partition_shrink_plans_remaining_partitions():
+    """A topic recreated with fewer partitions: planning continues from
+    the surviving partitions' checkpoints; the vanished partition's
+    checkpoint is inert (nothing to read is not an offset gap — the
+    data-loss path is earliest>checkpoint, covered above)."""
+    meta = InMemoryMetadataManager()
+    c = KafkaWorkUnitCalculator("t", StaticBroker({0: 0, 1: 0}, {0: 10, 1: 10}),
+                                meta, bootstrap_at="earliest")
+    c.compute_work_units(); c.save_next_run_state()
+    wu = c.compute_work_units(); c.save_next_run_state(wu)
+
+    shrunk = StaticBroker({0: 0}, {0: 20})
+    lost = []
+    c2 = KafkaWorkUnitCalculator(
+        "t", shrunk, meta, reset_on_data_loss="earliest",
+        data_loss_reporter=lambda why, n: lost.append((why, n)))
+    wu2 = c2.compute_work_units()
+    assert [(r.partition, r.from_offset, r.until_offset) for r in wu2] == [(0, 10, 20)]
+    assert lost == []

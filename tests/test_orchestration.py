@@ -422,3 +422,105 @@ def test_jobmanager_aggregate_status(spark, customer, orders):
 
     only_ok = aggregate_status({"ok2": True, "idle": False})
     assert only_ok.status == JobStatus.SUCCESS and only_ok.exceptions == []
+
+
+def test_subdag_step_ordering_parent_split(spark, customer):
+    """Port of the reference TestJobSubDag step contract
+    (TestJobSubDag.java:148-160): payload splits into even/odd legs,
+    both legs EXECUTE before any commit, commits run in priority order
+    (even=0 before odd=1), and each leg sees only its parity."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.plans.dag import JobSubDag, SinkNode
+
+    steps, lock = [], threading.Lock()
+
+    def log(tag):
+        with lock:
+            steps.append(tag)
+
+    def make_write(tag, parity):
+        def write(df):
+            rows = df.filter(F.col("c_custkey") % 2 == parity).count()
+            bad = df.filter(F.col("c_custkey") % 2 != parity).filter(
+                F.lit(tag) == tag).limit(0).count()   # leg filters its parity
+            log(("write", tag, rows > 0 and bad == 0))
+            return rows
+        return write
+
+    sub = JobSubDag([
+        SinkNode("even", make_write("even", 0),
+                 commit=lambda: log(("commit", "even")), priority=0),
+        SinkNode("odd", make_write("odd", 1),
+                 commit=lambda: log(("commit", "odd")), priority=1),
+    ])
+    results = sub.execute(customer)
+    sub.commit()
+
+    assert set(results) == {"even", "odd"} and all(v > 0 for v in results.values())
+    writes = [s for s in steps if s[0] == "write"]
+    commits = [s for s in steps if s[0] == "commit"]
+    assert len(writes) == 2 and all(ok for (_, _, ok) in writes)
+    # every write precedes every commit; commits ordered by priority
+    assert steps.index(commits[0]) > max(steps.index(w) for w in writes)
+    assert [c[1] for c in commits] == ["even", "odd"]
+
+
+def test_subdag_child_failure_aborts_before_commit(spark, customer):
+    """Failure-ordering edge: one leg failing must surface from execute()
+    and no commit may run — the reference's no-partial-commit contract."""
+    import pytest
+
+    from marmaray_spark.plans.dag import JobSubDag, SinkNode
+
+    committed = []
+    sub = JobSubDag([
+        SinkNode("good", lambda df: df.count(),
+                 commit=lambda: committed.append("good"), priority=0),
+        SinkNode("bad", lambda df: (_ for _ in ()).throw(RuntimeError("leg failed")),
+                 commit=lambda: committed.append("bad"), priority=1),
+    ])
+    with pytest.raises(RuntimeError, match="leg failed"):
+        sub.execute(customer)
+    assert committed == []
+
+
+def test_jobdag_metadata_save_failure_fails_job_and_runs_actions(spark, customer):
+    """Port of TestJobDag.testMetadataManagerException: sinks commit, then
+    metadata.save_changes raises -> execute raises, post-actions still run
+    with success=False, and the checkpoint is NOT durable."""
+    import pytest
+
+    from marmaray_spark.metadata import InMemoryMetadataManager
+    from marmaray_spark.plans.dag import JobDag, JobSubDag, SinkNode
+
+    class ExplodingMetadata(InMemoryMetadataManager):
+        def save_changes(self):
+            raise IOError("mock metadataManager exception")
+
+    class StaticCalc:
+        def compute_work_units(self):
+            return ["wu-1"]
+
+        def save_next_run_state(self, work_units):
+            pass
+
+    seen = []
+
+    class RecordingAction:
+        def execute(self, success):
+            seen.append(success)
+
+    dag = JobDag(
+        "meta_fail_job", StaticCalc(),
+        get_data=lambda wu: customer,
+        sub_dag=JobSubDag([SinkNode("sink", lambda df: df.count())]),
+        metadata=ExplodingMetadata(),
+        actions=[RecordingAction()],
+    )
+    with pytest.raises(IOError, match="mock metadataManager"):
+        dag.execute(spark)
+    assert seen == [False]
+    assert isinstance(dag.last_error, IOError)
