@@ -99,12 +99,19 @@ IMAGE_FEATURES_SCHEMA = ("media_id long, width int, height int, channels int, "
                          "aspect_milli long, byte_len long")
 
 
-def extract_image_features(df: DataFrame) -> DataFrame:
+def extract_image_features(df: DataFrame,
+                           passthrough: list[str] | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     Output: one row per image with decoded dimensions and integer
     aspect ratio (milli-units, engine-exact for testing).
-    """
+
+    ``passthrough`` names extra input columns echoed into the output by
+    the kernel itself — metadata riding along in the SAME Arrow pass, so
+    callers never self-join features back onto the source (a whole-table
+    join at corpus scale)."""
+    passthrough = [c for c in (passthrough or []) if c != "media_id"]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = pdf["payload"].map(_decode_image)
@@ -116,11 +123,22 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                 "byte_len": pdf["payload"].map(len).astype("int64"),
             })
             out["aspect_milli"] = (out["width"] * 1000 // out["height"]).astype("int64")
+            for c in passthrough:
+                out[c] = pdf[c]
             yield out[["media_id", "width", "height", "channels",
-                       "aspect_milli", "byte_len"]]
+                       "aspect_milli", "byte_len"] + passthrough]
 
-    cols = df.filter(F.col("media_type") == "image").select("media_id", "payload")
-    return cols.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+    src = df.filter(F.col("media_type") == "image")
+    cols = src.select("media_id", "payload", *passthrough)
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()),
+         T.StructField("width", T.IntegerType()),
+         T.StructField("height", T.IntegerType()),
+         T.StructField("channels", T.IntegerType()),
+         T.StructField("aspect_milli", T.LongType()),
+         T.StructField("byte_len", T.LongType())]
+        + [src.schema[c] for c in passthrough])
+    return cols.mapInPandas(kernel, schema=schema)
 
 
 AUDIO_FEATURES_SCHEMA = ("media_id long, sample_rate int, n_samples long, "

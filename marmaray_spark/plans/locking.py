@@ -190,3 +190,140 @@ class FileLockManager:
 
     def __contains__(self, key: str) -> bool:
         return key in self._held
+
+
+# -- CQL / LWT distributed lock (multi-driver deployments) -------------------
+
+LOCK_TABLE_DDL = ("CREATE TABLE IF NOT EXISTS {ks}.job_locks ("
+                  "name text PRIMARY KEY, owner text, heartbeat_us bigint)")
+_ACQUIRE_CQL = ("INSERT INTO {ks}.job_locks (name, owner, heartbeat_us) "
+                "VALUES (?, ?, ?) IF NOT EXISTS USING TTL {ttl}")
+_HEARTBEAT_CQL = ("UPDATE {ks}.job_locks USING TTL {ttl} "
+                  "SET heartbeat_us = ? WHERE name = ? IF owner = ?")
+_RELEASE_CQL = "DELETE FROM {ks}.job_locks WHERE name = ? IF owner = ?"
+
+
+class CqlLockManager:
+    """Distributed lock over Cassandra lightweight transactions — the
+    multi-driver backend the reference gets from ZooKeeper
+    (M/utilities/LockManager.java); same acquire/heartbeat/release/
+    release_all surface as FileLockManager, so JobManager swaps backends
+    by construction only.
+
+    The protocol is the standard public LWT lock pattern:
+
+    - acquire: ``INSERT ... IF NOT EXISTS USING TTL <stale_after>`` —
+      Paxos gives one winner; the TTL IS the staleness bound (a crashed
+      driver's row expires, no breaker logic needed — the DB does it).
+    - heartbeat: conditional ``UPDATE ... USING TTL ... IF owner = ?``
+      refreshes the TTL only while still the owner.
+    - release: ``DELETE ... IF owner = ?`` — conditional, so a lock the
+      TTL already expired (and someone else re-acquired) is never
+      deleted out from under its new owner.
+
+    ``session`` is anything with
+    ``execute(cql, params) -> list[dict]`` returning LWT result rows
+    (``[applied]`` + current values on failure) — the real driver
+    session or the in-process ``InMemoryLwtSession`` double."""
+
+    def __init__(self, session, keyspace: str = "marmaray",
+                 stale_after_s: float = 2 * 3600.0) -> None:
+        self.session = session
+        self.ks = keyspace
+        self.ttl = max(int(stale_after_s), 1)
+        self.owner = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        self._held: set[str] = set()
+        session.execute(LOCK_TABLE_DDL.format(ks=keyspace), None)
+
+    def acquire(self, key: str, timeout_s: float = 0.0,
+                poll_s: float = 0.2) -> bool:
+        deadline = time.time() + timeout_s
+        cql = _ACQUIRE_CQL.format(ks=self.ks, ttl=self.ttl)
+        while True:
+            rows = self.session.execute(
+                cql, (key, self.owner, int(time.time() * 1e6)))
+            if rows and rows[0].get("[applied]"):
+                self._held.add(key)
+                return True
+            # re-entrant: already ours (e.g. retry after a lost ack)
+            if rows and rows[0].get("owner") == self.owner:
+                self._held.add(key)
+                return True
+            if time.time() >= deadline:
+                return False
+            time.sleep(poll_s)
+
+    def heartbeat(self, key: str) -> None:
+        if key not in self._held:
+            raise LockError(f"not holding {key!r}")
+        rows = self.session.execute(
+            _HEARTBEAT_CQL.format(ks=self.ks, ttl=self.ttl),
+            (int(time.time() * 1e6), key, self.owner))
+        if not (rows and rows[0].get("[applied]")):
+            self._held.discard(key)
+            raise LockError(f"lost lock {key!r} (TTL expired and re-acquired)")
+
+    def release(self, key: str) -> None:
+        self.session.execute(_RELEASE_CQL.format(ks=self.ks),
+                             (key, self.owner))
+        self._held.discard(key)
+
+    def release_all(self) -> None:
+        for key in list(self._held):
+            self.release(key)
+
+
+class InMemoryLwtSession:
+    """In-process double executing the LWT lock protocol with Cassandra's
+    observable semantics (single-winner compare-and-set, TTL expiry,
+    ``[applied]`` result rows) — one mutex stands in for Paxos. Share one
+    instance across CqlLockManager instances to model one cluster."""
+
+    def __init__(self, clock=time.time) -> None:
+        import threading
+        self._rows: dict[str, dict] = {}
+        self._mu = threading.Lock()
+        self._clock = clock
+
+    def _expire(self) -> None:
+        now = self._clock()
+        for k in [k for k, v in self._rows.items() if v["expires"] <= now]:
+            del self._rows[k]
+
+    def execute(self, cql: str, params: tuple | None = None) -> list[dict]:
+        with self._mu:
+            self._expire()
+            if cql.startswith("CREATE TABLE"):
+                return []
+            ttl = int(cql.split("USING TTL")[1].split()[0]) \
+                if "USING TTL" in cql else None
+            if cql.startswith("INSERT"):
+                name, owner, hb = params
+                row = self._rows.get(name)
+                if row is not None:
+                    return [{"[applied]": False, "name": name,
+                             "owner": row["owner"]}]
+                self._rows[name] = {"owner": owner, "heartbeat_us": hb,
+                                    "expires": self._clock() + ttl}
+                return [{"[applied]": True}]
+            if cql.startswith("UPDATE"):
+                hb, name, owner = params
+                row = self._rows.get(name)
+                if row is None or row["owner"] != owner:
+                    return [{"[applied]": False,
+                             "owner": row["owner"] if row else None}]
+                row["heartbeat_us"] = hb
+                row["expires"] = self._clock() + ttl
+                return [{"[applied]": True}]
+            if cql.startswith("DELETE"):
+                name, owner = params
+                row = self._rows.get(name)
+                if row is None or row["owner"] != owner:
+                    return [{"[applied]": False,
+                             "owner": row["owner"] if row else None}]
+                del self._rows[name]
+                return [{"[applied]": True}]
+            raise ValueError(f"unsupported statement: {cql[:40]}")
+
+    def close(self) -> None:
+        pass

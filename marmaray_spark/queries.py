@@ -1516,7 +1516,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract_image_features). The stub decode is deterministic byte
     arithmetic, so the oracle checks the WHOLE mapInPandas pipeline —
     batch shapes, binary round-trip, schema — not just the projection.
-    The join is media_id-equi on co-partitioned outputs of one scan."""
+    Metadata rides through the decode kernel as passthrough columns —
+    ONE Arrow pass over one scan, no self-join (which would be a
+    whole-table join at corpus scale)."""
     from marmaray_spark.operators.multimodal import (
         extract_image_features,
         synth_media_from_text,
@@ -1524,12 +1526,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load(spark, sf_dir, "documents"), spark)
     media = (synth_media_from_text(docs, "doc_id", "text")
-             .filter(F.octet_length("payload") > 0))
-    meta = media.select("media_id",
-                        F.col("meta.byte_len").alias("byte_len"),
-                        F.col("meta.head_hex").alias("head_hex"))
-    feats = extract_image_features(media).drop("byte_len")
-    return meta.join(feats, "media_id", "inner")
+             .filter(F.octet_length("payload") > 0)
+             .withColumn("head_hex", F.col("meta.head_hex")))
+    return extract_image_features(media, passthrough=["head_hex"]) \
+        .select("media_id", "byte_len", "head_hex", "width", "height",
+                "channels", "aspect_milli")
 
 
 @register(

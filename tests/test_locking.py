@@ -149,3 +149,76 @@ def test_heartbeat_and_release_after_stale_break_do_not_clobber(tmp_path):
     meta = json.loads((tmp_path / "job.lock").read_bytes())
     assert meta["owner"] == thief.owner
     thief.heartbeat("job")             # real owner still fine
+
+
+# -- CQL/LWT distributed backend --------------------------------------------
+
+def test_cql_lock_single_winner_and_release():
+    from marmaray_spark.plans.locking import CqlLockManager, InMemoryLwtSession
+
+    cluster = InMemoryLwtSession()
+    a = CqlLockManager(cluster, stale_after_s=3600)
+    b = CqlLockManager(cluster, stale_after_s=3600)
+    assert a.acquire("job-1")
+    assert not b.acquire("job-1")
+    assert a.acquire("job-1")            # re-entrant for the same owner
+    a.release("job-1")
+    assert b.acquire("job-1")
+    b.release_all()
+    assert a.acquire("job-1")
+
+
+def test_cql_lock_ttl_expiry_breaks_crashed_owner():
+    from marmaray_spark.plans.locking import CqlLockManager, InMemoryLwtSession
+
+    t = [1000.0]
+    cluster = InMemoryLwtSession(clock=lambda: t[0])
+    crashed = CqlLockManager(cluster, stale_after_s=60)
+    assert crashed.acquire("job-1")
+    # crashed owner never heartbeats; before TTL the lock holds
+    other = CqlLockManager(cluster, stale_after_s=60)
+    assert not other.acquire("job-1")
+    t[0] += 61
+    assert other.acquire("job-1")        # DB expired the row — no breaker code
+
+
+def test_cql_lock_heartbeat_extends_and_detects_loss():
+    import pytest
+
+    from marmaray_spark.plans.locking import (CqlLockManager,
+                                              InMemoryLwtSession, LockError)
+
+    t = [0.0]
+    cluster = InMemoryLwtSession(clock=lambda: t[0])
+    a = CqlLockManager(cluster, stale_after_s=60)
+    assert a.acquire("job-1")
+    for _ in range(5):                   # heartbeats keep it alive past TTL
+        t[0] += 50
+        a.heartbeat("job-1")
+    b = CqlLockManager(cluster, stale_after_s=60)
+    assert not b.acquire("job-1")
+
+    t[0] += 61                           # owner stalls past TTL; b takes it
+    assert b.acquire("job-1")
+    with pytest.raises(LockError, match="lost lock"):
+        a.heartbeat("job-1")
+    # a's conditional release must NOT delete b's lock
+    a.release("job-1")
+    assert not CqlLockManager(cluster, stale_after_s=60).acquire("job-1")
+
+
+def test_cql_lock_concurrent_acquire_one_winner():
+    import threading
+
+    from marmaray_spark.plans.locking import CqlLockManager, InMemoryLwtSession
+
+    cluster = InMemoryLwtSession()
+    wins = []
+    def contend():
+        m = CqlLockManager(cluster, stale_after_s=3600)
+        if m.acquire("job-1"):
+            wins.append(m.owner)
+    threads = [threading.Thread(target=contend) for _ in range(16)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert len(wins) == 1
