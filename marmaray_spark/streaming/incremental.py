@@ -164,7 +164,9 @@ def stateful_running_totals(events: DataFrame, key_col: str = "user_id",
 def streaming_near_dup_flags(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", bands: int = 8,
                              rows_per_band: int = 2, k: int = 16,
-                             shingle_n: int = 3) -> DataFrame:
+                             shingle_n: int = 3,
+                             epoch_col: str | None = None,
+                             epoch_idle_timeout_ms: int | None = None) -> DataFrame:
     """Streaming corpus near-dup detection, stage 1: stateful LSH bucket
     memory (the incremental twin of operators/dedup.lsh_candidate_pairs).
 
@@ -183,9 +185,16 @@ def streaming_near_dup_flags(docs: DataFrame, id_col: str = "doc_id",
 
     100 TB posture: state is one long per occupied bucket; the shuffle
     key (band, bucket) is the same O(rows x bands) key set the batch LSH
-    join uses; watermark-free (bucket memory is meant to live for the
-    whole corpus build — bound it by partitioning the corpus build into
-    epochs if state must stay below a budget).
+    join uses. Watermark-free by default (bucket memory lives for the
+    whole corpus build). To keep state under a BUDGET on an unbounded
+    build, pass ``epoch_col`` (a corpus-build partition id carried on
+    each doc — ingest day, shard range, ...): dedup state is then scoped
+    per (epoch, band, bucket) and, with ``epoch_idle_timeout_ms``,
+    buckets of finished epochs expire after going idle — state size
+    tracks the ACTIVE epochs only, observable via the query's
+    stateOperators.numRowsTotal progress metric. Cross-epoch near-dups
+    are deliberately out of scope for the stream (run the batch
+    fuzzy-dedup across epoch outputs for that).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -195,16 +204,25 @@ def streaming_near_dup_flags(docs: DataFrame, id_col: str = "doc_id",
                                                 minhash_signature)
     from marmaray_spark.operators.text import word_shingles, words
 
+    group_cols = ["band", "bucket"] + (["epoch"] if epoch_col else [])
+    sel = [F.col(id_col).cast("long").alias("doc_id"),
+           F.posexplode("__bk").alias("band", "bucket")]
+    if epoch_col:
+        sel.append(F.col(epoch_col).cast("long").alias("epoch"))
     tagged = (docs
               .withColumn("__w", words(text_col))
               .withColumn("__sh", word_shingles("__w", shingle_n))
               .withColumn("__hh", minhash_digests("__sh"))
               .withColumn("__sig", minhash_signature("__hh", k))
               .withColumn("__bk", lsh_band_buckets("__sig", bands, rows_per_band))
-              .select(F.col(id_col).cast("long").alias("doc_id"),
-                      F.posexplode("__bk").alias("band", "bucket")))
+              .select(*sel))
+
+    use_timeout = epoch_col is not None and epoch_idle_timeout_ms is not None
 
     def update_fn(key, pdf_iter, state):
+        if use_timeout and state.hasTimedOut:
+            state.remove()          # finished epoch's bucket leaves the store
+            return
         seen = state.get[0] if state.exists else None
         pdf = pd.concat(list(pdf_iter)).sort_values("doc_id")
         known = []
@@ -212,16 +230,20 @@ def streaming_near_dup_flags(docs: DataFrame, id_col: str = "doc_id",
             known.append(seen is not None and int(seen) != int(did))
             seen = int(did) if seen is None else min(int(seen), int(did))
         state.update((int(seen),))
+        if use_timeout:
+            state.setTimeoutDuration(epoch_idle_timeout_ms)
         yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
                             "band": pdf["band"].astype("int32"),
                             "known": known})
 
-    return (tagged.groupBy("band", "bucket")
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if use_timeout
+               else GroupStateTimeout.NoTimeout)
+    return (tagged.groupBy(*group_cols)
             .applyInPandasWithState(update_fn,
                                     outputStructType="doc_id long, band int, known boolean",
                                     stateStructType="min_seen long",
                                     outputMode="update",
-                                    timeoutConf=GroupStateTimeout.NoTimeout))
+                                    timeoutConf=timeout))
 
 
 def foreach_batch_table_sink(stream: DataFrame, table_path: str,

@@ -399,3 +399,57 @@ def test_streaming_near_dup_filter_across_batches(spark, tmp_path):
     run_wave()
     assert decisions[3] == 1                    # near-dup of doc 1 flagged
     assert decisions[4] == 0                    # novel doc passes
+
+
+def test_streaming_near_dup_epoch_scoped_state(spark, tmp_path):
+    """Epoch-bounded dedup state: with epoch_col the bucket memory is
+    scoped per (epoch, band, bucket) — a duplicate WITHIN an epoch is
+    flagged, the same text arriving under a NEW epoch is not (fresh
+    state), and the state store's numRowsTotal is observable via query
+    progress (the budget signal a corpus build watches)."""
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.streaming.incremental import streaming_near_dup_flags
+
+    text = ("spark engine reads parquet files and writes tables with "
+            "commits and checkpoints for incremental runs " * 2)
+    inbox = tmp_path / "docs"
+    inbox.mkdir()
+    decisions = {}
+    state_rows = []
+
+    def land(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string, epoch long") \
+            .write.mode("overwrite").parquet(str(inbox / name))
+
+    def run_wave():
+        stream = (spark.readStream.schema("doc_id long, text string, epoch long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(inbox / "*")))
+        flags = streaming_near_dup_flags(stream, epoch_col="epoch",
+                                         epoch_idle_timeout_ms=3_600_000)
+
+        def sink(batch_df, epoch_id):
+            for r in (batch_df.groupBy("doc_id")
+                      .agg(F.max(F.col("known").cast("int")).alias("dup"))
+                      .collect()):
+                decisions[r["doc_id"]] = max(decisions.get(r["doc_id"], 0),
+                                             r["dup"])
+
+        q = (flags.writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        for p in q.recentProgress:
+            for op in p["stateOperators"]:
+                state_rows.append(op["numRowsTotal"])
+
+    land("w1", [(1, text, 10)])
+    run_wave()
+    assert decisions == {1: 0}
+
+    land("w2", [(2, text, 10), (3, text, 20)])   # dup in epoch 10; fresh in 20
+    run_wave()
+    assert decisions[2] == 1                     # same epoch -> flagged
+    assert decisions[3] == 0                     # new epoch -> fresh state
+    # state grew to both epochs' buckets and is reported per trigger
+    assert state_rows and max(state_rows) >= 16  # 8 bands x 2 epochs
