@@ -1,0 +1,101 @@
+"""Bloom-filter pruned join: shrink the big side of a shuffle join
+BEFORE the shuffle.
+
+The pattern Spark's optimizer applies internally to eligible plans
+(``spark.sql.optimizer.runtime.bloomFilter.enabled`` — the
+``bloom_filter_agg`` / ``might_contain`` expressions are not exposed to
+user SQL), rebuilt here from PUBLIC primitives so it works wherever the
+optimizer can't see the relationship: probe side from a non-SQL source,
+joins staged across jobs, intermediate build sides.
+
+Plan shape:
+
+- BUILD (distributed): each build-side key emits k hashed bit
+  positions (``xxhash64(seed, key)``), positions fold into 64-bit words
+  by a ``bit_or`` groupBy — map-side combined, m/64 tiny rows — and the
+  word table collects to the driver (sketch-sized metadata, like IVF
+  centroids; never per-row driver state).
+- PROBE (codegen): the words become ONE array<bigint> literal in the
+  plan; a row survives iff all k probed bits are set — pure integer
+  expressions inside whole-stage codegen, no UDF, no extra shuffle.
+
+At 100 TB the win is shuffle bytes: rows whose keys can't match never
+enter the exchange. False positives only cost extra shuffled rows — the
+join itself stays exact. No false negatives by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _geometry(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n ln(p) / ln(2)^2 bits (rounded up to
+    a multiple of 64), k = m/n ln(2) probes (clamped 1..8)."""
+    n = max(int(expected_items), 1)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = max((m + 63) // 64 * 64, 64)
+    k = max(1, min(8, round(m / n * math.log(2))))
+    return m, k
+
+
+def _positions(key: Column, m: int, k: int) -> list[Column]:
+    return [F.pmod(F.xxhash64(F.lit(i), key), F.lit(m)) for i in range(k)]
+
+
+def build_key_bloom(df: DataFrame, key_col: str,
+                    expected_items: int | None = None,
+                    fpp: float = 0.03) -> dict:
+    """Distributed Bloom build over the distinct keys; returns the sketch
+    as {"m": bits, "k": probes, "words": list[int] of length m/64}."""
+    n = expected_items
+    if n is None:
+        n = df.select(F.approx_count_distinct(key_col)).first()[0] or 1
+    m, k = _geometry(n, fpp)
+    pos = F.explode(F.array(*_positions(F.col(key_col), m, k))).alias("pos")
+    words_df = (df.select(pos)
+                .select((F.col("pos") / 64).cast("int").alias("w"),
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("bigint"),
+                            F.pmod(F.col("pos"), F.lit(64)).cast("int"))
+                        .alias("bit"))
+                .groupBy("w").agg(F.bit_or("bit").alias("word")))
+    words = [0] * (m // 64)
+    for r in words_df.collect():        # m/64 rows — sketch-sized metadata
+        words[r["w"]] = r["word"]
+    return {"m": m, "k": k, "words": words}
+
+
+def might_contain(bloom: dict, key: Column) -> Column:
+    """All-k-bits-set probe against the sketch's array<bigint> literal —
+    whole-stage-codegen integer expressions, no UDF."""
+    arr = F.lit(bloom["words"])
+    cond = None
+    for p in _positions(key, bloom["m"], bloom["k"]):
+        word = F.get(arr, (p / 64).cast("int"))
+        bit = F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                              F.pmod(p, F.lit(64)).cast("int"))
+        c = word.bitwiseAND(bit) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_prune(df: DataFrame, key_col: str, bloom: dict) -> DataFrame:
+    """Filter ``df`` to rows whose key MIGHT be in the build-side bloom."""
+    return df.filter(might_contain(bloom, F.col(key_col)))
+
+
+def bloom_pruned_join(big: DataFrame, small: DataFrame, on: str,
+                      how: str = "inner",
+                      fpp: float = 0.03) -> DataFrame:
+    """Join ``big`` with ``small`` on an equi-key, Bloom-pruning the big
+    side before its shuffle. Correct for inner and left-semi joins (the
+    pruned rows could never match); refuses the outer flavors where
+    dropped non-matching rows must still appear."""
+    if how not in ("inner", "left_semi", "leftsemi"):
+        raise ValueError(f"bloom pruning would drop required rows for {how!r}")
+    bloom = build_key_bloom(small, on, fpp=fpp)
+    return bloom_prune(big, on, bloom).join(small, on, how)
