@@ -47,6 +47,8 @@ HEADLINE = [
     "doc_distinctive_terms",
     "sampling_methods",
     "training_data_pipeline",
+    "fuzzy_dedup_corpus",
+    "schema_evolution_decode",
 ]
 
 

@@ -143,3 +143,60 @@ def test_resolving_reader_routes_incompatible_to_error(spark, tmp_path):
     assert by_id[0].src == "legacy" and by_id[100].src == "s"
     assert by_id[3].cents == 30          # widened int -> long
     assert {r.writer_version for r in bad} == {9, 1}
+
+
+# -- property tests: resolution laws over generated schemas -----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PRIM = st.sampled_from(["int", "long", "float", "double", "string",
+                         "bytes", "boolean"])
+_NAMES = st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+                  min_size=1, max_size=5, unique=True)
+
+
+@st.composite
+def record_schemas(draw):
+    names = draw(_NAMES)
+    return rec(*[f(n, draw(_PRIM)) for n in names])
+
+
+@given(record_schemas())
+@settings(max_examples=50, deadline=None)
+def test_self_compat_is_reflexive(schema):
+    assert is_compatible(schema, schema)
+
+
+@given(record_schemas())
+@settings(max_examples=50, deadline=None)
+def test_projection_always_backward(schema):
+    """Dropping any suffix of fields keeps the reader compatible."""
+    fields = schema["fields"]
+    for cut in range(1, len(fields) + 1):
+        assert is_compatible(rec(*fields[:cut]), schema)
+
+
+_VALUES = {"int": 41, "long": 1 << 40, "float": 1.5, "double": 2.25,
+           "string": "xyz", "bytes": b"\x01\x02", "boolean": True}
+_WIDEN = {"int": "long", "float": "double"}
+
+
+@given(record_schemas())
+@settings(max_examples=50, deadline=None)
+def test_resolving_decode_roundtrip_with_widening_and_default(schema):
+    """Encode under the writer, read with a reader that widens every
+    widenable field and appends a defaulted one: every original value
+    survives (ints exactly; floats as floats), the default fills in."""
+    value = {fl["name"]: _VALUES[fl["type"]] for fl in schema["fields"]}
+    reader = rec(*[f(fl["name"], _WIDEN.get(fl["type"], fl["type"]))
+                   for fl in schema["fields"]],
+                 f("zz_added", "string", default="dflt"))
+    assert is_compatible(reader, schema)
+    out = resolve_record(reader, schema, encode_record(schema, value))
+    assert out.pop("zz_added") == "dflt"
+    for k, v in value.items():
+        if isinstance(v, float):
+            assert abs(out[k] - v) < 1e-6
+        else:
+            assert out[k] == v
