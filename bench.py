@@ -26,7 +26,7 @@ HEADLINE = [
     "cassandra_writetime_batches",
     "validate_required_keys_valid",
     "kafka_incremental_fair_split",
-    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
     "simhash_banded_near_dup",
     "embedding_topk_bruteforce",
     "embedding_srp_probe_topk",
@@ -49,6 +49,7 @@ HEADLINE = [
     "training_data_pipeline",
     "fuzzy_dedup_corpus",
     "schema_evolution_decode",
+    "bm25_topical_ranking",
 ]
 
 

@@ -1132,9 +1132,7 @@ def _sql_bands(bands: int, rows: int) -> str:
     return f"[{parts}]"
 
 
-@register(
-    "minhash_lsh_candidates",
-    f"""
+_SQL_LSH_CAND = f"""
     WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
     hs AS (SELECT doc_id, list_transform(
@@ -1151,13 +1149,17 @@ def _sql_bands(bands: int, rows: int) -> str:
     SELECT DISTINCT l.doc AS a, r.doc AS b
     FROM exploded l JOIN exploded r
       ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
-    """,
-)
+    """
+
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: one 2-salt md5 digest per
     shingle sliced into 16 32-bit minhashes, 8 bands x 2 bit-disjoint
     rows, bucket-join (operators/dedup.py). O(rows x bands), never
-    O(rows^2)."""
+    O(rows^2). Not separately registered: its exact pair set (plus the
+    Jaccard verification columns) IS the hash-checked output of
+    ngram_jaccard_pairs, and _SQL_LSH_CAND is its oracle CTE reused by
+    the downstream dedup oracles."""
     from marmaray_spark.operators.dedup import (
         lsh_band_buckets,
         lsh_candidate_pairs,
@@ -1177,7 +1179,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     f"""
-    WITH cand AS ({_ORACLES["minhash_lsh_candidates"]}),
+    WITH cand AS ({_SQL_LSH_CAND}),
     t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
     sh AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS shingles FROM t)
     SELECT cand.a AS a, cand.b AS b,
@@ -1188,8 +1190,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard verification ON LSH CANDIDATES (the scale plan IS
-    the declared plan): exact integer intersection/union counts over
+    """MinHash-LSH candidate generation AND n-gram Jaccard verification
+    in one hash-checked result (the pair set is exactly
+    minhash_lsh_candidates' output; the driver's 50-row cap folded the
+    two): exact integer intersection/union counts over
     distinct 3-word shingles for each MinHash+LSH candidate pair
     (operators/dedup.py jaccard_counts); a threshold downstream is an
     integer cross-multiply (inter * K >= union). Cost = signatures
@@ -1219,6 +1223,50 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("inter_size", inter.cast("int"))
             .withColumn("union_size", union.cast("int"))
             .select("a", "b", "inter_size", "union_size"))
+
+
+@register(
+    "bm25_topical_ranking",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  CAST(sum(len(w)) AS DOUBLE) AS total_dl FROM t),
+    terms AS (SELECT doc_id, unnest(w) AS term FROM t),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM terms
+           WHERE term <> '' AND term IN ('data', 'model', 'system')
+           GROUP BY 1, 2),
+    dl AS (SELECT doc_id,
+                  CAST(len(list_filter(w, x -> x <> '')) AS DOUBLE) AS dl
+           FROM t),
+    dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                   / (st.total_dl / st.n_docs)))) AS s
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(round(s * 1000) AS BIGINT) AS score_milli,
+           CAST(row_number() OVER (ORDER BY CAST(round(s * 1000) AS BIGINT)
+                DESC, doc_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def bm25_topical_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the corpus for a fixed keyword
+    query (operators/retrieval.py bm25_scores; k1=1.2, b=0.75, the
+    ``log((N - df + 0.5)/(df + 0.5) + 1)`` idf): inverted-index frame
+    from one explode+groupBy, postings pruned to the query terms BEFORE
+    any join, top-k via TakeOrderedAndProject — no global rank window.
+    Milli-scaled bigint scores keep both engines hash-identical."""
+    from marmaray_spark.operators.retrieval import bm25_scores
+
+    docs = spread(load(spark, sf_dir, "documents"), spark)
+    return bm25_scores(docs, ["data", "model", "system"], top_k=20)
 
 
 def _sql_simhash(words_expr: str) -> str:
@@ -2086,7 +2134,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_dedup_corpus",
     f"""
-    WITH RECURSIVE cand AS ({_ORACLES["minhash_lsh_candidates"]}),
+    WITH RECURSIVE cand AS ({_SQL_LSH_CAND}),
     shing AS (SELECT doc_id,
                      list_distinct({_SQL_SHINGLES}) AS sh
               FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)),
@@ -2159,7 +2207,7 @@ def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_text_only,
            CAST((SELECT count(*) FROM ep) - (SELECT n FROM agree) AS BIGINT)
              AS n_embed_only
-    """.format(minhash=_ORACLES["minhash_lsh_candidates"],
+    """.format(minhash=_SQL_LSH_CAND,
                embed=_ORACLES["embedding_near_dup_pairs"]),
 )
 def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,9 +115,12 @@ def test_no_allpairs_plan_in_any_declared_query(spark):
     # validate_required_keys_valid / table_incremental_cdc attach a 1-row
     # global-aggregate count as a constant column via crossJoin(broadcast) —
     # a BNLJ whose build side is exactly one row: linear, never quadratic.
+    # bm25_topical_ranking attaches the 1-row (n_docs, total_dl) global
+    # stats the same way — a single-row broadcast build side
     allowed_bnlj = {"embedding_topk_bruteforce",
                     "validate_required_keys_valid",
-                    "table_incremental_cdc"}
+                    "table_incremental_cdc",
+                    "bm25_topical_ranking"}
     offenders = {}
     for name, fn in Q.all_queries().items():
         plan = plan_of(fn(spark, SF))
