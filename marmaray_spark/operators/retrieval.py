@@ -68,8 +68,17 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     stats = n_docs_dl.agg(F.count(F.lit(1)).alias("n_docs"),
                           F.sum("dl").alias("total_dl"))
 
-    index = term_frequencies(docs, id_col, text_col) \
-        .filter(F.col("term").isin(uniq))
+    # tf only (term filter pushes below the aggregate); per-doc length
+    # comes from the size() expression above instead of term_frequencies'
+    # full-vocabulary dl groupBy — one less full-corpus shuffle. (dl ==
+    # filtered token count for every doc that can appear in the index:
+    # '' tokens only occur for empty text, which matches no query term.)
+    terms = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(words(text_col)).alias("term"))
+             .filter(F.col("term").isin(uniq) & (F.col("term") != "")))
+    index = (terms.groupBy("doc_id", "term")
+             .agg(F.count(F.lit(1)).alias("tf"))
+             .join(n_docs_dl, "doc_id"))
     dfreq = document_frequencies(index)
 
     scored = (index.join(dfreq, "term")
