@@ -576,7 +576,11 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (Spark lacks a native one): for each click, the user's
     most recent prior-or-same-instant purchase. Implemented as the
     union-tag + last_value(ignore nulls) running window — one shuffle on
-    the key, no range-join blowup; the scalable merge_asof."""
+    the key, no range-join blowup; the scalable merge_asof. The
+    general-purpose two-frame operator (backward/forward/nearest +
+    tolerance, pandas-merge_asof-parity tested) is
+    operators/asof.py:asof_join; this declared form keeps its original
+    union-window tie semantics for oracle stability."""
     events = load(spark, sf_dir, "events")
     evs = events.filter(F.col("event_type").isin("click", "purchase"))
     w = (W.partitionBy("user_id").orderBy("ts", "event_id")
