@@ -453,3 +453,53 @@ def test_streaming_near_dup_epoch_scoped_state(spark, tmp_path):
     assert decisions[3] == 0                     # new epoch -> fresh state
     # state grew to both epochs' buckets and is reported per trigger
     assert state_rows and max(state_rows) >= 16  # 8 bands x 2 epochs
+
+
+def test_stream_to_table_to_maintained_rollup_chain(spark, tmp_path):
+    """The full chained pipeline: files stream -> managed table
+    (exactly-once foreachBatch) -> incrementally-maintained rollup via
+    the table's change stream. After every wave the rollup equals a
+    from-scratch aggregate of the table — streams, tables and derived
+    tables compose through the same work-unit/commit contracts."""
+    from marmaray_spark.metadata import InMemoryMetadataManager
+    from marmaray_spark.operators.rollup import maintain_rollup
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "event_id long, user_id long, amount double"
+    table = tmp_path / "events_table"
+    rollup_path = tmp_path / "user_totals"
+    meta = InMemoryMetadataManager()
+    aggs = {"n": ("count", "*"), "total": ("sum", "amount")}
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).write.parquet(str(src / name))
+
+    def ingest_wave():
+        stream = read_parquet_stream(spark, f"{src}/w*", spark.createDataFrame(
+            [], schema).schema)
+        run_available_now(foreach_batch_table_sink(
+            stream, str(table), record_key_field="event_id",
+            partition_field=None, op="upsert",
+            checkpoint_dir=str(tmp_path / "ckpt")))
+
+    def check():
+        base = TableSink(spark, table, "event_id")
+        rollup = TableSink(spark, rollup_path, "user_id")
+        maintain_rollup(base, rollup, meta, "user_id", aggs)
+        expect = {(r["user_id"], r["n"], round(r["total"], 2)) for r in
+                  base.read().groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("amount").alias("total")).collect()}
+        got = {(r["user_id"], r["n"], round(r["total"], 2)) for r in
+               rollup.read().select("user_id", "n", "total").collect()}
+        assert got == expect
+
+    land("w0", [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 1.0)])
+    ingest_wave()
+    check()
+
+    land("w1", [(2, 10, 70.0), (4, 30, 9.0)])   # update + new user
+    ingest_wave()
+    check()
