@@ -257,3 +257,21 @@ def stratified_sample(df, id_col: str, strata_col: str,
         for s, p in sorted(pcts.items()))
     thr = f"CASE {cases} ELSE '{hexthr(default_pct)}' END"
     return df.filter(F.expr(f"{prefix} < {thr}"))
+
+
+def weighted_sample(df, id_col: str, weight_col, salt: str = "s0"):
+    """Per-ROW deterministic sampling: each row survives with its own
+    probability from ``weight_col`` (a Column or name yielding [0, 1] —
+    e.g. a quality score mapped to a keep rate, the corpus-MIXING
+    primitive: sample each document at a rate driven by its source,
+    quality, or dedup-cluster size).
+
+    Same hash contract as deterministic_sample — the row's md5-derived
+    16-bit uniform is compared to round(weight * 65536), integer-exact
+    and engine/retry/partitioning-stable. weight <= 0 drops, >= 1 keeps."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u16 = F.conv(F.expr(
+        f"substring(md5(concat('{salt}:', cast({id_col} as string))), 1, 4)"),
+        16, 10).cast("long")
+    thr = F.round(w * 65536).cast("long")
+    return df.filter(u16 < thr)

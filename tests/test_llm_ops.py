@@ -802,3 +802,29 @@ def test_real_png_decode_resize_roundtrip(spark):
            + chunk(b"IDAT", b"not-deflate") + chunk(b"IEND", b""))
     with pytest.raises(MediaCodecError):
         decode_png(bad)                                # inflate failure
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    """Per-row keep probability: observed rates track the weights, weight
+    0 drops all / 1 keeps all, and the decision is stable across reruns
+    and partitionings."""
+    from marmaray_spark.operators.text import weighted_sample
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, 0.0)
+         .when(F.col("id") % 4 == 1, 0.25)
+         .when(F.col("id") % 4 == 2, 0.75)
+         .otherwise(1.0).alias("w"))
+    kept = weighted_sample(df, "id", "w")
+    by_w = {r["w"]: r["n"] for r in
+            kept.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.0 not in by_w                      # weight 0 -> dropped
+    assert by_w[1.0] == 1000                    # weight 1 -> all kept
+    assert 180 <= by_w[0.25] <= 320             # ~250
+    assert 660 <= by_w[0.75] <= 840             # ~750
+
+    ids1 = sorted(r["id"] for r in kept.collect())
+    ids2 = sorted(r["id"] for r in
+                  weighted_sample(df.repartition(13), "id", "w").collect())
+    assert ids1 == ids2                         # partitioning-independent
