@@ -828,3 +828,23 @@ def test_weighted_sample_rates_and_determinism(spark):
     ids2 = sorted(r["id"] for r in
                   weighted_sample(df.repartition(13), "id", "w").collect())
     assert ids1 == ids2                         # partitioning-independent
+
+
+def test_approx_heavy_hitters_contains_exact_top(spark, documents):
+    """The constant-memory heavy-hitters path for 100 TB: DataFrame
+    freqItems (a merged frequent-items sketch) must contain every term
+    the exact groupBy ranks in the top 10 — the sketch's containment
+    guarantee for support above the threshold."""
+    from marmaray_spark.operators.text import words as words_fn
+
+    terms = (documents.select(F.explode(words_fn("text")).alias("t"))
+             .filter(F.col("t") != ""))
+    exact_top = [r["t"] for r in
+                 terms.groupBy("t").count()
+                 .orderBy(F.col("count").desc(), "t").limit(10).collect()]
+    n = terms.count()
+    # support 0.5%: anything in the exact top-10 is far above it here
+    approx = set(terms.stat.freqItems(["t"], 0.005).collect()[0][0])
+    assert set(exact_top) <= approx
+    # and the sketch is bounded: at most ~1/support entries
+    assert len(approx) <= 1 / 0.005 + 1
