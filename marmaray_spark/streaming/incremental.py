@@ -63,9 +63,16 @@ def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topic: str,
 
 def kafka_stream_options(bootstrap_servers: str, topic: str,
                          max_offsets_per_trigger: int | None = 1_000_000,
-                         starting_offsets: str = "latest") -> dict[str, str]:
+                         starting_offsets: str = "latest",
+                         min_partitions: int | None = None) -> dict[str, str]:
     """The exact option dict handed to the kafka connector — split out so
-    the wire contract is testable without a broker in the environment."""
+    the wire contract is testable without a broker in the environment.
+
+    ``min_partitions`` is the parallel-broker-read contract (the
+    reference's >=256-reader fan-out, KafkaSource.java:117-127): the
+    connector splits topic-partitions into at least this many offset
+    slices so read parallelism is decoupled from the topic's partition
+    count."""
     opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
@@ -74,6 +81,8 @@ def kafka_stream_options(bootstrap_servers: str, topic: str,
     }
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if min_partitions is not None:
+        opts["minPartitions"] = str(min_partitions)
     return opts
 
 

@@ -197,6 +197,11 @@ def test_kafka_stream_options_contract():
     # rate cap omitted entirely (not "None") when unset
     assert "maxOffsetsPerTrigger" not in kafka_stream_options(
         "b:9092", "t", max_offsets_per_trigger=None)
+    # the parallel-broker-read contract: minPartitions decouples read
+    # parallelism from the topic's partition count (>=256-reader fan-out)
+    wide = kafka_stream_options("b:9092", "t", min_partitions=256)
+    assert wide["minPartitions"] == "256"
+    assert "minPartitions" not in kafka_stream_options("b:9092", "t")
 
 
 def test_multi_topic_calculators_share_metadata_without_collision():
