@@ -247,6 +247,25 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int,
             for c in model.clusterCenters()]
 
 
+def save_ivf_index(metadata, centroids: list[list[int]],
+                   name: str = "ivf") -> None:
+    """Persist trained centroids through a MetadataManager (durable with
+    the caller's save_changes, like any checkpoint): the index-build step
+    runs once, query sessions load the tiny list and get the identical
+    expression-only probe plan — no vector data is stored, only the
+    centroid literals."""
+    import json as _json
+    metadata.set(f"ivf_index.{name}", _json.dumps(centroids))
+
+
+def load_ivf_index(metadata, name: str = "ivf") -> list[list[int]]:
+    import json as _json
+    raw = metadata.get(f"ivf_index.{name}")
+    if raw is None:
+        raise KeyError(f"no IVF index {name!r} in metadata")
+    return [[int(x) for x in c] for c in _json.loads(raw)]
+
+
 def ivf_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
                    n_centroids: int = 16, nprobe: int = 2,
                    id_col: str = "vec_id", vec_col: str = "embedding",

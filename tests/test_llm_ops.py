@@ -848,3 +848,37 @@ def test_approx_heavy_hitters_contains_exact_top(spark, documents):
     assert set(exact_top) <= approx
     # and the sketch is bounded: at most ~1/support entries
     assert len(approx) <= 1 / 0.005 + 1
+
+
+def test_ivf_index_persists_across_sessions(spark, embeddings, tmp_path):
+    """Index-build-once: KMeans centroids trained, persisted via a
+    durable MetadataManager, reloaded by a FRESH manager (a later query
+    session), and the probe results are identical to using the in-memory
+    centroids."""
+    from marmaray_spark.metadata import FileSystemMetadataManager
+    from marmaray_spark.operators.similarity import (ivf_probe_topk,
+                                                     load_ivf_index,
+                                                     save_ivf_index,
+                                                     train_ivf_centroids)
+
+    cents = train_ivf_centroids(embeddings, n_centroids=4)
+    meta = FileSystemMetadataManager(tmp_path / "idx")
+    save_ivf_index(meta, cents, name="emb64")
+    meta.save_changes()
+
+    meta2 = FileSystemMetadataManager(tmp_path / "idx")
+    loaded = load_ivf_index(meta2, name="emb64")
+    assert loaded == [[int(x) for x in c] for c in cents]
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    direct = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_probe_topk(q, embeddings, k=3, n_centroids=4,
+                             centroids=cents).collect()}
+    via_store = {(r["query_id"], r["neighbor_id"]) for r in
+                 ivf_probe_topk(q, embeddings, k=3, n_centroids=4,
+                                centroids=loaded).collect()}
+    assert via_store == direct
+
+    import pytest
+    with pytest.raises(KeyError, match="no IVF index"):
+        load_ivf_index(meta2, name="missing")
