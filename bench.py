@@ -50,7 +50,37 @@ HEADLINE = [
     "fuzzy_dedup_corpus",
     "schema_evolution_decode",
     "bm25_topical_ranking",
+    "asof_join_last_purchase",
+    "range_join_price_bands",
+    "rollup_pricing",
+    "table_incremental_cdc",
+    "fork_tag_counts",
 ]
+
+
+def _previous_round_warm() -> tuple[str, dict[str, float]] | None:
+    """Latest BENCH_r*.json with a parsed result — for per-query deltas."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed")
+        queries = (parsed or {}).get("queries")
+        if not queries:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, os.path.basename(path), queries)
+    return (best[1], best[2]) if best else None
 
 
 def main() -> None:
@@ -59,6 +89,11 @@ def main() -> None:
     spark = SparkFactory("bench").get_or_create()
 
     registry = Q.all_queries()
+    # a renamed query must FAIL the bench, not silently shrink it
+    unknown = [n for n in HEADLINE if n not in registry]
+    if unknown:
+        raise SystemExit(f"HEADLINE names missing from the query registry: "
+                         f"{unknown}")
     # warm the JVM + parquet footers with a trivial action, and the Python
     # worker pool (Arrow path) so the first mapInPandas query doesn't pay
     # interpreter spin-up inside its timing
@@ -74,8 +109,6 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in registry:
-            continue
         runs = []
         for _ in range(2):
             t0 = time.time()
@@ -90,6 +123,24 @@ def main() -> None:
         # their own timed run; dropping leftovers between queries stops
         # cache-pressure crosstalk from skewing later measurements
         spark.catalog.clearCache()
+
+    # round-over-round guard: per-query warm deltas vs the last recorded
+    # round, so a regression the one-number total hides is visible in the
+    # bench log itself
+    prev = _previous_round_warm()
+    if prev is not None:
+        prev_name, prev_warm = prev
+        print(f"# warm deltas vs {prev_name}:", file=sys.stderr)
+        for name in HEADLINE:
+            if name in warm and name in prev_warm and prev_warm[name] > 0:
+                d = warm[name] - prev_warm[name]
+                ratio = warm[name] / prev_warm[name]
+                flag = "  <-- REGRESSED" if (ratio > 1.5 and d > 0.3) else ""
+                print(f"#   {name}: {prev_warm[name]:.2f}s -> {warm[name]:.2f}s "
+                      f"({d:+.2f}s, x{ratio:.2f}){flag}", file=sys.stderr)
+        new = [n for n in HEADLINE if n in warm and n not in prev_warm]
+        if new:
+            print(f"#   new this round: {new}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "headline_query_wall_time",

@@ -2080,28 +2080,66 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("point_order").alias("min_order"))
 
 
+# The DECLARED query is the hot-bucket-capped form (max_bucket_width=64):
+# on dup-heavy corpora the uncapped pair set grows quadratically in
+# duplicate-cluster size (7.4M rows at sf0.1 — a scale-killer at 100x and
+# the r4 bench-crash suspect), while the star fallback emits O(bucket)
+# rows with the same duplicate components. The ORACLE replicates the
+# capped algorithm step by step in SQL (banding, bucket sizing, min-id
+# anchor, star over hot buckets), so hash-equality checks the whole
+# pipeline cross-engine. Uncapped banding == exact pairwise stays pinned
+# as a pytest property (tests/test_llm_ops.py
+# test_simhash_banded_equals_pairwise).
 @register(
     "simhash_banded_near_dup",
     f"""
     WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
-    s AS (SELECT doc_id, CAST({_sql_simhash('w')} AS BIGINT) AS simhash FROM t)
-    SELECT l.doc_id AS a, r.doc_id AS b,
-           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
-    FROM s l JOIN s r ON l.doc_id < r.doc_id
-    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    s AS (SELECT doc_id, CAST({_sql_simhash('w')} AS BIGINT) AS simhash FROM t),
+    tagged AS (
+      SELECT doc_id AS id, simhash AS sh, bd.band AS band,
+             (simhash >> (bd.band * 4)) & 15 AS nibble
+      FROM s, (SELECT unnest(generate_series(0, 3)) AS band) bd
+    ),
+    bstats AS (
+      SELECT band, nibble, count(*) AS n, min(id) AS mn
+      FROM tagged GROUP BY band, nibble
+    ),
+    sized AS (
+      SELECT tg.id, tg.sh, tg.band, tg.nibble, bs.n, bs.mn, an.sh AS mnsh
+      FROM tagged tg
+      JOIN bstats bs ON bs.band = tg.band AND bs.nibble = tg.nibble
+      JOIN tagged an ON an.band = tg.band AND an.nibble = tg.nibble
+                    AND an.id = bs.mn
+    ),
+    pairs_small AS (
+      SELECT l.id AS a, r.id AS b, l.sh AS sh_a, r.sh AS sh_b
+      FROM (SELECT * FROM sized WHERE n <= 64) l
+      JOIN (SELECT * FROM sized WHERE n <= 64) r
+        ON l.band = r.band AND l.nibble = r.nibble AND l.id < r.id
+    ),
+    pairs_hot AS (
+      SELECT mn AS a, id AS b, mnsh AS sh_a, sh AS sh_b
+      FROM sized WHERE n > 64 AND id <> mn
+    ),
+    u AS (SELECT * FROM pairs_small UNION ALL SELECT * FROM pairs_hot)
+    SELECT DISTINCT a, b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM u WHERE bit_count(xor(sh_a, sh_b)) <= 3
     """,
 )
 def simhash_banded_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup via pigeonhole banding (operators/dedup.py
-    simhash_banded_near_dup): O(rows x 4) bucket join instead of all
-    pairs. The ORACLE is the exact pairwise SQL — hash-equality proves
-    the banding loses nothing for hamming <= 3 (the pigeonhole
-    guarantee), cross-engine."""
+    """SimHash near-dup via pigeonhole banding with the hot-bucket star
+    cap (operators/dedup.py simhash_banded_near_dup): O(rows x 4) bucket
+    join instead of all pairs, and saturated buckets collapse to a star
+    over their min-id anchor so the output stays linear in corpus size
+    even on boilerplate-duplicated data. The ORACLE replicates the
+    capped algorithm in SQL — hash-equality checks banding, bucket
+    sizing, anchoring and the hamming filter cross-engine."""
     from marmaray_spark.operators.dedup import simhash16, simhash_banded_near_dup
 
     docs = _with_words(load(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", simhash16("w").alias("simhash"))
-    out = simhash_banded_near_dup(sh, "doc_id", "simhash", max_hamming=3)
+    out = simhash_banded_near_dup(sh, "doc_id", "simhash", max_hamming=3,
+                                  max_bucket_width=64)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 

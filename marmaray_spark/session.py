@@ -21,7 +21,15 @@ from pyspark.sql import SparkSession
 # - shuffle.partitions is a *starting* value; AQE coalesces down. On a
 #   real cluster this should be ~2-3x total cores; locally ~cores.
 # - maxPartitionBytes 128m keeps scan tasks memory-bounded at any SF.
+# - driver.memory MUST be pinned here: local-mode executors live inside the
+#   driver JVM, and the 1 GiB JVM default makes hash-aggregate spills
+#   (UnsafeKVExternalSorter) die under memory pressure with 32 concurrent
+#   task threads. 16g is conservative for the 128 GiB sandbox; on a real
+#   cluster this is a per-role submit-time setting. It only takes effect
+#   when THIS factory starts the JVM (builder configs cannot resize a
+#   running JVM) — which is the case for bench/driver/pytest entrypoints.
 _DEFAULT_CONF: dict[str, str] = {
+    "spark.driver.memory": "16g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
