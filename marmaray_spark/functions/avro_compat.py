@@ -73,16 +73,78 @@ def _branches(schema: Any) -> list[Any]:
     return schema if isinstance(schema, list) else [schema]
 
 
+_NAMED_TYPES = ("record", "enum", "fixed")
+
+
+def _unqual(name: str | None) -> str | None:
+    return name.rsplit(".", 1)[-1] if name else name
+
+
+def _fullname(schema: dict) -> str | None:
+    name = schema.get("name")
+    if not name:
+        return None
+    ns = schema.get("namespace")
+    return name if ("." in name or not ns) else f"{ns}.{name}"
+
+
+def _register(schema: Any, env: dict[str, Any]) -> None:
+    """Record a named-type definition so later string references to its
+    full or unqualified name resolve (Avro named-type references)."""
+    if isinstance(schema, dict) and schema.get("type") in _NAMED_TYPES \
+            and schema.get("name"):
+        full = _fullname(schema)
+        env[full] = schema
+        env[_unqual(full)] = schema
+
+
+def _deref(schema: Any, env: dict[str, Any]) -> Any:
+    """Resolve a string type that is not a primitive as a reference to a
+    previously defined named type; unknown references come back as-is
+    (the caller reports them as unreadable)."""
+    if isinstance(schema, str) and schema not in PRIMITIVES:
+        return env.get(schema, env.get(_unqual(schema), schema))
+    return schema
+
+
+def _name_mismatch(reader: dict, writer: dict, path: str) -> list[str]:
+    """Avro resolution: record/enum/fixed match only if the unqualified
+    names are equal, or the writer's name is among the reader's aliases."""
+    rn, wn = _unqual(reader.get("name")), _unqual(writer.get("name"))
+    if rn is None or wn is None or rn == wn:
+        return []
+    aliases = {_unqual(a) for a in reader.get("aliases", [])}
+    if wn in aliases:
+        return []
+    return [f"{path}: writer {reader.get('type')} name {wn!r} does not match "
+            f"reader name {rn!r} or its aliases"]
+
+
 def compat_errors(reader: Any, writer: Any, path: str = "$") -> list[str]:
     """Avro schema-resolution check: can data WRITTEN with ``writer`` be
-    READ with ``reader``? Empty list = compatible."""
-    reader, writer = _parse(reader), _parse(writer)
+    READ with ``reader``? Empty list = compatible.
+
+    Implements the named-type rules too: record/enum/fixed names (or
+    reader aliases) must match, string references to earlier named
+    definitions resolve, and recursive schemas terminate through a
+    visited-(reader,writer)-pair guard (co-inductive: a revisited pair
+    is compatible unless some other path proves otherwise)."""
+    return _compat(_parse(reader), _parse(writer), path, {}, {}, set())
+
+
+def _compat(reader: Any, writer: Any, path: str,
+            renv: dict[str, Any], wenv: dict[str, Any],
+            visited: set[tuple[int, int]]) -> list[str]:
+    reader, writer = _deref(reader, renv), _deref(writer, wenv)
+    _register(reader, renv)
+    _register(writer, wenv)
 
     # unions: every writer branch must resolve against some reader branch
     if isinstance(writer, list) or isinstance(reader, list):
         errs: list[str] = []
         for wb in _branches(writer):
-            if not any(not compat_errors(rb, wb, path)
+            if not any(not _compat(rb, wb, path, dict(renv), dict(wenv),
+                                   set(visited))
                        for rb in _branches(reader)):
                 errs.append(f"{path}: writer branch {_type_name(wb)!r} has no "
                             f"compatible reader branch")
@@ -91,27 +153,49 @@ def compat_errors(reader: Any, writer: Any, path: str = "$") -> list[str]:
     wt, rt = _type_name(writer), _type_name(reader)
 
     if wt == "record" and rt == "record":
-        errs = []
+        errs = _name_mismatch(reader, writer, path)
+        if errs:
+            return errs
+        # keyed on OBJECT identity, not names: a recursive reference
+        # dereferences to the same dict, while two distinct nested records
+        # that happen to share a name stay distinguishable
+        pair = (id(reader), id(writer))
+        if pair in visited:           # recursive schema: already being checked
+            return []
+        visited = visited | {pair}
         wfields = {f["name"]: f for f in writer.get("fields", [])}
         for rf in reader.get("fields", []):
             fname = rf["name"]
             if fname in wfields:
-                errs.extend(compat_errors(rf["type"], wfields[fname]["type"],
-                                          f"{path}.{fname}"))
+                errs.extend(_compat(rf["type"], wfields[fname]["type"],
+                                    f"{path}.{fname}", renv, wenv, visited))
             elif "default" not in rf:
                 errs.append(f"{path}.{fname}: reader field missing from "
                             f"writer and has no default")
         return errs
 
     if wt == "array" and rt == "array":
-        return compat_errors(reader["items"], writer["items"], f"{path}[]")
+        return _compat(reader["items"], writer["items"], f"{path}[]",
+                       renv, wenv, visited)
     if wt == "map" and rt == "map":
-        return compat_errors(reader["values"], writer["values"], f"{path}{{}}")
+        return _compat(reader["values"], writer["values"], f"{path}{{}}",
+                       renv, wenv, visited)
     if wt == "enum" and rt == "enum":
+        errs = _name_mismatch(reader, writer, path)
+        if errs:
+            return errs
         missing = set(writer.get("symbols", [])) - set(reader.get("symbols", []))
         if missing and "default" not in reader:
             return [f"{path}: writer enum symbols {sorted(missing)} unknown "
                     f"to reader (no enum default)"]
+        return []
+    if wt == "fixed" and rt == "fixed":
+        errs = _name_mismatch(reader, writer, path)
+        if errs:
+            return errs
+        if reader.get("size") != writer.get("size"):
+            return [f"{path}: fixed size {writer.get('size')} != reader "
+                    f"size {reader.get('size')}"]
         return []
 
     if wt in _PROMOTIONS and rt in _PROMOTIONS[wt]:
@@ -123,10 +207,19 @@ def is_compatible(reader: Any, writer: Any) -> bool:
     return not compat_errors(reader, writer)
 
 
-def _resolve_value(reader: Any, writer: Any, val: Any) -> Any:
+def _resolve_value(reader: Any, writer: Any, val: Any,
+                   renv: dict[str, Any] | None = None,
+                   wenv: dict[str, Any] | None = None) -> Any:
     """Project one writer-decoded value onto the reader schema (assumes
-    compat_errors(reader, writer) == [])."""
-    reader, writer = _parse(reader), _parse(writer)
+    compat_errors(reader, writer) == []). Recursion is bounded by VALUE
+    depth, so recursive schemas terminate; named references resolve
+    through the same environments as the compat check."""
+    renv = {} if renv is None else renv
+    wenv = {} if wenv is None else wenv
+    reader = _deref(_parse(reader), renv)
+    writer = _deref(_parse(writer), wenv)
+    _register(reader, renv)
+    _register(writer, wenv)
     if val is None:
         return None
     if isinstance(writer, list):
@@ -136,7 +229,7 @@ def _resolve_value(reader: Any, writer: Any, val: Any) -> Any:
     if isinstance(reader, list):
         for rb in _branches(reader):
             if not compat_errors(rb, writer):
-                return _resolve_value(rb, writer, val)
+                return _resolve_value(rb, writer, val, renv, wenv)
         return val
 
     wt, rt = _type_name(writer), _type_name(reader)
@@ -147,15 +240,23 @@ def _resolve_value(reader: Any, writer: Any, val: Any) -> Any:
             fname = rf["name"]
             if fname in wfields:
                 out[fname] = _resolve_value(rf["type"], wfields[fname]["type"],
-                                            val.get(fname))
+                                            val.get(fname), renv, wenv)
             else:
                 out[fname] = rf.get("default")
         return out
     if wt == "array":
-        return [_resolve_value(reader["items"], writer["items"], v) for v in val]
+        return [_resolve_value(reader["items"], writer["items"], v, renv, wenv)
+                for v in val]
     if wt == "map":
-        return {k: _resolve_value(reader["values"], writer["values"], v)
+        return {k: _resolve_value(reader["values"], writer["values"], v,
+                                  renv, wenv)
                 for k, v in val.items()}
+    if rt == "enum":
+        # a writer symbol outside the reader's set resolves to the
+        # reader's enum default (the rule the compat check relied on)
+        if val in set(reader.get("symbols", [])):
+            return val
+        return reader.get("default")
     if rt in ("long", "int") and isinstance(val, int):
         return val
     if rt in ("float", "double"):

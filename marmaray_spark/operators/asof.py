@@ -39,6 +39,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
         raise ValueError(f"unknown direction {direction!r}")
     payload_cols = [c for c in right.columns if c not in (on, by)]
 
+    # collision guard: the plan uses fixed internal names and generates
+    # prefixed outputs — inputs that already carry any of them would
+    # silently produce duplicate/ambiguous columns or wrong struct
+    # extraction, so fail loudly instead
+    reserved = {"__side__", "__p__", "__b__", "__f__", "__m__"}
+    clash = sorted(reserved & set(left.columns) | reserved & set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {clash}; "
+                         "rename them on the input frames")
+    if "__t__" in payload_cols:
+        raise ValueError("asof_join reserves '__t__' inside the right "
+                         "payload; rename that column")
+    out_names = [f"{payload_prefix}{c}" for c in (on, *payload_cols)]
+    dup_out = sorted(set(out_names) & set(left.columns))
+    if dup_out:
+        raise ValueError(
+            f"prefixed payload columns {dup_out} collide with left columns; "
+            f"pass a different payload_prefix than {payload_prefix!r}")
+
     r = right.select(
         F.col(by), F.col(on),
         F.lit(0).alias("__side__"),

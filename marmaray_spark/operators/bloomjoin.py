@@ -69,12 +69,17 @@ def build_key_bloom(df: DataFrame, key_col: str,
     return {"m": m, "k": k, "words": words}
 
 
-def might_contain(bloom: dict, key: Column) -> Column:
-    """All-k-bits-set probe against the sketch's array<bigint> literal —
-    whole-stage-codegen integer expressions, no UDF."""
-    arr = F.lit(bloom["words"])
+# Above this word count (~1 MiB of bigints) the literal probe stops being
+# "sketch-sized metadata": F.lit(words) is re-embedded in the plan for every
+# one of the k probe expressions, so a 10M-key / fpp=0.03 build (~1.1M words)
+# would put ~9 MB x k into analysis/codegen. Larger sketches switch to the
+# broadcast-relation probe, which ships the word table ONCE.
+_MAX_LITERAL_WORDS = 131_072
+
+
+def _probe_condition(arr: Column, m: int, k: int, key: Column) -> Column:
     cond = None
-    for p in _positions(key, bloom["m"], bloom["k"]):
+    for p in _positions(key, m, k):
         word = F.get(arr, (p / 64).cast("int"))
         bit = F.call_function("shiftleft", F.lit(1).cast("bigint"),
                               F.pmod(p, F.lit(64)).cast("int"))
@@ -83,9 +88,39 @@ def might_contain(bloom: dict, key: Column) -> Column:
     return cond
 
 
+def might_contain(bloom: dict, key: Column) -> Column:
+    """All-k-bits-set probe against the sketch's array<bigint> literal —
+    whole-stage-codegen integer expressions, no UDF. Plan-literal form:
+    right up to ``_MAX_LITERAL_WORDS`` words; ``bloom_prune`` switches to
+    the broadcast-relation probe beyond that."""
+    return _probe_condition(F.lit(bloom["words"]), bloom["m"], bloom["k"], key)
+
+
 def bloom_prune(df: DataFrame, key_col: str, bloom: dict) -> DataFrame:
-    """Filter ``df`` to rows whose key MIGHT be in the build-side bloom."""
-    return df.filter(might_contain(bloom, F.col(key_col)))
+    """Filter ``df`` to rows whose key MIGHT be in the build-side bloom.
+
+    Small sketches probe an in-plan array literal. Large sketches (word
+    table > ``_MAX_LITERAL_WORDS``) ride a broadcast single-row relation
+    instead — the words cross the wire once per executor, not k times per
+    plan — keeping the probe codegen-friendly at any build-side size. The
+    practical limit is executor memory for one array<bigint> of m/64
+    words (~80 MB at 100M keys / fpp=0.03); build sides beyond that
+    should bucket-join rather than Bloom-prune."""
+    words = bloom["words"]
+    if len(words) <= _MAX_LITERAL_WORDS:
+        return df.filter(might_contain(bloom, F.col(key_col)))
+    spark = df.sparkSession
+    arr_col = "__bloom_words__"
+    clash = [c for c in df.columns if c == arr_col]
+    if clash:
+        raise ValueError(f"input already has a {arr_col!r} column")
+    words_df = spark.createDataFrame(
+        [(words,)], schema=f"{arr_col} array<bigint>")
+    cond = _probe_condition(F.col(arr_col), bloom["m"], bloom["k"],
+                            F.col(key_col))
+    return (df.crossJoin(F.broadcast(words_df))
+            .filter(cond)
+            .drop(arr_col))
 
 
 def bloom_pruned_join(big: DataFrame, small: DataFrame, on: str,

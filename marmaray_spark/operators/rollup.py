@@ -16,6 +16,17 @@ number of TOUCHED groups, not table size: the recompute scan is pruned
 by an equi-join/isin on the group key (partition pruning when the base
 is partitioned by it — the common layout for rollup dimensions).
 
+AFFECTED means both sides of every change: the after-image groups from
+the change batches, plus the PRE-image groups of the touched records —
+an upsert that moves a record to a new group_col value must re-aggregate
+the group it LEFT, and an INSERT_OVERWRITE must re-aggregate every group
+whose rows the replaced partitions held. The pre-image comes from each
+commit's ``removes`` manifest: the rewritten/replaced slices are still
+on disk (until vacuum), so old groups are read from exactly the data the
+commit displaced — partition-scoped, never a second full-table pass.
+Affected groups that recompute to zero rows get their rollup rows
+DELETED (via a rollup rewrite), not left stale.
+
 Exactly-once: the consumer checkpoint lives in the caller's
 MetadataManager and is persisted only after the rollup commit lands —
 the IWorkUnitCalculator durability contract applied to table-to-table
@@ -46,10 +57,40 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
                                    max_commits=max_commits)
     if not batches:
         return 0
+    commits_by_id = {c.commit_id: c for c in base.log.commits()}
     affected: DataFrame | None = None
-    for _cid, change_df in batches:
+    for cid, change_df in batches:
         keys = change_df.select(group_col)
         affected = keys if affected is None else affected.unionByName(keys)
+        commit = commits_by_id[cid]
+        if not commit.removes:
+            continue  # pure insert: no record left any group
+        missing = [s for s in commit.removes
+                   if not (base.table_path / s).exists()]
+        if missing:
+            # Vacuum deleted the displaced slices. This cannot happen
+            # silently in practice — consume_changes itself reads the
+            # pre-commit snapshot (a superset of these slices) and fails
+            # loudly first — so this only guards the vacuum-races-the-
+            # maintainer window. Retention contract: vacuum must retain
+            # at least (unconsumed commits + 1); a lagging consumer gets
+            # a loud error here or upstream, never a stale rollup.
+            raise FileNotFoundError(
+                f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
+                "rollup cannot recover the displaced groups — lower the "
+                "consumer lag or raise vacuum retain_last_n_commits")
+        pre = (base.spark.read.option("mergeSchema", "true")
+               .parquet(*[str(base.table_path / s) for s in commit.removes]))
+        if commit.op == WriteOp.INSERT_OVERWRITE.value:
+            # replaced partitions: any group they held may have lost rows
+            old_groups = pre.select(group_col)
+        else:
+            # upsert rewrite: old versions of the changed keys live in the
+            # removed slices — semi-join recovers exactly their old groups
+            changed_keys = change_df.select(base.key).distinct()
+            old_groups = (pre.join(changed_keys, base.key, "left_semi")
+                          .select(group_col))
+        affected = affected.unionByName(old_groups)
     affected = affected.distinct()
 
     # no broadcast hint: a backfill batch can touch every group; AQE
@@ -59,7 +100,24 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
         *[(F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col))
           .alias(name) for name, (fn, col) in aggs.items()])
     n = partial.count()
-    rollup.write(partial, WriteOp.UPSERT)
+    # affected groups with zero surviving rows must LEAVE the rollup;
+    # UPSERT can't remove, so rewrite the (small, one-row-per-group)
+    # rollup only when such tombstone groups actually exist
+    stale = affected.join(partial.select(group_col), group_col, "left_anti")
+    if not rollup.is_empty() and stale.limit(1).count() > 0:
+        if rollup.partition is not None:
+            # INSERT_OVERWRITE only replaces partitions the new frame
+            # touches — a rollup partition whose EVERY group went stale
+            # would silently survive. One row per group is tiny; keep the
+            # rollup unpartitioned (its group key is already the sort/
+            # lookup key) rather than risk that.
+            raise ValueError(
+                "tombstone rewrite needs an unpartitioned rollup table; "
+                f"rollup is partitioned by {rollup.partition!r}")
+        survivors = rollup.read().join(affected, group_col, "left_anti")
+        rollup.write(survivors.unionByName(partial), WriteOp.INSERT_OVERWRITE)
+    else:
+        rollup.write(partial, WriteOp.UPSERT)
     # durable only now — after the rollup commit (work-unit contract)
     metadata.save_changes()
     return n

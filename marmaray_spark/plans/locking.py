@@ -245,10 +245,19 @@ class CqlLockManager:
             if rows and rows[0].get("[applied]"):
                 self._held.add(key)
                 return True
-            # re-entrant: already ours (e.g. retry after a lost ack)
+            # re-entrant: already ours (e.g. retry after a lost ack). The
+            # row's TTL has been ticking since the lost INSERT, so refresh
+            # it with the conditional heartbeat UPDATE before reporting
+            # success — otherwise a "just acquired" lock could expire
+            # mid-run; a failed refresh (owner changed between the read
+            # and the UPDATE) is an acquisition failure, not a success
             if rows and rows[0].get("owner") == self.owner:
-                self._held.add(key)
-                return True
+                hb = self.session.execute(
+                    _HEARTBEAT_CQL.format(ks=self.ks, ttl=self.ttl),
+                    (int(time.time() * 1e6), key, self.owner))
+                if hb and hb[0].get("[applied]"):
+                    self._held.add(key)
+                    return True
             if time.time() >= deadline:
                 return False
             time.sleep(poll_s)

@@ -93,3 +93,28 @@ def test_asof_property_matches_pandas(spark, lefts, rights, direction):
     refd = {(r.sym, r.t, r.trade_id): (None if pd.isna(r.px) else r.px)
             for r in ref.itertuples()}
     assert got == refd
+
+
+def test_asof_rejects_reserved_and_colliding_columns(spark):
+    trades = spark.createDataFrame(TRADES, ["sym", "t", "trade_id"])
+    quotes = spark.createDataFrame(QUOTES, ["sym", "t", "px"])
+
+    # reserved internal name on either side
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(trades.withColumn("__side__", F.lit(1)), quotes,
+                  on="t", by="sym")
+    with pytest.raises(ValueError, match="reserves column names"):
+        asof_join(trades, quotes.withColumn("__p__", F.lit(1)),
+                  on="t", by="sym")
+    # right payload column named __t__ would break struct extraction
+    with pytest.raises(ValueError, match="__t__"):
+        asof_join(trades, quotes.withColumnRenamed("px", "__t__"),
+                  on="t", by="sym")
+    # generated r_px collides with an existing left column
+    with pytest.raises(ValueError, match="payload_prefix"):
+        asof_join(trades.withColumn("r_px", F.lit(0.0)), quotes,
+                  on="t", by="sym")
+    # ...and a different prefix resolves it
+    out = asof_join(trades.withColumn("r_px", F.lit(0.0)), quotes,
+                    on="t", by="sym", payload_prefix="q_")
+    assert "q_px" in out.columns and "r_px" in out.columns

@@ -222,3 +222,25 @@ def test_cql_lock_concurrent_acquire_one_winner():
     [th.start() for th in threads]
     [th.join() for th in threads]
     assert len(wins) == 1
+
+
+def test_cql_reentrant_acquire_refreshes_ttl():
+    """A lost-ack retry (row already owned by self) must refresh the
+    row's TTL on the spot — a 'just acquired' lock may not expire on the
+    ORIGINAL insert's clock."""
+    from marmaray_spark.plans.locking import CqlLockManager, InMemoryLwtSession
+
+    t = [0.0]
+    cluster = InMemoryLwtSession(clock=lambda: t[0])
+    a = CqlLockManager(cluster, stale_after_s=60)
+    assert a.acquire("job-1")
+
+    t[0] += 50                            # 10s of original TTL left
+    assert a.acquire("job-1")             # re-entrant path
+
+    t[0] += 30                            # past the ORIGINAL expiry (80 > 60)
+    b = CqlLockManager(cluster, stale_after_s=60)
+    assert not b.acquire("job-1")         # ...but the refresh kept it alive
+
+    t[0] += 31                            # past the refreshed expiry too
+    assert b.acquire("job-1")

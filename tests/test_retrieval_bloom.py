@@ -174,3 +174,28 @@ def test_bloom_prune_filter_sits_below_the_join_exchange(spark):
     assert filt_lines, plan          # the probe predicate exists as a Filter
     filt_pos = plan.find(filt_lines[0])
     assert filt_pos > join_pos, plan  # ...and sits BELOW the join
+
+
+def test_bloom_large_sketch_broadcast_probe_matches_literal(spark, monkeypatch):
+    """Above the plan-literal cap the probe rides a broadcast single-row
+    relation: identical survivors, word table embedded once (not k
+    times), and the big side still never shuffles before the filter."""
+    import marmaray_spark.operators.bloomjoin as bj
+
+    build = spark.createDataFrame([(i * 3,) for i in range(200)], ["k"])
+    probe = spark.createDataFrame([(i,) for i in range(600)], ["k"])
+    bloom = bj.build_key_bloom(build, "k", expected_items=200, fpp=0.01)
+
+    literal = {r["k"] for r in bj.bloom_prune(probe, "k", bloom).collect()}
+    monkeypatch.setattr(bj, "_MAX_LITERAL_WORDS", 1)
+    via_bcast_df = bj.bloom_prune(probe, "k", bloom)
+    via_bcast = {r["k"] for r in via_bcast_df.collect()}
+    assert via_bcast == literal
+    assert set(via_bcast_df.columns) == {"k"}   # helper column dropped
+    plan = via_bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    # collision guard: an input already carrying the helper column errors
+    clash = probe.withColumn("__bloom_words__", F.lit(1))
+    with pytest.raises(ValueError):
+        bj.bloom_prune(clash, "k", bloom)

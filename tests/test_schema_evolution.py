@@ -200,3 +200,77 @@ def test_resolving_decode_roundtrip_with_widening_and_default(schema):
             assert abs(out[k] - v) < 1e-6
         else:
             assert out[k] == v
+
+
+# -- named-type resolution rules (name/alias match, refs, recursion) --------
+
+def test_record_name_must_match_or_alias():
+    r_named = {"type": "record", "name": "New",
+               "fields": [{"name": "x", "type": "long"}]}
+    w_named = {"type": "record", "name": "Old",
+               "fields": [{"name": "x", "type": "long"}]}
+    assert not is_compatible(r_named, w_named)
+    aliased = dict(r_named, aliases=["Old"])
+    assert is_compatible(aliased, w_named)
+    # namespaces are ignored for matching (unqualified-name rule)
+    assert is_compatible(dict(r_named, name="ns.a.Old"), w_named)
+
+
+def test_enum_and_fixed_name_and_size_rules():
+    re_ = {"type": "enum", "name": "ColorsNew", "symbols": ["R", "G"]}
+    we = {"type": "enum", "name": "Colors", "symbols": ["R", "G"]}
+    assert not is_compatible(rec(f("e", re_)), rec(f("e", we)))
+    assert is_compatible(rec(f("e", dict(re_, aliases=["Colors"]))),
+                         rec(f("e", we)))
+    rf_ = {"type": "fixed", "name": "h", "size": 16}
+    assert is_compatible(rec(f("x", rf_)), rec(f("x", dict(rf_))))
+    assert not is_compatible(rec(f("x", rf_)),
+                             rec(f("x", dict(rf_, size=32))))
+    assert not is_compatible(rec(f("x", rf_)),
+                             rec(f("x", dict(rf_, name="other"))))
+
+
+def test_named_type_reference_resolves():
+    # second field refers to the first field's record definition by name
+    inner = {"type": "record", "name": "Point",
+             "fields": [{"name": "x", "type": "long"}]}
+    schema = {"type": "record", "name": "Seg", "fields": [
+        {"name": "a", "type": inner},
+        {"name": "b", "type": "Point"},
+    ]}
+    assert is_compatible(schema, schema)
+    # widened copy on the reader side still resolves through the ref
+    winner = {"type": "record", "name": "Point",
+              "fields": [{"name": "x", "type": "int"}]}
+    wschema = {"type": "record", "name": "Seg", "fields": [
+        {"name": "a", "type": winner},
+        {"name": "b", "type": "Point"},
+    ]}
+    assert is_compatible(schema, wschema)
+    assert not is_compatible(wschema, schema)   # narrowing via the ref
+
+
+def test_recursive_schema_terminates():
+    def linked(extra_fields=()):
+        return {"type": "record", "name": "Node", "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+            *extra_fields,
+        ]}
+    assert compat_errors(linked(), linked()) == []
+    # incompatibility inside the recursive type still surfaces
+    widened = {"type": "record", "name": "Node", "fields": [
+        {"name": "v", "type": "int"},
+        {"name": "next", "type": ["null", "Node"]},
+    ]}
+    assert not is_compatible(widened, linked())
+
+
+def test_enum_out_of_set_symbol_resolves_to_reader_default():
+    from marmaray_spark.functions.avro_compat import _resolve_value
+
+    reader_e = {"type": "enum", "name": "c", "symbols": ["A", "B"],
+                "default": "A"}
+    writer_e = {"type": "enum", "name": "c", "symbols": ["A", "B", "C"]}
+    assert _resolve_value(reader_e, writer_e, "B") == "B"
+    assert _resolve_value(reader_e, writer_e, "C") == "A"

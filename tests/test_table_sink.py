@@ -563,3 +563,101 @@ def test_incrementally_maintained_rollup_matches_full_recompute(spark, tmp_path)
     meta.set("rollup.last_commit", "000000000000")
     assert maintain_rollup(base, rollup, meta, "grp", aggs) == 2
     assert got() == expect()
+
+
+def test_rollup_group_move_reaggregates_old_group(spark, tmp_path):
+    """An UPSERT that moves a record to a DIFFERENT grp value must
+    re-aggregate the group it LEFT (the after-image alone never names
+    it) — including deleting the rollup row when the old group empties."""
+    from marmaray_spark.operators.rollup import maintain_rollup
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    base = TableSink(spark, tmp_path / "base", record_key_field="id")
+    rollup = TableSink(spark, tmp_path / "rollup", record_key_field="grp")
+    meta = InMemoryMetadataManager()
+    aggs = {"n": ("count", "*"), "total": ("sum", "amount")}
+
+    base.write(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 1.0)],
+        ["id", "grp", "amount"]), WriteOp.INSERT)
+    maintain_rollup(base, rollup, meta, "grp", aggs)
+
+    # move id=2 from a -> b: group a shrinks, change batch only says "b"
+    base.write(spark.createDataFrame([(2, "b", 5.0)],
+                                     ["id", "grp", "amount"]), WriteOp.UPSERT)
+    maintain_rollup(base, rollup, meta, "grp", aggs)
+    got = {r["grp"]: (r["n"], r["total"]) for r in rollup.read().collect()}
+    assert got == {"a": (1, 10.0), "b": (2, 6.0)}
+
+    # move id=3 AND id=2 out of b entirely -> b has zero rows: its rollup
+    # row must be deleted, not left stale
+    base.write(spark.createDataFrame([(2, "a", 5.0), (3, "a", 1.0)],
+                                     ["id", "grp", "amount"]), WriteOp.UPSERT)
+    maintain_rollup(base, rollup, meta, "grp", aggs)
+    got = {r["grp"]: (r["n"], r["total"]) for r in rollup.read().collect()}
+    assert got == {"a": (3, 16.0)}
+
+
+def test_rollup_insert_overwrite_reaggregates_displaced_groups(spark, tmp_path):
+    """INSERT_OVERWRITE replaces whole partitions: groups whose rows lived
+    there but are absent from the new data must be re-aggregated (and
+    dropped from the rollup when they vanish)."""
+    from marmaray_spark.operators.rollup import maintain_rollup
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    base = TableSink(spark, tmp_path / "base", record_key_field="id")
+    rollup = TableSink(spark, tmp_path / "rollup", record_key_field="grp")
+    meta = InMemoryMetadataManager()
+    aggs = {"n": ("count", "*"), "total": ("sum", "amount")}
+
+    base.write(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 5.0), (3, "c", 1.0)],
+        ["id", "grp", "amount"]), WriteOp.INSERT)
+    maintain_rollup(base, rollup, meta, "grp", aggs)
+    assert {r["grp"] for r in rollup.read().collect()} == {"a", "b", "c"}
+
+    # overwrite (unpartitioned -> whole table): b and c disappear
+    base.write(spark.createDataFrame(
+        [(1, "a", 20.0), (4, "d", 2.0)], ["id", "grp", "amount"]),
+        WriteOp.INSERT_OVERWRITE)
+    maintain_rollup(base, rollup, meta, "grp", aggs)
+    got = {r["grp"]: (r["n"], r["total"]) for r in rollup.read().collect()}
+    assert got == {"a": (1, 20.0), "d": (1, 2.0)}
+
+
+def test_rollup_vacuum_past_consumer_lag_fails_loud_not_stale(spark, tmp_path):
+    """If vacuum deleted slices a lagging consumer still needs, the
+    maintenance run must raise — the rollup is left at its previous
+    (consistent) state, never silently advanced past unrecoverable
+    history."""
+    import pytest
+
+    from marmaray_spark.operators.rollup import maintain_rollup
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    base = TableSink(spark, tmp_path / "base", record_key_field="id")
+    rollup = TableSink(spark, tmp_path / "rollup", record_key_field="grp")
+    meta = InMemoryMetadataManager()
+    aggs = {"n": ("count", "*"), "total": ("sum", "amount")}
+
+    base.write(spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 5.0)], ["id", "grp", "amount"]),
+        WriteOp.INSERT)
+    maintain_rollup(base, rollup, meta, "grp", aggs)
+    before = {r["grp"]: (r["n"], r["total"]) for r in rollup.read().collect()}
+
+    # two commits pile up unconsumed; vacuum(1) deletes history the
+    # consumer still needs to replay
+    base.write(spark.createDataFrame([(1, "b", 10.0)],
+                                     ["id", "grp", "amount"]), WriteOp.UPSERT)
+    base.write(spark.createDataFrame([(3, "c", 2.0)],
+                                     ["id", "grp", "amount"]), WriteOp.UPSERT)
+    base.vacuum(retain_last_n_commits=1)
+    saved_before = meta.saved_count
+    with pytest.raises(Exception):
+        maintain_rollup(base, rollup, meta, "grp", aggs)
+    # checkpoint not PERSISTED, rollup unchanged: re-runnable once the
+    # operator restores history or accepts a full rebuild
+    assert meta.saved_count == saved_before
+    got = {r["grp"]: (r["n"], r["total"]) for r in rollup.read().collect()}
+    assert got == before
