@@ -161,6 +161,81 @@ def encode_record(avsc: str | dict, value: dict) -> bytes:
     return bytes(out)
 
 
+def _flat_record_steps(schema) -> "list[tuple[str, str, int | None]] | None":
+    """(field, primitive, null_branch_index|None) per field for flat
+    records of primitives / ["null", primitive] unions; None when the
+    schema needs the general recursive codec."""
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        return None
+    steps: list[tuple[str, str, int | None]] = []
+    for f in schema.get("fields", []):
+        t = f["type"]
+        if isinstance(t, str) and t in PRIMITIVES:
+            steps.append((f["name"], t, None))
+        elif (isinstance(t, list) and len(t) == 2 and "null" in t
+              and isinstance(t[1 - t.index("null")], str)
+              and t[1 - t.index("null")] in PRIMITIVES):
+            steps.append((f["name"], t[1 - t.index("null")], t.index("null")))
+        else:
+            return None
+    return steps
+
+
+def compile_encoder(avsc: str | dict):
+    """Specialize the wire encoder for one schema — the write-side twin
+    of ``compile_decoder``: flat records encode through one precomputed
+    loop (no schema-tree walk per record); deeper schemas fall back to
+    the general recursive encoder."""
+    schema = parse_schema(avsc)
+    steps = _flat_record_steps(schema)
+    if steps is None:
+        def general(value: dict) -> bytes:
+            out = bytearray()
+            _encode(schema, value, out)
+            return bytes(out)
+        return general
+
+    pack = struct.pack
+
+    def fast(value: dict) -> bytes:
+        out = bytearray()
+        for name, t, null_idx in steps:
+            v = value.get(name)
+            if null_idx is not None:
+                if v is None:
+                    out.append(null_idx << 1)          # zigzag(idx)
+                    continue
+                out.append((1 - null_idx) << 1)
+            elif v is None:
+                if t == "null":
+                    continue
+                raise AvroCodecError(f"field {name!r}: None for "
+                                     f"non-nullable {t!r}")
+            if t == "long" or t == "int":
+                n = int(v)
+                n = (n << 1) ^ (n >> 63)
+                while (n & ~0x7F) != 0:
+                    out.append((n & 0x7F) | 0x80)
+                    n >>= 7
+                out.append(n)
+            elif t == "string":
+                b = str(v).encode("utf-8")
+                _write_long(len(b), out)
+                out += b
+            elif t == "bytes":
+                _write_long(len(v), out)
+                out += v
+            elif t == "double":
+                out += pack("<d", float(v))
+            elif t == "float":
+                out += pack("<f", float(v))
+            elif t == "boolean":
+                out.append(1 if v else 0)
+        return bytes(out)
+
+    return fast
+
+
 # -- binary decode ----------------------------------------------------------
 
 def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
@@ -254,6 +329,92 @@ def decode_record(avsc: str | dict, payload: bytes) -> dict:
     return val
 
 
+def compile_decoder(avsc: str | dict):
+    """Specialize the wire decoder for one schema: flat records of
+    primitives / ["null", primitive] unions decode through a closure
+    whose per-field dispatch was resolved at COMPILE time (one flat loop,
+    no schema-tree walk, no per-field isinstance ladder); anything deeper
+    falls back to the general recursive decoder. Same strict
+    trailing-bytes contract as ``decode_record``. This is the per-row
+    hot path of the mixed-version Kafka decode kernels — at 100 TB every
+    record pays it, so the constant factor matters."""
+    schema = parse_schema(avsc)
+
+    def general(payload: bytes) -> dict:
+        val, pos = _decode(schema, payload, 0)
+        if pos != len(payload):
+            raise AvroCodecError(f"{len(payload) - pos} trailing bytes")
+        return val
+
+    steps = _flat_record_steps(schema)
+    if steps is None:
+        return general
+
+    # plain module functions, not bound struct.Struct methods — the
+    # closure must survive cloudpickle into the executors
+    unpack_f = struct.unpack_from
+    unpack_d = struct.unpack_from
+
+    def fast(payload: bytes) -> dict:
+        buf, pos, n = payload, 0, len(payload)
+        out = {}
+        for name, t, null_idx in steps:
+            if null_idx is not None:
+                # union tag varint (branch index is 0 or 1 -> one byte)
+                if pos >= n:
+                    raise AvroCodecError("truncated varint")
+                tag = buf[pos]
+                pos += 1
+                if tag not in (0, 2):    # zigzag(0)=0, zigzag(1)=2
+                    raise AvroCodecError(f"union branch {tag} out of range")
+                if tag >> 1 == null_idx:
+                    out[name] = None
+                    continue
+            if t == "long" or t == "int":
+                acc = shift = 0
+                while True:
+                    if pos >= n:
+                        raise AvroCodecError("truncated varint")
+                    b = buf[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                    if shift > 70:
+                        raise AvroCodecError("varint too long")
+                out[name] = (acc >> 1) ^ -(acc & 1)
+            elif t == "string" or t == "bytes":
+                ln, pos2 = _read_long(buf, pos)
+                if ln < 0 or pos2 + ln > n:
+                    raise AvroCodecError(f"truncated {t}")
+                raw = bytes(buf[pos2:pos2 + ln])
+                out[name] = raw.decode("utf-8") if t == "string" else raw
+                pos = pos2 + ln
+            elif t == "double":
+                if pos + 8 > n:
+                    raise AvroCodecError("truncated double")
+                out[name] = unpack_d("<d", buf, pos)[0]
+                pos += 8
+            elif t == "float":
+                if pos + 4 > n:
+                    raise AvroCodecError("truncated float")
+                out[name] = unpack_f("<f", buf, pos)[0]
+                pos += 4
+            elif t == "boolean":
+                if pos >= n:
+                    raise AvroCodecError("truncated boolean")
+                out[name] = buf[pos] != 0
+                pos += 1
+            else:   # "null"
+                out[name] = None
+        if pos != n:
+            raise AvroCodecError(f"{n - pos} trailing bytes")
+        return out
+
+    return fast
+
+
 # -- Spark kernels ----------------------------------------------------------
 
 def encode_avro(df: DataFrame, avsc: str | dict,
@@ -268,13 +429,18 @@ def encode_avro(df: DataFrame, avsc: str | dict,
 
     def kernel(batches) -> Iterator:
         import pandas as pd
+        enc = compile_encoder(schema)
+
+        def clean(v):
+            # Arrow->pandas nulls arrive as None (object cols) or NaN
+            # (numeric cols); both mean Avro null
+            return None if v is None or (isinstance(v, float) and v != v) \
+                else v
+
         for pdf in batches:
-            payloads = [
-                encode_record(schema,
-                              {n: (None if pd.isna(rec[n]) else rec[n])
-                               for n in names})
-                for rec in pdf.to_dict("records")
-            ]
+            data = [pdf[n].tolist() for n in names]
+            payloads = [enc({n: clean(v) for n, v in zip(names, row)})
+                        for row in zip(*data)]
             yield pd.DataFrame({out_col: payloads})
 
     return df.select(*names).mapInPandas(kernel, schema=f"{out_col} binary")
@@ -302,12 +468,13 @@ def decode_avro(df: DataFrame, avsc: str | dict, value_col: str = "value",
 
     def kernel(batches) -> Iterator:
         import pandas as pd
+        decode = compile_decoder(schema)
         for pdf in batches:
             decoded = {n: [] for n in names}
             oks = []
             for payload in pdf[value_col]:
                 try:
-                    rec = decode_record(schema, bytes(payload))
+                    rec = decode(bytes(payload))
                     oks.append(True)
                 except (AvroCodecError, TypeError):
                     rec = {}

@@ -301,11 +301,139 @@ def resolve_record(reader: Any, writer: Any, payload: bytes) -> dict:
     return out
 
 
+def _simple_coercer(reader: Any, writer: Any):
+    """A fast per-value callable when both types are primitives or
+    ["null", primitive] unions; None when the pair needs the general
+    (schema-walking) resolver."""
+    def prim(s):
+        if isinstance(s, str) and s in PRIMITIVES:
+            return s
+        if isinstance(s, list):
+            nn = [b for b in s if b != "null"]
+            if "null" in s and len(nn) == 1 \
+                    and isinstance(nn[0], str) and nn[0] in PRIMITIVES:
+                return nn[0]
+        return None
+
+    rt, wt = prim(reader), prim(writer)
+    if rt is None or wt is None:
+        return None
+    if rt in ("int", "long", "boolean", "null"):
+        return lambda v: v
+    if rt in ("float", "double"):
+        return lambda v: None if v is None else float(v)
+    if rt == "string":
+        return lambda v: v.decode("utf-8", errors="replace") \
+            if isinstance(v, bytes) else v
+    if rt == "bytes":
+        return lambda v: v.encode("utf-8") if isinstance(v, str) else v
+    return lambda v: v
+
+
+def compile_resolver(reader: Any, writer: Any):
+    """Precompute the field-resolution plan for one (reader, writer) pair
+    — returns ``fn(writer_decoded_dict) -> reader_dict``.
+
+    ``_resolve_value`` re-walks both schema trees for EVERY value; in the
+    mixed-version decode kernel that walk happened per row. Compiling
+    turns the per-row work into a flat loop of (name, coercer|default)
+    slots: primitives/nullable-primitives get closure-free coercers,
+    anything deeper falls back to the general resolver for just that
+    field. Assumes compat_errors(reader, writer) == [] (the kernel checks
+    per-version before compiling)."""
+    reader, writer = _parse(reader), _parse(writer)
+    if _type_name(reader) != "record" or _type_name(writer) != "record":
+        return lambda v: _resolve_value(reader, writer, v)
+    wfields = {f["name"]: f for f in writer.get("fields", [])}
+    plan: list[tuple[str, Any, Any]] = []
+    for rf in reader.get("fields", []):
+        fname = rf["name"]
+        if fname not in wfields:
+            plan.append((fname, None, rf.get("default")))
+            continue
+        rt, wt = rf["type"], wfields[fname]["type"]
+        co = _simple_coercer(rt, wt)
+        if co is None:
+            co = (lambda rt=rt, wt=wt:
+                  lambda v: _resolve_value(rt, wt, v))()
+        plan.append((fname, co, None))
+
+    def resolve(rec: dict) -> dict:
+        return {fname: (co(rec.get(fname)) if co is not None else default)
+                for fname, co, default in plan}
+
+    return resolve
+
+
+def native_from_avro_usable(spark) -> bool:
+    """True when the spark-avro jar is on the session's classpath —
+    constructing a ``from_avro`` column touches the JVM class, so an
+    absent jar fails here, cheaply, instead of mid-job."""
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import from_avro
+        col = from_avro(F.lit(b""),
+                        '{"type":"record","name":"t","fields":[]}')
+        spark.range(1).select(col).schema
+        return True
+    except Exception:
+        return False
+
+
+def _decode_native(df: DataFrame, reader: Any, writers: dict[int, Any],
+                   compat: dict[int, bool], out_struct: T.StructType,
+                   value_col: str, version_col: str,
+                   ok_col: str) -> DataFrame:
+    """JVM-side resolving decode via spark-avro: one ``from_avro`` leg
+    per writer version (versions are few; rows are many), projected onto
+    the reader fields with defaults/promotions as column expressions,
+    unioned back. No Python in the per-row path at all."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.avro.functions import from_avro
+
+    rfields = {f["name"]: f for f in reader.get("fields", [])}
+    spark_type = {f.name: f.dataType for f in out_struct.fields}
+    legs = []
+    for ver, writer in writers.items():
+        leg = df.filter(F.col(version_col) == ver)
+        if not compat.get(ver, False):
+            proj = [F.lit(None).cast(spark_type[n]).alias(n)
+                    for n in spark_type]
+            legs.append(leg.select("*", *proj,
+                                   F.lit(False).alias(ok_col)))
+            continue
+        wnames = {f["name"] for f in writer.get("fields", [])}
+        rec = from_avro(F.col(value_col), _json.dumps(writer),
+                        {"mode": "PERMISSIVE"})
+        leg = leg.withColumn("__rec__", rec)
+        proj = []
+        for n in spark_type:
+            if n in wnames:
+                proj.append(F.col(f"__rec__.{n}").cast(spark_type[n])
+                            .alias(n))
+            else:
+                proj.append(F.lit(rfields[n].get("default"))
+                            .cast(spark_type[n]).alias(n))
+        legs.append(leg.select(*df.columns, *proj,
+                               F.col("__rec__").isNotNull().alias(ok_col)))
+    known = list(writers)
+    unknown = df.filter(~F.col(version_col).isin(known)).select(
+        "*", *[F.lit(None).cast(spark_type[n]).alias(n) for n in spark_type],
+        F.lit(False).alias(ok_col))
+    out = unknown
+    for leg in legs:
+        out = out.unionByName(leg)
+    return out
+
+
 def decode_avro_resolved(df: DataFrame, reader_avsc: Any,
                          writers_by_version: dict[int, Any],
                          value_col: str = "value",
                          version_col: str = "writer_version",
-                         ok_col: str = "__avro_ok__") -> DataFrame:
+                         ok_col: str = "__avro_ok__",
+                         native: str = "auto") -> DataFrame:
     """Resolving decode over mixed writer versions: each row's binary
     payload is decoded with ITS writer schema then projected onto the
     single reader schema (defaults filled, promotions widened).
@@ -316,7 +444,15 @@ def decode_avro_resolved(df: DataFrame, reader_avsc: Any,
     reference's route-incompatible-to-error-table behavior instead of a
     mid-decode job failure. Compatibility per distinct version is decided
     ONCE (driver-side, against the version dict) — the per-row kernel
-    only dispatches on the precomputed verdicts."""
+    only dispatches on the precomputed verdicts.
+
+    ``native``: "auto" uses the spark-avro jar's ``from_avro`` when it is
+    on the classpath (per-version JVM decode legs, zero Python per row —
+    the 100 TB path), falling back to the pure-Python Arrow kernel in
+    codec-less containers; "off" forces the Python kernel; "on" requires
+    the jar. The Python kernel itself runs per-version decoders and
+    resolvers COMPILED once on the driver (compile_decoder /
+    compile_resolver), not a schema walk per row."""
     reader = _parse(reader_avsc)
     writers = {int(v): _parse(s) for v, s in writers_by_version.items()}
     compat = {v: not compat_errors(reader, w) for v, w in writers.items()}
@@ -324,11 +460,28 @@ def decode_avro_resolved(df: DataFrame, reader_avsc: Any,
     clash = [f.name for f in out_struct.fields if f.name in df.columns]
     if clash:
         raise AvroCodecError(f"decoded fields collide with input columns: {clash}")
+
+    if native not in ("auto", "on", "off"):
+        raise ValueError(f"native must be auto/on/off, got {native!r}")
+    if native in ("auto", "on"):
+        usable = native_from_avro_usable(df.sparkSession)
+        if native == "on" and not usable:
+            raise AvroCodecError("native=on but the spark-avro jar is not "
+                                 "on the classpath")
+        if usable:
+            return _decode_native(df, reader, writers, compat, out_struct,
+                                  value_col, version_col, ok_col)
+
     decoded_fields = [T.StructField(f.name, f.dataType, True)
                       for f in out_struct.fields]
     full = T.StructType(list(df.schema.fields) + decoded_fields
                         + [T.StructField(ok_col, T.BooleanType(), False)])
     names = [f.name for f in out_struct.fields]
+    from marmaray_spark.functions.avro_codec import compile_decoder
+    decoders = {v: compile_decoder(w) for v, w in writers.items()
+                if compat[v]}
+    resolvers = {v: compile_resolver(reader, w) for v, w in writers.items()
+                 if compat[v]}
 
     def kernel(batches) -> Iterator:
         import pandas as pd
@@ -338,10 +491,10 @@ def decode_avro_resolved(df: DataFrame, reader_avsc: Any,
             for payload, ver in zip(pdf[value_col], pdf[version_col]):
                 rec: dict = {}
                 ver = int(ver)
-                if compat.get(ver, False):
+                decode = decoders.get(ver)
+                if decode is not None:
                     try:
-                        rec = resolve_record(reader, writers[ver],
-                                             bytes(payload))
+                        rec = resolvers[ver](decode(bytes(payload)))
                         oks.append(True)
                     except (AvroCodecError, TypeError):
                         rec = {}

@@ -210,3 +210,86 @@ def wav_rms_milli(samples: np.ndarray) -> int:
         return 0
     mean_sq = float(np.mean((samples.astype(np.float64) / 32768.0) ** 2))
     return int(round(mean_sq ** 0.5 * 1000))
+
+
+# -- optional-library seam: PIL for compressed images, soundfile for
+# -- compressed audio. import-try so the engine runs identically in
+# -- codec-less containers (stub path) and codec-equipped clusters (real
+# -- path); the Spark-side plumbing is the same either way.
+
+def pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_pil(payload: bytes) -> np.ndarray:
+    """Any PIL-supported compressed format (JPEG/WebP/GIF/...) ->
+    (h, w, c) uint8. Raises MediaCodecError on undecodable bytes so the
+    kernel's error handling is uniform with the stdlib codecs."""
+    import io
+
+    from PIL import Image, UnidentifiedImageError
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            im = im.convert("RGB") if im.mode not in ("RGB", "RGBA") else im
+            arr = np.asarray(im, dtype=np.uint8)
+    except (UnidentifiedImageError, OSError, ValueError) as e:
+        raise MediaCodecError(f"PIL could not decode payload: {e}") from e
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def encode_jpeg_pil(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB -> JPEG bytes via PIL."""
+    import io
+
+    from PIL import Image
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise MediaCodecError("pixels must be (h, w, 3) uint8")
+    buf = io.BytesIO()
+    Image.fromarray(pixels, mode="RGB").save(buf, format="JPEG",
+                                             quality=quality)
+    return buf.getvalue()
+
+
+def decode_audio_soundfile(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Any libsndfile-supported compressed format (MP3/FLAC/OGG/...) ->
+    (sample_rate, channels, interleaved int16 samples) — the same
+    contract as decode_wav, so kernels treat both paths identically."""
+    import io
+
+    import soundfile as sf
+    try:
+        data, rate = sf.read(io.BytesIO(payload), dtype="int16",
+                             always_2d=True)
+    except (sf.LibsndfileError, RuntimeError, ValueError) as e:
+        raise MediaCodecError(f"soundfile could not decode payload: {e}") from e
+    channels = data.shape[1]
+    return int(rate), channels, data.reshape(-1)
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_MP3_ID3_MAGIC = b"ID3"
+
+
+def looks_like_jpeg(payload: bytes) -> bool:
+    return payload[:3] == _JPEG_MAGIC
+
+
+def looks_like_mp3(payload: bytes) -> bool:
+    # ID3v2 container, or a bare MPEG frame sync (11 set bits)
+    return (payload[:3] == _MP3_ID3_MAGIC
+            or (len(payload) >= 2 and payload[0] == 0xFF
+                and (payload[1] & 0xE0) == 0xE0))

@@ -66,8 +66,11 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str,
 def _decode_image(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels). REAL parse for BMP and PNG payloads
     (functions/media_codec.py — PNG incl. the zlib inflate + all five
-    scanline filters); other formats fall back to the deterministic
-    byte-driven stub (real impl for those: PIL at this same seam)."""
+    scanline filters), and for JPEG/WebP/GIF whenever PIL is importable
+    (import-try seam: same kernel, the adapter only activates when the
+    cluster image ships the library). Other formats — and compressed
+    formats in codec-less containers — fall back to the deterministic
+    byte-driven stub so the pipeline shape stays testable anywhere."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload (compressed formats need PIL)")
     if payload[:2] == b"BM":
@@ -78,19 +81,32 @@ def _decode_image(payload: bytes) -> tuple[int, int, int]:
         from marmaray_spark.functions.media_codec import decode_png
         px = decode_png(bytes(payload))
         return px.shape[1], px.shape[0], px.shape[2]
+    from marmaray_spark.functions.media_codec import (decode_image_pil,
+                                                      looks_like_jpeg,
+                                                      pil_available)
+    if looks_like_jpeg(bytes(payload[:3])) and pil_available():
+        px = decode_image_pil(bytes(payload))
+        return px.shape[1], px.shape[0], px.shape[2]
     w = 16 + (len(payload) % 240)
     h = 16 + (payload[0] % 240)
     return w, h, 3
 
 
 def _decode_audio(payload: bytes) -> tuple[int, int]:
-    """(sample_rate, n_samples). REAL parse for PCM-16 WAV payloads;
-    other formats fall back to the stub (soundfile at this seam)."""
+    """(sample_rate, n_samples). REAL parse for PCM-16 WAV payloads, and
+    for MP3/FLAC/OGG whenever soundfile is importable (import-try seam);
+    stub otherwise."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload (compressed formats need soundfile)")
     if payload[:4] == b"RIFF":
         from marmaray_spark.functions.media_codec import decode_wav
         rate, channels, samples = decode_wav(bytes(payload))
+        return rate, len(samples) // max(channels, 1)
+    from marmaray_spark.functions.media_codec import (decode_audio_soundfile,
+                                                      looks_like_mp3,
+                                                      soundfile_available)
+    if looks_like_mp3(bytes(payload[:3])) and soundfile_available():
+        rate, channels, samples = decode_audio_soundfile(bytes(payload))
         return rate, len(samples) // max(channels, 1)
     return 16000, len(payload) * 4
 
@@ -180,16 +196,22 @@ RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize: REAL nearest-neighbor re-encode for BMP payloads
-    (decode -> sample grid -> encode_bmp); other formats pass payload
-    through with rewritten dims (the stub seam — a real kernel re-encodes
-    there too). Batch in/out, binary column round-trip."""
+    """Resize: REAL nearest-neighbor re-encode for BMP/PNG payloads
+    (decode -> sample grid -> re-encode), and for JPEG when PIL is
+    importable (import-try seam: decode_image_pil -> resize_nearest ->
+    encode_jpeg_pil). Other formats pass payload through with rewritten
+    dims (the stub seam). Batch in/out, binary column round-trip."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from marmaray_spark.functions.media_codec import (decode_bmp,
+                                                          decode_image_pil,
                                                           decode_png,
                                                           encode_bmp,
+                                                          encode_jpeg_pil,
                                                           encode_png,
+                                                          looks_like_jpeg,
+                                                          pil_available,
                                                           resize_nearest)
+        has_pil = pil_available()
 
         def one(payload):
             if payload is not None and bytes(payload[:2]) == b"BM":
@@ -200,6 +222,11 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 px = resize_nearest(decode_png(bytes(payload)),
                                     target_w, target_h)
                 return encode_png(px)
+            if payload is not None and has_pil \
+                    and looks_like_jpeg(bytes(payload[:3])):
+                px = resize_nearest(decode_image_pil(bytes(payload))[:, :, :3],
+                                    target_w, target_h)
+                return encode_jpeg_pil(px)
             return payload
 
         for pdf in batches:

@@ -274,3 +274,101 @@ def test_enum_out_of_set_symbol_resolves_to_reader_default():
     writer_e = {"type": "enum", "name": "c", "symbols": ["A", "B", "C"]}
     assert _resolve_value(reader_e, writer_e, "B") == "B"
     assert _resolve_value(reader_e, writer_e, "C") == "A"
+
+
+# -- compiled decode/resolve fast paths -------------------------------------
+
+@st.composite
+def nullable_record_schemas(draw):
+    names = draw(_NAMES)
+    return rec(*[
+        f(n, draw(_PRIM) if draw(st.booleans())
+          else ["null", draw(_PRIM)])
+        for n in names
+    ])
+
+
+@given(nullable_record_schemas(), st.data())
+@settings(max_examples=50, deadline=None)
+def test_compiled_decoder_matches_general(schema, data):
+    from marmaray_spark.functions.avro_codec import (compile_decoder,
+                                                     decode_record)
+
+    value = {}
+    for fl in schema["fields"]:
+        t = fl["type"]
+        if isinstance(t, list):
+            value[fl["name"]] = (None if data.draw(st.booleans())
+                                 else _VALUES[t[1]])
+        else:
+            value[fl["name"]] = _VALUES[t]
+    payload = encode_record(schema, value)
+    assert compile_decoder(schema)(payload) == decode_record(schema, payload)
+
+
+def test_compiled_decoder_strictness_matches_general():
+    from marmaray_spark.functions.avro_codec import (AvroCodecError,
+                                                     compile_decoder,
+                                                     decode_record)
+
+    schema = rec(f("a", "long"), f("b", ["null", "string"]))
+    payload = encode_record(schema, {"a": 7, "b": "x"})
+    fast = compile_decoder(schema)
+    for bad in (payload + b"\x00", payload[:-1], b""):
+        with pytest.raises(AvroCodecError):
+            fast(bad)
+        with pytest.raises(AvroCodecError):
+            decode_record(schema, bad)
+    # nested record -> general decoder fallback, same results
+    nested = rec(f("a", "long"), f("r", rec(f("x", "int"))))
+    nested["fields"][1]["type"]["name"] = "inner"
+    p2 = encode_record(nested, {"a": 1, "r": {"x": 2}})
+    assert compile_decoder(nested)(p2) == decode_record(nested, p2)
+
+
+@given(record_schemas())
+@settings(max_examples=50, deadline=None)
+def test_compiled_resolver_matches_general(schema):
+    from marmaray_spark.functions.avro_compat import (_resolve_value,
+                                                      compile_resolver)
+
+    value = {fl["name"]: _VALUES[fl["type"]] for fl in schema["fields"]}
+    reader = rec(*[f(fl["name"], _WIDEN.get(fl["type"], fl["type"]))
+                   for fl in schema["fields"]],
+                 f("zz_added", "string", default="dflt"))
+    compiled = compile_resolver(reader, schema)
+    assert compiled(dict(value)) == _resolve_value(reader, schema, dict(value))
+
+
+def test_native_seam_absent_jar(spark):
+    """No spark-avro jar in this container: auto falls back to the Python
+    kernel (oracle-checked elsewhere), on raises cleanly."""
+    from marmaray_spark.functions.avro_codec import AvroCodecError, encode_record
+    from marmaray_spark.functions.avro_compat import (decode_avro_resolved,
+                                                      native_from_avro_usable)
+
+    if native_from_avro_usable(spark):
+        pytest.skip("spark-avro present: native leg active")
+    payload = encode_record(V1, {"id": 1, "cents": 5})
+    df = spark.createDataFrame([(payload, 1)], "value binary, writer_version int")
+    out = decode_avro_resolved(df, V2, {1: V1}).collect()
+    assert out[0]["src"] == "legacy" and out[0]["__avro_ok__"]
+    with pytest.raises(AvroCodecError, match="native=on"):
+        decode_avro_resolved(df, V2, {1: V1}, native="on")
+
+
+@given(nullable_record_schemas(), st.data())
+@settings(max_examples=50, deadline=None)
+def test_compiled_encoder_matches_general(schema, data):
+    from marmaray_spark.functions.avro_codec import (compile_encoder,
+                                                     encode_record)
+
+    value = {}
+    for fl in schema["fields"]:
+        t = fl["type"]
+        if isinstance(t, list):
+            value[fl["name"]] = (None if data.draw(st.booleans())
+                                 else _VALUES[t[1]])
+        else:
+            value[fl["name"]] = _VALUES[t]
+    assert compile_encoder(schema)(value) == encode_record(schema, value)
