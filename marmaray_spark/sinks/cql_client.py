@@ -31,13 +31,14 @@ import os
 import uuid
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Iterable, Protocol
+from typing import Any, Iterable, Protocol, runtime_checkable
 
 from pyspark.sql import DataFrame
 
 from marmaray_spark.sinks.cassandra import ORDER_TS_FIELD, CassandraSchema
 
 
+@runtime_checkable
 class CqlSession(Protocol):
     def execute(self, cql: str, params: tuple | None = None,
                 timestamp_us: int | None = None) -> None: ...

@@ -453,3 +453,87 @@ def test_bulk_sink_null_required_keys_rejected(spark, tmp_path):
     sink = CassandraBulkSink(cs, tmp_path / "o", batch_rows=10)
     got = {(r["pk"], r["ck"]) for r in sink.prepare(df).collect()}
     assert got == {(1, "x"), (4, "w")}
+
+
+# -- DataStax adapter leg (sinks/cql_datastax.py) ---------------------------
+
+def test_with_timestamp_marker_rewrites():
+    from marmaray_spark.sinks.cql_datastax import with_timestamp_marker
+
+    plain = "INSERT INTO ks.t (a, b) VALUES (?, ?)"
+    assert with_timestamp_marker(plain) == plain + " USING TIMESTAMP ?"
+    ttl = plain + " USING TTL 3600"
+    assert with_timestamp_marker(ttl) == \
+        "INSERT INTO ks.t (a, b) VALUES (?, ?) USING TIMESTAMP ? AND TTL 3600"
+    # idempotent: never double-append
+    assert with_timestamp_marker(with_timestamp_marker(plain)) == \
+        with_timestamp_marker(plain)
+
+
+class _FakeDriverSession:
+    def __init__(self):
+        self.calls, self.prepares, self.shut = [], [], False
+
+    def prepare(self, cql):
+        self.prepares.append(cql)
+        return ("PS", cql)
+
+    def execute(self, stmt, params=None):
+        self.calls.append((stmt, params))
+
+    def shutdown(self):
+        self.shut = True
+
+
+class _FakeCluster:
+    def __init__(self):
+        self.session = _FakeDriverSession()
+        self.shut = False
+
+    def shutdown(self):
+        self.shut = True
+
+
+def test_datastax_session_conformance():
+    """The adapter must be observationally equivalent to the directory
+    double from CqlInsertSink's perspective: same CqlSession surface,
+    DDL plain, inserts prepared once per text, timestamps bound through
+    the USING clause, close tears the cluster down."""
+    from marmaray_spark.sinks.cql_client import CqlSession
+    from marmaray_spark.sinks.cql_datastax import DataStaxCqlSession
+
+    cluster = _FakeCluster()
+    sess = DataStaxCqlSession(cluster, cluster.session)
+    assert isinstance(sess, CqlSession)        # runtime-checkable protocol
+
+    ddl = "CREATE KEYSPACE IF NOT EXISTS ks WITH replication = {}"
+    sess.execute(ddl)                          # DDL: plain, not prepared
+    insert = "INSERT INTO ks.t (k, v) VALUES (?, ?)"
+    sess.execute(insert, ("a", 1), timestamp_us=111)
+    sess.execute(insert, ("b", 2), timestamp_us=222)
+    sess.execute(insert, ("c", 3))             # no timestamp leg
+    sess.close()
+
+    raw = cluster.session
+    assert raw.calls[0] == (ddl, None)
+    # one prepare per distinct CQL text (timestamped and plain variants)
+    assert raw.prepares == [insert + " USING TIMESTAMP ?", insert]
+    assert raw.calls[1] == (("PS", insert + " USING TIMESTAMP ?"), ("a", 1, 111))
+    assert raw.calls[2] == (("PS", insert + " USING TIMESTAMP ?"), ("b", 2, 222))
+    assert raw.calls[3] == (("PS", insert), ("c", 3))
+    assert raw.shut and cluster.shut
+
+
+def test_datastax_factory_pickles_and_guards_import():
+    import pickle
+
+    from marmaray_spark.sinks.cql_datastax import (DataStaxSessionFactory,
+                                                   datastax_available)
+
+    f = DataStaxSessionFactory(("c1.example", "c2.example"), keyspace="ks",
+                               username="u", password="p", local_dc="dc1")
+    f2 = pickle.loads(pickle.dumps(f))         # ships into executor closures
+    assert f2 == f
+    if not datastax_available():
+        with pytest.raises(ImportError):        # loud, not a silent stub
+            f2()
