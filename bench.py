@@ -55,6 +55,7 @@ HEADLINE = [
     "rollup_pricing",
     "table_incremental_cdc",
     "fork_tag_counts",
+    "bloom_pruned_join",
 ]
 
 

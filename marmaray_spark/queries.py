@@ -2080,6 +2080,39 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("point_order").alias("min_order"))
 
 
+@register(
+    "bloom_pruned_join",
+    """
+    SELECT l.l_orderkey AS okey,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_totalprice > 400000) o
+      ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def bloom_pruned_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pruned join (operators/bloomjoin.py): the big side is
+    filtered by a distributed-built Bloom sketch of the small side's keys
+    BEFORE its shuffle — at 100 TB the win is exchange bytes. The ORACLE
+    is the plain inner join: hash-equality proves pruning loses nothing
+    (no false negatives by construction; false positives are removed by
+    the join itself)."""
+    from marmaray_spark.operators.bloomjoin import bloom_pruned_join
+
+    big = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("price_cents"))
+    small = (load(spark, sf_dir, "orders")
+             .filter(F.col("o_totalprice") > 400000)
+             .select(F.col("o_orderkey").alias("okey"),
+                     F.round(F.col("o_totalprice") * 100).cast("bigint")
+                     .alias("total_cents")))
+    return bloom_pruned_join(big, small, on="okey")
+
+
 # The DECLARED query is the hot-bucket-capped form (max_bucket_width=64):
 # on dup-heavy corpora the uncapped pair set grows quadratically in
 # duplicate-cluster size (7.4M rows at sf0.1 — a scale-killer at 100x and

@@ -967,3 +967,16 @@ def test_real_mp3_decode_with_soundfile(spark):
     row = extract_audio_features(df).first()
     assert row["sample_rate"] == 8000
     assert abs(row["n_samples"] - 8000) < 2500   # mp3 pads frames
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph needs 200 rounds under 1-hop propagation —
+    far past max_iter — but pointer jumping closes it in O(log n): every
+    node must land in component 0, within the default iteration budget."""
+    from marmaray_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                  ["a", "b"])
+    out = connected_components(pairs)
+    assert {r["component"] for r in out.collect()} == {0}
+    assert out.count() == 201
