@@ -56,6 +56,13 @@ HEADLINE = [
     "table_incremental_cdc",
     "fork_tag_counts",
     "bloom_pruned_join",
+    "order_priority_semi_join",
+    "customer_order_distribution",
+    "inactive_high_balance_customers",
+    "top_supplier_revenue",
+    "cube_revenue",
+    "parts_above_brand_avg",
+    "pii_redaction_report",
 ]
 
 

@@ -2378,3 +2378,292 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("top_terms").alias("section"),
                      "grp", "item", "n", "rank"))
     return conf.unionByName(terms)
+
+
+# ---------------------------------------------------------------------------
+# Relational join family: semi / outer-distribution / anti+scalar / max-join
+# / cube / correlated window (SURVEY §2.7 widened)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_priority_semi_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: orders with at least one lineitem shipped
+    after the order date, counted by priority. The correlated EXISTS is a
+    LEFT SEMI join with the non-equi predicate folded into the join
+    condition — one pass over lineitem, no duplicate-elimination agg, and
+    the semi short-circuits per probe row (stops at first match)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01"))
+    line = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        line,
+        (orders.o_orderkey == line.l_orderkey)
+        & (line.l_shipdate > orders.o_orderdate),
+        "left_semi")
+    return (hit.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style outer-join distribution: how many customers placed
+    k non-urgent orders, including k=0 (the LEFT join keeps orderless
+    customers; count(o_orderkey) skips their NULLs). Two aggregations,
+    both partial-aggregated map-side; the second one's key space is tiny
+    (distinct order counts) so it collapses to a near-free shuffle."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    per_cust = (customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "inactive_high_balance_customers",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    CROSS JOIN (SELECT avg(c_acctbal) AS a FROM customer
+                WHERE c_acctbal > 0) ab
+    WHERE c.c_acctbal > ab.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def inactive_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average positive balance who
+    have been dormant (no orders) since 1998. The scalar subquery rides
+    as a broadcast 1-row frame (no driver collect), NOT EXISTS is a LEFT
+    ANTI join on the order key — at scale that's one shuffle of (custkey)
+    pairs, with the date filter applied BEFORE the anti join so the build
+    side shrinks to recent orders only."""
+    customer = load(spark, sf_dir, "customer")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= "1998-01-01")
+              .select("o_custkey"))
+    avg_bal = (customer.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    rich = (customer.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a")))
+    inactive = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (inactive.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style max-join (argmax without a global sort): quarterly
+    revenue per supplier, then keep the supplier(s) hitting the maximum.
+    The max is a 1-row broadcast joined back against the aggregated
+    frame (itself supplier-cardinality, tiny vs lineitem), and only the
+    surviving row(s) broadcast into the supplier dimension join.
+    Revenue is rounded to cents BEFORE the max comparison on both
+    engines so float summation order cannot flip the winner."""
+    line = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    rev = (line.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == F.col("m")).drop("m")
+    supplier = load(spark, sf_dir, "supplier")
+    return (supplier.join(F.broadcast(top),
+                          supplier.s_suppkey == top.l_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT n.n_name AS nation_name, o.o_orderpriority AS priority,
+           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, o.o_orderpriority)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, priority): all four grouping-set combinations in
+    one shuffle (Spark expands the grouping sets map-side, so the fact
+    table is scanned once). Complements rollup_pricing's ROLLUP with the
+    full lattice; dimension joins broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (orders
+              .join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+              .join(F.broadcast(nation),
+                    customer.c_nationkey == nation.n_nationkey)
+              .select(F.col("n_name").alias("nation_name"),
+                      F.col("o_orderpriority").alias("priority"),
+                      "o_totalprice"))
+    return (joined.cube("nation_name", "priority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@register(
+    "parts_above_brand_avg",
+    """
+    WITH b AS (
+      SELECT p_brand, p_retailprice,
+             avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM part
+    )
+    SELECT p_brand, count(*) AS n_above,
+           round(avg(p_retailprice - brand_avg), 4) AS avg_excess
+    FROM b WHERE p_retailprice > brand_avg
+    GROUP BY p_brand
+    """,
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate decorrelated as a window: parts priced above
+    their own brand's average. The windowed avg shares one shuffle on
+    p_brand with the final group-by (same key, Exchange reuse); the
+    self-join form a naive decorrelation would produce is avoided."""
+    part = load(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    w = W.partitionBy("p_brand")
+    b = part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+    return (b.filter(F.col("p_retailprice") > F.col("brand_avg"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_above"),
+                 F.round(F.avg(F.col("p_retailprice") - F.col("brand_avg")), 4)
+                 .alias("avg_excess")))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (LLM corpus hygiene; operators/pii.py)
+# ---------------------------------------------------------------------------
+
+def _pii_oracle() -> str:
+    """Share the exact Java/RE2-common regexes with operators/pii.py (a
+    template replace, not an f-string — the patterns contain `{m,n}`
+    repetition braces)."""
+    from marmaray_spark.operators.pii import PII_PATTERNS
+    tpl = """
+    WITH t AS (
+      SELECT lang,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST((doc_id % 65536) // 256 AS VARCHAR) ELSE '' END
+             AS text
+      FROM documents
+    ), c AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '@EMAIL@')) AS n_email,
+             len(regexp_extract_all(text, '@PHONE@')) AS n_phone,
+             len(regexp_extract_all(text, '@IPV4@')) AS n_ipv4,
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 '@EMAIL@', '<EMAIL>', 'g'),
+                 '@PHONE@', '<PHONE>', 'g'),
+                 '@IPV4@', '<IP>', 'g') AS red
+      FROM t
+    )
+    SELECT lang, count(*) AS docs,
+           CAST(sum(n_email) AS BIGINT) AS email_matches,
+           CAST(sum(n_phone) AS BIGINT) AS phone_matches,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4_matches,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(sum(len(regexp_extract_all(red, '@EMAIL@'))
+                    + len(regexp_extract_all(red, '@PHONE@'))
+                    + len(regexp_extract_all(red, '@IPV4@'))) AS BIGINT)
+             AS residual_hits
+    FROM c GROUP BY lang
+    """
+    return (tpl.replace("@EMAIL@", PII_PATTERNS["email"])
+               .replace("@PHONE@", PII_PATTERNS["phone"])
+               .replace("@IPV4@", PII_PATTERNS["ipv4"]))
+
+
+@register("pii_redaction_report", _pii_oracle())
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass over the corpus: detect, redact, and self-audit in
+    one codegen projection + one partial-aggregated group-by (no Python,
+    no joins, no second scan — operators/pii.py). The synthetic corpus
+    carries no real PII, so deterministic emails / phone numbers / IPv4s
+    are derived per doc_id FIRST (identically in the SQL oracle) — the
+    check is non-vacuous by construction: every class has a known match
+    count and `residual_hits` proves redaction removed all of them."""
+    from marmaray_spark.operators.pii import redaction_report
+
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call +1-555-"),
+                            F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                   4, "0"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" host 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit("."),
+                            F.expr("(doc_id % 65536) div 256").cast("string")))
+             .otherwise(F.lit("")),
+        ).alias("text"))
+    return redaction_report(injected, "text", "lang")
