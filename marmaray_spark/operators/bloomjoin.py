@@ -69,12 +69,14 @@ def build_key_bloom(df: DataFrame, key_col: str,
     return {"m": m, "k": k, "words": words}
 
 
-# Above this word count (~1 MiB of bigints) the literal probe stops being
-# "sketch-sized metadata": F.lit(words) is re-embedded in the plan for every
-# one of the k probe expressions, so a 10M-key / fpp=0.03 build (~1.1M words)
-# would put ~9 MB x k into analysis/codegen. Larger sketches switch to the
-# broadcast-relation probe, which ships the word table ONCE.
-_MAX_LITERAL_WORDS = 131_072
+# The in-plan array literal compiles to a CreateArray whose children are
+# re-evaluated PER ROW per probe expression (measured: 13.4s warm for a
+# 3,445-word sketch x 5 probes over 600k rows vs 0.76s for the broadcast
+# relation probing the same sketch — ~18x). The literal form is kept only
+# for genuinely tiny sketches where plan simplicity is free; anything
+# bigger rides the broadcast relation, which materializes the word table
+# once per executor and indexes it as column data.
+_MAX_LITERAL_WORDS = 64
 
 
 def _probe_condition(arr: Column, m: int, k: int, key: Column) -> Column:
@@ -99,28 +101,31 @@ def might_contain(bloom: dict, key: Column) -> Column:
 def bloom_prune(df: DataFrame, key_col: str, bloom: dict) -> DataFrame:
     """Filter ``df`` to rows whose key MIGHT be in the build-side bloom.
 
-    Small sketches probe an in-plan array literal. Large sketches (word
-    table > ``_MAX_LITERAL_WORDS``) ride a broadcast single-row relation
-    instead — the words cross the wire once per executor, not k times per
-    plan — keeping the probe codegen-friendly at any build-side size. The
-    practical limit is executor memory for one array<bigint> of m/64
-    words (~80 MB at 100M keys / fpp=0.03); build sides beyond that
-    should bucket-join rather than Bloom-prune."""
+    Tiny sketches probe an in-plan array literal. Everything else rides a
+    broadcast single-row relation — the words cross the wire once per
+    executor and are indexed as column data, not re-built per row the way
+    a CreateArray literal is (see ``_MAX_LITERAL_WORDS``). The relation
+    attaches via a constant-key BroadcastHashJoin, so no nested-loop
+    operator appears in the plan. The practical limit is executor memory
+    for one array<bigint> of m/64 words (~80 MB at 100M keys /
+    fpp=0.03); build sides beyond that should bucket-join rather than
+    Bloom-prune."""
     words = bloom["words"]
     if len(words) <= _MAX_LITERAL_WORDS:
         return df.filter(might_contain(bloom, F.col(key_col)))
     spark = df.sparkSession
-    arr_col = "__bloom_words__"
-    clash = [c for c in df.columns if c == arr_col]
+    arr_col, key = "__bloom_words__", "__bloom_k__"
+    clash = [c for c in df.columns if c in (arr_col, key)]
     if clash:
-        raise ValueError(f"input already has a {arr_col!r} column")
+        raise ValueError(f"input already has reserved column(s) {clash!r}")
     words_df = spark.createDataFrame(
-        [(words,)], schema=f"{arr_col} array<bigint>")
+        [(1, words)], schema=f"{key} int, {arr_col} array<bigint>")
     cond = _probe_condition(F.col(arr_col), bloom["m"], bloom["k"],
                             F.col(key_col))
-    return (df.crossJoin(F.broadcast(words_df))
+    return (df.withColumn(key, F.lit(1))
+            .join(F.broadcast(words_df), key)
             .filter(cond)
-            .drop(arr_col))
+            .drop(arr_col, key))
 
 
 def bloom_pruned_join(big: DataFrame, small: DataFrame, on: str,
