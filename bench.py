@@ -29,8 +29,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash_banded_near_dup",
     "embedding_topk_bruteforce",
-    "embedding_srp_probe_topk",
-    "embedding_srp_multiprobe_topk",
+    "embedding_srp_topk",
     "embedding_ivf_probe_topk",
     "doc_nlp_profile",
     "multimodal_features",
@@ -52,16 +51,10 @@ HEADLINE = [
     "bm25_topical_ranking",
     "asof_join_last_purchase",
     "range_join_price_bands",
-    "rollup_pricing",
     "table_incremental_cdc",
     "fork_tag_counts",
     "bloom_pruned_join",
-    "order_priority_semi_join",
-    "customer_order_distribution",
-    "inactive_high_balance_customers",
-    "top_supplier_revenue",
-    "cube_revenue",
-    "parts_above_brand_avg",
+    "relational_join_family",
     "pii_redaction_report",
 ]
 

@@ -64,17 +64,16 @@ def test_pii_report_plan_is_single_agg_no_join(spark):
 
 
 def test_semi_and_anti_joins_planned(spark):
-    q = Q.all_queries()
-    semi = _plan(q["order_priority_semi_join"](spark, SF))
+    semi = _plan(Q.order_priority_semi_join(spark, SF))
     assert "LeftSemi" in semi
-    anti = _plan(q["inactive_high_balance_customers"](spark, SF))
+    anti = _plan(Q.inactive_high_balance_customers(spark, SF))
     assert "LeftAnti" in anti
 
 
 def test_cube_expands_grouping_sets_one_scan(spark):
     """CUBE compiles to Expand + aggregate over ONE scan of orders —
     not four separate scans unioned."""
-    df = Q.all_queries()["cube_revenue"](spark, SF)
+    df = Q.cube_revenue(spark, SF)
     plan = _plan(df)
     assert "Expand" in plan
     assert plan.count("orders.parquet") <= 1 or plan.count("FileScan") <= 3
@@ -94,7 +93,7 @@ def test_cube_expands_grouping_sets_one_scan(spark):
 def test_parts_above_brand_avg_reuses_brand_exchange(spark):
     """The window and the final group-by share the p_brand key: the plan
     has exactly one shuffle (Exchange) feeding both."""
-    df = Q.all_queries()["parts_above_brand_avg"](spark, SF)
+    df = Q.parts_above_brand_avg(spark, SF)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning(p_brand") <= 1
     rows = {r["p_brand"]: r for r in df.collect()}
@@ -103,6 +102,6 @@ def test_parts_above_brand_avg_reuses_brand_exchange(spark):
 
 
 def test_top_supplier_revenue_broadcasts_scalar_max(spark):
-    plan = _plan(Q.all_queries()["top_supplier_revenue"](spark, SF))
+    plan = _plan(Q.top_supplier_revenue(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

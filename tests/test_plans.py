@@ -117,13 +117,13 @@ def test_no_allpairs_plan_in_any_declared_query(spark):
     # a BNLJ whose build side is exactly one row: linear, never quadratic.
     # bm25_topical_ranking attaches the 1-row (n_docs, total_dl) global
     # stats the same way — a single-row broadcast build side
-    # inactive_high_balance_customers broadcasts the 1-row avg-balance
-    # scalar the same way before its anti join
+    # relational_join_family's anti section broadcasts the 1-row
+    # avg-balance scalar the same way before its anti join
     allowed_bnlj = {"embedding_topk_bruteforce",
                     "validate_required_keys_valid",
                     "table_incremental_cdc",
                     "bm25_topical_ranking",
-                    "inactive_high_balance_customers"}
+                    "relational_join_family"}
     offenders = {}
     for name, fn in Q.all_queries().items():
         plan = plan_of(fn(spark, SF))
