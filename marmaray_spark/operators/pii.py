@@ -86,3 +86,26 @@ def redaction_report(df: DataFrame, text_col: str = "text",
         F.sum((F.col("n_any") > 0).cast("long")).alias("docs_with_pii"),
         F.sum("n_residual").alias("residual_hits"))
     return aggd
+
+
+def corpus_hygiene(df: DataFrame, text_col: str = "text",
+                   min_words: int = 5) -> DataFrame:
+    """Redact PII and attach hygiene flags in one projection.
+
+    Returns the frame with ``text_col`` replaced by its redacted form,
+    plus ``pii_found`` (count before redaction) and ``too_short``
+    (token-count gate). Pure Catalyst expressions, so the SAME transform
+    applies to a batch DataFrame or a Structured Streaming frame — the
+    streaming corpus-ingest path redacts inside each micro-batch with no
+    state and no extra shuffle.
+    """
+    counts = pii_counts(text_col)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return (df
+            .withColumn("pii_found", total)
+            .withColumn("too_short",
+                        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                        < min_words)
+            .withColumn(text_col, redact(text_col)))

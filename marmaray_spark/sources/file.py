@@ -69,3 +69,41 @@ class JsonFileSource:
         )
         return ConversionResult(valid, errors,
                                 fork.get_count(VALID_KEY), fork.get_count(ERROR_KEY))
+
+
+class CsvFileSource:
+    """Reads CSV with schema; malformed rows -> error channel.
+
+    Same decode-or-error contract as ``JsonFileSource`` (reference:
+    FileSource.java:41-75 routes undecodable records to the error
+    converter): PERMISSIVE mode captures rows whose fields don't parse
+    into the schema in ``_corrupt_record``, and the fork sends them to
+    the error table with the raw line preserved. Header rows are
+    skipped per file when ``header=True``; the scan is one JVM-side
+    pass (no Python), splittable per file at scale.
+    """
+
+    def __init__(self, spark: SparkSession, schema: T.StructType, *,
+                 header: bool = False, sep: str = ",") -> None:
+        self.spark = spark
+        self.header = header
+        self.sep = sep
+        self.schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)])
+
+    def get_data(self, work_unit: FileWorkUnit) -> ConversionResult:
+        df = (self.spark.read.schema(self.schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", CORRUPT_COL)
+              .option("header", str(self.header).lower())
+              .option("sep", self.sep)
+              .option("enforceSchema", "false")
+              .csv(work_unit.paths))
+        fork = valid_error_fork(df, F.col(CORRUPT_COL).isNull())
+        valid = fork.get_fork_data(VALID_KEY).drop(CORRUPT_COL)
+        errors = to_error_records(
+            fork.get_fork_data(ERROR_KEY).select(F.col(CORRUPT_COL).alias("raw_line")),
+            F.lit("malformed CSV record"),
+        )
+        return ConversionResult(valid, errors,
+                                fork.get_count(VALID_KEY), fork.get_count(ERROR_KEY))

@@ -42,3 +42,33 @@ def test_json_source_valid_and_malformed_split(spark, tmp_path):
     errs = res.errors.collect()
     assert len(errs) == 1
     assert "not json" in errs[0]["hadoop_error_source_data"]
+
+
+def test_csv_source_valid_and_malformed_split(spark, tmp_path):
+    from marmaray_spark.sources.file import CsvFileSource
+
+    f = tmp_path / "data.csv"
+    f.write_text("id,name\n"
+                 "1,ok\n"
+                 "not-a-number,bad\n"
+                 "2,also ok\n")
+    [unit] = FileWorkUnitCalculator(tmp_path, file_type="csv").compute_work_units()
+    res = CsvFileSource(spark, SCHEMA, header=True).get_data(unit)
+
+    rows = {r["id"]: r["name"] for r in res.valid.collect()}
+    assert rows == {1: "ok", 2: "also ok"}
+    assert res.valid_count == 2 and res.error_count == 1
+
+    errs = res.errors.collect()
+    assert len(errs) == 1
+    assert "not-a-number" in errs[0]["hadoop_error_source_data"]
+
+
+def test_csv_source_custom_separator_no_header(spark, tmp_path):
+    from marmaray_spark.sources.file import CsvFileSource
+
+    (tmp_path / "p.csv").write_text("1|ok\n2|fine\n")
+    [unit] = FileWorkUnitCalculator(tmp_path, file_type="csv").compute_work_units()
+    res = CsvFileSource(spark, SCHEMA, header=False, sep="|").get_data(unit)
+    assert res.valid_count == 2 and res.error_count == 0
+    assert {r["name"] for r in res.valid.collect()} == {"ok", "fine"}

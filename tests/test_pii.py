@@ -105,3 +105,49 @@ def test_top_supplier_revenue_broadcasts_scalar_max(spark):
     plan = _plan(Q.top_supplier_revenue(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_hygiene_streaming_matches_batch(spark, tmp_path):
+    """The SAME corpus_hygiene transform runs on a batch frame and a
+    Structured Streaming frame (pure projection, no state): streaming
+    micro-batch output must equal the batch answer row-for-row, with
+    zero residual PII in the sunk text."""
+    import re
+
+    from pyspark.sql import types as T
+
+    from marmaray_spark.streaming.incremental import (read_parquet_stream,
+                                                      run_available_now)
+
+    rows = [
+        (1, "reach me a@b.co or +1-555-0100 thanks for reading this"),
+        (2, "short 1.2.3.4"),
+        (3, "a perfectly clean document with more than five words here"),
+    ]
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "batch0"))
+
+    batch = pii.corpus_hygiene(
+        spark.read.schema(schema).parquet(str(src / "batch*")))
+    expected = {r["doc_id"]: r.asDict() for r in batch.collect()}
+
+    out = tmp_path / "docs_out"
+    stream = pii.corpus_hygiene(
+        read_parquet_stream(spark, f"{src}/batch*", schema))
+    writer = (stream.writeStream.format("parquet")
+              .option("path", str(out))
+              .option("checkpointLocation", str(tmp_path / "ckpt")))
+    run_available_now(writer)
+
+    got = {r["doc_id"]: r.asDict()
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got == expected
+    assert got[1]["pii_found"] == 2 and "<EMAIL>" in got[1]["text"]
+    assert got[2]["too_short"] is True
+    assert got[3]["pii_found"] == 0 and got[3]["too_short"] is False
+    for r in got.values():  # nothing PII-shaped survives in the sink
+        for p in pii.PII_PATTERNS.values():
+            assert not re.search(p, r["text"])
