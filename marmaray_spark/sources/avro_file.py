@@ -1,0 +1,185 @@
+"""Avro Object Container File (OCF) source: ``.avro`` files as DataFrames.
+
+Reference context: marmaray moves Avro payloads end-to-end (AvroPayload,
+``KafkaSourceDataConverter`` decodes single-record wire format —
+com/uber/marmaray/common/converters/data/KafkaSourceDataConverter.java:54),
+but Hadoop warehouses also hand the same schemas around as ``.avro``
+container files. This leg reads them with no external Avro library and no
+spark-avro jar: the OCF framing (magic, metadata map, sync-marker-delimited
+blocks, null/deflate codecs — the PUBLIC Avro 1.x spec) is parsed in
+Python, and record decode reuses the compiled per-schema decoders from
+``functions/avro_codec``.
+
+Scale shape: ``spark.read.format("binaryFile")`` lists the files as rows,
+an Arrow ``mapInPandas`` kernel parses each file's blocks executor-side —
+bytes never visit the driver, parallelism = number of files (one OCF file
+is this reader's split unit; the writer below caps file size so a 100 TB
+corpus arrives as many files). Schema comes from the caller or is peeked
+from ONE file header driver-side.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zlib
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from marmaray_spark.functions.avro_codec import (
+    AvroCodecError,
+    _read_long,
+    avro_to_structtype,
+    compile_encoder,
+    parse_schema,
+)
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+
+def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(buf, pos)
+    return buf[pos:pos + n], pos + n
+
+
+def _read_meta(buf: bytes, pos: int) -> tuple[dict[str, bytes], int]:
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _read_long(buf, pos)
+        if count == 0:
+            break
+        if count < 0:  # negative block count prefixes a byte size
+            count = -count
+            _, pos = _read_long(buf, pos)
+        for _ in range(count):
+            k, pos = _read_bytes(buf, pos)
+            v, pos = _read_bytes(buf, pos)
+            meta[k.decode("utf-8")] = v
+    return meta, pos
+
+
+def parse_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """-> (schema, codec, sync_marker, body_offset)."""
+    if data[:4] != MAGIC:
+        raise AvroCodecError("not an Avro object container file (bad magic)")
+    meta, pos = _read_meta(data, 4)
+    if "avro.schema" not in meta:
+        raise AvroCodecError("OCF header missing avro.schema")
+    schema = parse_schema(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise AvroCodecError(f"unsupported OCF codec {codec!r}")
+    sync = data[pos:pos + SYNC_SIZE]
+    return schema, codec, sync, pos + SYNC_SIZE
+
+
+def read_ocf_bytes(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode a whole OCF byte string -> (schema, records). Executor-side
+    workhorse; also handy for tests and driver peeks. Records inside a
+    block are concatenated, so decode goes through the positional
+    recursive decoder (``_decode``) rather than the whole-payload
+    compiled one."""
+    from marmaray_spark.functions.avro_codec import _decode
+
+    schema, codec, sync, pos = parse_ocf_header(data)
+    records: list[dict] = []
+    n = len(data)
+    while pos < n:
+        count, pos = _read_long(data, pos)
+        size, pos = _read_long(data, pos)
+        block = data[pos:pos + size]
+        pos += size
+        if data[pos:pos + SYNC_SIZE] != sync:
+            raise AvroCodecError("OCF sync marker mismatch (corrupt block)")
+        pos += SYNC_SIZE
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        bpos = 0
+        for _ in range(count):
+            rec, bpos = _decode(schema, block, bpos)
+            records.append(rec)
+        if bpos != len(block):
+            raise AvroCodecError(
+                f"{len(block) - bpos} trailing bytes in OCF block")
+    return schema, records
+
+
+def write_ocf(path: str, avsc: str | dict, records: list[dict],
+              codec: str = "null", sync: bytes = b"\x00" * SYNC_SIZE,
+              records_per_block: int = 1000) -> None:
+    """Write records as one OCF file (null or deflate codec). Driver-side
+    utility for tests / loader-ready handoffs; big corpora should write
+    MANY files (one per task) so the reader parallelizes."""
+    from marmaray_spark.functions.avro_codec import _write_long
+
+    schema = parse_schema(avsc)
+    encode = compile_encoder(schema)
+    out = bytearray(MAGIC)
+    schema_json = json.dumps(schema).encode("utf-8")
+    _write_long(2, out)
+    for k, v in (("avro.schema", schema_json),
+                 ("avro.codec", codec.encode("utf-8"))):
+        kb = k.encode("utf-8")
+        _write_long(len(kb), out)
+        out += kb
+        _write_long(len(v), out)
+        out += v
+    _write_long(0, out)
+    out += sync
+    for i in range(0, len(records), records_per_block):
+        chunk = records[i:i + records_per_block]
+        body = bytearray()
+        for rec in chunk:
+            body += encode(rec)
+        payload = bytes(body)
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw deflate framing
+        _write_long(len(chunk), out)
+        _write_long(len(payload), out)
+        out += payload
+        out += sync
+    tmp = f"{path}.tmp"
+    with io.open(tmp, "wb") as f:
+        f.write(bytes(out))
+    os.replace(tmp, path)
+
+
+class AvroFileSource:
+    """Reads ``.avro`` container files into a DataFrame.
+
+    ``avsc`` is the reader schema; omit it to peek the header of the
+    first listed file (one driver-side read — fine for a warehouse
+    directory, pass the schema explicitly in automated pipelines).
+    """
+
+    def __init__(self, spark: SparkSession, avsc: str | dict | None = None):
+        self.spark = spark
+        self.avsc = parse_schema(avsc) if avsc is not None else None
+
+    def get_data(self, work_unit) -> DataFrame:
+        paths = work_unit.paths
+        if not paths:
+            raise ValueError("empty Avro work unit")
+        schema = self.avsc
+        if schema is None:
+            with io.open(paths[0], "rb") as f:
+                schema, _, _, _ = parse_ocf_header(f.read(1 << 20))
+        struct = avro_to_structtype(schema)
+        cols = [f.name for f in struct.fields]
+
+        def kernel(batches: Iterator) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                for content in pdf["content"]:
+                    _, records = read_ocf_bytes(bytes(content))
+                    if records:
+                        yield pd.DataFrame.from_records(records,
+                                                        columns=cols)
+
+        files = (self.spark.read.format("binaryFile")
+                 .load([str(p) for p in paths])
+                 .select("content"))
+        return files.mapInPandas(kernel, schema=struct)

@@ -1,0 +1,64 @@
+"""Avro object-container-file source (sources/avro_file.py): round-trip
+through both codecs, schema peek, corrupt-block detection, Spark-side
+parallel decode."""
+
+from __future__ import annotations
+
+import pytest
+
+from marmaray_spark.functions.avro_codec import AvroCodecError
+from marmaray_spark.sources.avro_file import (AvroFileSource, read_ocf_bytes,
+                                              write_ocf)
+from marmaray_spark.sources.file import FileWorkUnitCalculator
+
+AVSC = {
+    "type": "record", "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "title", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "tag", "type": ["null", "string"], "default": None},
+    ],
+}
+
+ROWS = [{"id": i, "title": f"doc-{i}", "score": i / 8,
+         "tag": None if i % 3 == 0 else f"t{i % 5}"} for i in range(257)]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_roundtrip_bytes(tmp_path, codec):
+    p = tmp_path / f"d_{codec}.avro"
+    write_ocf(str(p), AVSC, ROWS, codec=codec, records_per_block=100)
+    schema, records = read_ocf_bytes(p.read_bytes())
+    assert records == ROWS
+    assert schema["name"] == "Doc"
+
+
+def test_ocf_corrupt_sync_detected(tmp_path):
+    p = tmp_path / "d.avro"
+    write_ocf(str(p), AVSC, ROWS[:10])
+    data = bytearray(p.read_bytes())
+    data[-1] ^= 0xFF  # flip a bit in the trailing sync marker
+    with pytest.raises(AvroCodecError, match="sync"):
+        read_ocf_bytes(bytes(data))
+
+
+def test_spark_source_reads_many_files_with_schema_peek(spark, tmp_path):
+    # three files, mixed codecs, schema taken from the first header
+    for i, codec in enumerate(["null", "deflate", "null"]):
+        write_ocf(str(tmp_path / f"part-{i}.avro"), AVSC,
+                  ROWS[i * 50:(i + 1) * 50], codec=codec)
+    [unit] = FileWorkUnitCalculator(tmp_path, file_type="avro").compute_work_units()
+    df = AvroFileSource(spark).get_data(unit)
+    got = sorted((r["id"], r["title"], r["tag"]) for r in df.collect())
+    exp = sorted((r["id"], r["title"], r["tag"]) for r in ROWS[:150])
+    assert got == exp
+    assert dict(df.dtypes) == {"id": "bigint", "title": "string",
+                               "score": "double", "tag": "string"}
+
+
+def test_spark_source_explicit_reader_schema(spark, tmp_path):
+    write_ocf(str(tmp_path / "x.avro"), AVSC, ROWS[:5])
+    [unit] = FileWorkUnitCalculator(tmp_path, file_type="avro").compute_work_units()
+    df = AvroFileSource(spark, avsc=AVSC).get_data(unit)
+    assert df.count() == 5
