@@ -24,7 +24,7 @@ import io
 import json
 import os
 import zlib
-from typing import Any, Iterator
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,16 +76,13 @@ def parse_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos + SYNC_SIZE
 
 
-def read_ocf_bytes(data: bytes) -> tuple[dict, list[dict]]:
-    """Decode a whole OCF byte string -> (schema, records). Executor-side
-    workhorse; also handy for tests and driver peeks. Records inside a
-    block are concatenated, so decode goes through the positional
-    recursive decoder (``_decode``) rather than the whole-payload
-    compiled one."""
+def iter_ocf_blocks(data: bytes):
+    """Yield (schema, block_records) per OCF block — the memory-bounded
+    executor path: one block (``records_per_block`` at write time) is
+    materialized at a time, never the whole file."""
     from marmaray_spark.functions.avro_codec import _decode
 
     schema, codec, sync, pos = parse_ocf_header(data)
-    records: list[dict] = []
     n = len(data)
     while pos < n:
         count, pos = _read_long(data, pos)
@@ -98,12 +95,24 @@ def read_ocf_bytes(data: bytes) -> tuple[dict, list[dict]]:
         if codec == "deflate":
             block = zlib.decompress(block, -15)
         bpos = 0
+        records = []
         for _ in range(count):
             rec, bpos = _decode(schema, block, bpos)
             records.append(rec)
         if bpos != len(block):
             raise AvroCodecError(
                 f"{len(block) - bpos} trailing bytes in OCF block")
+        yield schema, records
+
+
+def read_ocf_bytes(data: bytes) -> tuple[dict, list[dict]]:
+    """Decode a whole OCF byte string -> (schema, records). Test/peek
+    convenience over ``iter_ocf_blocks``."""
+    schema, records = None, []
+    for schema, recs in iter_ocf_blocks(data):
+        records.extend(recs)
+    if schema is None:
+        schema, _, _, _ = parse_ocf_header(data)
     return schema, records
 
 
@@ -174,10 +183,13 @@ class AvroFileSource:
             import pandas as pd
             for pdf in batches:
                 for content in pdf["content"]:
-                    _, records = read_ocf_bytes(bytes(content))
-                    if records:
-                        yield pd.DataFrame.from_records(records,
-                                                        columns=cols)
+                    # binaryFile holds the raw bytes per file; the per-block
+                    # yield bounds the DECODED Python/pandas materialization
+                    # (the expensive representation) at one block
+                    for _, records in iter_ocf_blocks(bytes(content)):
+                        if records:
+                            yield pd.DataFrame.from_records(records,
+                                                            columns=cols)
 
         files = (self.spark.read.format("binaryFile")
                  .load([str(p) for p in paths])

@@ -62,3 +62,26 @@ def test_spark_source_explicit_reader_schema(spark, tmp_path):
     [unit] = FileWorkUnitCalculator(tmp_path, file_type="avro").compute_work_units()
     df = AvroFileSource(spark, avsc=AVSC).get_data(unit)
     assert df.count() == 5
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+rec_st = st.fixed_dictionaries({
+    "id": st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+    "title": st.text(max_size=40),
+    "score": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "tag": st.one_of(st.none(), st.text(max_size=10)),
+})
+
+
+@settings(max_examples=60, deadline=None)
+@given(records=st.lists(rec_st, max_size=40),
+       codec=st.sampled_from(["null", "deflate"]),
+       per_block=st.integers(min_value=1, max_value=7))
+def test_ocf_roundtrip_property(tmp_path_factory, records, codec, per_block):
+    p = tmp_path_factory.mktemp("ocf") / "r.avro"
+    write_ocf(str(p), AVSC, records, codec=codec,
+              records_per_block=per_block)
+    _, got = read_ocf_bytes(p.read_bytes())
+    assert got == records
