@@ -27,6 +27,7 @@ import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from marmaray_spark.functions.avro_codec import (
     AvroCodecError,
@@ -162,22 +163,35 @@ class AvroFileSource:
     ``avsc`` is the reader schema; omit it to peek the header of the
     first listed file (one driver-side read — fine for a warehouse
     directory, pass the schema explicitly in automated pipelines).
+
+    ``strict=True`` (default) raises on any corrupt file. ``strict=False``
+    gives the same decode-or-error contract as the JSON/CSV sources:
+    ``get_data_forked`` returns (valid, errors) where a file that fails
+    OCF parsing contributes one error record naming the file and the
+    decode failure, and every healthy file still decodes fully.
     """
 
-    def __init__(self, spark: SparkSession, avsc: str | dict | None = None):
+    def __init__(self, spark: SparkSession, avsc: str | dict | None = None,
+                 strict: bool = True):
         self.spark = spark
         self.avsc = parse_schema(avsc) if avsc is not None else None
+        self.strict = strict
+
+    def _schema_for(self, paths) -> dict:
+        if self.avsc is not None:
+            return self.avsc
+        with io.open(paths[0], "rb") as f:
+            schema, _, _, _ = parse_ocf_header(f.read(1 << 20))
+        return schema
 
     def get_data(self, work_unit) -> DataFrame:
         paths = work_unit.paths
         if not paths:
             raise ValueError("empty Avro work unit")
-        schema = self.avsc
-        if schema is None:
-            with io.open(paths[0], "rb") as f:
-                schema, _, _, _ = parse_ocf_header(f.read(1 << 20))
+        schema = self._schema_for(paths)
         struct = avro_to_structtype(schema)
         cols = [f.name for f in struct.fields]
+        strict = self.strict
 
         def kernel(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -186,12 +200,62 @@ class AvroFileSource:
                     # binaryFile holds the raw bytes per file; the per-block
                     # yield bounds the DECODED Python/pandas materialization
                     # (the expensive representation) at one block
-                    for _, records in iter_ocf_blocks(bytes(content)):
-                        if records:
-                            yield pd.DataFrame.from_records(records,
-                                                            columns=cols)
+                    try:
+                        for _, records in iter_ocf_blocks(bytes(content)):
+                            if records:
+                                yield pd.DataFrame.from_records(records,
+                                                                columns=cols)
+                    except AvroCodecError:
+                        if strict:
+                            raise
 
         files = (self.spark.read.format("binaryFile")
                  .load([str(p) for p in paths])
                  .select("content"))
         return files.mapInPandas(kernel, schema=struct)
+
+    def get_data_forked(self, work_unit):
+        """(valid, errors): corrupt files become error records (path +
+        reason) instead of failing the job — the valid|error fork of the
+        other file sources, at file granularity (an OCF block after a
+        corrupt one cannot be trusted, so the whole file is quarantined).
+        The probe runs EXECUTOR-side over the same binaryFile scan the
+        decode uses; only the per-file verdicts (path, reason) come back
+        to the driver — file-count rows, driver-scale metadata like any
+        work-unit listing."""
+        import pandas as pd
+
+        from marmaray_spark.operators.errors import to_error_records
+
+        paths = work_unit.paths
+        if not paths:
+            raise ValueError("empty Avro work unit")
+
+        def probe(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                out = []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    try:
+                        for _ in iter_ocf_blocks(bytes(content)):
+                            pass
+                        out.append((path, None))
+                    except AvroCodecError as e:
+                        out.append((path, str(e)))
+                yield pd.DataFrame(out, columns=["path", "reason"])
+
+        verdicts = (self.spark.read.format("binaryFile")
+                    .load([str(p) for p in paths])
+                    .select("path", "content")
+                    .mapInPandas(probe, schema="path string, reason string")
+                    .collect())
+        bad = [(r["path"], r["reason"]) for r in verdicts if r["reason"]]
+        good = [r["path"] for r in verdicts if not r["reason"]]
+        errors = to_error_records(
+            self.spark.createDataFrame(
+                bad or [("", "")], "raw_line string, reason string"
+            ).filter(F.col("raw_line") != ""),
+            F.col("reason"))
+        valid = (self.get_data(type(work_unit)(good)) if good
+                 else self.spark.createDataFrame(
+                     [], avro_to_structtype(self._schema_for(paths))))
+        return valid, errors

@@ -85,3 +85,53 @@ def test_ocf_roundtrip_property(tmp_path_factory, records, codec, per_block):
               records_per_block=per_block)
     _, got = read_ocf_bytes(p.read_bytes())
     assert got == records
+
+
+def test_forked_read_quarantines_corrupt_file(spark, tmp_path):
+    write_ocf(str(tmp_path / "ok-0.avro"), AVSC, ROWS[:40])
+    write_ocf(str(tmp_path / "ok-1.avro"), AVSC, ROWS[40:80])
+    bad = bytearray((tmp_path / "ok-0.avro").read_bytes())
+    bad[-1] ^= 0xFF  # corrupt the trailing sync marker (breaks framing)
+    (tmp_path / "bad.avro").write_bytes(bytes(bad))
+
+    [unit] = FileWorkUnitCalculator(tmp_path, file_type="avro").compute_work_units()
+    valid, errors = AvroFileSource(spark, avsc=AVSC).get_data_forked(unit)
+    assert sorted(r["id"] for r in valid.collect()) == list(range(80))
+    errs = errors.collect()
+    assert len(errs) == 1
+    assert "bad.avro" in errs[0]["hadoop_error_source_data"]
+
+
+def test_ocf_ingest_to_table_to_rollup_e2e(spark, tmp_path):
+    """The new pieces compose: OCF warehouse files -> corpus_hygiene
+    (PII redaction) -> commit-log table -> per-lang rollup."""
+    from marmaray_spark.operators.pii import corpus_hygiene
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    doc_avsc = {"type": "record", "name": "D", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "lang", "type": "string"},
+        {"name": "text", "type": "string"}]}
+    recs = [{"doc_id": i, "lang": "en" if i % 2 else "de",
+             "text": f"doc {i} body with plenty of words here "
+                     + ("mail x{}@corp.io ".format(i) if i % 3 == 0 else "")}
+            for i in range(60)]
+    for part in range(3):
+        write_ocf(str(tmp_path / f"part-{part}.avro"), doc_avsc,
+                  recs[part * 20:(part + 1) * 20])
+
+    [unit] = FileWorkUnitCalculator(tmp_path, file_type="avro").compute_work_units()
+    docs = AvroFileSource(spark, avsc=doc_avsc).get_data(unit)
+    clean = corpus_hygiene(docs)
+
+    table = tmp_path / "docs_table"
+    sink = TableSink(spark, table, "doc_id", partition_field="lang")
+    sink.write(clean, WriteOp.INSERT)
+    back = sink.read()
+    assert back.count() == 60
+    assert back.filter(back.text.contains("@")).count() == 0  # redacted
+    assert back.filter("pii_found > 0").count() == 20  # every i%3==0 doc
+
+    from pyspark.sql import functions as F
+    roll = back.groupBy("lang").agg(F.count("*").alias("n"))
+    assert {(r["lang"], r["n"]) for r in roll.collect()} == {("en", 30), ("de", 30)}
