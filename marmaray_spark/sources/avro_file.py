@@ -259,3 +259,35 @@ class AvroFileSource:
                  else self.spark.createDataFrame(
                      [], avro_to_structtype(self._schema_for(paths))))
         return valid, errors
+
+
+BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def read_ocf_stream(spark: SparkSession, path: str,
+                    avsc: str | dict) -> DataFrame:
+    """Structured-Streaming OCF ingest: new ``.avro`` files arriving under
+    ``path`` become micro-batches of decoded records (the streaming twin
+    of ``AvroFileSource`` — same binaryFile + per-block Arrow kernel,
+    driven by the file-source checkpoint so each file is decoded exactly
+    once). The reader schema must be explicit: a streaming source cannot
+    peek headers at plan time."""
+    schema = parse_schema(avsc)
+    struct = avro_to_structtype(schema)
+    cols = [f.name for f in struct.fields]
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            for content in pdf["content"]:
+                for _, records in iter_ocf_blocks(bytes(content)):
+                    if records:
+                        yield pd.DataFrame.from_records(records, columns=cols)
+
+    files = (spark.readStream.format("binaryFile")
+             .schema(BINARY_FILE_SCHEMA)
+             .option("pathGlobFilter", "*.avro")
+             .load(path)
+             .select("content"))
+    return files.mapInPandas(kernel, schema=struct)

@@ -135,3 +135,29 @@ def test_ocf_ingest_to_table_to_rollup_e2e(spark, tmp_path):
     from pyspark.sql import functions as F
     roll = back.groupBy("lang").agg(F.count("*").alias("n"))
     assert {(r["lang"], r["n"]) for r in roll.collect()} == {("en", 30), ("de", 30)}
+
+
+def test_ocf_streaming_ingest_exactly_once(spark, tmp_path):
+    """read_ocf_stream decodes each arriving .avro file exactly once
+    across restarts (file-source checkpoint), through the same per-block
+    kernel as the batch reader."""
+    from marmaray_spark.sources.avro_file import read_ocf_stream
+    from marmaray_spark.streaming.incremental import run_available_now
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+    write_ocf(str(src / "a.avro"), AVSC, ROWS[:30], codec="deflate")
+
+    def drain():
+        stream = read_ocf_stream(spark, str(src), AVSC)
+        run_available_now(stream.writeStream.format("parquet")
+                          .option("path", str(out))
+                          .option("checkpointLocation", str(ckpt)))
+
+    drain()
+    assert sorted(r["id"] for r in spark.read.parquet(str(out)).collect()) \
+        == list(range(30))
+    write_ocf(str(src / "b.avro"), AVSC, ROWS[30:50])
+    drain()  # restart: only the NEW file is decoded
+    assert sorted(r["id"] for r in spark.read.parquet(str(out)).collect()) \
+        == list(range(50))
