@@ -63,10 +63,17 @@ def _read_meta(buf: bytes, pos: int) -> tuple[dict[str, bytes], int]:
 
 
 def parse_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
-    """-> (schema, codec, sync_marker, body_offset)."""
+    """-> (schema, codec, sync_marker, body_offset). Truncated or
+    garbage input raises AvroCodecError (never Index/ValueError — the
+    quarantine fork relies on that contract)."""
     if data[:4] != MAGIC:
         raise AvroCodecError("not an Avro object container file (bad magic)")
-    meta, pos = _read_meta(data, 4)
+    try:
+        meta, pos = _read_meta(data, 4)
+    except AvroCodecError:
+        raise
+    except (IndexError, ValueError) as e:
+        raise AvroCodecError(f"truncated/garbled OCF header: {e}") from e
     if "avro.schema" not in meta:
         raise AvroCodecError("OCF header missing avro.schema")
     schema = parse_schema(meta["avro.schema"].decode("utf-8"))
@@ -86,8 +93,13 @@ def iter_ocf_blocks(data: bytes):
     schema, codec, sync, pos = parse_ocf_header(data)
     n = len(data)
     while pos < n:
-        count, pos = _read_long(data, pos)
-        size, pos = _read_long(data, pos)
+        try:
+            count, pos = _read_long(data, pos)
+            size, pos = _read_long(data, pos)
+        except AvroCodecError:
+            raise
+        except (IndexError, ValueError) as e:
+            raise AvroCodecError(f"truncated OCF block header: {e}") from e
         block = data[pos:pos + size]
         pos += size
         if data[pos:pos + SYNC_SIZE] != sync:
@@ -97,9 +109,14 @@ def iter_ocf_blocks(data: bytes):
             block = zlib.decompress(block, -15)
         bpos = 0
         records = []
-        for _ in range(count):
-            rec, bpos = _decode(schema, block, bpos)
-            records.append(rec)
+        try:
+            for _ in range(count):
+                rec, bpos = _decode(schema, block, bpos)
+                records.append(rec)
+        except AvroCodecError:
+            raise
+        except (IndexError, ValueError) as e:
+            raise AvroCodecError(f"garbled OCF block body: {e}") from e
         if bpos != len(block):
             raise AvroCodecError(
                 f"{len(block) - bpos} trailing bytes in OCF block")
@@ -266,28 +283,42 @@ BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
 
 
 def read_ocf_stream(spark: SparkSession, path: str,
-                    avsc: str | dict) -> DataFrame:
+                    avsc: str | dict, strict: bool = True) -> DataFrame:
     """Structured-Streaming OCF ingest: new ``.avro`` files arriving under
     ``path`` become micro-batches of decoded records (the streaming twin
     of ``AvroFileSource`` — same binaryFile + per-block Arrow kernel,
     driven by the file-source checkpoint so each file is decoded exactly
     once). The reader schema must be explicit: a streaming source cannot
-    peek headers at plan time."""
+    peek headers at plan time.
+
+    ``strict=False`` skips corrupt files (logged executor-side) instead of
+    failing the query — a stream has no second output for an error frame;
+    run the batch ``get_data_forked`` over the same directory when the
+    quarantine list itself is needed."""
     schema = parse_schema(avsc)
     struct = avro_to_structtype(schema)
     cols = [f.name for f in struct.fields]
 
     def kernel(batches: Iterator) -> Iterator:
+        import logging
+
         import pandas as pd
         for pdf in batches:
-            for content in pdf["content"]:
-                for _, records in iter_ocf_blocks(bytes(content)):
-                    if records:
-                        yield pd.DataFrame.from_records(records, columns=cols)
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for _, records in iter_ocf_blocks(bytes(content)):
+                        if records:
+                            yield pd.DataFrame.from_records(records,
+                                                            columns=cols)
+                except AvroCodecError:
+                    if strict:
+                        raise
+                    logging.getLogger(__name__).warning(
+                        "skipping corrupt OCF file in stream: %s", path_)
 
     files = (spark.readStream.format("binaryFile")
              .schema(BINARY_FILE_SCHEMA)
              .option("pathGlobFilter", "*.avro")
              .load(path)
-             .select("content"))
+             .select("path", "content"))
     return files.mapInPandas(kernel, schema=struct)

@@ -161,3 +161,20 @@ def test_ocf_streaming_ingest_exactly_once(spark, tmp_path):
     drain()  # restart: only the NEW file is decoded
     assert sorted(r["id"] for r in spark.read.parquet(str(out)).collect()) \
         == list(range(50))
+
+
+def test_ocf_stream_nonstrict_skips_corrupt_file(spark, tmp_path):
+    from marmaray_spark.sources.avro_file import read_ocf_stream
+    from marmaray_spark.streaming.incremental import run_available_now
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+    write_ocf(str(src / "good.avro"), AVSC, ROWS[:20])
+    (src / "broken.avro").write_bytes(b"Obj\x01garbage")
+
+    stream = read_ocf_stream(spark, str(src), AVSC, strict=False)
+    run_available_now(stream.writeStream.format("parquet")
+                      .option("path", str(out))
+                      .option("checkpointLocation", str(ckpt)))
+    assert sorted(r["id"] for r in spark.read.parquet(str(out)).collect()) \
+        == list(range(20))
