@@ -96,7 +96,8 @@ def lsh_band_buckets(signature_col: str, bands: int, rows_per_band: int) -> Colu
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, buckets_col: str,
                         persist: bool = True,
-                        max_bucket_width: int | None = None) -> DataFrame:
+                        max_bucket_width: int | None = None,
+                        reliable_barrier: bool = False) -> DataFrame:
     """Explode (id, band, bucket), self-join per (band, bucket), emit
     distinct id pairs (a < b). The join key includes the band index so
     equal buckets in different bands don't collide.
@@ -119,9 +120,20 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, buckets_col: str,
     edge in hot buckets — exactly the mass-duplication case where members
     are mutually near-identical, so in practice the verified star keeps
     the component intact. Off (None) by default: the declared oracle is
-    the exact all-pairs set."""
+    the exact all-pairs set.
+
+    ``reliable_barrier``: on a real cluster, a persist()ed barrier is
+    rebuilt from lineage when an executor holding its blocks dies — and
+    rebuilding HERE means re-running the full minhash tree interpreted
+    (the 15x path) on the lost partitions at the worst possible time.
+    True swaps the barrier for ``checkpoint()`` to the session's
+    checkpoint dir (``sc.setCheckpointDir`` on HDFS/object storage):
+    lineage is truncated, recovery is a file re-read. Costs one write
+    of the tiny (id, buckets) projection; keep False locally."""
     pre = df.select(F.col(id_col).alias("doc"), F.col(buckets_col).alias("__bk__"))
-    if persist:
+    if reliable_barrier:
+        pre = pre.checkpoint(eager=True)
+    elif persist:
         pre = pre.persist()
         pre.count()
     exploded = pre.select("doc", F.posexplode("__bk__").alias("band", "bucket"))

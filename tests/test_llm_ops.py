@@ -80,6 +80,28 @@ def test_minhash_lsh_finds_near_duplicate(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_lsh_reliable_barrier_same_pairs(spark, tmp_path):
+    """reliable_barrier=True (checkpoint to the session's checkpoint
+    dir — the executor-loss-safe barrier on a real cluster) yields the
+    identical candidate set as the default persist barrier."""
+    base = "spark engine reads parquet files and writes tables with commits " * 3
+    rows = [(1, base), (2, base.replace("writes", "stores")),
+            (3, "completely different words about cooking pasta at home")]
+    df = (spark.createDataFrame(rows, ["id", "text"])
+          .withColumn("w", words("text"))
+          .withColumn("sh", word_shingles("w", 3))
+          .withColumn("hh", minhash_digests("sh"))
+          .withColumn("sig", minhash_signature("hh", 16))
+          .withColumn("buckets", lsh_band_buckets("sig", 8, 2)))
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    want = {(r["a"], r["b"])
+            for r in lsh_candidate_pairs(df, "id", "buckets").collect()}
+    got = {(r["a"], r["b"])
+           for r in lsh_candidate_pairs(df, "id", "buckets",
+                                        reliable_barrier=True).collect()}
+    assert got == want and (1, 2) in got
+
+
 def test_minhash_identical_docs_always_candidates(spark):
     df = (spark.createDataFrame([(1, "a b c d e f g"), (2, "a b c d e f g")],
                                 ["id", "text"])
@@ -295,6 +317,35 @@ def test_ivf_learned_centroids_full_probe_equals_brute_force(spark):
         q, df, k=4, nprobe=4, centroids=cents).collect()))
     exact = sorted(map(tuple, brute_force_topk(q, df, k=4).collect()))
     assert ivf == exact
+
+
+def test_ivf_kernel_path_equals_expression_path(spark):
+    """The Arrow-matmul cell-assignment kernel (the large-quantizer
+    path — centroid literals above _IVF_EXPR_MAX_LITERALS are the bloom
+    array-literal codegen trap) returns bit-for-bit the expression
+    path's results, including lowest-centroid-index tie-breaks on both
+    the corpus argmax and the query top-nprobe sides."""
+    import math
+
+    from marmaray_spark.operators.similarity import ivf_probe_topk
+
+    def unit(seed):
+        vals = [math.sin(seed * 3 + i * 0.9) for i in range(8)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    # duplicated vectors force dot-product ties across centroids
+    df = spark.createDataFrame(
+        [(i, unit(i % 40)) for i in range(90)], ["vec_id", "embedding"])
+    q = df.filter("vec_id < 6")
+    for nprobe in (1, 3):
+        expr_path = sorted(map(tuple, ivf_probe_topk(
+            q, df, k=4, n_centroids=8, nprobe=nprobe,
+            use_kernel=False).collect()))
+        kern_path = sorted(map(tuple, ivf_probe_topk(
+            q, df, k=4, n_centroids=8, nprobe=nprobe,
+            use_kernel=True).collect()))
+        assert expr_path == kern_path and expr_path
 
 
 def test_simhash_banded_equals_pairwise(spark):
