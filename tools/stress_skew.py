@@ -131,6 +131,58 @@ def main() -> None:
                                 ["user_id", "event_id"], 1000)
         .groupBy().agg(F.max("batch_id")).count(), spark)
 
+    # AQE skew-join split: a sort-merge join keyed on the hot user
+    # (one user_id owns ~65% of the 6M events -> one ~3.9M-row shuffle
+    # partition) is the straggler pattern salting fixes for AGGS
+    # (skew_salted_agg); for JOINS the engine answer is AQE's
+    # OptimizeSkewedJoin, which splits the hot partition into
+    # advisory-sized reads and replicates the matching dim partition.
+    # Two contract details this case pins down:
+    # - the dim side must be a plain scan->shuffle->sort child; an
+    #   aggregate between (e.g. joining .distinct() output directly)
+    #   breaks the SMJ(Sort(Shuffle), Sort(Shuffle)) pattern and the
+    #   optimizer silently declines — materialize dims first.
+    # - at 100 TB the default 256 MB threshold trips on its own; the
+    #   local slice is ~60 MB so the thresholds scale down
+    #   proportionally here (a knob, not a code path).
+    # Measured split-off vs split-on (that order, so warm inputs favor
+    # the OFF case) on identical plans; the final plan must carry the
+    # 'skewed' AQEShuffleRead marker when on.
+    dim_path = os.path.join(skew_dir, "user_dim.parquet")
+    if not os.path.exists(dim_path):
+        (events.select("user_id").distinct()
+         .withColumn("seg", F.expr("cast(user_id % 97 as int)"))
+         .write.parquet(dim_path))
+    dim = spark.read.parquet(dim_path)
+
+    def skew_join(split: bool):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+                       "true" if split else "false")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        try:
+            j = (events.select("user_id", "value")
+                 .join(dim.hint("merge"), "user_id")
+                 .groupBy("seg").agg(F.sum("value").alias("v")))
+            n = len(j.collect())
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert ("and skewed" in plan) == split, \
+                f"AQE skew marker expected={split} in final plan"
+            return n
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.unset(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+            spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+    results["smj_hot_key_no_split"] = run(
+        "smj_hot_key_no_split", lambda: skew_join(False), spark)
+    results["smj_hot_key_aqe_split"] = run(
+        "smj_hot_key_aqe_split", lambda: skew_join(True), spark)
+
     print(json.dumps({"sf": "skew-sf1", **{k: {kk: vv for kk, vv in v.items()}
                                            for k, v in results.items()}}))
     spark.stop()
