@@ -121,15 +121,14 @@ def srp_band_buckets(qvec_col: str, bands: int = 4, planes_per_band: int = 4,
     cosine ~0.9 collide in ONE 16-plane bucket with p~0.29, but in AT
     LEAST ONE of 4 4-plane bands with p~0.95 — recall without all-pairs.
     """
+    planes = _srp_planes(bands * planes_per_band, dim)
     cols = []
     for b_i in range(bands):
-        terms = []
-        for j in range(planes_per_band):
-            p = b_i * planes_per_band + j
-            proj = (f"aggregate(sequence(1, {dim}), 0L, (acc, i) -> acc + "
-                    f"IF(instr('89abcdef', substring(md5(concat('{p}:', cast(i as string))), 1, 1)) > 0, 1L, -1L)"
-                    f" * element_at({qvec_col}, i))")
-            terms.append(f"IF(({proj}) >= 0, {1 << j}, 0)")
+        terms = [
+            f"IF(({_plane_dot(qvec_col, planes[b_i * planes_per_band + j])})"
+            f" >= 0, {1 << j}, 0)"
+            for j in range(planes_per_band)
+        ]
         cols.append(F.expr(" + ".join(terms)).cast("bigint"))
     return F.array(*cols)
 
@@ -509,5 +508,126 @@ def srp_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
               .withColumn("dot_q", int_dot("qv", "cv")))
     w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot_q", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# int8-packed embeddings: the storage/bandwidth scale path
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the embedding column dominates bytes: array<float> is 4 B per
+# component plus Parquet list overhead, and the quantized array<bigint>
+# working form is 8 B. For L2-normalized embeddings, int8 at scale 127
+# keeps cosine ORDER almost intact, and packing the 8-bit lanes into ONE
+# BinaryType value (dim bytes, no per-element list overhead) makes the
+# stored corpus ~8x smaller than the bigint working form — which is also
+# 8x less shuffle, 8x less scan, 8x more vectors per executor-GiB. Coarse
+# ranking runs on the packed bytes (np.frombuffer -> int32 BLAS matmul in
+# an Arrow kernel — bytes never leave the executor, no shuffle); the
+# top-(k*oversample) survivors are re-scored EXACTLY on the full-precision
+# corpus, so the int8 leg only has to get membership right, not order.
+
+INT8_SCALE = 127
+
+
+def pack_int8(vec_col: str = "embedding") -> Column:
+    """array<float> -> dim-byte binary of round(x * 127) int8 lanes.
+
+    Expression-only (no Python): each component becomes exactly one
+    byte — two's-complement via pmod 256, then hex/unhex (char() would
+    UTF-8-encode codepoints >= 128 into two bytes). Write-side
+    companion of ``int8_topk``'s kernel."""
+    return F.expr(
+        "unhex(concat_ws('', transform({v}, x -> "
+        "lpad(hex(pmod(greatest(-{s}, least({s}, "
+        "cast(round(cast(x as double) * {s}) as int))), 256)), "
+        "2, '0'))))".format(v=vec_col, s=INT8_SCALE))
+
+
+def compress_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, emb8: binary) — the compact corpus representation to persist.
+
+    Store THIS for the retrieval tier and keep the float corpus for the
+    exact re-score tier; the two tiers join on ``id_col`` only for the
+    tiny survivor set."""
+    return df.select(F.col(id_col).alias("vec_id"),
+                     pack_int8(vec_col).alias("emb8"))
+
+
+def int8_topk(queries: DataFrame, corpus8: DataFrame, corpus: DataFrame,
+              k: int, oversample: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Two-tier exactness-preserving top-k over the int8-packed corpus.
+
+    Tier 1 (coarse, on ``corpus8`` = ``compress_embeddings`` output):
+    an Arrow kernel unpacks each dim-byte binary with np.frombuffer and
+    scores ALL queries per batch in one int32 BLAS matmul, keeping the
+    per-batch top-(k*oversample) per query — the tree-top-k shape of
+    ``brute_force_topk``, on 1/8 the bytes. Tier 2 (exact): the
+    surviving candidate ids (Q x k x oversample rows — driver-scale)
+    join back to the FULL-precision corpus and re-rank by the exact
+    quantized dot, so int8 only has to get top-k MEMBERSHIP right;
+    order is decided at full precision. ``oversample`` is the recall
+    knob: survivors beyond rank k*oversample in int8 order are the only
+    possible misses, and for L2-normalized corpora the int8/milli rank
+    disagreement is localized to near-ties.
+
+    Output matches ``brute_force_topk``: (query_id, neighbor_id, dot_q,
+    rank) — equal results whenever the oversampled frontier covers the
+    true top-k (pinned in tests; oversample >= N/k makes it exact by
+    construction).
+    """
+    import numpy as np
+
+    m = k * oversample
+    qrows = (queries.select(F.col(id_col).alias("query_id"),
+                            quantize(vec_col).alias("qv"))
+             .orderBy("query_id").collect())        # Q is small by contract
+    qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.asarray([r["qv"] for r in qrows], dtype=np.int64)  # milli units
+
+    def kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.frombuffer(b, dtype=np.int8)
+                          for b in pdf["emb8"]]).astype(np.int32)
+            # Q is milli-scale; ordering per query is scale-invariant
+            dots = X @ Q.T.astype(np.int32 if Q.max(initial=0) < 2**22 else np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            top = min(m + 1, len(ids))     # +1 absorbs a self-match
+            for qi in range(len(qids)):
+                col = dots[:, qi]
+                part = np.argpartition(-col, top - 1)[:top] \
+                    if top < len(col) else np.arange(len(col))
+                for row in part:
+                    out.append((int(qids[qi]), int(ids[row]), int(col[row])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id",
+                                             "coarse_dot"])
+
+    cand = (corpus8.mapInPandas(
+                kernel, schema="query_id long, neighbor_id long, coarse_dot long")
+            .filter(F.col("query_id") != F.col("neighbor_id")))
+    wc = W.partitionBy("query_id").orderBy(F.col("coarse_dot").desc(),
+                                           F.col("neighbor_id"))
+    survivors = (cand.withColumn("__r", F.row_number().over(wc))
+                 .filter(F.col("__r") <= m)
+                 .select("query_id", "neighbor_id"))
+
+    # tier 2: exact re-score of the tiny survivor set at full precision
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        quantize(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       quantize(vec_col).alias("cv"))
+    rescored = (survivors.join(F.broadcast(qv), "query_id")
+                .join(cv, "neighbor_id")
+                .withColumn("dot_q", int_dot("qv", "cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(),
+                                          F.col("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dot_q", "rank"))

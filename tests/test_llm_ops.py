@@ -1031,3 +1031,54 @@ def test_connected_components_long_chain_converges(spark):
     out = connected_components(pairs)
     assert {r["component"] for r in out.collect()} == {0}
     assert out.count() == 201
+
+
+def test_pack_int8_roundtrip_and_size(spark):
+    """pack_int8 emits EXACTLY dim bytes per vector (two's-complement
+    lanes — char() would UTF-8-inflate high bytes), and np.frombuffer
+    recovers round(x*127) with saturation at +/-127."""
+    import numpy as np
+
+    from marmaray_spark.operators.similarity import compress_embeddings
+
+    rows = [(1, [0.5, -0.5, 1.0, -1.0]), (2, [0.0, 0.999, -0.008, 2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: bytes(r["emb8"])
+           for r in compress_embeddings(df).collect()}
+    assert all(len(b) == 4 for b in got.values())
+    assert np.frombuffer(got[1], dtype=np.int8).tolist() == [64, -64, 127, -127]
+    assert np.frombuffer(got[2], dtype=np.int8).tolist() == [0, 127, -1, 127]
+
+
+def test_int8_topk_full_oversample_equals_brute_force(spark, embeddings):
+    """With the oversampled frontier covering the corpus, the int8
+    coarse tier cannot miss a true neighbor, and the exact re-score
+    tier restores full-precision order — result == brute_force_topk."""
+    from marmaray_spark.operators.similarity import (brute_force_topk,
+                                                     compress_embeddings,
+                                                     int8_topk)
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    corpus8 = compress_embeddings(embeddings)
+    exact = sorted(map(tuple, brute_force_topk(q, embeddings, k=5).collect()))
+    n = embeddings.count()
+    got = sorted(map(tuple, int8_topk(
+        q, corpus8, embeddings, k=5, oversample=(n // 5) + 1).collect()))
+    assert got == exact
+
+
+def test_int8_topk_modest_oversample_high_recall(spark, embeddings):
+    """The practical setting: oversample=4 must recover nearly all true
+    neighbors (int8 rank disagreement is localized to near-ties)."""
+    from marmaray_spark.operators.similarity import (brute_force_topk,
+                                                     compress_embeddings,
+                                                     int8_topk)
+
+    q = embeddings.filter(F.col("vec_id") < 8)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(q, embeddings, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in int8_topk(q, compress_embeddings(embeddings),
+                              embeddings, k=5, oversample=4).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, recall
