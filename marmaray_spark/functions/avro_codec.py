@@ -415,6 +415,165 @@ def compile_decoder(avsc: str | dict):
     return fast
 
 
+def compile_batch_decoder(avsc: str | dict):
+    """Vectorized whole-batch decoder for FLAT record schemas, or None.
+
+    The per-row compiled decoder (``compile_decoder``) still walks a
+    Python byte loop per varint — at 100 TB every record pays that
+    interpreter tax. This decoder processes one Arrow batch of payloads
+    with numpy gathers instead: all rows' varints resolve in <= 10
+    vectorized passes (one per varint byte position), fixed-width
+    doubles/floats in one gather + view, and only the final utf-8
+    string materialization stays per row.
+
+    Error-contract parity is by CONSTRUCTION, not re-implementation:
+    any row the vector path cannot prove clean (truncation, bad union
+    tag, over-long or 64-bit-overflowing varint, negative/overrunning
+    length, trailing bytes, non-bytes payload) is re-decoded through
+    the reference per-row decoder, whose exception (or success) decides
+    the row's fate exactly as the row-at-a-time kernel would
+    (hypothesis parity property in tests/test_avro.py).
+
+    Returns ``batch(payloads) -> (cols: dict[name, list], ok: list)``,
+    or None when the schema is not a flat record (caller keeps the
+    per-row path).
+    """
+    import numpy as np
+
+    schema = parse_schema(avsc)
+    steps = _flat_record_steps(schema)
+    if steps is None:
+        return None
+    row_decode = compile_decoder(schema)
+    names = [s[0] for s in steps]
+
+    def batch(payloads) -> tuple[dict, list]:
+        n_rows = len(payloads)
+        if n_rows == 0:
+            return {n: [] for n in names}, []
+        norm: list[bytes] = []
+        slow = np.zeros(n_rows, bool)
+        for i, p in enumerate(payloads):
+            if isinstance(p, (bytes, bytearray)):
+                norm.append(bytes(p))
+            else:
+                try:
+                    norm.append(bytes(p))
+                except TypeError:
+                    norm.append(b"")
+                    slow[i] = True
+        lens = np.fromiter((len(b) for b in norm), np.int64, count=n_rows)
+        starts = np.zeros(n_rows, np.int64)
+        if n_rows > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        ends = starts + lens
+        # one sentinel byte so the index-0 fallback used for INACTIVE
+        # rows (their gathered value is always discarded by a mask) is
+        # in bounds even when every payload is empty
+        A = np.frombuffer(b"".join(norm) + b"\x00", np.uint8)
+        pos = starts.copy()
+        cols = {n: np.full(n_rows, None, dtype=object) for n in names}
+
+        def read_varint(active: np.ndarray) -> np.ndarray:
+            """Unsigned varint accumulate for active rows; advances pos.
+            Rows that truncate, run past 10 bytes, or would overflow
+            64 bits in the last byte are routed to the slow path."""
+            acc = np.zeros(n_rows, np.uint64)
+            done = ~active
+            for j in range(10):
+                live = ~done & (pos + j < ends)
+                trunc = ~done & ~live
+                slow[trunc] = True
+                done |= trunc
+                if bool(done.all()):
+                    break
+                b = A[np.where(live, pos + j, 0)]
+                b = np.where(live, b, 0).astype(np.uint8)
+                acc |= (b.astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+                term = live & ((b & 0x80) == 0)
+                if j == 9:
+                    # 10th byte may only carry bit 0 for an int64; more
+                    # means the pure-Python big-int path must decide
+                    over = term & (b > 1)
+                    slow[over] = True
+                pos[term] += j + 1
+                done |= term
+            leftover = ~done
+            slow[leftover] = True        # >10-byte varint
+            return acc
+
+        for name, t, null_idx in steps:
+            active = ~slow
+            if null_idx is not None:
+                has_tag = active & (pos < ends)
+                slow[active & ~has_tag] = True
+                active = has_tag & ~slow
+                tag = np.where(active, A[np.where(active, pos, 0)], 0)
+                bad = active & ~((tag == 0) | (tag == 2))
+                slow[bad] = True
+                active &= ~bad
+                pos[active] += 1
+                isnull = active & ((tag >> 1) == null_idx)
+                active &= ~isnull        # null rows keep the None default
+            if t in ("long", "int"):
+                acc = read_varint(active)
+                active &= ~slow
+                vals = ((acc >> np.uint64(1)).astype(np.int64)
+                        ^ -((acc & np.uint64(1)).astype(np.int64)))
+                cols[name][active] = vals[active]
+            elif t in ("string", "bytes"):
+                acc = read_varint(active)
+                active &= ~slow
+                ln = ((acc >> np.uint64(1)).astype(np.int64)
+                      ^ -((acc & np.uint64(1)).astype(np.int64)))
+                bad = active & ((ln < 0) | (pos + ln > ends))
+                slow[bad] = True
+                active &= ~bad
+                col = cols[name]
+                if t == "string":
+                    for i in np.nonzero(active)[0]:
+                        col[i] = A[pos[i]:pos[i] + ln[i]].tobytes().decode("utf-8")
+                else:
+                    for i in np.nonzero(active)[0]:
+                        col[i] = A[pos[i]:pos[i] + ln[i]].tobytes()
+                pos[active] += ln[active]
+            elif t in ("double", "float"):
+                width = 8 if t == "double" else 4
+                fits = active & (pos + width <= ends)
+                slow[active & ~fits] = True
+                active = fits & ~slow
+                sel = np.nonzero(active)[0]
+                if len(sel):
+                    gather = A[pos[sel][:, None] + np.arange(width)]
+                    vals = gather.copy().view("<f8" if width == 8 else "<f4").ravel()
+                    cols[name][sel] = vals.astype(np.float64)
+                pos[active] += width
+            elif t == "boolean":
+                fits = active & (pos < ends)
+                slow[active & ~fits] = True
+                active = fits & ~slow
+                b = A[np.where(active, pos, 0)]
+                cols[name][active] = (b != 0)[active]
+                pos[active] += 1
+            # t == "null": the None default stands, no bytes consumed
+
+        slow[~slow & (pos != ends)] = True   # trailing bytes
+        ok = np.ones(n_rows, bool)
+        for i in np.nonzero(slow)[0]:
+            try:
+                rec = row_decode(bytes(payloads[i]))
+            except (AvroCodecError, TypeError):
+                for n in names:
+                    cols[n][i] = None
+                ok[i] = False
+            else:
+                for n in names:
+                    cols[n][i] = rec.get(n)
+        return {n: list(cols[n]) for n in names}, list(ok)
+
+    return batch
+
+
 # -- Spark kernels ----------------------------------------------------------
 
 def encode_avro(df: DataFrame, avsc: str | dict,
@@ -468,19 +627,23 @@ def decode_avro(df: DataFrame, avsc: str | dict, value_col: str = "value",
 
     def kernel(batches) -> Iterator:
         import pandas as pd
-        decode = compile_decoder(schema)
+        batch_decode = compile_batch_decoder(schema)
+        decode = compile_decoder(schema) if batch_decode is None else None
         for pdf in batches:
-            decoded = {n: [] for n in names}
-            oks = []
-            for payload in pdf[value_col]:
-                try:
-                    rec = decode(bytes(payload))
-                    oks.append(True)
-                except (AvroCodecError, TypeError):
-                    rec = {}
-                    oks.append(False)
-                for n in names:
-                    decoded[n].append(rec.get(n))
+            if batch_decode is not None:
+                decoded, oks = batch_decode(list(pdf[value_col]))
+            else:
+                decoded = {n: [] for n in names}
+                oks = []
+                for payload in pdf[value_col]:
+                    try:
+                        rec = decode(bytes(payload))
+                        oks.append(True)
+                    except (AvroCodecError, TypeError):
+                        rec = {}
+                        oks.append(False)
+                    for n in names:
+                        decoded[n].append(rec.get(n))
             out = pdf.copy()
             for n in names:
                 out[n] = decoded[n]

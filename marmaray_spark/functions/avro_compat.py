@@ -483,26 +483,51 @@ def decode_avro_resolved(df: DataFrame, reader_avsc: Any,
     resolvers = {v: compile_resolver(reader, w) for v, w in writers.items()
                  if compat[v]}
 
+    from marmaray_spark.functions.avro_codec import compile_batch_decoder
+    batch_decoders = {v: compile_batch_decoder(w)
+                      for v, w in writers.items() if compat[v]}
+
     def kernel(batches) -> Iterator:
         import pandas as pd
         for pdf in batches:
-            decoded: dict[str, list] = {n: [] for n in names}
-            oks = []
-            for payload, ver in zip(pdf[value_col], pdf[version_col]):
-                rec: dict = {}
-                ver = int(ver)
+            n_rows = len(pdf)
+            payloads = list(pdf[value_col])
+            vers = [int(v) for v in pdf[version_col]]
+            decoded = {n: [None] * n_rows for n in names}
+            oks = [False] * n_rows
+            for ver in set(vers):
                 decode = decoders.get(ver)
-                if decode is not None:
-                    try:
-                        rec = resolvers[ver](decode(bytes(payload)))
-                        oks.append(True)
-                    except (AvroCodecError, TypeError):
-                        rec = {}
-                        oks.append(False)
+                if decode is None:       # unknown/incompatible version
+                    continue
+                resolve = resolvers[ver]
+                idxs = [i for i, v in enumerate(vers) if v == ver]
+                dec_b = batch_decoders.get(ver)
+                if dec_b is not None:
+                    # vectorized wire parse for this version's rows;
+                    # resolution (defaults/promotions) stays per row on
+                    # the already-typed values — cheap next to parsing
+                    cols, okv = dec_b([payloads[i] for i in idxs])
+                    wnames = list(cols)
+                    for gi, i in enumerate(idxs):
+                        if not okv[gi]:
+                            continue
+                        try:
+                            rec = resolve(
+                                {wn: cols[wn][gi] for wn in wnames})
+                        except (AvroCodecError, TypeError):
+                            continue
+                        for n in names:
+                            decoded[n][i] = rec.get(n)
+                        oks[i] = True
                 else:
-                    oks.append(False)
-                for n in names:
-                    decoded[n].append(rec.get(n))
+                    for i in idxs:
+                        try:
+                            rec = resolve(decode(bytes(payloads[i])))
+                        except (AvroCodecError, TypeError):
+                            continue
+                        for n in names:
+                            decoded[n][i] = rec.get(n)
+                        oks[i] = True
             out = pdf.copy()
             for n in names:
                 out[n] = decoded[n]

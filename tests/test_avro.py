@@ -113,3 +113,118 @@ def test_converter_forks_malformed_payloads(spark, tmp_path):
     assert len(errs) == 2
     assert all("avro" in r["hadoop_error_exception"].lower()
                or "avro" in str(r).lower() for r in errs)
+
+
+# -- vectorized batch decoder ----------------------------------------------
+
+WIDE_AVSC = {"type": "record", "name": "wide", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "name", "type": ["null", "string"]},
+    {"name": "score", "type": ["null", "double"]},
+    {"name": "flag", "type": "boolean"},
+    {"name": "ratio", "type": "float"},
+    {"name": "blob", "type": ["null", "bytes"]},
+    {"name": "n", "type": ["null", "int"]},
+]}
+
+
+def _rowwise_reference(payloads):
+    """What decode_avro's per-row loop would produce for these payloads."""
+    from marmaray_spark.functions.avro_codec import compile_decoder
+    dec = compile_decoder(WIDE_AVSC)
+    names = [f["name"] for f in WIDE_AVSC["fields"]]
+    cols = {n: [] for n in names}
+    oks = []
+    for p in payloads:
+        try:
+            rec = dec(bytes(p))
+            oks.append(True)
+        except (AvroCodecError, TypeError):
+            rec = {}
+            oks.append(False)
+        for n in names:
+            cols[n].append(rec.get(n))
+    return cols, oks
+
+
+def _assert_batch_matches(payloads):
+    import math
+
+    from marmaray_spark.functions.avro_codec import compile_batch_decoder
+    batch = compile_batch_decoder(WIDE_AVSC)
+    assert batch is not None
+    got_cols, got_ok = batch(payloads)
+    want_cols, want_ok = _rowwise_reference(payloads)
+    assert list(got_ok) == want_ok
+    for n in want_cols:
+        assert len(got_cols[n]) == len(want_cols[n])
+        for g, w in zip(got_cols[n], want_cols[n]):
+            if isinstance(w, float) and math.isnan(w):
+                assert isinstance(g, float) and math.isnan(float(g)), (n, g, w)
+            elif w is None:
+                assert g is None, (n, g, w)
+            else:
+                assert g == w, (n, g, w)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.fixed_dictionaries({
+        "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "name": st.one_of(st.none(), st.text(max_size=30)),
+        "score": st.one_of(st.none(), st.floats(allow_nan=True,
+                                                allow_infinity=True)),
+        "flag": st.booleans(),
+        "ratio": st.floats(allow_nan=False, allow_infinity=False,
+                           width=32),
+        "blob": st.one_of(st.none(), st.binary(max_size=20)),
+        "n": st.one_of(st.none(),
+                       st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    }), max_size=25))
+def test_batch_decoder_matches_rowwise_on_valid(recs):
+    payloads = [encode_record(WIDE_AVSC, r) for r in recs]
+    _assert_batch_matches(payloads)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(
+    st.binary(max_size=40),                       # arbitrary garbage
+    st.builds(lambda r, cut: encode_record(WIDE_AVSC, r)[:cut] if cut
+              else encode_record(WIDE_AVSC, r) + b"\x00",
+              st.fixed_dictionaries({
+                  "id": st.integers(min_value=-10**9, max_value=10**9),
+                  "name": st.one_of(st.none(), st.text(max_size=10)),
+                  "score": st.one_of(st.none(), st.floats(allow_nan=False,
+                                                          allow_infinity=False)),
+                  "flag": st.booleans(),
+                  "ratio": st.floats(allow_nan=False, allow_infinity=False,
+                                     width=32),
+                  "blob": st.one_of(st.none(), st.binary(max_size=8)),
+                  "n": st.one_of(st.none(), st.integers(min_value=-100,
+                                                        max_value=100)),
+              }), st.integers(min_value=0, max_value=12)),
+), max_size=25))
+def test_batch_decoder_matches_rowwise_on_corrupt(payloads):
+    """Truncations, trailing bytes, and garbage must produce EXACTLY the
+    per-row decoder's ok/None outcomes (the slow-path fallback IS the
+    per-row decoder, so parity is by construction — this pins it)."""
+    _assert_batch_matches(payloads)
+
+
+def test_batch_decoder_mixed_none_payloads():
+    good = encode_record(WIDE_AVSC, {"id": 5, "name": "a", "score": 1.5,
+                                     "flag": True, "ratio": 0.25,
+                                     "blob": b"zz", "n": None})
+    _assert_batch_matches([None, good, b"", good, None])
+
+
+def test_batch_decoder_hostile_varints():
+    """Over-long and 64-bit-overflowing varints route through the
+    per-row decoder rather than silently wrapping."""
+    good = encode_record(WIDE_AVSC, {"id": 1, "name": None, "score": None,
+                                     "flag": False, "ratio": 0.0,
+                                     "blob": None, "n": 3})
+    hostile = [b"\xff" * 11,               # >10-byte varint for id
+               b"\xff" * 9 + b"\x7f",      # 10-byte, high bits overflow
+               good]
+    _assert_batch_matches(hostile)
