@@ -585,6 +585,10 @@ def int8_topk(queries: DataFrame, corpus8: DataFrame, corpus: DataFrame,
     qrows = (queries.select(F.col(id_col).alias("query_id"),
                             quantize(vec_col).alias("qv"))
              .orderBy("query_id").collect())        # Q is small by contract
+    spark = queries.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, dot_q long, rank int")
     qids = np.asarray([r["query_id"] for r in qrows], dtype=np.int64)
     Q = np.asarray([r["qv"] for r in qrows], dtype=np.int64)  # milli units
 

@@ -1082,3 +1082,13 @@ def test_int8_topk_modest_oversample_high_recall(spark, embeddings):
                               embeddings, k=5, oversample=4).collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.95, recall
+
+
+def test_int8_topk_empty_query_set(spark, embeddings):
+    from marmaray_spark.operators.similarity import (compress_embeddings,
+                                                     int8_topk)
+    out = int8_topk(embeddings.filter("vec_id < 0"),
+                    compress_embeddings(embeddings), embeddings, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "dot_q", "rank"]
