@@ -415,6 +415,257 @@ def compile_decoder(avsc: str | dict):
     return fast
 
 
+def compile_batch_encoder(avsc: str | dict):
+    """Vectorized whole-batch encoder for FLAT record schemas, or None.
+
+    The write-side twin of ``compile_batch_decoder``: all rows encode
+    into ONE flat numpy buffer by scatter — per-field offsets are
+    prefix sums, varints write as <= 10 vectorized column passes,
+    doubles/floats as one reshape scatter — and the final per-row
+    ``bytes`` objects are plain slices of that buffer. Strings pay one
+    utf-8 encode + one memcpy per value (inherent: the outputs are
+    Python bytes). Any row the vector path does not handle (a value
+    whose type needs the reference coercion rules, a None in a
+    non-nullable field, a non-finite float in an int slot) is encoded
+    by the reference per-row encoder instead — its bytes (or its
+    exception) are authoritative, so parity is by construction (pinned
+    by a hypothesis property in tests/test_avro.py).
+
+    Accepts a dict of column -> sequence (pandas Series or list).
+    NaN is normalized to null exactly like ``encode_avro``'s ``clean``.
+    Returns ``batch(cols, n_rows) -> list[bytes]``, or None for
+    non-flat schemas.
+    """
+    import numpy as np
+
+    schema = parse_schema(avsc)
+    steps = _flat_record_steps(schema)
+    if steps is None:
+        return None
+    row_encode = compile_encoder(schema)
+    names = [s[0] for s in steps]
+
+    INT_KINDS = ("i", "u")
+
+    def batch(cols, n_rows: int) -> list:
+        slow = np.zeros(n_rows, bool)
+        # per-field prepared plans: (kind, data...) with per-row lengths
+        plans = []
+        lens = np.zeros(n_rows, np.int64)
+
+        def as_object(seq):
+            arr = np.empty(n_rows, object)
+            for i, v in enumerate(seq):
+                arr[i] = None if v is None or (isinstance(v, float) and v != v) \
+                    else v
+            return arr
+
+        for name, t, null_idx in steps:
+            seq = cols[name]
+            dtype_kind = getattr(getattr(seq, "dtype", None), "kind", None)
+            none_mask = np.zeros(n_rows, bool)
+            vals = None
+            if dtype_kind in INT_KINDS and t in ("int", "long"):
+                vals = np.asarray(seq, np.int64)
+            elif dtype_kind == "f" and t in ("int", "long"):
+                f = np.asarray(seq, np.float64)
+                none_mask = np.isnan(f)
+                hostile = ~none_mask & (~np.isfinite(f)
+                                        | (np.abs(f) >= 2.0 ** 62))
+                slow |= hostile
+                vals = np.where(none_mask | hostile, 0,
+                                f).astype(np.int64)   # trunc == int()
+            elif dtype_kind == "f" and t in ("double", "float"):
+                f = np.asarray(seq, np.float64)
+                # NaN means SQL null here (Arrow nullability), not a
+                # payload NaN — a payload NaN arrives as a Python float
+                # in an object column and goes through the slow path
+                none_mask = np.isnan(f)
+                vals = f
+            elif dtype_kind == "b" and t == "boolean":
+                vals = np.asarray(seq, bool)
+            else:
+                obj = as_object(seq)
+                none_mask = np.fromiter((v is None for v in obj), bool,
+                                        n_rows)
+                if t in ("int", "long"):
+                    okt = np.fromiter(
+                        (v is None or isinstance(v, (int, np.integer))
+                         for v in obj), bool, n_rows)
+                    slow |= ~okt
+                    vals = np.fromiter(
+                        (int(v) if isinstance(v, (int, np.integer))
+                         and -2**63 <= int(v) < 2**63 else 0
+                         for v in obj), np.int64, n_rows)
+                    big = np.fromiter(
+                        (isinstance(v, (int, np.integer))
+                         and not -2**63 <= int(v) < 2**63 for v in obj),
+                        bool, n_rows)
+                    slow |= big
+                elif t in ("double", "float"):
+                    okt = np.fromiter(
+                        (v is None or isinstance(v, (int, float, np.integer,
+                                                     np.floating))
+                         for v in obj), bool, n_rows)
+                    slow |= ~okt
+                    vals = np.fromiter(
+                        (float(v) if isinstance(v, (int, float, np.integer,
+                                                    np.floating)) else 0.0
+                         for v in obj), np.float64, n_rows)
+                elif t == "boolean":
+                    okt = np.fromiter(
+                        (v is None or isinstance(v, (bool, np.bool_))
+                         for v in obj), bool, n_rows)
+                    slow |= ~okt
+                    vals = np.fromiter(
+                        (bool(v) if isinstance(v, (bool, np.bool_)) else False
+                         for v in obj), bool, n_rows)
+                elif t == "string":
+                    enc = np.empty(n_rows, object)
+                    for i, v in enumerate(obj):
+                        if v is None:
+                            continue
+                        if isinstance(v, str):
+                            enc[i] = v.encode("utf-8")
+                        else:
+                            slow[i] = True     # str(v) coercion: reference
+                    vals = enc
+                elif t == "bytes":
+                    enc = np.empty(n_rows, object)
+                    for i, v in enumerate(obj):
+                        if v is None:
+                            continue
+                        if isinstance(v, (bytes, bytearray)):
+                            enc[i] = bytes(v)
+                        else:
+                            slow[i] = True
+                    vals = enc
+                else:   # "null"
+                    vals = obj
+
+            if null_idx is None and t != "null":
+                slow |= none_mask      # reference raises for these rows
+            present = ~none_mask
+
+            tag_len = np.zeros(n_rows, np.int64)
+            if null_idx is not None:
+                tag_len[:] = 1
+            flen = np.zeros(n_rows, np.int64)
+            if t in ("int", "long"):
+                u = ((vals.astype(np.int64) << np.int64(1))
+                     ^ (vals.astype(np.int64) >> np.int64(63))).astype(np.uint64)
+                nb = np.ones(n_rows, np.int64)
+                for j in range(1, 10):
+                    nb += (u >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+                flen = np.where(present, nb, 0)
+                plans.append(("varint", null_idx, none_mask, u, flen, tag_len))
+            elif t in ("double", "float"):
+                width = 8 if t == "double" else 4
+                flen = np.where(present, width, 0)
+                plans.append(("fixed", null_idx, none_mask,
+                              vals.astype(np.float64 if width == 8
+                                          else np.float32),
+                              flen, tag_len))
+            elif t == "boolean":
+                flen = np.where(present, 1, 0)
+                plans.append(("bool", null_idx, none_mask, vals, flen, tag_len))
+            elif t in ("string", "bytes"):
+                blen = np.fromiter(
+                    (len(v) if v is not None else 0 for v in vals),
+                    np.int64, n_rows)
+                u = (blen.astype(np.int64) << np.int64(1)).astype(np.uint64)
+                nb = np.ones(n_rows, np.int64)
+                for j in range(1, 10):
+                    nb += (u >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+                flen = np.where(present, nb + blen, 0)
+                plans.append(("blob", null_idx, none_mask, (u, nb, vals),
+                              flen, tag_len))
+            else:       # "null" type: zero bytes
+                plans.append(("nul", null_idx, none_mask, None, flen, tag_len))
+            lens += tag_len + flen
+
+        lens[slow] = 0
+        starts = np.zeros(n_rows, np.int64)
+        if n_rows > 1:
+            np.cumsum(lens[:-1], out=starts[1:])
+        out = np.zeros(int(lens.sum()), np.uint8)
+        live = ~slow
+        offs = starts.copy()
+
+        for kind, null_idx, none_mask, data, flen, tag_len in plans:
+            if null_idx is not None:
+                sel = np.nonzero(live)[0]
+                tags = np.where(none_mask, null_idx << 1, (1 - null_idx) << 1)
+                out[offs[sel]] = tags[sel].astype(np.uint8)
+                offs[live] += 1
+            active = live & ~none_mask
+            if kind == "varint":
+                u = data
+                done = ~active
+                for j in range(10):
+                    part = ~done
+                    if not part.any():
+                        break
+                    byte = ((u >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+                    # j == 9 is the 10th and final byte a 64-bit zigzag
+                    # can need; a >= 64-bit numpy shift is undefined
+                    more = ((u >> np.uint64(7 * (j + 1))) != 0) if j < 9 \
+                        else np.zeros(n_rows, bool)
+                    byte = byte | np.where(more, 0x80, 0).astype(np.uint8)
+                    sel = np.nonzero(part)[0]
+                    out[offs[sel] + j] = byte[sel]
+                    done |= part & ~more
+            elif kind == "fixed":
+                sel = np.nonzero(active)[0]
+                if len(sel):
+                    width = data.dtype.itemsize
+                    rows = data[sel].copy().view(np.uint8).reshape(len(sel), width)
+                    out[offs[sel][:, None] + np.arange(width)] = rows
+            elif kind == "bool":
+                sel = np.nonzero(active)[0]
+                out[offs[sel]] = data[sel].astype(np.uint8)
+            elif kind == "blob":
+                u, nb, blobs = data
+                done = ~active
+                for j in range(10):
+                    part = ~done
+                    if not part.any():
+                        break
+                    byte = ((u >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+                    # j == 9 is the 10th and final byte a 64-bit zigzag
+                    # can need; a >= 64-bit numpy shift is undefined
+                    more = ((u >> np.uint64(7 * (j + 1))) != 0) if j < 9 \
+                        else np.zeros(n_rows, bool)
+                    byte = byte | np.where(more, 0x80, 0).astype(np.uint8)
+                    sel = np.nonzero(part)[0]
+                    out[offs[sel] + j] = byte[sel]
+                    done |= part & ~more
+                for i in np.nonzero(active)[0]:
+                    b = blobs[i]
+                    if b:
+                        o = offs[i] + nb[i]
+                        out[o:o + len(b)] = np.frombuffer(b, np.uint8)
+            offs[live] += flen[live] if flen is not None else 0
+
+        result: list = [None] * n_rows
+        ob = out.tobytes()
+        for i in range(n_rows):
+            result[i] = ob[starts[i]:starts[i] + lens[i]]
+        if slow.any():
+            cleaned = {n: None for n in names}
+            for i in np.nonzero(slow)[0]:
+                rec = {}
+                for n in names:
+                    v = cols[n][i] if not hasattr(cols[n], "iloc") \
+                        else cols[n].iloc[i]
+                    rec[n] = None if v is None or (isinstance(v, float)
+                                                   and v != v) else v
+                result[i] = row_encode(rec)    # raises exactly as before
+        return result
+
+    return batch
+
+
 def compile_batch_decoder(avsc: str | dict):
     """Vectorized whole-batch decoder for FLAT record schemas, or None.
 
@@ -588,7 +839,8 @@ def encode_avro(df: DataFrame, avsc: str | dict,
 
     def kernel(batches) -> Iterator:
         import pandas as pd
-        enc = compile_encoder(schema)
+        batch_enc = compile_batch_encoder(schema)
+        enc = compile_encoder(schema) if batch_enc is None else None
 
         def clean(v):
             # Arrow->pandas nulls arrive as None (object cols) or NaN
@@ -597,9 +849,12 @@ def encode_avro(df: DataFrame, avsc: str | dict,
                 else v
 
         for pdf in batches:
-            data = [pdf[n].tolist() for n in names]
-            payloads = [enc({n: clean(v) for n, v in zip(names, row)})
-                        for row in zip(*data)]
+            if batch_enc is not None:
+                payloads = batch_enc({n: pdf[n] for n in names}, len(pdf))
+            else:
+                data = [pdf[n].tolist() for n in names]
+                payloads = [enc({n: clean(v) for n, v in zip(names, row)})
+                            for row in zip(*data)]
             yield pd.DataFrame({out_col: payloads})
 
     return df.select(*names).mapInPandas(kernel, schema=f"{out_col} binary")
