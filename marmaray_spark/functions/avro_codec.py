@@ -337,7 +337,12 @@ def compile_decoder(avsc: str | dict):
     falls back to the general recursive decoder. Same strict
     trailing-bytes contract as ``decode_record``. This is the per-row
     hot path of the mixed-version Kafka decode kernels — at 100 TB every
-    record pays it, so the constant factor matters."""
+    record pays it, so the constant factor matters.
+
+    The returned callable also exposes ``.at(buf, pos, n) -> (record,
+    next_pos)`` — the streaming entry for back-to-back records with no
+    per-record framing (OCF block bodies), skipping the trailing-bytes
+    check that only makes sense for framed payloads."""
     schema = parse_schema(avsc)
 
     def general(payload: bytes) -> dict:
@@ -345,6 +350,11 @@ def compile_decoder(avsc: str | dict):
         if pos != len(payload):
             raise AvroCodecError(f"{len(payload) - pos} trailing bytes")
         return val
+
+    # streaming entry (``.at``): decode ONE record starting at pos and
+    # return (record, next_pos) — the shape OCF block bodies need, where
+    # records are back-to-back with no per-record framing
+    general.at = lambda buf, pos, n: _decode(schema, buf, pos)
 
     steps = _flat_record_steps(schema)
     if steps is None:
@@ -355,8 +365,7 @@ def compile_decoder(avsc: str | dict):
     unpack_f = struct.unpack_from
     unpack_d = struct.unpack_from
 
-    def fast(payload: bytes) -> dict:
-        buf, pos, n = payload, 0, len(payload)
+    def fast_at(buf: bytes, pos: int, n: int) -> tuple[dict, int]:
         out = {}
         for name, t, null_idx in steps:
             if null_idx is not None:
@@ -408,10 +417,15 @@ def compile_decoder(avsc: str | dict):
                 pos += 1
             else:   # "null"
                 out[name] = None
-        if pos != n:
-            raise AvroCodecError(f"{n - pos} trailing bytes")
+        return out, pos
+
+    def fast(payload: bytes) -> dict:
+        out, pos = fast_at(payload, 0, len(payload))
+        if pos != len(payload):
+            raise AvroCodecError(f"{len(payload) - pos} trailing bytes")
         return out
 
+    fast.at = fast_at
     return fast
 
 

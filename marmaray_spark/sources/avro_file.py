@@ -87,10 +87,14 @@ def parse_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
 def iter_ocf_blocks(data: bytes):
     """Yield (schema, block_records) per OCF block — the memory-bounded
     executor path: one block (``records_per_block`` at write time) is
-    materialized at a time, never the whole file."""
-    from marmaray_spark.functions.avro_codec import _decode
+    materialized at a time, never the whole file. Records decode through
+    the COMPILED per-schema streaming decoder (``compile_decoder(...).at``
+    — flat loop, no schema-tree walk per record); block bodies are
+    back-to-back records, so the framed batch decoder does not apply."""
+    from marmaray_spark.functions.avro_codec import compile_decoder
 
     schema, codec, sync, pos = parse_ocf_header(data)
+    decode_at = compile_decoder(schema).at
     n = len(data)
     while pos < n:
         try:
@@ -111,7 +115,7 @@ def iter_ocf_blocks(data: bytes):
         records = []
         try:
             for _ in range(count):
-                rec, bpos = _decode(schema, block, bpos)
+                rec, bpos = decode_at(block, bpos, len(block))
                 records.append(rec)
         except AvroCodecError:
             raise
