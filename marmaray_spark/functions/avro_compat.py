@@ -344,6 +344,16 @@ def compile_resolver(reader: Any, writer: Any):
     reader, writer = _parse(reader), _parse(writer)
     if _type_name(reader) != "record" or _type_name(writer) != "record":
         return lambda v: _resolve_value(reader, writer, v)
+    plan = _resolver_plan(reader, writer)
+
+    def resolve(rec: dict) -> dict:
+        return {fname: (co(rec.get(fname)) if co is not None else default)
+                for fname, co, default in plan}
+
+    return resolve
+
+
+def _resolver_plan(reader: dict, writer: dict) -> "list[tuple[str, Any, Any]]":
     wfields = {f["name"]: f for f in writer.get("fields", [])}
     plan: list[tuple[str, Any, Any]] = []
     for rf in reader.get("fields", []):
@@ -357,12 +367,48 @@ def compile_resolver(reader: Any, writer: Any):
             co = (lambda rt=rt, wt=wt:
                   lambda v: _resolve_value(rt, wt, v))()
         plan.append((fname, co, None))
+    return plan
 
-    def resolve(rec: dict) -> dict:
-        return {fname: (co(rec.get(fname)) if co is not None else default)
-                for fname, co, default in plan}
 
-    return resolve
+def compile_column_resolver(reader: Any, writer: Any):
+    """Column-wise twin of ``compile_resolver`` for record/record pairs:
+    ``fn(cols, ok) -> (reader_cols, ok2)`` applies each field's
+    coercer/default down a whole decoded column instead of rebuilding a
+    dict per row. A value the coercer rejects fails ITS row exactly like
+    the per-row resolver (whole row nulled, ok2=False). None when either
+    side is not a record (the kernel keeps the per-row path)."""
+    reader, writer = _parse(reader), _parse(writer)
+    if _type_name(reader) != "record" or _type_name(writer) != "record":
+        return None
+    plan = _resolver_plan(reader, writer)
+
+    def resolve_cols(cols: dict, ok: list) -> tuple[dict, list]:
+        n = len(ok)
+        ok2 = list(ok)
+        out: dict[str, list] = {}
+        for fname, co, default in plan:
+            if co is None:
+                out[fname] = [default if k else None for k in ok2]
+                continue
+            src = cols.get(fname, None) or [None] * n
+            res = [None] * n
+            for i, k in enumerate(ok2):
+                if not k:
+                    continue
+                try:
+                    res[i] = co(src[i])
+                except (AvroCodecError, TypeError):
+                    # the same two classes the per-row kernel catches;
+                    # anything else propagates there and must here too
+                    ok2[i] = False
+            out[fname] = res
+        for i in range(n):
+            if ok[i] and not ok2[i]:        # failed mid-plan: null the row
+                for fname in out:
+                    out[fname][i] = None
+        return out, ok2
+
+    return resolve_cols
 
 
 def native_from_avro_usable(spark) -> bool:
@@ -486,48 +532,55 @@ def decode_avro_resolved(df: DataFrame, reader_avsc: Any,
     from marmaray_spark.functions.avro_codec import compile_batch_decoder
     batch_decoders = {v: compile_batch_decoder(w)
                       for v, w in writers.items() if compat[v]}
+    col_resolvers = {v: compile_column_resolver(reader, w)
+                     for v, w in writers.items() if compat[v]}
 
     def kernel(batches) -> Iterator:
         import pandas as pd
+
+        def group(payload_group, ver):
+            """-> (reader_cols, ok_list) for one writer version's rows."""
+            dec_b = batch_decoders.get(ver)
+            col_resolve = col_resolvers.get(ver)
+            if dec_b is not None and col_resolve is not None:
+                # vectorized wire parse, then column-wise resolution
+                # (defaults/promotions applied down whole columns)
+                return col_resolve(*dec_b(payload_group))
+            decode, resolve = decoders[ver], resolvers[ver]
+            cols = {n: [None] * len(payload_group) for n in names}
+            ok = [False] * len(payload_group)
+            for i, payload in enumerate(payload_group):
+                try:
+                    rec = resolve(decode(bytes(payload)))
+                except (AvroCodecError, TypeError):
+                    continue
+                for n in names:
+                    cols[n][i] = rec.get(n)
+                ok[i] = True
+            return cols, ok
+
         for pdf in batches:
             n_rows = len(pdf)
             payloads = list(pdf[value_col])
             vers = [int(v) for v in pdf[version_col]]
-            decoded = {n: [None] * n_rows for n in names}
-            oks = [False] * n_rows
-            for ver in set(vers):
-                decode = decoders.get(ver)
-                if decode is None:       # unknown/incompatible version
-                    continue
-                resolve = resolvers[ver]
-                idxs = [i for i, v in enumerate(vers) if v == ver]
-                dec_b = batch_decoders.get(ver)
-                if dec_b is not None:
-                    # vectorized wire parse for this version's rows;
-                    # resolution (defaults/promotions) stays per row on
-                    # the already-typed values — cheap next to parsing
-                    cols, okv = dec_b([payloads[i] for i in idxs])
-                    wnames = list(cols)
+            distinct = set(vers)
+            if len(distinct) == 1 and next(iter(distinct)) in decoders:
+                # steady state: one writer version per batch — columns
+                # pass straight through, no per-row scatter at all
+                decoded, oks = group(payloads, next(iter(distinct)))
+            else:
+                decoded = {n: [None] * n_rows for n in names}
+                oks = [False] * n_rows
+                for ver in distinct:
+                    if ver not in decoders:  # unknown/incompatible
+                        continue
+                    idxs = [i for i, v in enumerate(vers) if v == ver]
+                    gcols, gok = group([payloads[i] for i in idxs], ver)
                     for gi, i in enumerate(idxs):
-                        if not okv[gi]:
-                            continue
-                        try:
-                            rec = resolve(
-                                {wn: cols[wn][gi] for wn in wnames})
-                        except (AvroCodecError, TypeError):
-                            continue
-                        for n in names:
-                            decoded[n][i] = rec.get(n)
-                        oks[i] = True
-                else:
-                    for i in idxs:
-                        try:
-                            rec = resolve(decode(bytes(payloads[i])))
-                        except (AvroCodecError, TypeError):
-                            continue
-                        for n in names:
-                            decoded[n][i] = rec.get(n)
-                        oks[i] = True
+                        if gok[gi]:
+                            oks[i] = True
+                            for n in names:
+                                decoded[n][i] = gcols[n][gi]
             out = pdf.copy()
             for n in names:
                 out[n] = decoded[n]
