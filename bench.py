@@ -56,6 +56,21 @@ HEADLINE = [
     "bloom_pruned_join",
     "relational_join_family",
     "pii_redaction_report",
+    # round 5: the bench now covers the FULL 50-query declared surface —
+    # every queries() entry is timed, so a regression in any declared
+    # operator shows up in the per-round delta table
+    "avro_registry_decode",
+    "running_customer_revenue",
+    "set_ops_customers",
+    "sketch_cardinalities",
+    "exact_dedup_keep_min",
+    "embedding_near_dup_pairs",
+    "embedding_index_diagnostics",
+    "sessionization_gap30m",
+    "doc_chunks",
+    "table_profile",
+    "dedup_modality_agreement",
+    "language_report",
 ]
 
 

@@ -31,7 +31,7 @@ def test_bench_entrypoint_runs_clean_at_sf01():
     env["SPARK_GRAFT_SF_DIR"] = SF_DIR
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO)
     assert proc.returncode == 0, (
         f"bench.py crashed (rc={proc.returncode}); stderr tail:\n"
         + "\n".join(proc.stderr.splitlines()[-30:]))
