@@ -284,7 +284,16 @@ def _decode(schema, buf: bytes, pos: int) -> tuple[Any, int]:
             if n < 0 or pos + n > len(buf):
                 raise AvroCodecError(f"truncated {t}")
             raw = bytes(buf[pos:pos + n])
-            return (raw.decode("utf-8") if t == "string" else raw), pos + n
+            if t == "string":
+                try:
+                    return raw.decode("utf-8"), pos + n
+                except UnicodeDecodeError as e:
+                    # error-contract: a hostile payload must fork the ONE
+                    # record to the error channel, never kill the task —
+                    # so invalid UTF-8 is a codec error like any other
+                    raise AvroCodecError(f"invalid utf-8 in string: {e}") \
+                        from e
+            return raw, pos + n
         raise AvroCodecError(f"unsupported primitive {t!r}")
     t = schema["type"]
     if t == "record":
@@ -398,7 +407,14 @@ def compile_decoder(avsc: str | dict):
                 if ln < 0 or pos2 + ln > n:
                     raise AvroCodecError(f"truncated {t}")
                 raw = bytes(buf[pos2:pos2 + ln])
-                out[name] = raw.decode("utf-8") if t == "string" else raw
+                if t == "string":
+                    try:
+                        out[name] = raw.decode("utf-8")
+                    except UnicodeDecodeError as e:
+                        raise AvroCodecError(
+                            f"invalid utf-8 in string: {e}") from e
+                else:
+                    out[name] = raw
                 pos = pos2 + ln
             elif t == "double":
                 if pos + 8 > n:
@@ -797,7 +813,15 @@ def compile_batch_decoder(avsc: str | dict):
                 col = cols[name]
                 if t == "string":
                     for i in np.nonzero(active)[0]:
-                        col[i] = A[pos[i]:pos[i] + ln[i]].tobytes().decode("utf-8")
+                        raw = A[pos[i]:pos[i] + ln[i]].tobytes()
+                        try:
+                            col[i] = raw.decode("utf-8")
+                        except UnicodeDecodeError:
+                            # hostile byte sequence: route THIS row to the
+                            # per-row slow path (which nulls it with
+                            # ok=False) instead of crashing the kernel
+                            slow[i] = True
+                            active[i] = False
                 else:
                     for i in np.nonzero(active)[0]:
                         col[i] = A[pos[i]:pos[i] + ln[i]].tobytes()
@@ -827,7 +851,7 @@ def compile_batch_decoder(avsc: str | dict):
         for i in np.nonzero(slow)[0]:
             try:
                 rec = row_decode(bytes(payloads[i]))
-            except (AvroCodecError, TypeError):
+            except (AvroCodecError, TypeError, UnicodeDecodeError):
                 for n in names:
                     cols[n][i] = None
                 ok[i] = False
@@ -908,7 +932,7 @@ def decode_avro(df: DataFrame, avsc: str | dict, value_col: str = "value",
                     try:
                         rec = decode(bytes(payload))
                         oks.append(True)
-                    except (AvroCodecError, TypeError):
+                    except (AvroCodecError, TypeError, UnicodeDecodeError):
                         rec = {}
                         oks.append(False)
                     for n in names:

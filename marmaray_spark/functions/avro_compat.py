@@ -397,7 +397,7 @@ def compile_column_resolver(reader: Any, writer: Any):
                     continue
                 try:
                     res[i] = co(src[i])
-                except (AvroCodecError, TypeError):
+                except (AvroCodecError, TypeError, UnicodeDecodeError):
                     # the same two classes the per-row kernel catches;
                     # anything else propagates there and must here too
                     ok2[i] = False
@@ -552,7 +552,7 @@ def decode_avro_resolved(df: DataFrame, reader_avsc: Any,
             for i, payload in enumerate(payload_group):
                 try:
                     rec = resolve(decode(bytes(payload)))
-                except (AvroCodecError, TypeError):
+                except (AvroCodecError, TypeError, UnicodeDecodeError):
                     continue
                 for n in names:
                     cols[n][i] = rec.get(n)

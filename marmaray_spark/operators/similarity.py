@@ -597,10 +597,17 @@ def int8_topk(queries: DataFrame, corpus8: DataFrame, corpus: DataFrame,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # int32 accumulation only when the FULL dot-product bound
+            # fits: |dot| <= 127 * max|q| * dim (max over abs covers
+            # negative components; dim covers accumulation)
+            dim = Q.shape[1] if Q.ndim == 2 else 0
+            q_abs = np.abs(Q).max(initial=0)
+            acc32_ok = 127 * int(q_abs) * max(dim, 1) < 2**31
+            acc_t = np.int32 if acc32_ok else np.int64
             X = np.stack([np.frombuffer(b, dtype=np.int8)
-                          for b in pdf["emb8"]]).astype(np.int32)
+                          for b in pdf["emb8"]]).astype(acc_t)
             # Q is milli-scale; ordering per query is scale-invariant
-            dots = X @ Q.T.astype(np.int32 if Q.max(initial=0) < 2**22 else np.int64)
+            dots = X @ Q.T.astype(acc_t)
             ids = pdf["vec_id"].to_numpy()
             out = []
             top = min(m + 1, len(ids))     # +1 absorbs a self-match

@@ -199,11 +199,31 @@ class AvroFileSource:
         self.strict = strict
 
     def _schema_for(self, paths) -> dict:
+        """Reader schema: explicit ``avsc`` wins; otherwise peek headers
+        driver-side, trying EACH listed file until one parses (a corrupt
+        first file must not abort the peek — ADVICE r5), growing the
+        read window geometrically so an OCF header larger than the first
+        probe window is never truncated."""
         if self.avsc is not None:
             return self.avsc
-        with io.open(paths[0], "rb") as f:
-            schema, _, _, _ = parse_ocf_header(f.read(1 << 20))
-        return schema
+        last_err: Exception | None = None
+        for p in paths:
+            size = os.path.getsize(p)
+            window = 1 << 20
+            while True:
+                with io.open(p, "rb") as f:
+                    data = f.read(min(window, size))
+                try:
+                    schema, _, _, _ = parse_ocf_header(data)
+                    return schema
+                except AvroCodecError as e:
+                    if window >= size or "bad magic" in str(e):
+                        last_err = e
+                        break       # genuinely corrupt: try the next file
+                    window *= 8     # header may exceed the probe window
+        raise AvroCodecError(
+            f"no parseable OCF header in work unit ({len(paths)} files); "
+            f"last error: {last_err}")
 
     def get_data(self, work_unit) -> DataFrame:
         paths = work_unit.paths
@@ -240,10 +260,14 @@ class AvroFileSource:
         reason) instead of failing the job — the valid|error fork of the
         other file sources, at file granularity (an OCF block after a
         corrupt one cannot be trusted, so the whole file is quarantined).
-        The probe runs EXECUTOR-side over the same binaryFile scan the
-        decode uses; only the per-file verdicts (path, reason) come back
-        to the driver — file-count rows, driver-scale metadata like any
-        work-unit listing."""
+
+        Fully distributed: the probe runs EXECUTOR-side over the
+        binaryFile scan, the per-file verdicts STAY a DataFrame (persisted
+        — file-count rows), the error frame filters it, and the valid
+        frame joins the good-path side back to a second scan via a
+        broadcast path join. Nothing collects to the driver, so a work
+        unit of millions of OCF files never materializes a verdict list
+        (r5 verdict item: distribute the quarantine)."""
         import pandas as pd
 
         from marmaray_spark.operators.errors import to_error_records
@@ -268,17 +292,37 @@ class AvroFileSource:
                     .load([str(p) for p in paths])
                     .select("path", "content")
                     .mapInPandas(probe, schema="path string, reason string")
-                    .collect())
-        bad = [(r["path"], r["reason"]) for r in verdicts if r["reason"]]
-        good = [r["path"] for r in verdicts if not r["reason"]]
+                    .persist())
         errors = to_error_records(
-            self.spark.createDataFrame(
-                bad or [("", "")], "raw_line string, reason string"
-            ).filter(F.col("raw_line") != ""),
+            verdicts.filter(F.col("reason").isNotNull())
+                    .select(F.col("path").alias("raw_line"), "reason"),
             F.col("reason"))
-        valid = (self.get_data(type(work_unit)(good)) if good
-                 else self.spark.createDataFrame(
-                     [], avro_to_structtype(self._schema_for(paths))))
+        try:
+            schema = self._schema_for(paths)
+        except AvroCodecError:
+            # avsc=None and no file in the unit has a parseable header:
+            # every file is already an error record; there is no schema
+            # to shape a valid frame, so it is empty and column-less
+            from pyspark.sql import types as T
+            return self.spark.createDataFrame([], T.StructType([])), errors
+        struct = avro_to_structtype(schema)
+        cols = [f.name for f in struct.fields]
+
+        def decode(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                for content in pdf["content"]:
+                    for _, records in iter_ocf_blocks(bytes(content)):
+                        if records:
+                            yield pd.DataFrame.from_records(records,
+                                                            columns=cols)
+
+        good = verdicts.filter(F.col("reason").isNull()).select("path")
+        valid = (self.spark.read.format("binaryFile")
+                 .load([str(p) for p in paths])
+                 .select("path", "content")
+                 .join(F.broadcast(good), "path")
+                 .select("content")
+                 .mapInPandas(decode, schema=struct))
         return valid, errors
 
 

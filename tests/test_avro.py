@@ -316,3 +316,43 @@ def test_batch_encoder_roundtrips_through_batch_decoder():
     assert all(ok)
     for n in names:
         assert list(out_cols[n]) == cols[n]
+
+
+# -- invalid-UTF-8 error contract (e2e) -------------------------------------
+
+# id=1 (varint 0x02), name branch=string (0x02), len=1 (0x02), byte 0x80
+# (not valid UTF-8), score=null (0x00): a syntactically well-formed wire
+# record whose string payload is hostile. ONE such message must fork to
+# the error channel, never kill the task (the reference routes any
+# converter exception to the error table,
+# M/common/converters/data/AbstractDataConverter.java:102-171).
+HOSTILE_UTF8 = b"\x02\x02\x02\x80\x00"
+
+
+def test_invalid_utf8_forks_to_error_channel_e2e(spark):
+    good = [(encode_record(AVSC, {"id": i, "name": f"n{i}", "score": 1.0}),)
+            for i in range(4)]
+    df = spark.createDataFrame(good + [(HOSTILE_UTF8,)], "value binary")
+    out = decode_avro(df, AVSC, value_col="value").collect()
+    ok_rows = [r for r in out if r["__avro_ok__"]]
+    bad_rows = [r for r in out if not r["__avro_ok__"]]
+    assert len(ok_rows) == 4 and len(bad_rows) == 1
+    assert sorted(r["id"] for r in ok_rows) == [0, 1, 2, 3]
+    assert bad_rows[0]["name"] is None      # nulled, not corrupted
+
+
+def test_invalid_utf8_forks_through_resolving_kernel(spark):
+    from marmaray_spark.functions.avro_compat import decode_avro_resolved
+    good = encode_record(AVSC, {"id": 7, "name": "ok", "score": 2.0})
+    df = spark.createDataFrame(
+        [(good, 1), (HOSTILE_UTF8, 1)], "value binary, writer_version int")
+    out = decode_avro_resolved(df, AVSC, {1: AVSC}).collect()
+    by_ok = {r["__avro_ok__"]: r for r in out}
+    assert len(out) == 2 and True in by_ok and False in by_ok
+    assert by_ok[True]["name"] == "ok"
+    assert by_ok[False]["name"] is None
+
+
+def test_invalid_utf8_rowwise_raises_codec_error():
+    with pytest.raises(AvroCodecError, match="utf-8"):
+        decode_record(AVSC, HOSTILE_UTF8)

@@ -1092,3 +1092,30 @@ def test_int8_topk_empty_query_set(spark, embeddings):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "dot_q", "rank"]
+
+
+def test_int8_topk_negative_query_components_no_int32_wrap(spark):
+    """Accumulator-width guard regression: a query whose components are
+    LARGE AND NEGATIVE has a small max() but a huge |min|; the old
+    ``Q.max() < 2**22`` gate picked int32 and the coarse matmul could
+    silently wrap, corrupting survivor membership. The full bound
+    (127 * max|q| * dim) must force int64 here and keep the result
+    identical to brute force."""
+    from marmaray_spark.operators.similarity import (brute_force_topk,
+                                                     compress_embeddings,
+                                                     int8_topk)
+
+    dim = 8
+    rng = __import__("random").Random(7)
+    rows = [(i, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
+            for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # all-negative, large-magnitude query: milli-units ~ -5e6 each, so
+    # |dot| can reach 127 * 5e6 * 8 ≈ 5.1e9 > 2^31
+    q = spark.createDataFrame([(100, [-5000.0] * dim)],
+                              "vec_id long, embedding array<double>")
+    exact = sorted(map(tuple, brute_force_topk(q, corpus, k=5).collect()))
+    got = sorted(map(tuple, int8_topk(
+        q, compress_embeddings(corpus), corpus, k=5,
+        oversample=5).collect()))
+    assert got == exact
