@@ -74,11 +74,29 @@ HEADLINE = [
 ]
 
 
-def _previous_round_warm() -> tuple[str, dict[str, float]] | None:
-    """Latest BENCH_r*.json with a parsed result — for per-query deltas."""
+_LOCAL_BASELINE = "BENCH_local.json"
+
+
+def _previous_warm(sf: str) -> tuple[str, dict[str, float]] | None:
+    """Per-query warm baseline for the delta table.
+
+    Preference order (r5 verdict fix: the driver stores ``parsed: null``
+    from r2 on, so BENCH_r*.json deltas silently compared against the
+    mostly-renamed ROUND-1 query set):
+    1. bench.py's OWN last run at the same SF (``BENCH_local.json``,
+       written by every run) — always current-name, always full-surface;
+    2. the newest BENCH_r*.json that still has a parsed result.
+    """
     import glob
     import re
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, _LOCAL_BASELINE)) as f:
+            doc = json.load(f)
+        if doc.get("sf_raw") == sf and doc.get("queries"):
+            return (_LOCAL_BASELINE, doc["queries"])
+    except (OSError, ValueError):
+        pass
     best: tuple[int, str, dict[str, float]] | None = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -147,7 +165,7 @@ def main() -> None:
     # round-over-round guard: per-query warm deltas vs the last recorded
     # round, so a regression the one-number total hides is visible in the
     # bench log itself
-    prev = _previous_round_warm()
+    prev = _previous_warm(sf)
     if prev is not None:
         prev_name, prev_warm = prev
         print(f"# warm deltas vs {prev_name}:", file=sys.stderr)
@@ -162,7 +180,7 @@ def main() -> None:
         if new:
             print(f"#   new this round: {new}", file=sys.stderr)
 
-    print(json.dumps({
+    result = {
         "metric": "headline_query_wall_time",
         "value": round(sum(warm.values()), 3),
         "unit": "sec",
@@ -171,7 +189,16 @@ def main() -> None:
         "value_cold": round(sum(cold.values()), 3),
         "iterations": 3,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # persist this run as the next run's delta baseline (same-SF only);
+    # best-effort — a read-only checkout must not fail the bench
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, _LOCAL_BASELINE), "w") as f:
+            json.dump({**result, "sf_raw": sf}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
