@@ -25,6 +25,8 @@ never a row-at-a-time UDF. With the spark-avro jar present, the
 
 from __future__ import annotations
 
+import datetime as _DT
+import decimal as _DEC
 import json
 import struct
 from typing import Any, Iterator
@@ -41,6 +43,100 @@ def parse_schema(avsc: str | dict) -> dict | list | str:
 
 class AvroCodecError(ValueError):
     pass
+
+
+# -- logical types ----------------------------------------------------------
+#
+# Public Avro corpora annotate primitives with ``logicalType``
+# (decimal/date/timestamp-millis/micros — Avro 1.x spec §Logical Types);
+# the reference sidesteps them with its custom ``timestamp=true`` prop
+# (M/common/util/SchemaUtil.java:160-199, ported in scalars.py), but a
+# drop-in engine must read real-world ``.avsc`` files. Wire layout is the
+# underlying primitive; the codec converts at the value boundary:
+#   date (int, days)                <-> datetime.date
+#   timestamp-millis/micros (long)  <-> tz-aware UTC datetime
+#   local-timestamp-millis/micros   <-> naive datetime (NTZ semantics)
+#   decimal (bytes, big-endian two's-complement unscaled) <-> Decimal
+# Unknown logical annotations are IGNORED per spec (underlying type
+# stands), and schema RESOLUTION ignores logical types entirely (spec:
+# resolution is on underlying types) — avro_compat relies on that.
+
+_EPOCH_DATE = _DT.date(1970, 1, 1)
+_EPOCH_UTC = _DT.datetime(1970, 1, 1, tzinfo=_DT.timezone.utc)
+_EPOCH_NAIVE = _DT.datetime(1970, 1, 1)
+
+
+def _logical_of(s) -> dict | None:
+    """Supported logicalType spec for a primitive dict schema, else None."""
+    if not isinstance(s, dict):
+        return None
+    lt, t = s.get("logicalType"), s.get("type")
+    if lt == "date" and t == "int":
+        return {"lt": "date"}
+    if lt in ("timestamp-millis", "timestamp-micros",
+              "local-timestamp-millis", "local-timestamp-micros") \
+            and t == "long":
+        return {"lt": lt}
+    if lt == "decimal" and t == "bytes":
+        return {"lt": "decimal", "precision": int(s.get("precision", 38)),
+                "scale": int(s.get("scale", 0))}
+    return None
+
+
+def _from_wire(lg: dict, v):
+    """Underlying-primitive wire value -> logical Python value."""
+    lt = lg["lt"]
+    if lt == "date":
+        return _EPOCH_DATE + _DT.timedelta(days=int(v))
+    if lt == "timestamp-millis":
+        return _EPOCH_UTC + _DT.timedelta(milliseconds=int(v))
+    if lt == "timestamp-micros":
+        return _EPOCH_UTC + _DT.timedelta(microseconds=int(v))
+    if lt == "local-timestamp-millis":
+        return _EPOCH_NAIVE + _DT.timedelta(milliseconds=int(v))
+    if lt == "local-timestamp-micros":
+        return _EPOCH_NAIVE + _DT.timedelta(microseconds=int(v))
+    # decimal
+    unscaled = int.from_bytes(v, "big", signed=True)
+    return _DEC.Decimal(unscaled).scaleb(-lg["scale"])
+
+
+def _to_wire(lg: dict, v):
+    """Logical Python value -> underlying-primitive wire value. Raises
+    AvroCodecError on a type/scale mismatch so hostile values fork to
+    the error channel like any other codec failure."""
+    lt = lg["lt"]
+    try:
+        if lt == "date":
+            if isinstance(v, _DT.datetime):
+                v = v.date()
+            if isinstance(v, _DT.date):
+                return (v - _EPOCH_DATE).days
+            return int(v)                      # already wire-form days
+        if lt.endswith("millis") or lt.endswith("micros"):
+            unit = 1000 if lt.endswith("millis") else 1
+            if isinstance(v, _DT.datetime):
+                epoch = _EPOCH_UTC if v.tzinfo is not None else _EPOCH_NAIVE
+                delta = v - epoch
+                return delta // _DT.timedelta(microseconds=unit)
+            return int(v)                      # already wire-form ticks
+        # decimal
+        if isinstance(v, (int,)) and not isinstance(v, bool):
+            v = _DEC.Decimal(v)
+        if not isinstance(v, _DEC.Decimal):
+            raise AvroCodecError(f"decimal field got {type(v).__name__}")
+        unscaled_d = v.scaleb(lg["scale"])
+        unscaled = int(unscaled_d)
+        if unscaled != unscaled_d:
+            raise AvroCodecError(
+                f"decimal {v} does not fit scale {lg['scale']}")
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    except AvroCodecError:
+        raise
+    except (TypeError, ValueError, OverflowError,
+            _DEC.InvalidOperation) as e:
+        raise AvroCodecError(f"bad {lt} value {v!r}: {e}") from e
 
 
 # -- schema mapping ---------------------------------------------------------
@@ -68,6 +164,16 @@ def avro_to_structtype(avsc: str | dict) -> T.StructType:
                 raise AvroCodecError(f"unsupported union {s}")
             dt, _ = field_type(branches[0])
             return dt, True
+        lg = _logical_of(s)
+        if lg is not None:
+            lt = lg["lt"]
+            if lt == "date":
+                return T.DateType(), False
+            if lt in ("timestamp-millis", "timestamp-micros"):
+                return T.TimestampType(), False
+            if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+                return T.TimestampNTZType(), False
+            return T.DecimalType(lg["precision"], lg["scale"]), False
         t = s["type"]
         if t == "record":
             return avro_to_structtype(s), False
@@ -77,6 +183,9 @@ def avro_to_structtype(avsc: str | dict) -> T.StructType:
         if t == "map":
             dt, nullable = field_type(s["values"])
             return T.MapType(T.StringType(), dt, nullable), False
+        if isinstance(t, str) and t in PRIMITIVES:
+            # unknown logicalType annotation: underlying type stands
+            return field_type(t)
         raise AvroCodecError(f"unsupported avro type {s!r}")
 
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
@@ -130,6 +239,10 @@ def _encode(schema, val, out: bytearray) -> None:
         else:
             raise AvroCodecError(f"unsupported primitive {t!r}")
         return
+    lg = _logical_of(schema)
+    if lg is not None:
+        _encode(schema["type"], _to_wire(lg, val), out)
+        return
     t = schema["type"]
     if t == "record":
         for f in schema["fields"]:
@@ -161,23 +274,35 @@ def encode_record(avsc: str | dict, value: dict) -> bytes:
     return bytes(out)
 
 
-def _flat_record_steps(schema) -> "list[tuple[str, str, int | None]] | None":
-    """(field, primitive, null_branch_index|None) per field for flat
-    records of primitives / ["null", primitive] unions; None when the
-    schema needs the general recursive codec."""
+def _flat_record_steps(schema):
+    """(field, primitive, null_branch_index|None, logical|None) per field
+    for flat records of primitives / logical-annotated primitives /
+    ["null", either] unions; None when the schema needs the general
+    recursive codec."""
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
         return None
-    steps: list[tuple[str, str, int | None]] = []
+
+    def prim_of(t) -> "tuple[str, dict | None] | None":
+        if isinstance(t, str) and t in PRIMITIVES:
+            return t, None
+        lg = _logical_of(t)
+        if lg is not None:
+            return t["type"], lg
+        return None
+
+    steps: list[tuple[str, str, int | None, dict | None]] = []
     for f in schema.get("fields", []):
         t = f["type"]
-        if isinstance(t, str) and t in PRIMITIVES:
-            steps.append((f["name"], t, None))
-        elif (isinstance(t, list) and len(t) == 2 and "null" in t
-              and isinstance(t[1 - t.index("null")], str)
-              and t[1 - t.index("null")] in PRIMITIVES):
-            steps.append((f["name"], t[1 - t.index("null")], t.index("null")))
-        else:
-            return None
+        p = prim_of(t)
+        if p is not None:
+            steps.append((f["name"], p[0], None, p[1]))
+            continue
+        if isinstance(t, list) and len(t) == 2 and "null" in t:
+            p = prim_of(t[1 - t.index("null")])
+            if p is not None:
+                steps.append((f["name"], p[0], t.index("null"), p[1]))
+                continue
+        return None
     return steps
 
 
@@ -199,7 +324,7 @@ def compile_encoder(avsc: str | dict):
 
     def fast(value: dict) -> bytes:
         out = bytearray()
-        for name, t, null_idx in steps:
+        for name, t, null_idx, lg in steps:
             v = value.get(name)
             if null_idx is not None:
                 if v is None:
@@ -211,6 +336,8 @@ def compile_encoder(avsc: str | dict):
                     continue
                 raise AvroCodecError(f"field {name!r}: None for "
                                      f"non-nullable {t!r}")
+            if lg is not None:
+                v = _to_wire(lg, v)
             if t == "long" or t == "int":
                 n = int(v)
                 n = (n << 1) ^ (n >> 63)
@@ -295,6 +422,10 @@ def _decode(schema, buf: bytes, pos: int) -> tuple[Any, int]:
                         from e
             return raw, pos + n
         raise AvroCodecError(f"unsupported primitive {t!r}")
+    lg = _logical_of(schema)
+    if lg is not None:
+        v, pos = _decode(schema["type"], buf, pos)
+        return _from_wire(lg, v), pos
     t = schema["type"]
     if t == "record":
         rec = {}
@@ -376,7 +507,7 @@ def compile_decoder(avsc: str | dict):
 
     def fast_at(buf: bytes, pos: int, n: int) -> tuple[dict, int]:
         out = {}
-        for name, t, null_idx in steps:
+        for name, t, null_idx, lg in steps:
             if null_idx is not None:
                 # union tag varint (branch index is 0 or 1 -> one byte)
                 if pos >= n:
@@ -433,6 +564,8 @@ def compile_decoder(avsc: str | dict):
                 pos += 1
             else:   # "null"
                 out[name] = None
+            if lg is not None and out[name] is not None:
+                out[name] = _from_wire(lg, out[name])
         return out, pos
 
     def fast(payload: bytes) -> dict:
@@ -490,8 +623,26 @@ def compile_batch_encoder(avsc: str | dict):
                     else v
             return arr
 
-        for name, t, null_idx in steps:
+        for name, t, null_idx, lg in steps:
             seq = cols[name]
+            if lg is not None:
+                # logical field: convert to wire primitives up front so
+                # the existing primitive plans apply; a value _to_wire
+                # rejects (or anything exotic) routes the ROW to the
+                # reference per-row encoder, whose outcome is
+                # authoritative (same parity-by-construction contract)
+                src = as_object(seq)
+                conv = np.empty(n_rows, object)
+                for i, v in enumerate(src):
+                    if v is None:
+                        continue
+                    try:
+                        if v != v:               # NaT / Decimal('NaN')
+                            continue
+                        conv[i] = _to_wire(lg, v)
+                    except Exception:
+                        slow[i] = True
+                seq = conv
             dtype_kind = getattr(getattr(seq, "dtype", None), "kind", None)
             none_mask = np.zeros(n_rows, bool)
             vals = None
@@ -688,8 +839,14 @@ def compile_batch_encoder(avsc: str | dict):
                 for n in names:
                     v = cols[n][i] if not hasattr(cols[n], "iloc") \
                         else cols[n].iloc[i]
-                    rec[n] = None if v is None or (isinstance(v, float)
-                                                   and v != v) else v
+                    if v is not None:
+                        try:
+                            # NaN AND NaT (datetime64 null) are SQL nulls
+                            if bool(v != v):
+                                v = None
+                        except (TypeError, ValueError):
+                            pass
+                    rec[n] = v
                 result[i] = row_encode(rec)    # raises exactly as before
         return result
 
@@ -783,7 +940,7 @@ def compile_batch_decoder(avsc: str | dict):
             slow[leftover] = True        # >10-byte varint
             return acc
 
-        for name, t, null_idx in steps:
+        for name, t, null_idx, lg in steps:
             active = ~slow
             if null_idx is not None:
                 has_tag = active & (pos < ends)
@@ -847,6 +1004,15 @@ def compile_batch_decoder(avsc: str | dict):
             # t == "null": the None default stands, no bytes consumed
 
         slow[~slow & (pos != ends)] = True   # trailing bytes
+        # logical conversion for vector-decoded rows (slow rows get the
+        # already-converted values from the per-row decoder below)
+        for name, t, null_idx, lg in steps:
+            if lg is None:
+                continue
+            col = cols[name]
+            for i in np.nonzero(~slow)[0]:
+                if col[i] is not None:
+                    col[i] = _from_wire(lg, col[i])
         ok = np.ones(n_rows, bool)
         for i in np.nonzero(slow)[0]:
             try:

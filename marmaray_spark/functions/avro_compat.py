@@ -36,6 +36,9 @@ from pyspark.sql import types as T
 from marmaray_spark.functions.avro_codec import (
     PRIMITIVES,
     AvroCodecError,
+    _from_wire,
+    _logical_of,
+    _to_wire,
     avro_to_structtype,
     decode_record,
     parse_schema,
@@ -257,6 +260,24 @@ def _resolve_value(reader: Any, writer: Any, val: Any,
         if val in set(reader.get("symbols", [])):
             return val
         return reader.get("default")
+    # logical types: resolution matched on UNDERLYING types (spec), but
+    # the value surface follows the READER's logical annotation — a
+    # logical-typed writer value converts back to wire form for a plain
+    # reader, and a plain writer primitive converts forward for a
+    # logical reader
+    rlg, wlg = _logical_of(reader), _logical_of(writer)
+    if rlg is not None and wlg is not None:
+        # both logical: the decoded value surface (date/datetime/Decimal)
+        # is already the reader's surface — even across
+        # millis<->micros or scale changes, the VALUE is the number
+        return val
+    if rlg is not None:
+        # plain writer primitive -> logical reader surface
+        return _from_wire(rlg, val)
+    if wlg is not None:
+        # logical writer -> plain reader: back to the wire primitive;
+        # the standard coercions below finish the job
+        val = _to_wire(wlg, val)
     if rt in ("long", "int") and isinstance(val, int):
         return val
     if rt in ("float", "double"):
@@ -310,13 +331,20 @@ def _simple_coercer(reader: Any, writer: Any):
             return s
         if isinstance(s, list):
             nn = [b for b in s if b != "null"]
-            if "null" in s and len(nn) == 1 \
-                    and isinstance(nn[0], str) and nn[0] in PRIMITIVES:
-                return nn[0]
+            if "null" in s and len(nn) == 1:
+                return prim(nn[0])
+        if _logical_of(s) is not None:
+            # matching logical pairs are identity at the value surface;
+            # mixed logical/plain pairs take the general resolver
+            return ("logical", s.get("logicalType"))
         return None
 
     rt, wt = prim(reader), prim(writer)
     if rt is None or wt is None:
+        return None
+    if isinstance(rt, tuple) or isinstance(wt, tuple):
+        if isinstance(rt, tuple) and isinstance(wt, tuple):
+            return lambda v: v
         return None
     if rt in ("int", "long", "boolean", "null"):
         return lambda v: v
