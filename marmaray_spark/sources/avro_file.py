@@ -78,7 +78,7 @@ def parse_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
         raise AvroCodecError("OCF header missing avro.schema")
     schema = parse_schema(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise AvroCodecError(f"unsupported OCF codec {codec!r}")
     sync = data[pos:pos + SYNC_SIZE]
     return schema, codec, sync, pos + SYNC_SIZE
@@ -111,6 +111,15 @@ def iter_ocf_blocks(data: bytes):
         pos += SYNC_SIZE
         if codec == "deflate":
             block = zlib.decompress(block, -15)
+        elif codec == "snappy":
+            # Avro snappy framing: raw snappy block + 4-byte BE CRC32 of
+            # the UNCOMPRESSED bytes (Avro 1.x spec, snappy codec)
+            from marmaray_spark.functions.snappy_codec import uncompress
+            if len(block) < 4:
+                raise AvroCodecError("snappy OCF block too short for CRC")
+            block, crc = uncompress(block[:-4]), block[-4:]
+            if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
+                raise AvroCodecError("snappy OCF block CRC mismatch")
         bpos = 0
         records = []
         try:
@@ -168,6 +177,10 @@ def write_ocf(path: str, avsc: str | dict, records: list[dict],
         payload = bytes(body)
         if codec == "deflate":
             payload = zlib.compress(payload)[2:-4]  # raw deflate framing
+        elif codec == "snappy":
+            from marmaray_spark.functions.snappy_codec import compress
+            payload = compress(payload) + \
+                (zlib.crc32(bytes(body)) & 0xFFFFFFFF).to_bytes(4, "big")
         _write_long(len(chunk), out)
         _write_long(len(payload), out)
         out += payload

@@ -222,3 +222,72 @@ def test_forked_read_all_corrupt_no_schema(spark, tmp_path):
     valid, errors = AvroFileSource(spark).get_data_forked(unit)
     assert valid.count() == 0 and len(valid.schema.fields) == 0
     assert errors.count() == 2
+
+
+# -- snappy codec -----------------------------------------------------------
+
+def test_snappy_codec_roundtrip_and_backrefs():
+    from marmaray_spark.functions.snappy_codec import compress, uncompress
+    samples = [b"", b"a", b"abcd" * 100, bytes(range(256)) * 5,
+               b"x" * 100000,                 # long runs -> overlapping copies
+               b"the quick brown fox " * 37]
+    for s in samples:
+        c = compress(s)
+        assert uncompress(c) == s
+    # repetitive input must actually compress (back-references emitted)
+    big = b"abcdefgh" * 4096
+    assert len(compress(big)) < len(big) // 4
+
+
+def test_snappy_corrupt_raises_codec_error():
+    from marmaray_spark.functions.avro_codec import AvroCodecError
+    from marmaray_spark.functions.snappy_codec import compress, uncompress
+    good = compress(b"hello world " * 50)
+    for bad in (b"", good[:3], good[:-5],
+                b"\x05" + b"\xff\xff\xff\xff\xff"):
+        with pytest.raises(AvroCodecError):
+            uncompress(bad)
+
+
+@given(st.binary(max_size=5000))
+@settings(max_examples=200, deadline=None)
+def test_snappy_roundtrip_property(data):
+    from marmaray_spark.functions.snappy_codec import compress, uncompress
+    assert uncompress(compress(data)) == data
+
+
+def test_ocf_snappy_roundtrip(tmp_path):
+    p = tmp_path / "s.avro"
+    write_ocf(str(p), AVSC, ROWS, codec="snappy", records_per_block=100)
+    schema, got = read_ocf_bytes(p.read_bytes())
+    assert got == ROWS
+
+
+def test_ocf_snappy_crc_mismatch_quarantined(spark, tmp_path):
+    write_ocf(str(tmp_path / "good.avro"), AVSC, ROWS[:30], codec="snappy")
+    raw = bytearray((tmp_path / "good.avro").read_bytes())
+    # flip one byte inside the LAST 5 bytes before the trailing sync:
+    # corrupts the CRC (or the compressed tail) without touching framing
+    raw[-20] ^= 0x01
+    (tmp_path / "bad.avro").write_bytes(bytes(raw))
+    [unit] = FileWorkUnitCalculator(tmp_path, file_type="avro").compute_work_units()
+    valid, errors = AvroFileSource(spark, avsc=AVSC).get_data_forked(unit)
+    assert sorted(r["id"] for r in valid.collect()) == \
+        sorted(r["id"] for r in ROWS[:30])
+    assert errors.count() == 1
+
+
+def test_ocf_snappy_streaming(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    write_ocf(str(src / "a.avro"), AVSC, ROWS[:25], codec="snappy")
+    from marmaray_spark.sources.avro_file import read_ocf_stream
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    q = (read_ocf_stream(spark, str(src), AVSC)
+         .writeStream.format("parquet")
+         .option("path", str(out)).option("checkpointLocation", str(ck))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == sorted(r["id"] for r in ROWS[:25])
