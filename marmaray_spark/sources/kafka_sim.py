@@ -134,7 +134,8 @@ class DirectoryKafkaBroker:
             T.StructField("value", T.BinaryType()),
             T.StructField("timestamp_ms", T.LongType()),
         ])
-        rows = self.poll([OffsetRange(p, 0, hi)
+        earliest = self.earliest_offsets()
+        rows = self.poll([OffsetRange(p, earliest[p], hi)
                           for p, hi in self.latest_offsets().items()])
         return spark.createDataFrame(
             [(r["partition"], r["offset"], r["key"], r["value"],
@@ -161,3 +162,41 @@ def split_ranges(ranges: Iterable[OffsetRange],
                 OffsetRange(big.partition, mid, big.until_offset)]
                + out[1:])
     return sorted(out, key=lambda r: (r.partition, r.from_offset))
+
+
+def run_incremental_epoch(spark, broker: DirectoryKafkaBroker,
+                          metadata, sink_path: str, *,
+                          max_messages: int = 1_000_000,
+                          bootstrap_at: str = "earliest",
+                          reset_on_data_loss: str | None = None,
+                          min_partitions: int | None = None) -> int:
+    """ONE full marmaray-style incremental run against the broker double:
+    plan (KafkaWorkUnitCalculator) -> ranged read (the pushed-down
+    ``filter_by_offset_ranges`` predicate over the connector-shaped
+    frame, optionally ``split_ranges``-fanned) -> append to the sink ->
+    commit next-run offsets through the metadata manager. Returns rows
+    written.
+
+    This is the loop the reference runs per execution
+    (KafkaSource.java:261-292 seek+poll inside, KafkaWorkUnitCalculator
+    planning outside); with a FileSystemMetadataManager and the
+    file-backed broker every piece of state crosses a process boundary,
+    so bootstrap -> consume -> restart -> data-loss -> reset -> resume is
+    testable end to end (tests/test_kafka_contract.py)."""
+    from marmaray_spark.sources.kafka import (KafkaWorkUnitCalculator,
+                                              filter_by_offset_ranges)
+
+    calc = KafkaWorkUnitCalculator(
+        broker.topic, broker, metadata, max_messages=max_messages,
+        bootstrap_at=bootstrap_at, reset_on_data_loss=reset_on_data_loss)
+    ranges = calc.compute_work_units()
+    wrote = 0
+    if ranges:
+        read_ranges = split_ranges(ranges, min_partitions) \
+            if min_partitions else ranges
+        df = filter_by_offset_ranges(broker.to_dataframe(spark), read_ranges)
+        df.write.mode("append").parquet(str(sink_path))
+        wrote = sum(r.size for r in ranges)
+    calc.save_next_run_state(ranges)
+    metadata.save_changes()
+    return wrote
