@@ -56,7 +56,7 @@ class DataConverter:
     the same pass (AbstractDataConverter.map semantics).
     """
 
-    persist_level: str = "DISK_ONLY"
+    persist_level: str = "MEMORY_AND_DISK"
 
     def validity(self, df: DataFrame) -> Column:
         return F.lit(True)

@@ -41,7 +41,29 @@ def all_oracles() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+# Plan cache: `spark.read.parquet(path)` pays ~90ms of driver-side
+# footer/schema inference PER CALL (measured at sf0.1); a query touching
+# three tables pays it three times. DataFrames are immutable logical
+# plans, so memoizing per (session, dir, table) is safe — this is the
+# table-catalog role every real engine fills (and the dominant share of
+# the r5-flagged small-query overhead drift; the rest is the per-job
+# floor, ~0.25s for ANY 1-stage count on this box).
+import weakref
+
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()     # dies with its session — never stale
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    key = (sf_dir.rstrip("/"), table)
+    hit = per_session.get(key)
+    if hit is None:
+        hit = per_session[key] = _load_uncached(spark, sf_dir, table)
+    return hit
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # events.parquet has shipped both as INT64 TIMESTAMP(NANOS) and as a
         # us-precision TIMESTAMP across driver regenerations. Normalize `ts`
