@@ -1,0 +1,607 @@
+"""Pure-numpy baseline JPEG codec (no PIL/libjpeg in this container).
+
+JPEG is the dominant real-corpus image format; the multimodal kernels
+(operators/multimodal.py) previously decoded it only when a PIL wheel
+exists (import-try seam, functions/media_codec.py) and otherwise hit a
+deterministic stub. This module implements the PUBLIC baseline JPEG
+spec (ITU-T T.81 / ISO 10918-1: sequential DCT, Huffman entropy coding,
+8-bit samples) directly on numpy, the same no-external-deps discipline
+as the PNG/zlib and snappy work:
+
+- decoder: marker parse (DQT/SOF0/DHT/DRI/SOS), canonical Huffman
+  decode with byte-unstuffing and restart intervals, batch dequantize +
+  one einsum IDCT over ALL blocks, plane assembly, chroma upsampling
+  (4:4:4 / 4:2:2 / 4:2:0 / grayscale), BT.601 YCbCr->RGB;
+- encoder: baseline 4:4:4 with the spec's Annex-K quantization and
+  Huffman tables, IJG quality scaling, batch forward DCT.
+
+Throughput note: entropy (de)coding is an inherently serial bit loop —
+Python-side, fine for the Arrow-batched executor kernels whose decode
+is already Python; PIL slots in ahead of this codec when present
+(operators/multimodal.py dispatch order).
+
+Parity note: outputs are spec-correct but not bit-identical to libjpeg
+(which uses scaled-integer IDCT and fancy upsampling); tests pin exact
+digests of THIS codec and bound the delta vs PIL when PIL exists.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from marmaray_spark.functions.media_codec import MediaCodecError
+
+# zigzag scan order: index i of the scan -> position in the 8x8 block
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K.1 quantization tables (luminance, chrominance), zigzag order
+_Q_LUM = np.array([
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99], dtype=np.int64)
+_Q_CHROM = np.array([
+    17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_H_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+             list(range(12)))
+_H_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+               list(range(12)))
+_H_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_H_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _idct_basis() -> np.ndarray:
+    """M[u, x] = c(u)/2 * cos((2x+1) u pi / 16); spatial = M.T @ F @ M."""
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_M = _idct_basis()
+
+
+# -- Huffman ----------------------------------------------------------------
+
+def _build_decode_table(bits, values) -> dict:
+    """Canonical Huffman: (length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits, values) -> dict:
+    """symbol -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over de-stuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise MediaCodecError("jpeg: entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise MediaCodecError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+# -- decoder ----------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
+    Raises MediaCodecError on non-baseline or corrupt input — uniform
+    with the other codecs so hostile payloads fork to the error channel.
+    """
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise MediaCodecError("jpeg: missing SOI")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}   # (class 0=DC/1=AC, id)
+    restart_interval = 0
+    frame = None            # (h, w, [(cid, hsamp, vsamp, tq), ...])
+    pos = 2
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise MediaCodecError("jpeg: expected marker")
+        while pos < n and data[pos] == 0xFF:
+            pos += 1        # fill bytes allowed
+        if pos >= n:
+            raise MediaCodecError("jpeg: truncated at marker")
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:              # EOI before any scan
+            raise MediaCodecError("jpeg: EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                    # standalone markers
+        if pos + 2 > n:
+            raise MediaCodecError("jpeg: truncated segment length")
+        seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise MediaCodecError("jpeg: truncated segment")
+        pos += seg_len
+        if marker == 0xDB:              # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    q = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    q = np.frombuffer(seg[p:p + 128], ">u2").astype(np.int64)
+                    p += 128
+                if len(q) != 64:
+                    raise MediaCodecError("jpeg: truncated DQT")
+                qtables[tq] = q
+        elif marker == 0xC4:            # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                bits = list(seg[p:p + 16])
+                p += 16
+                count = sum(bits)
+                values = list(seg[p:p + count])
+                p += count
+                if len(values) != count:
+                    raise MediaCodecError("jpeg: truncated DHT")
+                htables[(tc, th)] = _build_decode_table(bits, values)
+        elif marker == 0xDD:            # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xC0:            # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise MediaCodecError("jpeg: only 8-bit baseline supported")
+            comps = []
+            for ci in range(nc):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * ci]))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaCodecError(
+                f"jpeg: non-baseline SOF{marker & 0xF} not supported")
+        elif marker == 0xDA:            # SOS: entropy data follows
+            if frame is None:
+                raise MediaCodecError("jpeg: SOS before SOF0")
+            ns = seg[0]
+            scan_tables = {}
+            for si in range(ns):
+                cs = seg[1 + 2 * si]
+                td_ta = seg[2 + 2 * si]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 0xF)
+            return _decode_scan(data, pos, frame, qtables, htables,
+                                scan_tables, restart_interval)
+        # APPn / COM / others: skipped
+    raise MediaCodecError("jpeg: no SOS marker found")
+
+
+def _decode_scan(data: bytes, pos: int, frame, qtables, htables,
+                 scan_tables, restart_interval: int) -> np.ndarray:
+    h, w, comps = frame
+    if not comps:
+        raise MediaCodecError("jpeg: no components")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise MediaCodecError("jpeg: bad sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # split entropy-coded bytes into restart intervals, de-stuffing FF00
+    intervals: list[bytes] = []
+    cur = bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:       # RSTn
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:                            # EOI or next marker: scan ends
+            break
+    intervals.append(bytes(cur))
+
+    # per-component quantized coefficient store, (blocks_y, blocks_x, 64)
+    planes_blocks = []
+    for cid, hs, vs, tq in comps:
+        planes_blocks.append(np.zeros((mcus_y * vs, mcus_x * hs, 64),
+                                      np.int64))
+
+    mcu_per_interval = restart_interval if restart_interval else \
+        mcus_x * mcus_y
+    interval_idx = 0
+    reader = _BitReader(intervals[0])
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % mcu_per_interval == 0:
+                interval_idx += 1
+                if interval_idx >= len(intervals):
+                    raise MediaCodecError("jpeg: missing restart interval")
+                reader = _BitReader(intervals[interval_idx])
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                if cid not in scan_tables:
+                    raise MediaCodecError("jpeg: scan omits a component")
+                td, ta = scan_tables[cid]
+                dc_tab = htables.get((0, td))
+                ac_tab = htables.get((1, ta))
+                if dc_tab is None or ac_tab is None:
+                    raise MediaCodecError("jpeg: missing Huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        coeffs = np.zeros(64, np.int64)
+                        s = reader.decode_symbol(dc_tab)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break                    # EOB
+                            k += r
+                            if k > 63:
+                                raise MediaCodecError(
+                                    "jpeg: AC index out of range")
+                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        planes_blocks[ci][my * vs + by, mx * hs + bx] = coeffs
+            mcu_count += 1
+
+    # dequantize + batch IDCT + assemble + upsample
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        q = qtables.get(tq)
+        if q is None:
+            raise MediaCodecError("jpeg: missing quantization table")
+        by, bx, _ = planes_blocks[ci].shape
+        zz = planes_blocks[ci].reshape(-1, 64) * q[None, :]
+        blocks = np.zeros((zz.shape[0], 64), np.float64)
+        blocks[:, ZIGZAG] = zz                       # un-zigzag
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _M, blocks, _M,
+                            optimize=True) + 128.0
+        plane = (spatial.reshape(by, bx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise MediaCodecError(f"jpeg: {len(planes)}-component color "
+                              "model not supported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -- encoder ----------------------------------------------------------------
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base table (zigzag order)."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)           # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)     # 1-pad to byte boundary
+        return bytes(self.out)
+
+
+def _encode_block(w: _BitWriter, coeffs: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Huffman-encode one zigzag coefficient block; returns new DC pred."""
+    dc = int(coeffs[0])
+    diff = dc - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, ln = dc_tab[s]
+    w.write(code, ln)
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coeffs)[0])) if np.any(coeffs[1:]) else 0
+    for k in range(1, 64):
+        v = int(coeffs[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]             # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]                 # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _quantize_plane(plane: np.ndarray, q: np.ndarray,
+                    bh: int, bw: int) -> np.ndarray:
+    """Pad (edge-replicate) to (bh*8, bw*8), batch forward DCT, quantize.
+    Returns (bh, bw, 64) zigzag-ordered quantized coefficients."""
+    h, w = plane.shape
+    padded = np.empty((bh * 8, bw * 8), np.float64)
+    padded[:h, :w] = plane
+    if h < bh * 8:
+        padded[h:, :w] = plane[-1:, :]
+    if w < bw * 8:
+        padded[:, w:] = padded[:, w - 1:w]
+    f = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
+              .reshape(-1, 8, 8) - 128.0
+    fdct = np.einsum("xu,nxy,yv->nuv", _M.T, f, _M.T, optimize=True)
+    zz = fdct.reshape(-1, 64)[:, ZIGZAG]
+    return np.round(zz / q[None, :]).astype(np.int64).reshape(bh, bw, 64)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 75,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """uint8 pixels -> baseline JPEG (Annex-K tables, IJG quality scale).
+
+    ``pixels`` is (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale.
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 luma blocks + one chroma block each — the dominant real-world
+    layout). ``restart_interval`` > 0 emits DRI + RSTn markers every N
+    MCUs (the resync contract big scans rely on)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 \
+            or pixels.shape[2] not in (1, 3):
+        raise MediaCodecError("pixels must be (h, w, 1|3) uint8")
+    if subsampling not in ("444", "420"):
+        raise MediaCodecError(f"unsupported subsampling {subsampling!r}")
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise MediaCodecError("empty image")
+    gray = pixels.shape[2] == 1
+    q_lum = _quality_scale(_Q_LUM, quality)
+    q_chrom = _quality_scale(_Q_CHROM, quality)
+
+    if gray:
+        planes = [pixels[:, :, 0].astype(np.float64)]
+        samps = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # average-pool chroma 2x2 (pad odd dims by edge replicate)
+            def pool(p):
+                hh = p[:, ::2] if p.shape[1] % 2 == 0 else \
+                    np.pad(p, ((0, 0), (0, 1)), mode="edge")[:, ::2]
+                h2 = (hh + (p[:, 1::2] if p.shape[1] % 2 == 0 else
+                            np.pad(p, ((0, 0), (0, 1)),
+                                   mode="edge")[:, 1::2])) / 2.0
+                vv = h2[::2] if h2.shape[0] % 2 == 0 else \
+                    np.pad(h2, ((0, 1), (0, 0)), mode="edge")[::2]
+                v2 = (vv + (h2[1::2] if h2.shape[0] % 2 == 0 else
+                            np.pad(h2, ((0, 1), (0, 0)),
+                                   mode="edge")[1::2])) / 2.0
+                return v2
+            planes = [y, pool(cb), pool(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    quantized = []
+    for plane, (hs, vs), qid in zip(planes, samps, qids):
+        quantized.append(_quantize_plane(
+            plane, q_lum if qid == 0 else q_chrom,
+            mcus_y * vs, mcus_x * hs))
+
+    dc_lum = _build_encode_table(*_H_DC_LUM)
+    ac_lum = _build_encode_table(*_H_AC_LUM)
+    dc_chrom = _build_encode_table(*_H_DC_CHROM)
+    ac_chrom = _build_encode_table(*_H_AC_CHROM)
+    tabs = [(dc_lum, ac_lum)] + [(dc_chrom, ac_chrom)] * (len(planes) - 1)
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    entropy = bytearray()
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                entropy += writer.flush()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                writer = _BitWriter()
+                preds = [0] * len(planes)
+            for ci, (hs, vs) in enumerate(samps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        preds[ci] = _encode_block(
+                            writer,
+                            quantized[ci][my * vs + by, mx * hs + bx],
+                            preds[ci], *tabs[ci])
+            mcu_count += 1
+    entropy += writer.flush()
+
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")                        # SOI
+    qts = ((0, q_lum),) if gray else ((0, q_lum), (1, q_chrom))
+    for tid, q in qts:                                  # DQT
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in q)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hs, vs = samps[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, qids[ci]])
+    hts = ((0, 0, _H_DC_LUM), (1, 0, _H_AC_LUM)) if gray else \
+        ((0, 0, _H_DC_LUM), (1, 0, _H_AC_LUM),
+         (0, 1, _H_DC_CHROM), (1, 1, _H_AC_CHROM))
+    for tc, th, (bits, values) in hts:                  # DHT
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)   # SOS
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"                                  # EOI
+    return bytes(out)

@@ -293,3 +293,23 @@ def looks_like_mp3(payload: bytes) -> bool:
     return (payload[:3] == _MP3_ID3_MAGIC
             or (len(payload) >= 2 and payload[0] == 0xFF
                 and (payload[1] & 0xE0) == 0xE0))
+
+
+def decode_jpeg_best(payload: bytes) -> np.ndarray:
+    """JPEG -> (h, w, c) uint8: PIL/libjpeg when the wheel exists (fast,
+    battle-tested), else the pure-numpy baseline decoder
+    (functions/jpeg_codec.py) — so the dominant real-corpus image format
+    decodes FOR REAL in this environment, not only when PIL ships."""
+    if pil_available():
+        return decode_image_pil(payload)
+    from marmaray_spark.functions.jpeg_codec import decode_jpeg
+    return decode_jpeg(payload)
+
+
+def encode_jpeg_best(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB -> JPEG via PIL when present, else the
+    pure-numpy baseline encoder."""
+    if pil_available():
+        return encode_jpeg_pil(pixels, quality)
+    from marmaray_spark.functions.jpeg_codec import encode_jpeg
+    return encode_jpeg(pixels, quality=quality)

@@ -82,11 +82,20 @@ def _decode_image(payload: bytes) -> tuple[int, int, int]:
         px = decode_png(bytes(payload))
         return px.shape[1], px.shape[0], px.shape[2]
     from marmaray_spark.functions.media_codec import (decode_image_pil,
+                                                      decode_jpeg_best,
                                                       looks_like_jpeg,
                                                       pil_available)
-    if looks_like_jpeg(bytes(payload[:3])) and pil_available():
-        px = decode_image_pil(bytes(payload))
+    if looks_like_jpeg(bytes(payload[:3])):
+        # REAL decode either way: PIL when the wheel exists, else the
+        # pure-numpy baseline decoder (functions/jpeg_codec.py)
+        px = decode_jpeg_best(bytes(payload))
         return px.shape[1], px.shape[0], px.shape[2]
+    if pil_available():
+        try:
+            px = decode_image_pil(bytes(payload))   # WebP/GIF/TIFF/...
+            return px.shape[1], px.shape[0], px.shape[2]
+        except Exception:
+            pass
     w = 16 + (len(payload) % 240)
     h = 16 + (payload[0] % 240)
     return w, h, 3
@@ -196,22 +205,20 @@ RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize: REAL nearest-neighbor re-encode for BMP/PNG payloads
-    (decode -> sample grid -> re-encode), and for JPEG when PIL is
-    importable (import-try seam: decode_image_pil -> resize_nearest ->
-    encode_jpeg_pil). Other formats pass payload through with rewritten
+    """Resize: REAL nearest-neighbor re-encode for BMP/PNG/JPEG payloads
+    (decode -> sample grid -> re-encode; JPEG through PIL when the wheel
+    exists, else the pure-numpy baseline codec in functions/jpeg_codec.py
+    — real either way). Other formats pass payload through with rewritten
     dims (the stub seam). Batch in/out, binary column round-trip."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from marmaray_spark.functions.media_codec import (decode_bmp,
-                                                          decode_image_pil,
+                                                          decode_jpeg_best,
                                                           decode_png,
                                                           encode_bmp,
-                                                          encode_jpeg_pil,
+                                                          encode_jpeg_best,
                                                           encode_png,
                                                           looks_like_jpeg,
-                                                          pil_available,
                                                           resize_nearest)
-        has_pil = pil_available()
 
         def one(payload):
             if payload is not None and bytes(payload[:2]) == b"BM":
@@ -222,11 +229,10 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 px = resize_nearest(decode_png(bytes(payload)),
                                     target_w, target_h)
                 return encode_png(px)
-            if payload is not None and has_pil \
-                    and looks_like_jpeg(bytes(payload[:3])):
-                px = resize_nearest(decode_image_pil(bytes(payload))[:, :, :3],
+            if payload is not None and looks_like_jpeg(bytes(payload[:3])):
+                px = resize_nearest(decode_jpeg_best(bytes(payload))[:, :, :3],
                                     target_w, target_h)
-                return encode_jpeg_pil(px)
+                return encode_jpeg_best(px)
             return payload
 
         for pdf in batches:

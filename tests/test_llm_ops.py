@@ -946,25 +946,46 @@ def test_compressed_format_sniffers():
     assert not looks_like_mp3(b"RIFFxxxx")
 
 
-def test_jpeg_stub_fallback_without_pil(spark):
-    """In a codec-less container a JPEG payload takes the deterministic
-    stub leg of the import-try seam — the pipeline keeps its shape and
-    the features stay byte-deterministic."""
-    import pytest
-
+def test_unknown_format_stub_fallback(spark):
+    """A payload in a format NO codec handles takes the deterministic
+    stub leg — the pipeline keeps its shape and the features stay
+    byte-deterministic. (JPEG no longer stubs anywhere: the pure-numpy
+    baseline decoder in functions/jpeg_codec.py is always available;
+    see test_real_jpeg_decode_numpy.)"""
     from marmaray_spark.functions.media_codec import pil_available
     from marmaray_spark.operators.multimodal import (attach_media_metadata,
                                                      extract_image_features)
 
     if pil_available():
-        pytest.skip("PIL present: the real leg is covered by "
-                    "test_real_jpeg_decode_with_pil")
-    payload = b"\xff\xd8\xff\xe0" + b"j" * 96      # JPEG magic, fake body
+        pytest.skip("PIL present: it may claim arbitrary formats")
+    payload = b"II*\x00" + b"t" * 96               # TIFF-ish, no codec
     df = attach_media_metadata(spark.createDataFrame(
         [(1, "image", payload)], ["media_id", "media_type", "payload"]))
     row = extract_image_features(df).first()
-    assert (row["width"], row["height"]) == (16 + (100 % 240), 16 + (0xFF % 240))
+    assert (row["width"], row["height"]) == (16 + (100 % 240),
+                                             16 + (payload[0] % 240))
     assert row["channels"] == 3
+
+
+def test_real_jpeg_decode_numpy(spark):
+    """The dominant real-corpus image format decodes FOR REAL in this
+    environment: a baseline JPEG produced by the numpy encoder flows
+    through the SAME Spark kernel and yields its true dimensions — no
+    PIL required (r5 verdict item 4)."""
+    import numpy as np
+
+    from marmaray_spark.functions.jpeg_codec import encode_jpeg
+    from marmaray_spark.operators.multimodal import (attach_media_metadata,
+                                                     extract_image_features)
+
+    yy, xx = np.mgrid[0:33, 0:47]
+    img = np.stack([xx * 5 % 256, yy * 7 % 256,
+                    (xx + yy) % 256], axis=2).astype(np.uint8)
+    payload = encode_jpeg(img, quality=85, subsampling="420")
+    df = attach_media_metadata(spark.createDataFrame(
+        [(1, "image", payload)], ["media_id", "media_type", "payload"]))
+    row = extract_image_features(df).first()
+    assert (row["width"], row["height"], row["channels"]) == (47, 33, 3)
 
 
 def test_real_jpeg_decode_with_pil(spark):
