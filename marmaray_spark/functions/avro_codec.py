@@ -80,6 +80,10 @@ def _logical_of(s) -> dict | None:
     if lt == "decimal" and t == "bytes":
         return {"lt": "decimal", "precision": int(s.get("precision", 38)),
                 "scale": int(s.get("scale", 0))}
+    if lt == "decimal" and t == "fixed":
+        return {"lt": "decimal", "precision": int(s.get("precision", 38)),
+                "scale": int(s.get("scale", 0)),
+                "fixed_size": int(s.get("size", 0))}
     return None
 
 
@@ -130,7 +134,8 @@ def _to_wire(lg: dict, v):
         if unscaled != unscaled_d:
             raise AvroCodecError(
                 f"decimal {v} does not fit scale {lg['scale']}")
-        length = max(1, (unscaled.bit_length() + 8) // 8)
+        length = lg.get("fixed_size") or \
+            max(1, (unscaled.bit_length() + 8) // 8)
         return unscaled.to_bytes(length, "big", signed=True)
     except AvroCodecError:
         raise
@@ -177,6 +182,10 @@ def avro_to_structtype(avsc: str | dict) -> T.StructType:
         t = s["type"]
         if t == "record":
             return avro_to_structtype(s), False
+        if t == "enum":
+            return T.StringType(), False
+        if t == "fixed":
+            return T.BinaryType(), False
         if t == "array":
             dt, nullable = field_type(s["items"])
             return T.ArrayType(dt, nullable), False
@@ -241,9 +250,25 @@ def _encode(schema, val, out: bytearray) -> None:
         return
     lg = _logical_of(schema)
     if lg is not None:
-        _encode(schema["type"], _to_wire(lg, val), out)
+        wire = _to_wire(lg, val)
+        if "fixed_size" in lg:
+            out += wire                      # fixed: raw bytes, no prefix
+        else:
+            _encode(schema["type"], wire, out)
         return
     t = schema["type"]
+    if t == "enum":
+        symbols = schema.get("symbols", [])
+        if val not in symbols:
+            raise AvroCodecError(f"enum value {val!r} not in {symbols}")
+        _write_long(symbols.index(val), out)
+        return
+    if t == "fixed":
+        size = int(schema.get("size", 0))
+        if not isinstance(val, (bytes, bytearray)) or len(val) != size:
+            raise AvroCodecError(f"fixed({size}) got {val!r}")
+        out += val
+        return
     if t == "record":
         for f in schema["fields"]:
             _encode(f["type"], None if val is None else val.get(f["name"]), out)
@@ -286,7 +311,10 @@ def _flat_record_steps(schema):
         if isinstance(t, str) and t in PRIMITIVES:
             return t, None
         lg = _logical_of(t)
-        if lg is not None:
+        # only logical annotations over PLAIN primitives ride the fast
+        # paths; fixed-backed decimals (no length prefix) need the
+        # general codec's byte-exact handling
+        if lg is not None and t.get("type") in PRIMITIVES:
             return t["type"], lg
         return None
 
@@ -424,9 +452,25 @@ def _decode(schema, buf: bytes, pos: int) -> tuple[Any, int]:
         raise AvroCodecError(f"unsupported primitive {t!r}")
     lg = _logical_of(schema)
     if lg is not None:
+        if "fixed_size" in lg:
+            size = lg["fixed_size"]
+            if pos + size > len(buf):
+                raise AvroCodecError("truncated fixed decimal")
+            return _from_wire(lg, bytes(buf[pos:pos + size])), pos + size
         v, pos = _decode(schema["type"], buf, pos)
         return _from_wire(lg, v), pos
     t = schema["type"]
+    if t == "enum":
+        idx, pos = _read_long(buf, pos)
+        symbols = schema.get("symbols", [])
+        if not 0 <= idx < len(symbols):
+            raise AvroCodecError(f"enum index {idx} out of range")
+        return symbols[idx], pos
+    if t == "fixed":
+        size = int(schema.get("size", 0))
+        if pos + size > len(buf):
+            raise AvroCodecError("truncated fixed")
+        return bytes(buf[pos:pos + size]), pos + size
     if t == "record":
         rec = {}
         for f in schema["fields"]:

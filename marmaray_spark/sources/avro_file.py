@@ -78,7 +78,7 @@ def parse_ocf_header(data: bytes) -> tuple[dict, str, bytes, int]:
         raise AvroCodecError("OCF header missing avro.schema")
     schema = parse_schema(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise AvroCodecError(f"unsupported OCF codec {codec!r}")
     sync = data[pos:pos + SYNC_SIZE]
     return schema, codec, sync, pos + SYNC_SIZE
@@ -120,6 +120,18 @@ def iter_ocf_blocks(data: bytes):
             block, crc = uncompress(block[:-4]), block[-4:]
             if zlib.crc32(block) & 0xFFFFFFFF != int.from_bytes(crc, "big"):
                 raise AvroCodecError("snappy OCF block CRC mismatch")
+        elif codec == "bzip2":
+            import bz2
+            try:
+                block = bz2.decompress(block)
+            except (OSError, ValueError) as e:
+                raise AvroCodecError(f"bzip2 OCF block: {e}") from e
+        elif codec == "xz":
+            import lzma
+            try:
+                block = lzma.decompress(block)
+            except lzma.LZMAError as e:
+                raise AvroCodecError(f"xz OCF block: {e}") from e
         bpos = 0
         records = []
         try:
@@ -181,6 +193,12 @@ def write_ocf(path: str, avsc: str | dict, records: list[dict],
             from marmaray_spark.functions.snappy_codec import compress
             payload = compress(payload) + \
                 (zlib.crc32(bytes(body)) & 0xFFFFFFFF).to_bytes(4, "big")
+        elif codec == "bzip2":
+            import bz2
+            payload = bz2.compress(payload)
+        elif codec == "xz":
+            import lzma
+            payload = lzma.compress(payload)
         _write_long(len(chunk), out)
         _write_long(len(payload), out)
         out += payload

@@ -291,3 +291,11 @@ def test_ocf_snappy_streaming(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
     assert got == sorted(r["id"] for r in ROWS[:25])
+
+
+@pytest.mark.parametrize("codec", ["bzip2", "xz"])
+def test_ocf_stdlib_codecs_roundtrip(tmp_path, codec):
+    p = tmp_path / f"{codec}.avro"
+    write_ocf(str(p), AVSC, ROWS, codec=codec, records_per_block=100)
+    _, got = read_ocf_bytes(p.read_bytes())
+    assert got == ROWS

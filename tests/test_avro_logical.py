@@ -264,3 +264,69 @@ def test_spark_encode_decode_roundtrip_logical(spark):
     got = sorted(map(tuple, back.collect()))
     want = sorted(map(tuple, src.collect()))
     assert got == want
+
+
+# -- enum / fixed (named types on the wire) ---------------------------------
+
+ENUM_FIXED_AVSC = {"type": "record", "name": "ef", "fields": [
+    {"name": "color", "type": {"type": "enum", "name": "Color",
+                               "symbols": ["RED", "GREEN", "BLUE"]}},
+    {"name": "digest", "type": {"type": "fixed", "name": "MD5", "size": 4}},
+    {"name": "price", "type": {"type": "fixed", "name": "Dec", "size": 5,
+                               "logicalType": "decimal",
+                               "precision": 10, "scale": 2}},
+    {"name": "maybe", "type": ["null", {"type": "enum", "name": "Flag",
+                                        "symbols": ["ON", "OFF"]}]},
+]}
+
+EF_ROW = {"color": "GREEN", "digest": b"\x01\x02\x03\x04",
+          "price": Decimal("-12.34"), "maybe": "OFF"}
+
+
+def test_enum_fixed_roundtrip():
+    payload = encode_record(ENUM_FIXED_AVSC, EF_ROW)
+    assert decode_record(ENUM_FIXED_AVSC, payload) == EF_ROW
+    # fixed decimal occupies EXACTLY size bytes on the wire
+    # enum GREEN = index 1 -> zigzag varint 0x02
+    assert payload[0] == 0x02
+
+
+def test_enum_fixed_structtype():
+    by = {f.name: f.dataType for f in
+          avro_to_structtype(ENUM_FIXED_AVSC).fields}
+    assert by["color"] == T.StringType()
+    assert by["digest"] == T.BinaryType()
+    assert by["price"] == T.DecimalType(10, 2)
+
+
+def test_enum_fixed_hostile_values():
+    with pytest.raises(AvroCodecError, match="enum"):
+        encode_record(ENUM_FIXED_AVSC, dict(EF_ROW, color="MAGENTA"))
+    with pytest.raises(AvroCodecError, match="fixed"):
+        encode_record(ENUM_FIXED_AVSC, dict(EF_ROW, digest=b"\x01"))
+    with pytest.raises(AvroCodecError):
+        encode_record(ENUM_FIXED_AVSC,
+                      dict(EF_ROW, price=Decimal("99999999.99")
+                           * 10**10))          # overflows 5 bytes
+    good = encode_record(ENUM_FIXED_AVSC, EF_ROW)
+    with pytest.raises(AvroCodecError):
+        decode_record(ENUM_FIXED_AVSC, good[:3])   # truncated fixed
+    with pytest.raises(AvroCodecError, match="enum index"):
+        decode_record(ENUM_FIXED_AVSC, b"\x63" + good[1:])
+
+
+def test_enum_fixed_spark_roundtrip(spark):
+    src = [(("RED", b"\xAA\xBB\xCC\xDD", Decimal("7.77"), None)),
+           (("BLUE", b"\x00\x00\x00\x00", Decimal("-0.05"), "ON"))]
+    df = spark.createDataFrame(
+        src, T.StructType([
+            T.StructField("color", T.StringType()),
+            T.StructField("digest", T.BinaryType()),
+            T.StructField("price", T.DecimalType(10, 2)),
+            T.StructField("maybe", T.StringType()),
+        ]))
+    wire = encode_avro(df, ENUM_FIXED_AVSC, out_col="p")
+    back = decode_avro(wire, ENUM_FIXED_AVSC, value_col="p") \
+        .select("color", "digest", "price", "maybe")
+    assert sorted(map(tuple, back.collect()), key=str) == \
+        sorted(src, key=str)
