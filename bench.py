@@ -71,8 +71,6 @@ HEADLINE = [
     "table_profile",
     "dedup_modality_agreement",
     "language_report",
-    # round 6 additions
-    "avro_logical_decode",
 ]
 
 
