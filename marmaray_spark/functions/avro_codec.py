@@ -669,28 +669,54 @@ def compile_batch_encoder(avsc: str | dict):
 
         for name, t, null_idx, lg in steps:
             seq = cols[name]
-            if lg is not None:
-                # logical field: convert to wire primitives up front so
-                # the existing primitive plans apply; a value _to_wire
-                # rejects (or anything exotic) routes the ROW to the
-                # reference per-row encoder, whose outcome is
-                # authoritative (same parity-by-construction contract)
-                src = as_object(seq)
-                conv = np.empty(n_rows, object)
-                for i, v in enumerate(src):
-                    if v is None:
-                        continue
-                    try:
-                        if v != v:               # NaT / Decimal('NaN')
-                            continue
-                        conv[i] = _to_wire(lg, v)
-                    except Exception:
-                        slow[i] = True
-                seq = conv
             dtype_kind = getattr(getattr(seq, "dtype", None), "kind", None)
             none_mask = np.zeros(n_rows, bool)
             vals = None
-            if dtype_kind in INT_KINDS and t in ("int", "long"):
+            logical_done = False
+            if lg is not None:
+                lt = lg["lt"]
+                if dtype_kind == "M" and lt != "date" and lt != "decimal":
+                    # datetime64 column -> epoch ticks in ONE vector op
+                    # (the per-value datetime arithmetic was the measured
+                    # hot spot: 3.6s/150k rows -> vectorized)
+                    arr = np.asarray(seq, "datetime64[ns]")
+                    none_mask = np.isnat(arr)
+                    div = 1_000_000 if lt.endswith("millis") else 1_000
+                    vals = np.where(none_mask, np.int64(0),
+                                    arr.astype(np.int64) // div)
+                    logical_done = True
+                elif lt == "date":
+                    obj = as_object(seq)
+                    none_mask = np.fromiter((v is None for v in obj),
+                                            bool, n_rows)
+                    vals = np.zeros(n_rows, np.int64)
+                    ep = _EPOCH_DATE.toordinal()
+                    for i in np.nonzero(~none_mask)[0]:
+                        try:            # toordinal is a C method: cheap
+                            vals[i] = obj[i].toordinal() - ep
+                        except (AttributeError, TypeError):
+                            slow[i] = True
+                    logical_done = True
+                else:
+                    # decimal / exotic: per-value reference conversion;
+                    # a value _to_wire rejects routes the ROW to the
+                    # per-row encoder, whose outcome is authoritative
+                    src = as_object(seq)
+                    conv = np.empty(n_rows, object)
+                    for i, v in enumerate(src):
+                        if v is None:
+                            continue
+                        try:
+                            if v != v:           # NaT / Decimal('NaN')
+                                continue
+                            conv[i] = _to_wire(lg, v)
+                        except Exception:
+                            slow[i] = True
+                    seq = conv
+                    dtype_kind = None
+            if logical_done:
+                pass                    # vals/none_mask ready for plans
+            elif dtype_kind in INT_KINDS and t in ("int", "long"):
                 vals = np.asarray(seq, np.int64)
             elif dtype_kind == "f" and t in ("int", "long"):
                 f = np.asarray(seq, np.float64)

@@ -198,7 +198,7 @@ def avro_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": "value", "type": ["null", "double"]},
         {"name": "props", "type": ["null", "string"]},
     ]}
-    events = load(spark, sf_dir, "events").select(
+    events = spread(load(spark, sf_dir, "events"), spark).select(
         "event_id", "user_id", "event_type", "value", "props")
     reg = FileSystemSchemaRegistry(tempfile.mkdtemp(prefix="avroreg_"))
     reg.put_avro_schema("event", avsc)
@@ -323,7 +323,7 @@ def _avro_logical_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     {"type": "bytes", "logicalType": "decimal",
                                      "precision": 12, "scale": 2}]},
     ]}
-    orders = load(spark, sf_dir, "orders").select(
+    orders = spread(load(spark, sf_dir, "orders"), spark).select(
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("day"),
         F.col("o_orderdate").alias("at"),
