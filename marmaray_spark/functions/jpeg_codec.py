@@ -187,8 +187,19 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
     Raises MediaCodecError on non-baseline or corrupt input — uniform
-    with the other codecs so hostile payloads fork to the error channel.
-    """
+    with the other codecs so hostile payloads fork to the error channel
+    (ONLY MediaCodecError escapes; pinned by byte-flip mutational fuzz
+    in tests/test_jpeg_codec.py)."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except MediaCodecError:
+        raise
+    except (IndexError, KeyError, ValueError, OverflowError,
+            ZeroDivisionError, struct.error, MemoryError) as e:
+        raise MediaCodecError(f"jpeg: corrupt stream: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise MediaCodecError("jpeg: missing SOI")
@@ -242,7 +253,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 count = sum(bits)
                 values = list(seg[p:p + count])
                 p += count
-                if len(values) != count:
+                if len(bits) != 16 or len(values) != count:
                     raise MediaCodecError("jpeg: truncated DHT")
                 htables[(tc, th)] = _build_decode_table(bits, values)
         elif marker == 0xDD:            # DRI
@@ -251,6 +262,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise MediaCodecError("jpeg: only 8-bit baseline supported")
+            if h == 0 or w == 0 or h * w > (1 << 28):
+                # cap: a flipped dimension byte must not drive multi-GB
+                # plane allocations before the stream proves itself
+                raise MediaCodecError(f"jpeg: implausible dims {h}x{w}")
             comps = []
             for ci in range(nc):
                 cid = seg[6 + 3 * ci]

@@ -299,3 +299,20 @@ def test_ocf_stdlib_codecs_roundtrip(tmp_path, codec):
     write_ocf(str(p), AVSC, ROWS, codec=codec, records_per_block=100)
     _, got = read_ocf_bytes(p.read_bytes())
     assert got == ROWS
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_ocf_parser_never_leaks_raw_exceptions(data):
+    """Fuzz the OCF framing with arbitrary bytes (and with a valid magic
+    prefix grafted on): the quarantine contract is that ONLY
+    AvroCodecError escapes — any IndexError/KeyError/struct.error out of
+    the parser would crash the forked read instead of quarantining."""
+    from marmaray_spark.functions.avro_codec import AvroCodecError
+    from marmaray_spark.sources.avro_file import iter_ocf_blocks
+    for payload in (data, b"Obj\x01" + data):
+        try:
+            for _ in iter_ocf_blocks(payload):
+                pass
+        except AvroCodecError:
+            pass
