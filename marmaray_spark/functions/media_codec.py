@@ -313,3 +313,21 @@ def encode_jpeg_best(pixels: np.ndarray, quality: int = 90) -> bytes:
         return encode_jpeg_pil(pixels, quality)
     from marmaray_spark.functions.jpeg_codec import encode_jpeg
     return encode_jpeg(pixels, quality=quality)
+
+
+def looks_like_flac(payload: bytes) -> bool:
+    return payload[:4] == b"fLaC"
+
+
+def decode_audio_best(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Compressed audio -> (sample_rate, channels, interleaved samples):
+    soundfile/libsndfile when the wheel exists; FLAC additionally decodes
+    through the pure-Python codec (functions/flac_codec.py) so the
+    dominant lossless format works FOR REAL in this environment. Same
+    contract as decode_wav."""
+    if soundfile_available():
+        return decode_audio_soundfile(payload)
+    if looks_like_flac(bytes(payload[:4])):
+        from marmaray_spark.functions.flac_codec import decode_flac
+        return decode_flac(payload)
+    raise MediaCodecError("no decoder for this audio payload in env")

@@ -111,11 +111,16 @@ def _decode_audio(payload: bytes) -> tuple[int, int]:
         from marmaray_spark.functions.media_codec import decode_wav
         rate, channels, samples = decode_wav(bytes(payload))
         return rate, len(samples) // max(channels, 1)
-    from marmaray_spark.functions.media_codec import (decode_audio_soundfile,
+    from marmaray_spark.functions.media_codec import (decode_audio_best,
+                                                      looks_like_flac,
                                                       looks_like_mp3,
                                                       soundfile_available)
-    if looks_like_mp3(bytes(payload[:3])) and soundfile_available():
-        rate, channels, samples = decode_audio_soundfile(bytes(payload))
+    if looks_like_flac(bytes(payload[:4])) or \
+            (looks_like_mp3(bytes(payload[:3])) and soundfile_available()):
+        # FLAC decodes for real either way (pure-Python codec in
+        # functions/flac_codec.py when soundfile is absent); MP3 needs
+        # the soundfile wheel
+        rate, channels, samples = decode_audio_best(bytes(payload))
         return rate, len(samples) // max(channels, 1)
     return 16000, len(payload) * 4
 
@@ -173,15 +178,23 @@ AUDIO_FEATURES_SCHEMA = ("media_id long, sample_rate int, n_samples long, "
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """Audio decode + features via mapInPandas: sample rate, sample
     count, integer duration and RMS loudness (milli-units). REAL for
-    PCM-16 WAV payloads; stub-decoded otherwise (rms -1 marks the stub
-    path so downstream filters can tell)."""
+    PCM-16 WAV and FLAC payloads (FLAC via the pure-Python codec in
+    functions/flac_codec.py when soundfile is absent); stub-decoded
+    otherwise (rms -1 marks the stub path so downstream filters can
+    tell)."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from marmaray_spark.functions.media_codec import (decode_wav,
+        from marmaray_spark.functions.media_codec import (decode_audio_best,
+                                                          decode_wav,
+                                                          looks_like_flac,
                                                           wav_rms_milli)
 
         def one(payload):
             if payload is not None and bytes(payload[:4]) == b"RIFF":
                 rate, channels, samples = decode_wav(bytes(payload))
+                n = len(samples) // max(channels, 1)
+                return rate, n, n * 1000 // rate, wav_rms_milli(samples)
+            if payload is not None and looks_like_flac(bytes(payload[:4])):
+                rate, channels, samples = decode_audio_best(bytes(payload))
                 n = len(samples) // max(channels, 1)
                 return rate, n, n * 1000 // rate, wav_rms_milli(samples)
             rate, n = _decode_audio(payload)
