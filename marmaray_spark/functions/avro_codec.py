@@ -88,18 +88,24 @@ def _logical_of(s) -> dict | None:
 
 
 def _from_wire(lg: dict, v):
-    """Underlying-primitive wire value -> logical Python value."""
+    """Underlying-primitive wire value -> logical Python value. A wire
+    value outside the logical type's domain (e.g. a day count past
+    year 9999) is a codec error, not a task-killing OverflowError —
+    hostile payloads must fork to the error channel."""
     lt = lg["lt"]
-    if lt == "date":
-        return _EPOCH_DATE + _DT.timedelta(days=int(v))
-    if lt == "timestamp-millis":
-        return _EPOCH_UTC + _DT.timedelta(milliseconds=int(v))
-    if lt == "timestamp-micros":
-        return _EPOCH_UTC + _DT.timedelta(microseconds=int(v))
-    if lt == "local-timestamp-millis":
-        return _EPOCH_NAIVE + _DT.timedelta(milliseconds=int(v))
-    if lt == "local-timestamp-micros":
-        return _EPOCH_NAIVE + _DT.timedelta(microseconds=int(v))
+    try:
+        if lt == "date":
+            return _EPOCH_DATE + _DT.timedelta(days=int(v))
+        if lt == "timestamp-millis":
+            return _EPOCH_UTC + _DT.timedelta(milliseconds=int(v))
+        if lt == "timestamp-micros":
+            return _EPOCH_UTC + _DT.timedelta(microseconds=int(v))
+        if lt == "local-timestamp-millis":
+            return _EPOCH_NAIVE + _DT.timedelta(milliseconds=int(v))
+        if lt == "local-timestamp-micros":
+            return _EPOCH_NAIVE + _DT.timedelta(microseconds=int(v))
+    except OverflowError as e:
+        raise AvroCodecError(f"{lt} value {v!r} out of range: {e}") from e
     # decimal
     unscaled = int.from_bytes(v, "big", signed=True)
     return _DEC.Decimal(unscaled).scaleb(-lg["scale"])
@@ -1075,13 +1081,50 @@ def compile_batch_decoder(avsc: str | dict):
 
         slow[~slow & (pos != ends)] = True   # trailing bytes
         # logical conversion for vector-decoded rows (slow rows get the
-        # already-converted values from the per-row decoder below)
+        # already-converted values from the per-row decoder below).
+        # Timestamps convert through ONE pandas vector op when the ticks
+        # fit datetime64[ns]; out-of-range ticks (or hostile values past
+        # the logical domain) fall back per value, where AvroCodecError
+        # routes the row to the slow path.
         for name, t, null_idx, lg in steps:
             if lg is None:
                 continue
             col = cols[name]
-            for i in np.nonzero(~slow)[0]:
-                if col[i] is not None:
+            lt = lg["lt"]
+            sel = [i for i in np.nonzero(~slow)[0] if col[i] is not None]
+            if not sel:
+                continue
+            if lt != "decimal":
+                done = False
+                if lt != "date":
+                    import pandas as pd
+                    ticks = np.fromiter((col[i] for i in sel), np.int64,
+                                        len(sel))
+                    try:
+                        vals = pd.to_datetime(
+                            ticks,
+                            unit="ms" if lt.endswith("millis") else "us",
+                            utc=not lt.startswith("local")).to_pydatetime()
+                        if lt.startswith("local"):
+                            pass        # already naive
+                        for j, i in enumerate(sel):
+                            col[i] = vals[j]
+                        done = True
+                    except Exception:
+                        done = False    # out-of-ns-range: per-value path
+                if not done:
+                    ep = _EPOCH_DATE.toordinal()
+                    for i in sel:
+                        try:
+                            if lt == "date":
+                                col[i] = _DT.date.fromordinal(
+                                    ep + int(col[i]))
+                            else:
+                                col[i] = _from_wire(lg, col[i])
+                        except (AvroCodecError, ValueError, OverflowError):
+                            slow[i] = True
+            else:
+                for i in sel:
                     col[i] = _from_wire(lg, col[i])
         ok = np.ones(n_rows, bool)
         for i in np.nonzero(slow)[0]:

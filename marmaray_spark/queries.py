@@ -97,7 +97,17 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     when the scan already yields at least half the cluster's parallelism
     (any real 100 TB table does), no shuffle is added."""
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 >= n:
+    # the partition probe costs a driver-side plan->RDD conversion
+    # (~30-50ms); load() returns memoized frames, so pin the answer on
+    # the frame itself and every later spread() of that scan is free
+    parts = getattr(df, "_mm_nparts", None)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+        try:
+            df._mm_nparts = parts
+        except AttributeError:
+            pass
+    if parts * 2 >= n:
         return df
     return df.repartition(n)
 

@@ -330,3 +330,31 @@ def test_enum_fixed_spark_roundtrip(spark):
         .select("color", "digest", "price", "maybe")
     assert sorted(map(tuple, back.collect()), key=str) == \
         sorted(src, key=str)
+
+
+def test_out_of_range_logical_values_fork_not_crash():
+    """A wire value past the logical domain (day count beyond year 9999)
+    must produce ok=False through BOTH decoder paths, never a raw
+    OverflowError (task-killer)."""
+    plain = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"}, {"name": "day", "type": "int"}]}
+    logical = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}}]}
+    hostile = encode_record(plain, {"id": 1, "day": 2**30})   # ~2.9M years
+    good = encode_record(plain, {"id": 2, "day": 100})
+    with pytest.raises(AvroCodecError, match="out of range"):
+        decode_record(logical, hostile)
+    cols, ok = compile_batch_decoder(logical)([good, hostile])
+    assert ok == [True, False]
+    assert cols["day"][0] == dt.date(1970, 4, 11) and cols["day"][1] is None
+
+
+def test_batch_decode_timestamps_beyond_ns_range():
+    """Ticks outside pandas' datetime64[ns] window (year 2262+) must
+    still decode exactly via the per-value fallback."""
+    far = dt.datetime(2400, 6, 1, 12, 0, 0, tzinfo=UTC)
+    row = dict(ROW, at_us=far, at_ms=None)
+    cols, ok = compile_batch_decoder(LOGICAL_AVSC)(
+        [encode_record(LOGICAL_AVSC, row)])
+    assert ok == [True] and cols["at_us"][0] == far
