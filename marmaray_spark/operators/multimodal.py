@@ -90,6 +90,10 @@ def _decode_image(payload: bytes) -> tuple[int, int, int]:
         # pure-numpy baseline decoder (functions/jpeg_codec.py)
         px = decode_jpeg_best(bytes(payload))
         return px.shape[1], px.shape[0], px.shape[2]
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        from marmaray_spark.functions.gif_codec import decode_gif
+        px = decode_gif(bytes(payload))
+        return px.shape[1], px.shape[0], px.shape[2]
     if pil_available():
         try:
             px = decode_image_pil(bytes(payload))   # WebP/GIF/TIFF/...
@@ -263,17 +267,48 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
 
 
-def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """STUB frame sampler: emits one 'frame' per every_n_bytes slice of the
-    payload (a real video kernel emits decoded frames at a stride). Shows
-    the 1->N batch fan-out shape under mapInPandas."""
+def sample_frames(df: DataFrame, every_n_bytes: int = 64,
+                  stride: int = 1, max_frames: int = 16) -> DataFrame:
+    """Frame sampler with the 1->N batch fan-out shape under mapInPandas.
+
+    REAL for MJPEG AVI containers (functions/avi_codec.py walks the
+    RIFF chunk tree; each sampled frame's payload is its independent
+    baseline JPEG, decodable by functions/jpeg_codec.py) and for
+    animated GIFs (functions/gif_codec.py composites frames; each
+    sampled frame re-encodes as PNG, the lossless in-env format).
+    ``stride`` keeps every stride-th frame up to ``max_frames``. Other
+    containers fall back to the deterministic byte-slice stub so the
+    pipeline shape stays testable with codec-less payloads."""
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from marmaray_spark.functions.avi_codec import (decode_avi_frames,
+                                                        looks_like_avi,
+                                                        parse_avi)
+        from marmaray_spark.functions.gif_codec import decode_gif_frames
+        from marmaray_spark.functions.media_codec import encode_png
+
+        def one(mid, payload) -> list:
+            rows = []
+            p = bytes(payload)
+            if looks_like_avi(p[:12]):
+                raw = parse_avi(p)["frames"]
+                for idx, f in enumerate(raw[::max(stride, 1)][:max_frames]):
+                    rows.append((mid, idx, f))          # JPEG bytes
+                return rows
+            if p[:6] in (b"GIF87a", b"GIF89a"):
+                frames = decode_gif_frames(p, max_frames * max(stride, 1))
+                for idx, f in enumerate(frames[::max(stride, 1)][:max_frames]):
+                    rows.append((mid, idx, encode_png(f)))
+                return rows
+            for idx, start in enumerate(range(0, len(p), every_n_bytes)):
+                rows.append((mid, idx, p[start:start + every_n_bytes]))
+            return rows
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for idx, start in enumerate(range(0, len(payload), every_n_bytes)):
-                    rows.append((mid, idx, bytes(payload[start:start + every_n_bytes])))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
+                rows.extend(one(mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "frame_payload"])
 
     cols = df.filter(F.col("media_type") == "video").select("media_id", "payload")
     return cols.mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
