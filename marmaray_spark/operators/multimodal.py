@@ -250,6 +250,13 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 px = resize_nearest(decode_jpeg_best(bytes(payload))[:, :, :3],
                                     target_w, target_h)
                 return encode_jpeg_best(px)
+            if payload is not None \
+                    and bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+                # first frame, re-encoded lossless (PNG) at the new size
+                from marmaray_spark.functions.gif_codec import decode_gif
+                px = resize_nearest(decode_gif(bytes(payload)),
+                                    target_w, target_h)
+                return encode_png(px)
             return payload
 
         for pdf in batches:

@@ -151,3 +151,17 @@ def test_image_features_real_gif_dims(spark):
         ["media_id", "media_type", "payload"]))
     row = extract_image_features(df).first()
     assert (row["width"], row["height"], row["channels"]) == (34, 21, 3)
+
+
+def test_resize_gif_payload(spark):
+    from marmaray_spark.functions.media_codec import decode_png
+    from marmaray_spark.operators.multimodal import (attach_media_metadata,
+                                                     resize_images)
+    rng = np.random.default_rng(9)
+    fr = rng.integers(0, len(PAL), (20, 28)).astype(np.uint8)
+    df = attach_media_metadata(spark.createDataFrame(
+        [(1, "image", encode_gif([fr], PAL))],
+        ["media_id", "media_type", "payload"]))
+    row = resize_images(df, 14, 10).first()
+    out = decode_png(bytes(row["payload"]))
+    assert out.shape == (10, 14, 3)
