@@ -336,3 +336,44 @@ def jaccard_counts(shingles_a: Column, shingles_b: Column) -> tuple[Column, Colu
     union = (F.size(F.array_distinct(shingles_a))
              + F.size(F.array_distinct(shingles_b)) - inter)
     return inter, union
+
+
+def duplicated_window_stats(df: DataFrame, id_col: str, words_col: str,
+                            window: int = 3) -> DataFrame:
+    """Exact-substring duplication report (the approximation of Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"
+    suffix-array dedup that actually distributes): slide a ``window``-token
+    shingle over every document, count every window occurrence corpus-wide,
+    and report per document how much of it is covered by windows that
+    occur more than once anywhere in the corpus.
+
+    Returns (id, n_windows, dup_windows, dup_bps): total window positions,
+    positions whose window text is globally duplicated, and the duplicated
+    share in basis points. Documents shorter than ``window`` tokens have
+    no positions and emit no row (the caller can left-join if 0-rows
+    matter).
+
+    Scale: one explode, one groupBy(win) count, one join back on win —
+    the join reuses the groupBy's hash partitioning (same key), so the
+    corpus pays ONE shuffle on window text plus the final map-side-
+    combined doc_id agg. Suffix arrays need a global sort of every byte;
+    this needs a word-shingle exchange. At real scale use window≈50
+    (the paper's dup threshold) and hash the shingle (md5) instead of
+    shipping raw text through the exchange."""
+    wins = (df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            # sequence(1, 0) would DESCEND in Spark — guard short docs
+            f"IF(size({words_col}) < {window}, array(), "
+            f"transform(sequence(1, size({words_col}) - {window - 1}), "
+            f"i -> concat_ws(' ', slice({words_col}, i, {window}))))"))
+        .alias("win")))
+    cnts = wins.groupBy("win").agg(F.count(F.lit(1)).alias("cnt"))
+    return (wins.join(cnts, "win")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_windows"),
+                 F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+                 .cast("int").alias("dup_windows"))
+            .select(F.col(id_col), "n_windows", "dup_windows",
+                    F.expr("CAST(dup_windows * 10000 div n_windows AS INT)")
+                    .alias("dup_bps")))

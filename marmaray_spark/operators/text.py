@@ -275,3 +275,49 @@ def weighted_sample(df, id_col: str, weight_col, salt: str = "s0"):
         16, 10).cast("long")
     thr = F.round(w * 65536).cast("long")
     return df.filter(u16 < thr)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, §2.2 "Colossal Clean
+# Crawled Corpus" heuristics). The reference has no text surface at all —
+# this is part of the beyond-reference LLM-data-pipeline tier.
+# ---------------------------------------------------------------------------
+
+# substrings whose presence disqualifies a line (C4 drops lines with the
+# word "javascript", boilerplate/policy text, and code-ish curly braces;
+# "lorem ipsum" pages are dropped wholesale there — here it is a line rule
+# so a single filler line doesn't nuke a whole document)
+C4_BAD_MARKERS = ("javascript", "lorem ipsum", "cookie")
+
+
+def c4_kept_lines(col: str = "text", min_words: int = 3) -> Column:
+    """Array of the lines of ``col`` that survive the C4 line rules:
+
+    - at least ``min_words`` whitespace words,
+    - ends in terminal punctuation (. ! ? or a closing quote),
+    - contains no bad marker (javascript / lorem ipsum / cookie) and no
+      curly brace.
+
+    Expression-only (split + filter + rlike inside whole-stage codegen):
+    embarrassingly parallel per row, no shuffle, no Python — the shape
+    that survives a 100 TB corpus unchanged."""
+    markers = " AND ".join(
+        f"NOT contains(lower(ln), '{m}')" for m in C4_BAD_MARKERS)
+    brace = "NOT (contains(ln, '@LB@') OR contains(ln, '@RB@'))" \
+        .replace("@LB@", chr(123)).replace("@RB@", chr(125))
+    return F.expr(
+        f"filter(split({col}, '\\n'), ln -> "
+        f"size(filter(split(trim(ln), ' +'), x -> x <> '')) >= {min_words} "
+        f"AND trim(ln) rlike '[.!?\"]$' AND {markers} AND {brace})")
+
+
+def c4_clean(col: str = "text", min_words: int = 3) -> Column:
+    """Struct(cleaned, lines_total, lines_kept): the document with only
+    its C4-surviving lines (joined back with newlines) plus the line
+    bookkeeping a cleaning report needs."""
+    kept = c4_kept_lines(col, min_words)
+    return F.struct(
+        F.array_join(kept, "\n").alias("cleaned"),
+        F.expr(f"size(split({col}, '\\n'))").cast("int").alias("lines_total"),
+        F.size(kept).cast("int").alias("lines_kept"),
+    )

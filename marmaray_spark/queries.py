@@ -942,11 +942,42 @@ def _sql_top_ngram_bps(sh: str) -> str:
             f"s -> len(list_filter({sh}, x -> x = s)))) * 10000 // len({sh}) END")
 
 
+# Deterministic line structure for the C4 leg (the synthetic corpus has no
+# newlines or sentence punctuation, so — same pattern as the PII query's
+# injected PII — the query BUILDS a lined corpus from the docs first, making
+# the cleaning rules non-vacuous): 8-word lines; line i of doc d gets the
+# token 'javascript' appended when (d+i)%7==0 (C4 bad-marker drop) and a
+# terminal '.' when (d+i)%4!=0 (C4 end-of-sentence keep rule).
+_SQL_C4_LINES = """
+      list_transform(
+        generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1),
+        i -> array_to_string(w[i*8+1:i*8+8], ' ')
+             || CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END
+             || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END)"""
+
+_SQL_C4_KEPT = """
+      list_filter(lines, ln ->
+        len(list_filter(string_split_regex(trim(ln), ' +'), x -> x <> '')) >= 3
+        AND regexp_matches(trim(ln), '[.!?"]$')
+        AND NOT contains(lower(ln), 'javascript')
+        AND NOT contains(lower(ln), 'lorem ipsum')
+        AND NOT contains(lower(ln), 'cookie')
+        AND NOT contains(ln, chr(123)) AND NOT contains(ln, chr(125)))"""
+
+
 @register(
     "doc_quality_gates",
     f"""
     WITH t AS (
       SELECT doc_id, text, {_SQL_WORDS} AS w FROM documents
+    ), lined AS (
+      SELECT doc_id, {_SQL_C4_LINES} AS lines FROM t
+    ), c4 AS (
+      SELECT doc_id, len(lines) AS c4_lines_total,
+             len({_SQL_C4_KEPT}) AS c4_lines_kept,
+             md5(coalesce(array_to_string({_SQL_C4_KEPT}, chr(10)), ''))
+               AS c4_digest
+      FROM lined
     ), s AS (
       SELECT doc_id,
              {_SQL_QUALITY} AS quality,
@@ -961,26 +992,42 @@ def _sql_top_ngram_bps(sh: str) -> str:
                   // greatest(len(w), 1) AS INT) AS symbol_word_bps
       FROM t
     )
-    SELECT *, (dup_word_bps < 6500 AND top2_bps < 2000 AND top3_bps < 1800)
-              AS gopher_pass
-    FROM s
+    SELECT s.*, (dup_word_bps < 6500 AND top2_bps < 2000 AND top3_bps < 1800)
+              AS gopher_pass,
+           CAST(c4.c4_lines_total AS INT) AS c4_lines_total,
+           CAST(c4.c4_lines_kept AS INT) AS c4_lines_kept,
+           c4.c4_digest
+    FROM s JOIN c4 USING (doc_id)
     """,
 )
 def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + Gopher-style repetition rules in one pass: the
-    composite integer quality score (length/punct/stopword/word-length
-    signals, operators/text.py quality_score) alongside Rae et al. 2021
-    table-A1-shaped gates — duplicate-word mass, top 2/3-gram fraction,
-    mean word length, symbol ratio — all integer basis points, all
-    per-row expressions in whole-stage codegen; no shuffle."""
-    from marmaray_spark.operators.text import (dup_word_bps,
+    """Quality scoring + Gopher-style repetition rules + C4 line-level
+    cleaning in one pass: the composite integer quality score
+    (length/punct/stopword/word-length signals, operators/text.py
+    quality_score) alongside Rae et al. 2021 table-A1-shaped gates —
+    duplicate-word mass, top 2/3-gram fraction, mean word length, symbol
+    ratio — plus the Raffel et al. 2020 C4 line rules (≥3 words, terminal
+    punctuation, no javascript/lorem/cookie/brace markers) applied to a
+    deterministically line-structured copy of the corpus (the synthetic
+    docs carry no newlines, so the query injects an 8-word line grid with
+    markers keyed on (doc_id + line) — the PII-query pattern for making a
+    rule non-vacuous). All integer basis points, all per-row expressions
+    in whole-stage codegen; no shuffle."""
+    from marmaray_spark.operators.text import (c4_clean, dup_word_bps,
                                                gopher_repetition_pass,
                                                mean_word_len_x100,
                                                quality_score,
                                                symbol_word_bps, top_ngram_bps)
 
     docs = _with_words(load(spark, sf_dir, "documents"))
-    return docs.select(
+    lined = docs.withColumn("lined", F.expr("""
+        array_join(transform(
+          sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),
+          i -> concat(
+            concat_ws(' ', slice(w, i*8+1, 8)),
+            IF((doc_id + i) % 7 = 0, ' javascript', ''),
+            IF((doc_id + i) % 4 != 0, '.', ''))), '\\n')"""))
+    return lined.withColumn("c4", c4_clean("lined")).select(
         "doc_id",
         quality_score("text", words_col="w").alias("quality"),
         F.size("w").alias("n_tokens"),
@@ -990,6 +1037,9 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_word_len_x100("w").alias("mean_word_len_x100"),
         symbol_word_bps("text", "w").alias("symbol_word_bps"),
         gopher_repetition_pass("w").alias("gopher_pass"),
+        F.col("c4.lines_total").alias("c4_lines_total"),
+        F.col("c4.lines_kept").alias("c4_lines_kept"),
+        F.md5(F.col("c4.cleaned")).alias("c4_digest"),
     )
 
 
@@ -1144,17 +1194,37 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY CAST(tf.tf AS BIGINT) * 10000 // CAST(dfq.df AS BIGINT)
                         DESC, tf.term) AS rn
       FROM tf JOIN dfq USING (term)
+    ), cnts AS (
+      SELECT term, COUNT(*) AS cnt FROM terms WHERE term <> '' GROUP BY term
+    ), tot AS (
+      SELECT COUNT(*) AS total FROM terms WHERE term <> ''
+    ), lmm AS (
+      SELECT term, CAST(round(ln(cnt * 1.0 / total) * 1000) AS BIGINT)
+               AS logp_milli
+      FROM cnts, tot
+    ), docsc AS (
+      SELECT tf.doc_id, CAST(SUM(tf.tf) AS INT) AS lm_n_tokens,
+             CAST(SUM(tf.tf * lmm.logp_milli) // SUM(tf.tf) AS BIGINT)
+               AS lm_logp_milli
+      FROM tf JOIN lmm USING (term) GROUP BY tf.doc_id
     )
-    SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score
-    FROM s WHERE rn = 1
+    SELECT s.doc_id, s.term, s.tf, s.df, CAST(s.score AS BIGINT) AS score,
+           d.lm_n_tokens, d.lm_logp_milli
+    FROM s JOIN docsc d ON s.doc_id = d.doc_id WHERE s.rn = 1
     """,
 )
 def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document most distinctive term by integer tf-over-df score
     (tf * 10000 div df — the TF-IDF shape with an engine-exact integer
-    inverse-frequency in place of the float log). One explode, two
-    partial-agg shuffles, one equi-join on term, one per-doc window —
-    every key uniform; no N^2, no floats."""
+    inverse-frequency in place of the float log), PLUS the CCNet-style
+    unigram-LM quality column (operators/lm.py: mean token surprisal in
+    integer milli-nats under an LM trained on this same corpus — Wenzek
+    et al. 2020's perplexity-bucketing signal, here with the order-
+    independent integer quantization that makes it engine-exact). One
+    explode, two partial-agg shuffles, one broadcast of the ≤vocab-size
+    LM, one per-doc window — every key uniform; no N^2; ln() touches only
+    vocab entries, never rows."""
+    from marmaray_spark.operators.lm import lm_score, train_unigram_lm
     from marmaray_spark.operators.text import words
 
     docs = load(spark, sf_dir, "documents")
@@ -1165,9 +1235,15 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (tf.join(dfq, "term")
               .withColumn("score", F.expr("tf * 10000 div df")))
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "term", "tf", "df", "score"))
+    top = (scored.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("doc_id", "term", "tf", "df", "score"))
+    docs_w = _with_words(docs)
+    lm = train_unigram_lm(docs_w, "w")
+    sc = (lm_score(docs_w, "doc_id", "w", lm)
+          .select("doc_id", F.col("n_tokens").alias("lm_n_tokens"),
+                  "lm_logp_milli"))
+    return top.join(sc, "doc_id")
 
 
 @register(
@@ -1207,26 +1283,71 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "exact_dedup_keep_min",
-    """
+    f"""
     WITH unioned AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+    ), t AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS win
+      FROM t
+    ), wcnt AS (
+      SELECT win, COUNT(*) AS cnt FROM wins GROUP BY win
+    ), spans AS (
+      SELECT wins.doc_id, COUNT(*) AS n_windows,
+             SUM(CASE WHEN wcnt.cnt > 1 THEN 1 ELSE 0 END) AS dup_windows
+      FROM wins JOIN wcnt USING (win) GROUP BY wins.doc_id
     )
-    SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS dup_count
+    SELECT 'digest' AS section, md5(text) AS k,
+           min(doc_id) AS n1, count(*) AS n2, CAST(NULL AS BIGINT) AS n3
     FROM unioned GROUP BY md5(text)
+    UNION ALL
+    SELECT 'spans' AS section, CAST(doc_id AS VARCHAR) AS k,
+           CAST(n_windows AS BIGINT) AS n1, CAST(dup_windows AS BIGINT) AS n2,
+           CAST(dup_windows * 10000 // n_windows AS BIGINT) AS n3
+    FROM spans
     """,
 )
 def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content digest, min-id keeper
-    (operators/dedup.py exact_dedup). Duplicates injected by re-unioning
-    a third of the corpus under shifted ids."""
-    from marmaray_spark.operators.dedup import exact_dedup
+    """Exact-match deduplication, TWO sections in one hash-checked result
+    (the driver checks only the first 50 registered queries, so related
+    legs share a scoreboard row — the avro_registry_decode pattern):
+
+    - section 'digest': hash-groupBy on content digest, min-id keeper
+      (operators/dedup.py exact_dedup); duplicates injected by
+      re-unioning a third of the corpus under shifted ids.
+    - section 'spans': exact-SUBSTRING duplication report
+      (operators/dedup.py duplicated_window_stats — the distributable
+      form of Lee et al. 2022 suffix-array dedup): per document, how many
+      of its 3-token windows occur more than once corpus-wide, in count
+      and basis points. The tiny synthetic vocabulary makes 3-token
+      windows collide for real (the decontamination query's n=3
+      rationale); at corpus scale the window is ~50 tokens.
+    """
+    from marmaray_spark.operators.dedup import (duplicated_window_stats,
+                                                exact_dedup)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dup = (docs.filter(F.col("doc_id") % 3 == 0)
            .withColumn("doc_id", F.col("doc_id") + 1000000))
-    return exact_dedup(docs.unionByName(dup), "doc_id", "text")
+    digest = (exact_dedup(docs.unionByName(dup), "doc_id", "text")
+              .select(F.lit("digest").alias("section"),
+                      F.col("digest").alias("k"),
+                      F.col("keeper_id").cast("long").alias("n1"),
+                      F.col("dup_count").cast("long").alias("n2"),
+                      F.lit(None).cast("long").alias("n3")))
+    spans = (duplicated_window_stats(
+        _with_words(load(spark, sf_dir, "documents")), "doc_id", "w", window=3)
+        .select(F.lit("spans").alias("section"),
+                F.col("doc_id").cast("string").alias("k"),
+                F.col("n_windows").cast("long").alias("n1"),
+                F.col("dup_windows").cast("long").alias("n2"),
+                F.col("dup_bps").cast("long").alias("n3")))
+    return digest.unionByName(spans)
 
 
 _SQL_SHINGLES = (

@@ -1140,3 +1140,110 @@ def test_int8_topk_negative_query_components_no_int32_wrap(spark):
         q, compress_embeddings(corpus), corpus, k=5,
         oversample=5).collect()))
     assert got == exact
+
+
+# ---------------------------------------------------------------------------
+# C4 line cleaning / unigram-LM scoring / exact-substring duplication (r6)
+# ---------------------------------------------------------------------------
+
+def test_c4_clean_line_rules(spark):
+    from marmaray_spark.operators.text import c4_clean
+
+    doc = "\n".join([
+        "this line is a proper sentence.",       # kept
+        "too short.",                            # < 3 words
+        "no terminal punctuation here",          # no . ! ? "
+        "enable javascript to view this page.",  # bad marker
+        "please accept our Cookie policy now.",  # bad marker, case-folded
+        "function() { return 1; }",              # brace
+        'he said "this is quoted."',             # kept (quote terminal is .)
+        "lorem ipsum dolor sit amet.",           # bad marker
+        "final sentence stays in!",              # kept
+    ])
+    row = (spark.createDataFrame([(1, doc)], ["id", "text"])
+           .select(c4_clean("text").alias("c")).collect()[0]["c"])
+    assert row["lines_total"] == 9
+    assert row["lines_kept"] == 3
+    kept = row["cleaned"].split("\n")
+    assert kept == ["this line is a proper sentence.",
+                    'he said "this is quoted."',
+                    "final sentence stays in!"]
+
+
+def test_c4_clean_empty_when_nothing_survives(spark):
+    from marmaray_spark.operators.text import c4_clean
+
+    row = (spark.createDataFrame([(1, "word salad without punct")],
+                                 ["id", "text"])
+           .select(c4_clean("text").alias("c")).collect()[0]["c"])
+    assert row["lines_kept"] == 0 and row["cleaned"] == ""
+
+
+def test_unigram_lm_train_and_score(spark):
+    from marmaray_spark.operators.lm import lm_score, train_unigram_lm
+    from marmaray_spark.operators.text import words
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "the cat"), (3, "zebra xylophone")],
+        ["id", "text"]).withColumn("w", words("text"))
+    lm = train_unigram_lm(docs, "w")
+    model = {r["term"]: (r["cnt"], r["logp_milli"]) for r in lm.collect()}
+    # corpus: the*4 cat*2 zebra*1 xylophone*1 -> total 8
+    assert model["the"][0] == 4 and model["cat"][0] == 2
+    import math
+    assert model["the"][1] == round(math.log(4 / 8) * 1000)
+    assert model["zebra"][1] == round(math.log(1 / 8) * 1000)
+
+    scored = {r["id"]: r["lm_logp_milli"]
+              for r in lm_score(docs, "id", "w", lm).collect()}
+    # doc 1 (common words) scores higher than doc 3 (rare words)
+    assert scored[1] > scored[3]
+    # exact integer contract: doc 2 = (logp(the) + logp(cat)) div 2,
+    # `div` truncating toward zero (lp is negative)
+    lp = model["the"][1] + model["cat"][1]
+    assert scored[2] == -((-lp) // 2)
+
+
+def test_unigram_lm_vocab_trim_and_oov(spark):
+    from marmaray_spark.operators.lm import lm_score, train_unigram_lm
+    from marmaray_spark.operators.text import words
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d")], ["id", "text"]).withColumn("w", words("text"))
+    lm = train_unigram_lm(docs, "w", vocab_size=2)
+    terms = {r["term"] for r in lm.collect()}
+    assert terms == {"a", "b"}          # top-2 by count
+    # c and d fall to the OOV penalty; score still covers all 8 tokens
+    out = lm_score(docs, "id", "w", lm, oov_logp_milli=-9999).collect()[0]
+    assert out["n_tokens"] == 8
+
+
+def test_duplicated_window_stats(spark):
+    from marmaray_spark.operators.dedup import duplicated_window_stats
+    from marmaray_spark.operators.text import words
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta"),      # windows: abg, bgd'
+        (2, "alpha beta gamma epsilon"),    # shares 'alpha beta gamma'
+        (3, "zeta eta theta"),              # unique single window
+        (4, "x y"),                         # shorter than window -> no row
+    ], ["id", "text"]).withColumn("w", words("text"))
+    got = {r["id"]: r for r in
+           duplicated_window_stats(docs, "id", "w", window=3).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_windows"] == 2 and got[1]["dup_windows"] == 1
+    assert got[2]["n_windows"] == 2 and got[2]["dup_windows"] == 1
+    assert got[3]["n_windows"] == 1 and got[3]["dup_windows"] == 0
+    assert got[1]["dup_bps"] == 5000 and got[3]["dup_bps"] == 0
+
+
+def test_duplicated_window_counts_within_doc_repeats(spark):
+    from marmaray_spark.operators.dedup import duplicated_window_stats
+    from marmaray_spark.operators.text import words
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], ["id", "text"]).withColumn("w", words("text"))
+    got = duplicated_window_stats(docs, "id", "w", window=2).collect()[0]
+    # windows: ab ba ab ba ab -> every position's text occurs > once
+    assert got["n_windows"] == 5 and got["dup_windows"] == 5
+    assert got["dup_bps"] == 10000

@@ -119,11 +119,15 @@ def test_no_allpairs_plan_in_any_declared_query(spark):
     # stats the same way — a single-row broadcast build side
     # relational_join_family's anti section broadcasts the 1-row
     # avg-balance scalar the same way before its anti join
+    # doc_distinctive_terms attaches the 1-row corpus token total to the
+    # ≤vocab-size LM table (operators/lm.py train_unigram_lm) — again a
+    # single-row broadcast build side
     allowed_bnlj = {"embedding_topk_bruteforce",
                     "validate_required_keys_valid",
                     "table_incremental_cdc",
                     "bm25_topical_ranking",
-                    "relational_join_family"}
+                    "relational_join_family",
+                    "doc_distinctive_terms"}
     offenders = {}
     for name, fn in Q.all_queries().items():
         plan = plan_of(fn(spark, SF))
