@@ -29,6 +29,7 @@ import datetime as _DT
 import decimal as _DEC
 import json
 import struct
+import uuid as _UUID
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame
@@ -77,6 +78,12 @@ def _logical_of(s) -> dict | None:
               "local-timestamp-millis", "local-timestamp-micros") \
             and t == "long":
         return {"lt": lt}
+    if lt == "time-millis" and t == "int":
+        return {"lt": lt}
+    if lt == "time-micros" and t == "long":
+        return {"lt": lt}
+    if lt == "uuid" and t == "string":
+        return {"lt": "uuid"}
     if lt == "decimal" and t == "bytes":
         return {"lt": "decimal", "precision": int(s.get("precision", 38)),
                 "scale": int(s.get("scale", 0))}
@@ -104,6 +111,18 @@ def _from_wire(lg: dict, v):
             return _EPOCH_NAIVE + _DT.timedelta(milliseconds=int(v))
         if lt == "local-timestamp-micros":
             return _EPOCH_NAIVE + _DT.timedelta(microseconds=int(v))
+        if lt in ("time-millis", "time-micros"):
+            unit = 1000 if lt == "time-millis" else 1
+            us = int(v) * unit
+            if not 0 <= us < 86_400_000_000:
+                raise AvroCodecError(f"{lt} value {v!r} not a time of day")
+            return (_DT.datetime.min + _DT.timedelta(microseconds=us)).time()
+        if lt == "uuid":
+            try:
+                _UUID.UUID(v)           # RFC-4122 validation only; the
+            except (ValueError, AttributeError, TypeError) as e:
+                raise AvroCodecError(f"invalid uuid {v!r}: {e}") from e
+            return v                    # string surface stays byte-exact
     except OverflowError as e:
         raise AvroCodecError(f"{lt} value {v!r} out of range: {e}") from e
     # decimal
@@ -123,6 +142,21 @@ def _to_wire(lg: dict, v):
             if isinstance(v, _DT.date):
                 return (v - _EPOCH_DATE).days
             return int(v)                      # already wire-form days
+        if lt in ("time-millis", "time-micros"):
+            unit = 1000 if lt == "time-millis" else 1
+            if isinstance(v, _DT.time):
+                us = ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000
+                      + v.microsecond)
+                return us // unit
+            v = int(v)
+            if not 0 <= v * unit < 86_400_000_000:
+                raise AvroCodecError(f"{lt} value {v!r} not a time of day")
+            return v                           # already wire-form ticks
+        if lt == "uuid":
+            if isinstance(v, _UUID.UUID):
+                return str(v)
+            _UUID.UUID(v)                      # raises on hostile strings
+            return v
         if lt.endswith("millis") or lt.endswith("micros"):
             unit = 1000 if lt.endswith("millis") else 1
             if isinstance(v, _DT.datetime):
@@ -184,6 +218,10 @@ def avro_to_structtype(avsc: str | dict) -> T.StructType:
                 return T.TimestampType(), False
             if lt in ("local-timestamp-millis", "local-timestamp-micros"):
                 return T.TimestampNTZType(), False
+            if lt in ("time-millis", "time-micros"):
+                return T.TimeType(), False
+            if lt == "uuid":
+                return T.StringType(), False
             return T.DecimalType(lg["precision"], lg["scale"]), False
         t = s["type"]
         if t == "record":
@@ -681,7 +719,7 @@ def compile_batch_encoder(avsc: str | dict):
             logical_done = False
             if lg is not None:
                 lt = lg["lt"]
-                if dtype_kind == "M" and lt != "date" and lt != "decimal":
+                if dtype_kind == "M" and "timestamp" in lt:
                     # datetime64 column -> epoch ticks in ONE vector op
                     # (the per-value datetime arithmetic was the measured
                     # hot spot: 3.6s/150k rows -> vectorized)
@@ -1094,7 +1132,7 @@ def compile_batch_decoder(avsc: str | dict):
             sel = [i for i in np.nonzero(~slow)[0] if col[i] is not None]
             if not sel:
                 continue
-            if lt != "decimal":
+            if "timestamp" in lt or lt == "date":
                 done = False
                 if lt != "date":
                     import pandas as pd
@@ -1124,8 +1162,15 @@ def compile_batch_decoder(avsc: str | dict):
                         except (AvroCodecError, ValueError, OverflowError):
                             slow[i] = True
             else:
+                # decimal / time-of-day / uuid: per-value conversion; a
+                # value past the logical domain (hostile time ticks, a
+                # non-RFC-4122 uuid string) routes the ROW to the per-row
+                # decoder, whose ok=False verdict is authoritative
                 for i in sel:
-                    col[i] = _from_wire(lg, col[i])
+                    try:
+                        col[i] = _from_wire(lg, col[i])
+                    except (AvroCodecError, ValueError, OverflowError):
+                        slow[i] = True
         ok = np.ones(n_rows, bool)
         for i in np.nonzero(slow)[0]:
             try:

@@ -1,4 +1,5 @@
-"""Pure-stdlib media codecs: uncompressed 24-bit BMP, PCM-16 WAV, and
+"""Pure-stdlib media codecs: uncompressed 24-bit BMP, WAV (PCM-16 plus
+the compressed G.711 mu-law/A-law and IMA-ADPCM variants), and
 zlib-compressed 8-bit RGB(A) PNG.
 
 The container ships no image/audio libraries, but these formats need
@@ -184,24 +185,246 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int,
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """WAV bytes -> (sample_rate, channels, int16 samples). Walks RIFF
-    chunks; strict PCM-16 only."""
+    chunks; decodes PCM-16 (codec 1), A-law (6), mu-law (7) and IMA
+    ADPCM (17) payloads — the compressed-WAV variants real corpora carry
+    (G.711 telephony captures, 4-bit ADPCM field recorders)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise MediaCodecError("not a WAV payload")
     pos, rate, channels, bits, data = 12, None, None, None, None
+    codec, block_align = None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8: pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
-            codec, channels, rate, _br, _ba, bits = struct.unpack_from(
+            codec, channels, rate, _br, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0)
-            if codec != 1 or bits != 16:
-                raise MediaCodecError(f"unsupported WAV (codec={codec}, bits={bits})")
+            if codec not in (1, 6, 7, 17):
+                raise MediaCodecError(
+                    f"unsupported WAV (codec={codec}, bits={bits})")
+            if codec == 1 and bits != 16:
+                raise MediaCodecError(f"unsupported PCM WAV (bits={bits})")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)    # chunks pad to even
     if rate is None or data is None:
         raise MediaCodecError("WAV missing fmt/data chunk")
-    return rate, channels, np.frombuffer(data, np.int16)
+    if codec == 1:
+        return rate, channels, np.frombuffer(data, np.int16)
+    if codec == 6:
+        return rate, channels, alaw_decode(np.frombuffer(data, np.uint8))
+    if codec == 7:
+        return rate, channels, ulaw_decode(np.frombuffer(data, np.uint8))
+    return rate, channels, ima_adpcm_decode(data, channels, block_align)
+
+
+# -- G.711 companded PCM (WAV codecs 6 = A-law, 7 = mu-law) ------------------
+#
+# 8-bit logarithmic PCM; the decode laws are fixed formulas (ITU-T G.711),
+# so the 256-entry lookup tables are COMPUTED here, not transcribed. The
+# encoders are exact inverses built by segment search; round-trip
+# encode(decode(code)) == code over all 256 codes is the self-check.
+
+def _ulaw_table() -> np.ndarray:
+    c = ~np.arange(256, dtype=np.int32) & 0xFF
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84      # max 32124: 16-bit
+    return np.where(c & 0x80, -mag, mag).astype(np.int16)
+
+_ULAW_DEC = _ulaw_table()
+
+
+def _alaw_table() -> np.ndarray:
+    c = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = np.where(seg == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(c & 0x80, mag, -mag).astype(np.int16)   # max 32256
+
+_ALAW_DEC = _alaw_table()
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    return _ULAW_DEC[np.asarray(codes, np.uint8)]
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    return _ALAW_DEC[np.asarray(codes, np.uint8)]
+
+
+def _compand_encode(samples: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """Nearest-code companding encoder from the decode table (exact
+    inverse on decoder outputs; nearest-neighbor elsewhere)."""
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int32)
+    s = np.asarray(samples, np.int32)
+    idx = np.searchsorted(sorted_vals, s)
+    idx = idx.clip(0, 255)
+    lo = (idx - 1).clip(0, 255)
+    pick = np.where(np.abs(sorted_vals[lo] - s) <= np.abs(sorted_vals[idx] - s),
+                    lo, idx)
+    return order[pick].astype(np.uint8)
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    return _compand_encode(samples, _ULAW_DEC)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    return _compand_encode(samples, _ALAW_DEC)
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int,
+                    channels: int = 1, law: str = "ulaw") -> bytes:
+    """int16 samples -> companded 8-bit WAV (codec 7 mu-law / 6 A-law)."""
+    if samples.dtype != np.int16:
+        raise MediaCodecError("samples must be int16")
+    codec = 7 if law == "ulaw" else 6
+    data = (ulaw_encode(samples) if law == "ulaw"
+            else alaw_encode(samples)).tobytes()
+    fmt = struct.pack("<HHIIHH", codec, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# -- IMA ADPCM (WAV codec 17): 4-bit differential PCM ------------------------
+#
+# Block-structured: per channel a 4-byte state header (predictor int16,
+# step index uint8, reserved), then nibble data interleaved in 4-byte
+# groups per channel. The step/index tables are the IMA standard. Blocks
+# are INDEPENDENT, so decode vectorizes across blocks x channels and only
+# loops over the samples within one block.
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_step(pred, index, nib):
+    """One vectorized IMA step over arrays of block-states."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    diff += np.where(nib & 4, step, 0)
+    diff += np.where(nib & 2, step >> 1, 0)
+    diff += np.where(nib & 1, step >> 2, 0)
+    pred = np.where(nib & 8, pred - diff, pred + diff).clip(-32768, 32767)
+    index = (index + _IMA_INDEX[nib & 7]).clip(0, 88)
+    return pred, index
+
+
+def ima_adpcm_decode(data: bytes, channels: int,
+                     block_align: int) -> np.ndarray:
+    """IMA ADPCM data chunk -> interleaved int16 samples."""
+    if channels not in (1, 2) or block_align is None \
+            or block_align < 4 * channels or block_align % 4:
+        raise MediaCodecError(
+            f"bad IMA ADPCM layout (ch={channels}, align={block_align})")
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros(0, np.int16)
+    blocks = np.frombuffer(data, np.uint8,
+                           nblocks * block_align).reshape(nblocks, block_align)
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    out = np.zeros((nblocks, spb, channels), np.int32)
+    pred = np.zeros((nblocks, channels), np.int32)
+    index = np.zeros((nblocks, channels), np.int32)
+    for ch in range(channels):
+        hdr = blocks[:, 4 * ch: 4 * ch + 4]
+        pred[:, ch] = hdr[:, :2].copy().view("<i2")[:, 0]
+        index[:, ch] = np.clip(hdr[:, 2], 0, 88)
+        out[:, 0, ch] = pred[:, ch]
+    body = blocks[:, 4 * channels:]
+    # nibble n of channel ch lives in 4-byte group (n//8), byte (n//2)%4;
+    # low nibble first
+    nib_lo = body & 0x0F
+    nib_hi = body >> 4
+    for n in range(spb - 1):
+        grp, off = n // 8, (n // 2) % 4
+        col = grp * 4 * channels + np.arange(channels) * 4 + off
+        byte_lo = nib_lo[:, col] if n % 2 == 0 else nib_hi[:, col]
+        p, ix = _ima_step(pred, index, byte_lo.astype(np.int32))
+        pred, index = p, ix
+        out[:, n + 1, :] = pred
+    return out.reshape(-1).astype(np.int16) if channels == 1 else \
+        out.reshape(nblocks * spb, channels).reshape(-1).astype(np.int16)
+
+
+def ima_adpcm_encode(samples: np.ndarray, channels: int = 1,
+                     block_align: int = 256) -> bytes:
+    """int16 interleaved samples -> IMA ADPCM data chunk (zero-padded
+    final block)."""
+    if channels not in (1, 2) or block_align < 4 * channels \
+            or block_align % 4:
+        raise MediaCodecError("bad IMA ADPCM layout")
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    s = np.asarray(samples, np.int16).reshape(-1, channels)
+    pad = (-len(s)) % spb
+    if pad:
+        s = np.vstack([s, np.zeros((pad, channels), np.int16)])
+    nblocks = len(s) // spb
+    frames = s.reshape(nblocks, spb, channels).astype(np.int32)
+    out = np.zeros((nblocks, block_align), np.uint8)
+    pred = frames[:, 0, :].copy()
+    index = np.zeros((nblocks, channels), np.int32)
+    for ch in range(channels):
+        out[:, 4 * ch: 4 * ch + 2] = pred[:, ch].astype(
+            "<i2").view(np.uint8).reshape(nblocks, 2)
+        out[:, 4 * ch + 2] = 0          # initial index 0
+    nibbles = np.zeros((nblocks, spb - 1, channels), np.uint8)
+    for n in range(spb - 1):
+        target = frames[:, n + 1, :]
+        step = _IMA_STEPS[index]
+        diff = target - pred
+        nib = np.where(diff < 0, 8, 0)
+        ad = np.abs(diff)
+        b4 = ad >= step
+        ad -= np.where(b4, step, 0)
+        b2 = ad >= step >> 1
+        ad -= np.where(b2, step >> 1, 0)
+        b1 = ad >= step >> 2
+        nib = nib | b4 * 4 | b2 * 2 | b1 * 1
+        pred, index = _ima_step(pred, index, nib)
+        nibbles[:, n, :] = nib.astype(np.uint8)
+    for ch in range(channels):
+        for n in range(spb - 1):
+            grp, off = n // 8, (n // 2) % 4
+            col = 4 * channels + grp * 4 * channels + ch * 4 + off
+            if n % 2 == 0:
+                out[:, col] |= nibbles[:, n, ch]
+            else:
+                out[:, col] |= nibbles[:, n, ch] << 4
+    return out.tobytes()
+
+
+def encode_wav_ima_adpcm(samples: np.ndarray, sample_rate: int,
+                         channels: int = 1, block_align: int = 256) -> bytes:
+    """int16 samples -> IMA ADPCM WAV (codec 17) with the fact chunk and
+    wSamplesPerBlock extension real decoders expect."""
+    if samples.dtype != np.int16:
+        raise MediaCodecError("samples must be int16")
+    data = ima_adpcm_encode(samples, channels, block_align)
+    spb = (block_align - 4 * channels) * 2 // channels + 1
+    nblocks = len(data) // block_align
+    fmt = struct.pack("<HHIIHHHH", 17, channels, sample_rate,
+                      sample_rate * block_align // spb, block_align, 4,
+                      2, spb)
+    fact = struct.pack("<I", nblocks * spb)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"fact" + struct.pack("<I", len(fact)) + fact
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def wav_rms_milli(samples: np.ndarray) -> int:

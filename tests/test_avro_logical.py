@@ -358,3 +358,133 @@ def test_batch_decode_timestamps_beyond_ns_range():
     cols, ok = compile_batch_decoder(LOGICAL_AVSC)(
         [encode_record(LOGICAL_AVSC, row)])
     assert ok == [True] and cols["at_us"][0] == far
+
+
+# -- time-of-day / uuid logical types (r6) ----------------------------------
+
+TIME_UUID_AVSC = {"type": "record", "name": "tu", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "t_ms", "type": {"type": "int", "logicalType": "time-millis"}},
+    {"name": "t_us", "type": ["null", {"type": "long",
+                                       "logicalType": "time-micros"}]},
+    {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
+]}
+
+TU_ROW = {"id": 1, "t_ms": dt.time(13, 45, 30, 250000),
+          "t_us": dt.time(23, 59, 59, 999999),
+          "uid": "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"}
+
+
+def test_time_uuid_general_roundtrip():
+    payload = encode_record(TIME_UUID_AVSC, TU_ROW)
+    assert decode_record(TIME_UUID_AVSC, payload) == TU_ROW
+
+
+def test_time_uuid_wire_layout_is_underlying_primitive():
+    # time-millis is a plain int on the wire: 13:45:30.250 = 49530250 ms
+    plain = {"type": "record", "name": "tu", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "t_ms", "type": "int"},
+        {"name": "t_us", "type": ["null", "long"]},
+        {"name": "uid", "type": "string"}]}
+    payload = encode_record(TIME_UUID_AVSC, TU_ROW)
+    raw = decode_record(plain, payload)
+    assert raw["t_ms"] == 49530250
+    assert raw["t_us"] == 86399999999
+    assert raw["uid"] == TU_ROW["uid"]
+
+
+def test_time_uuid_structtype_mapping():
+    st_ = avro_to_structtype(TIME_UUID_AVSC)
+    assert isinstance(st_["t_ms"].dataType, T.TimeType)
+    assert isinstance(st_["t_us"].dataType, T.TimeType)
+    assert isinstance(st_["uid"].dataType, T.StringType)
+
+
+def test_time_uuid_hostile_values_fork_not_crash():
+    # out-of-day tick counts and non-RFC-4122 strings are codec errors
+    bad_time = {"type": "record", "name": "t", "fields": [
+        {"name": "t", "type": {"type": "int", "logicalType": "time-millis"}}]}
+    payload = encode_record({"type": "record", "name": "t", "fields": [
+        {"name": "t", "type": "int"}]}, {"t": 86_400_000})
+    with pytest.raises(AvroCodecError):
+        decode_record(bad_time, payload)
+    with pytest.raises(AvroCodecError):
+        encode_record(bad_time, {"t": -1})
+    bad_uuid = {"type": "record", "name": "u", "fields": [
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}}]}
+    with pytest.raises(AvroCodecError):
+        encode_record(bad_uuid, {"u": "not-a-uuid"})
+    payload = encode_record({"type": "record", "name": "u", "fields": [
+        {"name": "u", "type": "string"}]}, {"u": "nope"})
+    with pytest.raises(AvroCodecError):
+        decode_record(bad_uuid, payload)
+
+
+def test_time_uuid_batch_codec_parity():
+    rows = [TU_ROW,
+            dict(TU_ROW, id=2, t_us=None, t_ms=dt.time(0, 0)),
+            dict(TU_ROW, id=3, uid="00000000-0000-0000-0000-000000000000")]
+    payloads = [encode_record(TIME_UUID_AVSC, r) for r in rows]
+    # hostile rows: out-of-range time ticks / invalid uuid, wire-valid
+    plain = {"type": "record", "name": "tu", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "t_ms", "type": "int"},
+        {"name": "t_us", "type": ["null", "long"]},
+        {"name": "uid", "type": "string"}]}
+    payloads.append(encode_record(plain, {"id": 4, "t_ms": 86_400_000,
+                                          "t_us": None, "uid": TU_ROW["uid"]}))
+    payloads.append(encode_record(plain, {"id": 5, "t_ms": 1, "t_us": 2,
+                                          "uid": "zzz"}))
+    batch = compile_batch_decoder(TIME_UUID_AVSC)
+    assert batch is not None
+    cols, ok = batch(payloads)
+    assert ok == [True, True, True, False, False]
+    for i, r in enumerate(rows):
+        for k, v in r.items():
+            assert cols[k][i] == v, (k, i)
+
+    enc = compile_batch_encoder(TIME_UUID_AVSC)
+    assert enc is not None
+    names = [f["name"] for f in TIME_UUID_AVSC["fields"]]
+    got = enc({n: [r[n] for r in rows] for n in names}, len(rows))
+    assert got == [encode_record(TIME_UUID_AVSC, r) for r in rows]
+
+
+def test_time_uuid_resolution_follows_reader():
+    from marmaray_spark.functions.avro_compat import resolve_record
+
+    # plain-int writer -> time-millis reader: reader surface is a time
+    writer = {"type": "record", "name": "tu", "fields": [
+        {"name": "t", "type": "int"}]}
+    reader = {"type": "record", "name": "tu", "fields": [
+        {"name": "t", "type": {"type": "int", "logicalType": "time-millis"}}]}
+    payload = encode_record(writer, {"t": 1000})
+    assert resolve_record(reader, writer, payload) == {"t": dt.time(0, 0, 1)}
+    # time-micros writer -> plain long reader: back to wire ticks
+    w2 = {"type": "record", "name": "tu", "fields": [
+        {"name": "t", "type": {"type": "long", "logicalType": "time-micros"}}]}
+    r2 = {"type": "record", "name": "tu", "fields": [
+        {"name": "t", "type": "long"}]}
+    assert resolve_record(r2, w2, encode_record(w2, {"t": dt.time(0, 0, 2)})) \
+        == {"t": 2_000_000}
+
+
+def test_time_uuid_spark_roundtrip(spark):
+    src = spark.createDataFrame(
+        [(1, dt.time(1, 2, 3), dt.time(4, 5, 6, 789000),
+          "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"),
+         (2, dt.time(0, 0), None,
+          "00000000-0000-0000-0000-000000000000")],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("t_ms", T.TimeType()),
+            T.StructField("t_us", T.TimeType()),
+            T.StructField("uid", T.StringType()),
+        ]))
+    wire = encode_avro(src, TIME_UUID_AVSC, out_col="payload")
+    back = decode_avro(wire, TIME_UUID_AVSC, value_col="payload") \
+        .select("id", "t_ms", "t_us", "uid")
+    got = sorted(map(tuple, back.collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want

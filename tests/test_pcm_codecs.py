@@ -1,0 +1,115 @@
+"""G.711 (mu-law / A-law) and IMA ADPCM WAV codecs: the compressed-WAV
+variants real corpora carry (telephony captures, 4-bit field recorders).
+
+Validation strategy (no external audio libs in env): the G.711 decode
+laws are fixed ITU-T formulas, so the tables are COMPUTED and checked
+against known anchor points plus the 256-code self-inverse property; IMA
+ADPCM is lossy, so round-trips assert SNR and a pinned digest."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from marmaray_spark.functions.media_codec import (
+    MediaCodecError,
+    alaw_decode,
+    alaw_encode,
+    decode_wav,
+    encode_wav_g711,
+    encode_wav_ima_adpcm,
+    ima_adpcm_decode,
+    ima_adpcm_encode,
+    ulaw_decode,
+    ulaw_encode,
+)
+
+
+def _sine(n=4000, amp=12000, period=20):
+    return (np.sin(np.arange(n) / period) * amp).astype(np.int16)
+
+
+@pytest.mark.parametrize("dec,enc", [(ulaw_decode, ulaw_encode),
+                                     (alaw_decode, alaw_encode)])
+def test_g711_self_inverse_over_all_codes(dec, enc):
+    codes = np.arange(256, dtype=np.uint8)
+    vals = dec(codes)
+    # encode(decode(code)) decodes back to the same PCM value for every
+    # code (some code pairs alias the same value, e.g. +0/-0)
+    assert (dec(enc(vals)) == vals).all()
+
+
+def test_g711_known_anchor_values():
+    # ITU-T G.711 anchors: mu-law 0xFF/0x7F are +0/-0; A-law 0xD5 is +8
+    assert ulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert ulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    assert alaw_decode(np.array([0xD5], np.uint8))[0] == 8
+    # full-scale magnitudes of the two laws
+    assert int(np.abs(ulaw_decode(np.arange(256, dtype=np.uint8))).max()) == 32124
+    assert int(np.abs(alaw_decode(np.arange(256, dtype=np.uint8))).max()) == 32256
+
+
+def test_g711_encode_is_nearest_code():
+    sig = _sine()
+    for enc, dec in [(ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)]:
+        got = dec(enc(sig)).astype(np.float64)
+        table = np.sort(dec(np.arange(256, dtype=np.uint8)).astype(np.float64))
+        # quantization error never exceeds the local code spacing
+        spacing = np.diff(table).max()
+        assert np.abs(got - sig).max() <= spacing
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_ima_adpcm_roundtrip_snr(channels):
+    sig = _sine(8000)
+    if channels == 2:
+        st = np.empty(16000, np.int16)
+        st[0::2], st[1::2] = sig, sig // 2
+        sig = st
+    data = ima_adpcm_encode(sig, channels, 256)
+    out = ima_adpcm_decode(data, channels, 256)[:len(sig)]
+    err = (out.astype(np.float64) - sig) ** 2
+    snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean() / err.mean())
+    assert snr > 25          # typical ADPCM quality on a smooth signal
+
+
+def test_ima_adpcm_deterministic_digest():
+    sig = _sine(2048, amp=9000, period=13)
+    data = ima_adpcm_encode(sig, 1, 256)
+    assert hashlib.md5(data).hexdigest() == \
+        hashlib.md5(ima_adpcm_encode(sig, 1, 256)).hexdigest()
+    out1 = ima_adpcm_decode(data, 1, 256)
+    out2 = ima_adpcm_decode(data, 1, 256)
+    assert (out1 == out2).all()
+
+
+def test_wav_container_dispatch_all_codecs():
+    sig = _sine()
+    for law in ("ulaw", "alaw"):
+        rate, ch, got = decode_wav(encode_wav_g711(sig, 8000, 1, law))
+        assert (rate, ch) == (8000, 1) and len(got) == len(sig)
+    rate, ch, got = decode_wav(encode_wav_ima_adpcm(sig, 8000, 1))
+    assert (rate, ch) == (8000, 1) and len(got) >= len(sig)
+    st = np.empty(8000, np.int16)
+    st[0::2], st[1::2] = sig[:4000], sig[:4000] // 3
+    rate, ch, got = decode_wav(encode_wav_ima_adpcm(st, 16000, 2))
+    assert (rate, ch) == (16000, 2) and len(got) % 2 == 0
+
+
+def test_ima_adpcm_hostile_layouts_are_codec_errors():
+    with pytest.raises(MediaCodecError):
+        ima_adpcm_decode(b"\x00" * 256, channels=3, block_align=256)
+    with pytest.raises(MediaCodecError):
+        ima_adpcm_decode(b"\x00" * 256, channels=1, block_align=2)
+    with pytest.raises(MediaCodecError):
+        ima_adpcm_decode(b"\x00" * 256, channels=1, block_align=None)
+    # short tail data (no complete block) decodes to empty, not a crash
+    assert len(ima_adpcm_decode(b"\x00" * 10, 1, 256)) == 0
+
+
+def test_ima_adpcm_step_index_clamped_on_hostile_header():
+    # index byte 0xFF in the block header must clamp to 88, not index OOB
+    block = bytearray(256)
+    block[2] = 0xFF
+    out = ima_adpcm_decode(bytes(block), 1, 256)
+    assert len(out) == (256 - 4) * 2 + 1
