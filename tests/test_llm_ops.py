@@ -1247,3 +1247,64 @@ def test_duplicated_window_counts_within_doc_repeats(spark):
     # windows: ab ba ab ba ab -> every position's text occurs > once
     assert got["n_windows"] == 5 and got["dup_windows"] == 5
     assert got["dup_bps"] == 10000
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (r6)
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_learns_frequent_pairs():
+    from marmaray_spark.operators.bpe import END, train_bpe
+
+    # 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3 — the Sennrich
+    # worked example shape: 'es'/'est' merges dominate
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(wf, 4)
+    assert merges[0] == ("e", "s")          # 9 occurrences
+    assert merges[1] == ("es", "t")         # 9
+    assert merges[2] == ("est", END)        # 9
+    assert ("l", "o") in merges             # 7
+
+
+def test_bpe_segment_applies_merges_greedily():
+    from marmaray_spark.operators.bpe import END, bpe_segment, train_bpe
+
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(wf, 8)
+    got = bpe_segment("lowest", merges)
+    # 'lowest' was never seen whole, but learned subwords cover it
+    assert "".join(got) == "lowest" + END
+    assert "est" + END in got or "est" in got
+    # unseen characters stay as singletons
+    assert bpe_segment("zq", merges)[-1] == END
+
+
+def test_bpe_determinism_ties_break_lexicographically():
+    from marmaray_spark.operators.bpe import train_bpe
+
+    # 'ab' and 'cd' both appear twice; ('a','b') < ('c','d')
+    merges = train_bpe([("ab", 2), ("cd", 2)], 1)
+    assert merges[0] == ("a", "b")
+
+
+def test_bpe_end_to_end_spark(spark):
+    from marmaray_spark.operators.bpe import (tokenize_bpe, train_bpe,
+                                              word_frequencies)
+    from marmaray_spark.operators.text import words
+
+    docs = spark.createDataFrame(
+        [(1, "new newest newest lowest low low"),
+         (2, "wide widest newest low")],
+        ["id", "text"]).withColumn("w", words("text"))
+    wf = word_frequencies(docs, "w", max_words=100)
+    assert wf[0] == ("low", 4) or wf[0][1] >= wf[-1][1]
+    merges = train_bpe(wf, 6)
+    out = {r["id"]: r for r in
+           tokenize_bpe(docs, "id", "w", merges).collect()}
+    # every document reconstructs exactly from its tokens
+    src = {1: "new newest newest lowest low low", 2: "wide widest newest low"}
+    from marmaray_spark.operators.bpe import END
+    for i, row in out.items():
+        rebuilt = "".join(row["tokens"]).replace(END, " ").strip()
+        assert rebuilt == src[i]
+        assert row["n_bpe_tokens"] == len(row["tokens"])
