@@ -642,3 +642,84 @@ def int8_topk(queries: DataFrame, corpus8: DataFrame, corpus: DataFrame,
     return (rescored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "dot_q", "rank"))
+
+
+def semantic_dedup(corpus: DataFrame, centroids: list[list[int]],
+                   threshold_q: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): assign every embedding to
+    its nearest k-means centroid, then deduplicate WITHIN each cluster by
+    exact pairwise similarity — the trick that turns an O(N^2) corpus
+    dedup into sum(c_i^2) bounded by the cluster sizes the quantizer
+    chose.
+
+    Output: (id, cell, keeper_id, is_keeper) — one row per input vector;
+    ``keeper_id`` is the min-id representative of the vector's
+    similarity component inside its cluster (a vector with no >=
+    ``threshold_q`` neighbor keeps itself). ``threshold_q`` is a
+    quantized dot (cosine t ~ t * 1e6 for normalized vectors), matching
+    near_dup_pairs.
+
+    Scale: cell assignment is a pure projection (expression literals
+    below _IVF_EXPR_MAX_LITERALS, Arrow matmul above); the dedup is one
+    shuffle on cell + a per-cluster numpy gram matrix. Cluster-size skew
+    is the real risk at 100 TB — ``max_cluster`` hash-splits oversized
+    cells into sub-cells (trading cross-sub-cell dup recall for a hard
+    memory/compute bound, the same cap-vs-recall dial as the LSH
+    hot-bucket cap)."""
+    import numpy as np
+
+    cents = [list(map(int, cv)) for cv in centroids]
+    cids = list(range(len(cents)))
+    q = corpus.select(F.col(id_col).cast("long").alias("__id__"),
+                      quantize(vec_col).alias("__qv__"))
+    if len(cents) * max(len(c) for c in cents) <= _IVF_EXPR_MAX_LITERALS:
+        assigned = q.withColumn("cell", ivf_cell("__qv__", cents))
+    else:
+        assigned = _ivf_cells_arrow(q, cents, cids, "__id__", "__qv__",
+                                    nprobe=1)
+    if max_cluster is not None:
+        # deterministic hash-split of hot cells: sub-cell = (cell, salt)
+        salt = F.expr(f"abs(hash(__id__)) % {max_cluster}") \
+            .cast("long")
+        assigned = assigned.withColumn(
+            "cell", F.col("cell") * F.lit(1 << 20) + salt)
+
+    out_schema = (f"{id_col} long, cell long, keeper_id long, "
+                  f"is_keeper boolean")
+
+    def dedup_cell(key, pdf):
+        import pandas as pd
+        n = len(pdf)
+        ids = pdf["__id__"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack([np.asarray(v, dtype=np.int64)
+                      for v in pdf["__qv__"].iloc[order]])
+        # exact integer gram matrix: d<=4096 dims x |v|<=~1000 milli
+        # stays far inside int64
+        sims = V @ V.T
+        keeper = ids.copy()
+        # union-find over >= threshold edges, min-id representative
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ai, bi = np.nonzero(np.triu(sims >= threshold_q, k=1))
+        for i, j in zip(ai, bi):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)   # ids sorted: min idx = min id
+        for i in range(n):
+            keeper[i] = ids[find(i)]
+        return pd.DataFrame({
+            id_col: ids, "cell": key[0],
+            "keeper_id": keeper, "is_keeper": keeper == ids})
+
+    return assigned.groupBy("cell").applyInPandas(dedup_cell, out_schema)

@@ -1308,3 +1308,78 @@ def test_bpe_end_to_end_spark(spark):
         rebuilt = "".join(row["tokens"]).replace(END, " ").strip()
         assert rebuilt == src[i]
         assert row["n_bpe_tokens"] == len(row["tokens"])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic deduplication (r6)
+# ---------------------------------------------------------------------------
+
+def _unit(v):
+    import numpy as np
+    a = np.asarray(v, dtype=float)
+    return (a / np.linalg.norm(a)).tolist()
+
+
+def test_semantic_dedup_keeps_one_per_near_dup_group(spark):
+    from marmaray_spark.operators.similarity import semantic_dedup
+
+    # two clusters on orthogonal axes; ids 1/2 are near-identical, 3 is
+    # distinct in the same cluster, 10/11 near-identical in the other
+    rows = [
+        (1, _unit([1.0, 0.02, 0.0, 0.0])),
+        (2, _unit([1.0, 0.03, 0.0, 0.0])),      # ~dup of 1
+        (3, _unit([0.8, 0.6, 0.0, 0.0])),       # same cell, not a dup
+        (10, _unit([0.0, 0.0, 1.0, 0.01])),
+        (11, _unit([0.0, 0.0, 1.0, 0.02])),     # ~dup of 10
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1000, 0, 0, 0], [0, 0, 1000, 0]]
+    got = {r["vec_id"]: r for r in
+           semantic_dedup(df, cents, threshold_q=990_000).collect()}
+    assert got[1]["keeper_id"] == 1 and got[1]["is_keeper"]
+    assert got[2]["keeper_id"] == 1 and not got[2]["is_keeper"]
+    assert got[3]["keeper_id"] == 3 and got[3]["is_keeper"]
+    assert got[10]["keeper_id"] == 10 and got[11]["keeper_id"] == 10
+    # cluster assignment separated the two axes
+    assert got[1]["cell"] != got[10]["cell"]
+
+
+def test_semantic_dedup_transitive_chains_share_keeper(spark):
+    from marmaray_spark.operators.similarity import semantic_dedup
+
+    # a ~ b, b ~ c but a !~ c: SemDeDup components are transitive
+    rows = [(1, _unit([1.0, 0.00, 0, 0])),
+            (2, _unit([1.0, 0.045, 0, 0])),
+            (3, _unit([1.0, 0.09, 0, 0]))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["keeper_id"] for r in
+           semantic_dedup(df, [[1000, 0, 0, 0]],
+                          threshold_q=998_000).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_semantic_dedup_on_real_embeddings_deterministic(spark, embeddings):
+    from marmaray_spark.operators.similarity import (semantic_dedup,
+                                                     train_ivf_centroids)
+
+    corpus = embeddings.limit(300)
+    cents = train_ivf_centroids(corpus, 4)
+    a = sorted(map(tuple, semantic_dedup(corpus, cents, 900_000).collect()))
+    b = sorted(map(tuple, semantic_dedup(corpus, cents, 900_000).collect()))
+    assert a == b and len(a) == corpus.count()
+    # every keeper_id points at a row marked is_keeper
+    keepers = {t[0] for t in a if t[3]}
+    assert all(t[2] in keepers for t in a)
+
+
+def test_semantic_dedup_max_cluster_caps_cell_width(spark):
+    from marmaray_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, _unit([1.0, i * 1e-6, 0, 0])) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, [[1000, 0, 0, 0]], threshold_q=999_000,
+                         max_cluster=8)
+    cells = out.groupBy("cell").count().collect()
+    # hash-split: no sub-cell wider than the original single cell
+    assert len(cells) > 1
+    assert out.count() == 64
