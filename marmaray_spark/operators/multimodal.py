@@ -147,20 +147,34 @@ def extract_image_features(df: DataFrame,
     passthrough = [c for c in (passthrough or []) if c != "media_id"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload):
+            # decode-or-error: a corrupt payload (truncated BMP, hostile
+            # PNG) marks ITS row ok=False — never kills the batch (the
+            # same per-record contract as the Avro decode kernels)
+            try:
+                w, h, c = _decode_image(payload)
+                return w, h, c, True
+            except (NotImplementedError, ValueError):   # MediaCodecError is a ValueError
+                return -1, -1, -1, False
+
         for pdf in batches:
-            dims = pdf["payload"].map(_decode_image)
+            dims = pdf["payload"].map(one)
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": dims.map(lambda d: d[0]).astype("int32"),
                 "height": dims.map(lambda d: d[1]).astype("int32"),
                 "channels": dims.map(lambda d: d[2]).astype("int32"),
-                "byte_len": pdf["payload"].map(len).astype("int64"),
+                "byte_len": pdf["payload"].map(
+                    lambda p: len(p) if p is not None else 0).astype("int64"),
+                "ok": dims.map(lambda d: d[3]).astype("bool"),
             })
-            out["aspect_milli"] = (out["width"] * 1000 // out["height"]).astype("int64")
+            out["aspect_milli"] = (out["width"] * 1000
+                                   // out["height"].where(out["height"] > 0, 1)
+                                   ).where(out["ok"], 0).astype("int64")
             for c in passthrough:
                 out[c] = pdf[c]
             yield out[["media_id", "width", "height", "channels",
-                       "aspect_milli", "byte_len"] + passthrough]
+                       "aspect_milli", "byte_len", "ok"] + passthrough]
 
     src = df.filter(F.col("media_type") == "image")
     cols = src.select("media_id", "payload", *passthrough)
@@ -170,13 +184,14 @@ def extract_image_features(df: DataFrame,
          T.StructField("height", T.IntegerType()),
          T.StructField("channels", T.IntegerType()),
          T.StructField("aspect_milli", T.LongType()),
-         T.StructField("byte_len", T.LongType())]
+         T.StructField("byte_len", T.LongType()),
+         T.StructField("ok", T.BooleanType())]
         + [src.schema[c] for c in passthrough])
     return cols.mapInPandas(kernel, schema=schema)
 
 
 AUDIO_FEATURES_SCHEMA = ("media_id long, sample_rate int, n_samples long, "
-                         "duration_ms long, rms_milli int")
+                         "duration_ms long, rms_milli int, ok boolean")
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
@@ -193,16 +208,24 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                                                           wav_rms_milli)
 
         def one(payload):
-            if payload is not None and bytes(payload[:4]) == b"RIFF":
-                rate, channels, samples = decode_wav(bytes(payload))
-                n = len(samples) // max(channels, 1)
-                return rate, n, n * 1000 // rate, wav_rms_milli(samples)
-            if payload is not None and looks_like_flac(bytes(payload[:4])):
-                rate, channels, samples = decode_audio_best(bytes(payload))
-                n = len(samples) // max(channels, 1)
-                return rate, n, n * 1000 // rate, wav_rms_milli(samples)
-            rate, n = _decode_audio(payload)
-            return rate, n, n * 1000 // rate, -1
+            # decode-or-error: corrupt bytes behind a valid magic mark
+            # THIS row ok=False instead of killing the task
+            try:
+                if payload is not None and bytes(payload[:4]) == b"RIFF":
+                    rate, channels, samples = decode_wav(bytes(payload))
+                    n = len(samples) // max(channels, 1)
+                    return (rate, n, n * 1000 // rate,
+                            wav_rms_milli(samples), True)
+                if payload is not None \
+                        and looks_like_flac(bytes(payload[:4])):
+                    rate, channels, samples = decode_audio_best(bytes(payload))
+                    n = len(samples) // max(channels, 1)
+                    return (rate, n, n * 1000 // rate,
+                            wav_rms_milli(samples), True)
+                rate, n = _decode_audio(payload)
+                return rate, n, n * 1000 // rate, -1, True
+            except (NotImplementedError, ValueError):   # MediaCodecError is a ValueError
+                return -1, 0, 0, -1, False
 
         for pdf in batches:
             feats = pdf["payload"].map(one)
@@ -212,13 +235,14 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                 "n_samples": feats.map(lambda f: f[1]).astype("int64"),
                 "duration_ms": feats.map(lambda f: f[2]).astype("int64"),
                 "rms_milli": feats.map(lambda f: f[3]).astype("int32"),
+                "ok": feats.map(lambda f: f[4]).astype("bool"),
             })
 
     cols = df.filter(F.col("media_type") == "audio").select("media_id", "payload")
     return cols.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
-RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
+RESIZE_SCHEMA = "media_id long, width int, height int, payload binary, ok boolean"
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
@@ -259,12 +283,22 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 return encode_png(px)
             return payload
 
+        def safe(payload):
+            # decode-or-error: corrupt decodable-magic payloads pass the
+            # ORIGINAL bytes through marked ok=False — the task survives
+            try:
+                return one(payload), True
+            except (NotImplementedError, ValueError):   # MediaCodecError is a ValueError
+                return payload, False
+
         for pdf in batches:
+            res = pdf["payload"].map(safe)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": target_w,
                 "height": target_h,
-                "payload": pdf["payload"].map(one),
+                "payload": res.map(lambda r: r[0]),
+                "ok": res.map(lambda r: r[1]).astype("bool"),
             })
 
     cols = df.filter(F.col("media_type") == "image").select("media_id", "payload")
@@ -296,16 +330,22 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
         def one(mid, payload) -> list:
             rows = []
             p = bytes(payload)
-            if looks_like_avi(p[:12]):
-                raw = parse_avi(p)["frames"]
-                for idx, f in enumerate(raw[::max(stride, 1)][:max_frames]):
-                    rows.append((mid, idx, f))          # JPEG bytes
-                return rows
-            if p[:6] in (b"GIF87a", b"GIF89a"):
-                frames = decode_gif_frames(p, max_frames * max(stride, 1))
-                for idx, f in enumerate(frames[::max(stride, 1)][:max_frames]):
-                    rows.append((mid, idx, encode_png(f)))
-                return rows
+            try:
+                if looks_like_avi(p[:12]):
+                    raw = parse_avi(p)["frames"]
+                    for idx, f in enumerate(raw[::max(stride, 1)][:max_frames]):
+                        rows.append((mid, idx, f))          # JPEG bytes
+                    return rows
+                if p[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = decode_gif_frames(p, max_frames * max(stride, 1))
+                    for idx, f in enumerate(
+                            frames[::max(stride, 1)][:max_frames]):
+                        rows.append((mid, idx, encode_png(f)))
+                    return rows
+            except (NotImplementedError, ValueError):   # MediaCodecError is a ValueError
+                # decode-or-error: a corrupt container yields one
+                # frame_idx=-1 marker row, never a dead task
+                return [(mid, -1, None)]
             for idx, start in enumerate(range(0, len(p), every_n_bytes)):
                 rows.append((mid, idx, p[start:start + every_n_bytes]))
             return rows

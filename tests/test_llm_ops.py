@@ -1383,3 +1383,50 @@ def test_semantic_dedup_max_cluster_caps_cell_width(spark):
     # hash-split: no sub-cell wider than the original single cell
     assert len(cells) > 1
     assert out.count() == 64
+
+
+def test_multimodal_corrupt_payloads_fork_not_crash(spark):
+    """Decode-or-error across ALL multimodal kernels: a corrupt payload
+    behind a valid magic (truncated BMP/PNG/WAV/GIF) marks its own row
+    instead of killing the Spark task — the engine-wide per-record
+    contract (AbstractDataConverter.java:102-171 semantics)."""
+    from marmaray_spark.operators.multimodal import (extract_audio_features,
+                                                     extract_image_features,
+                                                     resize_images,
+                                                     sample_frames)
+
+    img_rows = [(1, "image", b"BM" + b"\x00" * 20),       # truncated BMP
+                (2, "image", b"\x89PNG\r\n\x1a\n" + b"junk"),
+                (3, "image", b"plain stub bytes here")]   # stub path: fine
+    img = spark.createDataFrame(img_rows, ["media_id", "media_type", "payload"])
+    feats = {r["media_id"]: r for r in extract_image_features(img).collect()}
+    assert not feats[1]["ok"] and feats[1]["width"] == -1
+    assert not feats[2]["ok"]
+    assert feats[3]["ok"] and feats[3]["width"] > 0
+
+    rs = {r["media_id"]: r for r in resize_images(img, 32, 32).collect()}
+    assert not rs[1]["ok"] and bytes(rs[1]["payload"]) == img_rows[0][2]
+    assert rs[3]["ok"]
+
+    aud = spark.createDataFrame(
+        [(1, "audio", b"RIFF\x00\x00\x00\x00WAVEjunk"),
+         (2, "audio", b"fLaCbroken"),
+         (3, "audio", b"stub audio payload")],
+        ["media_id", "media_type", "payload"])
+    af = {r["media_id"]: r for r in extract_audio_features(aud).collect()}
+    assert not af[1]["ok"] and not af[2]["ok"] and af[3]["ok"]
+
+    vid = spark.createDataFrame(
+        [(1, "video", b"RIFF\x10\x00\x00\x00AVI LIST"),   # truncated AVI
+         (2, "video", b"GIF89a\x01"),                     # truncated GIF
+         (3, "video", b"stub video bytes " * 8)],
+        ["media_id", "media_type", "payload"])
+    fr = sample_frames(vid, every_n_bytes=64).collect()
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # corrupt containers yield the single frame_idx=-1 marker row
+    for mid in (1, 2):
+        if mid in by_id:
+            assert [r["frame_idx"] for r in by_id[mid]] == [-1]
+    assert all(r["frame_idx"] >= 0 for r in by_id[3])

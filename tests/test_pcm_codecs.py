@@ -113,3 +113,30 @@ def test_ima_adpcm_step_index_clamped_on_hostile_header():
     block[2] = 0xFF
     out = ima_adpcm_decode(bytes(block), 1, 256)
     assert len(out) == (256 - 4) * 2 + 1
+
+
+def test_audio_features_on_compressed_wav_variants(spark):
+    """The multimodal audio-feature kernel decodes G.711 and IMA ADPCM
+    WAVs through the same decode_wav dispatch as PCM-16 — the Spark-side
+    plumbing sees one WAV contract regardless of inner codec."""
+    from marmaray_spark.operators.multimodal import extract_audio_features
+
+    sig = _sine(8000)
+    rows = [
+        (1, "audio", encode_wav_g711(sig, 8000, 1, "ulaw")),
+        (2, "audio", encode_wav_g711(sig, 8000, 1, "alaw")),
+        (3, "audio", encode_wav_ima_adpcm(sig, 8000, 1)),
+        (4, "audio", b"RIFFnope"),             # hostile: decode error row
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "media_type", "payload"])
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    for i in (1, 2, 3):
+        assert got[i]["sample_rate"] == 8000, i
+        assert got[i]["ok"], i
+        # one second of audio, RMS well above silence
+        assert got[i]["duration_ms"] >= 990, i
+        assert got[i]["rms_milli"] > 100, i
+    # G.711 decodes track the source closely: RMS within 1% of each other
+    assert abs(got[1]["rms_milli"] - got[2]["rms_milli"]) <= 10
+    # the hostile row forked to ok=False; the batch survived
+    assert not got[4]["ok"] and got[4]["sample_rate"] == -1
