@@ -1224,26 +1224,37 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, two partial-agg shuffles, one broadcast of the ≤vocab-size
     LM, one per-doc window — every key uniform; no N^2; ln() touches only
     vocab entries, never rows."""
-    from marmaray_spark.operators.lm import lm_score, train_unigram_lm
     from marmaray_spark.operators.text import words
 
     docs = load(spark, sf_dir, "documents")
     terms = (docs.select("doc_id", F.explode(words("text")).alias("term"))
              .filter(F.col("term") != ""))
+    # ONE corpus explode; every downstream number derives from the tf
+    # aggregate (df = rows per term, LM counts = sum(tf) per term), so
+    # the text is scanned once — the standalone operators/lm.py trains
+    # from raw words; here the tf table IS that word count, reused
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (tf.join(dfq, "term")
+    stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"),
+                                   F.sum("tf").alias("cnt"))
+    total = stats.groupBy().agg(F.sum("cnt").alias("total"))
+    lmm = (stats.crossJoin(F.broadcast(total))
+           .select("term", "df",
+                   F.round(F.log(F.col("cnt") / F.col("total")) * 1000)
+                   .cast("long").alias("logp_milli")))
+    # no broadcast hint on lmm: it is the FULL term dictionary here
+    # (unbounded at corpus scale — the standalone operators/lm.py trims
+    # to vocab_size before broadcasting); AQE picks broadcast when small
+    scored = (tf.join(lmm, "term")
               .withColumn("score", F.expr("tf * 10000 div df")))
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     top = (scored.withColumn("rn", F.row_number().over(w))
            .filter(F.col("rn") == 1)
            .select("doc_id", "term", "tf", "df", "score"))
-    docs_w = _with_words(docs)
-    lm = train_unigram_lm(docs_w, "w")
-    sc = (lm_score(docs_w, "doc_id", "w", lm)
-          .select("doc_id", F.col("n_tokens").alias("lm_n_tokens"),
-                  "lm_logp_milli"))
-    return top.join(sc, "doc_id")
+    docsc = (scored.groupBy("doc_id")
+             .agg(F.sum("tf").cast("int").alias("lm_n_tokens"),
+                  F.expr("sum(tf * logp_milli) div sum(tf)").cast("long")
+                  .alias("lm_logp_milli")))
+    return top.join(docsc, "doc_id")
 
 
 @register(
