@@ -1246,15 +1246,21 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to vocab_size before broadcasting); AQE picks broadcast when small
     scored = (tf.join(lmm, "term")
               .withColumn("score", F.expr("tf * 10000 div df")))
+    # top term AND the per-doc LM aggregate from ONE doc_id window pass
+    # (rank + whole-partition sums share the exchange) — a groupBy +
+    # self-join here would recompute the whole tf->scored subtree per
+    # consumer (Spark physical plans don't share unpersisted branches)
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
-    top = (scored.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == 1)
-           .select("doc_id", "term", "tf", "df", "score"))
-    docsc = (scored.groupBy("doc_id")
-             .agg(F.sum("tf").cast("int").alias("lm_n_tokens"),
-                  F.expr("sum(tf * logp_milli) div sum(tf)").cast("long")
-                  .alias("lm_logp_milli")))
-    return top.join(docsc, "doc_id")
+    wd = W.partitionBy("doc_id")
+    return (scored
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("lm_n_tokens", F.sum("tf").over(wd).cast("int"))
+            .withColumn("_lp",
+                        F.sum(F.col("tf") * F.col("logp_milli")).over(wd))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "term", "tf", "df", "score", "lm_n_tokens",
+                    F.expr("_lp div lm_n_tokens").cast("long")
+                    .alias("lm_logp_milli")))
 
 
 @register(
