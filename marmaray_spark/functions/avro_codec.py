@@ -112,11 +112,17 @@ def _from_wire(lg: dict, v):
         if lt == "local-timestamp-micros":
             return _EPOCH_NAIVE + _DT.timedelta(microseconds=int(v))
         if lt in ("time-millis", "time-micros"):
+            # surface stays the VALIDATED wire ticks (int ms / long us of
+            # day) — the public spark-avro mapping. Spark 4.1's TimeType
+            # was probed and rejected: observe(), deserialized caching,
+            # and string<->time casts all raise UNSUPPORTED_TIME_TYPE, so
+            # a TIME column cannot pass through the fork/persist machinery
+            # every production decode rides.
             unit = 1000 if lt == "time-millis" else 1
-            us = int(v) * unit
-            if not 0 <= us < 86_400_000_000:
+            v = int(v)
+            if not 0 <= v * unit < 86_400_000_000:
                 raise AvroCodecError(f"{lt} value {v!r} not a time of day")
-            return (_DT.datetime.min + _DT.timedelta(microseconds=us)).time()
+            return v
         if lt == "uuid":
             try:
                 _UUID.UUID(v)           # RFC-4122 validation only; the
@@ -218,8 +224,10 @@ def avro_to_structtype(avsc: str | dict) -> T.StructType:
                 return T.TimestampType(), False
             if lt in ("local-timestamp-millis", "local-timestamp-micros"):
                 return T.TimestampNTZType(), False
-            if lt in ("time-millis", "time-micros"):
-                return T.TimeType(), False
+            if lt == "time-millis":
+                return T.IntegerType(), False      # validated ms-of-day
+            if lt == "time-micros":
+                return T.LongType(), False         # validated us-of-day
             if lt == "uuid":
                 return T.StringType(), False
             return T.DecimalType(lg["precision"], lg["scale"]), False

@@ -159,15 +159,23 @@ def validate_required_keys_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avro_registry_decode",
     """
     SELECT 'wire' AS section, event_id AS k, user_id AS n1,
-           CAST(NULL AS BIGINT) AS n2, event_type AS s1, props AS s2,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+           event_type AS s1, props AS s2, CAST(NULL AS VARCHAR) AS s3,
            value AS v
     FROM events
     UNION ALL
     SELECT 'logical' AS section, o_orderkey AS k,
            epoch_us(o_orderdate) AS n1,
            CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS n2,
+           o_orderkey % 86400 AS n3,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS s1,
-           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS DOUBLE) AS v
+           CAST(NULL AS VARCHAR) AS s2,
+           concat(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8), '-',
+                  substring(md5(CAST(o_orderkey AS VARCHAR)), 9, 4), '-',
+                  substring(md5(CAST(o_orderkey AS VARCHAR)), 13, 4), '-',
+                  substring(md5(CAST(o_orderkey AS VARCHAR)), 17, 4), '-',
+                  substring(md5(CAST(o_orderkey AS VARCHAR)), 21, 12)) AS s3,
+           CAST(NULL AS DOUBLE) AS v
     FROM orders
     """,
 )
@@ -185,12 +193,14 @@ def avro_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       the wire codec is lossless (doubles roundtrip bit-exact).
     - section 'logical': orders encode under a LOGICAL-ANNOTATED schema
       (date as int days, timestamp-micros as long ticks, decimal(12,2) as
-      big-endian unscaled bytes — Avro 1.x spec §Logical Types, which the
+      big-endian unscaled bytes, time-millis as int ms-of-day, uuid as an
+      RFC-4122 string — Avro 1.x spec §Logical Types, which the
       reference sidesteps via its custom ``timestamp=true`` prop,
       M/common/util/SchemaUtil.java:160-199) and registry-decode back to
-      typed DateType/TimestampType/DecimalType columns; the compared
-      surface renders them engine-neutrally (ISO date string, epoch
-      micros, integer cents).
+      typed DateType/TimestampType/DecimalType columns plus validated
+      time-ticks/uuid surfaces (public spark-avro time mapping);
+      the compared surface renders them engine-neutrally (ISO date
+      string, epoch micros, integer cents, seconds-of-day, uuid string).
 
     Both directions ride the vectorized batch codecs as Arrow-batched
     mapInPandas kernels; see functions/avro_codec.py for the
@@ -219,8 +229,10 @@ def avro_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_id").alias("k"),
                 F.col("user_id").alias("n1"),
                 F.lit(None).cast("long").alias("n2"),
+                F.lit(None).cast("long").alias("n3"),
                 F.col("event_type").alias("s1"),
                 F.col("props").alias("s2"),
+                F.lit(None).cast("string").alias("s3"),
                 F.col("value").alias("v")))
     logical_section = (
         _avro_logical_decode(spark, sf_dir)
@@ -228,8 +240,10 @@ def avro_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderkey").alias("k"),
                 F.col("at_us").alias("n1"),
                 F.col("amount_cents").alias("n2"),
+                F.col("t_sec").alias("n3"),
                 F.col("day").alias("s1"),
                 F.lit(None).cast("string").alias("s2"),
+                F.col("uid").alias("s3"),
                 F.lit(None).cast("double").alias("v")))
     return wire_section.unionByName(logical_section)
 
@@ -332,24 +346,46 @@ def _avro_logical_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": "amount", "type": ["null",
                                     {"type": "bytes", "logicalType": "decimal",
                                      "precision": 12, "scale": 2}]},
+        {"name": "t", "type": ["null", {"type": "int",
+                                        "logicalType": "time-millis"}]},
+        {"name": "uid", "type": ["null", {"type": "string",
+                                          "logicalType": "uuid"}]},
     ]}
-    orders = spread(load(spark, sf_dir, "orders"), spark).select(
-        "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("day"),
-        F.col("o_orderdate").alias("at"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("amount"))
+    # time-of-day from the key (whole seconds, so the compared surface
+    # needs no sub-second formatting) and an RFC-4122-shaped uuid from
+    # the row's md5 — both engine-reproducible; encode side feeds the
+    # WIRE form (ms int / string), decode returns validated ticks and
+    # string
+    uid = ("concat(substring(h, 1, 8), '-', substring(h, 9, 4), '-', "
+           "substring(h, 13, 4), '-', substring(h, 17, 4), '-', "
+           "substring(h, 21, 12))")
+    orders = spread(load(spark, sf_dir, "orders"), spark) \
+        .withColumn("h", F.md5(F.col("o_orderkey").cast("string"))) \
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.col("o_orderdate").alias("at"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("amount"),
+            (F.col("o_orderkey") % 86_400 * 1000).cast("int").alias("t"),
+            F.expr(uid).alias("uid"))
     reg = FileSystemSchemaRegistry(tempfile.mkdtemp(prefix="avrolog_"))
     reg.put_avro_schema("order_evt", avsc)
     wire = encode_avro(orders, avsc, out_col="payload")
     decoded = AvroDecodeConverter(reg, "order_evt",
                                   value_col="payload").map(wire).valid
     # the compared surface renders decimal as exact integer cents (the
-    # two engines print trailing zeros differently); the DECODE itself
-    # produced a DecimalType(12,2) column, which is the point
+    # two engines print trailing zeros differently) and the decoded TIME
+    # as seconds-of-day; the DECODE itself produced typed
+    # DecimalType/TimeType columns, which is the point
     return decoded.select(
         "o_orderkey", F.col("day").cast("string").alias("day"),
         F.unix_micros("at").alias("at_us"),
-        (F.col("amount") * 100).cast("long").alias("amount_cents"))
+        (F.col("amount") * 100).cast("long").alias("amount_cents"),
+        # time-millis decodes to VALIDATED ms-of-day ticks (the public
+        # spark-avro mapping — Spark 4.1's TimeType was probed and cannot
+        # ride observe/persist, see functions/avro_codec.py)
+        F.expr("t div 1000").cast("long").alias("t_sec"),
+        "uid")
 
 
 @register(

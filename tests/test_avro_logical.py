@@ -361,6 +361,13 @@ def test_batch_decode_timestamps_beyond_ns_range():
 
 
 # -- time-of-day / uuid logical types (r6) ----------------------------------
+#
+# Per the public spark-avro mapping, time-of-day surfaces as VALIDATED
+# wire ticks (int ms / long us of day), not Spark TimeType: the engine
+# probe showed observe()/deserialized-cache/string casts all raise
+# UNSUPPORTED_TIME_TYPE on TIME columns in this Spark build, so a TIME
+# surface could never ride the converter fork. datetime.time is accepted
+# on ENCODE (the Arrow form of a TimeType input column).
 
 TIME_UUID_AVSC = {"type": "record", "name": "tu", "fields": [
     {"name": "id", "type": "long"},
@@ -370,34 +377,35 @@ TIME_UUID_AVSC = {"type": "record", "name": "tu", "fields": [
     {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
 ]}
 
-TU_ROW = {"id": 1, "t_ms": dt.time(13, 45, 30, 250000),
-          "t_us": dt.time(23, 59, 59, 999999),
-          "uid": "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"}
+TU_IN = {"id": 1, "t_ms": dt.time(13, 45, 30, 250000),
+         "t_us": dt.time(23, 59, 59, 999999),
+         "uid": "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"}
+TU_WIRE = {"id": 1, "t_ms": 49530250, "t_us": 86399999999,
+           "uid": "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"}
 
 
-def test_time_uuid_general_roundtrip():
-    payload = encode_record(TIME_UUID_AVSC, TU_ROW)
-    assert decode_record(TIME_UUID_AVSC, payload) == TU_ROW
+def test_time_uuid_roundtrip_to_validated_ticks():
+    payload = encode_record(TIME_UUID_AVSC, TU_IN)
+    assert decode_record(TIME_UUID_AVSC, payload) == TU_WIRE
+    # ticks-in == ticks-out as well
+    assert decode_record(TIME_UUID_AVSC,
+                         encode_record(TIME_UUID_AVSC, TU_WIRE)) == TU_WIRE
 
 
 def test_time_uuid_wire_layout_is_underlying_primitive():
-    # time-millis is a plain int on the wire: 13:45:30.250 = 49530250 ms
     plain = {"type": "record", "name": "tu", "fields": [
         {"name": "id", "type": "long"},
         {"name": "t_ms", "type": "int"},
         {"name": "t_us", "type": ["null", "long"]},
         {"name": "uid", "type": "string"}]}
-    payload = encode_record(TIME_UUID_AVSC, TU_ROW)
-    raw = decode_record(plain, payload)
-    assert raw["t_ms"] == 49530250
-    assert raw["t_us"] == 86399999999
-    assert raw["uid"] == TU_ROW["uid"]
+    raw = decode_record(plain, encode_record(TIME_UUID_AVSC, TU_IN))
+    assert raw == TU_WIRE
 
 
 def test_time_uuid_structtype_mapping():
     st_ = avro_to_structtype(TIME_UUID_AVSC)
-    assert isinstance(st_["t_ms"].dataType, T.TimeType)
-    assert isinstance(st_["t_us"].dataType, T.TimeType)
+    assert isinstance(st_["t_ms"].dataType, T.IntegerType)
+    assert isinstance(st_["t_us"].dataType, T.LongType)
     assert isinstance(st_["uid"].dataType, T.StringType)
 
 
@@ -422,10 +430,14 @@ def test_time_uuid_hostile_values_fork_not_crash():
 
 
 def test_time_uuid_batch_codec_parity():
-    rows = [TU_ROW,
-            dict(TU_ROW, id=2, t_us=None, t_ms=dt.time(0, 0)),
-            dict(TU_ROW, id=3, uid="00000000-0000-0000-0000-000000000000")]
-    payloads = [encode_record(TIME_UUID_AVSC, r) for r in rows]
+    ins = [TU_IN,
+           dict(TU_IN, id=2, t_us=None, t_ms=dt.time(0, 0)),
+           dict(TU_IN, id=3, uid="00000000-0000-0000-0000-000000000000")]
+    wires = [TU_WIRE,
+             dict(TU_WIRE, id=2, t_us=None, t_ms=0),
+             dict(TU_WIRE, id=3,
+                  uid="00000000-0000-0000-0000-000000000000")]
+    payloads = [encode_record(TIME_UUID_AVSC, r) for r in ins]
     # hostile rows: out-of-range time ticks / invalid uuid, wire-valid
     plain = {"type": "record", "name": "tu", "fields": [
         {"name": "id", "type": "long"},
@@ -433,35 +445,38 @@ def test_time_uuid_batch_codec_parity():
         {"name": "t_us", "type": ["null", "long"]},
         {"name": "uid", "type": "string"}]}
     payloads.append(encode_record(plain, {"id": 4, "t_ms": 86_400_000,
-                                          "t_us": None, "uid": TU_ROW["uid"]}))
+                                          "t_us": None, "uid": TU_WIRE["uid"]}))
     payloads.append(encode_record(plain, {"id": 5, "t_ms": 1, "t_us": 2,
                                           "uid": "zzz"}))
     batch = compile_batch_decoder(TIME_UUID_AVSC)
     assert batch is not None
     cols, ok = batch(payloads)
     assert ok == [True, True, True, False, False]
-    for i, r in enumerate(rows):
+    for i, r in enumerate(wires):
         for k, v in r.items():
             assert cols[k][i] == v, (k, i)
 
     enc = compile_batch_encoder(TIME_UUID_AVSC)
     assert enc is not None
     names = [f["name"] for f in TIME_UUID_AVSC["fields"]]
-    got = enc({n: [r[n] for r in rows] for n in names}, len(rows))
-    assert got == [encode_record(TIME_UUID_AVSC, r) for r in rows]
+    got = enc({n: [r[n] for r in ins] for n in names}, len(ins))
+    assert got == [encode_record(TIME_UUID_AVSC, r) for r in ins]
 
 
 def test_time_uuid_resolution_follows_reader():
     from marmaray_spark.functions.avro_compat import resolve_record
 
-    # plain-int writer -> time-millis reader: reader surface is a time
+    # plain-int writer -> time-millis reader: value validated, ticks kept
     writer = {"type": "record", "name": "tu", "fields": [
         {"name": "t", "type": "int"}]}
     reader = {"type": "record", "name": "tu", "fields": [
         {"name": "t", "type": {"type": "int", "logicalType": "time-millis"}}]}
     payload = encode_record(writer, {"t": 1000})
-    assert resolve_record(reader, writer, payload) == {"t": dt.time(0, 0, 1)}
-    # time-micros writer -> plain long reader: back to wire ticks
+    assert resolve_record(reader, writer, payload) == {"t": 1000}
+    # ... and a HOSTILE plain value fails reader-side validation
+    with pytest.raises(AvroCodecError):
+        resolve_record(reader, writer, encode_record(writer, {"t": -5}))
+    # time-micros writer -> plain long reader: ticks pass through
     w2 = {"type": "record", "name": "tu", "fields": [
         {"name": "t", "type": {"type": "long", "logicalType": "time-micros"}}]}
     r2 = {"type": "record", "name": "tu", "fields": [
@@ -485,6 +500,8 @@ def test_time_uuid_spark_roundtrip(spark):
     wire = encode_avro(src, TIME_UUID_AVSC, out_col="payload")
     back = decode_avro(wire, TIME_UUID_AVSC, value_col="payload") \
         .select("id", "t_ms", "t_us", "uid")
-    got = sorted(map(tuple, back.collect()))
-    want = sorted(map(tuple, src.collect()))
-    assert got == want
+    got = {r["id"]: r for r in back.collect()}
+    assert got[1]["t_ms"] == (1 * 3600 + 2 * 60 + 3) * 1000
+    assert got[1]["t_us"] == ((4 * 3600 + 5 * 60 + 6) * 1000 + 789) * 1000
+    assert got[1]["uid"] == "f81d4fae-7dec-11d0-a765-00a0c91e6bf6"
+    assert got[2]["t_ms"] == 0 and got[2]["t_us"] is None
