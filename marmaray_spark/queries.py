@@ -1743,7 +1743,33 @@ def embedding_srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "embedding_index_diagnostics",
     f"""
-    WITH c AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings)
+    WITH RECURSIVE c AS (SELECT vec_id, {_SQL_QUANT} AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+    assign AS (
+      SELECT c.vec_id, c.v, cent.cid,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> c.v[i] * cent.cv[i])) AS BIGINT) AS dot_c
+      FROM c, cent
+    ),
+    cells AS (
+      SELECT vec_id, v, cid AS cell FROM assign
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY dot_c DESC, cid) = 1
+    ),
+    spairs AS (
+      SELECT l.vec_id AS a, r.vec_id AS b
+      FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+      WHERE list_sum(list_transform(generate_series(1, 64),
+            i -> l.v[i] * r.v[i])) >= 400000
+    ),
+    sedges AS (SELECT a AS src, b AS dst FROM spairs
+               UNION ALL SELECT b, a FROM spairs),
+    sreach(node, label) AS (
+      SELECT src, src FROM sedges
+      UNION
+      SELECT e.src, r.label FROM sedges e JOIN sreach r ON e.dst = r.node
+    ),
+    scomp AS (SELECT node, min(label) AS component FROM sreach GROUP BY node)
     SELECT 'srp_bucket' AS kind,
            CAST({_sql_srp_bucket('v')} AS BIGINT) AS bucket,
            count(*) AS n, min(vec_id) AS min_vec_id
@@ -1753,19 +1779,33 @@ def embedding_srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
                i -> v[i] * v[i])) // 100000 AS BIGINT),
            count(*), min(vec_id)
     FROM c GROUP BY 2
+    UNION ALL
+    SELECT 'semdedup', CAST(cells.cell AS BIGINT),
+           CAST(coalesce(scomp.component, cells.vec_id) AS BIGINT),
+           cells.vec_id
+    FROM cells LEFT JOIN scomp ON scomp.node = cells.vec_id
     """,
 )
 def embedding_index_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN index hygiene report, tagged by kind: (a) the SRP-LSH bucket
-    histogram — 8 md5-derived hyperplanes -> 256 buckets; proves
-    identical plane construction in both engines AND shows bucket-balance
-    / hot-bucket skew, the signal that decides salting
-    (operators/similarity.py srp_bucket) — and (b) the quantized
+    """ANN index hygiene report + semantic dedup, tagged by kind: (a) the
+    SRP-LSH bucket histogram — 8 md5-derived hyperplanes -> 256 buckets;
+    proves identical plane construction in both engines AND shows
+    bucket-balance / hot-bucket skew, the signal that decides salting
+    (operators/similarity.py srp_bucket) — (b) the quantized
     squared-L2-norm histogram (bucketed to 0.1 in milli^2 units; unit
     vectors cluster at bucket 10) — the ingest-time gate before any
-    cosine math trusts normalization. Two map-side-combined groupBys over
-    the same scan, no joins."""
-    from marmaray_spark.operators.similarity import quantize, srp_bucket
+    cosine math trusts normalization — and (c) 'semdedup': the FULL
+    SemDeDup flow (operators/similarity.py semantic_dedup, Abbas et al.
+    2023) with deterministic coarse centroids (vec_id < 8, the IVF-oracle
+    pattern standing in for trained k-means, which is not
+    SQL-expressible): per vector its cell (bucket) and min-id similarity-
+    component keeper (n) at quantized-dot >= 0.4e6 — the per-cluster
+    union-find checked against the oracle's recursive-CTE fixpoint.
+    Histograms are map-side-combined groupBys over one scan; semdedup
+    adds the cell shuffle + per-cluster gram."""
+    from marmaray_spark.operators.similarity import (quantize,
+                                                     semantic_dedup,
+                                                     srp_bucket)
 
     emb = (spread(load(spark, sf_dir, "embeddings"), spark)
            .withColumn("v", quantize("embedding")))
@@ -1780,7 +1820,18 @@ def embedding_index_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
             .select(F.lit("norm_sq").alias("kind"), "bucket", "n", "min_vec_id"))
-    return srp.unionByName(norm)
+    # 8 coarse centroids collected driver-side: bounded index metadata
+    # (the same scale class as checkpoint rows), cell index == vec_id
+    cents = [list(r["v"]) for r in
+             (emb.filter(F.col("vec_id") < 8).orderBy("vec_id")
+              .select("v").collect())]
+    sem = (semantic_dedup(load(spark, sf_dir, "embeddings"), cents,
+                          threshold_q=400_000)
+           .select(F.lit("semdedup").alias("kind"),
+                   F.col("cell").cast("long").alias("bucket"),
+                   F.col("keeper_id").cast("long").alias("n"),
+                   F.col("vec_id").cast("long").alias("min_vec_id")))
+    return srp.unionByName(norm).unionByName(sem)
 
 
 @register(
