@@ -5,10 +5,11 @@ zlib-compressed 8-bit RGB(A) PNG.
 The container ships no image/audio libraries, but these formats need
 none — struct + numpy decode BMP/WAV exactly, and PNG's DEFLATE layer is
 stdlib ``zlib``, so a COMPRESSED format is decoded for real too (all
-five scanline filters). They make the multimodal operators REAL for
-BMP/WAV/PNG payloads (decode, feature-extract, resize, duration/RMS)
-while JPEG/MP3 stay behind the documented deterministic-stub seam in
-operators/multimodal.py.
+five scanline filters). Together with the JPEG/GIF/FLAC/AVI codecs in
+their sibling modules they make the multimodal operators REAL for those
+payloads; WebP and MP3 get real METADATA here (header/frame-walk parse:
+dims+alpha, sample rate+duration) with pixel/sample decode behind the
+PIL/soundfile adapter seams.
 
 Everything here is per-payload Python called from Arrow-batched
 mapInPandas kernels — the bytes never leave the executor.
@@ -554,3 +555,113 @@ def decode_audio_best(payload: bytes) -> tuple[int, int, np.ndarray]:
         from marmaray_spark.functions.flac_codec import decode_flac
         return decode_flac(payload)
     raise MediaCodecError("no decoder for this audio payload in env")
+
+
+# -- WebP header parse (dims/channels without a pixel decoder) ---------------
+#
+# The feature-extraction kernel needs (w, h, channels), and every WebP
+# variant carries them in a fixed-layout header: VP8 keyframe tag
+# (lossy), VP8L stream header (lossless), VP8X canvas (extended). Pixel
+# decode stays behind the PIL adapter seam — but METADATA is real here.
+
+def parse_webp_dims(payload: bytes) -> tuple[int, int, int]:
+    """WebP bytes -> (width, height, channels). Raises MediaCodecError
+    on anything that is not a well-formed WebP header."""
+    p = bytes(payload)
+    if len(p) < 30 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+        raise MediaCodecError("not a WebP payload")
+    fourcc, size = p[12:16], struct.unpack_from("<I", p, 16)[0]
+    body = p[20:20 + size]
+    try:
+        if fourcc == b"VP8 ":           # lossy keyframe
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise MediaCodecError("VP8 keyframe start code missing")
+            w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+            return w, h, 3
+        if fourcc == b"VP8L":           # lossless
+            if body[0] != 0x2F:
+                raise MediaCodecError("VP8L signature missing")
+            bits = struct.unpack_from("<I", body, 1)[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return w, h, 4 if (bits >> 28) & 1 else 3
+        if fourcc == b"VP8X":           # extended: canvas size + flags
+            flags = body[0]
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return w, h, 4 if flags & 0x10 else 3
+    except (IndexError, struct.error) as e:
+        raise MediaCodecError(f"truncated WebP header: {e}") from e
+    raise MediaCodecError(f"unknown WebP chunk {fourcc!r}")
+
+
+def looks_like_webp(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+
+
+# -- MP3 frame walk (stream metadata without a sample decoder) ---------------
+#
+# Layer III's Huffman codebooks and synthesis window are static spec
+# tables that are NOT carried in the bitstream, so a trustworthy pure-
+# Python sample decoder cannot be validated in this environment (no
+# reference decoder, no fixtures) — samples stay behind the soundfile
+# adapter seam. The FRAME HEADERS, however, are four fixed-layout bytes
+# each: walking them yields sample rate, frame/sample counts and
+# duration — the metadata a corpus pipeline filters on.
+
+_MP3_RATES = {3: (44100, 48000, 32000),    # MPEG1
+              2: (22050, 24000, 16000),    # MPEG2
+              0: (11025, 12000, 8000)}     # MPEG2.5
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                      96, 112, 128, 144, 160)
+
+
+def mp3_stream_info(payload: bytes) -> tuple[int, int, int]:
+    """MP3 bytes -> (sample_rate, n_samples, n_frames) by walking Layer
+    III frame headers (ID3v2 tag skipped). Raises MediaCodecError when
+    no valid frame exists."""
+    p = bytes(payload)
+    pos = 0
+    if p[:3] == b"ID3" and len(p) >= 10:
+        syncsafe = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + syncsafe
+    rate = None
+    n_frames = n_samples = 0
+    while pos + 4 <= len(p):
+        b0, b1, b2 = p[pos], p[pos + 1], p[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break                   # trailing junk after last frame
+            pos += 1                    # resync before the first frame
+            continue
+        version = (b1 >> 3) & 0x03      # 3=MPEG1 2=MPEG2 0=MPEG2.5
+        layer = (b1 >> 1) & 0x03        # 1 = Layer III
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break
+            pos += 1
+            continue
+        sr = _MP3_RATES[version][sr_idx]
+        kbps = (_MP3_BITRATES_V1L3 if version == 3
+                else _MP3_BITRATES_V2L3)[br_idx]
+        spf = 1152 if version == 3 else 576
+        frame_len = spf // 8 * kbps * 1000 // sr + padding
+        if frame_len <= 4 or pos + frame_len > len(p):
+            break                       # truncated final frame: stop
+        if rate is None:
+            rate = sr
+        elif sr != rate:
+            break                       # rate change = corrupt stream
+        n_frames += 1
+        n_samples += spf
+        pos += frame_len
+    if rate is None or n_frames == 0:
+        raise MediaCodecError("no valid MPEG Layer III frame found")
+    return rate, n_samples, n_frames

@@ -94,6 +94,12 @@ def _decode_image(payload: bytes) -> tuple[int, int, int]:
         from marmaray_spark.functions.gif_codec import decode_gif
         px = decode_gif(bytes(payload))
         return px.shape[1], px.shape[0], px.shape[2]
+    from marmaray_spark.functions.media_codec import (looks_like_webp,
+                                                      parse_webp_dims)
+    if looks_like_webp(bytes(payload[:12])):
+        # REAL header parse (VP8/VP8L/VP8X all carry dims+alpha in fixed
+        # layouts); pixel decode stays behind the PIL seam
+        return parse_webp_dims(bytes(payload))
     if pil_available():
         try:
             px = decode_image_pil(bytes(payload))   # WebP/GIF/TIFF/...
@@ -126,6 +132,14 @@ def _decode_audio(payload: bytes) -> tuple[int, int]:
         # the soundfile wheel
         rate, channels, samples = decode_audio_best(bytes(payload))
         return rate, len(samples) // max(channels, 1)
+    if looks_like_mp3(bytes(payload[:3])):
+        # no soundfile: REAL stream metadata from the Layer III frame
+        # walk (rate + sample count); sample decode stays behind the
+        # adapter seam (functions/media_codec.py explains why a pure-
+        # Python Layer III decoder can't be validated in this env)
+        from marmaray_spark.functions.media_codec import mp3_stream_info
+        rate, n_samples, _frames = mp3_stream_info(bytes(payload))
+        return rate, n_samples
     return 16000, len(payload) * 4
 
 

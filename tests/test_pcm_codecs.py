@@ -140,3 +140,103 @@ def test_audio_features_on_compressed_wav_variants(spark):
     assert abs(got[1]["rms_milli"] - got[2]["rms_milli"]) <= 10
     # the hostile row forked to ok=False; the batch survived
     assert not got[4]["ok"] and got[4]["sample_rate"] == -1
+
+
+# -- WebP header parse / MP3 frame-walk metadata (r6) ------------------------
+
+def _webp(fourcc: bytes, body: bytes) -> bytes:
+    import struct
+    chunk = fourcc + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_dims_all_three_variants():
+    import struct
+    from marmaray_spark.functions.media_codec import parse_webp_dims
+
+    # VP8 lossy keyframe: tag + start code + 14-bit dims
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" \
+        + struct.pack("<H", 320) + struct.pack("<H", 240) + b"\x00" * 8
+    assert parse_webp_dims(_webp(b"VP8 ", vp8)) == (320, 240, 3)
+    # VP8L lossless: 0x2F + packed w-1/h-1/alpha
+    bits = (17 - 1) | ((5 - 1) << 14) | (1 << 28)
+    vp8l = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+    assert parse_webp_dims(_webp(b"VP8L", vp8l)) == (17, 5, 4)
+    bits = (100 - 1) | ((50 - 1) << 14)
+    vp8l = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+    assert parse_webp_dims(_webp(b"VP8L", vp8l)) == (100, 50, 3)
+    # VP8X extended: flags + 24-bit canvas dims
+    vp8x = bytes([0x10]) + b"\x00" * 3 \
+        + (640 - 1).to_bytes(3, "little") + (480 - 1).to_bytes(3, "little")
+    assert parse_webp_dims(_webp(b"VP8X", vp8x)) == (640, 480, 4)
+
+
+def test_webp_hostile_headers_are_codec_errors():
+    from marmaray_spark.functions.media_codec import (MediaCodecError,
+                                                      parse_webp_dims)
+
+    for bad in (b"RIFF1234WEBP",                       # no chunk
+                _webp(b"VP8 ", b"\x00\x00\x00badsig\x00\x00\x00\x00"),
+                _webp(b"VP8L", b"\x00\x00\x00\x00\x00"),
+                _webp(b"ALPH", b"\x00" * 16),
+                b"not webp at all"):
+        with pytest.raises(MediaCodecError):
+            parse_webp_dims(bad)
+
+
+def _mp3_frames(n=10, pad_id3=False):
+    # MPEG1 Layer III, 44.1 kHz, 128 kbps, no padding: 417-byte frames
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * (417 - 4)
+    out = frame * n
+    if pad_id3:
+        size = 100
+        id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, size]) + b"\x00" * size
+        out = id3 + out
+    return out
+
+
+def test_mp3_frame_walk_counts_frames_and_samples():
+    from marmaray_spark.functions.media_codec import mp3_stream_info
+
+    rate, n_samples, n_frames = mp3_stream_info(_mp3_frames(10))
+    assert (rate, n_frames) == (44100, 10)
+    assert n_samples == 10 * 1152
+    # ID3v2 tag skipped via syncsafe size
+    rate, n_samples, n_frames = mp3_stream_info(_mp3_frames(3, pad_id3=True))
+    assert (rate, n_frames) == (44100, 3)
+    # trailing junk after the last frame stops the walk cleanly
+    rate, _, n_frames = mp3_stream_info(_mp3_frames(2) + b"\x01garbage")
+    assert n_frames == 2
+
+
+def test_mp3_hostile_streams_are_codec_errors():
+    from marmaray_spark.functions.media_codec import (MediaCodecError,
+                                                      mp3_stream_info)
+
+    for bad in (b"\xff\xe0 but never a full frame",
+                b"no sync here at all",
+                b"ID3\x04\x00\x00\x00\x00\x00\x05hello"):
+        with pytest.raises(MediaCodecError):
+            mp3_stream_info(bad)
+
+
+def test_image_features_webp_and_audio_features_mp3(spark):
+    """The kernels surface REAL WebP dims and REAL MP3 duration without
+    any external library — metadata-real, samples behind the seam."""
+    import struct
+    from marmaray_spark.operators.multimodal import (extract_audio_features,
+                                                     extract_image_features)
+
+    bits = (31 - 1) | ((13 - 1) << 14)
+    webp = _webp(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8)
+    img = spark.createDataFrame([(1, "image", webp)],
+                                ["media_id", "media_type", "payload"])
+    row = extract_image_features(img).collect()[0]
+    assert (row["width"], row["height"], row["ok"]) == (31, 13, True)
+
+    aud = spark.createDataFrame([(1, "audio", _mp3_frames(20))],
+                                ["media_id", "media_type", "payload"])
+    arow = extract_audio_features(aud).collect()[0]
+    assert arow["sample_rate"] == 44100 and arow["ok"]
+    assert arow["n_samples"] == 20 * 1152
+    assert arow["rms_milli"] == -1          # samples stay behind the seam
