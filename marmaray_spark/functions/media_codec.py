@@ -210,7 +210,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     if rate is None or data is None:
         raise MediaCodecError("WAV missing fmt/data chunk")
     if codec == 1:
-        return rate, channels, np.frombuffer(data, np.int16)
+        # tolerate a trailing odd byte (a common bad-writer artifact):
+        # truncate to sample alignment instead of np.frombuffer's plain
+        # ValueError escaping the MediaCodecError-only contract
+        return rate, channels, np.frombuffer(data, np.int16,
+                                             len(data) // 2)
     if codec == 6:
         return rate, channels, alaw_decode(np.frombuffer(data, np.uint8))
     if codec == 7:

@@ -240,3 +240,95 @@ def test_image_features_webp_and_audio_features_mp3(spark):
     assert arow["sample_rate"] == 44100 and arow["ok"]
     assert arow["n_samples"] == 20 * 1152
     assert arow["rms_milli"] == -1          # samples stay behind the seam
+
+
+# -- mutational fuzz: the new parsers obey the codec-error-only contract -----
+
+def test_fuzz_wav_variants_codec_error_only():
+    """Bit-flipped / truncated G.711+ADPCM WAVs either decode or raise
+    MediaCodecError — never IndexError/struct.error/segfault-shaped
+    surprises (the contract the OCF/JPEG/FLAC parsers are pinned to)."""
+    import random
+
+    rng = random.Random(0xC0DEC)
+    sig = _sine(512)
+    seeds = [encode_wav_g711(sig, 8000, 1, "ulaw"),
+             encode_wav_g711(sig, 8000, 1, "alaw"),
+             encode_wav_ima_adpcm(sig, 8000, 1, 64)]
+    for seed in seeds:
+        for _ in range(150):
+            b = bytearray(seed)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                b = b[:rng.randrange(len(b))]
+            try:
+                decode_wav(bytes(b))
+            except MediaCodecError:
+                pass                    # the only permitted failure
+
+
+def test_fuzz_webp_mp3_codec_error_only():
+    import random
+    import struct
+    from marmaray_spark.functions.media_codec import (mp3_stream_info,
+                                                      parse_webp_dims)
+
+    rng = random.Random(0xFEED)
+    bits = (64 - 1) | ((32 - 1) << 14)
+    seeds_webp = [
+        _webp(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8),
+        _webp(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+              + struct.pack("<HH", 64, 32) + b"\x00" * 8),
+        _webp(b"VP8X", bytes([0x10]) + b"\x00" * 3
+              + (63).to_bytes(3, "little") + (31).to_bytes(3, "little")),
+    ]
+    for seed in seeds_webp:
+        for _ in range(200):
+            b = bytearray(seed)
+            for _ in range(rng.randint(1, 3)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                b = b[:rng.randrange(len(b))]
+            try:
+                parse_webp_dims(bytes(b))
+            except MediaCodecError:
+                pass
+    seed_mp3 = _mp3_frames(4)
+    for _ in range(200):
+        b = bytearray(seed_mp3)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        if rng.random() < 0.3:
+            b = b[:rng.randrange(len(b))]
+        try:
+            mp3_stream_info(bytes(b))
+        except MediaCodecError:
+            pass
+
+
+def test_pcm16_trailing_odd_byte_tolerated():
+    from marmaray_spark.functions.media_codec import encode_wav_pcm16
+
+    sig = _sine(100)
+    w = encode_wav_pcm16(sig, 8000, 1)
+    rate, ch, got = decode_wav(w[:-1])      # bad-writer trailing cut
+    assert (rate, ch) == (8000, 1) and len(got) == 99
+
+
+def test_fuzz_pcm16_wav_codec_error_only():
+    import random
+    from marmaray_spark.functions.media_codec import encode_wav_pcm16
+
+    rng = random.Random(0xBEEF)
+    seed = encode_wav_pcm16(_sine(256), 8000, 1)
+    for _ in range(200):
+        b = bytearray(seed)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        if rng.random() < 0.4:
+            b = b[:rng.randrange(len(b))]
+        try:
+            decode_wav(bytes(b))
+        except MediaCodecError:
+            pass
