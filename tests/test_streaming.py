@@ -503,3 +503,45 @@ def test_stream_to_table_to_maintained_rollup_chain(spark, tmp_path):
     land("w1", [(2, 10, 70.0), (4, 30, 9.0)])   # update + new user
     ingest_wave()
     check()
+
+
+def test_text_quality_ops_run_in_streaming_unchanged(spark, tmp_path):
+    """The round-6 text operators (C4 line cleaning, Gopher gates,
+    quality score) are pure Catalyst expressions, so the SAME Column
+    objects run in a Structured Streaming pipeline with no code changes
+    — the batch/stream unification contract the PII corpus_hygiene op
+    established."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from marmaray_spark.operators.text import (c4_clean,
+                                               gopher_repetition_pass,
+                                               quality_score, words)
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    rows = [(1, "this is a proper sentence with enough words to score.\n"
+                "enable javascript now."),
+            (2, "spam spam spam spam spam spam spam spam")]
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    spark.createDataFrame(rows, schema).write.parquet(str(src / "b0"))
+
+    stream = (spark.readStream.schema(schema).parquet(str(src) + "/*")
+              .withColumn("w", words("text"))
+              .withColumn("c4", c4_clean("text"))
+              .select("doc_id",
+                      quality_score("text", "w").alias("quality"),
+                      gopher_repetition_pass("w").alias("gopher_pass"),
+                      F.col("c4.lines_total").alias("lines_total"),
+                      F.col("c4.lines_kept").alias("lines_kept")))
+    out = tmp_path / "out"
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert got[1]["lines_total"] == 2 and got[1]["lines_kept"] == 1
+    assert got[1]["quality"] > got[2]["quality"]
+    assert not got[2]["gopher_pass"]        # pure repetition fails the gate
