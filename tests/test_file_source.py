@@ -72,3 +72,82 @@ def test_csv_source_custom_separator_no_header(spark, tmp_path):
     res = CsvFileSource(spark, SCHEMA, header=False, sep="|").get_data(unit)
     assert res.valid_count == 2 and res.error_count == 0
     assert {r["name"] for r in res.valid.collect()} == {"ok", "fine"}
+
+
+# -- columnar corrupt-file quarantine (r6) -----------------------------------
+
+def _write_single_parquet(spark, df, dest):
+    import glob
+    import shutil
+    tmp = str(dest) + "_tmp"
+    df.coalesce(1).write.parquet(tmp)
+    shutil.move(glob.glob(tmp + "/part-*.parquet")[0], str(dest))
+    shutil.rmtree(tmp)
+
+
+def test_columnar_quarantine_parquet(spark, tmp_path):
+    from marmaray_spark.sources.columnar_file import ColumnarFileSource
+
+    good1, good2 = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    _write_single_parquet(
+        spark, spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"]), good1)
+    _write_single_parquet(
+        spark, spark.createDataFrame([(3, "z")], ["id", "s"]), good2)
+    truncated = tmp_path / "c.parquet"
+    truncated.write_bytes(good1.read_bytes()[:-6])      # tail magic gone
+    garbage = tmp_path / "d.parquet"
+    garbage.write_bytes(b"this was never a parquet file")
+
+    src = ColumnarFileSource(spark, "parquet")
+    valid, errors = src.get_data_forked(
+        [good1, good2, truncated, garbage])
+    assert sorted(r["id"] for r in valid.collect()) == [1, 2, 3]
+    errs = errors.collect()
+    assert len(errs) == 2
+    reasons = " | ".join(e["hadoop_error_exception"] for e in errs)
+    assert "magic" in reasons
+    # quarantined paths preserved for replay
+    assert {e["hadoop_error_source_data"].count("parquet") > 0
+            for e in errs} == {True}
+
+
+def test_columnar_quarantine_orc(spark, tmp_path):
+    import glob
+    import shutil
+
+    from marmaray_spark.sources.columnar_file import ColumnarFileSource
+
+    tmp = str(tmp_path / "orc_tmp")
+    spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"]) \
+        .coalesce(1).write.orc(tmp)
+    good = tmp_path / "a.orc"
+    shutil.move(glob.glob(tmp + "/part-*.orc")[0], str(good))
+    shutil.rmtree(tmp)
+    bad = tmp_path / "b.orc"
+    bad.write_bytes(good.read_bytes()[:-2])             # postscript torn
+
+    src = ColumnarFileSource(spark, "orc")
+    valid, errors = src.get_data_forked([good, bad])
+    assert sorted(r["id"] for r in valid.collect()) == [1, 2]
+    assert errors.count() == 1
+
+
+def test_columnar_probe_contracts():
+    import pytest as _pytest
+
+    from marmaray_spark.sources.columnar_file import (ColumnarProbeError,
+                                                      probe_orc_bytes,
+                                                      probe_parquet_bytes)
+
+    with _pytest.raises(ColumnarProbeError):
+        probe_parquet_bytes(b"PAR1")                    # too short
+    with _pytest.raises(ColumnarProbeError):
+        probe_parquet_bytes(b"PAR1" + b"\x00" * 20)     # no tail magic
+    # footer length beyond file size
+    with _pytest.raises(ColumnarProbeError):
+        probe_parquet_bytes(b"PAR1" + b"\x00" * 8
+                            + b"\xff\xff\xff\x7f" + b"PAR1")
+    with _pytest.raises(ColumnarProbeError):
+        probe_orc_bytes(b"OR")                          # too short
+    with _pytest.raises(ColumnarProbeError):
+        probe_orc_bytes(b"\x00" * 10)                   # no magic, len 0
