@@ -2302,12 +2302,32 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_sum(list_transform(w, x -> CASE WHEN x IN ('der','die','und','das','ist','von','mit','den','nicht','ein') THEN 1 ELSE 0 END)) AS s_de,
         list_sum(list_transform(w, x -> CASE WHEN x IN ('le','la','les','et','des','est','dans','que','pour','une') THEN 1 ELSE 0 END)) AS s_fr
       FROM d
+    ), terms AS (
+      SELECT doc_id, unnest(w) AS term FROM d
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term <> '' GROUP BY doc_id, term
+    ), cnts AS (
+      SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term
+    ), tot AS (
+      SELECT SUM(cnt) AS total FROM cnts
+    ), lmm AS (
+      SELECT term, CAST(round(ln(cnt * 1.0 / total) * 1000) AS BIGINT)
+               AS logp_milli
+      FROM cnts, tot
+    ), docsc AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * lmm.logp_milli) // SUM(tf.tf) AS BIGINT)
+               AS lm_logp_milli
+      FROM tf JOIN lmm USING (term) GROUP BY tf.doc_id
     )
     SELECT {_SQL_PRED_LANG} AS pred_lang,
            count(*) AS n_docs,
            CAST(sum(len(w)) AS BIGINT) AS total_tokens,
-           round(avg(quality), 2) AS avg_quality
-    FROM scored
+           round(avg(quality), 2) AS avg_quality,
+           CAST(sum(docsc.lm_logp_milli) // count(*) AS BIGINT)
+             AS avg_lm_logp_milli
+    FROM scored JOIN docsc USING (doc_id)
     WHERE quality >= 60
     GROUP BY 1
     """,
@@ -2315,25 +2335,36 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM data-prep chain as ONE query: exact dedup (keep
     min-id per content digest) -> quality gate (score >= 60) -> language
-    ID -> per-language corpus stats. Each stage is an already
+    ID -> CCNet-style unigram-LM surprisal (trained on the DEDUPED
+    corpus itself, operators/lm.py — the per-language mean in integer
+    milli-nats is the perplexity-bucketing signal Wenzek et al. 2020
+    filter on) -> per-language corpus stats. Each stage is an already
     oracle-checked operator; this checks their COMPOSITION end-to-end.
-    One digest shuffle + one broadcast semi-join + one final agg."""
+    One digest shuffle + one broadcast semi-join + the LM's term
+    aggregate + one final agg."""
     from marmaray_spark.operators.dedup import exact_dedup
+    from marmaray_spark.operators.lm import lm_score, train_unigram_lm
     from marmaray_spark.operators.text import lang_id, quality_score
 
     docs = load(spark, sf_dir, "documents")
     keepers = exact_dedup(docs, "doc_id", "text").select(
         F.col("keeper_id").alias("doc_id"))
     kept = _with_words(docs.join(F.broadcast(keepers), "doc_id", "left_semi"))
+    lm = train_unigram_lm(kept, "w")
+    per_doc_lm = lm_score(kept, "doc_id", "w", lm) \
+        .select("doc_id", "lm_logp_milli")
     scored = kept.select(
         "doc_id", "w",
         quality_score("text", words_col="w").alias("quality"),
         lang_id("w").alias("pred_lang"))
-    return (scored.filter(F.col("quality") >= 60)
+    return (scored.join(per_doc_lm, "doc_id")
+            .filter(F.col("quality") >= 60)
             .groupBy("pred_lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.size("w")).cast("bigint").alias("total_tokens"),
-                 F.round(F.avg("quality"), 2).alias("avg_quality")))
+                 F.round(F.avg("quality"), 2).alias("avg_quality"),
+                 F.expr("sum(lm_logp_milli) div count(1)").cast("long")
+                 .alias("avg_lm_logp_milli")))
 
 
 @register(

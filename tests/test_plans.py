@@ -122,12 +122,15 @@ def test_no_allpairs_plan_in_any_declared_query(spark):
     # doc_distinctive_terms attaches the 1-row corpus token total to the
     # ≤vocab-size LM table (operators/lm.py train_unigram_lm) — again a
     # single-row broadcast build side
+    # corpus_prep_pipeline's LM stage attaches the same 1-row token
+    # total (operators/lm.py train_unigram_lm)
     allowed_bnlj = {"embedding_topk_bruteforce",
                     "validate_required_keys_valid",
                     "table_incremental_cdc",
                     "bm25_topical_ranking",
                     "relational_join_family",
-                    "doc_distinctive_terms"}
+                    "doc_distinctive_terms",
+                    "corpus_prep_pipeline"}
     offenders = {}
     for name, fn in Q.all_queries().items():
         plan = plan_of(fn(spark, SF))
