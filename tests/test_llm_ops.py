@@ -1430,3 +1430,21 @@ def test_multimodal_corrupt_payloads_fork_not_crash(spark):
         if mid in by_id:
             assert [r["frame_idx"] for r in by_id[mid]] == [-1]
     assert all(r["frame_idx"] >= 0 for r in by_id[3])
+
+
+def test_semantic_dedup_arrow_and_expression_paths_agree(spark, monkeypatch):
+    """Above the literal-plan bound, cell assignment switches to the
+    Arrow matmul kernel — forced here by shrinking the bound — and the
+    dedup output must be bit-identical to the expression path."""
+    import marmaray_spark.operators.similarity as sim
+
+    rows = [(i, _unit([1.0 + (i % 7) * 0.01, (i % 3) * 0.2,
+                       (i % 5) * 0.1, 0.3])) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1000, 0, 0, 0], [0, 1000, 0, 0], [0, 0, 1000, 0]]
+    expr_path = sorted(map(tuple,
+                           sim.semantic_dedup(df, cents, 980_000).collect()))
+    monkeypatch.setattr(sim, "_IVF_EXPR_MAX_LITERALS", 1)
+    arrow_path = sorted(map(tuple,
+                            sim.semantic_dedup(df, cents, 980_000).collect()))
+    assert arrow_path == expr_path
