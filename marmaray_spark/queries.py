@@ -2726,6 +2726,15 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM confusion
     UNION ALL
     SELECT 'top_terms', grp, item, n, rank FROM top_terms
+    UNION ALL
+    SELECT 'drift', CASE WHEN snap = 0 THEN 'snap_a' ELSE 'snap_b' END,
+           term, CAST(COUNT(*) AS BIGINT), CAST(0 AS INT)
+    FROM (
+      SELECT doc_id % 2 AS snap, unnest({_SQL_WORDS}) AS term
+      FROM documents
+    ) t
+    WHERE term <> ''
+    GROUP BY snap, term
     """,
 )
 def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2735,7 +2744,16 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-vote scores, no joins, no Python) and (b) the TOP-5 terms
     per language (map-side partial agg on (lang, term) then a
     per-language rank window — group-key cardinality bounds the window
-    partitions; no global sort)."""
+    partitions; no global sort) and (c) corpus DRIFT input between the
+    even / odd doc_id snapshot halves: the exact per-term counts of each
+    snapshot, the integer core of operators/drift.py term_drift (the
+    distribution-shift monitor run between crawl batches). The
+    HASH-COMPARED surface is counts only: the KL contribution itself
+    needs ln(), whose last-ulp differences between libm implementations
+    flip integer quantization boundaries across engines (observed:
+    2669 vs 2670 micro-nats on this very corpus), so the float step is
+    pinned by pytest against known inputs instead."""
+    from marmaray_spark.operators.drift import term_drift
     from marmaray_spark.operators.text import lang_id, words
 
     docs = load(spark, sf_dir, "documents")
@@ -2754,7 +2772,16 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("rank") <= 5)
              .select(F.lit("top_terms").alias("section"),
                      "grp", "item", "n", "rank"))
-    return conf.unionByName(terms)
+    dw = _with_words(docs)
+    td = term_drift(dw.filter(F.col("doc_id") % 2 == 0),
+                    dw.filter(F.col("doc_id") % 2 == 1), "w")
+    drift = (td.selectExpr(
+        "stack(2, 'snap_a', cnt_a, 'snap_b', cnt_b) AS (grp, n)", "term")
+        .filter(F.col("n") > 0)
+        .select(F.lit("drift").alias("section"), "grp",
+                F.col("term").alias("item"), F.col("n").cast("long"),
+                F.lit(0).cast("int").alias("rank")))
+    return conf.unionByName(terms).unionByName(drift)
 
 
 # ---------------------------------------------------------------------------

@@ -1448,3 +1448,45 @@ def test_semantic_dedup_arrow_and_expression_paths_agree(spark, monkeypatch):
     arrow_path = sorted(map(tuple,
                             sim.semantic_dedup(df, cents, 980_000).collect()))
     assert arrow_path == expr_path
+
+
+def test_term_drift_kl_contributions(spark):
+    """Corpus drift (operators/drift.py): integer-quantized per-term KL
+    contributions with add-one smoothing. Exact values pinned from the
+    closed-form (single-engine determinism; the cross-engine oracle
+    covers the integer count core — see language_report's docstring for
+    why ln() can't be hash-compared across engines)."""
+    import math
+
+    from marmaray_spark.operators.drift import term_drift
+    from marmaray_spark.operators.text import words
+
+    a = spark.createDataFrame(
+        [(1, "cat cat cat dog")], ["id", "text"]).withColumn("w", words("text"))
+    b = spark.createDataFrame(
+        [(2, "cat dog dog bird")], ["id", "text"]).withColumn("w", words("text"))
+    got = {r["term"]: r for r in term_drift(a, b, "w").collect()}
+    assert set(got) == {"cat", "dog", "bird"}
+    assert (got["cat"]["cnt_a"], got["cat"]["cnt_b"]) == (3, 1)
+    assert (got["bird"]["cnt_a"], got["bird"]["cnt_b"]) == (0, 1)
+
+    def contrib(ca, cb, tot_a=4, tot_b=4, v=3):
+        pa = (ca + 1) / (tot_a + v)
+        pb = (cb + 1) / (tot_b + v)
+        return round(pa * math.log(pa / pb) * 1e6)
+
+    for t in got:
+        assert got[t]["contrib_micro"] == contrib(got[t]["cnt_a"],
+                                                  got[t]["cnt_b"]), t
+    # over-represented in A -> positive; missing from A -> negative
+    assert got["cat"]["contrib_micro"] > 0 > got["bird"]["contrib_micro"]
+
+
+def test_term_drift_identical_snapshots_zero(spark):
+    from marmaray_spark.operators.drift import term_drift
+    from marmaray_spark.operators.text import words
+
+    d = spark.createDataFrame(
+        [(1, "x y z x")], ["id", "text"]).withColumn("w", words("text"))
+    out = term_drift(d, d, "w").collect()
+    assert all(r["contrib_micro"] == 0 for r in out)
