@@ -1,0 +1,198 @@
+"""fastText-style hashed linear quality classifier (Joulin et al. 2016,
+"Bag of Tricks for Efficient Text Classification") — the corpus-quality
+filter pattern of the public CCNet / LLaMA data pipelines: train a cheap
+linear model on hashed unigram+bigram features against a small labeled set
+(trusted pages vs raw crawl), then score every document in one pass and
+keep the high-scoring head. The reference (uber/marmaray) has no text
+surface; this belongs to the beyond-reference LLM-data-pipeline tier.
+
+Scale design (the 100 TB story):
+
+- Features are HASHED (``xxhash64 % dim``) — there is never a vocabulary
+  shuffle, and the featurizer is expression-only (JVM-side, codegen), so
+  train-time and score-time features agree by construction and the corpus
+  scan stays whole-stage-compiled right up to the scoring kernel.
+- TRAINING is full-batch gradient descent: each iteration is ONE
+  ``mapInPandas`` pass over the (persisted) labeled set emitting a partial
+  gradient per Arrow batch — a ``dim``-float vector, ~1 MiB at the default
+  2^17 — plus a tiny driver-side reduce. The corpus never shuffles; the
+  weights live on the driver between iterations and ship to executors via
+  a broadcast each pass. Labels are human- or heuristic-made, so the
+  labeled set is sample-scale by nature (CCNet trains on Wikipedia-sized
+  data, scores Common-Crawl-sized data); at 100 TB you train on the
+  sample and spend the big scan budget on scoring only.
+- SCORING is one Arrow kernel pass with the final weights broadcast —
+  no shuffle, no join. Scores are quantized to integer milli-logits so
+  downstream gates are float-order-proof.
+
+Determinism note: within one row the margin is a fixed-order sum over the
+feature array, so scoring is bit-stable under any partitioning. The
+TRAINING reduce sums per-batch float64 gradients in batch order, so
+retraining under a different partitioning can differ in final ulps —
+assert on held-out accuracy / monotone loss, not on exact weights (the
+same caveat every distributed SGD/LBFGS implementation carries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+DEFAULT_DIM = 1 << 17
+
+
+def hashed_features(words_col: str, dim: int = DEFAULT_DIM,
+                    bigrams: bool = True) -> Column:
+    """``array<int>`` of hashed feature ids for a tokenized document:
+    unigrams plus (optionally) adjacent-word bigrams, each
+    ``pmod(xxhash64(term), dim)``. Pure expressions — the hash runs
+    JVM-side, so training and scoring can never disagree on a bucket.
+    Empty tokens are dropped; an all-empty doc yields an empty array
+    (scored at the bias)."""
+    w = f"filter({words_col}, x -> x != '')"
+    uni = f"transform({w}, x -> int(pmod(xxhash64(x), {dim})))"
+    if not bigrams:
+        return F.expr(uni)
+    big = (f"transform(sequence(1, size({w}) - 1), "
+           f"i -> int(pmod(xxhash64(concat(element_at({w}, i), ' ', "
+           f"element_at({w}, i + 1))), {dim})))")
+    return F.expr(f"concat({uni}, if(size({w}) >= 2, {big}, "
+                  f"array()))")
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    # numerically stable both tails
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    e = np.exp(x[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def _batch_stats(feats: "pd.Series", labels: np.ndarray, w: np.ndarray,
+                 dim: int):
+    """Vectorized margins/loss/gradient for one Arrow batch of sparse
+    feature-id rows. Feature value = 1/n_feats (fastText's mean-of-
+    features normalization), bias at w[dim]."""
+    lens = np.fromiter((len(f) for f in feats), dtype=np.int64,
+                       count=len(feats))
+    nz = lens > 0
+    flat = (np.concatenate([np.asarray(f, dtype=np.int64) for f in feats])
+            if lens.sum() else np.empty(0, dtype=np.int64))
+    inv = np.zeros(len(feats))
+    inv[nz] = 1.0 / lens[nz]
+    margins = np.full(len(feats), w[dim])
+    if flat.size:
+        # per-row segment sums via cumsum gather — exact for empty rows
+        # anywhere in the batch (reduceat chokes on trailing empties)
+        offsets = np.zeros(len(feats), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        cs = np.concatenate(([0.0], np.cumsum(w[flat])))
+        sums = cs[offsets + lens] - cs[offsets]
+        margins = margins + sums * inv
+    if labels is None:
+        return margins, None, None
+    p = _sigmoid(margins)
+    g = p - labels                       # d(logloss)/d(margin)
+    grad = np.zeros(dim + 1)
+    if flat.size:
+        np.add.at(grad, flat, np.repeat(g * inv, lens))
+    grad[dim] = g.sum()
+    # stable logloss: log(1+exp(-|m|)) + max(0, -y*m)-free form
+    loss = (np.logaddexp(0.0, -margins) * labels
+            + np.logaddexp(0.0, margins) * (1.0 - labels)).sum()
+    return margins, grad, loss
+
+
+def train_quality_classifier(labeled: DataFrame, feats_col: str,
+                             label_col: str, dim: int = DEFAULT_DIM,
+                             iters: int = 40, lr: float = 0.5,
+                             l2: float = 1e-6):
+    """Full-batch logistic regression over hashed features.
+
+    ``labeled`` needs ``feats_col`` (``array<int>`` from
+    :func:`hashed_features`) and ``label_col`` (1 = keep-quality,
+    0 = reject). Returns ``(weights, history)``: ``weights`` is a
+    float64 numpy array of ``dim + 1`` (bias last), ``history`` the
+    mean-logloss per iteration (use it to spot divergence; it should
+    fall). Each iteration is one Spark job: mapInPandas partial
+    gradients (dim+1 floats + loss + count per batch) reduced on the
+    driver — gradient traffic is O(batches × dim), independent of row
+    count. Callers train on a labeled SAMPLE; persist it first if it is
+    the output of an expensive plan.
+
+    Updates are per-coordinate ADAGRAD (Duchi et al. 2011) rather than a
+    single global step: mean-normalized feature gradients are ~1/n_feats
+    the scale of the bias gradient, so no scalar rate suits both —
+    Adagrad's 1/sqrt(sum g²) preconditioner absorbs the mismatch and
+    makes ``lr`` insensitive across corpora. ``history`` rising is still
+    the signal to lower it."""
+    spark = labeled.sparkSession
+    data = labeled.select(F.col(feats_col).alias("f"),
+                          F.col(label_col).cast("double").alias("y"))
+    from pyspark.sql.types import ArrayType
+    out_schema = StructType([
+        StructField("grad", ArrayType(DoubleType()), False),
+        StructField("loss", DoubleType(), False),
+        StructField("n", LongType(), False)])
+
+    w = np.zeros(dim + 1)
+    gsq = np.zeros(dim + 1)               # Adagrad accumulator
+    history: list[float] = []
+    for _ in range(iters):
+        w_bc = spark.sparkContext.broadcast(w)
+
+        def kernel(batches, _bc=w_bc, _dim=dim):
+            import pandas as pd
+            for b in batches:
+                if not len(b):
+                    continue
+                _, grad, loss = _batch_stats(b["f"], b["y"].to_numpy(),
+                                             _bc.value, _dim)
+                yield pd.DataFrame({"grad": [grad.tolist()],
+                                    "loss": [loss],
+                                    "n": [len(b)]})
+
+        parts = data.mapInPandas(kernel, out_schema).collect()
+        n = sum(r["n"] for r in parts) or 1
+        grad = np.zeros(dim + 1)
+        loss = 0.0
+        for r in parts:
+            grad += np.asarray(r["grad"])
+            loss += r["loss"]
+        step = grad / n + l2 * w
+        gsq += step * step
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = w - lr * step / (np.sqrt(gsq) + 1e-10)
+        history.append(loss / n)
+        w_bc.destroy()
+    return w, history
+
+
+def score_quality(df: DataFrame, feats_col: str, weights,
+                  out_col: str = "quality_logit_milli") -> DataFrame:
+    """Attach integer milli-logit quality scores (one Arrow pass, weights
+    broadcast; positive = quality side). ``sigmoid(logit)`` recovers the
+    probability; gates compare the integer so thresholds are float-order
+    -proof."""
+    spark = df.sparkSession
+    w = np.asarray(weights, dtype=np.float64)
+    dim = w.shape[0] - 1
+    w_bc = spark.sparkContext.broadcast(w)
+    out_schema = StructType(df.schema.fields
+                            + [StructField(out_col, LongType(), False)])
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(batches, _bc=w_bc, _dim=dim):
+        for b in batches:
+            if not len(b):
+                continue
+            margins, _, _ = _batch_stats(b[feats_col], None, _bc.value, _dim)
+            b = b[cols].copy()
+            b[out_col] = np.rint(margins * 1000.0).astype(np.int64)
+            yield b
+
+    return df.mapInPandas(kernel, out_schema)

@@ -173,6 +173,29 @@ def symbol_word_bps(col: str, words_col: str) -> Column:
         f"div greatest(size({words_col}), 1) AS INT)")
 
 
+def dup_line_stats(lines_col: str) -> Column:
+    """``struct(dup_line_bps, dup_line_char_bps)`` over an array-of-lines
+    column — the remaining two Gopher repetition signals (Rae et al. 2021
+    table A1): the fraction of LINES that are repeats of an earlier line,
+    by count and by character mass (a doc whose one duplicated line is a
+    500-char boilerplate footer scores low on count but high on chars).
+    Repeat = occurrence beyond the first, so a line appearing k times
+    contributes k-1. Expression-only, O(distinct x lines) per row —
+    bounded by document size, no shuffle, no Python; empty lines are the
+    caller's business (the quality query feeds a pre-built line grid)."""
+    L = lines_col
+    n = f"size({L})"
+    dup_chars = (f"aggregate(array_distinct({L}), 0L, (acc, l) -> acc + "
+                 f"(size(filter({L}, x -> x = l)) - 1) * length(l))")
+    tot_chars = f"aggregate({L}, 0L, (acc, l) -> acc + length(l))"
+    return F.expr(
+        f"struct("
+        f"CAST(({n} - size(array_distinct({L}))) * 10000 "
+        f"div greatest({n}, 1) AS INT) AS dup_line_bps, "
+        f"CAST({dup_chars} * 10000 div greatest({tot_chars}, 1) AS INT) "
+        f"AS dup_line_char_bps)")
+
+
 def gopher_repetition_pass(words_col: str) -> Column:
     """Boolean Gopher-style repetition gate: duplicate-word mass < 65%,
     top 2-gram < 20%, top 3-gram < 18% of their slots. Thresholds follow

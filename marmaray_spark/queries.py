@@ -1014,6 +1014,21 @@ _SQL_C4_KEPT = """
              md5(coalesce(array_to_string({_SQL_C4_KEPT}, chr(10)), ''))
                AS c4_digest
       FROM lined
+    ), rep AS (
+      SELECT doc_id,
+             list_concat(lines, CASE WHEN doc_id % 5 = 0 THEN lines[1:1]
+                                     ELSE [] END) AS lr
+      FROM lined
+    ), dl AS (
+      SELECT doc_id,
+             CAST((len(lr) - len(list_distinct(lr))) * 10000
+                  // greatest(len(lr), 1) AS INT) AS dup_line_bps,
+             CAST(coalesce(list_sum(list_transform(list_distinct(lr),
+                    l -> (len(list_filter(lr, x -> x = l)) - 1) * length(l))),
+                    0) * 10000
+                  // greatest(coalesce(list_sum(list_transform(lr,
+                    l -> length(l))), 0), 1) AS INT) AS dup_line_char_bps
+      FROM rep
     ), s AS (
       SELECT doc_id,
              {_SQL_QUALITY} AS quality,
@@ -1032,8 +1047,9 @@ _SQL_C4_KEPT = """
               AS gopher_pass,
            CAST(c4.c4_lines_total AS INT) AS c4_lines_total,
            CAST(c4.c4_lines_kept AS INT) AS c4_lines_kept,
-           c4.c4_digest
-    FROM s JOIN c4 USING (doc_id)
+           c4.c4_digest,
+           dl.dup_line_bps, dl.dup_line_char_bps
+    FROM s JOIN c4 USING (doc_id) JOIN dl USING (doc_id)
     """,
 )
 def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1047,23 +1063,33 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically line-structured copy of the corpus (the synthetic
     docs carry no newlines, so the query injects an 8-word line grid with
     markers keyed on (doc_id + line) — the PII-query pattern for making a
-    rule non-vacuous). All integer basis points, all per-row expressions
-    in whole-stage codegen; no shuffle."""
-    from marmaray_spark.operators.text import (c4_clean, dup_word_bps,
+    rule non-vacuous), and the remaining two Gopher repetition signals —
+    duplicate-LINE fraction by count and by character mass
+    (operators/text.py dup_line_stats) — over the same grid with a
+    deterministic repeat of the first line injected every fifth doc.
+    All integer basis points, all per-row expressions in whole-stage
+    codegen; no shuffle."""
+    from marmaray_spark.operators.text import (c4_clean, dup_line_stats,
+                                               dup_word_bps,
                                                gopher_repetition_pass,
                                                mean_word_len_x100,
                                                quality_score,
                                                symbol_word_bps, top_ngram_bps)
 
     docs = _with_words(load(spark, sf_dir, "documents"))
-    lined = docs.withColumn("lined", F.expr("""
-        array_join(transform(
+    lined = docs.withColumn("lines", F.expr("""
+        transform(
           sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),
           i -> concat(
             concat_ws(' ', slice(w, i*8+1, 8)),
             IF((doc_id + i) % 7 = 0, ' javascript', ''),
-            IF((doc_id + i) % 4 != 0, '.', ''))), '\\n')"""))
-    return lined.withColumn("c4", c4_clean("lined")).select(
+            IF((doc_id + i) % 4 != 0, '.', '')))""")) \
+        .withColumn("lined", F.expr("array_join(lines, '\\n')")) \
+        .withColumn("lr", F.expr(
+            "concat(lines, IF(doc_id % 5 = 0, slice(lines, 1, 1), "
+            "slice(lines, 1, 0)))"))
+    return lined.withColumn("c4", c4_clean("lined")) \
+        .withColumn("dl", dup_line_stats("lr")).select(
         "doc_id",
         quality_score("text", words_col="w").alias("quality"),
         F.size("w").alias("n_tokens"),
@@ -1076,6 +1102,8 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c4.lines_total").alias("c4_lines_total"),
         F.col("c4.lines_kept").alias("c4_lines_kept"),
         F.md5(F.col("c4.cleaned")).alias("c4_digest"),
+        F.col("dl.dup_line_bps").alias("dup_line_bps"),
+        F.col("dl.dup_line_char_bps").alias("dup_line_char_bps"),
     )
 
 
@@ -1301,33 +1329,76 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sampling_methods",
-    """
-    SELECT doc_id, lang, 'stratified' AS method FROM documents
+    f"""
+    SELECT doc_id, lang, 'stratified' AS method,
+           CAST(NULL AS BIGINT) AS n1 FROM documents
     WHERE substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 4) <
           CASE WHEN lang = 'en' THEN '199a' ELSE '6666' END
     UNION ALL
-    SELECT doc_id, lang, 'hash10' AS method FROM documents
+    SELECT doc_id, lang, 'hash10' AS method,
+           CAST(NULL AS BIGINT) AS n1 FROM documents
     WHERE substring(md5(concat('s0:', CAST(doc_id AS VARCHAR))), 1, 4) < '199a'
+    UNION ALL
+    SELECT doc_id, lang, 'shard' AS method, n1 FROM (
+      WITH t AS (
+        SELECT doc_id, lang, {_SQL_WORDS} AS w FROM documents
+      ), d AS (
+        SELECT doc_id, lang, len(w) AS n_tok,
+               md5('sh0:' || CAST(doc_id AS VARCHAR)) AS k
+        FROM t
+      ), b AS (
+        SELECT *, substring(k, 1, 2) AS bucket FROM d
+      ), c AS (
+        SELECT *, SUM(n_tok) OVER (PARTITION BY bucket ORDER BY k, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM b
+      ), o AS (
+        SELECT bucket, SUM(n_tok) AS tot FROM b GROUP BY bucket
+      ), o2 AS (
+        SELECT bucket,
+               SUM(tot) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) - tot
+                 AS off
+        FROM o
+      )
+      SELECT c.doc_id, c.lang,
+             CAST((o2.off + c.cum - c.n_tok) // 4000 AS BIGINT) AS n1
+      FROM c JOIN o2 USING (bucket)
+    )
     """,
 )
 def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both deterministic sampling primitives side by side, tagged by
-    method: STRATIFIED rebalancing (keep 10% of dominant-language en docs,
-    40% of everything else, per-stratum md5 thresholds —
-    operators/text.py stratified_sample) and the flat ~10% md5-prefix
-    sample (deterministic_sample) used for eval holdouts and ablations.
-    Pure pushed-down filters, no shuffle, stable across engines, retries
-    and partitionings — rand()-based sample() is none of those things."""
+    """THREE deterministic corpus-partitioning primitives side by side,
+    tagged by method (sections sharing one scoreboard row — the
+    relational_join_family pattern): STRATIFIED rebalancing (keep 10% of
+    dominant-language en docs, 40% of everything else, per-stratum md5
+    thresholds — operators/text.py stratified_sample), the flat ~10%
+    md5-prefix sample (deterministic_sample) used for eval holdouts and
+    ablations, and the SHUFFLE-SHARD assignment (operators/shard.py —
+    md5 global shuffle order + token-budget shard ids via the two-pass
+    bucket prefix-sum; n1 = shard id). The sampling legs are pure
+    pushed-down filters — no shuffle, stable across engines, retries and
+    partitionings (rand()-based sample() is none of those things); the
+    shard leg's only corpus shuffle is its per-bucket window exchange."""
+    from marmaray_spark.operators.shard import shard_assignments
     from marmaray_spark.operators.text import (deterministic_sample,
                                                stratified_sample)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    null_n1 = F.lit(None).cast("long")
     strat = stratified_sample(docs, "doc_id", "lang",
                               {"en": 10.0}, default_pct=40.0) \
-        .withColumn("method", F.lit("stratified"))
+        .withColumn("method", F.lit("stratified")) \
+        .withColumn("n1", null_n1)
     flat = deterministic_sample(docs, "doc_id", pct=10) \
-        .withColumn("method", F.lit("hash10"))
-    return strat.unionByName(flat)
+        .withColumn("method", F.lit("hash10")) \
+        .withColumn("n1", null_n1)
+    toks = _with_words(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "lang", F.size("w").alias("n_tok"))
+    shard = shard_assignments(toks, "doc_id", "n_tok",
+                              budget_tokens=4000, salt="sh0") \
+        .select("doc_id", "lang", F.lit("shard").alias("method"),
+                F.col("shard").alias("n1"))
+    return strat.unionByName(flat).unionByName(shard)
 
 
 # ---------------------------------------------------------------------------

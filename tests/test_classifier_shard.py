@@ -1,0 +1,175 @@
+"""Trainable quality classifier (operators/classifier.py) and the
+deterministic shuffle-shard training-output writer (operators/shard.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from marmaray_spark.operators.classifier import (hashed_features,
+                                                 score_quality,
+                                                 train_quality_classifier)
+from marmaray_spark.operators.shard import (shard_assignments,
+                                            write_training_shards)
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then it runs "
+        "home to sleep because the day was long and the sun was warm").split()
+BAD = ("zx9 qq7 m2k vv0 j8p w3n r5t y1u o6i a4s d0f g7h k2l c9v b5n "
+       "x3z p8q e1w t6y u0i l4o").split()
+
+
+def _labeled_docs(spark, n=400, seed=7):
+    """Synthetic separable corpus: label-1 docs draw from a natural-word
+    vocabulary, label-0 docs from junk tokens, with 10% vocabulary bleed
+    so the margin is learned, not memorized."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        label = i % 2
+        main, other = (GOOD, BAD) if label else (BAD, GOOD)
+        k = int(rng.integers(8, 30))
+        words = [str(rng.choice(other if rng.random() < 0.1 else main))
+                 for _ in range(k)]
+        rows.append((i, words, label))
+    return spark.createDataFrame(rows, "doc_id long, w array<string>, y int")
+
+
+def test_hashed_features_shape_and_range(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["solo"]), (3, []), (4, ["", "x", ""])],
+        "id long, w array<string>")
+    out = {r["id"]: r["f"] for r in
+           df.select("id", hashed_features("w", dim=64).alias("f")).collect()}
+    assert len(out[1]) == 3 + 2          # unigrams + adjacent bigrams
+    assert len(out[2]) == 1              # no bigram from one token
+    assert out[3] == []
+    assert len(out[4]) == 1              # empties dropped before hashing
+    assert all(0 <= v < 64 for vs in out.values() for v in vs)
+
+
+def test_classifier_learns_separable_labels(spark):
+    labeled = _labeled_docs(spark).withColumn(
+        "f", hashed_features("w", dim=1 << 12))
+    train = labeled.filter(F.col("doc_id") % 4 != 3).persist()
+    held = labeled.filter(F.col("doc_id") % 4 == 3)
+    try:
+        w, hist = train_quality_classifier(
+            train, "f", "y", dim=1 << 12, iters=30)
+        assert hist[-1] < hist[0] * 0.5          # loss actually fell
+        scored = score_quality(held, "f", w)
+        rows = scored.select("y", "quality_logit_milli").collect()
+        acc = (sum(1 for r in rows
+                   if (r["quality_logit_milli"] > 0) == (r["y"] == 1))
+               / len(rows))
+        assert acc >= 0.95
+    finally:
+        train.unpersist()
+
+
+def test_score_quality_deterministic_and_empty_doc_at_bias(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], "id long, w array<string>") \
+        .withColumn("f", hashed_features("w", dim=256))
+    w = np.zeros(257)
+    w[256] = 1.25                         # bias only
+    a = {r["id"]: r["quality_logit_milli"]
+         for r in score_quality(df, "f", w).collect()}
+    b = {r["id"]: r["quality_logit_milli"]
+         for r in score_quality(df.repartition(5), "f", w).collect()}
+    assert a == b
+    assert a[2] == 1250                   # empty doc scores the bias
+
+
+def test_batch_stats_empty_rows_anywhere():
+    """Trailing/leading empty feature rows must not corrupt margins (the
+    reduceat trap the cumsum-gather implementation avoids)."""
+    import pandas as pd
+
+    from marmaray_spark.operators.classifier import _batch_stats
+    w = np.arange(11, dtype=np.float64)   # dim=10, bias w[10]=10
+    feats = pd.Series([[], [1, 2], [], [3], []])
+    margins, grad, loss = _batch_stats(
+        feats, np.array([0.0, 1.0, 0.0, 1.0, 0.0]), w, 10)
+    exp = np.array([10.0, 10 + (1 + 2) / 2, 10.0, 13.0, 10.0])
+    assert np.allclose(margins, exp)
+    assert np.isfinite(loss) and grad.shape == (11,)
+
+
+def test_shard_assignments_deterministic_and_budgeted(spark, documents):
+    docs = documents.select("doc_id", "text").withColumn(
+        "n_tok", F.size(F.split("text", r"\s+")))
+    a = shard_assignments(docs, "doc_id", "n_tok", budget_tokens=2000)
+    b = shard_assignments(docs.repartition(13), "doc_id", "n_tok",
+                          budget_tokens=2000)
+    ra = sorted((r["doc_id"], r["shard"], r["start_tokens"])
+                for r in a.collect())
+    rb = sorted((r["doc_id"], r["shard"], r["start_tokens"])
+                for r in b.collect())
+    assert ra == rb                       # partitioning-proof
+    # global prefix-sum is consistent: sorted by start, tokens chain
+    rows = sorted(a.select("sort_key", "start_tokens", "n_tok", "shard")
+                  .collect(), key=lambda r: r["sort_key"])
+    pos = 0
+    for r in rows:
+        assert r["start_tokens"] == pos
+        assert r["shard"] == pos // 2000
+        pos += r["n_tok"]
+    # every shard except possibly the last holds ≈budget tokens
+    per = {}
+    for r in rows:
+        per[r["shard"]] = per.get(r["shard"], 0) + r["n_tok"]
+    max_doc = max(r["n_tok"] for r in rows)
+    for s, t in per.items():
+        if s != max(per):
+            assert t <= 2000 + max_doc
+
+
+def test_write_training_shards_layout_and_manifest(spark, documents, tmp_path):
+    docs = documents.select("doc_id", "text").withColumn(
+        "n_tok", F.size(F.split("text", r"\s+")))
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, "doc_id", "n_tok",
+                                     budget_tokens=3000)
+    assert manifest["total_docs"] == docs.count()
+    on_disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert on_disk == manifest
+    back = spark.read.parquet(os.path.join(out, "data"))
+    assert back.count() == manifest["total_docs"]
+    per = {r["shard"]: (r["docs"], r["tokens"])
+           for r in back.groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tok").alias("tokens")).collect()}
+    assert per == {s["shard"]: (s["docs"], s["tokens"])
+                   for s in manifest["shards"]}
+    # one data file per shard (deterministic output layout)
+    for s in manifest["shards"]:
+        d = os.path.join(out, "data", f"shard={s['shard']}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+
+def test_dup_line_stats_count_and_char_mass(spark):
+    from marmaray_spark.operators.text import dup_line_stats
+    df = spark.createDataFrame(
+        [(1, ["aaaa", "b", "aaaa", "aaaa", "c"]),   # one line 3x
+         (2, ["x", "y", "z"]),                      # no repeats
+         (3, [])],
+        "id long, lines array<string>")
+    out = {r["id"]: (r["s"]["dup_line_bps"], r["s"]["dup_line_char_bps"])
+           for r in df.select("id",
+                              dup_line_stats("lines").alias("s")).collect()}
+    # doc 1: 2 repeat occurrences of 5 lines = 4000 bps; repeated chars
+    # = 2*4 of 14 total = 5714 bps
+    assert out[1] == (4000, 2 * 4 * 10000 // 14)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+
+
+def test_shard_assignments_rejects_bad_budget(spark, documents):
+    docs = documents.select("doc_id").withColumn("n", F.lit(1))
+    with pytest.raises(ValueError):
+        shard_assignments(docs, "doc_id", "n", budget_tokens=0)
