@@ -300,6 +300,57 @@ def weighted_sample(df, id_col: str, weight_col, salt: str = "s0"):
     return df.filter(u16 < thr)
 
 
+def temperature_mix(df, id_col: str, group_col: str,
+                    keep_bps: int = 2000, salt: str = "tm0"):
+    """Temperature-based corpus mixing at α = 0.5: rebalance group (e.g.
+    language / source) proportions toward ``share_g ∝ sqrt(n_g)`` — the
+    multilingual sampling rule popularized by XLM (Conneau & Lample 2019)
+    and mBERT, which upsamples rare groups relative to their raw share —
+    while keeping ~``keep_bps``/10000 of the corpus overall. Returns the
+    kept rows.
+
+    Cross-engine-exact by construction (this is the hash-gate contract
+    the sampling family shares): IEEE sqrt is correctly rounded in every
+    engine, each group's ``sqrt(n_g)`` is quantized to an integer
+    immediately (×1000, floor), and everything after — the share
+    denominator, per-group acceptance rate in basis points, the 16-bit
+    md5 threshold — is integer arithmetic, so no float summation order
+    can flip a row. α is fixed at 0.5 because general ``pow`` is NOT
+    correctly rounded across libms; other temperatures would need a
+    per-group quantization table shipped from the driver.
+
+    Scale: one tiny groupBy(group) count (map-side combined), rates
+    computed on that group-count-scale frame and broadcast back; the
+    corpus itself is filtered in place — no corpus shuffle."""
+    if not 0 < keep_bps <= 10000:
+        raise ValueError("keep_bps in (0, 10000]")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    s = counts.withColumn(
+        "_s", F.expr("CAST(floor(sqrt(_n) * 1000) AS BIGINT)"))
+    # totals via an unpartitioned window over the GROUP-count-scale frame
+    # (single partition by construction — that frame is tiny), sparing a
+    # second aggregate + broadcast-exchange job.
+    # rate_bps = keep_bps * N * s_g / (S * n_g), floored — the numerator
+    # reaches ~1e23 at a 100 TB corpus, past int64, so the products ride
+    # DECIMAL(38,0) (the oracle's HUGEINT): exact integers either way
+    from pyspark.sql.window import Window as _W
+    wall = _W.partitionBy()
+    rates = (s.withColumn("_stot", F.sum("_s").over(wall))
+             .withColumn("_ntot", F.sum("_n").over(wall))
+             .withColumn("_rate_bps", F.expr(
+                 f"least(CAST(10000 AS BIGINT), "
+                 f"(CAST({int(keep_bps)} AS DECIMAL(38,0)) * _ntot * _s) div "
+                 f"(CAST(_stot AS DECIMAL(38,0)) * _n))"))
+             .select(group_col, "_rate_bps"))
+    u16 = F.conv(F.expr(
+        f"substring(md5(concat('{salt}:', cast({id_col} as string))), 1, 4)"),
+        16, 10).cast("long")
+    return (df.join(F.broadcast(rates), group_col)
+            .withColumn("_u16", u16)
+            .filter(F.col("_u16") < F.expr("_rate_bps * 65536 div 10000"))
+            .drop("_rate_bps", "_u16"))
+
+
 # ---------------------------------------------------------------------------
 # C4-style line-level cleaning (Raffel et al. 2020, §2.2 "Colossal Clean
 # Crawled Corpus" heuristics). The reference has no text surface at all —

@@ -1364,24 +1364,52 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((o2.off + c.cum - c.n_tok) // 4000 AS BIGINT) AS n1
       FROM c JOIN o2 USING (bucket)
     )
+    UNION ALL
+    SELECT doc_id, lang, 'tempmix' AS method, CAST(NULL AS BIGINT) AS n1
+    FROM (
+      WITH g AS (
+        SELECT lang, COUNT(*) AS n,
+               CAST(floor(sqrt(COUNT(*)) * 1000) AS BIGINT) AS s
+        FROM documents GROUP BY lang
+      ), tt AS (
+        SELECT SUM(s) AS stot, SUM(n) AS ntot FROM g
+      ), r AS (
+        SELECT g.lang,
+               least(CAST(10000 AS BIGINT),
+                     CAST((CAST(2000 AS HUGEINT) * tt.ntot * g.s)
+                          // (CAST(tt.stot AS HUGEINT) * g.n) AS BIGINT))
+                 AS rate_bps
+        FROM g, tt
+      )
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substring(md5('tm0:' || CAST(d.doc_id AS VARCHAR)),
+                               1, 4))::BIGINT
+            < r.rate_bps * 65536 // 10000
+    )
     """,
 )
 def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THREE deterministic corpus-partitioning primitives side by side,
+    """FOUR deterministic corpus-partitioning primitives side by side,
     tagged by method (sections sharing one scoreboard row — the
     relational_join_family pattern): STRATIFIED rebalancing (keep 10% of
     dominant-language en docs, 40% of everything else, per-stratum md5
     thresholds — operators/text.py stratified_sample), the flat ~10%
     md5-prefix sample (deterministic_sample) used for eval holdouts and
-    ablations, and the SHUFFLE-SHARD assignment (operators/shard.py —
-    md5 global shuffle order + token-budget shard ids via the two-pass
-    bucket prefix-sum; n1 = shard id). The sampling legs are pure
+    ablations, the SHUFFLE-SHARD assignment (operators/shard.py — md5
+    global shuffle order + token-budget shard ids via the two-pass
+    bucket prefix-sum; n1 = shard id), and TEMPERATURE MIXING at α=0.5
+    (operators/text.py temperature_mix — XLM's sqrt-share rebalancing,
+    Conneau & Lample 2019, with per-group integer-quantized rates so the
+    hash gate can check it exactly). The sampling legs are pure
     pushed-down filters — no shuffle, stable across engines, retries and
     partitionings (rand()-based sample() is none of those things); the
-    shard leg's only corpus shuffle is its per-bucket window exchange."""
+    shard leg's only corpus shuffle is its per-bucket window exchange;
+    tempmix adds one group-count-scale aggregate broadcast back."""
     from marmaray_spark.operators.shard import shard_assignments
     from marmaray_spark.operators.text import (deterministic_sample,
-                                               stratified_sample)
+                                               stratified_sample,
+                                               temperature_mix)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     null_n1 = F.lit(None).cast("long")
@@ -1398,7 +1426,11 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                               budget_tokens=4000, salt="sh0") \
         .select("doc_id", "lang", F.lit("shard").alias("method"),
                 F.col("shard").alias("n1"))
-    return strat.unionByName(flat).unionByName(shard)
+    mix = temperature_mix(docs, "doc_id", "lang",
+                          keep_bps=2000, salt="tm0") \
+        .select("doc_id", "lang", F.lit("tempmix").alias("method"),
+                null_n1.alias("n1"))
+    return strat.unionByName(flat).unionByName(shard).unionByName(mix)
 
 
 # ---------------------------------------------------------------------------

@@ -169,6 +169,25 @@ def test_dup_line_stats_count_and_char_mass(spark):
     assert out[3] == (0, 0)
 
 
+def test_temperature_mix_upsamples_rare_groups(spark):
+    from marmaray_spark.operators.text import temperature_mix
+    rows = [(i, "big" if i < 9000 else "rare") for i in range(10000)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept = temperature_mix(df, "id", "g", keep_bps=2000).collect()
+    n = {"big": 0, "rare": 0}
+    for r in kept:
+        n[r["g"]] += 1
+    # exact expected rates: s_big=94868, s_rare=31622, S=126490, N=10000
+    # rate_big = 2000*10000*94868 // (126490*9000) = 1666 bps
+    # rate_rare = 2000*10000*31622 // (126490*1000) = 5000 bps
+    assert 0.14 < n["big"] / 9000 < 0.19          # ~16.7%, was 20% flat
+    assert 0.45 < n["rare"] / 1000 < 0.55         # ~50%: 3x upsampled
+    # deterministic under repartitioning
+    kept2 = temperature_mix(df.repartition(7), "id", "g",
+                            keep_bps=2000).collect()
+    assert sorted(r["id"] for r in kept) == sorted(r["id"] for r in kept2)
+
+
 def test_shard_assignments_rejects_bad_budget(spark, documents):
     docs = documents.select("doc_id").withColumn("n", F.lit(1))
     with pytest.raises(ValueError):
