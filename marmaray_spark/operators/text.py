@@ -141,21 +141,43 @@ def top_ngram_bps(words_col: str, n: int = 2) -> Column:
     """Fraction (basis points) of n-gram slots taken by the single most
     frequent n-gram — Gopher's "top n-gram fraction" repetition rule.
 
-    Expression-only: occurrences counted with filter() over the row's own
-    shingle array (O(distinct x total) per row — bounded by document
-    length, no shuffle, no Python)."""
+    Expression-only (no shuffle, no Python), computed as the longest
+    equal run of the SORTED shingle array: O(len log len) per row with
+    the shingle array evaluated once. The obvious
+    ``transform(array_distinct(sh), s -> size(filter(sh, ...)))`` form
+    was rebuilt after a measured trap: higher-order functions are
+    interpreted (never codegen), the inner filter() re-evaluates the
+    whole shingle build per distinct element (O(distinct x len)), and
+    when the words column is an alias, PushDownPredicate substitutes its
+    split() into every one of those re-evaluations — a filter on this
+    gate over 500 x 55-token docs measured 45s single-core vs ~1s for
+    the run-length form. At real document lengths the old form is
+    O(tokens²) and this one survives."""
     return _top_ngram_bps_expr(words_col, n)
 
 
 def _top_ngram_bps_expr(words_col: str, n: int) -> Column:
-    parts = ", ' ', ".join(f"{words_col}[i + {j}]" for j in range(n))
-    sh = (f"IF(size({words_col}) < {n}, array(), "
-          f"transform(sequence(0, size({words_col}) - {n}), "
-          f"i -> concat({parts})))")
+    # shingles via zip_with over shifted slices, NOT w[i+j] indexing in a
+    # lambda: indexed access re-evaluates the words expression per
+    # element once an optimizer rule (CollapseProject/PushDownPredicate)
+    # has substituted the alias — measured 5.3s -> ~1s on the filter
+    # shape below, on top of the run-length rewrite
+    L = f"greatest(size({words_col}) - {n - 1}, 0)"
+    sh = f"slice({words_col}, 1, {L})"
+    for i in range(2, n + 1):
+        sh = (f"zip_with({sh}, slice({words_col}, {i}, {L}), "
+              f"(x, y) -> concat(x, ' ', y))")
+    runmax = (
+        f"aggregate(array_sort({sh}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        f"(a, x) -> named_struct("
+        f"'prev', x, "
+        f"'run', IF(x = a.prev, a.run + 1, 1), "
+        f"'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))), "
+        f"a -> a.best)")
     return F.expr(
         f"CAST(IF(size({sh}) = 0, 0, "
-        f"array_max(transform(array_distinct({sh}), "
-        f"s -> size(filter({sh}, x -> x = s)))) * 10000 div size({sh})) AS INT)")
+        f"{runmax} * 10000 div size({sh})) AS INT)")
 
 
 def mean_word_len_x100(words_col: str) -> Column:

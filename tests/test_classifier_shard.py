@@ -188,6 +188,28 @@ def test_temperature_mix_upsamples_rare_groups(spark):
     assert sorted(r["id"] for r in kept) == sorted(r["id"] for r in kept2)
 
 
+def test_training_data_prep_example_end_to_end(spark, sf_dir, tmp_path):
+    """The examples/training_data_prep.py funnel: every stage removes or
+    rebalances something, the shard output is complete and readable, and
+    the classifier actually learned (falling loss)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
+    from training_data_prep import prepare
+    report = prepare(spark, sf_dir, str(tmp_path / "out"),
+                     classifier_dim=1 << 12, classifier_iters=8)
+    m = report["manifest"]
+    assert report["after_dedup"] < report["input_docs"]
+    assert report["after_classifier"] <= report["after_dedup"]
+    assert 0 < report["after_mix"] < report["after_classifier"]
+    assert m["total_docs"] == report["after_mix"]
+    assert m["n_shards"] >= 1
+    assert report["final_loss"] < 0.6931                # below coin-flip
+    back = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert back.count() == m["total_docs"]
+
+
 def test_shard_assignments_rejects_bad_budget(spark, documents):
     docs = documents.select("doc_id").withColumn("n", F.lit(1))
     with pytest.raises(ValueError):
