@@ -202,13 +202,20 @@ def dup_line_stats(lines_col: str) -> Column:
     by count and by character mass (a doc whose one duplicated line is a
     500-char boilerplate footer scores low on count but high on chars).
     Repeat = occurrence beyond the first, so a line appearing k times
-    contributes k-1. Expression-only, O(distinct x lines) per row —
-    bounded by document size, no shuffle, no Python; empty lines are the
-    caller's business (the quality query feeds a pre-built line grid)."""
+    contributes k-1. Expression-only, O(lines log lines) per row via a
+    single pass over the sorted array (the count-per-distinct-line form
+    is the interpreted-HOF O(distinct x lines) trap measured and fixed
+    in top_ngram_bps — same cure here), no shuffle, no Python; empty
+    lines are the caller's business (the quality query feeds a pre-built
+    line grid)."""
     L = lines_col
     n = f"size({L})"
-    dup_chars = (f"aggregate(array_distinct({L}), 0L, (acc, l) -> acc + "
-                 f"(size(filter({L}, x -> x = l)) - 1) * length(l))")
+    dup_chars = (
+        f"aggregate(array_sort({L}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'dc', 0L), "
+        f"(a, x) -> named_struct('prev', x, "
+        f"'dc', a.dc + IF(x = a.prev, CAST(length(x) AS BIGINT), 0L)), "
+        f"a -> a.dc)")
     tot_chars = f"aggregate({L}, 0L, (acc, l) -> acc + length(l))"
     return F.expr(
         f"struct("

@@ -210,6 +210,45 @@ def test_training_data_prep_example_end_to_end(spark, sf_dir, tmp_path):
     assert back.count() == m["total_docs"]
 
 
+def test_classifier_scoring_runs_in_streaming_unchanged(spark, tmp_path):
+    """score_quality is one stateless mapInPandas with broadcast weights,
+    so the SAME call scores a Structured Streaming frame with no code
+    changes — train offline, score the live feed (the batch/stream
+    unification contract corpus_hygiene established). Stream scores must
+    equal the batch scores bit-for-bit (per-row fixed-order sums)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("w", T.ArrayType(T.StringType()))])
+    rows = [(1, ["the", "quick", "fox"]), (2, ["zz9", "qq7"]), (3, [])]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).write.parquet(str(src / "b0"))
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=257)
+    feats = hashed_features("w", dim=256)
+
+    batch = score_quality(
+        spark.read.schema(schema).parquet(str(src) + "/*")
+        .withColumn("f", feats), "f", w)
+    expected = {r["doc_id"]: r["quality_logit_milli"]
+                for r in batch.collect()}
+
+    stream = score_quality(
+        spark.readStream.schema(schema).parquet(str(src) + "/*")
+        .withColumn("f", feats), "f", w)
+    out = tmp_path / "out"
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["quality_logit_milli"]
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got == expected and len(got) == 3
+
+
 def test_shard_assignments_rejects_bad_budget(spark, documents):
     docs = documents.select("doc_id").withColumn("n", F.lit(1))
     with pytest.raises(ValueError):
