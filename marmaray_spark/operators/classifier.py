@@ -172,6 +172,50 @@ def train_quality_classifier(labeled: DataFrame, feats_col: str,
     return w, history
 
 
+def pr_report(scored: DataFrame, label_col: str,
+              logit_col: str = "quality_logit_milli",
+              n_buckets: int = 40) -> DataFrame:
+    """Precision/recall over a labeled eval set at ``n_buckets`` logit
+    thresholds, in ONE corpus pass: rows bucket by logit, one
+    map-side-combined groupBy counts (pos, neg) per bucket, and the
+    cumulative-from-above windows run on the bucket-count-scale frame
+    (tiny, single partition by construction). Returns one row per
+    OCCUPIED bucket: (threshold_milli, predicted_pos, tp, fp, fn,
+    precision_bps, recall_bps) where threshold = the bucket's lower
+    edge, "keep" = logit >= threshold. Use it to pick the keep
+    threshold for :func:`score_quality` gates — the knob every
+    classifier-filtered corpus pipeline has to set."""
+    from pyspark.sql.window import Window as W
+
+    lo_hi = scored.groupBy().agg(
+        F.min(logit_col).alias("_lo"), F.max(logit_col).alias("_hi"))
+    b = (scored.crossJoin(F.broadcast(lo_hi))
+         .withColumn("_w", F.expr(
+             f"greatest((_hi - _lo) div {int(n_buckets)}, 1L)"))
+         .withColumn("bucket", F.expr(f"least(({logit_col} - _lo) div _w, "
+                                      f"{int(n_buckets) - 1})"))
+         .withColumn("thr", F.expr("_lo + bucket * _w")))
+    per = (b.groupBy("bucket", "thr")
+           .agg(F.sum(F.col(label_col).cast("long")).alias("pos"),
+                F.sum(F.expr(f"1 - CAST({label_col} AS LONG)")).alias("neg")))
+    wdesc = (W.orderBy(F.col("bucket").desc())
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    total_pos = per.groupBy().agg(F.sum("pos").alias("_tpos"))
+    return (per
+            .withColumn("tp", F.sum("pos").over(wdesc))
+            .withColumn("fp", F.sum("neg").over(wdesc))
+            .crossJoin(F.broadcast(total_pos))
+            .select(F.col("thr").alias("threshold_milli"),
+                    (F.col("tp") + F.col("fp")).alias("predicted_pos"),
+                    "tp", "fp",
+                    (F.col("_tpos") - F.col("tp")).alias("fn"),
+                    F.expr("tp * 10000 div greatest(tp + fp, 1)")
+                    .alias("precision_bps"),
+                    F.expr("tp * 10000 div greatest(_tpos, 1)")
+                    .alias("recall_bps"))
+            .orderBy("threshold_milli"))
+
+
 def score_quality(df: DataFrame, feats_col: str, weights,
                   out_col: str = "quality_logit_milli") -> DataFrame:
     """Attach integer milli-logit quality scores (one Arrow pass, weights

@@ -210,6 +210,29 @@ def test_training_data_prep_example_end_to_end(spark, sf_dir, tmp_path):
     assert back.count() == m["total_docs"]
 
 
+def test_pr_report_matches_brute_force(spark):
+    from marmaray_spark.operators.classifier import pr_report
+    rng = np.random.default_rng(17)
+    rows = [(int(l), int(s)) for l, s in zip(
+        rng.integers(0, 2, 300),
+        rng.integers(-5000, 5000, 300))]
+    df = spark.createDataFrame(rows, "y int, quality_logit_milli long")
+    rep = pr_report(df, "y").collect()
+    tot_pos = sum(r[0] for r in rows)
+    for r in rep:
+        thr = r["threshold_milli"]
+        kept = [(y, s) for y, s in rows if s >= thr]
+        tp = sum(1 for y, _ in kept if y == 1)
+        assert r["predicted_pos"] == len(kept)
+        assert r["tp"] == tp and r["fp"] == len(kept) - tp
+        assert r["fn"] == tot_pos - tp
+        assert r["precision_bps"] == tp * 10000 // max(len(kept), 1)
+        assert r["recall_bps"] == tp * 10000 // max(tot_pos, 1)
+    # monotone: recall never increases as the threshold rises
+    recalls = [r["recall_bps"] for r in rep]
+    assert recalls == sorted(recalls, reverse=True)
+
+
 def test_classifier_scoring_runs_in_streaming_unchanged(spark, tmp_path):
     """score_quality is one stateless mapInPandas with broadcast weights,
     so the SAME call scores a Structured Streaming frame with no code
