@@ -183,6 +183,27 @@ def main() -> None:
     results["smj_hot_key_aqe_split"] = run(
         "smj_hot_key_aqe_split", lambda: skew_join(True), spark)
 
+    # shuffle-shard + temperature mix on the 6M-row events under the hot
+    # user: both key on md5 of the row id, so value skew cannot make a
+    # bucket hot — the stage-skew numbers prove the claim
+    from marmaray_spark.operators.shard import shard_assignments
+    from marmaray_spark.operators.text import temperature_mix
+
+    ev_docs = (events.select(F.col("event_id").alias("id"), "user_id")
+               .withColumn("n_tok",
+                           (F.lit(50) + F.pmod("id", F.lit(100))).cast("int")))
+    results["shuffle_shard_6m"] = run(
+        "shuffle_shard_6m",
+        lambda: shard_assignments(ev_docs, "id", "n_tok",
+                                  budget_tokens=1_000_000)
+        .groupBy().agg(F.countDistinct("shard")).count(), spark)
+    # group = user_id: one group holds ~65% of rows; the rate table stays
+    # group-count-scale and the corpus-side filter is shuffle-free
+    results["temperature_mix_hot_group"] = run(
+        "temperature_mix_hot_group",
+        lambda: temperature_mix(ev_docs, "id", "user_id",
+                                keep_bps=2000).count(), spark)
+
     print(json.dumps({"sf": "skew-sf1", **{k: {kk: vv for kk, vv in v.items()}
                                            for k, v in results.items()}}))
     spark.stop()
