@@ -272,6 +272,49 @@ def test_classifier_scoring_runs_in_streaming_unchanged(spark, tmp_path):
     assert got == expected and len(got) == 3
 
 
+def test_batch_stats_property_matches_naive_loop():
+    """Hypothesis: the vectorized margins/gradient/loss equal a per-row
+    reference implementation for arbitrary sparse batches (incl. empty
+    rows, repeated feature ids, all-empty batches). Pure numpy — no
+    Spark."""
+    import math
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marmaray_spark.operators.classifier import _batch_stats
+
+    dim = 16
+    row = st.lists(st.integers(0, dim - 1), min_size=0, max_size=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(row, st.integers(0, 1)), min_size=1,
+                    max_size=8),
+           st.integers(0, 2**31 - 1))
+    def check(rows, seed):
+        rng = np.random.default_rng(seed)
+        w = rng.normal(size=dim + 1)
+        feats = pd.Series([r[0] for r in rows])
+        ys = np.array([float(r[1]) for r in rows])
+        margins, grad, loss = _batch_stats(feats, ys, w, dim)
+        exp_grad = np.zeros(dim + 1)
+        exp_loss = 0.0
+        for (f, y), m in zip(rows, margins):
+            exp_m = w[dim] + (sum(w[i] for i in f) / len(f) if f else 0.0)
+            assert abs(m - exp_m) < 1e-9
+            p = 1.0 / (1.0 + math.exp(-exp_m))
+            g = p - y
+            for i in f:
+                exp_grad[i] += g / len(f)
+            exp_grad[dim] += g
+            exp_loss += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+        assert np.allclose(grad, exp_grad, atol=1e-9)
+        assert abs(loss - exp_loss) < 1e-6
+
+    check()
+
+
 def test_shard_assignments_rejects_bad_budget(spark, documents):
     docs = documents.select("doc_id").withColumn("n", F.lit(1))
     with pytest.raises(ValueError):
