@@ -22,6 +22,25 @@ module is the equivalent factory for this engine's parts. Keys:
     error_table.path          optional error-table parquet dir
     checkpoints.path          metadata manager directory
 
+Corpus-stage block (beyond-reference: the LLM-pipeline tier joins the
+same config contract — a corpus-cleaning ingestion job wires from YAML
+alone, no code):
+
+    corpus.text_col           text column (enables the block)
+    corpus.id_col             document id column (required with block)
+    corpus.quality_min        composite quality-score floor (int)
+    corpus.gopher_gate        true -> Gopher repetition gate
+    corpus.exact_dedup        true -> keep-min-id per content digest
+    corpus.sample_pct         deterministic md5 sample percentage
+    corpus.mix_group_col      temperature-mix group column (alpha=0.5)
+    corpus.mix_keep_bps       overall keep rate for the mix (default 2000)
+
+Stages apply in that order (gates -> dedup -> sample -> mix), after the
+converter's valid stream and before every sink — dropped-by-gate rows are
+filtered, not errors (quality rejection is corpus policy, not data
+corruption; the reference's error table keeps its malformed-data
+meaning).
+
 Unknown sink/source types raise — fail at assembly, not mid-run.
 """
 
@@ -37,6 +56,60 @@ from marmaray_spark.plans.dag import JobDag, JobSubDag, SinkNode
 from marmaray_spark.sinks.file import FileSink
 from marmaray_spark.sinks.table import TableSink, WriteOp
 from marmaray_spark.sources.hive import ParquetSource, ParquetWorkUnitCalculator
+
+
+def _corpus_stages(config: Configuration):
+    """Compile the ``corpus.*`` block into an ordered list of DataFrame
+    transforms (empty when the block is absent). Each stage is one of
+    the LLM-pipeline operators; order is fixed (gates -> dedup ->
+    sample -> mix) because later stages assume earlier invariants."""
+    text_col = config.get("corpus.text_col")
+    if not text_col:
+        return []
+    id_col = config.get_required("corpus.id_col")
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.operators.dedup import exact_dedup
+    from marmaray_spark.operators.text import (deterministic_sample,
+                                               gopher_repetition_pass,
+                                               quality_score,
+                                               temperature_mix, words)
+
+    stages = []
+    qmin = config.get("corpus.quality_min")
+    gopher = config.get_bool("corpus.gopher_gate", False)
+    if qmin is not None or gopher:
+        def gate(df, _q=qmin, _g=gopher):
+            # NOTE: PushDownPredicate will substitute words() into the
+            # filter condition regardless of this projection — safe only
+            # because the gate expressions are the single-pass rewrites
+            # (see top_ngram_bps); a count-per-distinct gate here would
+            # go quadratic
+            out = df.withColumn("__w", words(text_col))
+            cond = F.lit(True)
+            if _q is not None:
+                cond = cond & (quality_score(text_col, words_col="__w")
+                               >= int(_q))
+            if _g:
+                cond = cond & gopher_repetition_pass("__w")
+            return out.filter(cond).drop("__w")
+        stages.append(gate)
+    if config.get_bool("corpus.exact_dedup", False):
+        def dedup(df):
+            keepers = exact_dedup(df, id_col=id_col, text_col=text_col) \
+                .select(F.col("keeper_id").alias(id_col))
+            return df.join(keepers, id_col, "left_semi")
+        stages.append(dedup)
+    pct = config.get("corpus.sample_pct")
+    if pct is not None:
+        stages.append(lambda df: deterministic_sample(df, id_col,
+                                                      float(pct)))
+    mix_group = config.get("corpus.mix_group_col")
+    if mix_group:
+        keep = int(config.get("corpus.mix_keep_bps", "2000"))
+        stages.append(lambda df: temperature_mix(df, id_col, mix_group,
+                                                 keep_bps=keep))
+    return stages
 
 
 def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
@@ -72,13 +145,16 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
         if required or fields else None
 
     state: dict = {}
+    corpus_chain = _corpus_stages(config)
 
     def transform(df: DataFrame) -> DataFrame:
-        if conv is None:
-            return df
-        res = conv.map(df)
-        state["errors"] = res.errors
-        return res.valid
+        if conv is not None:
+            res = conv.map(df)
+            state["errors"] = res.errors
+            df = res.valid
+        for stage in corpus_chain:
+            df = stage(df)
+        return df
 
     nodes: list[SinkNode] = []
     err_path = config.get("error_table.path")

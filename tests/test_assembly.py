@@ -102,3 +102,46 @@ def test_table_commit_deferred_until_sibling_sinks_succeed(spark, source_table,
     assert dag2.execute(spark) is True
     assert t.read().count() > 0
     assert len(t.log.commits()) == 1
+
+
+def test_yaml_corpus_pipeline_stages(spark, documents, tmp_path):
+    """The corpus.* block wires the LLM-pipeline stages from YAML alone:
+    quality/Gopher gates -> exact dedup -> temperature mix, then the
+    table sink. Stage semantics must match calling the operators
+    directly."""
+    src = tmp_path / "docs_src"
+    documents.select("doc_id", "lang", "text").write.parquet(str(src))
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "corpus_job"},
+        "source": {"type": "parquet", "path": str(src)},
+        "corpus": {"text_col": "text", "id_col": "doc_id",
+                   "quality_min": 40, "gopher_gate": True,
+                   "exact_dedup": True,
+                   "mix_group_col": "lang", "mix_keep_bps": 6000},
+        "sink": {"type": "table", "path": str(tmp_path / "corpus_table"),
+                 "record_key": "doc_id", "op": "insert"},
+        "checkpoints": {"path": str(tmp_path / "ck3")},
+    })
+    p = tmp_path / "corpus.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+
+    from marmaray_spark.operators.dedup import exact_dedup
+    from marmaray_spark.operators.text import (gopher_repetition_pass,
+                                               quality_score,
+                                               temperature_mix, words)
+
+    docs = spark.read.parquet(str(src)).withColumn("w", words("text"))
+    gated = docs.filter((quality_score("text", words_col="w") >= 40)
+                        & gopher_repetition_pass("w")).drop("w")
+    keepers = exact_dedup(gated, id_col="doc_id", text_col="text") \
+        .select(F.col("keeper_id").alias("doc_id"))
+    deduped = gated.join(keepers, "doc_id", "left_semi")
+    expected = temperature_mix(deduped, "doc_id", "lang", keep_bps=6000)
+
+    t = TableSink(spark, tmp_path / "corpus_table",
+                  record_key_field="doc_id")
+    got = sorted(r["doc_id"] for r in t.read().select("doc_id").collect())
+    want = sorted(r["doc_id"] for r in expected.select("doc_id").collect())
+    assert got == want and 0 < len(got) < documents.count()
