@@ -51,6 +51,41 @@ def train_unigram_lm(docs: DataFrame, words_col: str,
                     .cast("long").alias("logp_milli")))
 
 
+def surprisal_buckets(scored: DataFrame, group_col: str,
+                      score_col: str = "lm_logp_milli",
+                      out_col: str = "ppl_bucket") -> DataFrame:
+    """Tag every row head/middle/tail by LM score WITHIN its group —
+    CCNet's per-language perplexity split (Wenzek et al. 2020 §4.4 keep
+    the best-perplexity third). "head" = highest log-prob (lowest
+    perplexity).
+
+    Exact distributed quantile with NO per-group row window (a window
+    partitioned by language is one partition per language — the classic
+    skew bottleneck at corpus scale; CCNet itself uses histograms):
+    scores are already quantized integers, so a (group, score) value
+    histogram — one map-side-combinable aggregate — carries the full
+    distribution. The strictly-greater cumulative runs on that
+    histogram-scale frame, and rows get their bucket from a broadcast
+    join back on (group, score). Rows sharing a score share a bucket
+    (principled under quantization; a tie straddling a boundary goes to
+    the better bucket), and every number in the rule is an integer —
+    engine-exact."""
+    hist = (scored.groupBy(group_col, score_col)
+            .agg(F.count(F.lit(1)).alias("_c")))
+    from pyspark.sql.window import Window as W
+    wg = (W.partitionBy(group_col).orderBy(F.col(score_col).desc())
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = W.partitionBy(group_col)
+    edges = (hist
+             .withColumn("_higher", F.sum("_c").over(wg) - F.col("_c"))
+             .withColumn("_n", F.sum("_c").over(wn))
+             .select(group_col, score_col,
+                     F.expr(f"CASE WHEN _higher * 3 < _n THEN 'head' "
+                            f"WHEN _higher * 3 < 2 * _n THEN 'middle' "
+                            f"ELSE 'tail' END").alias(out_col)))
+    return scored.join(F.broadcast(edges), [group_col, score_col])
+
+
 def lm_score(docs: DataFrame, id_col: str, words_col: str,
              lm: DataFrame, oov_logp_milli: int = -20000) -> DataFrame:
     """Per-document mean token surprisal under a unigram LM.

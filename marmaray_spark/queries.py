@@ -2423,30 +2423,52 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(tf.tf * lmm.logp_milli) // SUM(tf.tf) AS BIGINT)
                AS lm_logp_milli
       FROM tf JOIN lmm USING (term) GROUP BY tf.doc_id
+    ), tagged AS (
+      SELECT {_SQL_PRED_LANG} AS pred_lang, scored.quality, scored.w,
+             docsc.lm_logp_milli
+      FROM scored JOIN docsc USING (doc_id)
+    ), hist AS (
+      SELECT pred_lang, lm_logp_milli, COUNT(*) AS c
+      FROM tagged GROUP BY 1, 2
+    ), edges AS (
+      SELECT pred_lang, lm_logp_milli,
+             SUM(c) OVER (PARTITION BY pred_lang
+                          ORDER BY lm_logp_milli DESC
+                          ROWS UNBOUNDED PRECEDING) - c AS higher,
+             SUM(c) OVER (PARTITION BY pred_lang) AS n
+      FROM hist
+    ), bucketed AS (
+      SELECT tagged.*,
+             CASE WHEN e.higher * 3 < e.n THEN 'head'
+                  WHEN e.higher * 3 < 2 * e.n THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM tagged JOIN edges e USING (pred_lang, lm_logp_milli)
     )
-    SELECT {_SQL_PRED_LANG} AS pred_lang,
+    SELECT pred_lang, ppl_bucket,
            count(*) AS n_docs,
            CAST(sum(len(w)) AS BIGINT) AS total_tokens,
            round(avg(quality), 2) AS avg_quality,
-           CAST(sum(docsc.lm_logp_milli) // count(*) AS BIGINT)
+           CAST(sum(lm_logp_milli) // count(*) AS BIGINT)
              AS avg_lm_logp_milli
-    FROM scored JOIN docsc USING (doc_id)
+    FROM bucketed
     WHERE quality >= 60
-    GROUP BY 1
+    GROUP BY 1, 2
     """,
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed LLM data-prep chain as ONE query: exact dedup (keep
-    min-id per content digest) -> quality gate (score >= 60) -> language
-    ID -> CCNet-style unigram-LM surprisal (trained on the DEDUPED
-    corpus itself, operators/lm.py — the per-language mean in integer
-    milli-nats is the perplexity-bucketing signal Wenzek et al. 2020
-    filter on) -> per-language corpus stats. Each stage is an already
+    min-id per content digest) -> language ID -> CCNet-style unigram-LM
+    surprisal (trained on the DEDUPED corpus itself, operators/lm.py)
+    -> per-language head/middle/tail perplexity split (Wenzek et al.
+    2020 §4.4, operators/lm.py surprisal_buckets — the exact histogram
+    quantile, no per-language row window) -> quality gate (score >= 60)
+    -> per-(language, bucket) corpus stats. Each stage is an already
     oracle-checked operator; this checks their COMPOSITION end-to-end.
     One digest shuffle + one broadcast semi-join + the LM's term
-    aggregate + one final agg."""
+    aggregate + the histogram aggregate + one final agg."""
     from marmaray_spark.operators.dedup import exact_dedup
-    from marmaray_spark.operators.lm import lm_score, train_unigram_lm
+    from marmaray_spark.operators.lm import (lm_score, surprisal_buckets,
+                                             train_unigram_lm)
     from marmaray_spark.operators.text import lang_id, quality_score
 
     docs = load(spark, sf_dir, "documents")
@@ -2460,9 +2482,11 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "w",
         quality_score("text", words_col="w").alias("quality"),
         lang_id("w").alias("pred_lang"))
-    return (scored.join(per_doc_lm, "doc_id")
+    tagged = surprisal_buckets(scored.join(per_doc_lm, "doc_id"),
+                               "pred_lang")
+    return (tagged
             .filter(F.col("quality") >= 60)
-            .groupBy("pred_lang")
+            .groupBy("pred_lang", "ppl_bucket")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.size("w")).cast("bigint").alias("total_tokens"),
                  F.round(F.avg("quality"), 2).alias("avg_quality"),

@@ -1204,6 +1204,27 @@ def test_unigram_lm_train_and_score(spark):
     assert scored[2] == -((-lp) // 2)
 
 
+def test_surprisal_buckets_thirds_and_ties(spark):
+    """Head/middle/tail split per group: exact thirds on distinct
+    scores, tie rows straddling a boundary share the better bucket, and
+    tiny groups degrade gracefully (1 row -> head)."""
+    from marmaray_spark.operators.lm import surprisal_buckets
+
+    rows = ([("en", i, -i * 100) for i in range(9)]          # distinct
+            + [("de", 100 + i, -5000) for i in range(4)]     # all tied
+            + [("fr", 200, -1)])                             # singleton
+    df = spark.createDataFrame(rows, "lang string, doc_id long, "
+                                     "lm_logp_milli long")
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in surprisal_buckets(df, "lang").collect()}
+    # en: 9 distinct scores -> exactly 3/3/3, best scores = head
+    assert [out[i] for i in range(9)] == (["head"] * 3 + ["middle"] * 3
+                                          + ["tail"] * 3)
+    # de: every row tied -> higher=0 for all -> all head
+    assert all(out[100 + i] == "head" for i in range(4))
+    assert out[200] == "head"
+
+
 def test_unigram_lm_vocab_trim_and_oov(spark):
     from marmaray_spark.operators.lm import lm_score, train_unigram_lm
     from marmaray_spark.operators.text import words
