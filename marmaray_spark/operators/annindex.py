@@ -13,12 +13,21 @@ prunes to the probed cells.
 Freshness: ``maintain_ann_index`` advances the index by exactly the base
 table's new commits (``TableSink.consume_changes``): the change batches'
 after-images are deduped to the LATEST version per key, assigned to
-cells (expression literals or the Arrow matmul kernel — the same
-auto-switch as the probe path), and UPSERTed by vec_id. Exactly-once
-rides the standard work-unit contract — the consumer checkpoint persists
-with the caller's ``metadata.save_changes()`` only after the index
-commit lands, and a replayed batch re-UPSERTs identical rows
-(idempotent). Cost follows the CHANGE volume, never the corpus size.
+cells (``similarity.ivf_cells`` — one shared entry point with the probe
+path, so the expression/Arrow-kernel auto-switch and tie-break contract
+cannot drift), and UPSERTed by vec_id. Commits that DROP keys
+(INSERT_OVERWRITE replacing partitions) are honored too: the pre-image
+keys come from each commit's ``removes`` manifest — exactly like
+rollup.py — and keys absent from the current base snapshot are rewritten
+out of the index, so the ``index == assign_cells(base)`` invariant holds
+across overwrites, not just appends. Exactly-once rides the standard
+work-unit contract — the consumer checkpoint persists via
+``metadata.save_changes()`` (called here, after the index commit, as in
+maintain_rollup), and a replayed batch re-UPSERTs identical rows
+(idempotent). Cost follows the CHANGE volume, never the corpus size —
+except a key-dropping overwrite, which additionally pays one index
+rewrite (loud in the docstring because overwrite-heavy bases should
+prefer rebuilding the index wholesale).
 
 The reference's closest analogue is checkpoint-driven incremental
 ingestion (M/common/sources/IWorkUnitCalculator.java:36-90); maintained
@@ -31,9 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from marmaray_spark.operators.similarity import (_IVF_EXPR_MAX_LITERALS,
-                                                 _dots_expr,
-                                                 _ivf_cells_arrow, int_dot,
+from marmaray_spark.operators.similarity import (_rank_probe_join, ivf_cells,
                                                  quantize)
 
 
@@ -41,26 +48,13 @@ def assign_cells(vectors: DataFrame, centroids: list[list[int]],
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  use_kernel: bool | None = None) -> DataFrame:
     """(vec_id, cell, cv): nearest-centroid cell + quantized vector for
-    every input row — the index projection. Same two physical paths as
-    the probe (expression literals vs Arrow matmul kernel), same
-    auto-switch bound, bit-identical results (pinned in the similarity
-    tests)."""
-    cids = list(range(len(centroids)))
-    dim = len(centroids[0]) if centroids else 0
-    if use_kernel is None:
-        use_kernel = len(centroids) * dim > _IVF_EXPR_MAX_LITERALS
+    every input row — the index projection, delegated to
+    ``similarity.ivf_cells`` (shared auto-switch, shared tie-breaks)."""
     base = vectors.select(F.col(id_col).alias("vec_id"),
                           quantize(vec_col).alias("cv"))
-    if use_kernel:
-        return _ivf_cells_arrow(base, [list(c) for c in centroids], cids,
-                                "vec_id", "cv", 1)
-    cid_lit = F.array(*[F.lit(c) for c in cids])
-    return (base
-            .withColumn("__d", F.expr(_dots_expr("cv", centroids)))
-            .withColumn("cell", F.element_at(
-                cid_lit,
-                F.expr("cast(array_position(__d, array_max(__d)) as int)")))
-            .drop("__d"))
+    return ivf_cells(base, [list(c) for c in centroids],
+                     list(range(len(centroids))), "vec_id", "cv", 1,
+                     use_kernel)
 
 
 def maintain_ann_index(base, index, metadata,
@@ -72,26 +66,78 @@ def maintain_ann_index(base, index, metadata,
     rows (re)assigned (0 = nothing new). ``base``/``index``: TableSinks,
     the index keyed by ``vec_id``. Multiple pending commits touching one
     key collapse to the newest version before assignment, so the index
-    write is one UPSERT regardless of backlog depth."""
+    write is one UPSERT regardless of backlog depth; commits whose
+    ``removes`` manifests dropped keys from the base additionally
+    rewrite those keys out of the index."""
     from marmaray_spark.sinks.table import WriteOp
 
     batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
                                    max_commits=max_commits)
     if not batches:
         return 0
+    commits_by_id = {c.commit_id: c for c in base.log.commits()}
     changed: DataFrame | None = None
+    pre_keys: DataFrame | None = None
     for seq, (cid, change_df) in enumerate(batches):
         tagged = change_df.select(F.col(id_col), F.col(vec_col)) \
             .withColumn("__seq", F.lit(seq))
         changed = tagged if changed is None else changed.unionByName(tagged)
+        commit = commits_by_id[cid]
+        if not commit.removes:
+            continue  # pure insert/upsert append: no key can vanish
+        missing = [s for s in commit.removes
+                   if not (base.table_path / s).exists()]
+        if missing:
+            # same vacuum-races-the-maintainer guard as rollup.py: the
+            # displaced slices are the only record of the dropped keys
+            raise FileNotFoundError(
+                f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
+                "index cannot recover the dropped keys — lower the "
+                "consumer lag or raise vacuum retain_last_n_commits")
+        pre = (base.spark.read.option("mergeSchema", "true")
+               .parquet(*[str(base.table_path / s) for s in commit.removes])
+               .select(id_col))
+        pre_keys = pre if pre_keys is None else pre_keys.unionByName(pre)
     latest = (changed
               .withColumn("__rn", F.row_number().over(
                   W.partitionBy(id_col).orderBy(F.col("__seq").desc())))
               .filter(F.col("__rn") == 1).drop("__rn", "__seq"))
+    # persist: the count and the UPSERT both consume the assignment
+    # plan (union + latest-version window + cell kernel) — without the
+    # barrier every ingest tick pays it twice over the change volume
     assigned = assign_cells(latest, centroids, id_col=id_col,
-                            vec_col=vec_col)
-    n = assigned.count()
-    index.write(assigned, WriteOp.UPSERT)
+                            vec_col=vec_col).persist()
+    try:
+        n = assigned.count()
+        # keys in a displaced pre-image that exist in NEITHER the
+        # current base snapshot NOR this batch's after-images were
+        # dropped by an overwrite: rewrite them out (UPSERT cannot
+        # delete). The stale set is change-scoped; the rewrite is not —
+        # overwrite-heavy bases should rebuild instead of maintain.
+        stale = None
+        if pre_keys is not None:
+            stale = (pre_keys.distinct()
+                     .join(base.read().select(id_col), id_col, "left_anti"))
+        if stale is not None and stale.limit(1).count() > 0:
+            if index.partition is not None:
+                # INSERT_OVERWRITE only replaces partitions the new
+                # frame touches — a partitioned index could silently
+                # keep dropped keys (same guard as maintain_rollup)
+                raise ValueError(
+                    "stale-key rewrite needs an unpartitioned index "
+                    f"table; index is partitioned by {index.partition!r}")
+            # rewrite = current index minus (dropped keys AND the keys
+            # this batch re-assigns), plus the fresh assignments — the
+            # anti-join must cover both or re-assigned keys duplicate
+            gone = (stale.withColumnRenamed(id_col, "vec_id")
+                    .unionByName(assigned.select("vec_id")))
+            survivors = index.read().join(gone, "vec_id", "left_anti")
+            index.write(survivors.unionByName(assigned),
+                        WriteOp.INSERT_OVERWRITE)
+        else:
+            index.write(assigned, WriteOp.UPSERT)
+    finally:
+        assigned.unpersist()
     # durable only now — after the index commit (work-unit contract)
     metadata.save_changes()
     return n
@@ -100,33 +146,20 @@ def maintain_ann_index(base, index, metadata,
 def ivf_probe_topk_indexed(queries: DataFrame, index_df: DataFrame,
                            centroids: list[list[int]], k: int,
                            nprobe: int = 2, id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           use_kernel: bool | None = None) -> DataFrame:
     """Online probe against a MAINTAINED index table (vec_id, cell, cv):
     identical semantics to ``ivf_probe_topk(centroids=...)`` — pinned by
     test — but the corpus side is a plain scan of precomputed
-    assignments: no per-query cell math over the corpus, and the
-    cell equi-join prunes to the probed cells. The (small) query side
-    pays the probe ranking; the index never shuffles."""
+    assignments: no per-query cell math over the corpus, and the cell
+    equi-join prunes to the probed cells. The (small) query side pays
+    the probe ranking through the same ``ivf_cells`` entry point, so
+    large quantizers ride the Arrow kernel here exactly as they did at
+    index build time."""
     cids = list(range(len(centroids)))
-    cid_lit = F.array(*[F.lit(c) for c in cids])
     base_q = queries.select(F.col(id_col).alias("query_id"),
                             quantize(vec_col).alias("qv"))
-    probes = (base_q.select("query_id", "qv",
-                            F.posexplode(F.expr(_dots_expr("qv", centroids)))
-                            .alias("cell_idx", "dot_c"))
-              .withColumn("__pr", F.row_number().over(
-                  W.partitionBy("query_id")
-                  .orderBy(F.col("dot_c").desc(), F.col("cell_idx"))))
-              .filter(F.col("__pr") <= nprobe)
-              .select("query_id", "qv",
-                      F.element_at(cid_lit, F.col("cell_idx").cast("int") + 1)
-                      .alias("cell")))
+    probes = ivf_cells(base_q, [list(c) for c in centroids], cids,
+                       "query_id", "qv", nprobe, use_kernel)
     c = index_df.select(F.col("vec_id").alias("neighbor_id"), "cell", "cv")
-    scored = (c.join(F.broadcast(probes), "cell")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("dot_q", int_dot("qv", "cv")))
-    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(),
-                                          F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "dot_q", "rank"))
+    return _rank_probe_join(c, probes, k)

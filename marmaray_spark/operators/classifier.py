@@ -55,11 +55,14 @@ def hashed_features(words_col: str, dim: int = DEFAULT_DIM,
     uni = f"transform({w}, x -> int(pmod(xxhash64(x), {dim})))"
     if not bigrams:
         return F.expr(uni)
-    big = (f"transform(sequence(1, size({w}) - 1), "
-           f"i -> int(pmod(xxhash64(concat(element_at({w}, i), ' ', "
-           f"element_at({w}, i + 1))), {dim})))")
-    return F.expr(f"concat({uni}, if(size({w}) >= 2, {big}, "
-                  f"array()))")
+    # bigrams via zip_with over shifted slices, NOT element_at(w, i)
+    # inside the lambda — indexed access re-evaluates the filtered-words
+    # child per element in interpreted HOF evaluation, going O(tokens^2)
+    # per row (the measured trap documented at top_ngram_bps)
+    L = f"greatest(size({w}) - 1, 0)"
+    big = (f"zip_with(slice({w}, 1, {L}), slice({w}, 2, {L}), "
+           f"(x, y) -> int(pmod(xxhash64(concat(x, ' ', y)), {dim})))")
+    return F.expr(f"concat({uni}, {big})")
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:

@@ -79,11 +79,18 @@ def surprisal_buckets(scored: DataFrame, group_col: str,
     edges = (hist
              .withColumn("_higher", F.sum("_c").over(wg) - F.col("_c"))
              .withColumn("_n", F.sum("_c").over(wn))
-             .select(group_col, score_col,
+             .select(F.col(group_col).alias("__g"),
+                     F.col(score_col).alias("__s"),
                      F.expr(f"CASE WHEN _higher * 3 < _n THEN 'head' "
                             f"WHEN _higher * 3 < 2 * _n THEN 'middle' "
                             f"ELSE 'tail' END").alias(out_col)))
-    return scored.join(F.broadcast(edges), [group_col, score_col])
+    # null-safe join-back: a NULL group (or NULL score) is a real
+    # histogram row and must not vanish from the tagged output
+    return (scored.join(
+        F.broadcast(edges),
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & F.col(score_col).eqNullSafe(F.col("__s")))
+        .drop("__g", "__s"))
 
 
 def lm_score(docs: DataFrame, id_col: str, words_col: str,

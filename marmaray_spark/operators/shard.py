@@ -83,18 +83,25 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
     ``path/manifest.json`` with per-shard document and token counts.
     The manifest aggregate is shard-count-scale — the only driver
     materialization."""
+    # persist: the stats action and the write both consume `assigned`,
+    # and everything upstream of it (often the whole prep funnel) would
+    # otherwise execute twice — at corpus scale that doubles the most
+    # expensive stages
     assigned = shard_assignments(df, id_col, tokens_col, budget_tokens,
-                                 salt=salt, hex_chars=hex_chars)
-    stats = (assigned.groupBy("shard")
-             .agg(F.count(F.lit(1)).alias("docs"),
-                  F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
-             .orderBy("shard").collect())
-    n_shards = max((r["shard"] for r in stats), default=-1) + 1
-    (assigned.drop("bucket")
-     .repartition(max(int(n_shards), 1), "shard")
-     .sortWithinPartitions("sort_key", id_col)
-     .write.mode("overwrite").partitionBy("shard")
-     .format(fmt).save(os.path.join(path, "data")))
+                                 salt=salt, hex_chars=hex_chars).persist()
+    try:
+        stats = (assigned.groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("docs"),
+                      F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
+                 .orderBy("shard").collect())
+        n_shards = max((r["shard"] for r in stats), default=-1) + 1
+        (assigned.drop("bucket")
+         .repartition(max(int(n_shards), 1), "shard")
+         .sortWithinPartitions("sort_key", id_col)
+         .write.mode("overwrite").partitionBy("shard")
+         .format(fmt).save(os.path.join(path, "data")))
+    finally:
+        assigned.unpersist()
     manifest = {
         "salt": salt,
         "budget_tokens": int(budget_tokens),

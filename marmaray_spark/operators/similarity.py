@@ -301,6 +301,62 @@ def _ivf_cells_arrow(df: DataFrame, cents: list[list[int]],
     return df.mapInPandas(kernel, schema=out_schema)
 
 
+def ivf_cells(base: DataFrame, cents: list[list[int]], cids: list[int],
+              id_name: str, vec_name: str, nprobe: int = 1,
+              use_kernel: bool | None = None) -> DataFrame:
+    """``nprobe`` nearest centroid cells per row of an already-quantized
+    (id, vec) frame — the ONE cell-assignment entry point shared by the
+    probe path, the corpus path, and the maintained index
+    (operators/annindex.py), so the expression/kernel auto-switch and
+    the tie-break contract live in exactly one place. ``use_kernel``
+    None auto-switches at ``_IVF_EXPR_MAX_LITERALS`` (large coarse
+    quantizers as plan literals are the bloom array-literal codegen
+    trap); both paths are bit-identical (pinned in tests)."""
+    dim = len(cents[0]) if cents else 0
+    if use_kernel is None:
+        use_kernel = len(cents) * dim > _IVF_EXPR_MAX_LITERALS
+    if use_kernel:
+        return _ivf_cells_arrow(base, [list(c) for c in cents], cids,
+                                id_name, vec_name, nprobe)
+    cid_lit = F.array(*[F.lit(c) for c in cids])
+    if nprobe == 1:
+        # dots materialized ONCE as a column: inlining them inside both
+        # array_position and array_max doubles the madd tree and blows
+        # up codegen (measured ~40% slower warm, 6x cold at sf0.1)
+        return (base
+                .withColumn("__d", F.expr(_dots_expr(vec_name, cents)))
+                .withColumn("cell", F.element_at(
+                    cid_lit,
+                    F.expr("cast(array_position(__d, array_max(__d)) "
+                           "as int)")))
+                .drop("__d"))
+    return (base.select(id_name, vec_name,
+                        F.posexplode(F.expr(_dots_expr(vec_name, cents)))
+                        .alias("cell_idx", "dot_c"))
+            .withColumn("__pr", F.row_number().over(
+                W.partitionBy(id_name)
+                .orderBy(F.col("dot_c").desc(), F.col("cell_idx"))))
+            .filter(F.col("__pr") <= nprobe)
+            .select(id_name, vec_name,
+                    F.element_at(cid_lit, F.col("cell_idx").cast("int") + 1)
+                    .alias("cell")))
+
+
+def _rank_probe_join(c: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every IVF probe: broadcast the (tiny) probe list
+    onto the cell-assigned corpus, exact quantized dot, per-query
+    rank-k. Tie-break (dot desc, neighbor_id) is the contract both the
+    direct and the maintained-index probes pin."""
+    scored = (c.join(F.broadcast(probes), "cell")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("dot_q", int_dot("qv", "cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(),
+                                          F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot_q", "rank"))
+
+
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int,
                         vec_col: str = "embedding", seed: int = 7,
                         max_iter: int = 20) -> list[list[int]]:
@@ -382,41 +438,10 @@ def ivf_probe_topk(queries: DataFrame, corpus: DataFrame, k: int,
                            quantize(vec_col).alias("cv"))
     base_q = queries.select(F.col(id_col).alias("query_id"),
                             quantize(vec_col).alias("qv"))
-    if use_kernel:
-        c = _ivf_cells_arrow(base_c, cents, cids, "neighbor_id", "cv", 1)
-        probes = _ivf_cells_arrow(base_q, cents, cids, "query_id", "qv", nprobe)
-    else:
-        cid_lit = F.array(*[F.lit(c) for c in cids])
-
-        # dots materialized ONCE as a column: inlining them inside both
-        # array_position and array_max doubles the 16x64 madd tree and
-        # blows up codegen (measured ~40% slower warm, 6x slower cold
-        # at sf0.1)
-        c = (base_c
-             .withColumn("__d", F.expr(_dots_expr("cv", cents)))
-             .withColumn("cell", F.element_at(
-                 cid_lit,
-                 F.expr("cast(array_position(__d, array_max(__d)) as int)")))
-             .drop("__d"))
-
-        probes = (base_q.select("query_id", "qv",
-                                F.posexplode(F.expr(_dots_expr("qv", cents)))
-                                .alias("cell_idx", "dot_c"))
-                  .withColumn("__pr", F.row_number().over(
-                      W.partitionBy("query_id")
-                      .orderBy(F.col("dot_c").desc(), F.col("cell_idx"))))
-                  .filter(F.col("__pr") <= nprobe)
-                  .select("query_id", "qv",
-                          F.element_at(cid_lit, F.col("cell_idx").cast("int") + 1)
-                          .alias("cell")))
-
-    scored = (c.join(F.broadcast(probes), "cell")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("dot_q", int_dot("qv", "cv")))
-    w = W.partitionBy("query_id").orderBy(F.col("dot_q").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "dot_q", "rank"))
+    c = ivf_cells(base_c, cents, cids, "neighbor_id", "cv", 1, use_kernel)
+    probes = ivf_cells(base_q, cents, cids, "query_id", "qv", nprobe,
+                       use_kernel)
+    return _rank_probe_join(c, probes, k)
 
 
 def srp_projections(qvec_col: str, n_planes: int = 8, dim: int = 64) -> Column:

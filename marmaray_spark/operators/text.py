@@ -374,10 +374,16 @@ def temperature_mix(df, id_col: str, group_col: str,
     u16 = F.conv(F.expr(
         f"substring(md5(concat('{salt}:', cast({id_col} as string))), 1, 4)"),
         16, 10).cast("long")
-    return (df.join(F.broadcast(rates), group_col)
+    # null-safe join: groupBy counts a NULL group like any other, so a
+    # plain equi-join would silently DELETE every null-group row
+    # (unidentified language is routine corpus reality) instead of
+    # sampling it at its computed rate
+    r = rates.withColumnRenamed(group_col, "__g")
+    return (df.join(F.broadcast(r),
+                    F.col(group_col).eqNullSafe(F.col("__g")))
             .withColumn("_u16", u16)
             .filter(F.col("_u16") < F.expr("_rate_bps * 65536 div 10000"))
-            .drop("_rate_bps", "_u16"))
+            .drop("_rate_bps", "_u16", "__g"))
 
 
 # ---------------------------------------------------------------------------

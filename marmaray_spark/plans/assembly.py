@@ -75,9 +75,19 @@ def _corpus_stages(config: Configuration):
                                                quality_score,
                                                temperature_mix, words)
 
-    stages = []
-    qmin = config.get("corpus.quality_min")
+    # typed parsing up front (get_int/get_float map present-but-empty
+    # YAML keys to the default) — a bad value fails AT ASSEMBLY, not
+    # lazily inside a stage lambda mid-run
+    qmin = (config.get_int("corpus.quality_min", -1)
+            if (config.get("corpus.quality_min") or "") != "" else None)
     gopher = config.get_bool("corpus.gopher_gate", False)
+    do_dedup = config.get_bool("corpus.exact_dedup", False)
+    pct = (config.get_float("corpus.sample_pct", 100.0)
+           if (config.get("corpus.sample_pct") or "") != "" else None)
+    mix_group = config.get("corpus.mix_group_col")
+    keep = config.get_int("corpus.mix_keep_bps", 2000)
+
+    stages = []
     if qmin is not None or gopher:
         def gate(df, _q=qmin, _g=gopher):
             # NOTE: PushDownPredicate will substitute words() into the
@@ -89,26 +99,31 @@ def _corpus_stages(config: Configuration):
             cond = F.lit(True)
             if _q is not None:
                 cond = cond & (quality_score(text_col, words_col="__w")
-                               >= int(_q))
+                               >= _q)
             if _g:
                 cond = cond & gopher_repetition_pass("__w")
             return out.filter(cond).drop("__w")
         stages.append(gate)
-    if config.get_bool("corpus.exact_dedup", False):
+    if do_dedup:
         def dedup(df):
+            # persist: the digest groupBy AND the semi-join probe both
+            # consume df, and the mix stage after re-consumes the join
+            # output twice more — without a barrier the gate expressions
+            # above re-execute per consumer (Spark never dedupes common
+            # unpersisted plan subtrees)
+            df = df.persist()
             keepers = exact_dedup(df, id_col=id_col, text_col=text_col) \
                 .select(F.col("keeper_id").alias(id_col))
             return df.join(keepers, id_col, "left_semi")
         stages.append(dedup)
-    pct = config.get("corpus.sample_pct")
     if pct is not None:
-        stages.append(lambda df: deterministic_sample(df, id_col,
-                                                      float(pct)))
-    mix_group = config.get("corpus.mix_group_col")
+        stages.append(lambda df: deterministic_sample(df, id_col, pct))
     if mix_group:
-        keep = int(config.get("corpus.mix_keep_bps", "2000"))
-        stages.append(lambda df: temperature_mix(df, id_col, mix_group,
-                                                 keep_bps=keep))
+        def mix(df):
+            # rates aggregate + corpus filter = two consumers
+            return temperature_mix(df.persist(), id_col, mix_group,
+                                   keep_bps=keep)
+        stages.append(mix)
     return stages
 
 

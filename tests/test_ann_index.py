@@ -70,6 +70,28 @@ def test_indexed_probe_matches_query_time_assignment(spark, tmp_path):
         sorted(map(tuple, direct.collect()))
 
 
+def test_overwrite_commit_drops_stale_keys_from_index(spark, tmp_path):
+    """INSERT_OVERWRITE on the base shrinks the key set; the maintained
+    index must shed the dropped keys (via the commit's removes
+    manifest) or the probe serves neighbors that no longer exist."""
+    cents = _centroids(spark)
+    base = TableSink(spark, tmp_path / "base", "vec_id")
+    index = TableSink(spark, tmp_path / "idx", "vec_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    base.write(_vecs(spark, range(0, 10)), WriteOp.INSERT)
+    assert maintain_ann_index(base, index, md, cents) == 10
+    # replace the whole table with only ids 0..4 (5..9 dropped)
+    base.write(_vecs(spark, range(0, 5), seed=19), WriteOp.INSERT_OVERWRITE)
+    assert maintain_ann_index(base, index, md, cents) == 5
+
+    got = {(r["vec_id"], r["cell"], tuple(r["cv"]))
+           for r in index.read().collect()}
+    want = {(r["vec_id"], r["cell"], tuple(r["cv"]))
+            for r in assign_cells(base.read(), cents).collect()}
+    assert got == want and len(got) == 5      # 5..9 gone, 0..4 fresh
+
+
 def test_maintenance_replay_is_idempotent(spark, tmp_path):
     """Crash between index commit and checkpoint save: the batch replays
     and must converge to the same index (UPSERT idempotency)."""

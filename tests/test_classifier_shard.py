@@ -315,6 +315,32 @@ def test_batch_stats_property_matches_naive_loop():
     check()
 
 
+def test_temperature_mix_keeps_null_group_rows(spark):
+    """A NULL group (unidentified language) is a real group: its rows
+    must be SAMPLED at the computed rate, not silently deleted by a
+    null-dropping equi-join."""
+    from marmaray_spark.operators.text import temperature_mix
+    rows = [(i, "en" if i < 800 else None) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept = temperature_mix(df, "id", "g", keep_bps=5000).collect()
+    n_null = sum(1 for r in kept if r["g"] is None)
+    # null group: 200 rows, sqrt-share upsampled -> rate well above 0
+    assert n_null > 50
+    assert any(r["g"] == "en" for r in kept)
+
+
+def test_surprisal_buckets_keeps_null_group(spark):
+    from marmaray_spark.operators.lm import surprisal_buckets
+    df = spark.createDataFrame(
+        [(None, 1, -100), (None, 2, -200), (None, 3, -300),
+         ("en", 4, -50)],
+        "lang string, doc_id long, lm_logp_milli long")
+    out = {r["doc_id"]: r["ppl_bucket"]
+           for r in surprisal_buckets(df, "lang").collect()}
+    assert len(out) == 4                       # nothing vanished
+    assert out[1] == "head" and out[3] == "tail" and out[4] == "head"
+
+
 def test_shard_assignments_rejects_bad_budget(spark, documents):
     docs = documents.select("doc_id").withColumn("n", F.lit(1))
     with pytest.raises(ValueError):
