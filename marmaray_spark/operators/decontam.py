@@ -53,3 +53,39 @@ def decontaminate(corpus: DataFrame, test_set: DataFrame, *,
                         F.expr("CAST(n_overlap * 10000 div greatest(n_grams, 1) AS INT)"))
             .withColumn("contaminated", F.col("overlap_bps") >= contaminated_bps)
             .select(id_col, "n_grams", "n_overlap", "overlap_bps", "contaminated"))
+
+
+def decontaminate_many(corpus: DataFrame,
+                       eval_sets: dict[str, DataFrame], *,
+                       id_col: str = "doc_id", words_col: str = "w",
+                       n: int = 5, contaminated_bps: int = 2000) -> DataFrame:
+    """Decontaminate against SEVERAL benchmarks in ONE corpus pass — the
+    real pretraining shape (a release decontaminates against its whole
+    eval suite, not one set): every eval set's distinct n-grams are
+    tagged with the set name, the tagged union (still benchmark-sized)
+    broadcasts once, and the report gains an ``eval_set`` column — one
+    row per (document, overlapping set). The corpus side stays exactly
+    one explode + one broadcast join + one groupBy, now keyed
+    (id, eval_set); cost is unchanged in the corpus term, linear in the
+    summed benchmark sizes."""
+    grams = distinct_ngrams(words_col, n)
+    tagged = None
+    for name, test_set in sorted(eval_sets.items()):
+        t = (test_set.select(F.explode(grams).alias("g")).distinct()
+             .withColumn("eval_set", F.lit(name)))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    if tagged is None:
+        raise ValueError("eval_sets must not be empty")
+    corpus_grams = corpus.select(F.col(id_col), F.explode(grams).alias("g"))
+    totals = corpus.select(F.col(id_col), F.size(grams).alias("n_grams"))
+    hits = (corpus_grams.join(F.broadcast(tagged), "g")
+            .groupBy(id_col, "eval_set")
+            .agg(F.count("*").cast("long").alias("n_overlap")))
+    return (hits.join(totals, id_col)
+            .withColumn("overlap_bps",
+                        F.expr("CAST(n_overlap * 10000 "
+                               "div greatest(n_grams, 1) AS INT)"))
+            .withColumn("contaminated",
+                        F.col("overlap_bps") >= contaminated_bps)
+            .select(id_col, "eval_set", "n_grams", "n_overlap",
+                    "overlap_bps", "contaminated"))

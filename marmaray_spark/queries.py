@@ -1120,14 +1120,20 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ), corpus AS (
       SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
-      FROM g WHERE doc_id % 97 <> 0
+      FROM g WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0
     ), test AS (
-      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+      SELECT DISTINCT 'held97' AS eval_set, unnest(grams) AS gram
+      FROM g WHERE doc_id % 97 = 0
+      UNION
+      SELECT DISTINCT 'held89' AS eval_set, unnest(grams) AS gram
+      FROM g WHERE doc_id % 89 = 0
     ), hits AS (
-      SELECT c.doc_id, any_value(c.n_grams) AS n_grams, COUNT(*) AS n_overlap
-      FROM corpus c JOIN test USING (gram) GROUP BY c.doc_id
+      SELECT c.doc_id, test.eval_set, any_value(c.n_grams) AS n_grams,
+             COUNT(*) AS n_overlap
+      FROM corpus c JOIN test USING (gram)
+      GROUP BY c.doc_id, test.eval_set
     )
-    SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+    SELECT doc_id, eval_set, CAST(n_grams AS INT) AS n_grams,
            CAST(n_overlap AS BIGINT) AS n_overlap,
            CAST(n_overlap * 10000 // greatest(n_grams, 1) AS INT) AS overlap_bps,
            n_overlap * 10000 // greatest(n_grams, 1) >= 500 AS contaminated
@@ -1135,20 +1141,28 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/decontam.py): 3-gram overlap
-    of each corpus doc against a held-out eval slice (doc_id % 97 == 0);
-    flag at >= 5% of the doc's distinct 3-grams. (The synthetic docs are
-    30-160 tokens of a tiny vocabulary, so 5-grams almost never collide —
-    3-grams give the check teeth; at real corpus scale use 8-13-gram
-    windows per GPT-3/PaLM practice.) Eval n-gram set broadcast; corpus
-    side = explode + broadcast hash join + one groupBy(doc_id) — linear,
-    never all-pairs."""
-    from marmaray_spark.operators.decontam import decontaminate
+    """Benchmark decontamination (operators/decontam.py) against a
+    SUITE of eval sets in one corpus pass (decontaminate_many — the
+    real pretraining shape: a release polices its whole benchmark
+    suite, GPT-3 appendix C): 3-gram overlap of each corpus doc against
+    two held-out slices (doc_id % 97 / % 89), one report row per
+    (document, overlapping set), flagged at >= 5% of the doc's distinct
+    3-grams. (The synthetic docs are 30-160 tokens of a tiny
+    vocabulary, so 5-grams almost never collide — 3-grams give the
+    check teeth; at real corpus scale use 8-13-gram windows per
+    GPT-3/PaLM practice.) The tagged eval n-gram union is broadcast
+    once; corpus side = one explode + one broadcast hash join + one
+    groupBy(doc_id, eval_set) — linear, never all-pairs."""
+    from marmaray_spark.operators.decontam import decontaminate_many
 
     docs = _with_words(load(spark, sf_dir, "documents"))
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    test_set = docs.filter(F.col("doc_id") % 97 == 0)
-    return decontaminate(corpus, test_set, n=3, contaminated_bps=500)
+    corpus = docs.filter((F.col("doc_id") % 97 != 0)
+                         & (F.col("doc_id") % 89 != 0))
+    return decontaminate_many(
+        corpus,
+        {"held97": docs.filter(F.col("doc_id") % 97 == 0),
+         "held89": docs.filter(F.col("doc_id") % 89 == 0)},
+        n=3, contaminated_bps=500)
 
 
 @register(

@@ -487,6 +487,33 @@ def test_decontaminate_flags_overlap_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
 
 
+def test_decontaminate_many_reports_per_eval_set(spark):
+    """Multi-benchmark sweep: one report row per (doc, overlapping
+    set), sets that don't overlap a doc absent, single broadcast."""
+    from marmaray_spark.operators.decontam import decontaminate_many
+
+    mk = lambda rows: (spark.createDataFrame(rows, ["doc_id", "text"])  # noqa: E731
+                       .withColumn("w", F.split(F.trim(F.lower("text")), r"\s+")))
+    seta = mk([(100, "alpha beta gamma delta epsilon zeta")])
+    setb = mk([(200, "one two three four five six")])
+    corpus = mk([
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),   # A only
+        (2, "one two three four five six seven eight"),         # B only
+        (3, "quiet words that overlap nothing at all here"),    # clean
+    ])
+    out = decontaminate_many(corpus, {"A": seta, "B": setb},
+                             n=5, contaminated_bps=2000)
+    rows = {(r["doc_id"], r["eval_set"]): r for r in out.collect()}
+    assert set(rows) == {(1, "A"), (2, "B")}
+    assert rows[(1, "A")]["contaminated"] and rows[(2, "B")]["contaminated"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decontaminate_many(corpus, {})
+
+
 def test_approx_percentile_within_sketch_error_of_exact(spark):
     """The 100 TB twin of event_value_percentiles: approx_percentile's
     rank error is bounded by 1/accuracy — verify the sketch lands within
