@@ -233,6 +233,24 @@ def test_pr_report_matches_brute_force(spark):
     assert recalls == sorted(recalls, reverse=True)
 
 
+def test_pr_report_single_class_and_empty_shards(spark, tmp_path):
+    """Degenerate inputs stay defined: an all-positive eval set yields
+    precision 10000 everywhere; an empty corpus shards to an empty
+    manifest without crashing."""
+    from marmaray_spark.operators.classifier import pr_report
+    df = spark.createDataFrame([(1, 100), (1, -50), (1, 300)],
+                               "y int, quality_logit_milli long")
+    rep = pr_report(df, "y").collect()
+    assert all(r["precision_bps"] == 10000 and r["fp"] == 0 for r in rep)
+    assert max(r["recall_bps"] for r in rep) == 10000
+
+    from marmaray_spark.operators.shard import write_training_shards
+    empty = spark.createDataFrame([], "doc_id long, n_tok int")
+    m = write_training_shards(empty, str(tmp_path / "es"), "doc_id",
+                              "n_tok", budget_tokens=100)
+    assert m["n_shards"] == 0 and m["total_docs"] == 0
+
+
 def test_classifier_scoring_runs_in_streaming_unchanged(spark, tmp_path):
     """score_quality is one stateless mapInPandas with broadcast weights,
     so the SAME call scores a Structured Streaming frame with no code
