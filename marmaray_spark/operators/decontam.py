@@ -89,3 +89,101 @@ def decontaminate_many(corpus: DataFrame,
                         F.col("overlap_bps") >= contaminated_bps)
             .select(id_col, "eval_set", "n_grams", "n_overlap",
                     "overlap_bps", "contaminated"))
+
+
+def maintain_decontamination_report(base, report, metadata,
+                                    eval_sets: dict[str, "DataFrame"], *,
+                                    id_col: str = "doc_id",
+                                    words_col: str = "w",
+                                    n: int = 5,
+                                    contaminated_bps: int = 2000,
+                                    checkpoint_key: str =
+                                    "decontam.last_commit",
+                                    max_commits: int | None = None) -> int:
+    """Keep a contamination report table in sync with an ingesting
+    corpus table — the maintained-structure pattern (operators/rollup.py
+    aggregates, operators/annindex.py similarity) applied to hygiene:
+    each maintenance run decontaminates ONLY the commits since the last
+    checkpoint, so continuous ingest never rescans the corpus.
+
+    ``base``: the corpus TableSink (rows must carry ``words_col``);
+    ``report``: a TableSink keyed by a single ``report_key`` column —
+    this function derives it as ``id:eval_set`` (the report is
+    per-(doc, set) and TableSink keys are single-column). Returns the
+    number of report rows (re)written.
+
+    Correctness across updates: a changed document whose overlap
+    DISAPPEARED must leave the report (zero-overlap rows are omitted by
+    design), and documents dropped by an INSERT_OVERWRITE take their
+    rows with them — affected ids are the union of after-image ids and
+    the pre-image ids from each commit's ``removes`` manifest; stale
+    rows are rewritten out exactly like annindex's stale keys. Replay
+    after a crash re-derives the same rows (idempotent)."""
+    from marmaray_spark.sinks.table import WriteOp
+    from pyspark.sql.window import Window as W
+
+    batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
+                                   max_commits=max_commits)
+    if not batches:
+        return 0
+    commits_by_id = {c.commit_id: c for c in base.log.commits()}
+    changed = None
+    affected = None
+    for seq, (cid, change_df) in enumerate(batches):
+        tagged = change_df.select(F.col(id_col), F.col(words_col)) \
+            .withColumn("__seq", F.lit(seq))
+        changed = tagged if changed is None else changed.unionByName(tagged)
+        ids = change_df.select(id_col)
+        affected = ids if affected is None else affected.unionByName(ids)
+        commit = commits_by_id[cid]
+        if commit.removes:
+            missing = [s for s in commit.removes
+                       if not (base.table_path / s).exists()]
+            if missing:
+                raise FileNotFoundError(
+                    f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
+                    "report cannot identify the displaced docs")
+            pre = (base.spark.read.option("mergeSchema", "true")
+                   .parquet(*[str(base.table_path / s)
+                              for s in commit.removes]).select(id_col))
+            affected = affected.unionByName(pre)
+    latest = (changed
+              .withColumn("__rn", F.row_number().over(
+                  W.partitionBy(id_col).orderBy(F.col("__seq").desc())))
+              .filter(F.col("__rn") == 1).drop("__rn", "__seq"))
+    # docs dropped from the base decontaminate to nothing automatically:
+    # only ids still present in the base snapshot are scanned
+    live = latest.join(base.read().select(id_col), id_col, "left_semi")
+    fresh = (decontaminate_many(live, eval_sets, id_col=id_col,
+                                words_col=words_col, n=n,
+                                contaminated_bps=contaminated_bps)
+             .withColumn("report_key",
+                         F.concat_ws(":", F.col(id_col).cast("string"),
+                                     "eval_set"))
+             .persist())
+    try:
+        n_rows = fresh.count()
+        affected = affected.distinct()
+        if report.is_empty():
+            if n_rows:
+                report.write(fresh, WriteOp.INSERT)
+        else:
+            # stale = existing rows for ANY affected doc (the fresh set
+            # re-asserts the ones that still overlap); UPSERT cannot
+            # delete, so a rewrite drops the rest
+            existing = report.read()
+            stale = existing.join(affected, id_col, "left_semi")
+            if stale.limit(1).count() > 0:
+                if report.partition is not None:
+                    raise ValueError(
+                        "stale-row rewrite needs an unpartitioned report "
+                        f"table; partitioned by {report.partition!r}")
+                survivors = existing.join(affected, id_col, "left_anti")
+                report.write(survivors.unionByName(fresh),
+                             WriteOp.INSERT_OVERWRITE)
+            elif n_rows:
+                report.write(fresh, WriteOp.UPSERT)
+    finally:
+        fresh.unpersist()
+    metadata.save_changes()
+    return n_rows

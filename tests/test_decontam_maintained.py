@@ -1,0 +1,92 @@
+"""Incrementally-maintained decontamination report
+(operators/decontam.py maintain_decontamination_report)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marmaray_spark.metadata.manager import FileSystemMetadataManager
+from marmaray_spark.operators.decontam import (decontaminate_many,
+                                               maintain_decontamination_report)
+from marmaray_spark.sinks.table import TableSink, WriteOp
+
+EVAL_A = "alpha beta gamma delta epsilon zeta"
+EVAL_B = "one two three four five six"
+
+
+def _docs(spark, rows):
+    return (spark.createDataFrame(rows, ["doc_id", "text"])
+            .withColumn("w", F.split(F.trim(F.lower("text")), r"\s+")))
+
+
+def _eval_sets(spark):
+    return {"A": _docs(spark, [(100, EVAL_A)]),
+            "B": _docs(spark, [(200, EVAL_B)])}
+
+
+def _report_rows(report):
+    return sorted((r["doc_id"], r["eval_set"], r["contaminated"])
+                  for r in report.read().collect())
+
+
+def test_maintained_report_tracks_ingest_update_and_overwrite(spark, tmp_path):
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    report = TableSink(spark, tmp_path / "rep", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    ev = _eval_sets(spark)
+
+    # batch 1: one doc overlapping A, one clean
+    base.write(_docs(spark, [
+        (1, EVAL_A + " eta theta"),
+        (2, "quiet words overlapping nothing at all here ok")]),
+        WriteOp.INSERT)
+    n = maintain_decontamination_report(base, report, md, ev,
+                                        n=5, contaminated_bps=2000)
+    assert n == 1 and _report_rows(report) == [(1, "A", True)]
+
+    # batch 2: doc 1 UPDATED to overlap B instead of A; doc 3 joins with A
+    base.write(_docs(spark, [(1, EVAL_B + " seven eight")]), WriteOp.UPSERT)
+    base.write(_docs(spark, [(3, EVAL_A + " iota kappa")]), WriteOp.INSERT)
+    maintain_decontamination_report(base, report, md, ev,
+                                    n=5, contaminated_bps=2000)
+    assert _report_rows(report) == [(1, "B", True), (3, "A", True)]
+
+    # matches a from-scratch batch run over the current base
+    want = sorted((r["doc_id"], r["eval_set"], r["contaminated"])
+                  for r in decontaminate_many(base.read(), ev, n=5,
+                                              contaminated_bps=2000)
+                  .collect())
+    assert _report_rows(report) == want
+
+    # batch 3: overwrite drops doc 3 entirely -> its row leaves
+    base.write(_docs(spark, [
+        (1, EVAL_B + " seven eight"),
+        (2, "quiet words overlapping nothing at all here ok")]),
+        WriteOp.INSERT_OVERWRITE)
+    maintain_decontamination_report(base, report, md, ev,
+                                    n=5, contaminated_bps=2000)
+    assert _report_rows(report) == [(1, "B", True)]
+
+    # idle run: no-op
+    assert maintain_decontamination_report(base, report, md, ev,
+                                           n=5, contaminated_bps=2000) == 0
+
+
+def test_maintained_report_replay_is_idempotent(spark, tmp_path):
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    report = TableSink(spark, tmp_path / "rep", "report_key")
+    ev = _eval_sets(spark)
+    base.write(_docs(spark, [(1, EVAL_A + " pad pad2")]), WriteOp.INSERT)
+
+    md1 = FileSystemMetadataManager(str(tmp_path / "md"))
+    md1.save_changes = lambda: None          # simulated crash pre-checkpoint
+    assert maintain_decontamination_report(base, report, md1, ev,
+                                           n=5, contaminated_bps=2000) == 1
+    before = _report_rows(report)
+
+    md2 = FileSystemMetadataManager(str(tmp_path / "md"))
+    assert maintain_decontamination_report(base, report, md2, ev,
+                                           n=5, contaminated_bps=2000) == 1
+    assert _report_rows(report) == before
+    assert maintain_decontamination_report(base, report, md2, ev,
+                                           n=5, contaminated_bps=2000) == 0
