@@ -96,7 +96,8 @@ def main() -> None:
     base.write(corpus.filter(F.col("vec_id") % 2 == 1), WriteOp.INSERT)
     print("maintained:", maintain_ann_index(base, index, meta, cents),
           "vectors indexed (incremental batch)")
-    meta.save_changes()
+    # (no save_changes here: the maintainer persists its own checkpoint
+    # after the index commit — the work-unit contract)
     served = ivf_probe_topk_indexed(queries, index.read(), cents, k=5,
                                     nprobe=4)
     match = sorted(map(tuple, served.collect())) == \

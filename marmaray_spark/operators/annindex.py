@@ -38,7 +38,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from marmaray_spark.operators.similarity import (_rank_probe_join, ivf_cells,
                                                  quantize)
@@ -69,56 +68,31 @@ def maintain_ann_index(base, index, metadata,
     write is one UPSERT regardless of backlog depth; commits whose
     ``removes`` manifests dropped keys from the base additionally
     rewrite those keys out of the index."""
+    from marmaray_spark.operators.maintained import consume_latest
     from marmaray_spark.sinks.table import WriteOp
 
-    batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
-                                   max_commits=max_commits)
-    if not batches:
+    latest, affected = consume_latest(base, metadata, [id_col, vec_col],
+                                      id_col, checkpoint_key, max_commits)
+    if latest is None:
         return 0
-    commits_by_id = {c.commit_id: c for c in base.log.commits()}
-    changed: DataFrame | None = None
-    pre_keys: DataFrame | None = None
-    for seq, (cid, change_df) in enumerate(batches):
-        tagged = change_df.select(F.col(id_col), F.col(vec_col)) \
-            .withColumn("__seq", F.lit(seq))
-        changed = tagged if changed is None else changed.unionByName(tagged)
-        commit = commits_by_id[cid]
-        if not commit.removes:
-            continue  # pure insert/upsert append: no key can vanish
-        missing = [s for s in commit.removes
-                   if not (base.table_path / s).exists()]
-        if missing:
-            # same vacuum-races-the-maintainer guard as rollup.py: the
-            # displaced slices are the only record of the dropped keys
-            raise FileNotFoundError(
-                f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
-                "index cannot recover the dropped keys — lower the "
-                "consumer lag or raise vacuum retain_last_n_commits")
-        pre = (base.spark.read.option("mergeSchema", "true")
-               .parquet(*[str(base.table_path / s) for s in commit.removes])
-               .select(id_col))
-        pre_keys = pre if pre_keys is None else pre_keys.unionByName(pre)
-    latest = (changed
-              .withColumn("__rn", F.row_number().over(
-                  W.partitionBy(id_col).orderBy(F.col("__seq").desc())))
-              .filter(F.col("__rn") == 1).drop("__rn", "__seq"))
+    # only keys STILL LIVE in the base are assigned — a backlog that
+    # inserted and then overwrite-dropped a key before this run must not
+    # resurrect it from the insert's after-image
+    live = latest.join(base.read().select(id_col), id_col, "left_semi")
     # persist: the count and the UPSERT both consume the assignment
     # plan (union + latest-version window + cell kernel) — without the
     # barrier every ingest tick pays it twice over the change volume
-    assigned = assign_cells(latest, centroids, id_col=id_col,
+    assigned = assign_cells(live, centroids, id_col=id_col,
                             vec_col=vec_col).persist()
     try:
         n = assigned.count()
-        # keys in a displaced pre-image that exist in NEITHER the
-        # current base snapshot NOR this batch's after-images were
-        # dropped by an overwrite: rewrite them out (UPSERT cannot
-        # delete). The stale set is change-scoped; the rewrite is not —
-        # overwrite-heavy bases should rebuild instead of maintain.
-        stale = None
-        if pre_keys is not None:
-            stale = (pre_keys.distinct()
-                     .join(base.read().select(id_col), id_col, "left_anti"))
-        if stale is not None and stale.limit(1).count() > 0:
+        # affected keys no longer in the base were dropped by an
+        # overwrite: rewrite them out (UPSERT cannot delete). The stale
+        # set is change-scoped; the rewrite is not — overwrite-heavy
+        # bases should rebuild instead of maintain.
+        gone_keys = affected.join(base.read().select(id_col),
+                                  id_col, "left_anti")
+        if (not index.is_empty()) and gone_keys.limit(1).count() > 0:
             if index.partition is not None:
                 # INSERT_OVERWRITE only replaces partitions the new
                 # frame touches — a partitioned index could silently
@@ -129,12 +103,12 @@ def maintain_ann_index(base, index, metadata,
             # rewrite = current index minus (dropped keys AND the keys
             # this batch re-assigns), plus the fresh assignments — the
             # anti-join must cover both or re-assigned keys duplicate
-            gone = (stale.withColumnRenamed(id_col, "vec_id")
+            gone = (gone_keys.withColumnRenamed(id_col, "vec_id")
                     .unionByName(assigned.select("vec_id")))
             survivors = index.read().join(gone, "vec_id", "left_anti")
             index.write(survivors.unionByName(assigned),
                         WriteOp.INSERT_OVERWRITE)
-        else:
+        elif n:
             index.write(assigned, WriteOp.UPSERT)
     finally:
         assigned.unpersist()

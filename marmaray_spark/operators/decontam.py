@@ -119,38 +119,13 @@ def maintain_decontamination_report(base, report, metadata,
     the pre-image ids from each commit's ``removes`` manifest; stale
     rows are rewritten out exactly like annindex's stale keys. Replay
     after a crash re-derives the same rows (idempotent)."""
+    from marmaray_spark.operators.maintained import consume_latest
     from marmaray_spark.sinks.table import WriteOp
-    from pyspark.sql.window import Window as W
 
-    batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
-                                   max_commits=max_commits)
-    if not batches:
+    latest, affected = consume_latest(base, metadata, [id_col, words_col],
+                                      id_col, checkpoint_key, max_commits)
+    if latest is None:
         return 0
-    commits_by_id = {c.commit_id: c for c in base.log.commits()}
-    changed = None
-    affected = None
-    for seq, (cid, change_df) in enumerate(batches):
-        tagged = change_df.select(F.col(id_col), F.col(words_col)) \
-            .withColumn("__seq", F.lit(seq))
-        changed = tagged if changed is None else changed.unionByName(tagged)
-        ids = change_df.select(id_col)
-        affected = ids if affected is None else affected.unionByName(ids)
-        commit = commits_by_id[cid]
-        if commit.removes:
-            missing = [s for s in commit.removes
-                       if not (base.table_path / s).exists()]
-            if missing:
-                raise FileNotFoundError(
-                    f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
-                    "report cannot identify the displaced docs")
-            pre = (base.spark.read.option("mergeSchema", "true")
-                   .parquet(*[str(base.table_path / s)
-                              for s in commit.removes]).select(id_col))
-            affected = affected.unionByName(pre)
-    latest = (changed
-              .withColumn("__rn", F.row_number().over(
-                  W.partitionBy(id_col).orderBy(F.col("__seq").desc())))
-              .filter(F.col("__rn") == 1).drop("__rn", "__seq"))
     # docs dropped from the base decontaminate to nothing automatically:
     # only ids still present in the base snapshot are scanned
     live = latest.join(base.read().select(id_col), id_col, "left_semi")
@@ -163,22 +138,27 @@ def maintain_decontamination_report(base, report, metadata,
              .persist())
     try:
         n_rows = fresh.count()
-        affected = affected.distinct()
         if report.is_empty():
             if n_rows:
                 report.write(fresh, WriteOp.INSERT)
         else:
-            # stale = existing rows for ANY affected doc (the fresh set
-            # re-asserts the ones that still overlap); UPSERT cannot
-            # delete, so a rewrite drops the rest
+            # stale = existing rows of affected docs NOT re-asserted by
+            # the fresh set (an update that keeps a doc's overlap is a
+            # plain change-scale UPSERT, not a table rewrite — the
+            # rewrite fires only when rows must actually disappear)
             existing = report.read()
-            stale = existing.join(affected, id_col, "left_semi")
+            stale = (existing.join(affected, id_col, "left_semi")
+                     .join(fresh.select("report_key"), "report_key",
+                           "left_anti"))
             if stale.limit(1).count() > 0:
                 if report.partition is not None:
                     raise ValueError(
                         "stale-row rewrite needs an unpartitioned report "
                         f"table; partitioned by {report.partition!r}")
-                survivors = existing.join(affected, id_col, "left_anti")
+                survivors = existing.join(
+                    stale.select("report_key")
+                    .unionByName(fresh.select("report_key")),
+                    "report_key", "left_anti")
                 report.write(survivors.unionByName(fresh),
                              WriteOp.INSERT_OVERWRITE)
             elif n_rows:

@@ -1,0 +1,79 @@
+"""Shared skeleton for change-stream-maintained structures.
+
+Three operators keep a derived table in sync with a base TableSink's
+commit log — maintain_rollup (aggregates), maintain_ann_index
+(similarity), maintain_decontamination_report (hygiene). The
+change-consumption contract they share lives HERE, once:
+
+- drain ``consume_changes`` batches and collapse the after-images to the
+  newest version per key (multiple pending commits touching one key must
+  not fan out);
+- collect the AFFECTED key set: after-image keys plus the PRE-image keys
+  read from each commit's ``removes`` manifest (the displaced slices are
+  still on disk until vacuum — reading them is how a maintainer learns
+  which keys an INSERT_OVERWRITE dropped), with the vacuum-races-the-
+  maintainer FileNotFoundError guard;
+- the caller then restricts after-images to keys STILL LIVE in the base
+  snapshot (a backlog can insert and then overwrite-drop a key before
+  maintenance ever ran — rebuilding from the raw after-images would
+  resurrect it) and decides its own stale-row story.
+
+Checkpoint durability stays with the caller: persist via
+``metadata.save_changes()`` only after the derived table's commit lands
+(the IWorkUnitCalculator contract, M/common/sources/IWorkUnitCalculator
+.java:36-90).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def consume_latest(base, metadata, cols: list[str], id_col: str,
+                   checkpoint_key: str,
+                   max_commits: int | None = None):
+    """Drain pending commits; return ``(latest, affected)`` or
+    ``(None, None)`` when there is nothing new.
+
+    ``latest``: one row per key — the newest after-image across the
+    drained batches, projected to ``cols`` (which must include
+    ``id_col``). NOT yet filtered to live keys; callers semi-join
+    against ``base.read()`` so a key inserted and then dropped inside
+    the same backlog cannot be resurrected.
+    ``affected``: distinct ids touched by the batches — after-image ids
+    plus pre-image ids from every commit's removes manifest."""
+    batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
+                                   max_commits=max_commits)
+    if not batches:
+        return None, None
+    commits_by_id = {c.commit_id: c for c in base.log.commits()}
+    changed: DataFrame | None = None
+    affected: DataFrame | None = None
+    for seq, (cid, change_df) in enumerate(batches):
+        tagged = change_df.select(*[F.col(c) for c in cols]) \
+            .withColumn("__seq", F.lit(seq))
+        changed = tagged if changed is None else changed.unionByName(tagged)
+        ids = change_df.select(id_col)
+        affected = ids if affected is None else affected.unionByName(ids)
+        commit = commits_by_id[cid]
+        if not commit.removes:
+            continue  # pure append: no key can have vanished
+        missing = [s for s in commit.removes
+                   if not (base.table_path / s).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
+                "the maintained structure cannot identify the displaced "
+                "keys — lower the consumer lag or raise vacuum "
+                "retain_last_n_commits")
+        pre = (base.spark.read.option("mergeSchema", "true")
+               .parquet(*[str(base.table_path / s) for s in commit.removes])
+               .select(id_col))
+        affected = affected.unionByName(pre)
+    latest = (changed
+              .withColumn("__rn", F.row_number().over(
+                  W.partitionBy(id_col).orderBy(F.col("__seq").desc())))
+              .filter(F.col("__rn") == 1).drop("__rn", "__seq"))
+    return latest, affected.distinct()

@@ -59,13 +59,17 @@ from marmaray_spark.sources.hive import ParquetSource, ParquetWorkUnitCalculator
 
 
 def _corpus_stages(config: Configuration):
-    """Compile the ``corpus.*`` block into an ordered list of DataFrame
-    transforms (empty when the block is absent). Each stage is one of
-    the LLM-pipeline operators; order is fixed (gates -> dedup ->
-    sample -> mix) because later stages assume earlier invariants."""
+    """Compile the ``corpus.*`` block into ``(stages, pinned)``: an
+    ordered list of DataFrame transforms (empty when the block is
+    absent) plus a runtime-filled list of frames the stages persist —
+    the caller unpersists them in a final commit hook so cached corpus
+    partitions don't outlive the job. Stage order is fixed (gates ->
+    dedup -> sample -> mix) because later stages assume earlier
+    invariants."""
+    pinned: list = []
     text_col = config.get("corpus.text_col")
     if not text_col:
-        return []
+        return [], pinned
     id_col = config.get_required("corpus.id_col")
     from pyspark.sql import functions as F
 
@@ -112,6 +116,7 @@ def _corpus_stages(config: Configuration):
             # above re-execute per consumer (Spark never dedupes common
             # unpersisted plan subtrees)
             df = df.persist()
+            pinned.append(df)
             keepers = exact_dedup(df, id_col=id_col, text_col=text_col) \
                 .select(F.col("keeper_id").alias(id_col))
             return df.join(keepers, id_col, "left_semi")
@@ -121,10 +126,11 @@ def _corpus_stages(config: Configuration):
     if mix_group:
         def mix(df):
             # rates aggregate + corpus filter = two consumers
-            return temperature_mix(df.persist(), id_col, mix_group,
-                                   keep_bps=keep)
+            df = df.persist()
+            pinned.append(df)
+            return temperature_mix(df, id_col, mix_group, keep_bps=keep)
         stages.append(mix)
-    return stages
+    return stages, pinned
 
 
 def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
@@ -160,7 +166,7 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
         if required or fields else None
 
     state: dict = {}
-    corpus_chain = _corpus_stages(config)
+    corpus_chain, corpus_pinned = _corpus_stages(config)
 
     def transform(df: DataFrame) -> DataFrame:
         if conv is not None:
@@ -209,6 +215,16 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
         nodes.append(SinkNode("file", fsink.write, priority=100))
     else:
         raise ValueError(f"unknown sink.type {sink_type!r}")
+
+    if corpus_chain:
+        def _unpin():
+            # release the corpus-stage persist barriers once every sink
+            # committed — cached corpus partitions must not outlive the
+            # job in a long-running driver
+            while corpus_pinned:
+                corpus_pinned.pop().unpersist()
+        nodes.append(SinkNode("corpus_unpersist", lambda _df: None,
+                              commit=_unpin, priority=999))
 
     return JobDag(name, calc, get_data, JobSubDag(nodes), meta,
                   transform=transform)

@@ -92,6 +92,28 @@ def test_overwrite_commit_drops_stale_keys_from_index(spark, tmp_path):
     assert got == want and len(got) == 5      # 5..9 gone, 0..4 fresh
 
 
+def test_backlog_with_overwrite_does_not_resurrect_dropped_keys(spark,
+                                                                tmp_path):
+    """A lagging consumer drains [INSERT 0..9, OVERWRITE to 0..4] in ONE
+    maintenance run: keys 5..9 appear in an after-image but are dead in
+    the base — they must not be written into the index. Also covers the
+    first-run-with-overwrite-history path (index starts empty)."""
+    cents = _centroids(spark)
+    base = TableSink(spark, tmp_path / "base", "vec_id")
+    index = TableSink(spark, tmp_path / "idx", "vec_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    base.write(_vecs(spark, range(0, 10)), WriteOp.INSERT)
+    base.write(_vecs(spark, range(0, 5), seed=23), WriteOp.INSERT_OVERWRITE)
+    assert maintain_ann_index(base, index, md, cents) == 5
+
+    got = {(r["vec_id"], r["cell"], tuple(r["cv"]))
+           for r in index.read().collect()}
+    want = {(r["vec_id"], r["cell"], tuple(r["cv"]))
+            for r in assign_cells(base.read(), cents).collect()}
+    assert got == want and len(got) == 5
+
+
 def test_maintenance_replay_is_idempotent(spark, tmp_path):
     """Crash between index commit and checkpoint save: the batch replays
     and must converge to the same index (UPSERT idempotency)."""

@@ -72,6 +72,26 @@ def test_maintained_report_tracks_ingest_update_and_overwrite(spark, tmp_path):
                                            n=5, contaminated_bps=2000) == 0
 
 
+def test_update_keeping_overlap_stays_change_scale_upsert(spark, tmp_path):
+    """An update that KEEPS a doc's overlap must ride the change-scale
+    UPSERT path — the full-table rewrite fires only when rows actually
+    have to disappear (the cost-follows-change-volume contract)."""
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    report = TableSink(spark, tmp_path / "rep", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    ev = _eval_sets(spark)
+
+    base.write(_docs(spark, [(1, EVAL_A + " pad")]), WriteOp.INSERT)
+    maintain_decontamination_report(base, report, md, ev,
+                                    n=5, contaminated_bps=2000)
+    base.write(_docs(spark, [(1, EVAL_A + " other tail words")]),
+               WriteOp.UPSERT)
+    maintain_decontamination_report(base, report, md, ev,
+                                    n=5, contaminated_bps=2000)
+    assert _report_rows(report) == [(1, "A", True)]
+    assert report.log.commits()[-1].op == "upsert"     # not a rewrite
+
+
 def test_maintained_report_replay_is_idempotent(spark, tmp_path):
     base = TableSink(spark, tmp_path / "base", "doc_id")
     report = TableSink(spark, tmp_path / "rep", "report_key")
