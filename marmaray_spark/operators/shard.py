@@ -114,3 +114,106 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return manifest
+
+
+def write_webdataset_shards(df: DataFrame, path: str, id_col: str,
+                            members: dict, tokens_col: str | None = None,
+                            budget_tokens: int = 1 << 28,
+                            salt: str = "wd0", hex_chars: int = 2) -> dict:
+    """Write the corpus as WebDataset-style tar shards — the standard
+    container for MULTIMODAL training data (one ``shard-NNNNNN.tar``
+    per shard; a sample's members are adjacent entries sharing a key
+    prefix: ``{id}.txt``, ``{id}.bin``, ... — streamable sequentially
+    by any tar reader, no random access needed at training time).
+
+    ``members`` maps extension -> column: string columns are written
+    UTF-8, binary columns raw — the multimodal (text + opaque bytes +
+    metadata) row shape lands as one sample. Sharding reuses
+    shard_assignments (deterministic md5 global shuffle + token
+    budget; pass ``tokens_col=None`` to budget by BYTES of the binary
+    members instead — the natural knob when payload size, not token
+    count, bounds a shard).
+
+    Physical plan: ONE corpus shuffle (groupBy shard ->
+    applyInPandas); each task writes its whole shard via a temp file +
+    atomic os.replace, so re-runs are idempotent and readers never see
+    a torn tar. Tar metadata is pinned (mtime=0, uid/gid=0, mode 644)
+    and rows are emitted in sort_key order — shard bytes are
+    REPRODUCIBLE no matter how the job was partitioned or retried.
+    A shard must fit one task's memory (the applyInPandas group bound)
+    — that is what ``budget_tokens`` is for; size it like any target
+    output file (default 256 MiB-equivalent). Local/POSIX paths write
+    directly from executors; an object-store deployment points this at
+    a fuse mount or swaps the two file calls for a multipart-upload
+    client (sinks/object_store.py seam)."""
+    for ext, col in members.items():
+        if not ext or "/" in ext or "." in ext:
+            raise ValueError(f"bad member extension {ext!r}")
+        if col not in df.columns:
+            raise ValueError(f"member column {col!r} not in frame")
+    if tokens_col is None:
+        size_expr = " + ".join(
+            f"coalesce(octet_length({c}), 0)" for c in members.values())
+        df = df.withColumn("__wd_sz", F.expr(size_expr).cast("long"))
+        tokens_col = "__wd_sz"
+    assigned = shard_assignments(df, id_col, tokens_col, budget_tokens,
+                                 salt=salt, hex_chars=hex_chars)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    exts = sorted(members)           # fixed member order inside a sample
+
+    def write_shard(key, pdf):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        shard = int(key[0])
+        pdf = pdf.sort_values(["sort_key", id_col])
+        fname = f"shard-{shard:06d}.tar"
+        tmp = os.path.join(data_dir, f".{fname}.inprogress")
+        n_bytes = 0
+        with open(tmp, "wb") as raw:
+            with tarfile.open(fileobj=raw, mode="w",
+                              format=tarfile.USTAR_FORMAT) as tf:
+                for _, row in pdf.iterrows():
+                    sample_key = str(row[id_col])
+                    for ext in exts:
+                        val = row[members[ext]]
+                        if val is None:
+                            continue
+                        blob = (val if isinstance(val, (bytes, bytearray))
+                                else str(val).encode("utf-8"))
+                        info = tarfile.TarInfo(name=f"{sample_key}.{ext}")
+                        info.size = len(blob)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        info.mode = 0o644
+                        tf.addfile(info, io.BytesIO(bytes(blob)))
+                        n_bytes += len(blob)
+            raw.flush()
+            os.fsync(raw.fileno())
+        os.replace(tmp, os.path.join(data_dir, fname))
+        return pd.DataFrame([{"shard": shard, "docs": len(pdf),
+                              "n_bytes": n_bytes, "file": fname}])
+
+    stats = (assigned.groupBy("shard")
+             .applyInPandas(write_shard,
+                            "shard long, docs long, n_bytes long, "
+                            "file string")
+             .orderBy("shard").collect())
+    manifest = {
+        "salt": salt,
+        "budget_tokens": int(budget_tokens),
+        "n_shards": len(stats),
+        "total_docs": int(sum(r["docs"] for r in stats)),
+        "total_bytes": int(sum(r["n_bytes"] for r in stats)),
+        "members": {ext: members[ext] for ext in exts},
+        "shards": [{"shard": int(r["shard"]), "docs": int(r["docs"]),
+                    "n_bytes": int(r["n_bytes"]), "file": r["file"]}
+                   for r in stats],
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest

@@ -1401,10 +1401,74 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                1, 4))::BIGINT
             < r.rate_bps * 65536 // 10000
     )
+    UNION ALL
+    SELECT doc_id, lang, 'dsir' AS method, n1 FROM (
+      WITH dw AS (
+        SELECT doc_id, lang, {_SQL_WORDS} AS w FROM documents
+      ), feats AS (
+        SELECT doc_id, lang, unnest(list_concat(w,
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1]))) AS f
+        FROM dw
+      ), fb AS (
+        SELECT doc_id, lang,
+               ('0x' || substring(md5('dsir0:' || f), 1, 8))::BIGINT % 4096
+                 AS bucket
+        FROM feats WHERE f <> ''
+      ), tcnt AS (
+        SELECT bucket, COUNT(*) AS cnt FROM fb
+        WHERE lang = 'en' AND doc_id % 5 = 0 GROUP BY bucket
+      ), ttot AS (SELECT SUM(cnt) AS total FROM tcnt
+      ), tlm AS (
+        SELECT bucket, CAST(round(ln((cnt + 1.0) / (total + 4096)) * 1000)
+               AS BIGINT) AS lp
+        FROM tcnt CROSS JOIN ttot
+      ), tfl AS (
+        SELECT CAST(round(ln(1.0 / (total + 4096)) * 1000) AS BIGINT) AS fl
+        FROM ttot
+      ), rcnt AS (
+        SELECT bucket, COUNT(*) AS cnt FROM fb GROUP BY bucket
+      ), rtot AS (SELECT SUM(cnt) AS total FROM rcnt
+      ), rlm AS (
+        SELECT bucket, CAST(round(ln((cnt + 1.0) / (total + 4096)) * 1000)
+               AS BIGINT) AS lp
+        FROM rcnt CROSS JOIN rtot
+      ), rfl AS (
+        SELECT CAST(round(ln(1.0 / (total + 4096)) * 1000) AS BIGINT) AS fl
+        FROM rtot
+      ), wts AS (
+        SELECT fb.doc_id, fb.lang,
+               SUM(coalesce(tlm.lp, tfl.fl) - coalesce(rlm.lp, rfl.fl))
+                 AS logw
+        FROM fb
+        LEFT JOIN tlm USING (bucket)
+        LEFT JOIN rlm USING (bucket)
+        CROSS JOIN tfl CROSS JOIN rfl
+        GROUP BY fb.doc_id, fb.lang
+      ), sc AS (
+        SELECT doc_id, lang, logw,
+               logw + CAST(round(-ln(-ln(
+                 ((('0x' || substring(md5('dg0:' || CAST(doc_id AS VARCHAR)),
+                    1, 4))::BIGINT + 0.5) / 65536.0))) * 1000) AS BIGINT)
+                 AS kkey
+        FROM wts
+      ), kh AS (SELECT kkey, COUNT(*) AS c FROM sc GROUP BY kkey
+      ), kc AS (
+        SELECT kkey, SUM(c) OVER (ORDER BY kkey DESC
+                     ROWS UNBOUNDED PRECEDING) AS cum
+        FROM kh
+      ), nsel AS (SELECT COUNT(*) * 2000 // 10000 AS k FROM documents
+      ), cut AS (
+        SELECT max(kkey) AS t FROM kc CROSS JOIN nsel WHERE cum >= nsel.k
+      )
+      SELECT sc.doc_id, sc.lang, CAST(sc.logw AS BIGINT) AS n1
+      FROM sc CROSS JOIN cut
+      WHERE sc.kkey >= coalesce(cut.t, -4611686018427387904)
+    )
     """,
 )
 def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FOUR deterministic corpus-partitioning primitives side by side,
+    """FIVE deterministic corpus-partitioning primitives side by side,
     tagged by method (sections sharing one scoreboard row — the
     relational_join_family pattern): STRATIFIED rebalancing (keep 10% of
     dominant-language en docs, 40% of everything else, per-stratum md5
@@ -1412,14 +1476,24 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-prefix sample (deterministic_sample) used for eval holdouts and
     ablations, the SHUFFLE-SHARD assignment (operators/shard.py — md5
     global shuffle order + token-budget shard ids via the two-pass
-    bucket prefix-sum; n1 = shard id), and TEMPERATURE MIXING at α=0.5
+    bucket prefix-sum; n1 = shard id), TEMPERATURE MIXING at α=0.5
     (operators/text.py temperature_mix — XLM's sqrt-share rebalancing,
     Conneau & Lample 2019, with per-group integer-quantized rates so the
-    hash gate can check it exactly). The sampling legs are pure
-    pushed-down filters — no shuffle, stable across engines, retries and
-    partitionings (rand()-based sample() is none of those things); the
-    shard leg's only corpus shuffle is its per-bucket window exchange;
-    tempmix adds one group-count-scale aggregate broadcast back."""
+    hash gate can check it exactly), and DSIR importance resampling
+    (operators/dsir.py, Xie et al. 2023 — hashed unigram+bigram bucket
+    models p_target/p_raw with target = the en doc_id%5==0 slice,
+    per-doc milli-nat log weights (n1), Gumbel-perturbed top-20%
+    selection via the exact score-histogram cutoff, no global sort).
+    The sampling legs are pure pushed-down filters — no shuffle, stable
+    across engines, retries and partitionings (rand()-based sample() is
+    none of those things); the shard leg's only corpus shuffle is its
+    per-bucket window exchange; tempmix adds one group-count-scale
+    aggregate broadcast back; dsir adds the feature explode + two
+    broadcast-model joins and one per-doc agg — the corpus itself never
+    shuffles."""
+    from marmaray_spark.operators.dsir import (bucket_lm, dsir_log_weights,
+                                               dsir_select,
+                                               hashed_feature_stream)
     from marmaray_spark.operators.shard import shard_assignments
     from marmaray_spark.operators.text import (deterministic_sample,
                                                stratified_sample,
@@ -1444,7 +1518,23 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                           keep_bps=2000, salt="tm0") \
         .select("doc_id", "lang", F.lit("tempmix").alias("method"),
                 null_n1.alias("n1"))
-    return strat.unionByName(flat).unionByName(shard).unionByName(mix)
+    dw = _with_words(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "lang", "w")
+    raw_stream = hashed_feature_stream(dw, "doc_id", "w",
+                                       carry=("lang",)).persist()
+    raw_stream.count()
+    tgt_stream = hashed_feature_stream(
+        dw.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)),
+        "doc_id", "w")
+    wts = dsir_log_weights(raw_stream, "doc_id",
+                           bucket_lm(tgt_stream), bucket_lm(raw_stream),
+                           carry=("lang",))
+    n_docs = load(spark, sf_dir, "documents").count()
+    kept = dsir_select(wts, k=n_docs * 2000 // 10000, id_col="doc_id")
+    dsir = kept.select("doc_id", "lang", F.lit("dsir").alias("method"),
+                       F.col("logw_milli").alias("n1"))
+    return (strat.unionByName(flat).unionByName(shard).unionByName(mix)
+            .unionByName(dsir))
 
 
 # ---------------------------------------------------------------------------
@@ -1886,7 +1976,25 @@ def embedding_srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
       UNION
       SELECT e.src, r.label FROM sedges e JOIN sreach r ON e.dst = r.node
     ),
-    scomp AS (SELECT node, min(label) AS component FROM sreach GROUP BY node)
+    scomp AS (SELECT node, min(label) AS component FROM sreach GROUP BY node),
+    pqa AS (
+      SELECT c.vec_id, s.s, cent.cid,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+                  i -> c.v[s.s * 16 + i] * cent.cv[s.s * 16 + i]))
+                  AS BIGINT) AS dot_s
+      FROM c, (SELECT unnest([0, 1, 2, 3]) AS s) s, cent
+    ),
+    pqc AS (
+      SELECT vec_id, s, cid, dot_s FROM pqa
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s
+              ORDER BY dot_s DESC, cid) = 1
+    ),
+    pqv AS (
+      SELECT vec_id,
+             CAST(SUM(cid::BIGINT << (3 * s)) AS BIGINT) AS packed,
+             CAST(SUM(dot_s) AS BIGINT) AS adc_self
+      FROM pqc GROUP BY vec_id
+    )
     SELECT 'srp_bucket' AS kind,
            CAST({_sql_srp_bucket('v')} AS BIGINT) AS bucket,
            count(*) AS n, min(vec_id) AS min_vec_id
@@ -1901,6 +2009,8 @@ def embedding_srp_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(coalesce(scomp.component, cells.vec_id) AS BIGINT),
            cells.vec_id
     FROM cells LEFT JOIN scomp ON scomp.node = cells.vec_id
+    UNION ALL
+    SELECT 'pq', packed, adc_self, vec_id FROM pqv
     """,
 )
 def embedding_index_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,9 +2027,18 @@ def embedding_index_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern standing in for trained k-means, which is not
     SQL-expressible): per vector its cell (bucket) and min-id similarity-
     component keeper (n) at quantized-dot >= 0.4e6 — the per-cluster
-    union-find checked against the oracle's recursive-CTE fixpoint.
-    Histograms are map-side-combined groupBys over one scan; semdedup
-    adds the cell shuffle + per-cluster gram."""
+    union-find checked against the oracle's recursive-CTE fixpoint —
+    and (d) 'pq': PRODUCT QUANTIZATION codes over the same 8 seed
+    vectors as 4 subspace codebooks of 8 centroids x 16 dims
+    (operators/pq.py, Jégou et al. 2011; deterministic codebooks
+    standing in for the per-subspace k-means of train_pq_codebooks):
+    per vector its packed 12-bit code (bucket) and exact
+    reconstruction-projection dot adc_self (n) — the quantization-error
+    diagnostic watched before trusting the 64x-compressed ADC retrieval
+    tier. Histograms are map-side-combined groupBys over one scan;
+    semdedup adds the cell shuffle + per-cluster gram; pq is one more
+    pure projection (no shuffle)."""
+    from marmaray_spark.operators.pq import pq_encode
     from marmaray_spark.operators.similarity import (quantize,
                                                      semantic_dedup,
                                                      srp_bucket)
@@ -1948,7 +2067,18 @@ def embedding_index_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("cell").cast("long").alias("bucket"),
                    F.col("keeper_id").cast("long").alias("n"),
                    F.col("vec_id").cast("long").alias("min_vec_id")))
-    return srp.unionByName(norm).unionByName(sem)
+    # the 8 seed vectors double as PQ codebooks: subspace s's centroid c
+    # = slice s of seed vector c (matches the oracle's cent CTE slices)
+    books = [[cv[s * 16:(s + 1) * 16] for cv in cents] for s in range(4)]
+    pq = (pq_encode(load(spark, sf_dir, "embeddings"), books,
+                    with_recon=True)
+          .select(F.lit("pq").alias("kind"),
+                  F.expr("cast(codes[0] + (codes[1] << 3) + "
+                         "(codes[2] << 6) + (codes[3] << 9) as bigint)")
+                  .alias("bucket"),
+                  F.col("adc_self").alias("n"),
+                  F.col("vec_id").cast("long").alias("min_vec_id")))
+    return srp.unionByName(norm).unionByName(sem).unionByName(pq)
 
 
 @register(
@@ -2876,6 +3006,68 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     WHERE term <> ''
     GROUP BY snap, term
+    UNION ALL
+    SELECT 'domain', grp, item, n, CAST(0 AS INT) FROM (
+      WITH urls AS (
+        SELECT doc_id, len({_SQL_WORDS}) AS n_tok,
+          'HTTPS://WWW.' || source || '-corp.COM'
+            || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+            || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+            || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=x&ref=' || lang || '&fbclid=zz'
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+      ), c1 AS (
+        SELECT doc_id, n_tok, regexp_replace(url, '#.*', '') AS base
+        FROM urls
+      ), c2 AS (
+        SELECT doc_id, n_tok,
+          lower(coalesce(regexp_extract(base,
+            '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme,
+          lower(coalesce(regexp_extract(base, '://([^/?#]+)', 1), ''))
+            AS rawhost,
+          coalesce(regexp_extract(base, '://[^/?#]+([^?#]*)', 1), '')
+            AS rawpath,
+          coalesce(regexp_extract(base, '\\?([^#]*)', 1), '') AS q
+        FROM c1
+      ), c3 AS (
+        SELECT doc_id, n_tok, scheme,
+          regexp_replace(CASE
+            WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+            WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+            ELSE rawhost END, '^www\\.', '') AS host,
+          CASE WHEN rawpath IN ('', '/') THEN '/'
+               ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+          coalesce(array_to_string(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_|fbclid=|gclid=|msclkid=)')), '&'), '') AS cq
+        FROM c2
+      ), c4 AS (
+        SELECT doc_id, n_tok,
+          scheme || '://' || host || path
+            || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon,
+          CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = ''
+               THEN host
+               ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
+            AS domain
+        FROM c3
+      ), dom AS (
+        SELECT domain, COUNT(*) AS n_docs,
+               COUNT(DISTINCT canon) AS n_urls, SUM(n_tok) AS toks
+        FROM c4 GROUP BY domain
+      ), dtot AS (SELECT SUM(toks) AS tot FROM dom)
+      SELECT domain AS grp, 'n_docs' AS item, CAST(n_docs AS BIGINT) AS n
+      FROM dom
+      UNION ALL
+      SELECT domain, 'n_urls', CAST(n_urls AS BIGINT) FROM dom
+      UNION ALL
+      SELECT domain, 'dup_docs', CAST(n_docs - n_urls AS BIGINT) FROM dom
+      UNION ALL
+      SELECT domain, 'token_bps', CAST(toks * 10000 // tot AS BIGINT)
+      FROM dom CROSS JOIN dtot
+    )
     """,
 )
 def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2893,9 +3085,18 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs ln(), whose last-ulp differences between libm implementations
     flip integer quantization boundaries across engines (observed:
     2669 vs 2670 micro-nats on this very corpus), so the float step is
-    pinned by pytest against known inputs instead."""
+    pinned by pytest against known inputs instead. Section (d) 'domain'
+    is the WEB-PROVENANCE rollup (operators/web.py — the
+    RefinedWeb/FineWeb URL-filtering stage): deterministic hostile URLs
+    injected per doc (mixed-case scheme/host, www + default-port noise,
+    tracking params, trailing slash, fragment — the non-vacuity
+    pattern) are canonicalized expression-only, rolled up per
+    registrable domain into n_docs / distinct canonical n_urls /
+    dup_docs / token_bps share — one groupBy at domain cardinality,
+    corpus-total tokens on a 1-row broadcast."""
     from marmaray_spark.operators.drift import term_drift
     from marmaray_spark.operators.text import lang_id, words
+    from marmaray_spark.operators.web import domain_report
 
     docs = load(spark, sf_dir, "documents")
     conf = (_with_words(docs)
@@ -2922,7 +3123,28 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("drift").alias("section"), "grp",
                 F.col("term").alias("item"), F.col("n").cast("long"),
                 F.lit(0).cast("int").alias("rank")))
-    return conf.unionByName(terms).unionByName(drift)
+    urls = dw.select(
+        "doc_id", F.size("w").alias("n_tok"),
+        F.expr(
+            "'HTTPS://WWW.' || source || '-corp.COM'"
+            " || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"
+            " || '/p/' || CAST(doc_id % 7 AS STRING)"
+            " || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END"
+            " || CASE WHEN doc_id % 2 = 0"
+            "         THEN '?utm_source=x&ref=' || lang || '&fbclid=zz'"
+            "         ELSE '' END"
+            " || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END")
+        .alias("url"))
+    domains = (domain_report(urls, "url", "n_tok")
+               .selectExpr("'domain' AS section", "domain AS grp",
+                           "stack(4, 'n_docs', cast(n_docs as bigint), "
+                           "'n_urls', cast(n_urls as bigint), "
+                           "'dup_docs', cast(dup_docs as bigint), "
+                           "'token_bps', cast(token_bps as bigint)) "
+                           "AS (item, n)")
+               .withColumn("rank", F.lit(0).cast("int")))
+    return (conf.unionByName(terms).unionByName(drift)
+            .unionByName(domains))
 
 
 # ---------------------------------------------------------------------------

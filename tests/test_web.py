@@ -1,0 +1,89 @@
+"""Web-corpus curation (operators/web.py): canonicalization against a
+table of hostile URLs, registrable-domain extraction, the per-domain
+provenance rollup, and the blocklist fork."""
+
+from pyspark.sql import functions as F
+
+from marmaray_spark.operators.web import (blocklist_gate, canonical_url,
+                                          domain_report,
+                                          registrable_domain, url_host)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&q=1&fbclid=zz#frag",
+     "https://example.com/a/b?q=1"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com:443/x", "http://example.com:443/x"),  # not http's port
+    ("https://sub.Example.com/p?b=2&a=1", "https://sub.example.com/p?b=2&a=1"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/x///", "https://example.com/x"),
+    ("https://example.com/?utm_campaign=s", "https://example.com/"),
+    ("https://example.com/?gclid=1&msclkid=2&utm_a=3", "https://example.com/"),
+    ("not a url at all", "not a url at all"),               # passthrough
+]
+
+
+def test_canonical_url_table(spark):
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(CASES)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonical_url("url").alias("c")).collect()}
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_param_order_preserved_not_sorted(spark):
+    df = spark.createDataFrame([(1, "https://e.com/p?z=1&a=2")],
+                               "i int, url string")
+    assert df.select(canonical_url("url").alias("c")).first()["c"] \
+        == "https://e.com/p?z=1&a=2"
+
+
+def test_url_host_and_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [(1, "https://A.B.Example.COM:8443/x"), (2, "http://localhost/y")],
+        "i int, url string")
+    host_expr = ("regexp_replace(lower(regexp_extract(url, "
+                 "'://([^/?#]+)', 1)), ':[0-9]+$', '')")
+    got = {r["i"]: (r["h"], r["d"]) for r in df.select(
+        "i", url_host("url").alias("h"),
+        registrable_domain(host_expr).alias("d")).collect()}
+    assert got[1] == ("a.b.example.com", "example.com")
+    assert got[2] == ("localhost", "localhost")
+
+
+def test_domain_report_counts_and_shares(spark):
+    rows = [
+        (1, "https://a.com/x", 10),
+        (2, "https://WWW.a.com/x#f", 20),       # canonical dup of 1
+        (3, "https://a.com/y", 30),
+        (4, "https://b.org/z", 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_tok long")
+    got = {r["domain"]: r.asDict() for r in
+           domain_report(df, "url", "n_tok").collect()}
+    assert got["a.com"]["n_docs"] == 3
+    assert got["a.com"]["n_urls"] == 2
+    assert got["a.com"]["dup_docs"] == 1
+    assert got["a.com"]["token_bps"] == 60 * 10000 // 100
+    assert got["b.org"]["n_docs"] == 1
+    assert got["b.org"]["dup_docs"] == 0
+    assert got["b.org"]["token_bps"] == 40 * 10000 // 100
+
+
+def test_domain_report_zero_tokens_no_div_by_zero(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")],
+                               "doc_id long, url string")
+    assert domain_report(df, "url").first()["token_bps"] == 0
+
+
+def test_blocklist_gate_forks_by_domain(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://spam.biz/a", "k1"), (2, "https://WWW.Spam.BIZ/b", "k2"),
+         (3, "https://fine.org/c", "k3")],
+        "doc_id long, url string, payload string")
+    bl = spark.createDataFrame([("spam.biz",)], "domain string")
+    kept, blocked = blocklist_gate(docs, "url", bl)
+    assert {r["doc_id"] for r in kept.collect()} == {3}
+    assert {r["doc_id"] for r in blocked.collect()} == {1, 2}
+    assert kept.columns == docs.columns           # payload survives the fork
