@@ -377,3 +377,78 @@ def duplicated_window_stats(df: DataFrame, id_col: str, words_col: str,
             .select(F.col(id_col), "n_windows", "dup_windows",
                     F.expr("CAST(dup_windows * 10000 div n_windows AS INT)")
                     .alias("dup_bps")))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, words_col: str,
+                           window: int = 3,
+                           hash_exchange: bool = False) -> DataFrame:
+    """Exact-substring dedup with span REMOVAL — the full Lee et al. 2022
+    "ExactSubstr" semantics, not just the report: every token position
+    covered by a ``window``-token run that occurs more than once
+    corpus-wide is excised, and the document is reconstructed from the
+    surviving tokens in order.
+
+    Returns (id, n_tokens, kept_tokens, n_dup_starts, cleaned_text):
+    original token count, surviving token count, how many duplicated
+    window starts the doc carried, and the re-joined cleaned text
+    (``''`` when the whole document was duplicated). Documents shorter
+    than ``window`` tokens pass through untouched.
+
+    Scale shape (same skeleton as duplicated_window_stats): one explode,
+    one groupBy(win) count whose hash partitioning the join-back reuses,
+    then ONE doc-scale groupBy collecting each doc's duplicated start
+    positions, and a final broadcast-or-shuffle join back to the corpus.
+    The span arithmetic is a single Catalyst ``aggregate`` over the
+    SORTED start list with a merged-interval accumulator — O(tokens +
+    starts) per doc. (A per-token ``exists(starts, ...)`` probe would be
+    O(tokens x starts) re-evaluated interpreted — the higher-order-
+    function trap measured at 46x on top_ngram_bps — so it is
+    deliberately not written that way.) With ``hash_exchange=True`` the
+    shuffle key is md5(window) instead of raw window text — at the
+    paper's window=50 that caps exchange rows at 32 hex chars.
+
+    Reference contract: beyond uber/marmaray (no dedup surface); paper
+    semantics per Lee et al. 2022 §4.1 (suffix-array ExactSubstr),
+    re-expressed as a distributable shingle-count instead of a global
+    suffix sort."""
+    wins = (df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"IF(size({words_col}) < {window}, array(), "
+            f"transform(sequence(1, size({words_col}) - {window - 1}), "
+            f"i -> named_struct('i', i, 'win', "
+            f"concat_ws(' ', slice({words_col}, i, {window})))))"))
+        .alias("x"))
+        .select(F.col(id_col), F.col("x.i").alias("i"),
+                (F.expr(f"md5(x.win)") if hash_exchange
+                 else F.col("x.win")).alias("win")))
+    cnts = wins.groupBy("win").agg(F.count(F.lit(1)).alias("cnt"))
+    starts = (wins.join(cnts, "win")
+              .filter(F.col("cnt") > 1)
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_list("i")).alias("__starts")))
+    out = (df.join(starts, id_col, "left")
+           .withColumn("__starts",
+                       F.coalesce(F.col("__starts"),
+                                  F.expr("CAST(array() AS array<int>)"))))
+    # merged-interval sweep: prev = first position not yet consumed;
+    # each duplicated start s covers [s, s+window-1], so the kept gap is
+    # [prev, s-1]; overlapping/adjacent spans collapse via greatest().
+    kept = (
+        f"aggregate(__starts, "
+        f"named_struct('prev', 1, 'acc', CAST(array() AS array<string>)), "
+        f"(st, s) -> named_struct("
+        f"  'prev', CAST(greatest(st.prev, s + {window}) AS INT), "
+        f"  'acc', IF(s > st.prev, "
+        f"            concat(st.acc, slice({words_col}, st.prev, s - st.prev)), "
+        f"            st.acc)), "
+        f"st -> IF(st.prev <= size({words_col}), "
+        f"         concat(st.acc, slice({words_col}, st.prev, "
+        f"                              size({words_col}) - st.prev + 1)), "
+        f"         st.acc))")
+    return (out.withColumn("__kept", F.expr(kept))
+            .select(F.col(id_col),
+                    F.size(words_col).cast("int").alias("n_tokens"),
+                    F.size("__kept").cast("int").alias("kept_tokens"),
+                    F.size("__starts").cast("int").alias("n_dup_starts"),
+                    F.concat_ws(" ", F.col("__kept")).alias("cleaned_text")))

@@ -79,9 +79,11 @@ def bucket_lm(stream: DataFrame,
     is the 1-row (floor_milli) an unobserved bucket costs,
     round(ln(1/(total+B)) * 1000). Both are bounded by n_buckets —
     broadcastable by construction."""
+    from marmaray_spark.operators import attach_scalar
+
     cnts = stream.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     total = stream.groupBy().agg(F.count(F.lit(1)).alias("total"))
-    lm = (cnts.crossJoin(F.broadcast(total))
+    lm = (attach_scalar(cnts, total)
           .select("bucket",
                   F.round(F.log((F.col("cnt") + 1) /
                                 (F.col("total") + n_buckets)) * 1000)
@@ -99,17 +101,17 @@ def dsir_log_weights(stream: DataFrame, id_col: str,
     """(id[, carry...], n_feats, logw_milli): per-doc importance weight
     sum_features [logp_target(b) - logp_raw(b)] in milli-nats. Both
     models broadcast; one agg on the feature stream."""
+    from marmaray_spark.operators import attach_scalar
+
     t_lm, t_floor = target
     r_lm, r_floor = raw
     j = (stream
          .join(F.broadcast(t_lm.withColumnRenamed("logp_milli", "__lt")),
                "bucket", "left")
          .join(F.broadcast(r_lm.withColumnRenamed("logp_milli", "__lr")),
-               "bucket", "left")
-         .crossJoin(F.broadcast(t_floor.withColumnRenamed("floor_milli",
-                                                          "__ft")))
-         .crossJoin(F.broadcast(r_floor.withColumnRenamed("floor_milli",
-                                                          "__fr"))))
+               "bucket", "left"))
+    j = attach_scalar(j, t_floor.withColumnRenamed("floor_milli", "__ft"))
+    j = attach_scalar(j, r_floor.withColumnRenamed("floor_milli", "__fr"))
     delta = (F.coalesce(F.col("__lt"), F.col("__ft"))
              - F.coalesce(F.col("__lr"), F.col("__fr")))
     return (j.groupBy(id_col, *carry)
@@ -159,7 +161,8 @@ def dsir_select(weights: DataFrame, k: int, id_col: str,
             .rowsBetween(W.unboundedPreceding, W.currentRow)))
     cut = (cum.filter(F.col("__cum") >= k)
            .groupBy().agg(F.max("__key").alias("__t")))
-    kept = (scored.crossJoin(F.broadcast(cut))
+    from marmaray_spark.operators import attach_scalar
+    kept = (attach_scalar(scored, cut)
             .filter(F.col("__key") >=
                     F.coalesce(F.col("__t"), F.lit(-(1 << 62))))
             .drop("__key", "__t"))

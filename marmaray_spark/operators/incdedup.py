@@ -1,0 +1,152 @@
+"""Incrementally-maintained dedup index: dedup NEW data against an
+existing corpus without re-scanning the corpus.
+
+The batch dedup operators (operators/dedup.py) answer "which documents
+in THIS frame duplicate each other" — one digest shuffle, or an LSH
+bucket join, over everything they are given. A production ingest never
+wants that shape: the corpus is 100 TB and already deduplicated; the
+question per tick is "which of these N NEW documents duplicate the
+corpus (or each other)", and its cost must follow N, not the corpus.
+
+This module materializes the dedup STATE as a maintained table —
+(doc_id, digest, buckets) — advanced by the base corpus table's own
+commit stream (operators/maintained.py maintain_projection: the same
+change-consumption contract as the maintained rollup / ANN index /
+decontamination report), and probes it with batch-scale joins:
+
+- exact:  new digests equi-join the index's digests. The index side is
+  semi-pruned to the batch's digest set FIRST, so the aggregate that
+  picks each digest's min-id keeper runs over batch-scale rows.
+- near:   new docs' LSH band-buckets equi-join the index's exploded
+  buckets — candidates are (new, existing) pairs only, verified by
+  exact n-gram Jaccard exactly like the batch path. O(N x bands)
+  probe rows against a bucket-keyed index scan; the corpus is never
+  shuffled, never re-hashed.
+
+Reference contract: uber/marmaray has no dedup surface; the maintenance
+pattern generalizes its checkpoint-driven incremental ingestion
+(M/common/sources/IWorkUnitCalculator.java:36-90). Beyond-reference
+surface per the build brief (LLM-training-pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marmaray_spark.operators.dedup import (content_digest,
+                                            jaccard_counts,
+                                            lsh_band_buckets,
+                                            minhash_digests,
+                                            minhash_signature)
+from marmaray_spark.operators.text import word_shingles, words
+
+
+def dedup_projection(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", bands: int = 8,
+                     rows_per_band: int = 2, shingle_width: int = 3,
+                     sig_k: int = 16) -> DataFrame:
+    """(id, digest, buckets): the dedup state derived from one document
+    row — exact-content digest plus LSH band buckets over word-shingle
+    minhashes. Pure projection (no shuffle); the SAME expression stack
+    as the batch operators, so an index probe and a batch self-dedup
+    cannot disagree on bucketing."""
+    return (df.withColumn("__w", words(text_col))
+            .withColumn("__sh", word_shingles("__w", shingle_width))
+            .withColumn("__hh", minhash_digests("__sh"))
+            .withColumn("__sig", minhash_signature("__hh", sig_k))
+            .select(F.col(id_col),
+                    content_digest(text_col).alias("digest"),
+                    lsh_band_buckets("__sig", bands, rows_per_band)
+                    .alias("buckets")))
+
+
+def maintain_dedup_index(base, index, metadata, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         checkpoint_key: str = "dedup_index.last_commit",
+                         max_commits: int | None = None, **proj_kw) -> int:
+    """Advance the dedup-state table by the corpus table's new commits;
+    returns rows (re)projected. ``base``/``index``: TableSinks, the
+    index keyed by ``id_col``. Exactly-once, latest-version collapse,
+    and overwrite-drop handling all ride maintain_projection."""
+    from marmaray_spark.operators.maintained import maintain_projection
+
+    return maintain_projection(
+        base, index, metadata, [id_col, text_col], id_col,
+        lambda df: dedup_projection(df, id_col, text_col, **proj_kw),
+        checkpoint_key, max_commits)
+
+
+def exact_dups_against_index(batch: DataFrame, index_df: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(new_id, keeper_id, digest): every batch document whose exact
+    content already exists in the index under some other id; keeper is
+    the smallest such existing id. Self-matches are excluded so a batch
+    replaying rows already ingested (UPSERT re-delivery) does not flag
+    them as duplicates of themselves.
+
+    Scale: the index scan is semi-pruned by the (batch-scale) digest
+    set BEFORE the min-keeper aggregate, so every shuffle in the plan
+    carries O(batch) rows; at 100 TB the index side is additionally a
+    2-column column-pruned scan (digest, id) that AQE sizes to the
+    semi-join's selectivity."""
+    probes = batch.select(F.col(id_col).alias("new_id"),
+                          content_digest(text_col).alias("digest"))
+    idx = (index_df.select(F.col(id_col).alias("old_id"), "digest")
+           .join(probes.select("digest").distinct(), "digest", "left_semi"))
+    hits = (idx.join(probes, "digest")
+            .filter(F.col("old_id") != F.col("new_id")))
+    return (hits.groupBy("new_id", "digest")
+            .agg(F.min("old_id").alias("keeper_id"))
+            .select("new_id", "keeper_id", "digest"))
+
+
+def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
+                            corpus: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            threshold_bps: int = 5000,
+                            shingle_width: int = 3,
+                            bands: int = 8, rows_per_band: int = 2,
+                            sig_k: int = 16) -> DataFrame:
+    """(new_id, old_id, inter, union_sz, jaccard_bps): batch documents
+    near-duplicating EXISTING corpus documents — LSH candidates from the
+    maintained index, verified by exact n-gram Jaccard at
+    ``threshold_bps``. ``corpus`` supplies the existing documents' text
+    for verification (the index stores only digests/buckets); it is
+    probed by an id semi-join, so only candidate rows are read.
+
+    Candidates are (new x existing) ONLY — batch-internal pairs are the
+    batch dedup operators' job (compose both for full hygiene). The
+    probe explodes batch buckets (N x bands rows) against the index's
+    exploded buckets; the corpus never re-hashes."""
+    proj = dedup_projection(batch, id_col, text_col, bands=bands,
+                            rows_per_band=rows_per_band,
+                            shingle_width=shingle_width, sig_k=sig_k)
+    # band index rides the key: equal bucket hashes in different bands
+    # must not collide (same contract as lsh_candidate_pairs)
+    new_b = proj.select(F.col(id_col).alias("new_id"),
+                        F.posexplode("buckets").alias("band", "bucket"))
+    old_b = index_df.select(F.col(id_col).alias("old_id"),
+                            F.posexplode("buckets").alias("band", "bucket"))
+    cand = (old_b.join(new_b, ["band", "bucket"])
+            .filter(F.col("old_id") != F.col("new_id"))
+            .select("new_id", "old_id").distinct())
+
+    shin = lambda df, idc, out: (df.withColumn("__w", words(text_col))
+                                 .select(F.col(id_col).alias(idc),
+                                         word_shingles("__w", shingle_width)
+                                         .alias(out)))
+    new_sh = shin(batch, "new_id", "sh_new")
+    old_ids = cand.select("old_id").distinct() \
+        .withColumnRenamed("old_id", id_col)
+    old_sh = shin(corpus.join(old_ids, id_col, "left_semi"),
+                  "old_id", "sh_old")
+    inter, union = jaccard_counts(F.col("sh_new"), F.col("sh_old"))
+    return (cand.join(new_sh, "new_id").join(old_sh, "old_id")
+            .withColumn("inter", inter)
+            .withColumn("union_sz", union)
+            .withColumn("jaccard_bps",
+                        F.expr("CAST(inter * 10000 div union_sz AS INT)"))
+            .filter(F.col("jaccard_bps") >= threshold_bps)
+            .select("new_id", "old_id", "inter", "union_sz", "jaccard_bps"))

@@ -77,3 +77,59 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
                   W.partitionBy(id_col).orderBy(F.col("__seq").desc())))
               .filter(F.col("__rn") == 1).drop("__rn", "__seq"))
     return latest, affected.distinct()
+
+
+def maintain_projection(base, derived, metadata, cols: list[str],
+                        id_col: str, project, checkpoint_key: str,
+                        max_commits: int | None = None) -> int:
+    """Keep ``derived == project(base)`` true across the base table's
+    commit stream, for any per-row projection ``project(df) ->
+    DataFrame`` that (a) keys its output by ``id_col`` and (b) derives
+    each output row from exactly one input row (cell assignment, digest
+    + LSH buckets, any featurizer). Returns rows (re)projected.
+
+    Generalized from maintain_ann_index's body (which keeps its own copy
+    because its projection renames the key column to the index's fixed
+    ``vec_id`` schema): drain-and-collapse via ``consume_latest``,
+    restrict after-images to
+    keys still live in the base (no backlog resurrection), project ONCE
+    behind a persist barrier (count + write both consume the plan), then
+    UPSERT — or, when a commit's removes manifest dropped keys, rewrite
+    the derived table without the dropped AND re-projected keys (UPSERT
+    cannot delete; the rewrite guard refuses partitioned derived tables,
+    where INSERT_OVERWRITE only replaces touched partitions). The
+    consumer checkpoint persists via ``metadata.save_changes()`` only
+    after the derived commit lands (IWorkUnitCalculator contract,
+    M/common/sources/IWorkUnitCalculator.java:36-90); a replayed batch
+    re-UPSERTs identical rows, so crash-replay is idempotent. Cost
+    follows the change volume — except key-dropping overwrites, which
+    pay one derived-table rewrite (overwrite-heavy bases should rebuild
+    wholesale instead)."""
+    from marmaray_spark.sinks.table import WriteOp
+
+    latest, affected = consume_latest(base, metadata, cols, id_col,
+                                      checkpoint_key, max_commits)
+    if latest is None:
+        return 0
+    live = latest.join(base.read().select(id_col), id_col, "left_semi")
+    projected = project(live).persist()
+    try:
+        n = projected.count()
+        gone_keys = affected.join(base.read().select(id_col),
+                                  id_col, "left_anti")
+        if (not derived.is_empty()) and gone_keys.limit(1).count() > 0:
+            if derived.partition is not None:
+                raise ValueError(
+                    "stale-key rewrite needs an unpartitioned derived "
+                    f"table; it is partitioned by {derived.partition!r}")
+            gone = gone_keys.select(F.col(id_col)) \
+                .unionByName(projected.select(id_col))
+            survivors = derived.read().join(gone, id_col, "left_anti")
+            derived.write(survivors.unionByName(projected),
+                          WriteOp.INSERT_OVERWRITE)
+        elif n:
+            derived.write(projected, WriteOp.UPSERT)
+    finally:
+        projected.unpersist()
+    metadata.save_changes()
+    return n

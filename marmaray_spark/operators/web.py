@@ -88,7 +88,9 @@ def domain_report(docs: DataFrame, url_col: str,
     corpus tokens in basis points — integer-exact).
 
     One groupBy at domain cardinality; the corpus-total token count
-    rides a 1-row broadcast, not a window over the corpus."""
+    rides a 1-row constant-key broadcast (operators.attach_scalar), not
+    a window over the corpus."""
+    from marmaray_spark.operators import attach_scalar
     base = docs.select(
         registrable_domain(
             f"regexp_replace(lower(regexp_extract({url_col}, "
@@ -101,7 +103,7 @@ def domain_report(docs: DataFrame, url_col: str,
                 F.countDistinct("__canon").alias("n_urls"),
                 F.sum("__tok").alias("__toksum")))
     total = per.groupBy().agg(F.sum("__toksum").alias("__tot"))
-    return (per.crossJoin(F.broadcast(total))
+    return (attach_scalar(per, total)
             .select("domain", "n_docs", "n_urls",
                     (F.col("n_docs") - F.col("n_urls")).alias("dup_docs"),
                     F.expr("CASE WHEN __tot = 0 THEN 0L ELSE "

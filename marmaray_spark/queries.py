@@ -1561,6 +1561,31 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT wins.doc_id, COUNT(*) AS n_windows,
              SUM(CASE WHEN wcnt.cnt > 1 THEN 1 ELSE 0 END) AS dup_windows
       FROM wins JOIN wcnt USING (win) GROUP BY wins.doc_id
+    ), winpos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                   i -> array_to_string(w[i:i+2], ' '))) AS win
+      FROM t
+    ), dstarts AS (
+      SELECT winpos.doc_id, winpos.i
+      FROM winpos JOIN wcnt USING (win) WHERE wcnt.cnt > 1
+    ), scnt AS (
+      SELECT doc_id, COUNT(*) AS ns FROM dstarts GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(w))) AS p,
+             unnest(w) AS tok
+      FROM t
+    ), keptt AS (
+      SELECT tk.doc_id, tk.p, tk.tok
+      FROM toks tk
+      WHERE NOT EXISTS (SELECT 1 FROM dstarts s
+                        WHERE s.doc_id = tk.doc_id
+                          AND s.i <= tk.p AND tk.p <= s.i + 2)
+    ), cleanedt AS (
+      SELECT doc_id, COUNT(*) AS kept_n,
+             string_agg(tok, ' ' ORDER BY p) AS txt
+      FROM keptt GROUP BY doc_id
     )
     SELECT 'digest' AS section, md5(text) AS k,
            min(doc_id) AS n1, count(*) AS n2, CAST(NULL AS BIGINT) AS n3
@@ -1570,6 +1595,13 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_windows AS BIGINT) AS n1, CAST(dup_windows AS BIGINT) AS n2,
            CAST(dup_windows * 10000 // n_windows AS BIGINT) AS n3
     FROM spans
+    UNION ALL
+    SELECT 'cleaned' AS section,
+           CAST(t.doc_id AS VARCHAR) || ':' || md5(coalesce(c.txt, '')) AS k,
+           CAST(len(t.w) AS BIGINT) AS n1,
+           CAST(coalesce(c.kept_n, 0) AS BIGINT) AS n2,
+           CAST(coalesce(s.ns, 0) AS BIGINT) AS n3
+    FROM t LEFT JOIN cleanedt c USING (doc_id) LEFT JOIN scnt s USING (doc_id)
     """,
 )
 def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1587,9 +1619,16 @@ def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
       and basis points. The tiny synthetic vocabulary makes 3-token
       windows collide for real (the decontamination query's n=3
       rationale); at corpus scale the window is ~50 tokens.
+    - section 'cleaned': the full ExactSubstr REMOVAL semantics
+      (operators/dedup.py remove_duplicate_spans): every token position
+      covered by a globally-duplicated 3-token window is excised and the
+      document reconstructed; the cleaned text itself is hash-checked
+      (md5 rides the key next to the doc id), with original/kept token
+      counts and the duplicated-start count alongside.
     """
     from marmaray_spark.operators.dedup import (duplicated_window_stats,
-                                                exact_dedup)
+                                                exact_dedup,
+                                                remove_duplicate_spans)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dup = (docs.filter(F.col("doc_id") % 3 == 0)
@@ -1607,7 +1646,15 @@ def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_windows").cast("long").alias("n1"),
                 F.col("dup_windows").cast("long").alias("n2"),
                 F.col("dup_bps").cast("long").alias("n3")))
-    return digest.unionByName(spans)
+    cleaned = (remove_duplicate_spans(
+        _with_words(load(spark, sf_dir, "documents")), "doc_id", "w", window=3)
+        .select(F.lit("cleaned").alias("section"),
+                F.concat_ws(":", F.col("doc_id").cast("string"),
+                            F.md5("cleaned_text")).alias("k"),
+                F.col("n_tokens").cast("long").alias("n1"),
+                F.col("kept_tokens").cast("long").alias("n2"),
+                F.col("n_dup_starts").cast("long").alias("n3")))
+    return digest.unionByName(spans).unionByName(cleaned)
 
 
 _SQL_SHINGLES = (

@@ -1,0 +1,125 @@
+"""Incrementally-maintained dedup index (operators/incdedup.py):
+change-stream maintenance == full rebuild, exact/near probes against
+the index match the batch operators restricted to (new x existing),
+overwrite-drop handling, replay self-match exclusion."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marmaray_spark.metadata.manager import FileSystemMetadataManager
+from marmaray_spark.operators.incdedup import (dedup_projection,
+                                               exact_dups_against_index,
+                                               maintain_dedup_index,
+                                               near_dups_against_index)
+from marmaray_spark.sinks.table import TableSink, WriteOp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "how vexingly quick daft zebras jump today"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+def test_maintained_index_equals_rebuild_and_sheds_dropped_keys(
+        spark, tmp_path):
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    base.write(_docs(spark, CORPUS), WriteOp.INSERT)
+    assert maintain_dedup_index(base, index, md) == 4
+
+    # update one doc's text + add one new doc
+    base.write(_docs(spark, [(2, "completely new text for doc two"),
+                             (5, "sphinx of black quartz judge my vow")]),
+               WriteOp.UPSERT)
+    assert maintain_dedup_index(base, index, md) == 2
+
+    got = {(r["doc_id"], r["digest"], tuple(r["buckets"]))
+           for r in index.read().collect()}
+    want = {(r["doc_id"], r["digest"], tuple(r["buckets"]))
+            for r in dedup_projection(base.read()).collect()}
+    assert got == want and len(got) == 5
+
+    # nothing new -> no-op
+    assert maintain_dedup_index(base, index, md) == 0
+
+    # overwrite shrinks the key set; the index must shed dropped keys
+    base.write(_docs(spark, CORPUS[:2]), WriteOp.INSERT_OVERWRITE)
+    maintain_dedup_index(base, index, md)
+    assert {r["doc_id"] for r in index.read().collect()} == {1, 2}
+
+
+def _built_index(spark, tmp_path):
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    base.write(_docs(spark, CORPUS), WriteOp.INSERT)
+    maintain_dedup_index(base, index, md)
+    return base, index
+
+
+def test_exact_probe_flags_only_cross_duplicates(spark, tmp_path):
+    base, index = _built_index(spark, tmp_path)
+    batch = _docs(spark, [
+        (10, "the quick brown fox jumps over the lazy dog"),  # dups 1 & 4
+        (11, "a wholly original document unlike the corpus"),
+        # replay of an already-ingested row: same id, same text — a
+        # re-delivered UPSERT must not flag itself as its own duplicate
+        (3, "how vexingly quick daft zebras jump today"),
+    ])
+    got = {(r["new_id"], r["keeper_id"])
+           for r in exact_dups_against_index(batch, index.read()).collect()}
+    assert got == {(10, 1)}          # min existing id wins; 11 clean
+
+
+def test_near_probe_matches_batch_operator_on_cross_pairs(spark, tmp_path):
+    """LSH probe against the maintained index == the batch LSH+verify
+    pipeline run over (corpus + batch), restricted to (new x existing)
+    pairs — the index path may not invent or lose candidates."""
+    from marmaray_spark.operators.dedup import (jaccard_counts,
+                                                lsh_candidate_pairs)
+
+    base, index = _built_index(spark, tmp_path)
+    batch = _docs(spark, [
+        (20, "the quick brown fox jumps over the lazy dogs"),  # near-dup 1/4
+        (21, "pack my box with five dozen liquor jugs"),       # exact dup 2
+        (22, "nothing here resembles anything in the corpus"),
+    ])
+    thr = 5000
+
+    got = {(r["new_id"], r["old_id"], r["jaccard_bps"]) for r in
+           near_dups_against_index(batch, index.read(), base.read(),
+                                   threshold_bps=thr).collect()}
+
+    # reference: batch pipeline over the union, cross pairs only
+    union = base.read().unionByName(batch)
+    proj = dedup_projection(union)
+    cand = lsh_candidate_pairs(proj, "doc_id", "buckets")
+    cross = cand.filter(((F.col("a") < 20) & (F.col("b") >= 20))
+                        | ((F.col("a") >= 20) & (F.col("b") < 20)))
+    from marmaray_spark.operators.text import word_shingles, words
+    sh = union.withColumn("__w", words("text")) \
+        .select("doc_id", word_shingles("__w", 3).alias("sh"))
+    inter, un = jaccard_counts(F.col("l.sh"), F.col("r.sh"))
+    verified = (cross
+                .join(sh.alias("l"), F.col("a") == F.col("l.doc_id"))
+                .join(sh.alias("r"), F.col("b") == F.col("r.doc_id"))
+                .withColumn("inter", inter).withColumn("un", un)
+                .withColumn("bps", F.expr("CAST(inter * 10000 div un AS INT)"))
+                .filter(F.col("bps") >= thr))
+    want = set()
+    for r in verified.collect():
+        new, old = (r["a"], r["b"]) if r["a"] >= 20 else (r["b"], r["a"])
+        want.add((new, old, r["bps"]))
+
+    assert got == want
+    assert any(n == 21 for n, _, _ in got)       # the exact dup is caught
+    assert all(n != 22 for n, _, _ in got)       # the clean doc is clean

@@ -1297,6 +1297,83 @@ def test_duplicated_window_counts_within_doc_repeats(spark):
     assert got["dup_bps"] == 10000
 
 
+def _brute_remove_spans(corpus: dict, window: int) -> dict:
+    """Per-token-coverage reference: position p is removed iff some
+    start s with s <= p <= s+window-1 begins a globally-duplicated
+    window."""
+    from collections import Counter
+    wins = Counter()
+    for toks in corpus.values():
+        for i in range(len(toks) - window + 1):
+            wins[" ".join(toks[i:i + window])] += 1
+    out = {}
+    for doc, toks in corpus.items():
+        covered = set()
+        for i in range(len(toks) - window + 1):
+            if wins[" ".join(toks[i:i + window])] > 1:
+                covered.update(range(i, i + window))
+        out[doc] = " ".join(t for p, t in enumerate(toks)
+                            if p not in covered)
+    return out
+
+
+def test_remove_duplicate_spans_excises_shared_run(spark):
+    from marmaray_spark.operators.dedup import remove_duplicate_spans
+    from marmaray_spark.operators.text import words
+
+    docs = spark.createDataFrame([
+        (1, "intro one two three four five outro"),   # shares the run
+        (2, "start one two three four five end"),     # shares the run
+        (3, "totally unrelated content here"),        # untouched
+        (4, "x y"),                                   # shorter than window
+    ], ["id", "text"]).withColumn("w", words("text"))
+    got = {r["id"]: r for r in
+           remove_duplicate_spans(docs, "id", "w", window=3).collect()}
+    assert got[1]["cleaned_text"] == "intro outro"
+    assert got[2]["cleaned_text"] == "start end"
+    assert got[3]["cleaned_text"] == "totally unrelated content here"
+    assert got[4]["cleaned_text"] == "x y"            # passthrough
+    assert got[1]["n_tokens"] == 7 and got[1]["kept_tokens"] == 2
+    assert got[3]["n_dup_starts"] == 0 and got[4]["n_dup_starts"] == 0
+
+
+def test_remove_duplicate_spans_whole_dup_doc_empties(spark):
+    from marmaray_spark.operators.dedup import remove_duplicate_spans
+    from marmaray_spark.operators.text import words
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e"), (2, "a b c d e"),
+    ], ["id", "text"]).withColumn("w", words("text"))
+    got = {r["id"]: r for r in
+           remove_duplicate_spans(docs, "id", "w", window=3).collect()}
+    assert got[1]["cleaned_text"] == "" and got[2]["cleaned_text"] == ""
+    assert got[1]["kept_tokens"] == 0
+
+
+def test_remove_duplicate_spans_matches_bruteforce(spark):
+    """Randomized parity vs the per-token-coverage reference, including
+    overlapping and adjacent spans, within-doc repeats, and the
+    hash_exchange variant."""
+    import random
+
+    from marmaray_spark.operators.dedup import remove_duplicate_spans
+    from marmaray_spark.operators.text import words
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(12)]       # small vocab -> collisions
+    corpus = {d: [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+              for d in range(40)}
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in corpus.items()],
+        ["id", "text"]).withColumn("w", words("text"))
+    want = _brute_remove_spans(corpus, window=3)
+    for hx in (False, True):
+        got = {r["id"]: r["cleaned_text"] for r in
+               remove_duplicate_spans(docs, "id", "w", window=3,
+                                      hash_exchange=hx).collect()}
+        assert got == want, f"hash_exchange={hx}"
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (r6)
 # ---------------------------------------------------------------------------

@@ -124,13 +124,20 @@ def test_no_allpairs_plan_in_any_declared_query(spark):
     # single-row broadcast build side
     # corpus_prep_pipeline's LM stage attaches the same 1-row token
     # total (operators/lm.py train_unigram_lm)
+    # language_report's domain section attaches the 1-row corpus token
+    # total (operators/web.py domain_report); sampling_methods' dsir
+    # section attaches the 1-row LM floors and the histogram-cutoff
+    # scalar (operators/dsir.py) — all via operators.attach_scalar,
+    # whose docstring records why the 1-row BNLJ is the honest plan
     allowed_bnlj = {"embedding_topk_bruteforce",
                     "validate_required_keys_valid",
                     "table_incremental_cdc",
                     "bm25_topical_ranking",
                     "relational_join_family",
                     "doc_distinctive_terms",
-                    "corpus_prep_pipeline"}
+                    "corpus_prep_pipeline",
+                    "language_report",
+                    "sampling_methods"}
     offenders = {}
     for name, fn in Q.all_queries().items():
         plan = plan_of(fn(spark, SF))
