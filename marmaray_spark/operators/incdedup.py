@@ -108,7 +108,9 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
                             threshold_bps: int = 5000,
                             shingle_width: int = 3,
                             bands: int = 8, rows_per_band: int = 2,
-                            sig_k: int = 16) -> DataFrame:
+                            sig_k: int = 16,
+                            max_candidates_per_doc: int | None = None
+                            ) -> DataFrame:
     """(new_id, old_id, inter, union_sz, jaccard_bps): batch documents
     near-duplicating EXISTING corpus documents — LSH candidates from the
     maintained index, verified by exact n-gram Jaccard at
@@ -119,10 +121,30 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
     Candidates are (new x existing) ONLY — batch-internal pairs are the
     batch dedup operators' job (compose both for full hygiene). The
     probe explodes batch buckets (N x bands rows) against the index's
-    exploded buckets; the corpus never re-hashes."""
+    exploded buckets; the corpus never re-hashes.
+
+    ``max_candidates_per_doc`` is the probe-side HOT-BUCKET guard (the
+    batch operators' ``max_bucket_width`` analogue): a boilerplate batch
+    doc probing a boilerplate-heavy index matches the ENTIRE hot bucket
+    — measured 1.3M verification pairs / 173s wall from a 960-doc batch
+    against a 9.6k-doc 30%-boilerplate index (tools/stress_skew.py
+    incdedup_probe_hot_bucket). Capped, each new doc verifies only its
+    ``max_candidates_per_doc`` lowest-old_id candidates. Recall caveat
+    (document, don't hide): a true near-dup can be missed if the cap
+    fills with LSH false positives first — but the overflow case IS mass
+    boilerplate, where candidates are mutually near-identical, and for
+    the dedup DECISION one surviving match suffices. Off (None) by
+    default: the pytest parity contract is the exact candidate set."""
+    # persist the batch projection BEFORE the explode — a generator
+    # input drops out of whole-stage codegen, so without the barrier the
+    # full minhash tree evaluates INTERPRETED per row (the
+    # lsh_candidate_pairs rule; measured here: 131s -> 6s wall on the
+    # skew-stress probe — the interpreted tree over just 960 batch docs
+    # was the ENTIRE cost). The frame is batch x (id, digest, buckets).
     proj = dedup_projection(batch, id_col, text_col, bands=bands,
                             rows_per_band=rows_per_band,
-                            shingle_width=shingle_width, sig_k=sig_k)
+                            shingle_width=shingle_width, sig_k=sig_k).persist()
+    proj.count()
     # band index rides the key: equal bucket hashes in different bands
     # must not collide (same contract as lsh_candidate_pairs)
     new_b = proj.select(F.col(id_col).alias("new_id"),
@@ -132,6 +154,18 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
     cand = (old_b.join(new_b, ["band", "bucket"])
             .filter(F.col("old_id") != F.col("new_id"))
             .select("new_id", "old_id").distinct())
+    if max_candidates_per_doc is not None:
+        from pyspark.sql.window import Window as W
+        w = W.partitionBy("new_id").orderBy("old_id")
+        cand = (cand.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= max_candidates_per_doc)
+                .drop("__rn"))
+    # second barrier: the candidate set is consumed TWICE below — as the
+    # verification join base and to derive the old-id semi-join set —
+    # so without it the bucket join + distinct (+ cap window) re-runs
+    # per consumer. The frame is pair-id-scale — tiny.
+    cand = cand.persist()
+    cand.count()
 
     shin = lambda df, idc, out: (df.withColumn("__w", words(text_col))
                                  .select(F.col(id_col).alias(idc),

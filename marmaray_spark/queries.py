@@ -1586,6 +1586,26 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, COUNT(*) AS kept_n,
              string_agg(tok, ' ' ORDER BY p) AS txt
       FROM keptt GROUP BY doc_id
+    ), fpnorm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), gh AS (
+      SELECT doc_id,
+             CASE WHEN length(s) < 5 THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(generate_series(1, length(s) - 4),
+                    i -> CAST(('0x' || substring(md5(substring(s, i, 5)),
+                                                 1, 8)) AS BIGINT))
+             END AS h
+      FROM fpnorm
+    ), fp AS (
+      SELECT doc_id, len(h) AS n_grams,
+             CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(h) < 4 THEN [list_min(h)]
+                  ELSE list_sort(list_distinct(list_transform(
+                       generate_series(1, len(h) - 3),
+                       i -> list_min(h[i:i+3]))))
+             END AS f
+      FROM gh
     )
     SELECT 'digest' AS section, md5(text) AS k,
            min(doc_id) AS n1, count(*) AS n2, CAST(NULL AS BIGINT) AS n3
@@ -1602,6 +1622,14 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(c.kept_n, 0) AS BIGINT) AS n2,
            CAST(coalesce(s.ns, 0) AS BIGINT) AS n3
     FROM t LEFT JOIN cleanedt c USING (doc_id) LEFT JOIN scnt s USING (doc_id)
+    UNION ALL
+    SELECT 'fp' AS section,
+           CAST(doc_id AS VARCHAR) || ':'
+             || md5(array_to_string(f, ',')) AS k,
+           CAST(n_grams AS BIGINT) AS n1,
+           CAST(len(f) AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3
+    FROM fp
     """,
 )
 def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,10 +1653,16 @@ def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
       document reconstructed; the cleaned text itself is hash-checked
       (md5 rides the key next to the doc id), with original/kept token
       counts and the duplicated-start count alongside.
+    - section 'fp': winnowing document fingerprints
+      (operators/fingerprint.py, Schleimer et al. 2003 / MOSS): 5-char
+      gram md5 hashes, window-4 minima, distinct sorted — the whole
+      fingerprint SET hash-checked per document (md5 of the joined
+      values rides the key).
     """
     from marmaray_spark.operators.dedup import (duplicated_window_stats,
                                                 exact_dedup,
                                                 remove_duplicate_spans)
+    from marmaray_spark.operators.fingerprint import winnow_fingerprints
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dup = (docs.filter(F.col("doc_id") % 3 == 0)
@@ -1654,7 +1688,19 @@ def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_tokens").cast("long").alias("n1"),
                 F.col("kept_tokens").cast("long").alias("n2"),
                 F.col("n_dup_starts").cast("long").alias("n3")))
-    return digest.unionByName(spans).unionByName(cleaned)
+    fp = (winnow_fingerprints(
+        spread(load(spark, sf_dir, "documents"), spark), "doc_id", "text",
+        k=5, w=4)
+        .select(F.lit("fp").alias("section"),
+                F.concat_ws(":", F.col("doc_id").cast("string"),
+                            F.md5(F.expr(
+                                "array_join(transform(fingerprints, "
+                                "x -> cast(x as string)), ',')")))
+                .alias("k"),
+                F.col("n_grams").cast("long").alias("n1"),
+                F.col("n_fingerprints").cast("long").alias("n2"),
+                F.lit(None).cast("long").alias("n3")))
+    return digest.unionByName(spans).unionByName(cleaned).unionByName(fp)
 
 
 _SQL_SHINGLES = (

@@ -111,8 +111,45 @@ def session_windows(events: DataFrame, ts_col: str = "ts",
 def dedup_stream(events: DataFrame, key_cols: list[str], ts_col: str = "ts",
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup within the watermark horizon — the streaming
-    face of DEDUP_INSERT (state-store backed instead of sink anti-join)."""
+    face of DEDUP_INSERT (state-store backed instead of sink anti-join).
+
+    State caveat: ``dropDuplicates`` keeps EVERY seen key forever unless
+    the event-time column itself is part of ``key_cols`` — the watermark
+    only bounds how late a duplicate may arrive, not the state size. For
+    an unbounded key domain use ``dedup_stream_bounded`` below, whose
+    state expires at the watermark."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def dedup_stream_bounded(events: DataFrame, key_cols: list[str],
+                         ts_col: str = "ts",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` expires each key's state once the
+    watermark passes its first-seen event time, so state size follows
+    the watermark window's key arrival rate, never the lifetime key
+    count — the only shape that survives an unbounded ingest at 100 TB.
+    Semantics trade-off (document, don't hide): a duplicate arriving
+    AFTER its twin's state expired is re-emitted; the horizon is the
+    dedup guarantee, exactly like the reference's retention-bounded
+    Kafka replay window."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))
+
+
+def dedup_stream_by_content(docs: DataFrame, text_col: str = "text",
+                            ts_col: str = "ts",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Content-digest streaming dedup: the batch exact_dedup contract
+    (operators/dedup.py content_digest — same md5, so batch and stream
+    CANNOT disagree on what counts as identical) behind bounded
+    within-watermark state. One projection + the state-store lookup; no
+    shuffle beyond the state partitioning."""
+    from marmaray_spark.operators.dedup import content_digest
+
+    tagged = docs.withColumn("__digest", content_digest(text_col))
+    return (dedup_stream_bounded(tagged, ["__digest"], ts_col, watermark)
+            .drop("__digest"))
 
 
 def enrich_with_dimension(stream: DataFrame, dim: DataFrame,

@@ -123,3 +123,25 @@ def test_near_probe_matches_batch_operator_on_cross_pairs(spark, tmp_path):
     assert got == want
     assert any(n == 21 for n, _, _ in got)       # the exact dup is caught
     assert all(n != 22 for n, _, _ in got)       # the clean doc is clean
+
+
+def test_near_probe_candidate_cap_bounds_but_still_detects(spark, tmp_path):
+    """max_candidates_per_doc: a batch doc matching a boilerplate-heavy
+    index verifies at most cap candidates (lowest old_id first), and the
+    duplicate is still detected through the surviving candidates."""
+    boiler = "identical boilerplate text repeated across the corpus"
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    rows = [(i, boiler) for i in range(30)] + [
+        (100, "one unrelated corpus document sits here")]
+    base.write(_docs(spark, rows), WriteOp.INSERT)
+    maintain_dedup_index(base, index, md)
+
+    batch = _docs(spark, [(1000, boiler)])
+    capped = near_dups_against_index(batch, index.read(), base.read(),
+                                     threshold_bps=9000,
+                                     max_candidates_per_doc=5).collect()
+    assert len(capped) == 5                      # bounded, not 30
+    assert {r["old_id"] for r in capped} == {0, 1, 2, 3, 4}   # min ids
+    assert all(r["jaccard_bps"] == 10000 for r in capped)     # detected

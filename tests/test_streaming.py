@@ -75,6 +75,61 @@ def test_stream_dedup_then_ingest(spark, event_batches, tmp_path):
     assert back.select("event_id").distinct().count() == 5
 
 
+def test_dedup_stream_bounded_state_drops_in_horizon_dupes(
+        spark, event_batches, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon collapse (in-batch AND cross-batch while state lives); the
+    bounded-state form must agree with dedup_stream on this corpus."""
+    from marmaray_spark.streaming.incremental import dedup_stream_bounded
+
+    src, schema = event_batches
+    stream = dedup_stream_bounded(
+        read_parquet_stream(spark, f"{src}/batch*", schema),
+        ["event_id"], watermark="4 hours")
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName("ddwm_out").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("select event_id from ddwm_out").collect()
+    ids = sorted(r["event_id"] for r in got)
+    assert ids == [1, 2, 3, 4, 5]          # the doubled id-4 collapsed
+
+
+def test_dedup_stream_by_content_matches_batch_digests(spark, tmp_path):
+    """Content-digest streaming dedup emits exactly one survivor per
+    distinct text, and its digest contract is the BATCH exact_dedup's
+    content_digest (same md5) — stream survivors == batch keepers by
+    content."""
+    from marmaray_spark.operators.dedup import exact_dedup
+    from marmaray_spark.streaming.incremental import (
+        dedup_stream_by_content, read_parquet_stream)
+
+    src = tmp_path / "docsrc"
+    rows = [(1, "2024-01-01 10:00:00", "alpha beta gamma"),
+            (2, "2024-01-01 10:01:00", "delta epsilon"),
+            (3, "2024-01-01 10:02:00", "alpha beta gamma"),   # dup of 1
+            (4, "2024-01-01 10:03:00", "zeta eta")]
+    df = (spark.createDataFrame(rows, "doc_id long, ts string, text string")
+          .withColumn("ts", F.to_timestamp("ts")))
+    df.write.parquet(str(src / "batch0"))
+    schema = spark.read.parquet(str(src / "batch0")).schema
+
+    out = dedup_stream_by_content(
+        read_parquet_stream(spark, f"{src}/batch*", schema),
+        watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("cdd_out").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("select doc_id, text from cdd_out").collect()
+    assert len(got) == 3                       # one survivor per text
+    assert "__digest" not in spark.sql("select * from cdd_out").columns
+    stream_texts = sorted(r["text"] for r in got)
+    batch_keep = exact_dedup(df, "doc_id", "text")
+    assert stream_texts == sorted(
+        r["text"] for r in
+        df.join(batch_keep.select(F.col("keeper_id").alias("doc_id")),
+                "doc_id", "left_semi").collect())
+
+
 def test_windowed_counts_matches_batch(spark, event_batches, tmp_path):
     src, schema = event_batches
     stream = read_parquet_stream(spark, f"{src}/batch*", schema)

@@ -204,6 +204,66 @@ def main() -> None:
         lambda: temperature_mix(ev_docs, "id", "user_id",
                                 keep_bps=2000).count(), spark)
 
+    # exact-substring span removal on the boilerplate-heavy corpus: the
+    # 30% verbatim copies make ONE window text carry ~30% of all window
+    # rows, so the wins<->counts join has a single mega-hot key. The
+    # count agg itself is safe (map-side combine); the join relies on
+    # AQE's skew split — the duplicated-counts side has ONE row per
+    # window, which OptimizeSkewedJoin replicates across the split
+    # reads. Run on a 20% slice (the full corpus's hot window is fine
+    # for the join but the per-doc start lists of 36k identical docs
+    # make the collect_list agg memory-heavy locally).
+    from marmaray_spark.operators.dedup import remove_duplicate_spans
+    docs_slice = docs.filter(F.col("doc_id") % 5 == 0)
+    # collect the SUM, not .count() of the agg frame: count() prunes the
+    # sum column, the left join to the starts table prunes with it
+    # (unique-key left joins are removable), and the whole operator
+    # optimizes away — measured 0.29s "wall" for what is really ~9s
+    results["span_removal_boilerplate_20pct"] = run(
+        "span_removal_boilerplate_20pct",
+        lambda: int(remove_duplicate_spans(docs_slice, "doc_id", "w",
+                                           window=3, hash_exchange=True)
+                    .agg(F.sum("kept_tokens")).collect()[0][0]), spark)
+
+    # PQ tier on the 40%-one-repeated-vector embeddings: encode is a
+    # pure projection (skew-free by construction); the ADC rank shuffle
+    # sees 40% identical scores for each query — ties all land one
+    # (query_id, dot) region but _local_topk prefilters per Arrow batch
+    # so the rank exchange stays batches x Q x k*oversample
+    from marmaray_spark.operators.pq import (deterministic_pq_codebooks,
+                                             pq_adc_topk, pq_encode)
+    cbs = deterministic_pq_codebooks(emb, m=4, k=8)
+    codes = pq_encode(emb, cbs).persist()
+    codes.count()
+    queries = emb.filter(F.col("vec_id") < 8)
+    results["pq_adc_topk_repeated_vectors"] = run(
+        "pq_adc_topk_repeated_vectors",
+        lambda: pq_adc_topk(queries, codes, emb, k=10, codebooks=cbs).count(),
+        spark)
+    codes.unpersist()
+
+    # incremental near-dup probe where the INDEX has a hot bucket (the
+    # boilerplate docs all share band buckets): a boilerplate batch doc
+    # candidates against the whole hot bucket — O(N_batch x W), linear
+    # in the bucket width, never W^2 (the batch never self-joins here),
+    # but W here is ~2.9k and verification pays per candidate: measured
+    # 1.3M pairs / 173s uncapped vs the capped probe below — the cap is
+    # the difference between "bounded" and "fast enough"
+    from marmaray_spark.operators.incdedup import (dedup_projection,
+                                                   near_dups_against_index)
+    corpus_docs = docs.select("doc_id", "text").filter(F.col("doc_id") % 5 == 0)
+    index_df = dedup_projection(corpus_docs).persist()
+    index_df.count()
+    batch = (corpus_docs.filter(F.col("doc_id") % 50 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    results["incdedup_probe_hot_bucket_cap8"] = run(
+        "incdedup_probe_hot_bucket_cap8",
+        lambda: near_dups_against_index(batch, index_df, corpus_docs,
+                                        threshold_bps=8000,
+                                        max_candidates_per_doc=8).count(),
+        spark)
+    index_df.unpersist()
+
     print(json.dumps({"sf": "skew-sf1", **{k: {kk: vv for kk, vv in v.items()}
                                            for k, v in results.items()}}))
     spark.stop()
