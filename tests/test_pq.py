@@ -90,6 +90,22 @@ def test_pq_adc_topk_full_oversample_equals_brute_force(spark, embeddings,
     assert got == exact
 
 
+def test_pq_adc_kernel_expression_parity(spark, embeddings, books):
+    """The Arrow ADC tier and the expression ADC tier are the same
+    operator: identical (query, neighbor, dot, rank) sets, including
+    dot-tie neighbor-id ordering, at a non-covering oversample where
+    the tier-1 frontier actually decides membership."""
+    q = embeddings.filter(F.col("vec_id") < 6)
+    codes = pq_encode(embeddings, books)
+    kern = sorted(map(tuple, pq_adc_topk(
+        q, codes, embeddings, k=7, codebooks=books, oversample=2,
+        use_kernel=True).collect()))
+    expr = sorted(map(tuple, pq_adc_topk(
+        q, codes, embeddings, k=7, codebooks=books, oversample=2,
+        use_kernel=False).collect()))
+    assert kern == expr and kern
+
+
 def test_pq_adc_topk_trained_codebooks_recall(spark, embeddings):
     """The practical setting: per-subspace k-means codebooks (m=16
     subspaces x 16 centroids -> 16 B/vector, 16x smaller than float) +
