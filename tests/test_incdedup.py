@@ -125,6 +125,40 @@ def test_near_probe_matches_batch_operator_on_cross_pairs(spark, tmp_path):
     assert all(n != 22 for n, _, _ in got)       # the clean doc is clean
 
 
+def test_ingest_loop_filters_dupes_across_ticks(spark, tmp_path):
+    """The production loop the index exists for: per ingest tick, probe
+    the new batch against the maintained index, drop cross-duplicates,
+    write only survivors, maintain. Cost per tick follows the batch; the
+    corpus is never re-deduplicated."""
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    def ingest(rows):
+        batch = _docs(spark, rows)
+        if not index.is_empty():
+            dups = exact_dups_against_index(batch, index.read())
+            batch = batch.join(dups.select(F.col("new_id").alias("doc_id")),
+                               "doc_id", "left_anti")
+        n = batch.count()
+        if n:
+            base.write(batch, WriteOp.INSERT)
+        maintain_dedup_index(base, index, md)
+        return n
+
+    assert ingest([(1, "alpha"), (2, "beta"), (3, "gamma")]) == 3
+    # tick 2: one dup of doc 1, one genuinely new
+    assert ingest([(4, "alpha"), (5, "delta")]) == 1
+    # tick 3: dups of docs 1 and 5 -> nothing survives
+    assert ingest([(6, "delta"), (7, "alpha")]) == 0
+
+    kept = base.read()
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 5}
+    assert kept.select("text").distinct().count() == 4     # no dup content
+    # index stayed in lockstep with the base
+    assert {r["doc_id"] for r in index.read().collect()} == {1, 2, 3, 5}
+
+
 def test_near_probe_candidate_cap_bounds_but_still_detects(spark, tmp_path):
     """max_candidates_per_doc: a batch doc matching a boilerplate-heavy
     index verifies at most cap candidates (lowest old_id first), and the

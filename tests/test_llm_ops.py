@@ -1297,6 +1297,26 @@ def test_duplicated_window_counts_within_doc_repeats(spark):
     assert got["dup_bps"] == 10000
 
 
+def test_compression_signals_orders_boilerplate_below_prose(spark):
+    import zlib
+
+    from marmaray_spark.operators.text import compression_signals
+
+    rep = "spam ham " * 200
+    prose = ("the committee reviewed seventeen distinct proposals before "
+             "adjourning; none addressed the estuary's silt problem, and "
+             "four contradicted the previous year's findings outright.")
+    docs = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, "")], ["id", "text"])
+    got = {r["id"]: r for r in
+           compression_signals(docs, "id", "text").collect()}
+    assert got[1]["n_bytes"] == len(rep.encode())
+    assert got[1]["zlib_bytes"] == len(zlib.compress(rep.encode(), 6))
+    # mass repetition compresses far below natural prose
+    assert got[1]["ratio_bps"] < 1000 < got[2]["ratio_bps"]
+    assert got[3]["ratio_bps"] == 10000 and got[3]["n_bytes"] == 0
+
+
 def _brute_remove_spans(corpus: dict, window: int) -> dict:
     """Per-token-coverage reference: position p is removed iff some
     start s with s <= p <= s+window-1 begins a globally-duplicated
