@@ -37,3 +37,44 @@ def test_example_ingests_one_partition_per_run(spark, tmp_path):
     # metrics recorded work
     names = [m.name for m in dag2.metrics.metrics]
     assert "work_unit_count" in names and "success" in names
+
+
+def test_incremental_ingest_dedup_example(spark, tmp_path):
+    """examples/incremental_ingest_dedup.py: across three ticks the
+    corpus stays content-deduplicated, each tick's report adds up, and
+    a replayed tick (crash-recovery shape) changes nothing."""
+    from incremental_ingest_dedup import ingest_tick
+
+    wd = str(tmp_path / "wd")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    r1 = ingest_tick(spark, wd, docs(
+        [(1, "a truly original first document"),
+         (2, "the second document differs entirely"),
+         (3, "third content here")]))
+    assert r1 == {"in": 3, "exact_dups": 0, "near_dups": 0,
+                  "kept": 3, "indexed": 3}
+
+    # tick 2: one exact replay under a new id, one case/spacing variant
+    # (exact digest differs, token shingles identical -> near dup), one new
+    r2 = ingest_tick(spark, wd, docs(
+        [(10, "a truly original first document"),
+         (11, "the second document differs  ENTIRELY"),
+         (12, "completely fresh fourth text")]))
+    assert r2 == {"in": 3, "exact_dups": 1, "near_dups": 1,
+                  "kept": 1, "indexed": 1}
+
+    t = TableSink(spark, os.path.join(wd, "corpus"), "doc_id")
+    kept = t.read()
+    assert kept.count() == 4
+    assert kept.count() == kept.select("text").distinct().count()
+
+    # replaying the rejected doc (crash-recovery / re-delivery shape):
+    # still an exact dup, corpus and index unchanged
+    r3 = ingest_tick(spark, wd, docs(
+        [(10, "a truly original first document")]))
+    assert r3 == {"in": 1, "exact_dups": 1, "near_dups": 0,
+                  "kept": 0, "indexed": 0}
+    assert t.read().count() == 4
