@@ -748,3 +748,78 @@ def semantic_dedup(corpus: DataFrame, centroids: list[list[int]],
             "keeper_id": keeper, "is_keeper": keeper == ids})
 
     return assigned.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+
+
+def cluster_quota_sample(corpus: DataFrame, centroids: list[list[int]],
+                         quota: int, id_col: str = "vec_id",
+                         vec_col: str = "embedding", salt: str = "cq0",
+                         use_kernel: bool | None = None) -> DataFrame:
+    """Diversity (cluster-balanced) subsampling: assign every vector to
+    its k-means cell and keep AT MOST ``quota`` per cell — the
+    topic-rebalancing step that stops one dominant mode (boilerplate,
+    one language, one template) from owning a subsample the way it owns
+    the corpus. Selection within a cell is by md5(salt:id) order:
+    deterministic across runs, engines, and partitionings (the
+    deterministic_sample contract).
+
+    Returns (id, cell, keep) for every vector; filter ``keep`` for the
+    sample, keep the full frame for the report.
+
+    Scale shape — EXACT quota without a per-cell global sort: a
+    row_number window per cell puts a 40%-hot boilerplate cell on one
+    straggler partition, so the quota rides the exact-histogram-cutoff
+    pattern (lm.surprisal_buckets / dsir_select) instead:
+      1. one map-side-combined (cell, hex4-prefix) count — the
+         histogram is bounded by cells x 65536, never corpus size;
+      2. a per-cell cumulative on the HISTOGRAM frame finds the cutoff
+         bucket where the quota lands;
+      3. rows strictly below the cutoff bucket keep outright; ONLY the
+         cutoff bucket itself (expected cell_size/65536 rows) pays a
+         row_number window for the exact remainder.
+    Cell assignment shares ``ivf_cells`` (Arrow auto-switch, tie-breaks
+    — one entry point with the probe/index paths)."""
+    from pyspark.sql.window import Window as W2
+
+    if quota < 0:
+        raise ValueError("quota must be >= 0")
+    cids = list(range(len(centroids)))
+    base = corpus.select(F.col(id_col), quantize(vec_col).alias("__v"))
+    cells = ivf_cells(base, [list(c) for c in centroids], cids,
+                      id_col, "__v", 1, use_kernel) \
+        .select(id_col, "cell",
+                F.expr(f"substring(md5(concat('{salt}:', "
+                       f"cast({id_col} as string))), 1, 4)").alias("__hx"))
+    hist = cells.groupBy("cell", "__hx").agg(
+        F.count(F.lit(1)).alias("__c"))
+    wcum = (W2.partitionBy("cell").orderBy("__hx")
+            .rowsBetween(W2.unboundedPreceding, W2.currentRow))
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum))
+    # cutoff = first bucket whose cumulative reaches the quota; cells
+    # smaller than the quota have none (every row keeps outright).
+    # min_by carries the cutoff bucket's own (cum, count) along, so the
+    # in-bucket remainder is quota - (rows strictly below the bucket)
+    # = quota - (__cutcum - __cutc).
+    cut = (cum.filter(F.col("__cum") >= quota)
+           .groupBy("cell")
+           .agg(F.min("__hx").alias("__cut"),
+                F.min_by(F.col("__cum"), F.col("__hx")).alias("__cutcum"),
+                F.min_by(F.col("__c"), F.col("__hx")).alias("__cutc")))
+    tagged = cells.join(F.broadcast(cut), "cell", "left")
+    no_cut = F.col("__cut").isNull()
+    rest = (tagged.filter(no_cut | (F.col("__hx") != F.col("__cut")))
+            .select(id_col, "cell",
+                    (no_cut | (F.col("__hx") < F.col("__cut")))
+                    .alias("keep")))
+    # only the cutoff bucket (expected cell_size/65536 rows) pays a
+    # window for the exact remainder; order matches the global contract
+    # (md5 then id — the same order full per-cell ranking would use)
+    win = W2.partitionBy("cell").orderBy(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        F.col(id_col))
+    at_cut = (tagged.filter(F.col("__hx") == F.col("__cut"))
+              .withColumn("__rn", F.row_number().over(win))
+              .select(id_col, "cell",
+                      (F.col("__rn") <= F.lit(quota)
+                       - (F.col("__cutcum") - F.col("__cutc")))
+                      .alias("keep")))
+    return rest.unionByName(at_cut)

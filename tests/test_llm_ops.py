@@ -1297,6 +1297,54 @@ def test_duplicated_window_counts_within_doc_repeats(spark):
     assert got["dup_bps"] == 10000
 
 
+def test_cluster_quota_sample_matches_bruteforce(spark):
+    """Exact per-cell quota via the histogram cutoff == the per-cell
+    (md5, id)-order top-quota a global sort would pick; small cells
+    keep everything; quota 0 keeps nothing."""
+    import hashlib
+
+    import numpy as np
+
+    from marmaray_spark.operators.similarity import (QUANT_SCALE,
+                                                     cluster_quota_sample,
+                                                     ivf_cells, quantize)
+
+    rng = np.random.default_rng(17)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[int(round(float(x) * QUANT_SCALE)) for x in rng.normal(size=8)]
+             for _ in range(3)]
+
+    got = {r["vec_id"]: (r["cell"], r["keep"]) for r in
+           cluster_quota_sample(df, cents, quota=20).collect()}
+    assert len(got) == 300
+
+    # brute force: same cell assignment, md5-order top-20 per cell
+    base = df.select("vec_id", quantize("embedding").alias("__v"))
+    cells = {r["vec_id"]: r["cell"] for r in
+             ivf_cells(base, cents, [0, 1, 2], "vec_id", "__v").collect()}
+    by_cell = {}
+    for vid, cell in cells.items():
+        key = (hashlib.md5(f"cq0:{vid}".encode()).hexdigest(), vid)
+        by_cell.setdefault(cell, []).append((key, vid))
+    want_keep = set()
+    for cell, members in by_cell.items():
+        for _, vid in sorted(members)[:20]:
+            want_keep.add(vid)
+
+    assert {v for v, (_, k) in got.items() if k} == want_keep
+    assert all(got[v][0] == cells[v] for v in cells)
+    # per-cell count == min(cell size, quota)
+    from collections import Counter
+    kept_per_cell = Counter(got[v][0] for v in got if got[v][1])
+    for cell, members in by_cell.items():
+        assert kept_per_cell[cell] == min(len(members), 20)
+
+    zero = cluster_quota_sample(df, cents, quota=0).filter("keep").count()
+    assert zero == 0
+
+
 def test_compression_signals_orders_boilerplate_below_prose(spark):
     import zlib
 
