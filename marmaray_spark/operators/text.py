@@ -432,6 +432,50 @@ def c4_clean(col: str = "text", min_words: int = 3) -> Column:
     )
 
 
+def normalize_text(df, text_col: str = "text", form: str = "NFKC",
+                   casefold: bool = True, strip_accents: bool = False):
+    """Unicode-normalize a text column in one Arrow pass, all other
+    columns passing through — the canonical PRE-DEDUP step: crawl
+    variants that render identically (full-width forms, ligatures,
+    composed vs decomposed accents, case) must hash identically before
+    any digest, shingle, or fingerprint sees them, or every dedup tier
+    silently under-merges.
+
+    ``form`` is any unicodedata form (NFKC folds compatibility
+    characters — full-width ASCII, ligatures, Roman numerals);
+    ``casefold`` applies Python str.casefold (the Unicode-correct
+    lowercase); ``strip_accents`` drops combining marks via NFD ->
+    remove Mn -> re-normalize. Spark has no NFKC builtin, so this is a
+    mapInPandas kernel (stdlib unicodedata, Arrow-batched — per-row
+    Python never appears); NULLs pass through as NULLs."""
+    import pyspark.sql.functions as _F  # noqa: F401  (schema symmetry)
+    import unicodedata
+
+    if text_col not in df.columns:
+        raise ValueError(f"no column {text_col!r}")
+    valid = {"NFC", "NFD", "NFKC", "NFKD"}
+    if form not in valid:
+        raise ValueError(f"form must be one of {sorted(valid)}")
+    schema = df.schema
+
+    def fix(t):
+        if t is None:
+            return None
+        s = unicodedata.normalize(form, t)
+        if strip_accents:
+            s = unicodedata.normalize(
+                "NFC", "".join(c for c in unicodedata.normalize("NFD", s)
+                               if unicodedata.category(c) != "Mn"))
+        return s.casefold() if casefold else s
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(fix)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
+
+
 def compression_signals(df, id_col: str, text_col: str = "text",
                         level: int = 6):
     """(id, n_bytes, zlib_bytes, ratio_bps): zlib compressibility per

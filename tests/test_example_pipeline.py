@@ -78,3 +78,50 @@ def test_incremental_ingest_dedup_example(spark, tmp_path):
     assert r3 == {"in": 1, "exact_dups": 1, "near_dups": 0,
                   "kept": 0, "indexed": 0}
     assert t.read().count() == 4
+
+
+def test_streaming_ingest_dedup_loop(spark, tmp_path):
+    """The same ingest loop under Structured Streaming: each micro-batch
+    runs the hygiene -> probe -> insert -> maintain tick inside
+    foreachBatch; the stream checkpoint makes file pickup exactly-once
+    across restarts, the table commit log and index checkpoint make the
+    tick idempotent inside each epoch."""
+    from incremental_ingest_dedup import ingest_tick
+
+    from marmaray_spark.streaming.incremental import read_parquet_stream
+
+    src, wd = tmp_path / "src", str(tmp_path / "wd")
+    ck = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "first streaming document"), (2, "second text entirely")],
+        "doc_id long, text string").write.parquet(str(src / "b0"))
+    schema = spark.read.parquet(str(src / "b0")).schema
+    reports = []
+
+    def run():
+        q = (read_parquet_stream(spark, f"{src}/b*", schema)
+             .writeStream
+             .foreachBatch(lambda bdf, eid:
+                           reports.append(ingest_tick(spark, wd, bdf)))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    assert reports and sum(r["kept"] for r in reports) == 2
+
+    # a later drop: one exact replay of doc 1, one genuinely new
+    spark.createDataFrame(
+        [(10, "first streaming document"), (11, "a third fresh text")],
+        "doc_id long, text string").write.parquet(str(src / "b1"))
+    n_before = len(reports)
+    run()
+    new = reports[n_before:]
+    assert sum(r["in"] for r in new) == 2        # old file NOT reprocessed
+    assert sum(r["exact_dups"] for r in new) == 1
+    assert sum(r["kept"] for r in new) == 1
+
+    t = TableSink(spark, os.path.join(wd, "corpus"), "doc_id")
+    kept = t.read()
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 11}
+    assert kept.select("text").distinct().count() == 3

@@ -179,3 +179,36 @@ def test_near_probe_candidate_cap_bounds_but_still_detects(spark, tmp_path):
     assert len(capped) == 5                      # bounded, not 30
     assert {r["old_id"] for r in capped} == {0, 1, 2, 3, 4}   # min ids
     assert all(r["jaccard_bps"] == 10000 for r in capped)     # detected
+
+
+def test_near_probe_index_bucket_star_anchors_hot_buckets(spark, tmp_path):
+    """max_index_bucket_width: hot index buckets contribute only their
+    anchor to the candidate join — the duplicate is still detected
+    (via the anchor), normal-width buckets are untouched, and the
+    precomputed-stats path equals the inline path."""
+    from marmaray_spark.operators.incdedup import index_bucket_stats
+
+    boiler = "identical boilerplate text repeated across the corpus"
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    rows = [(i, boiler) for i in range(30)] + [
+        (100, "a small unique corpus document about estuaries")]
+    base.write(_docs(spark, rows), WriteOp.INSERT)
+    maintain_dedup_index(base, index, md)
+
+    batch = _docs(spark, [
+        (1000, boiler),                                    # hits hot bucket
+        (1001, "a small unique corpus document about estuaries"),  # normal
+    ])
+    kw = dict(threshold_bps=9000, max_index_bucket_width=8)
+    inline = near_dups_against_index(batch, index.read(), base.read(),
+                                     **kw).collect()
+    got = {(r["new_id"], r["old_id"]) for r in inline}
+    # hot bucket -> anchor (min id 0) only; normal bucket -> its one doc
+    assert got == {(1000, 0), (1001, 100)}
+
+    stats = index_bucket_stats(index.read())
+    pre = near_dups_against_index(batch, index.read(), base.read(),
+                                  bucket_stats=stats, **kw).collect()
+    assert {(r["new_id"], r["old_id"]) for r in pre} == got

@@ -1297,6 +1297,39 @@ def test_duplicated_window_counts_within_doc_repeats(spark):
     assert got["dup_bps"] == 10000
 
 
+def test_normalize_text_unifies_render_identical_variants(spark):
+    """Full-width forms, ligatures, composed/decomposed accents, and
+    case collapse to one digest after normalization — the pre-dedup
+    contract; other columns and NULLs pass through."""
+    from marmaray_spark.operators.dedup import content_digest
+    from marmaray_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "caf\u00e9 office", 7),          # composed e-acute
+        (2, "cafe\u0301 OFFICE", 7),         # decomposed e + combining mark
+        (3, "\uff43\uff41\uff46\u00e9 o\ufb03ce", 7),  # full-width + ffi ligature
+        (4, None, 9),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, keep int")
+    out = normalize_text(df, "text")
+    got = {r["id"]: r for r in
+           out.withColumn("d", content_digest("text")).collect()}
+    assert got[1]["text"] == got[2]["text"] == got[3]["text"] \
+        == "caf\u00e9 office"
+    assert got[1]["d"] == got[2]["d"] == got[3]["d"]
+    assert got[4]["text"] is None and got[4]["keep"] == 9
+
+    stripped = {r["id"]: r["text"] for r in
+                normalize_text(df, "text", strip_accents=True).collect()}
+    assert stripped[1] == "cafe office"
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        normalize_text(df, "text", form="NFX")
+    with _pt.raises(ValueError):
+        normalize_text(df, "nope")
+
+
 def test_cluster_quota_sample_matches_bruteforce(spark):
     """Exact per-cell quota via the histogram cutoff == the per-cell
     (md5, id)-order top-quota a global sort would pick; small cells
