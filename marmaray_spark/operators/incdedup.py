@@ -129,10 +129,12 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
                             max_index_bucket_width: int | None = None,
                             bucket_stats: DataFrame | None = None
                             ) -> DataFrame:
-    """(new_id, old_id, inter, union_sz, jaccard_bps): batch documents
-    near-duplicating EXISTING corpus documents — LSH candidates from the
-    maintained index, verified by exact n-gram Jaccard at
-    ``threshold_bps``. ``corpus`` supplies the existing documents' text
+    """(new_id, old_id, inter, union_sz, jaccard_bps, containment_bps):
+    batch documents near-duplicating EXISTING corpus documents — LSH
+    candidates from the maintained index, verified by exact n-gram
+    Jaccard at ``threshold_bps``; ``containment_bps`` additionally
+    reports the asymmetric |new ∩ old| / |new| overlap (partial-copy
+    signal) for the surviving pairs. ``corpus`` supplies the existing documents' text
     for verification (the index stores only digests/buckets); it is
     probed by an id semi-join, so only candidate rows are read.
 
@@ -224,5 +226,15 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
             .withColumn("union_sz", union)
             .withColumn("jaccard_bps",
                         F.expr("CAST(inter * 10000 div union_sz AS INT)"))
+            # containment = |new ∩ old| / |new|: the ASYMMETRIC overlap —
+            # a short doc fully quoted inside a long corpus doc has low
+            # Jaccard but containment 10000; report it so partial-copy
+            # policies don't need a second scan. Detection still gates
+            # on Jaccard (the symmetric near-dup contract).
+            .withColumn("containment_bps",
+                        F.expr("CAST(inter * 10000 div "
+                               "greatest(size(array_distinct(sh_new)), 1) "
+                               "AS INT)"))
             .filter(F.col("jaccard_bps") >= threshold_bps)
-            .select("new_id", "old_id", "inter", "union_sz", "jaccard_bps"))
+            .select("new_id", "old_id", "inter", "union_sz", "jaccard_bps",
+                    "containment_bps"))

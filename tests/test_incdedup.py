@@ -125,6 +125,28 @@ def test_near_probe_matches_batch_operator_on_cross_pairs(spark, tmp_path):
     assert all(n != 22 for n, _, _ in got)       # the clean doc is clean
 
 
+def test_near_probe_reports_asymmetric_containment(spark, tmp_path):
+    """A new doc that is a strict prefix of a corpus doc: every one of
+    its shingles is contained (containment_bps == 10000) while Jaccard
+    is only |new|/|old| — the partial-copy signal Jaccard alone hides."""
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    old = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    base.write(_docs(spark, [(1, old)]), WriteOp.INSERT)
+    maintain_dedup_index(base, index, md)
+
+    new = "w1 w2 w3 w4 w5 w6 w7 w8 w9"          # prefix: 7 of 8 shingles
+    got = near_dups_against_index(
+        _docs(spark, [(50, new)]), index.read(), base.read(),
+        threshold_bps=8000).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["inter"] == 7 and r["union_sz"] == 8
+    assert r["jaccard_bps"] == 8750
+    assert r["containment_bps"] == 10000
+
+
 def test_ingest_loop_filters_dupes_across_ticks(spark, tmp_path):
     """The production loop the index exists for: per ingest tick, probe
     the new batch against the maintained index, drop cross-duplicates,

@@ -1451,6 +1451,60 @@ def test_remove_duplicate_spans_whole_dup_doc_empties(spark):
     assert got[1]["kept_tokens"] == 0
 
 
+def test_remove_duplicate_spans_hypothesis_parity(spark):
+    """Hypothesis-driven corpora (tiny vocab forces collisions; shrinks
+    to minimal counterexamples) against the per-token-coverage
+    reference — one Spark job per example is too slow, so examples are
+    BATCHED: hypothesis generates a corpus list, one job checks it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marmaray_spark.operators.dedup import remove_duplicate_spans
+    from marmaray_spark.operators.text import words
+
+    corpus_st = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                 min_size=0, max_size=14),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=15, deadline=None)
+    @given(toks=corpus_st)
+    def run(toks):
+        corpus = {i: t for i, t in enumerate(toks)}
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in corpus.items()],
+            "id long, text string").withColumn("w", words("text"))
+        got = {r["id"]: r["cleaned_text"] for r in
+               remove_duplicate_spans(df, "id", "w", window=2).collect()}
+        # words() drops empty docs to [] -> cleaned ''
+        want = _brute_remove_spans(
+            {i: ([] if not " ".join(t).strip() else
+                 " ".join(t).split()) for i, t in corpus.items()}, 2)
+        assert got == want
+
+    run()
+
+
+def test_winnow_fingerprints_hypothesis_parity(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from test_fingerprint import _brute_fp, K, W
+    from marmaray_spark.operators.fingerprint import winnow_fingerprints
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts=st.lists(st.text(alphabet="ab ", max_size=30),
+                          min_size=1, max_size=6))
+    def run(texts):
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "id long, text string")
+        got = {r["id"]: list(r["fingerprints"]) for r in
+               winnow_fingerprints(df, "id", "text", K, W).collect()}
+        assert got == {i: _brute_fp(t) for i, t in enumerate(texts)}
+
+    run()
+
+
 def test_remove_duplicate_spans_matches_bruteforce(spark):
     """Randomized parity vs the per-token-coverage reference, including
     overlapping and adjacent spans, within-doc repeats, and the
