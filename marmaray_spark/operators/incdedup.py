@@ -45,20 +45,35 @@ from marmaray_spark.operators.text import word_shingles, words
 def dedup_projection(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", bands: int = 8,
                      rows_per_band: int = 2, shingle_width: int = 3,
-                     sig_k: int = 16) -> DataFrame:
-    """(id, digest, buckets): the dedup state derived from one document
-    row — exact-content digest plus LSH band buckets over word-shingle
-    minhashes. Pure projection (no shuffle); the SAME expression stack
-    as the batch operators, so an index probe and a batch self-dedup
-    cannot disagree on bucketing."""
-    return (df.withColumn("__w", words(text_col))
-            .withColumn("__sh", word_shingles("__w", shingle_width))
-            .withColumn("__hh", minhash_digests("__sh"))
-            .withColumn("__sig", minhash_signature("__hh", sig_k))
-            .select(F.col(id_col),
-                    content_digest(text_col).alias("digest"),
-                    lsh_band_buckets("__sig", bands, rows_per_band)
-                    .alias("buckets")))
+                     sig_k: int = 16,
+                     fingerprint_k: int | None = None,
+                     fingerprint_w: int = 4) -> DataFrame:
+    """(id, digest, buckets[, fingerprints]): the dedup state derived
+    from one document row — exact-content digest plus LSH band buckets
+    over word-shingle minhashes, and (when ``fingerprint_k`` is set)
+    the winnowing fingerprint set for PARTIAL-copy probes. Pure
+    projection (no shuffle); the SAME expression stacks as the batch
+    operators, so an index probe and a batch self-dedup cannot disagree
+    on bucketing or fingerprints. Fingerprints cost ~2n/(w+1) bigints
+    per doc of index storage — enable them only when the ingest policy
+    actually gates on partial copies."""
+    out = (df.withColumn("__w", words(text_col))
+           .withColumn("__sh", word_shingles("__w", shingle_width))
+           .withColumn("__hh", minhash_digests("__sh"))
+           .withColumn("__sig", minhash_signature("__hh", sig_k)))
+    cols = [F.col(id_col),
+            content_digest(text_col).alias("digest"),
+            lsh_band_buckets("__sig", bands, rows_per_band)
+            .alias("buckets")]
+    if fingerprint_k is not None:
+        from marmaray_spark.operators.fingerprint import (_norm,
+                                                          gram_hashes,
+                                                          winnow)
+        out = (out.withColumn("__fs", F.expr(_norm(text_col)))
+               .withColumn("__gh", gram_hashes("__fs", fingerprint_k,
+                                               normalized=True)))
+        cols.append(winnow("__gh", fingerprint_w).alias("fingerprints"))
+    return out.select(*cols)
 
 
 def maintain_dedup_index(base, index, metadata, id_col: str = "doc_id",
@@ -100,6 +115,51 @@ def exact_dups_against_index(batch: DataFrame, index_df: DataFrame,
     return (hits.groupBy("new_id", "digest")
             .agg(F.min("old_id").alias("keeper_id"))
             .select("new_id", "keeper_id", "digest"))
+
+
+def partial_copies_against_index(batch: DataFrame, index_df: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 min_shared: int = 2,
+                                 fingerprint_k: int = 5,
+                                 fingerprint_w: int = 4,
+                                 max_fingerprint_freq: int | None = None
+                                 ) -> DataFrame:
+    """(new_id, old_id, shared): batch documents sharing >= ``min_shared``
+    winnowing fingerprints with EXISTING corpus documents — the
+    partial-copy probe (a paragraph lifted into an otherwise-new doc),
+    which whole-document LSH near-dup structurally misses. Requires the
+    index to have been maintained with ``fingerprint_k`` set in
+    dedup_projection. By the winnowing guarantee, any shared normalized
+    substring of length >= fingerprint_k + fingerprint_w - 1 produces at
+    least one shared fingerprint.
+
+    ``max_fingerprint_freq`` drops fingerprints occurring in more than
+    that many INDEX documents before pairing — the MOSS "ignore
+    ubiquitous fingerprints" rule: a fingerprint shared by half the
+    corpus is boilerplate punctuation-of-the-domain, identifies nothing,
+    and is exactly the hot join key that would make the probe
+    O(batch_boiler x index_boiler). One frequency aggregate at
+    fingerprint cardinality; scale shape otherwise = one batch
+    projection + one explode-equi-join + one pair-count agg."""
+    from marmaray_spark.operators.fingerprint import winnow_fingerprints
+
+    fps = winnow_fingerprints(batch, id_col, text_col,
+                              fingerprint_k, fingerprint_w)
+    new_f = fps.select(F.col(id_col).alias("new_id"),
+                       F.explode("fingerprints").alias("fp"))
+    old_f = index_df.select(F.col(id_col).alias("old_id"),
+                            F.explode("fingerprints").alias("fp"))
+    if max_fingerprint_freq is not None:
+        freq = old_f.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+        old_f = (old_f.join(freq, "fp")
+                 .filter(F.col("__n") <= max_fingerprint_freq)
+                 .select("old_id", "fp"))
+    return (old_f.join(new_f, "fp")
+            .filter(F.col("old_id") != F.col("new_id"))
+            .groupBy("new_id", "old_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("shared"))
+            .filter(F.col("shared") >= min_shared))
 
 
 def index_bucket_stats(index_df: DataFrame,

@@ -125,6 +125,55 @@ def test_near_probe_matches_batch_operator_on_cross_pairs(spark, tmp_path):
     assert all(n != 22 for n, _, _ in got)       # the clean doc is clean
 
 
+def test_partial_copy_probe_finds_lifted_paragraph(spark, tmp_path):
+    """A paragraph lifted from a corpus doc into an otherwise-new doc:
+    whole-document near-dup misses it (low Jaccard), the fingerprint
+    probe catches it; the ubiquitous-fingerprint cap drops boilerplate
+    shared by every corpus doc."""
+    from marmaray_spark.operators.incdedup import (
+        partial_copies_against_index, near_dups_against_index)
+
+    para = "the stolen paragraph about riverbank erosion patterns"
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    base.write(_docs(spark, [
+        (1, f"corpus document one begins here. {para}. and then ends"),
+        (2, "a second corpus document with its own content entirely"),
+    ]), WriteOp.INSERT)
+    maintain_dedup_index(base, index, md, fingerprint_k=5)
+    assert "fingerprints" in index.read().columns
+
+    batch = _docs(spark, [
+        (50, f"fresh reporting with novel words throughout. {para}. plus "
+             f"original analysis nothing else shares with anything")])
+    near = near_dups_against_index(batch, index.read(), base.read(),
+                                   threshold_bps=5000).collect()
+    assert near == []                        # low whole-doc Jaccard
+    hits = {(r["new_id"], r["old_id"]) for r in
+            partial_copies_against_index(batch, index.read(),
+                                         min_shared=2).collect()}
+    assert hits == {(50, 1)}
+
+    # a fingerprint present in EVERY index doc is boilerplate: with the
+    # frequency cap at 1 it pairs nothing by itself
+    boiler = "shared boilerplate footer"
+    base2 = TableSink(spark, tmp_path / "b2", "doc_id")
+    index2 = TableSink(spark, tmp_path / "i2", "doc_id")
+    md2 = FileSystemMetadataManager(str(tmp_path / "md2"))
+    base2.write(_docs(spark, [
+        (1, f"first corpus doc text. {boiler}"),
+        (2, f"second unrelated body here. {boiler}"),
+    ]), WriteOp.INSERT)
+    maintain_dedup_index(base2, index2, md2, fingerprint_k=5)
+    b = _docs(spark, [(60, f"entirely new words. {boiler}")])
+    uncapped = partial_copies_against_index(b, index2.read(), min_shared=1)
+    capped = partial_copies_against_index(b, index2.read(), min_shared=1,
+                                          max_fingerprint_freq=1)
+    assert uncapped.count() == 2             # pairs with both via footer
+    assert capped.count() == 0               # footer fingerprints dropped
+
+
 def test_near_probe_reports_asymmetric_containment(spark, tmp_path):
     """A new doc that is a strict prefix of a corpus doc: every one of
     its shingles is contained (containment_bps == 10000) while Jaccard
