@@ -45,9 +45,17 @@ def ingest_tick(spark: SparkSession, workdir: str, batch: DataFrame,
                 near_threshold_bps: int = 9000,
                 max_candidates_per_doc: int = 8) -> dict:
     """One ingest tick; returns the tick report. ``batch`` needs
-    (doc_id, text). Idempotent across crash-replay: survivors INSERT
-    into a commit-logged table and the index checkpoint only advances
-    after the index commit lands."""
+    (doc_id, text).
+
+    Idempotent across crash-replay: survivors land via DEDUP_INSERT
+    (key anti-join against the table — NOT plain INSERT, which would
+    re-append a replayed tick whose index maintenance hadn't committed
+    yet), and the index checkpoint only advances after the index commit
+    lands. Batch-INTERNAL exact duplicates collapse to their min-id
+    keeper before the index probes run (the probes compare batch vs
+    index only)."""
+    from marmaray_spark.operators.dedup import exact_dedup
+
     base = TableSink(spark, os.path.join(workdir, "corpus"), "doc_id")
     index = TableSink(spark, os.path.join(workdir, "dedup_index"), "doc_id")
     md = FileSystemMetadataManager(os.path.join(workdir, "md"))
@@ -55,6 +63,11 @@ def ingest_tick(spark: SparkSession, workdir: str, batch: DataFrame,
     batch = corpus_hygiene(batch, "text").select(
         "doc_id", "text", F.col("pii_found").alias("had_pii"))
     n_in = batch.count()
+
+    keepers = exact_dedup(batch, "doc_id", "text") \
+        .select(F.col("keeper_id").alias("doc_id"))
+    batch = batch.join(keepers, "doc_id", "left_semi")
+    n_batch_dups = n_in - batch.count()
 
     n_exact = n_near = 0
     if not index.is_empty():
@@ -72,10 +85,10 @@ def ingest_tick(spark: SparkSession, workdir: str, batch: DataFrame,
 
     n_kept = batch.count()
     if n_kept:
-        base.write(batch.select("doc_id", "text"), WriteOp.INSERT)
+        base.write(batch.select("doc_id", "text"), WriteOp.DEDUP_INSERT)
     n_indexed = maintain_dedup_index(base, index, md)
-    return {"in": n_in, "exact_dups": n_exact, "near_dups": n_near,
-            "kept": n_kept, "indexed": n_indexed}
+    return {"in": n_in, "batch_dups": n_batch_dups, "exact_dups": n_exact,
+            "near_dups": n_near, "kept": n_kept, "indexed": n_indexed}
 
 
 def main() -> None:

@@ -190,9 +190,11 @@ def pr_report(scored: DataFrame, label_col: str,
     classifier-filtered corpus pipeline has to set."""
     from pyspark.sql.window import Window as W
 
+    from marmaray_spark.operators import attach_scalar
+
     lo_hi = scored.groupBy().agg(
         F.min(logit_col).alias("_lo"), F.max(logit_col).alias("_hi"))
-    b = (scored.crossJoin(F.broadcast(lo_hi))
+    b = (attach_scalar(scored, lo_hi)
          .withColumn("_w", F.expr(
              f"greatest((_hi - _lo) div {int(n_buckets)}, 1L)"))
          .withColumn("bucket", F.expr(f"least(({logit_col} - _lo) div _w, "
@@ -204,10 +206,10 @@ def pr_report(scored: DataFrame, label_col: str,
     wdesc = (W.orderBy(F.col("bucket").desc())
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     total_pos = per.groupBy().agg(F.sum("pos").alias("_tpos"))
-    return (per
+    return (attach_scalar(
+            per
             .withColumn("tp", F.sum("pos").over(wdesc))
-            .withColumn("fp", F.sum("neg").over(wdesc))
-            .crossJoin(F.broadcast(total_pos))
+            .withColumn("fp", F.sum("neg").over(wdesc)), total_pos)
             .select(F.col("thr").alias("threshold_milli"),
                     (F.col("tp") + F.col("fp")).alias("predicted_pos"),
                     "tp", "fp",

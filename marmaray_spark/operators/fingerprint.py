@@ -108,9 +108,19 @@ def fingerprint_candidate_pairs(fps: DataFrame, id_col: str,
     bucket-join shape: one explode, one self-equi-join per fingerprint
     value, one pair-count agg; never all-pairs. By the winnowing
     guarantee, any two docs sharing a normalized substring of length
-    >= k + w - 1 appear here."""
-    ex = fps.select(F.col(id_col).alias("doc"),
-                    F.explode(fp_col).alias("fp"))
+    >= k + w - 1 appear here.
+
+    The (id, fingerprints) projection is persisted BEFORE the explode
+    (the lsh_candidate_pairs rule): a generator input drops out of
+    whole-stage codegen, and the self-join would otherwise re-derive
+    the full md5-per-gram + zip_with winnowing tree INTERPRETED in both
+    join branches. The persisted frame is rows x (id, ~2n/(w+1)
+    bigints) — small; it stays cached for the returned plan's lifetime
+    (same deliberate leak as lsh_candidate_pairs)."""
+    pre = fps.select(F.col(id_col).alias("doc"),
+                     F.col(fp_col).alias("__fp__")).persist()
+    pre.count()
+    ex = pre.select("doc", F.explode("__fp__").alias("fp"))
     left, right = ex.alias("l"), ex.alias("r")
     return (left.join(right, (F.col("l.fp") == F.col("r.fp"))
                       & (F.col("l.doc") < F.col("r.doc")))

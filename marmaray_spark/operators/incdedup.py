@@ -144,10 +144,14 @@ def partial_copies_against_index(batch: DataFrame, index_df: DataFrame,
     projection + one explode-equi-join + one pair-count agg."""
     from marmaray_spark.operators.fingerprint import winnow_fingerprints
 
+    # same barrier rule as near_dups_against_index: the winnowing
+    # expression stack under an explode generator evaluates interpreted
+    # — persist the batch-scale projection first
     fps = winnow_fingerprints(batch, id_col, text_col,
-                              fingerprint_k, fingerprint_w)
-    new_f = fps.select(F.col(id_col).alias("new_id"),
-                       F.explode("fingerprints").alias("fp"))
+                              fingerprint_k, fingerprint_w) \
+        .select(F.col(id_col).alias("new_id"), "fingerprints").persist()
+    fps.count()
+    new_f = fps.select("new_id", F.explode("fingerprints").alias("fp"))
     old_f = index_df.select(F.col(id_col).alias("old_id"),
                             F.explode("fingerprints").alias("fp"))
     if max_fingerprint_freq is not None:
@@ -155,11 +159,17 @@ def partial_copies_against_index(batch: DataFrame, index_df: DataFrame,
         old_f = (old_f.join(freq, "fp")
                  .filter(F.col("__n") <= max_fingerprint_freq)
                  .select("old_id", "fp"))
-    return (old_f.join(new_f, "fp")
-            .filter(F.col("old_id") != F.col("new_id"))
-            .groupBy("new_id", "old_id")
-            .agg(F.count(F.lit(1)).cast("int").alias("shared"))
-            .filter(F.col("shared") >= min_shared))
+    out = (old_f.join(new_f, "fp")
+           .filter(F.col("old_id") != F.col("new_id"))
+           .groupBy("new_id", "old_id")
+           .agg(F.count(F.lit(1)).cast("int").alias("shared"))
+           .filter(F.col("shared") >= min_shared))
+    # materialize the (pair-scale) result so the batch projection's
+    # cache blocks release NOW instead of leaking per tick
+    out = out.persist()
+    out.count()
+    fps.unpersist()
+    return out
 
 
 def index_bucket_stats(index_df: DataFrame,
@@ -267,9 +277,14 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
     # second barrier: the candidate set is consumed TWICE below — as the
     # verification join base and to derive the old-id semi-join set —
     # so without it the bucket join + distinct (+ cap window) re-runs
-    # per consumer. The frame is pair-id-scale — tiny.
+    # per consumer. The frame is pair-id-scale — tiny, and it is the
+    # ONLY cache entry a tick leaves behind: once it materializes, the
+    # batch projection has served its purpose and unpersists here, so a
+    # long-lived ingest loop accumulates pair-id-scale blocks, not
+    # batch-x-bucket ones.
     cand = cand.persist()
     cand.count()
+    proj.unpersist()
 
     shin = lambda df, idc, out: (df.withColumn("__w", words(text_col))
                                  .select(F.col(id_col).alias(idc),

@@ -44,8 +44,10 @@ def train_unigram_lm(docs: DataFrame, words_col: str,
     if vocab_size is not None:
         cnts = (cnts.orderBy(F.col("cnt").desc(), "term")
                 .limit(vocab_size))          # TakeOrdered, not a global sort
+    from marmaray_spark.operators import attach_scalar
+
     total = terms.groupBy().agg(F.count(F.lit(1)).alias("total"))
-    return (cnts.crossJoin(F.broadcast(total))
+    return (attach_scalar(cnts, total)
             .select("term", "cnt",
                     F.round(F.log(F.col("cnt") / F.col("total")) * 1000)
                     .cast("long").alias("logp_milli")))

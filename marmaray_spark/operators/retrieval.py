@@ -81,8 +81,9 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
              .join(n_docs_dl, "doc_id"))
     dfreq = document_frequencies(index)
 
-    scored = (index.join(dfreq, "term")
-              .crossJoin(F.broadcast(stats)))
+    from marmaray_spark.operators import attach_scalar
+
+    scored = attach_scalar(index.join(dfreq, "term"), stats)
     # all-double math, rounded once at the end — matches the SQL oracle
     idf = F.log((F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
@@ -109,7 +110,9 @@ def tfidf_scores(docs: DataFrame, query_terms: list[str],
     index = term_frequencies(docs, id_col, text_col) \
         .filter(F.col("term").isin(uniq))
     dfreq = document_frequencies(index)
-    scored = (index.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    from marmaray_spark.operators import attach_scalar
+
+    scored = (attach_scalar(index.join(dfreq, "term"), n_docs)
               .withColumn("s", F.col("tf")
                           * F.log(F.col("n_docs") / F.col("df"))))
     agg = (scored.groupBy("doc_id")

@@ -784,11 +784,18 @@ def cluster_quota_sample(corpus: DataFrame, centroids: list[list[int]],
         raise ValueError("quota must be >= 0")
     cids = list(range(len(centroids)))
     base = corpus.select(F.col(id_col), quantize(vec_col).alias("__v"))
+    # persist barrier: the cell assignment (a per-row dot against every
+    # centroid, or a full Arrow kernel pass) feeds THREE consumers —
+    # the histogram, the below-cutoff branch, and the cutoff-bucket
+    # branch; without the barrier Spark re-runs the assignment per
+    # consumer (the annindex/semantic_dedup persist-assigned
+    # convention). The frame is rows x (id, cell, 4 hex chars).
     cells = ivf_cells(base, [list(c) for c in centroids], cids,
                       id_col, "__v", 1, use_kernel) \
         .select(id_col, "cell",
                 F.expr(f"substring(md5(concat('{salt}:', "
-                       f"cast({id_col} as string))), 1, 4)").alias("__hx"))
+                       f"cast({id_col} as string))), 1, 4)").alias("__hx")) \
+        .persist()
     hist = cells.groupBy("cell", "__hx").agg(
         F.count(F.lit(1)).alias("__c"))
     wcum = (W2.partitionBy("cell").orderBy("__hx")

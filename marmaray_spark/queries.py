@@ -18,6 +18,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from marmaray_spark.operators import attach_scalar as _attach_scalar
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
@@ -152,7 +154,8 @@ def validate_required_keys_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  fields_to_convert=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
     res = conv.map(customer)
     errs = res.errors.groupBy().agg(F.count(F.lit(1)).alias("error_count"))
-    return res.valid.crossJoin(F.broadcast(errs))
+    from marmaray_spark.operators import attach_scalar
+    return attach_scalar(res.valid, errs)
 
 
 @register(
@@ -589,7 +592,7 @@ def table_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (changes.join(incremental, ["user_id", "event_id"], "left")
             .withColumn("in_incremental", F.coalesce(F.col("__inc"), F.lit(False)))
             .drop("__inc")
-            .crossJoin(F.broadcast(n_inc)))
+            .transform(lambda d: _attach_scalar(d, n_inc)))
 
 
 @register(
@@ -1315,7 +1318,7 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"),
                                    F.sum("tf").alias("cnt"))
     total = stats.groupBy().agg(F.sum("cnt").alias("total"))
-    lmm = (stats.crossJoin(F.broadcast(total))
+    lmm = (_attach_scalar(stats, total)
            .select("term", "df",
                    F.round(F.log(F.col("cnt") / F.col("total")) * 1000)
                    .cast("long").alias("logp_milli")))

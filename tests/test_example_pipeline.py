@@ -9,7 +9,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 
 from parquet_to_table_pipeline import build_dag  # noqa: E402
 
-from marmaray_spark.sinks.table import TableSink  # noqa: E402
+from marmaray_spark.sinks.table import TableSink, WriteOp  # noqa: E402
 
 
 def test_example_ingests_one_partition_per_run(spark, tmp_path):
@@ -54,30 +54,51 @@ def test_incremental_ingest_dedup_example(spark, tmp_path):
         [(1, "a truly original first document"),
          (2, "the second document differs entirely"),
          (3, "third content here")]))
-    assert r1 == {"in": 3, "exact_dups": 0, "near_dups": 0,
-                  "kept": 3, "indexed": 3}
+    assert r1 == {"in": 3, "batch_dups": 0, "exact_dups": 0,
+                  "near_dups": 0, "kept": 3, "indexed": 3}
 
-    # tick 2: one exact replay under a new id, one case/spacing variant
-    # (exact digest differs, token shingles identical -> near dup), one new
+    # tick 2: an IN-BATCH duplicate pair (min id keeps), one exact
+    # replay under a new id, one case/spacing variant (exact digest
+    # differs, token shingles identical -> near dup), one new
     r2 = ingest_tick(spark, wd, docs(
-        [(10, "a truly original first document"),
+        [(9, "both arrived in one tick"),
+         (13, "both arrived in one tick"),
+         (10, "a truly original first document"),
          (11, "the second document differs  ENTIRELY"),
          (12, "completely fresh fourth text")]))
-    assert r2 == {"in": 3, "exact_dups": 1, "near_dups": 1,
-                  "kept": 1, "indexed": 1}
+    assert r2 == {"in": 5, "batch_dups": 1, "exact_dups": 1,
+                  "near_dups": 1, "kept": 2, "indexed": 2}
 
     t = TableSink(spark, os.path.join(wd, "corpus"), "doc_id")
     kept = t.read()
-    assert kept.count() == 4
+    assert kept.count() == 5
     assert kept.count() == kept.select("text").distinct().count()
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 9, 12}
 
     # replaying the rejected doc (crash-recovery / re-delivery shape):
     # still an exact dup, corpus and index unchanged
     r3 = ingest_tick(spark, wd, docs(
         [(10, "a truly original first document")]))
-    assert r3 == {"in": 1, "exact_dups": 1, "near_dups": 0,
-                  "kept": 0, "indexed": 0}
-    assert t.read().count() == 4
+    assert r3 == {"in": 1, "batch_dups": 0, "exact_dups": 1,
+                  "near_dups": 0, "kept": 0, "indexed": 0}
+    assert t.read().count() == 5
+
+    # crash BETWEEN the corpus write and index maintenance: the corpus
+    # commit landed, the index is stale. Replaying the tick must not
+    # duplicate rows — the probes miss (stale index) but DEDUP_INSERT
+    # key-filters the survivors (this is why the write is not INSERT)
+    from marmaray_spark.operators.pii import corpus_hygiene
+    crashed = corpus_hygiene(
+        docs([(20, "written then crashed before maintenance")]),
+        "text").select("doc_id", "text")
+    TableSink(spark, os.path.join(wd, "corpus"), "doc_id").write(
+        crashed, WriteOp.DEDUP_INSERT)
+    r4 = ingest_tick(spark, wd, docs(
+        [(20, "written then crashed before maintenance")]))
+    assert r4["exact_dups"] == 0            # stale index missed it
+    assert t.read().count() == 6            # but no duplicate row
+    assert t.read().filter("doc_id = 20").count() == 1
+    assert r4["indexed"] >= 1               # maintenance caught up
 
 
 def test_streaming_ingest_dedup_loop(spark, tmp_path):
