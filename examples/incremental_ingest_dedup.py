@@ -34,6 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from marmaray_spark.metadata.manager import FileSystemMetadataManager  # noqa: E402
 from marmaray_spark.operators.incdedup import (  # noqa: E402
     exact_dups_against_index,
+    index_bucket_stats,
     maintain_dedup_index,
     near_dups_against_index,
 )
@@ -76,9 +77,15 @@ def ingest_tick(spark: SparkSession, workdir: str, batch: DataFrame,
         drop = exact.select(F.col("new_id").alias("doc_id"))
         n_exact = drop.count()
         batch = batch.join(drop, "doc_id", "left_anti")
+        # production posture: BOTH hot-bucket guards on — the width
+        # stats would be maintained once per maintenance cycle in a
+        # long-lived loop; computing them per tick is still bounded
+        # (one bucket-cardinality aggregate)
+        stats = index_bucket_stats(idx)
         near = near_dups_against_index(
             batch, idx, base.read(), threshold_bps=near_threshold_bps,
-            max_candidates_per_doc=max_candidates_per_doc)
+            max_candidates_per_doc=max_candidates_per_doc,
+            max_index_bucket_width=64, bucket_stats=stats)
         drop_near = near.select(F.col("new_id").alias("doc_id")).distinct()
         n_near = drop_near.count()
         batch = batch.join(drop_near, "doc_id", "left_anti")
