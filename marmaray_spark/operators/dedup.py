@@ -452,3 +452,54 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, words_col: str,
                     F.size("__kept").cast("int").alias("kept_tokens"),
                     F.size("__starts").cast("int").alias("n_dup_starts"),
                     F.concat_ws(" ", F.col("__kept")).alias("cleaned_text")))
+
+
+def remove_duplicate_paragraphs(df: DataFrame, id_col: str,
+                                paras_col: str, sep: str = "\n") -> DataFrame:
+    """Corpus-wide paragraph dedup with reconstruction: every paragraph
+    keeps exactly its FIRST occurrence — smallest (doc id, position)
+    across the whole corpus — and is removed everywhere else; documents
+    are rebuilt from their surviving paragraphs in order. The
+    paragraph-granularity pre-pass (repeated boilerplate headers,
+    navigation blocks, license footers) that several published corpus
+    pipelines run before any document-level dedup.
+
+    Input: (id, array<string>) — the caller decides what a "paragraph"
+    is (split on blank lines, a line grid, sentence spans). Returns
+    (id, n_paras, kept_paras, cleaned_text) for every input row
+    (``''`` when everything was duplicated elsewhere first).
+
+    Scale shape: one shuffle on the paragraph DIGEST (the min-first-key
+    groupBy, whose hash partitioning the occurrence join reuses), one
+    doc-scale groupBy to reassemble, one join back. First-occurrence
+    keys pack as ``id * 2^20 + position`` so MIN is one bigint
+    aggregate — documents must stay under ~1M paragraphs. A boilerplate
+    paragraph shared by half the corpus is a hot join key; both join
+    children are plain scan->shuffle stages, exactly the shape AQE's
+    OptimizeSkewedJoin splits (the measured smj_hot_key case in
+    tools/stress_skew.py).
+
+    Reference contract: beyond uber/marmaray (no text surface); the
+    Lee et al. 2022 dedup family at paragraph granularity, complementing
+    remove_duplicate_spans (token windows) above."""
+    ex = (df.select(F.col(id_col),
+                    F.posexplode(F.col(paras_col)).alias("__p0", "para"))
+          .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "para"))
+    keyed = (ex.withColumn("__pd", F.md5("para"))
+             .withColumn("__pk", F.col(id_col) * F.lit(1 << 20)
+                         + F.col("pos")))
+    first = keyed.groupBy("__pd").agg(F.min("__pk").alias("__fpk"))
+    kept = (keyed.join(first, "__pd")
+            .filter(F.col("__pk") == F.col("__fpk")))
+    rec = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("__kept_n"),
+        F.concat_ws(sep, F.expr(
+            "transform(sort_array(collect_list(struct(pos, para))), "
+            "x -> x.para)")).alias("__txt"))
+    return (df.join(rec, id_col, "left")
+            .select(F.col(id_col),
+                    F.size(paras_col).cast("int").alias("n_paras"),
+                    F.coalesce(F.col("__kept_n"), F.lit(0)).cast("int")
+                    .alias("kept_paras"),
+                    F.coalesce(F.col("__txt"), F.lit(""))
+                    .alias("cleaned_text")))

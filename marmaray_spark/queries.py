@@ -1589,6 +1589,24 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, COUNT(*) AS kept_n,
              string_agg(tok, ' ' ORDER BY p) AS txt
       FROM keptt GROUP BY doc_id
+    ), plin AS (
+      SELECT doc_id, {_SQL_C4_LINES} AS lines FROM t
+    ), pex AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(lines))) AS pos,
+             unnest(lines) AS para
+      FROM plin
+    ), pfirst AS (
+      SELECT md5(para) AS pd, MIN(doc_id * 1048576 + pos) AS fpk
+      FROM pex GROUP BY md5(para)
+    ), pkept AS (
+      SELECT pex.doc_id, pex.pos, pex.para
+      FROM pex JOIN pfirst ON md5(pex.para) = pfirst.pd
+      WHERE pex.doc_id * 1048576 + pex.pos = pfirst.fpk
+    ), prec AS (
+      SELECT doc_id, COUNT(*) AS kept_n,
+             string_agg(para, chr(10) ORDER BY pos) AS txt
+      FROM pkept GROUP BY doc_id
     ), fpnorm AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
       FROM documents
@@ -1633,6 +1651,14 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(f) AS BIGINT) AS n2,
            CAST(NULL AS BIGINT) AS n3
     FROM fp
+    UNION ALL
+    SELECT 'paras' AS section,
+           CAST(p.doc_id AS VARCHAR) || ':'
+             || md5(coalesce(r.txt, '')) AS k,
+           CAST(len(p.lines) AS BIGINT) AS n1,
+           CAST(coalesce(r.kept_n, 0) AS BIGINT) AS n2,
+           CAST(NULL AS BIGINT) AS n3
+    FROM plin p LEFT JOIN prec r USING (doc_id)
     """,
 )
 def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1661,9 +1687,17 @@ def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
       gram md5 hashes, window-4 minima, distinct sorted — the whole
       fingerprint SET hash-checked per document (md5 of the joined
       values rides the key).
+    - section 'paras': corpus-wide PARAGRAPH dedup with reconstruction
+      (operators/dedup.py remove_duplicate_paragraphs): over the same
+      deterministic line grid doc_quality_gates uses (the synthetic
+      docs carry no newlines), every line keeps exactly its first
+      (doc, position) occurrence corpus-wide; the rebuilt text is
+      hash-checked. The heavily near-duplicated synthetic corpus makes
+      whole lines collide for real.
     """
     from marmaray_spark.operators.dedup import (duplicated_window_stats,
                                                 exact_dedup,
+                                                remove_duplicate_paragraphs,
                                                 remove_duplicate_spans)
     from marmaray_spark.operators.fingerprint import winnow_fingerprints
 
@@ -1703,7 +1737,23 @@ def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_grams").cast("long").alias("n1"),
                 F.col("n_fingerprints").cast("long").alias("n2"),
                 F.lit(None).cast("long").alias("n3")))
-    return digest.unionByName(spans).unionByName(cleaned).unionByName(fp)
+    lined = _with_words(load(spark, sf_dir, "documents")).withColumn(
+        "lines", F.expr("""
+        transform(
+          sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),
+          i -> concat(
+            concat_ws(' ', slice(w, i*8+1, 8)),
+            IF((doc_id + i) % 7 = 0, ' javascript', ''),
+            IF((doc_id + i) % 4 != 0, '.', '')))"""))
+    paras = (remove_duplicate_paragraphs(lined, "doc_id", "lines")
+             .select(F.lit("paras").alias("section"),
+                     F.concat_ws(":", F.col("doc_id").cast("string"),
+                                 F.md5("cleaned_text")).alias("k"),
+                     F.col("n_paras").cast("long").alias("n1"),
+                     F.col("kept_paras").cast("long").alias("n2"),
+                     F.lit(None).cast("long").alias("n3")))
+    return (digest.unionByName(spans).unionByName(cleaned)
+            .unionByName(fp).unionByName(paras))
 
 
 _SQL_SHINGLES = (

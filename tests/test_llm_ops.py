@@ -1505,6 +1505,59 @@ def test_winnow_fingerprints_hypothesis_parity(spark):
     run()
 
 
+def test_remove_duplicate_paragraphs_first_occurrence_wins(spark):
+    from marmaray_spark.operators.dedup import remove_duplicate_paragraphs
+
+    docs = spark.createDataFrame([
+        (1, ["header", "unique one", "footer"]),
+        (2, ["header", "unique two", "footer"]),   # header/footer removed
+        (3, ["header", "header"]),                 # fully duplicated
+        (4, []),                                   # empty doc
+    ], "id long, paras array<string>")
+    got = {r["id"]: r for r in
+           remove_duplicate_paragraphs(docs, "id", "paras").collect()}
+    assert got[1]["cleaned_text"] == "header\nunique one\nfooter"
+    assert got[2]["cleaned_text"] == "unique two"
+    assert got[3]["cleaned_text"] == ""            # doc 1 owns 'header'
+    assert got[4]["cleaned_text"] == "" and got[4]["n_paras"] == 0
+    assert (got[2]["n_paras"], got[2]["kept_paras"]) == (3, 1)
+
+
+def test_remove_duplicate_paragraphs_within_doc_repeat(spark):
+    """A paragraph repeated INSIDE one doc keeps only its first
+    position; order is preserved in the rebuilt text."""
+    from marmaray_spark.operators.dedup import remove_duplicate_paragraphs
+
+    docs = spark.createDataFrame(
+        [(7, ["a", "b", "a", "c", "b", "d"])], "id long, paras array<string>")
+    got = remove_duplicate_paragraphs(docs, "id", "paras").collect()[0]
+    assert got["cleaned_text"] == "a\nb\nc\nd"
+    assert got["n_paras"] == 6 and got["kept_paras"] == 4
+
+
+def test_remove_duplicate_paragraphs_matches_bruteforce(spark):
+    import random
+
+    from marmaray_spark.operators.dedup import remove_duplicate_paragraphs
+
+    rng = random.Random(41)
+    vocab = [f"p{i}" for i in range(9)]
+    corpus = {d: [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+              for d in range(30)}
+    docs = spark.createDataFrame(
+        [(d, p) for d, p in corpus.items()], "id long, paras array<string>")
+    first = {}
+    for d in sorted(corpus):
+        for i, p in enumerate(corpus[d]):
+            first.setdefault(p, (d, i))
+    want = {d: "\n".join(p for i, p in enumerate(ps)
+                         if first[p] == (d, i))
+            for d, ps in corpus.items()}
+    got = {r["id"]: r["cleaned_text"] for r in
+           remove_duplicate_paragraphs(docs, "id", "paras").collect()}
+    assert got == want
+
+
 def test_remove_duplicate_spans_matches_bruteforce(spark):
     """Randomized parity vs the per-token-coverage reference, including
     overlapping and adjacent spans, within-doc repeats, and the
