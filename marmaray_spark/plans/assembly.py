@@ -85,6 +85,13 @@ def _corpus_stages(config: Configuration):
     qmin = (config.get_int("corpus.quality_min", -1)
             if (config.get("corpus.quality_min") or "") != "" else None)
     gopher = config.get_bool("corpus.gopher_gate", False)
+    do_norm = config.get_bool("corpus.normalize", False)
+    comp_lo = (config.get_int("corpus.compression_min_bps", 0)
+               if (config.get("corpus.compression_min_bps") or "") != ""
+               else None)
+    comp_hi = (config.get_int("corpus.compression_max_bps", 10000)
+               if (config.get("corpus.compression_max_bps") or "") != ""
+               else None)
     do_dedup = config.get_bool("corpus.exact_dedup", False)
     pct = (config.get_float("corpus.sample_pct", 100.0)
            if (config.get("corpus.sample_pct") or "") != "" else None)
@@ -92,6 +99,29 @@ def _corpus_stages(config: Configuration):
     keep = config.get_int("corpus.mix_keep_bps", 2000)
 
     stages = []
+    if do_norm:
+        # FIRST, before anything hashes or gates: render-identical
+        # crawl variants (NFKC / case) must be canonical before the
+        # digest dedup below can merge them
+        def norm_stage(df):
+            from marmaray_spark.operators.text import normalize_text
+            return normalize_text(df, text_col)
+        stages.append(norm_stage)
+    if comp_lo is not None or comp_hi is not None:
+        def comp_gate(df, _lo=comp_lo, _hi=comp_hi):
+            from marmaray_spark.operators.text import compression_signals
+            # the signal pass and the semi-join both consume df
+            df = df.persist()
+            pinned.append(df)
+            sig = compression_signals(df, id_col, text_col)
+            cond = F.lit(True)
+            if _lo is not None:
+                cond = cond & (F.col("ratio_bps") >= _lo)
+            if _hi is not None:
+                cond = cond & (F.col("ratio_bps") <= _hi)
+            keep_ids = sig.filter(cond).select(id_col)
+            return df.join(keep_ids, id_col, "left_semi")
+        stages.append(comp_gate)
     if qmin is not None or gopher:
         def gate(df, _q=qmin, _g=gopher):
             # NOTE: PushDownPredicate will substitute words() into the

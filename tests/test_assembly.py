@@ -145,3 +145,40 @@ def test_yaml_corpus_pipeline_stages(spark, documents, tmp_path):
     got = sorted(r["doc_id"] for r in t.read().select("doc_id").collect())
     want = sorted(r["doc_id"] for r in expected.select("doc_id").collect())
     assert got == want and 0 < len(got) < documents.count()
+
+
+def test_yaml_corpus_normalize_and_compression_stages(spark, tmp_path):
+    """corpus.normalize runs FIRST (so the digest dedup merges
+    NFKC/case variants) and corpus.compression_{min,max}_bps gates by
+    zlib ratio — both from YAML alone, matching direct operator calls."""
+    src = tmp_path / "nsrc"
+    rows = [
+        (1, "Café Mixture of Words here"),      # composed
+        (2, "café mixture of words HERE"),     # decomposed + case
+        (3, "spam ham " * 300),                      # hyper-compressible
+        (4, "an ordinary single document body"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(src))
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "norm_job"},
+        "source": {"type": "parquet", "path": str(src)},
+        "corpus": {"text_col": "text", "id_col": "doc_id",
+                   "normalize": True, "compression_min_bps": 1500,
+                   "exact_dedup": True},
+        "sink": {"type": "table", "path": str(tmp_path / "norm_table"),
+                 "record_key": "doc_id", "op": "insert"},
+        "checkpoints": {"path": str(tmp_path / "ckn")},
+    })
+    p = tmp_path / "norm.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+
+    t = TableSink(spark, tmp_path / "norm_table", record_key_field="doc_id")
+    kept = {r["doc_id"]: r["text"] for r in t.read().collect()}
+    # 1 and 2 normalize to the same text -> digest dedup keeps min id;
+    # 3 fails the compression floor; 4 passes untouched (lowercased)
+    assert set(kept) == {1, 4}
+    assert kept[1] == "café mixture of words here"
+    assert kept[4] == "an ordinary single document body"
