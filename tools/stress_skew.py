@@ -264,6 +264,20 @@ def main() -> None:
         spark)
     index_df.unpersist()
 
+    # paragraph dedup where ONE paragraph digest carries ~30% of all
+    # occurrences (the boilerplate docs' line grid repeats corpus-wide):
+    # the occurrence join's hot key is the case AQE's skew split handles
+    # (both children plain scan->shuffle); reassembly groups by doc —
+    # uniform by construction
+    from marmaray_spark.operators.dedup import remove_duplicate_paragraphs
+    lined = docs_slice.withColumn("lines", F.expr(
+        "transform(sequence(0, cast(ceil(size(w) / 8.0) as int) - 1), "
+        "i -> concat_ws(' ', slice(w, i*8+1, 8)))"))
+    results["paragraph_dedup_boilerplate_20pct"] = run(
+        "paragraph_dedup_boilerplate_20pct",
+        lambda: int(remove_duplicate_paragraphs(lined, "doc_id", "lines")
+                    .agg(F.sum("kept_paras")).collect()[0][0]), spark)
+
     print(json.dumps({"sf": "skew-sf1", **{k: {kk: vv for kk, vv in v.items()}
                                            for k, v in results.items()}}))
     spark.stop()
