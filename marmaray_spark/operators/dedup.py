@@ -471,9 +471,13 @@ def remove_duplicate_paragraphs(df: DataFrame, id_col: str,
 
     Scale shape: one shuffle on the paragraph DIGEST (the min-first-key
     groupBy, whose hash partitioning the occurrence join reuses), one
-    doc-scale groupBy to reassemble, one join back. First-occurrence
-    keys pack as ``id * 2^20 + position`` so MIN is one bigint
-    aggregate — documents must stay under ~1M paragraphs. A boilerplate
+    doc-scale groupBy to reassemble, one join back. The first-occurrence
+    key is ``min(struct(id, pos))`` — struct MIN compares fields
+    lexicographically, so it is one map-side-combinable aggregate with
+    NO packing arithmetic (an earlier ``id * 2^20 + pos`` form silently
+    overflowed 64-bit hashed doc ids and int32 ids >= 2^43/2^11 in
+    non-ANSI mode, picking a non-first keeper). Works for any numeric
+    or string id type and any paragraph count. A boilerplate
     paragraph shared by half the corpus is a hot join key; both join
     children are plain scan->shuffle stages, exactly the shape AQE's
     OptimizeSkewedJoin splits (the measured smj_hot_key case in
@@ -485,12 +489,13 @@ def remove_duplicate_paragraphs(df: DataFrame, id_col: str,
     ex = (df.select(F.col(id_col),
                     F.posexplode(F.col(paras_col)).alias("__p0", "para"))
           .select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "para"))
-    keyed = (ex.withColumn("__pd", F.md5("para"))
-             .withColumn("__pk", F.col(id_col) * F.lit(1 << 20)
-                         + F.col("pos")))
-    first = keyed.groupBy("__pd").agg(F.min("__pk").alias("__fpk"))
+    keyed = ex.withColumn("__pd", F.md5("para"))
+    first = keyed.groupBy("__pd").agg(
+        F.min(F.struct(F.col(id_col).alias("fid"),
+                       F.col("pos").alias("fpos"))).alias("__f"))
     kept = (keyed.join(first, "__pd")
-            .filter(F.col("__pk") == F.col("__fpk")))
+            .filter((F.col(id_col) == F.col("__f.fid"))
+                    & (F.col("pos") == F.col("__f.fpos"))))
     rec = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("__kept_n"),
         F.concat_ws(sep, F.expr(

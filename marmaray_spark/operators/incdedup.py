@@ -76,6 +76,62 @@ def dedup_projection(df: DataFrame, id_col: str = "doc_id",
     return out.select(*cols)
 
 
+# The projection parameters an index was maintained with ARE its
+# identity: a probe re-deriving batch buckets/fingerprints under
+# different bands/rows_per_band/sig_k/shingle_width/fingerprint_* never
+# matches any index hash and silently returns ZERO candidates — the
+# worst dedup failure mode (looks like "no duplicates"). Every
+# maintenance commit therefore stamps the resolved params into the index
+# table's commit metadata, and probes validate explicit arguments
+# against (or default missing ones from) ``index_projection_params``.
+_PROJ_DEFAULTS: dict = {"bands": 8, "rows_per_band": 2,
+                        "shingle_width": 3, "sig_k": 16,
+                        "fingerprint_k": None, "fingerprint_w": 4}
+_META_PREFIX = "dedup_index."
+
+
+def projection_commit_meta(**proj_kw) -> dict[str, str]:
+    """The commit-metadata stamp for ``maintain_dedup_index``: the fully
+    resolved projection params (explicit kwargs over defaults), string
+    valued per the Commit.metadata contract."""
+    unknown = set(proj_kw) - set(_PROJ_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown projection params: {sorted(unknown)}")
+    p = dict(_PROJ_DEFAULTS)
+    p.update(proj_kw)
+    return {_META_PREFIX + k: str(v) for k, v in p.items()}
+
+
+def index_projection_params(index) -> dict | None:
+    """Read the projection params recorded by ``maintain_dedup_index``
+    from the index TableSink's latest commit metadata; None when the
+    index predates param stamping (probes then fall back to their own
+    arguments, the pre-stamp behavior)."""
+    meta = index.log.latest_metadata()
+    out = {}
+    for k in _PROJ_DEFAULTS:
+        v = meta.get(_META_PREFIX + k)
+        if v is not None:
+            out[k] = None if v == "None" else int(v)
+    return out or None
+
+
+def _resolve_param(name: str, given, index_params: dict | None):
+    """Explicit argument validated against the recorded value; missing
+    argument defaults from the record, else the module default."""
+    if index_params and name in index_params:
+        rec = index_params[name]
+        if given is not None and given != rec:
+            raise ValueError(
+                f"probe called with {name}={given} but the index was "
+                f"maintained with {name}={rec}: bucket/fingerprint "
+                f"hashes would never match (silent zero recall). Drop "
+                f"the argument to default from the index, or re-maintain "
+                f"the index with the new parameters.")
+        return rec
+    return _PROJ_DEFAULTS[name] if given is None else given
+
+
 def maintain_dedup_index(base, index, metadata, id_col: str = "doc_id",
                          text_col: str = "text",
                          checkpoint_key: str = "dedup_index.last_commit",
@@ -83,13 +139,25 @@ def maintain_dedup_index(base, index, metadata, id_col: str = "doc_id",
     """Advance the dedup-state table by the corpus table's new commits;
     returns rows (re)projected. ``base``/``index``: TableSinks, the
     index keyed by ``id_col``. Exactly-once, latest-version collapse,
-    and overwrite-drop handling all ride maintain_projection."""
+    and overwrite-drop handling all ride maintain_projection. Each
+    commit stamps the resolved projection params into the index's
+    commit metadata (see ``index_projection_params``)."""
     from marmaray_spark.operators.maintained import maintain_projection
 
+    recorded = index_projection_params(index)
+    meta_kv = projection_commit_meta(**proj_kw)
+    if recorded is not None:
+        stamped = {_META_PREFIX + k: str(v) for k, v in recorded.items()}
+        if stamped != meta_kv:
+            raise ValueError(
+                f"index at {index.table_path} was maintained with "
+                f"{recorded}; re-maintaining it with different projection "
+                f"params would mix incompatible hashes — rebuild the "
+                f"index instead")
     return maintain_projection(
         base, index, metadata, [id_col, text_col], id_col,
         lambda df: dedup_projection(df, id_col, text_col, **proj_kw),
-        checkpoint_key, max_commits)
+        checkpoint_key, max_commits, commit_meta=meta_kv)
 
 
 def exact_dups_against_index(batch: DataFrame, index_df: DataFrame,
@@ -121,9 +189,10 @@ def partial_copies_against_index(batch: DataFrame, index_df: DataFrame,
                                  id_col: str = "doc_id",
                                  text_col: str = "text",
                                  min_shared: int = 2,
-                                 fingerprint_k: int = 5,
-                                 fingerprint_w: int = 4,
-                                 max_fingerprint_freq: int | None = None
+                                 fingerprint_k: int | None = None,
+                                 fingerprint_w: int | None = None,
+                                 max_fingerprint_freq: int | None = None,
+                                 index_params: dict | None = None
                                  ) -> DataFrame:
     """(new_id, old_id, shared): batch documents sharing >= ``min_shared``
     winnowing fingerprints with EXISTING corpus documents — the
@@ -141,8 +210,27 @@ def partial_copies_against_index(batch: DataFrame, index_df: DataFrame,
     and is exactly the hot join key that would make the probe
     O(batch_boiler x index_boiler). One frequency aggregate at
     fingerprint cardinality; scale shape otherwise = one batch
-    projection + one explode-equi-join + one pair-count agg."""
+    projection + one explode-equi-join + one pair-count agg.
+
+    ``index_params`` (from ``index_projection_params``): validates /
+    defaults ``fingerprint_k``/``fingerprint_w`` exactly like
+    ``near_dups_against_index`` — and fails fast when the index was
+    maintained WITHOUT fingerprints (every probe would return empty)."""
     from marmaray_spark.operators.fingerprint import winnow_fingerprints
+
+    if index_params is not None \
+            and index_params.get("fingerprint_k") is None:
+        raise ValueError(
+            "index was maintained without fingerprints "
+            "(fingerprint_k=None) — partial-copy probes against it "
+            "always return empty; re-maintain with fingerprint_k set")
+    if index_params and index_params.get("fingerprint_k") is not None:
+        fingerprint_k = _resolve_param("fingerprint_k", fingerprint_k,
+                                       index_params)
+    elif fingerprint_k is None:
+        fingerprint_k = 5
+    fingerprint_w = _resolve_param("fingerprint_w", fingerprint_w,
+                                   index_params)
 
     # same barrier rule as near_dups_against_index: the winnowing
     # expression stack under an explode generator evaluates interpreted
@@ -192,12 +280,14 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
                             corpus: DataFrame,
                             id_col: str = "doc_id", text_col: str = "text",
                             threshold_bps: int = 5000,
-                            shingle_width: int = 3,
-                            bands: int = 8, rows_per_band: int = 2,
-                            sig_k: int = 16,
+                            shingle_width: int | None = None,
+                            bands: int | None = None,
+                            rows_per_band: int | None = None,
+                            sig_k: int | None = None,
                             max_candidates_per_doc: int | None = None,
                             max_index_bucket_width: int | None = None,
-                            bucket_stats: DataFrame | None = None
+                            bucket_stats: DataFrame | None = None,
+                            index_params: dict | None = None
                             ) -> DataFrame:
     """(new_id, old_id, inter, union_sz, jaccard_bps, containment_bps):
     batch documents near-duplicating EXISTING corpus documents — LSH
@@ -241,7 +331,20 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
     (band, bucket) aggregate over the index — pass ``bucket_stats``
     (from ``index_bucket_stats``, persisted once per MAINTENANCE
     cycle) so ticks don't re-pay it; left None, the aggregate runs
-    inline and costs about what it saves at this local scale."""
+    inline and costs about what it saves at this local scale.
+
+    ``index_params`` (from ``index_projection_params(index)``): the
+    projection params the index was maintained with. Explicit
+    ``bands``/``rows_per_band``/``sig_k``/``shingle_width`` arguments
+    are validated against it (mismatch raises — the alternative is a
+    silent zero-candidate probe); omitted ones default FROM it, so the
+    recommended call passes ``index_params`` and no hashing knobs."""
+    shingle_width = _resolve_param("shingle_width", shingle_width,
+                                   index_params)
+    bands = _resolve_param("bands", bands, index_params)
+    rows_per_band = _resolve_param("rows_per_band", rows_per_band,
+                                   index_params)
+    sig_k = _resolve_param("sig_k", sig_k, index_params)
     # persist the batch projection BEFORE the explode — a generator
     # input drops out of whole-stage codegen, so without the barrier the
     # full minhash tree evaluates INTERPRETED per row (the
@@ -261,8 +364,16 @@ def near_dups_against_index(batch: DataFrame, index_df: DataFrame,
     if max_index_bucket_width is not None:
         stats = (bucket_stats if bucket_stats is not None
                  else index_bucket_stats(index_df, id_col))
-        old_b = (old_b.join(stats, ["band", "bucket"])
-                 .filter((F.col("__w") <= max_index_bucket_width)
+        # LEFT join + missing-stats => width 1 (always kept): callers
+        # legitimately pass stats persisted at the LAST maintenance
+        # cycle, so buckets of documents indexed since then are absent
+        # from stats — an inner join would silently drop those index
+        # rows and make freshly-ingested docs UNDETECTABLE as near-dups
+        # (worse than uncapped). A just-created bucket cannot be hot
+        # yet; treating it as width 1 keeps it until stats refresh.
+        old_b = (old_b.join(stats, ["band", "bucket"], "left")
+                 .filter((F.coalesce(F.col("__w"), F.lit(1))
+                          <= max_index_bucket_width)
                          | (F.col("old_id") == F.col("__anchor")))
                  .select("old_id", "band", "bucket"))
     cand = (old_b.join(new_b, ["band", "bucket"])

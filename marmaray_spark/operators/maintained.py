@@ -81,7 +81,8 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
 
 def maintain_projection(base, derived, metadata, cols: list[str],
                         id_col: str, project, checkpoint_key: str,
-                        max_commits: int | None = None) -> int:
+                        max_commits: int | None = None,
+                        commit_meta: dict[str, str] | None = None) -> int:
     """Keep ``derived == project(base)`` true across the base table's
     commit stream, for any per-row projection ``project(df) ->
     DataFrame`` that (a) keys its output by ``id_col`` and (b) derives
@@ -104,7 +105,13 @@ def maintain_projection(base, derived, metadata, cols: list[str],
     re-UPSERTs identical rows, so crash-replay is idempotent. Cost
     follows the change volume — except key-dropping overwrites, which
     pay one derived-table rewrite (overwrite-heavy bases should rebuild
-    wholesale instead)."""
+    wholesale instead).
+
+    ``commit_meta``: stamped onto every derived-table commit (the
+    HoodieSink commit-with-extra-metadata leg) — callers record the
+    PROJECTION PARAMETERS here so probes can validate against (or
+    default from) ``derived.log.latest_metadata()`` instead of silently
+    probing with mismatched hashing."""
     from marmaray_spark.sinks.table import WriteOp
 
     latest, affected = consume_latest(base, metadata, cols, id_col,
@@ -126,9 +133,9 @@ def maintain_projection(base, derived, metadata, cols: list[str],
                 .unionByName(projected.select(id_col))
             survivors = derived.read().join(gone, id_col, "left_anti")
             derived.write(survivors.unionByName(projected),
-                          WriteOp.INSERT_OVERWRITE)
+                          WriteOp.INSERT_OVERWRITE, metadata=commit_meta)
         elif n:
-            derived.write(projected, WriteOp.UPSERT)
+            derived.write(projected, WriteOp.UPSERT, metadata=commit_meta)
     finally:
         projected.unpersist()
     metadata.save_changes()

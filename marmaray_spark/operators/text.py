@@ -494,7 +494,11 @@ def compression_signals(df, id_col: str, text_col: str = "text",
     BETWEEN gates never see a divide-by-zero null."""
     import pyspark.sql.functions as _F
 
-    out_schema = (f"{id_col} long, n_bytes int, zlib_bytes int, "
+    # the id column keeps ITS OWN type (string doc ids are common; a
+    # hardcoded `long` here turned a YAML corpus.id_col choice into a
+    # mid-run Arrow conversion error)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, n_bytes int, zlib_bytes int, "
                   f"ratio_bps int")
     base = df.select(_F.col(id_col), _F.col(text_col).alias("__t"))
 

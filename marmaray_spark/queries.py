@@ -1597,12 +1597,12 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(lines) AS para
       FROM plin
     ), pfirst AS (
-      SELECT md5(para) AS pd, MIN(doc_id * 1048576 + pos) AS fpk
+      SELECT md5(para) AS pd, MIN(ROW(doc_id, pos)) AS f
       FROM pex GROUP BY md5(para)
     ), pkept AS (
       SELECT pex.doc_id, pex.pos, pex.para
       FROM pex JOIN pfirst ON md5(pex.para) = pfirst.pd
-      WHERE pex.doc_id * 1048576 + pex.pos = pfirst.fpk
+      WHERE ROW(pex.doc_id, pex.pos) = pfirst.f
     ), prec AS (
       SELECT doc_id, COUNT(*) AS kept_n,
              string_agg(para, chr(10) ORDER BY pos) AS txt

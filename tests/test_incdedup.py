@@ -283,3 +283,78 @@ def test_near_probe_index_bucket_star_anchors_hot_buckets(spark, tmp_path):
     pre = near_dups_against_index(batch, index.read(), base.read(),
                                   bucket_stats=stats, **kw).collect()
     assert {(r["new_id"], r["old_id"]) for r in pre} == got
+
+
+def test_near_probe_stale_stats_keep_freshly_indexed_buckets(spark, tmp_path):
+    """Regression (r7 advice): bucket_stats persisted at the LAST
+    maintenance cycle lack the buckets of docs indexed since; the stats
+    join must be a LEFT join treating missing width as 1 (kept), not an
+    inner join that silently makes fresh corpus docs undetectable."""
+    from marmaray_spark.operators.incdedup import index_bucket_stats
+
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    base.write(_docs(spark, CORPUS), WriteOp.INSERT)
+    maintain_dedup_index(base, index, md)
+
+    # stats snapshot BEFORE the next maintenance cycle (plan pins the
+    # current index files — the documented persisted-stats usage)
+    stale = index_bucket_stats(index.read())
+    stale = spark.createDataFrame(stale.collect(), stale.schema)
+
+    base.write(_docs(spark, [
+        (6, "sphinx of black quartz judge my vow tonight")]), WriteOp.UPSERT)
+    maintain_dedup_index(base, index, md)
+
+    batch = _docs(spark, [
+        (30, "sphinx of black quartz judge my vow today")])  # near-dup of 6
+    got = near_dups_against_index(
+        batch, index.read(), base.read(), threshold_bps=5000,
+        max_index_bucket_width=8, bucket_stats=stale).collect()
+    assert {(r["new_id"], r["old_id"]) for r in got} == {(30, 6)}
+
+
+def test_probe_params_recorded_validated_and_defaulted(spark, tmp_path):
+    """r7 advice: maintain_dedup_index stamps the projection params into
+    the index's commit metadata; probes default from them, explicit
+    mismatches raise instead of silently returning zero candidates, and
+    re-maintaining under different params is refused."""
+    import pytest
+
+    from marmaray_spark.operators.incdedup import (
+        index_projection_params, partial_copies_against_index)
+
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    index = TableSink(spark, tmp_path / "idx", "doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    base.write(_docs(spark, CORPUS), WriteOp.INSERT)
+    maintain_dedup_index(base, index, md, bands=4, rows_per_band=4)
+
+    params = index_projection_params(index)
+    assert params["bands"] == 4 and params["rows_per_band"] == 4
+    assert params["sig_k"] == 16 and params["fingerprint_k"] is None
+
+    batch = _docs(spark, [(20, "the quick brown fox jumps over the lazy dogs")])
+    # recommended call: index_params only, hashing knobs defaulted FROM it
+    got = near_dups_against_index(batch, index.read(), base.read(),
+                                  index_params=params).collect()
+    assert {(r["new_id"], r["old_id"]) for r in got} == {(20, 1), (20, 4)}
+
+    # explicit knob contradicting the record -> loud failure
+    with pytest.raises(ValueError, match="maintained with bands=4"):
+        near_dups_against_index(batch, index.read(), base.read(),
+                                bands=8, index_params=params)
+
+    # partial-copy probe against a fingerprint-less index -> loud failure
+    with pytest.raises(ValueError, match="without fingerprints"):
+        partial_copies_against_index(batch, index.read(),
+                                     index_params=params)
+
+    # re-maintenance with different params would mix hash families
+    base.write(_docs(spark, [(7, "another new corpus document arrives")]),
+               WriteOp.UPSERT)
+    with pytest.raises(ValueError, match="different projection params"):
+        maintain_dedup_index(base, index, md)   # defaults != bands=4
+    assert maintain_dedup_index(base, index, md, bands=4,
+                                rows_per_band=4) == 1

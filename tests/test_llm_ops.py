@@ -1398,6 +1398,22 @@ def test_compression_signals_orders_boilerplate_below_prose(spark):
     assert got[3]["ratio_bps"] == 10000 and got[3]["n_bytes"] == 0
 
 
+def test_compression_signals_keeps_id_column_type(spark):
+    """Regression: the output schema hardcoded `{id_col} long`, so a
+    string doc id (a legal YAML corpus.id_col choice) died mid-run in
+    Arrow conversion. The id column must pass through with its own
+    type."""
+    from marmaray_spark.operators.text import compression_signals
+
+    docs = spark.createDataFrame(
+        [("doc-a", "alpha beta gamma alpha beta gamma"), ("doc-b", "")],
+        "id string, text string")
+    out = compression_signals(docs, "id", "text")
+    assert out.schema["id"].dataType.simpleString() == "string"
+    got = {r["id"]: r["ratio_bps"] for r in out.collect()}
+    assert set(got) == {"doc-a", "doc-b"} and got["doc-b"] == 10000
+
+
 def _brute_remove_spans(corpus: dict, window: int) -> dict:
     """Per-token-coverage reference: position p is removed iff some
     start s with s <= p <= s+window-1 begins a globally-duplicated
@@ -1556,6 +1572,44 @@ def test_remove_duplicate_paragraphs_matches_bruteforce(spark):
     got = {r["id"]: r["cleaned_text"] for r in
            remove_duplicate_paragraphs(docs, "id", "paras").collect()}
     assert got == want
+
+
+def test_remove_duplicate_paragraphs_64bit_ids_no_overflow(spark):
+    """Regression: the original first-occurrence key packed as
+    id * 2^20 + pos, which silently overflows int64 for 64-bit hashed
+    doc ids (xxhash64 output is the COMMON id in dedup pipelines) and
+    then keeps a non-first occurrence. The struct-min key must pick the
+    true lexicographic (id, pos) minimum at any magnitude."""
+    from marmaray_spark.operators.dedup import remove_duplicate_paragraphs
+
+    big = 1 << 60          # old packing: big * 2^20 wraps negative
+    docs = spark.createDataFrame([
+        (big + 7, ["shared para", "only in huge doc"]),
+        (big + 1, ["shared para", "only in other huge doc"]),
+        (3, ["small doc first", "shared para"]),
+    ], "id long, paras array<string>")
+    got = {r["id"]: r["cleaned_text"] for r in
+           remove_duplicate_paragraphs(docs, "id", "paras").collect()}
+    # true first occurrence of "shared para" is (3, pos 2)
+    assert got[3] == "small doc first\nshared para"
+    assert got[big + 1] == "only in other huge doc"
+    assert got[big + 7] == "only in huge doc"
+
+
+def test_remove_duplicate_paragraphs_string_ids(spark):
+    """The struct-min key imposes no numeric-id requirement; string ids
+    order lexicographically (ties on the paragraph go to the smaller
+    id, then smaller position — same contract, different domain)."""
+    from marmaray_spark.operators.dedup import remove_duplicate_paragraphs
+
+    docs = spark.createDataFrame([
+        ("b-doc", ["common", "b only"]),
+        ("a-doc", ["a only", "common"]),
+    ], "id string, paras array<string>")
+    got = {r["id"]: r["cleaned_text"] for r in
+           remove_duplicate_paragraphs(docs, "id", "paras").collect()}
+    assert got["a-doc"] == "a only\ncommon"
+    assert got["b-doc"] == "b only"
 
 
 def test_remove_duplicate_spans_matches_bruteforce(spark):
