@@ -70,6 +70,52 @@ def test_classifier_learns_separable_labels(spark):
         train.unpersist()
 
 
+def test_gradient_pass_emits_one_row_per_partition(spark):
+    """r7 verdict fix: the training reduce must be pre-combined inside
+    each partition — exactly one (grad, loss, n) row per non-empty
+    partition reaches the driver, regardless of how many Arrow batches
+    the partition splits into (driver traffic O(partitions × dim), not
+    O(batches × dim); at dim=2^17 that is ~MBs vs ~GBs per iteration on
+    a 10M-doc sample). The partition partials must also sum to the same
+    totals as a per-batch reduce."""
+    import numpy as np
+
+    from marmaray_spark.operators.classifier import (
+        _batch_stats, _collect_gradient_partials)
+
+    dim = 1 << 10
+    labeled = (_labeled_docs(spark, n=200)
+               .withColumn("f", hashed_features("w", dim=dim)))
+    data = labeled.select(F.col("f"), F.col("y").cast("double").alias("y")) \
+        .repartition(4)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        w_bc = spark.sparkContext.broadcast(np.zeros(dim + 1))
+        parts = _collect_gradient_partials(data, w_bc, dim)
+        # 200 rows / 4 partitions at <=8-row batches = ~7 batches each;
+        # the partial count must follow PARTITIONS, not batches
+        assert len(parts) == 4
+        assert sum(r["n"] for r in parts) == 200
+        # partials sum to the full-dataset gradient (float-exact here:
+        # one partition, one batch, same accumulation order)
+        pdf = data.toPandas()
+        _, want_g, want_l = _batch_stats(
+            pdf["f"], pdf["y"].to_numpy(), np.zeros(dim + 1), dim)
+        got_g = np.sum([np.asarray(r["grad"]) for r in parts], axis=0)
+        got_l = sum(r["loss"] for r in parts)
+        assert np.allclose(got_g, want_g, atol=1e-9)
+        assert abs(got_l - want_l) < 1e-9
+        w_bc.destroy()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)
+
+
 def test_score_quality_deterministic_and_empty_doc_at_bias(spark):
     df = spark.createDataFrame(
         [(1, ["a", "b"]), (2, [])], "id long, w array<string>") \
