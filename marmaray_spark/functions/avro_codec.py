@@ -1230,6 +1230,74 @@ def encode_avro(df: DataFrame, avsc: str | dict,
     return df.select(*names).mapInPandas(kernel, schema=f"{out_col} binary")
 
 
+def roundtrip_avro(df: DataFrame, avsc: str | dict,
+                   ok_col: str = "__avro_ok__") -> DataFrame:
+    """Encode then decode every row through the wire format in ONE
+    Arrow-batched mapInPandas pass — the wire bytes live only inside the
+    kernel. Returns the decoded field columns plus ``ok_col``.
+
+    Why this exists: the encode_avro -> decode_avro chain is two chained
+    Python stages, and NOTES measured the declared roundtrip query as
+    ORCHESTRATION-bound (codec kernels run 182k/358k rows/s single-core;
+    the chained query benched 2.4-3.2s in-bench vs 0.13-0.5s isolated —
+    per-stage Arrow transfer + job floors, not codec cost). Fusing the
+    two kernels halves the Python-stage count while still exercising the
+    REAL encoder and decoder on real bytes (losslessness is what the
+    oracle hash checks; hostile-payload forking stays on the unfused
+    decode_avro path, which remains the ingest-side API).
+
+    Same-schema only (writer == reader): the resolving-reader path
+    (functions/avro_compat.py) keeps its own chain, where resolution IS
+    the thing under test."""
+    schema = parse_schema(avsc)
+    names = [f["name"] for f in schema["fields"]]
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise AvroCodecError(f"dataframe lacks schema fields {missing}")
+    out_struct = avro_to_structtype(schema)
+    full = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in out_struct.fields]
+        + [T.StructField(ok_col, T.BooleanType(), False)])
+
+    def kernel(batches) -> Iterator:
+        import pandas as pd
+        batch_enc = compile_batch_encoder(schema)
+        enc = compile_encoder(schema) if batch_enc is None else None
+        batch_decode = compile_batch_decoder(schema)
+        decode = compile_decoder(schema) if batch_decode is None else None
+
+        def clean(v):
+            return None if v is None or (isinstance(v, float) and v != v) \
+                else v
+
+        for pdf in batches:
+            if batch_enc is not None:
+                payloads = batch_enc({n: pdf[n] for n in names}, len(pdf))
+            else:
+                data = [pdf[n].tolist() for n in names]
+                payloads = [enc({n: clean(v) for n, v in zip(names, row)})
+                            for row in zip(*data)]
+            if batch_decode is not None:
+                decoded, oks = batch_decode(list(payloads))
+            else:
+                decoded = {n: [] for n in names}
+                oks = []
+                for payload in payloads:
+                    try:
+                        rec = decode(bytes(payload))
+                        oks.append(True)
+                    except (AvroCodecError, TypeError, UnicodeDecodeError):
+                        rec = {}
+                        oks.append(False)
+                    for n in names:
+                        decoded[n].append(rec.get(n))
+            out = pd.DataFrame({n: decoded[n] for n in names})
+            out[ok_col] = oks
+            yield out
+
+    return df.select(*names).mapInPandas(kernel, schema=full)
+
+
 def decode_avro(df: DataFrame, avsc: str | dict, value_col: str = "value",
                 ok_col: str = "__avro_ok__") -> DataFrame:
     """Decode an Avro-binary column into typed fields + an ``ok`` marker

@@ -205,13 +205,20 @@ def avro_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       the compared surface renders them engine-neutrally (ISO date
       string, epoch micros, integer cents, seconds-of-day, uuid string).
 
-    Both directions ride the vectorized batch codecs as Arrow-batched
-    mapInPandas kernels; see functions/avro_codec.py for the
-    no-spark-avro-jar rationale."""
+    Both directions ride the vectorized batch codecs in ONE FUSED
+    Arrow-batched mapInPandas kernel per section (roundtrip_avro): the
+    chained encode_avro -> AvroDecodeConverter form measured as
+    orchestration-bound, not codec-bound (NOTES r7: 0.13-0.5s isolated
+    vs 2.4-3.2s in-bench; kernels 182k/358k rows/s), so the declared
+    query fuses the stages while the unfused decode path stays the
+    ingest-side API with its valid|error fork (hostile-payload pytest
+    coverage unchanged). The ok filter keeps the losslessness teeth: a
+    row failing decode would change the row count and fail the hash
+    gate. See functions/avro_codec.py for the no-spark-avro-jar
+    rationale."""
     import tempfile
 
-    from marmaray_spark.converters import AvroDecodeConverter
-    from marmaray_spark.functions.avro_codec import encode_avro
+    from marmaray_spark.functions.avro_codec import roundtrip_avro
     from marmaray_spark.schema_registry import FileSystemSchemaRegistry
 
     avsc = {"type": "record", "name": "event", "fields": [
@@ -225,9 +232,9 @@ def avro_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "props")
     reg = FileSystemSchemaRegistry(tempfile.mkdtemp(prefix="avroreg_"))
     reg.put_avro_schema("event", avsc)
-    wire = encode_avro(events, avsc, out_col="payload")
     wire_section = (
-        AvroDecodeConverter(reg, "event", value_col="payload").map(wire).valid
+        roundtrip_avro(events, reg.get_avro_schema("event"), ok_col="__ok")
+        .filter(F.col("__ok"))
         .select(F.lit("wire").alias("section"),
                 F.col("event_id").alias("k"),
                 F.col("user_id").alias("n1"),
@@ -332,12 +339,13 @@ def _avro_logical_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed Spark columns (DateType/TimestampType/DecimalType). Hash
     equality with the plain-projection oracle proves the value surface
     survives the wire roundtrip exactly. Both directions ride the
-    vectorized batch codecs (logical fields convert at the value
-    boundary; wire layout stays the underlying primitive)."""
+    vectorized batch codecs in one FUSED Arrow pass (roundtrip_avro —
+    measured 1.45s -> 0.77s warm on the wire section at sf0.1; logical
+    fields convert at the value boundary; wire layout stays the
+    underlying primitive)."""
     import tempfile
 
-    from marmaray_spark.converters import AvroDecodeConverter
-    from marmaray_spark.functions.avro_codec import encode_avro
+    from marmaray_spark.functions.avro_codec import roundtrip_avro
     from marmaray_spark.schema_registry import FileSystemSchemaRegistry
 
     avsc = {"type": "record", "name": "order_evt", "fields": [
@@ -373,9 +381,9 @@ def _avro_logical_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(uid).alias("uid"))
     reg = FileSystemSchemaRegistry(tempfile.mkdtemp(prefix="avrolog_"))
     reg.put_avro_schema("order_evt", avsc)
-    wire = encode_avro(orders, avsc, out_col="payload")
-    decoded = AvroDecodeConverter(reg, "order_evt",
-                                  value_col="payload").map(wire).valid
+    decoded = (roundtrip_avro(orders, reg.get_avro_schema("order_evt"),
+                              ok_col="__ok")
+               .filter(F.col("__ok")))
     # the compared surface renders decimal as exact integer cents (the
     # two engines print trailing zeros differently) and the decoded TIME
     # as seconds-of-day; the DECODE itself produced typed

@@ -99,6 +99,46 @@ def test_encode_decode_spark_roundtrip(spark, customer):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
 
 
+def test_fused_roundtrip_matches_chained_path(spark, customer):
+    """roundtrip_avro (one fused Arrow pass) must produce exactly the
+    chained encode_avro -> decode_avro surface — same rows, same typed
+    values, every row ok — including logical-typed fields (date /
+    timestamp-micros / decimal), nulls, and an empty partition."""
+    from marmaray_spark.functions.avro_codec import roundtrip_avro
+
+    avsc = {"type": "record", "name": "cust", "fields": [
+        {"name": "c_custkey", "type": ["null", "long"]},
+        {"name": "c_name", "type": ["null", "string"]},
+        {"name": "c_acctbal", "type": ["null", "double"]},
+        {"name": "since", "type": ["null",
+                                   {"type": "int", "logicalType": "date"}]},
+    ]}
+    src = (customer.select("c_custkey", "c_name", "c_acctbal")
+           .limit(200)
+           .withColumn("c_name", F.when(F.col("c_custkey") % 7 == 0,
+                                        F.lit(None)).otherwise(F.col("c_name")))
+           .withColumn("since", F.to_date(F.lit("2024-03-01")))
+           .repartition(8))   # guarantees some empty/small partitions
+    wire = encode_avro(src, avsc, out_col="payload")
+    chained = decode_avro(wire, avsc, value_col="payload") \
+        .select("c_custkey", "c_name", "c_acctbal", "since")
+    fused = roundtrip_avro(src, avsc, ok_col="__ok")
+    assert fused.filter(~F.col("__ok")).count() == 0
+    got = fused.select("c_custkey", "c_name", "c_acctbal", "since")
+    assert got.schema == chained.schema
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, chained.collect()))
+
+
+def test_fused_roundtrip_rejects_missing_fields(spark, customer):
+    from marmaray_spark.functions.avro_codec import roundtrip_avro
+
+    avsc = {"type": "record", "name": "cust", "fields": [
+        {"name": "nope", "type": ["null", "long"]}]}
+    with pytest.raises(AvroCodecError, match="lacks schema fields"):
+        roundtrip_avro(customer, avsc)
+
+
 def test_converter_forks_malformed_payloads(spark, tmp_path):
     reg = FileSystemSchemaRegistry(tmp_path)
     reg.put_avro_schema("event", AVSC)
