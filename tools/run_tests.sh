@@ -41,6 +41,7 @@ HALF2=(
   tests/test_decontam_maintained.py tests/test_example_pipeline.py
   tests/test_flac_codec.py tests/test_gif_avi_codec.py
   tests/test_incdedup.py tests/test_kafka_contract.py
+  tests/test_langid.py
   tests/test_llm_ops.py tests/test_metadata.py
   tests/test_object_store_sink.py tests/test_pcm_codecs.py
   tests/test_pii_properties.py tests/test_pq.py
