@@ -167,3 +167,80 @@ def maintain_decontamination_report(base, report, metadata,
         fresh.unpersist()
     metadata.save_changes()
     return n_rows
+
+
+def semantic_decontamination(corpus_emb: DataFrame, eval_emb: DataFrame,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold_dot_q: int = 400_000) -> DataFrame:
+    """EMBEDDING-space decontamination: flag corpus items whose maximum
+    cosine against ANY eval item reaches ``threshold_dot_q`` (integer
+    milli-quantized dot over L2-normalized vectors, QUANT_SCALE^2 units
+    — 400_000 ~ cosine 0.4). The semantic complement of the n-gram
+    sweep above: a paraphrased or translated benchmark answer shares few
+    exact n-grams but embeds next to the original (the reported gap in
+    several public contamination studies; same embedding-similarity
+    framing as SemDeDup, Abbas et al. 2023, pointed at eval sets
+    instead of the corpus itself).
+
+    Output: (id, n_hits, max_dot_q, contaminated) — only corpus items
+    with at least one eval dot >= threshold appear (the n-gram report's
+    only-overlapping-rows contract); ``n_hits`` counts eval items over
+    threshold, ``max_dot_q`` the strongest match, ``contaminated``
+    always true in this shape (kept for schema symmetry with the n-gram
+    report and for callers that lower the cut after the fact).
+
+    100 TB posture: eval sets are benchmark-sized (<< corpus), so the
+    eval side collects ONCE and broadcasts as a numpy int64 matrix; the
+    corpus NEVER SHUFFLES — one scan, one Arrow kernel computing the
+    (batch x eval) integer matmul, no groupBy (the per-row max/count
+    folds inside the kernel). The kernel is the ONLY path, for both
+    scale and correctness reasons: numpy int64 matmul is exact (so the
+    DuckDB oracle mirrors it bit-for-bit), it is the fast shape at any
+    eval size, and the tempting pure-expression alternative — a 1-row
+    attach_scalar of collect_list'ed eval vectors consumed by a nested
+    transform/zip_with — trips a Spark 4.1 planner bug where the inner
+    lambda's stream-side reference (__cv) is bound against the
+    broadcast side ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND], reproduced on
+    LocalRelation inputs), besides paying interpreted-HOF cost linear
+    in eval count per row.
+    """
+    from marmaray_spark.operators.similarity import quantize
+
+    import numpy as np
+    ev = eval_emb.select(quantize(vec_col).alias("__ev"))
+    c = corpus_emb.select(F.col(id_col), quantize(vec_col).alias("__cv"))
+    rows = ev.collect()
+    if not rows:
+        return (c.select(id_col).limit(0)
+                .withColumn("n_hits", F.lit(0))
+                .withColumn("max_dot_q", F.lit(0).cast("long"))
+                .withColumn("contaminated", F.lit(True)))
+    E = np.asarray([r["__ev"] for r in rows], dtype=np.int64)  # (E, dim)
+    spark = corpus_emb.sparkSession
+    e_bc = spark.sparkContext.broadcast(E)
+    id_type = corpus_emb.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, n_hits int, max_dot_q long, "
+                  f"contaminated boolean")
+
+    def kernel(batches, _bc=e_bc, _thr=threshold_dot_q):
+        import pandas as pd
+        Em = _bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray([np.asarray(v, dtype=np.int64)
+                            for v in pdf["__cv"]])          # (B, dim)
+            D = C @ Em.T                                     # (B, E) int64
+            hits = (D >= _thr)
+            n_hits = hits.sum(axis=1).astype(np.int32)
+            keep = n_hits > 0
+            if not keep.any():
+                continue
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[keep],
+                "n_hits": n_hits[keep],
+                "max_dot_q": D.max(axis=1)[keep],
+                "contaminated": True})
+
+    return c.mapInPandas(kernel, out_schema)

@@ -1143,12 +1143,34 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_overlap
       FROM corpus c JOIN test USING (gram)
       GROUP BY c.doc_id, test.eval_set
+    ), qv AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ), sev AS (
+      SELECT v AS e FROM qv WHERE vec_id % 101 = 0
+    ), sdot AS (
+      SELECT c.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> c.v[i] * sev.e[i])) AS dot
+      FROM qv c CROSS JOIN sev
+      WHERE c.vec_id % 101 <> 0
+    ), shits AS (
+      SELECT vec_id, COUNT(*) AS n_hits, MAX(dot) AS mx
+      FROM sdot WHERE dot >= 250000 GROUP BY vec_id
     )
     SELECT doc_id, eval_set, CAST(n_grams AS INT) AS n_grams,
            CAST(n_overlap AS BIGINT) AS n_overlap,
            CAST(n_overlap * 10000 // greatest(n_grams, 1) AS INT) AS overlap_bps,
            n_overlap * 10000 // greatest(n_grams, 1) >= 500 AS contaminated
     FROM hits
+    UNION ALL
+    SELECT vec_id AS doc_id, 'semantic' AS eval_set,
+           CAST(n_hits AS INT) AS n_grams,
+           CAST(mx AS BIGINT) AS n_overlap,
+           CAST(NULL AS INT) AS overlap_bps,
+           TRUE AS contaminated
+    FROM shits
     """,
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,17 +1185,41 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     check teeth; at real corpus scale use 8-13-gram windows per
     GPT-3/PaLM practice.) The tagged eval n-gram union is broadcast
     once; corpus side = one explode + one broadcast hash join + one
-    groupBy(doc_id, eval_set) — linear, never all-pairs."""
-    from marmaray_spark.operators.decontam import decontaminate_many
+    groupBy(doc_id, eval_set) — linear, never all-pairs.
+
+    Section eval_set='semantic' (new r8): EMBEDDING-space
+    decontamination (operators/decontam.py semantic_decontamination) —
+    corpus vectors whose quantized dot against ANY eval vector (the
+    vec_id % 101 slice) reaches 250_000 (~cosine 0.25; the synthetic
+    embeddings are near-orthogonal, so a realistic 0.9 bar matches
+    nothing — 63 hit-pairs at sf0.01, 909 at sf0.1, measured). Catches
+    the paraphrase contamination exact n-grams structurally miss.
+    Column mapping into the shared section schema: n_grams := eval hits
+    over threshold, n_overlap := max quantized dot. Eval side
+    broadcast; corpus never shuffles."""
+    from marmaray_spark.operators.decontam import (decontaminate_many,
+                                                   semantic_decontamination)
 
     docs = _with_words(load(spark, sf_dir, "documents"))
     corpus = docs.filter((F.col("doc_id") % 97 != 0)
                          & (F.col("doc_id") % 89 != 0))
-    return decontaminate_many(
+    ngram = decontaminate_many(
         corpus,
         {"held97": docs.filter(F.col("doc_id") % 97 == 0),
          "held89": docs.filter(F.col("doc_id") % 89 == 0)},
         n=3, contaminated_bps=500)
+    emb = load(spark, sf_dir, "embeddings")
+    sem = (semantic_decontamination(
+               emb.filter(F.col("vec_id") % 101 != 0),
+               emb.filter(F.col("vec_id") % 101 == 0),
+               threshold_dot_q=250_000)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.lit("semantic").alias("eval_set"),
+                   F.col("n_hits").cast("int").alias("n_grams"),
+                   F.col("max_dot_q").cast("long").alias("n_overlap"),
+                   F.lit(None).cast("int").alias("overlap_bps"),
+                   F.col("contaminated")))
+    return ngram.unionByName(sem)
 
 
 @register(

@@ -110,3 +110,75 @@ def test_maintained_report_replay_is_idempotent(spark, tmp_path):
     assert _report_rows(report) == before
     assert maintain_decontamination_report(base, report, md2, ev,
                                            n=5, contaminated_bps=2000) == 0
+
+
+def test_semantic_decontamination_paths_agree_and_match_bruteforce(spark):
+    """semantic_decontamination (Arrow int64 matmul kernel) must match a
+    per-pair numpy brute force exactly — including the
+    only-hitting-rows contract and integer quantization — and be
+    partitioning-proof."""
+    import numpy as np
+
+    from marmaray_spark.operators.decontam import semantic_decontamination
+
+    rng = np.random.default_rng(23)
+    dim = 16
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    evals = [unit(rng.normal(size=dim)) for _ in range(3)]
+    rows = []
+    for i in range(40):
+        if i % 5 == 0:      # near-copy of an eval vector => strong hit
+            v = np.asarray(evals[i % 3]) + rng.normal(scale=0.05, size=dim)
+            rows.append((i, unit(v)))
+        else:
+            rows.append((i, unit(rng.normal(size=dim))))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(list(enumerate(evals)),
+                               "vec_id long, embedding array<float>")
+    thr = 400_000
+
+    got_e = {r["vec_id"]: (r["n_hits"], r["max_dot_q"], r["contaminated"])
+             for r in semantic_decontamination(
+                 corpus, ev, threshold_dot_q=thr).collect()}
+    got_a = {r["vec_id"]: (r["n_hits"], r["max_dot_q"], r["contaminated"])
+             for r in semantic_decontamination(
+                 corpus.repartition(7), ev, threshold_dot_q=thr).collect()}
+    assert got_e == got_a
+
+    # brute force over the SAME quantization (round to milli, int dot)
+    def q(v):
+        return np.asarray([round(float(x) * 1000) for x in v], dtype=np.int64)
+    want = {}
+    for i, v in rows:
+        dots = [int(q(v) @ q(e)) for e in evals]
+        hits = [d for d in dots if d >= thr]
+        if hits:
+            want[i] = (len(hits), max(hits), True)
+    assert got_e == want
+    # every planted near-copy is caught (random 16-dim vectors can also
+    # clear cosine 0.4 by chance, so subset, not equality)
+    assert {i for i in range(40) if i % 5 == 0} <= set(want)
+
+
+def test_semantic_decontamination_empty_eval_and_no_hits(spark):
+    import numpy as np
+
+    from marmaray_spark.operators.decontam import semantic_decontamination
+
+    rng = np.random.default_rng(5)
+    corpus = spark.createDataFrame(
+        [(i, (rng.normal(size=8) / 10).tolist()) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    far = spark.createDataFrame([(0, [1.0] * 8)],
+                                "vec_id long, embedding array<float>")
+    # tiny vectors vs a far eval: nothing reaches the threshold
+    assert semantic_decontamination(corpus, far,
+                                    threshold_dot_q=10**9).count() == 0
+    # empty eval set: empty result with the right schema, no crash
+    empty = semantic_decontamination(corpus, far.limit(0))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == \
+        ["vec_id", "n_hits", "max_dot_q", "contaminated"]
