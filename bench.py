@@ -117,6 +117,24 @@ def _previous_warm(sf: str) -> tuple[str, dict[str, float]] | None:
     return (best[1], best[2]) if best else None
 
 
+def _previous_isolated(sf: str) -> dict:
+    """Last recorded ISOLATED warm time per query (same SF), from the
+    local baseline. Needed because in-bench warm runs systematically
+    ABOVE isolated warm on this box (avro: 2.6-3.7s in-bench vs
+    0.13-0.5s isolated) — confirming a flagged query's isolated time
+    against the prior IN-BENCH number would mask a real isolated-cost
+    regression behind that inflation."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, _LOCAL_BASELINE)) as f:
+            doc = json.load(f)
+        if doc.get("sf_raw") == sf:
+            return doc.get("isolated") or {}
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
 def _isolated_remeasure(names: list[str]) -> dict[str, float]:
     """Re-run flagged queries ALONE, each in a fresh JVM (subprocess of
     this same script with --only), and return their isolated warm times.
@@ -147,8 +165,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     only: list[str] | None = None
-    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+    # strict argv: a typo'd flag or a forgotten value must NOT silently
+    # fall through to a full 50-query run that overwrites the baseline
+    if len(sys.argv) > 1:
+        if sys.argv[1] != "--only" or len(sys.argv) != 3:
+            raise SystemExit(f"usage: {sys.argv[0]} [--only name[,name...]] "
+                             f"(got: {sys.argv[1:]})")
         only = [s for s in sys.argv[2].split(",") if s]
+        if not only:
+            raise SystemExit("--only needs at least one query name")
     spark = SparkFactory("bench").get_or_create()
 
     registry = Q.all_queries()
@@ -217,19 +242,35 @@ def main() -> None:
     # (fresh JVM, nothing else running) — do it automatically and record
     # BOTH numbers, so the artifact distinguishes "bench-environment
     # noise" from "this query really got slower"
-    isolated: dict[str, dict[str, float | bool]] = {}
+    isolated: dict[str, dict] = {}
+    prev_iso = _previous_isolated(sf)
     if flagged and not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
         print(f"# isolation re-measure for {len(flagged)} REGRESSED "
               f"flag(s): {flagged}", file=sys.stderr)
         iso = _isolated_remeasure(flagged)
         for name, t in iso.items():
-            base = prev[1][name]
+            # compare isolated-vs-isolated when the query has ever been
+            # isolated before; isolated-vs-in-bench is biased toward
+            # "noise" (in-bench runs high) so it can only CONFIRM, never
+            # clear, a regression
+            base_iso = (prev_iso.get(name) or {}).get("isolated")
+            if base_iso:
+                base, kind = float(base_iso), "isolated"
+            else:
+                base, kind = prev[1][name], "in_bench"
             real = t / base > 1.5 and t - base > 0.3
             isolated[name] = {"in_bench": warm[name], "isolated": t,
-                              "baseline": base, "confirmed_regression": real}
-            verdict = "CONFIRMED regression" if real else "bench noise"
+                              "baseline": base, "baseline_kind": kind,
+                              "confirmed_regression": real}
+            if real:
+                verdict = "CONFIRMED regression"
+            elif kind == "isolated":
+                verdict = "bench noise"
+            else:
+                verdict = ("not confirmed (only an in-bench baseline "
+                           "exists, which runs high — likely noise)")
             print(f"#   {name}: in-bench {warm[name]:.2f}s, isolated "
-                  f"{t:.2f}s vs baseline {base:.2f}s -> {verdict}",
+                  f"{t:.2f}s vs {kind} baseline {base:.2f}s -> {verdict}",
                   file=sys.stderr)
 
     result = {
@@ -251,7 +292,11 @@ def main() -> None:
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, _LOCAL_BASELINE), "w") as f:
-                json.dump({**result, "sf_raw": sf}, f, indent=1)
+                # the baseline file keeps the most recent ISOLATED number
+                # per query (old entries carried forward) so a future
+                # flag can be judged isolated-vs-isolated
+                json.dump({**result, "isolated": {**prev_iso, **isolated},
+                           "sf_raw": sf}, f, indent=1)
         except OSError:
             pass
     print(json.dumps(result))

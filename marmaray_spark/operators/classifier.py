@@ -142,6 +142,19 @@ def _collect_gradient_partials(data: DataFrame, w_bc, dim: int) -> list:
     return data.mapInPandas(kernel, out_schema).collect()
 
 
+def adagrad_step(w: np.ndarray, gsq: np.ndarray, grad: np.ndarray,
+                 n: int, lr: float, l2: float) -> np.ndarray:
+    """One per-coordinate ADAGRAD update (Duchi et al. 2011), shared by
+    the binary trainer here and the multiclass language-ID trainer
+    (operators/langid.py) so the two update rules cannot drift apart.
+    Mutates ``gsq`` (the squared-step accumulator) and returns the new
+    weights; works on any weight shape."""
+    step = grad / n + l2 * w
+    gsq += step * step
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return w - lr * step / (np.sqrt(gsq) + 1e-10)
+
+
 def train_quality_classifier(labeled: DataFrame, feats_col: str,
                              label_col: str, dim: int = DEFAULT_DIM,
                              iters: int = 40, lr: float = 0.5,
@@ -184,10 +197,7 @@ def train_quality_classifier(labeled: DataFrame, feats_col: str,
         for r in parts:
             grad += np.asarray(r["grad"])
             loss += r["loss"]
-        step = grad / n + l2 * w
-        gsq += step * step
-        with np.errstate(divide="ignore", invalid="ignore"):
-            w = w - lr * step / (np.sqrt(gsq) + 1e-10)
+        w = adagrad_step(w, gsq, grad, n, lr, l2)
         history.append(loss / n)
         w_bc.destroy()
     return w, history

@@ -210,13 +210,24 @@ def semantic_decontamination(corpus_emb: DataFrame, eval_emb: DataFrame,
     import numpy as np
     ev = eval_emb.select(quantize(vec_col).alias("__ev"))
     c = corpus_emb.select(F.col(id_col), quantize(vec_col).alias("__cv"))
-    rows = ev.collect()
+    rows = [r for r in ev.collect() if r["__ev"] is not None]
+    # drop ragged eval vectors too — a single wrong-dim row would turn
+    # the (E, dim) matrix into a dtype=object array and poison the matmul
+    if rows:
+        dim_e = len(rows[0]["__ev"])
+        rows = [r for r in rows if len(r["__ev"]) == dim_e]
     if not rows:
         return (c.select(id_col).limit(0)
                 .withColumn("n_hits", F.lit(0))
                 .withColumn("max_dot_q", F.lit(0).cast("long"))
                 .withColumn("contaminated", F.lit(True)))
     E = np.asarray([r["__ev"] for r in rows], dtype=np.int64)  # (E, dim)
+    # NULL / wrong-dim corpus embeddings are SKIPPED, matching the n-gram
+    # report's semantics (explode drops null word arrays) — without the
+    # filter one bad row raises inside the kernel and fails the whole
+    # job instead of one document's decontamination
+    c = c.filter(F.col("__cv").isNotNull()
+                 & (F.size("__cv") == E.shape[1]))
     spark = corpus_emb.sparkSession
     e_bc = spark.sparkContext.broadcast(E)
     id_type = corpus_emb.schema[id_col].dataType.simpleString()

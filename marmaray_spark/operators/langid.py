@@ -53,20 +53,28 @@ def with_char_ngram_features(df: DataFrame, text_col: str,
     whitespace-collapsed, space-padded text sliced into every n-char
     window, each ``pmod(xxhash64(gram), dim)``. Pure expressions.
 
-    The normalized string is materialized as its own projection first:
-    referencing an inline regexp_replace from inside the transform
-    lambda re-evaluates it PER CHARACTER POSITION under interpreted HOF
+    The normalized string and its char array are materialized as their
+    own projections first: referencing an inline regexp_replace from
+    inside a lambda re-evaluates it PER ELEMENT under interpreted HOF
     evaluation (higher-order functions never reach codegen) — the
-    measured O(len^2) trap documented at text.top_ngram_bps. The
-    explicit short-string guard exists because Spark's
-    ``sequence(1, 0)`` counts DOWN instead of being empty."""
+    measured O(len^2) trap documented at text.top_ngram_bps."""
     norm = (f"concat(' ', regexp_replace(lower(coalesce({text_col}, '')), "
             f"'\\\\s+', ' '), ' ')")
-    d = df.withColumn("__ln", F.expr(norm))
-    grams = (f"IF(length(__ln) < {n}, array(), "
-             f"transform(sequence(1, length(__ln) - {n - 1}), "
-             f"i -> int(pmod(xxhash64(substring(__ln, i, {n})), {dim}))))")
-    return d.withColumn(out_col, F.expr(grams)).drop("__ln")
+    d = (df.withColumn("__ln", F.expr(norm))
+           .withColumn("__ca", F.expr("split(__ln, '')")))
+    # n-gram windows as zip_with over n shifted slices of the char array
+    # (the word-shingle cure from text.py): substring(__ln, i, n) inside
+    # the transform walks the UTF8String from byte 0 for every position
+    # i — O(len^2) per document, seconds per 100KB doc — while the
+    # sliced zip_with is one linear pass. concat of n single-char slices
+    # equals substring's n-char window, so hashed ids are unchanged.
+    m = f"(size(__ca) - {n - 1})"
+    win = f"slice(__ca, {n}, {m})"
+    for j in range(n - 1, 0, -1):
+        win = f"zip_with(slice(__ca, {j}, {m}), {win}, (x, y) -> concat(x, y))"
+    grams = (f"IF(size(__ca) < {n}, array(), "
+             f"transform({win}, g -> int(pmod(xxhash64(g), {dim}))))")
+    return d.withColumn(out_col, F.expr(grams)).drop("__ln", "__ca")
 
 
 def _margins(feats, W: np.ndarray):
@@ -83,11 +91,18 @@ def _margins(feats, W: np.ndarray):
     inv[nz] = 1.0 / lens[nz]
     margins = np.repeat(W[:, dim][:, None], len(feats), axis=1)
     if flat.size:
-        offsets = np.zeros(len(feats), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        cs = np.concatenate(
-            [np.zeros((L, 1)), np.cumsum(W[:, flat], axis=1)], axis=1)
-        sums = cs[:, offsets + lens] - cs[:, offsets]
+        # segment sums per class via reduceat over the NONZERO rows'
+        # offsets (strictly increasing, so no reduceat equal-index or
+        # past-the-end artifacts). Peak temp is ONE (nnz,) gather per
+        # class — the old (L, nnz) gather + cumsum + concat form held
+        # three such matrices at once, ~10 GB per task at L=20 and a
+        # 10k-row batch of 2KB docs.
+        nz_lens = lens[nz]
+        offsets = np.zeros(len(nz_lens), dtype=np.int64)
+        np.cumsum(nz_lens[:-1], out=offsets[1:])
+        sums = np.zeros((L, len(feats)))
+        for cls in range(L):
+            sums[cls, nz] = np.add.reduceat(W[cls, flat], offsets)
         margins = margins + sums * inv[None, :]
     return margins, flat, lens, inv
 
@@ -96,6 +111,55 @@ def _softmax(m: np.ndarray) -> np.ndarray:
     z = m - m.max(axis=0, keepdims=True)
     e = np.exp(z)
     return e / e.sum(axis=0, keepdims=True)
+
+
+def _collect_multiclass_partials(data: DataFrame, w_bc, idx_bc,
+                                 L: int, dim: int) -> list:
+    """One multiclass gradient pass: sum per-Arrow-batch partials INSIDE
+    each partition and emit a single (grad, loss, n) row per non-empty
+    partition — the same map-side-combine contract as
+    ``classifier._collect_gradient_partials`` (the r7 'weak' fix), kept
+    as a named function so the one-row-per-partition contract is
+    test-pinned here too. Driver traffic per iteration is
+    O(partitions x L x dim), independent of batch count."""
+    out_schema = StructType([
+        StructField("grad", ArrayType(DoubleType()), False),
+        StructField("loss", DoubleType(), False),
+        StructField("n", LongType(), False)])
+
+    def kernel(batches, _bc=w_bc, _idx=idx_bc, _L=L, _dim=dim):
+        import pandas as pd
+        grad, loss, n = None, 0.0, 0
+        for b in batches:
+            if not len(b):
+                continue
+            Wv = _bc.value
+            margins, flat, lens, inv = _margins(b["f"], Wv)
+            y = np.fromiter((_idx.value[v] for v in b["y"]),
+                            dtype=np.int64, count=len(b))
+            P = _softmax(margins)
+            G = P.copy()
+            G[y, np.arange(len(b))] -= 1.0     # dCE/dmargin, (L, rows)
+            g = np.zeros((_L, _dim + 1))
+            if flat.size:
+                scaled = G * inv[None, :]       # (L, rows)
+                for cls in range(_L):
+                    # one (nnz,) temp per class, not (L, nnz) at once
+                    np.add.at(g[cls], flat,
+                              np.repeat(scaled[cls], lens))
+            g[:, _dim] = G.sum(axis=1)
+            grad = g if grad is None else grad + g
+            # stable CE: logsumexp - margin_y
+            z = margins - margins.max(axis=0, keepdims=True)
+            lse = (np.log(np.exp(z).sum(axis=0))
+                   + margins.max(axis=0))
+            loss += float((lse - margins[y, np.arange(len(b))]).sum())
+            n += len(b)
+        if n:
+            yield pd.DataFrame({"grad": [grad.ravel().tolist()],
+                                "loss": [loss], "n": [n]})
+
+    return data.mapInPandas(kernel, out_schema).collect()
 
 
 def train_language_id(labeled: DataFrame, feats_col: str, lang_col: str,
@@ -110,6 +174,8 @@ def train_language_id(labeled: DataFrame, feats_col: str, lang_col: str,
     for the same reason as the binary trainer (mean-normalized feature
     gradients vs O(1) bias gradients share no scalar rate). One partial
     row per partition per iteration (L x (dim+1) doubles)."""
+    from marmaray_spark.operators.classifier import adagrad_step
+
     spark = labeled.sparkSession
     langs = sorted(r[0] for r in
                    labeled.select(lang_col).distinct().collect())
@@ -117,10 +183,6 @@ def train_language_id(labeled: DataFrame, feats_col: str, lang_col: str,
     L = len(langs)
     data = labeled.select(F.col(feats_col).alias("f"),
                           F.col(lang_col).alias("y"))
-    out_schema = StructType([
-        StructField("grad", ArrayType(DoubleType()), False),
-        StructField("loss", DoubleType(), False),
-        StructField("n", LongType(), False)])
 
     W = np.zeros((L, dim + 1))
     gsq = np.zeros((L, dim + 1))
@@ -128,49 +190,14 @@ def train_language_id(labeled: DataFrame, feats_col: str, lang_col: str,
     idx_bc = spark.sparkContext.broadcast(idx)
     for _ in range(iters):
         w_bc = spark.sparkContext.broadcast(W)
-
-        def kernel(batches, _bc=w_bc, _idx=idx_bc, _L=L, _dim=dim):
-            import pandas as pd
-            grad, loss, n = None, 0.0, 0
-            for b in batches:
-                if not len(b):
-                    continue
-                Wv = _bc.value
-                margins, flat, lens, inv = _margins(b["f"], Wv)
-                y = np.fromiter((_idx.value[v] for v in b["y"]),
-                                dtype=np.int64, count=len(b))
-                P = _softmax(margins)
-                G = P.copy()
-                G[y, np.arange(len(b))] -= 1.0     # dCE/dmargin, (L, rows)
-                g = np.zeros((_L, _dim + 1))
-                if flat.size:
-                    scaled = G * inv[None, :]       # (L, rows)
-                    rep = np.repeat(scaled, lens, axis=1)  # (L, nnz)
-                    for cls in range(_L):
-                        np.add.at(g[cls], flat, rep[cls])
-                g[:, _dim] = G.sum(axis=1)
-                grad = g if grad is None else grad + g
-                # stable CE: logsumexp - margin_y
-                z = margins - margins.max(axis=0, keepdims=True)
-                lse = (np.log(np.exp(z).sum(axis=0))
-                       + margins.max(axis=0))
-                loss += float((lse - margins[y, np.arange(len(b))]).sum())
-                n += len(b)
-            if n:
-                yield pd.DataFrame({"grad": [grad.ravel().tolist()],
-                                    "loss": [loss], "n": [n]})
-
-        parts = data.mapInPandas(kernel, out_schema).collect()
+        parts = _collect_multiclass_partials(data, w_bc, idx_bc, L, dim)
         n = sum(r["n"] for r in parts) or 1
         grad = np.zeros((L, dim + 1))
         loss = 0.0
         for r in parts:
             grad += np.asarray(r["grad"]).reshape(L, dim + 1)
             loss += r["loss"]
-        step = grad / n + l2 * W
-        gsq += step * step
-        with np.errstate(divide="ignore", invalid="ignore"):
-            W = W - lr * step / (np.sqrt(gsq) + 1e-10)
+        W = adagrad_step(W, gsq, grad, n, lr, l2)
         history.append(loss / n)
         w_bc.destroy()
     idx_bc.destroy()

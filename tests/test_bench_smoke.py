@@ -102,3 +102,18 @@ def test_registry_is_exactly_the_checked_window():
     assert len(names) == 50
     oracles = Q.all_oracles()
     assert [n for n in names if n not in oracles] == []
+
+
+def test_bench_rejects_malformed_argv_before_spark():
+    """A typo'd flag or a forgotten --only value must fail fast, not
+    silently fall through to a full 50-query run that overwrites the
+    local baseline. The check runs before any Spark session spins up,
+    so these subprocesses return in ~a second."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = os.path.join(here, "bench.py")
+    for argv in (["--only"], ["--onyl", "pricing_summary"],
+                 ["pricing_summary"], ["--only", ""]):
+        proc = subprocess.run([sys.executable, bench, *argv],
+                              capture_output=True, text=True, timeout=60)
+        assert proc.returncode != 0, argv
+        assert "usage:" in proc.stderr or "--only" in proc.stderr, argv

@@ -182,3 +182,27 @@ def test_semantic_decontamination_empty_eval_and_no_hits(spark):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == \
         ["vec_id", "n_hits", "max_dot_q", "contaminated"]
+
+
+def test_semantic_decontamination_skips_null_and_ragged_vectors(spark):
+    """A NULL or wrong-dimension embedding on either side must cost that
+    ROW, not the job — matching the n-gram report's semantics where
+    explode silently drops null word arrays. Before the r8 guard a
+    single null corpus vector raised inside the Arrow kernel and failed
+    the whole query."""
+    from marmaray_spark.operators.decontam import semantic_decontamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),       # exact hit on the eval vector
+         (2, None),                        # null embedding
+         (3, [1.0, 0.0]),                  # wrong dimension
+         (4, [0.0, 1.0, 0.0, 0.0])],       # orthogonal, no hit
+        "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]),
+         (11, None),                       # null eval vector
+         (12, [0.5, 0.5])],                # ragged eval vector
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["max_dot_q"] for r in semantic_decontamination(
+        corpus, ev, threshold_dot_q=500_000).collect()}
+    assert got == {1: 1_000_000}

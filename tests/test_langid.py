@@ -138,3 +138,46 @@ def test_score_language_id_deterministic_and_und_fallback(spark):
     und = score_language_id(probe, "f", langs, W,
                             min_margin_milli=10_000_000)
     assert {r["lang_pred"] for r in und.collect()} == {"und"}
+
+
+def test_multiclass_gradient_pass_emits_one_row_per_partition(spark):
+    """Same contract as classifier._collect_gradient_partials (the r7
+    'weak' fix): ONE (grad, loss, n) row per non-empty partition reaches
+    the driver regardless of Arrow batch count, and the partition
+    partials sum to the single-partition pass's totals."""
+    from marmaray_spark.operators.langid import _collect_multiclass_partials
+
+    dim = 1 << 8
+    docs = _fixture(spark, n_per_lang=30)          # 120 rows, 4 langs
+    feat = (with_char_ngram_features(docs, "text", dim=dim)
+            .select(F.col("f"), F.col("lang").alias("y")))
+    langs = sorted(VOCAB)
+    idx = {g: i for i, g in enumerate(langs)}
+    L = len(langs)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        idx_bc = spark.sparkContext.broadcast(idx)
+        w_bc = spark.sparkContext.broadcast(np.zeros((L, dim + 1)))
+        parts = _collect_multiclass_partials(feat.repartition(4), w_bc,
+                                             idx_bc, L, dim)
+        # 120 rows / 4 partitions at <=8-row batches = ~4 batches each;
+        # the partial count must follow PARTITIONS, not batches
+        assert len(parts) == 4
+        assert sum(r["n"] for r in parts) == 120
+        ref = _collect_multiclass_partials(feat.repartition(1), w_bc,
+                                           idx_bc, L, dim)
+        assert len(ref) == 1
+        got = np.sum([np.asarray(r["grad"]) for r in parts], axis=0)
+        want = np.asarray(ref[0]["grad"])
+        assert np.allclose(got, want, atol=1e-9)
+        assert abs(sum(r["loss"] for r in parts) - ref[0]["loss"]) < 1e-6
+        w_bc.destroy()
+        idx_bc.destroy()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)

@@ -127,17 +127,29 @@ def test_pack_sequences_matches_python_model(spark, sizes, seq_len,
 
 
 def test_decontaminate_bounds_on_testdata(spark):
-    """overlap_bps in (0, 10000]; n_overlap <= n_grams; eval docs never
-    appear in the report (they are not corpus rows)."""
+    """n-gram sections: overlap_bps in (0, 10000], n_overlap <= n_grams,
+    eval docs never appear (they are not corpus rows). The r8 'semantic'
+    section reuses the shared schema with n_grams := eval hits over
+    threshold and n_overlap := max quantized dot, so its bounds differ:
+    at least one hit, max dot at or above the declared 250k cut, no bps."""
     from pyspark.sql import functions as F
 
     import marmaray_spark.queries as Q
 
     out = Q.all_queries()["benchmark_decontamination"](
         spark, "/root/testdata/sf0.001").collect()
-    assert out, "check must not be vacuous at sf0.001"
-    for r in out:
+    sem = [r for r in out if r["eval_set"] == "semantic"]
+    ngram = [r for r in out if r["eval_set"] != "semantic"]
+    assert ngram, "n-gram check must not be vacuous at sf0.001"
+    assert sem, "semantic check must not be vacuous at sf0.001"
+    for r in ngram:
         assert 0 < r["n_overlap"] <= r["n_grams"]
         assert 0 < r["overlap_bps"] <= 10000
         assert r["doc_id"] % 97 != 0
         assert r["contaminated"] == (r["overlap_bps"] >= 500)
+    for r in sem:
+        assert r["n_grams"] >= 1                 # hits over threshold
+        assert r["n_overlap"] >= 250_000         # max dot >= the cut
+        assert r["overlap_bps"] is None
+        assert r["doc_id"] % 101 != 0            # eval side excluded
+        assert r["contaminated"] is True

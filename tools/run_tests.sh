@@ -50,15 +50,19 @@ HALF2=(
   tests/test_webdataset.py
 )
 
-# coverage guard: every tests/test_*.py must appear in exactly one half
+# coverage guard: every tests/test_*.py must appear in EXACTLY one half
+# (a file in both halves runs twice — minutes of silent double work)
 missing=0
 for f in tests/test_*.py; do
   found=0
   for g in "${HALF1[@]}" "${HALF2[@]}"; do
-    [[ "$f" == "$g" ]] && found=1 && break
+    [[ "$f" == "$g" ]] && found=$((found + 1))
   done
   if [[ $found -eq 0 ]]; then
     echo "ERROR: $f is in neither half — add it to the lighter list" >&2
+    missing=1
+  elif [[ $found -gt 1 ]]; then
+    echo "ERROR: $f is listed $found times — keep exactly one entry" >&2
     missing=1
   fi
 done

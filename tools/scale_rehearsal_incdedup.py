@@ -81,11 +81,15 @@ def synth_docs(spark, n: int, id_offset: int = 0, vocab: int = 5000,
     """Deterministic synthetic corpus: every token chosen by xxhash64 of
     (id, position) over a closed vocabulary — no driver-side data, no
     randomness, reproducible across sessions."""
+    # hash the OFFSET id: with the raw `id`, an offset batch would emit
+    # byte-identical text to corpus docs 0..n-1 and silently turn the
+    # "fresh" leg into exact duplicates (caught in round-8 review)
     return spark.range(n).select(
         (F.col("id") + id_offset).alias("doc_id"),
         F.expr(f"""
           concat_ws(' ', transform(sequence(1, {doc_words}),
-            i -> concat('w', pmod(xxhash64(id * 1009 + i), {vocab}))))
+            i -> concat('w', pmod(xxhash64((id + {id_offset}) * 1009 + i),
+                                  {vocab}))))
         """).alias("text"))
 
 
