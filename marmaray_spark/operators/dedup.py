@@ -508,3 +508,40 @@ def remove_duplicate_paragraphs(df: DataFrame, id_col: str,
                     .alias("kept_paras"),
                     F.coalesce(F.col("__txt"), F.lit(""))
                     .alias("cleaned_text")))
+
+
+def leakage_safe_splits(df: DataFrame, component_col: str = "component",
+                        val_bps: int = 500, test_bps: int = 500,
+                        salt: str = "split0",
+                        out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment keyed on the NEAR-DUP
+    GROUP, not the document: every member of a connected component gets
+    the same split, so a near-duplicate (or exact duplicate) of a
+    validation document can never leak into train — the contamination
+    mode Lee et al. 2022 measure for eval sets, applied at split
+    construction time. Hashing the document id instead (the naive split)
+    puts ~(1 - s)^(k-1) of k-member dup groups across split boundaries.
+
+    The hash is the repo's cross-engine idiom: first 4 md5 hex chars of
+    ``salt:component`` as a 16-bit uniform, compared against integer
+    cutoffs ``bps * 65536 // 10000`` — engine/retry/partitioning-stable
+    and integer-exact, so a DuckDB oracle mirrors it bit-for-bit.
+
+    100 TB posture: one codegen projection over the already-labeled
+    frame — no shuffle, no new join; the component labels come from the
+    connected-components pass the dedup pipeline already ran.
+
+    Reference contract: beyond uber/marmaray (no text surface); the
+    split-leakage concern is the GPT-3 appendix-C / Lee et al. 2022
+    dedup-before-split practice."""
+    if not (0 <= val_bps and 0 <= test_bps and val_bps + test_bps <= 10000):
+        raise ValueError("val_bps/test_bps must be >= 0 and sum <= 10000")
+    u = F.conv(F.expr(
+        f"substring(md5(concat('{salt}:', cast({component_col} as string))), "
+        f"1, 4)"), 16, 10).cast("long")
+    vcut = (val_bps * 65536) // 10000
+    tcut = ((val_bps + test_bps) * 65536) // 10000
+    return df.withColumn(out_col,
+                         F.when(u < vcut, F.lit("val"))
+                          .when(u < tcut, F.lit("test"))
+                          .otherwise(F.lit("train")))

@@ -3075,11 +3075,22 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
     ),
-    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
-    SELECT d.doc_id,
-           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
-           (coalesce(c.component, d.doc_id) = d.doc_id) AS kept
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id,
+             CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+             (coalesce(c.component, d.doc_id) = d.doc_id) AS kept
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, component, kept,
+           CASE WHEN ('0x' || substring(md5('split0:' ||
+                        CAST(component AS VARCHAR)), 1, 4))::BIGINT < 3276
+                  THEN 'val'
+                WHEN ('0x' || substring(md5('split0:' ||
+                        CAST(component AS VARCHAR)), 1, 4))::BIGINT < 6553
+                  THEN 'test'
+                ELSE 'train' END AS split
+    FROM lab
     """,
 )
 def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3093,8 +3104,17 @@ def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep the min-id doc per group; singletons keep themselves). This is
     the operation a 100 TB pretraining pipeline runs: one banding
     shuffle, verification only on the (sparse) candidate set, a few tiny
-    label-propagation iterations, one broadcast join out."""
-    from marmaray_spark.operators.dedup import connected_components, jaccard_counts
+    label-propagation iterations, one broadcast join out.
+
+    Section column ``split`` (new r8): LEAKAGE-SAFE train/val/test
+    assignment (operators/dedup.py leakage_safe_splits) — the 16-bit
+    md5 bucket of the COMPONENT, not the doc, so a near-duplicate of a
+    val doc can never land in train (5% val / 5% test here). One
+    codegen projection on the already-labeled frame; the oracle mirrors
+    the hash and integer cutoffs exactly."""
+    from marmaray_spark.operators.dedup import (connected_components,
+                                                jaccard_counts,
+                                                leakage_safe_splits)
     from marmaray_spark.operators.text import word_shingles
 
     cand = minhash_lsh_candidates(spark, sf_dir)
@@ -3112,9 +3132,10 @@ def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no broadcast hint: the dup-labeled set can be a large corpus fraction
     # at scale; the doc_id equi-join lets AQE pick broadcast when it's small
     out = docs.join(labels, "doc_id", "left")
-    return (out.withColumn("component",
-                           F.coalesce("component", "doc_id").cast("bigint"))
-            .withColumn("kept", F.col("component") == F.col("doc_id")))
+    out = (out.withColumn("component",
+                          F.coalesce("component", "doc_id").cast("bigint"))
+           .withColumn("kept", F.col("component") == F.col("doc_id")))
+    return leakage_safe_splits(out, "component", val_bps=500, test_bps=500)
 
 
 @register(

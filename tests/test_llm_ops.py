@@ -1877,3 +1877,55 @@ def test_term_drift_identical_snapshots_zero(spark):
         [(1, "x y z x")], ["id", "text"]).withColumn("w", words("text"))
     out = term_drift(d, d, "w").collect()
     assert all(r["contrib_micro"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------- splits
+
+def test_leakage_safe_splits_component_constant(spark):
+    """Every member of a near-dup component lands in the SAME split —
+    the whole point of hashing the component, not the doc (a doc-keyed
+    split scatters multi-member dup groups across boundaries, leaking
+    near-copies of val docs into train)."""
+    from marmaray_spark.operators.dedup import leakage_safe_splits
+
+    # 600 docs in 200 components of 3 members each
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 200).alias("component"))
+    out = leakage_safe_splits(df, "component").collect()
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # deterministic + partitioning-proof
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_splits(
+        df.repartition(7), "component").collect()}
+    assert again == {r["doc_id"]: r["split"] for r in out}
+    # with 200 components at 5%/5% the minority splits are populated
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "val", "test"}
+    # fractions land near the bps (16-bit hash, 200 draws: loose bounds)
+    n_val = sum(1 for r in out if r["split"] == "val")
+    assert 0 < n_val < 600 * 0.2
+
+    # a DOC-keyed split on the same data demonstrably breaks groups —
+    # the failure mode this operator exists to prevent
+    naive = {r["doc_id"]: r["split"] for r in leakage_safe_splits(
+        df, "doc_id").collect()}
+    broken = sum(
+        1 for comp in range(200)
+        if len({naive[d] for d in range(600) if d % 200 == comp}) > 1)
+    assert broken > 0
+
+
+def test_leakage_safe_splits_bps_validation_and_edges(spark):
+    from marmaray_spark.operators.dedup import leakage_safe_splits
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"),
+                                F.col("id").alias("component"))
+    # val_bps=0 => nothing lands in val
+    out = leakage_safe_splits(df, "component", val_bps=0,
+                              test_bps=2000).collect()
+    assert {r["split"] for r in out} <= {"train", "test"}
+    with pytest.raises(ValueError):
+        leakage_safe_splits(df, "component", val_bps=6000, test_bps=6000)
