@@ -118,55 +118,23 @@ def maintain_decontamination_report(base, report, metadata,
     rows with them — affected ids are the union of after-image ids and
     the pre-image ids from each commit's ``removes`` manifest; stale
     rows are rewritten out exactly like annindex's stale keys. Replay
-    after a crash re-derives the same rows (idempotent)."""
-    from marmaray_spark.operators.maintained import consume_latest
-    from marmaray_spark.sinks.table import WriteOp
+    after a crash re-derives the same rows (idempotent). The
+    drain/stale/checkpoint mechanics live in
+    ``maintained.maintain_sparse_report`` (one copy, shared with the
+    semantic maintainer below)."""
+    from marmaray_spark.operators.maintained import maintain_sparse_report
 
-    latest, affected = consume_latest(base, metadata, [id_col, words_col],
-                                      id_col, checkpoint_key, max_commits)
-    if latest is None:
-        return 0
-    # docs dropped from the base decontaminate to nothing automatically:
-    # only ids still present in the base snapshot are scanned
-    live = latest.join(base.read().select(id_col), id_col, "left_semi")
-    fresh = (decontaminate_many(live, eval_sets, id_col=id_col,
-                                words_col=words_col, n=n,
-                                contaminated_bps=contaminated_bps)
-             .withColumn("report_key",
-                         F.concat_ws(":", F.col(id_col).cast("string"),
-                                     "eval_set"))
-             .persist())
-    try:
-        n_rows = fresh.count()
-        if report.is_empty():
-            if n_rows:
-                report.write(fresh, WriteOp.INSERT)
-        else:
-            # stale = existing rows of affected docs NOT re-asserted by
-            # the fresh set (an update that keeps a doc's overlap is a
-            # plain change-scale UPSERT, not a table rewrite — the
-            # rewrite fires only when rows must actually disappear)
-            existing = report.read()
-            stale = (existing.join(affected, id_col, "left_semi")
-                     .join(fresh.select("report_key"), "report_key",
-                           "left_anti"))
-            if stale.limit(1).count() > 0:
-                if report.partition is not None:
-                    raise ValueError(
-                        "stale-row rewrite needs an unpartitioned report "
-                        f"table; partitioned by {report.partition!r}")
-                survivors = existing.join(
-                    stale.select("report_key")
-                    .unionByName(fresh.select("report_key")),
-                    "report_key", "left_anti")
-                report.write(survivors.unionByName(fresh),
-                             WriteOp.INSERT_OVERWRITE)
-            elif n_rows:
-                report.write(fresh, WriteOp.UPSERT)
-    finally:
-        fresh.unpersist()
-    metadata.save_changes()
-    return n_rows
+    def report_fn(live):
+        return (decontaminate_many(live, eval_sets, id_col=id_col,
+                                   words_col=words_col, n=n,
+                                   contaminated_bps=contaminated_bps)
+                .withColumn("report_key",
+                            F.concat_ws(":", F.col(id_col).cast("string"),
+                                        "eval_set")))
+
+    return maintain_sparse_report(base, report, metadata,
+                                  [id_col, words_col], id_col, report_fn,
+                                  checkpoint_key, max_commits)
 
 
 def semantic_decontamination(corpus_emb: DataFrame, eval_emb: DataFrame,
@@ -255,3 +223,39 @@ def semantic_decontamination(corpus_emb: DataFrame, eval_emb: DataFrame,
                 "contaminated": True})
 
     return c.mapInPandas(kernel, out_schema)
+
+
+def maintain_semantic_decontamination(base, report, metadata,
+                                      eval_emb: DataFrame, *,
+                                      id_col: str = "vec_id",
+                                      vec_col: str = "embedding",
+                                      threshold_dot_q: int = 400_000,
+                                      checkpoint_key: str =
+                                      "semdecontam.last_commit",
+                                      max_commits: int | None = None) -> int:
+    """Semantic complement of :func:`maintain_decontamination_report`:
+    keep an embedding-space contamination report in sync with an
+    ingesting corpus-embedding table. Each maintenance run probes ONLY
+    the vectors changed since the last checkpoint against the broadcast
+    eval matrix — at 100 TB the corpus embedding table never rescans;
+    cost follows ingest volume, exactly the incdedup/annindex story
+    applied to :func:`semantic_decontamination`.
+
+    ``base``: a TableSink whose rows carry ``id_col`` + ``vec_col``;
+    ``report``: a TableSink keyed by ``report_key`` (derived as the
+    string id — the semantic report is one row per contaminated
+    vector). An update that moves a vector away from every eval item
+    takes its row OUT of the report (sparse-report stale handling);
+    docs dropped by INSERT_OVERWRITE leave with their rows; crash
+    replay is idempotent. Returns report rows (re)written."""
+    from marmaray_spark.operators.maintained import maintain_sparse_report
+
+    def report_fn(live):
+        return (semantic_decontamination(live, eval_emb, id_col=id_col,
+                                         vec_col=vec_col,
+                                         threshold_dot_q=threshold_dot_q)
+                .withColumn("report_key", F.col(id_col).cast("string")))
+
+    return maintain_sparse_report(base, report, metadata,
+                                  [id_col, vec_col], id_col, report_fn,
+                                  checkpoint_key, max_commits)

@@ -140,3 +140,60 @@ def maintain_projection(base, derived, metadata, cols: list[str],
         projected.unpersist()
     metadata.save_changes()
     return n
+
+def maintain_sparse_report(base, report, metadata, cols: list[str],
+                           id_col: str, report_fn, checkpoint_key: str,
+                           max_commits: int | None = None) -> int:
+    """Maintained pattern for SPARSE per-key reports: projections that
+    OMIT non-matching rows (contamination reports — zero-overlap docs
+    have no row), where ``maintain_projection``'s one-row-per-key UPSERT
+    cannot express "this key's rows just disappeared".
+
+    ``report_fn(live) -> DataFrame`` re-derives the report rows for the
+    changed keys only; its output must carry ``id_col`` plus a single
+    ``report_key`` column (the report TableSink's key). Stale handling:
+    rows of AFFECTED keys not re-asserted by the fresh set are rewritten
+    out (INSERT_OVERWRITE of survivors + fresh); an update that keeps a
+    key's rows is a plain change-scale UPSERT — the rewrite fires only
+    when rows must actually disappear. Checkpoint persists only after
+    the report commit lands, so crash-replay re-derives the same rows
+    (idempotent). Extracted from maintain_decontamination_report so the
+    n-gram and semantic maintainers share one copy of the stale-row
+    story."""
+    from marmaray_spark.sinks.table import WriteOp
+
+    latest, affected = consume_latest(base, metadata, cols, id_col,
+                                      checkpoint_key, max_commits)
+    if latest is None:
+        return 0
+    # keys dropped from the base report nothing automatically: only ids
+    # still present in the base snapshot are re-derived
+    live = latest.join(base.read().select(id_col), id_col, "left_semi")
+    fresh = report_fn(live).persist()
+    try:
+        n_rows = fresh.count()
+        if report.is_empty():
+            if n_rows:
+                report.write(fresh, WriteOp.INSERT)
+        else:
+            existing = report.read()
+            stale = (existing.join(affected, id_col, "left_semi")
+                     .join(fresh.select("report_key"), "report_key",
+                           "left_anti"))
+            if stale.limit(1).count() > 0:
+                if report.partition is not None:
+                    raise ValueError(
+                        "stale-row rewrite needs an unpartitioned report "
+                        f"table; partitioned by {report.partition!r}")
+                survivors = existing.join(
+                    stale.select("report_key")
+                    .unionByName(fresh.select("report_key")),
+                    "report_key", "left_anti")
+                report.write(survivors.unionByName(fresh),
+                             WriteOp.INSERT_OVERWRITE)
+            elif n_rows:
+                report.write(fresh, WriteOp.UPSERT)
+    finally:
+        fresh.unpersist()
+    metadata.save_changes()
+    return n_rows

@@ -206,3 +206,90 @@ def test_semantic_decontamination_skips_null_and_ragged_vectors(spark):
     got = {r["vec_id"]: r["max_dot_q"] for r in semantic_decontamination(
         corpus, ev, threshold_dot_q=500_000).collect()}
     assert got == {1: 1_000_000}
+
+
+# ------------------------------------------------ semantic maintainer
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+HIT = [1.0, 0.0, 0.0, 0.0]          # matches eval exactly (dot 1_000_000)
+MISS = [0.0, 1.0, 0.0, 0.0]         # orthogonal to eval
+
+
+def _sem_eval(spark):
+    return _vecs(spark, [(900, HIT)])
+
+
+def _sem_rows(report):
+    return sorted((r["vec_id"], r["n_hits"], r["contaminated"])
+                  for r in report.read().collect())
+
+
+def test_maintained_semantic_report_tracks_ingest_update_overwrite(
+        spark, tmp_path):
+    from marmaray_spark.operators.decontam import (
+        maintain_semantic_decontamination, semantic_decontamination)
+
+    base = TableSink(spark, tmp_path / "base", "vec_id")
+    report = TableSink(spark, tmp_path / "rep", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    ev = _sem_eval(spark)
+
+    # batch 1: vec 1 hits, vec 2 clean
+    base.write(_vecs(spark, [(1, HIT), (2, MISS)]), WriteOp.INSERT)
+    n = maintain_semantic_decontamination(base, report, md, ev,
+                                          threshold_dot_q=500_000)
+    assert n == 1 and _sem_rows(report) == [(1, 1, True)]
+
+    # batch 2: vec 1 UPDATED away from the eval -> its row must LEAVE;
+    # vec 3 joins as a hit
+    base.write(_vecs(spark, [(1, MISS)]), WriteOp.UPSERT)
+    base.write(_vecs(spark, [(3, HIT)]), WriteOp.INSERT)
+    maintain_semantic_decontamination(base, report, md, ev,
+                                      threshold_dot_q=500_000)
+    assert _sem_rows(report) == [(3, 1, True)]
+
+    # report == from-scratch over the current base (change-scoped
+    # maintenance must not drift)
+    want = sorted((r["vec_id"], r["n_hits"], r["contaminated"])
+                  for r in semantic_decontamination(
+                      base.read(), ev, threshold_dot_q=500_000).collect())
+    assert _sem_rows(report) == want
+
+    # batch 3: overwrite drops vec 3 -> report empties
+    base.write(_vecs(spark, [(1, MISS), (2, MISS)]),
+               WriteOp.INSERT_OVERWRITE)
+    maintain_semantic_decontamination(base, report, md, ev,
+                                      threshold_dot_q=500_000)
+    assert _sem_rows(report) == []
+
+    # idle run: no-op
+    assert maintain_semantic_decontamination(base, report, md, ev,
+                                             threshold_dot_q=500_000) == 0
+
+
+def test_maintained_semantic_replay_is_idempotent(spark, tmp_path):
+    """Crash between the report commit and the checkpoint save: the
+    replayed batch must re-derive identical rows (same shape as the
+    n-gram maintainer's replay pin)."""
+    from marmaray_spark.operators.decontam import (
+        maintain_semantic_decontamination)
+
+    base = TableSink(spark, tmp_path / "base", "vec_id")
+    report = TableSink(spark, tmp_path / "rep", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    ev = _sem_eval(spark)
+
+    base.write(_vecs(spark, [(1, HIT), (2, MISS)]), WriteOp.INSERT)
+    maintain_semantic_decontamination(base, report, md, ev,
+                                      threshold_dot_q=500_000)
+    first = _sem_rows(report)
+
+    # simulate the crash: wipe the consumer checkpoint so the same
+    # commit drains again
+    md2 = FileSystemMetadataManager(str(tmp_path / "md2"))
+    maintain_semantic_decontamination(base, report, md2, ev,
+                                      threshold_dot_q=500_000)
+    assert _sem_rows(report) == first
