@@ -217,3 +217,91 @@ def write_webdataset_shards(df: DataFrame, path: str, id_col: str,
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return manifest
+
+
+def read_webdataset_shards(spark, path: str,
+                           members: dict[str, str] | None = None) -> DataFrame:
+    """Read WebDataset-style tar shards back as one row per SAMPLE — the
+    inverse of :func:`write_webdataset_shards`, closing the round-trip a
+    training pipeline needs when it verifies or re-filters shards it
+    produced (and the shape any tar-emitting producer can be ingested
+    through).
+
+    ``members`` maps extension -> output type (``'string'`` members are
+    decoded UTF-8, ``'binary'`` stay raw bytes); defaults to the
+    ``members`` block of the directory's ``manifest.json`` with every
+    column typed binary unless the manifest records nothing. Output:
+    ``(key string, shard long, <ext> ...)`` — ``key`` is the sample key
+    prefix (the writer's stringified id), absent members are NULL.
+
+    100 TB posture: the scan is Spark's ``binaryFile`` source over
+    ``data/shard-*.tar`` (in-progress dotfiles excluded by the glob), so
+    parallelism = shard count and tar bytes never leave their executor;
+    one Arrow kernel walks each tar sequentially — the WebDataset
+    contract is that samples are ADJACENT entries sharing a key prefix,
+    so the walk is single-pass with no random access. A shard must fit a
+    task (the same bound the writer enforces via ``budget_tokens``; the
+    binaryFile source itself caps files at spark.sql's 2 GiB column
+    limit)."""
+    from pyspark.sql import types as T
+
+    if members is None:
+        members = {}
+        try:
+            with open(os.path.join(path, "manifest.json")) as fh:
+                members = {ext: "binary"
+                           for ext in json.load(fh).get("members", {})}
+        except (OSError, ValueError):
+            pass
+        if not members:
+            raise ValueError(f"no members given and no readable manifest "
+                             f"under {path!r}")
+    for ext, typ in members.items():
+        if not ext or "/" in ext or "." in ext:
+            raise ValueError(f"bad member extension {ext!r}")
+        if typ not in ("string", "binary"):
+            raise ValueError(f"member {ext!r}: type must be string|binary, "
+                             f"got {typ!r}")
+    exts = sorted(members)
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType()),
+         T.StructField("shard", T.LongType())]
+        + [T.StructField(ext, T.StringType() if members[ext] == "string"
+                         else T.BinaryType()) for ext in exts])
+
+    def kernel(batches):
+        import io
+        import re
+        import tarfile
+
+        import pandas as pd
+
+        shard_re = re.compile(r"shard-(\d+)\.tar$")
+        for pdf in batches:
+            rows: list[dict] = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                m = shard_re.search(str(fpath))
+                shard = int(m.group(1)) if m else -1
+                sample: dict | None = None
+                with tarfile.open(fileobj=io.BytesIO(blob), mode="r") as tf:
+                    for info in tf:
+                        if not info.isfile() or "." not in info.name:
+                            continue
+                        key, ext = info.name.rsplit(".", 1)
+                        if ext not in members:
+                            continue
+                        if sample is None or sample["key"] != key:
+                            if sample is not None:
+                                rows.append(sample)
+                            sample = {"key": key, "shard": shard}
+                        data = tf.extractfile(info).read()
+                        sample[ext] = (data.decode("utf-8")
+                                       if members[ext] == "string" else data)
+                if sample is not None:
+                    rows.append(sample)
+            yield pd.DataFrame(rows, columns=["key", "shard", *exts])
+
+    files = (spark.read.format("binaryFile")
+             .load(os.path.join(path, "data", "shard-*.tar"))
+             .select("path", "content"))
+    return files.mapInPandas(kernel, out_schema)
