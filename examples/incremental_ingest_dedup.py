@@ -16,6 +16,12 @@ every tick's cost follows the batch.
     -> maintain_dedup_index (advances the (digest, buckets) state by the
                              table's own change stream; exactly-once via
                              the work-unit checkpoint contract)
+    -> maintain decontam    (the benchmark-contamination report advances
+                             off the SAME commit stream — only this
+                             tick's survivors are probed against the
+                             broadcast eval n-grams; the semantic
+                             maintainer takes the identical shape over
+                             an embeddings table)
 
 Run:  python examples/incremental_ingest_dedup.py [sf_dir]
 """
@@ -44,7 +50,8 @@ from marmaray_spark.sinks.table import TableSink, WriteOp  # noqa: E402
 
 def ingest_tick(spark: SparkSession, workdir: str, batch: DataFrame,
                 near_threshold_bps: int = 9000,
-                max_candidates_per_doc: int = 8) -> dict:
+                max_candidates_per_doc: int = 8,
+                eval_sets: dict[str, DataFrame] | None = None) -> dict:
     """One ingest tick; returns the tick report. ``batch`` needs
     (doc_id, text).
 
@@ -92,10 +99,26 @@ def ingest_tick(spark: SparkSession, workdir: str, batch: DataFrame,
 
     n_kept = batch.count()
     if n_kept:
-        base.write(batch.select("doc_id", "text"), WriteOp.DEDUP_INSERT)
+        survivors = batch.select("doc_id", "text")
+        if eval_sets:
+            # the stored ``w`` column feeds the maintained
+            # decontamination report (its change-stream projection needs
+            # the words ON the table; a production table would store a
+            # tokenization anyway or point words_col at one)
+            survivors = survivors.withColumn(
+                "w", F.split(F.trim(F.lower("text")), r"\s+"))
+        base.write(survivors, WriteOp.DEDUP_INSERT)
     n_indexed = maintain_dedup_index(base, index, md)
-    return {"in": n_in, "batch_dups": n_batch_dups, "exact_dups": n_exact,
-            "near_dups": n_near, "kept": n_kept, "indexed": n_indexed}
+    out = {"in": n_in, "batch_dups": n_batch_dups, "exact_dups": n_exact,
+           "near_dups": n_near, "kept": n_kept, "indexed": n_indexed}
+    if eval_sets:
+        from marmaray_spark.operators.decontam import (
+            maintain_decontamination_report)
+        report = TableSink(spark, os.path.join(workdir, "decontam_report"),
+                           "report_key")
+        out["decontam_flagged"] = maintain_decontamination_report(
+            base, report, md, eval_sets, n=3, contaminated_bps=500)
+    return out
 
 
 def main() -> None:
@@ -114,8 +137,12 @@ def main() -> None:
           .withColumn("doc_id", F.col("doc_id") + 1_000_000)
           .unionByName(docs.filter(F.col("doc_id") % 3 == 1)))
     t3 = docs.filter(F.col("doc_id") % 3 == 2)
+    # a small held-out eval slice drives the maintained contamination
+    # report — in production this is the benchmark suite
+    ev = {"held": docs.filter(F.col("doc_id") % 50 == 0)
+          .withColumn("w", F.split(F.trim(F.lower("text")), r"\s+"))}
     for i, tick in enumerate([t1, t2, t3], 1):
-        print(f"tick {i}: {ingest_tick(spark, workdir, tick)}")
+        print(f"tick {i}: {ingest_tick(spark, workdir, tick, eval_sets=ev)}")
 
     base = TableSink(spark, os.path.join(workdir, "corpus"), "doc_id")
     total = base.read().count()

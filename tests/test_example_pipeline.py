@@ -146,3 +146,39 @@ def test_streaming_ingest_dedup_loop(spark, tmp_path):
     kept = t.read()
     assert {r["doc_id"] for r in kept.collect()} == {1, 2, 11}
     assert kept.select("text").distinct().count() == 3
+
+
+def test_ingest_tick_maintains_decontam_report(spark, tmp_path):
+    """The ingest loop's hygiene leg: with eval_sets passed, each tick
+    advances the maintained contamination report off the same commit
+    stream — only the tick's survivors are probed, and the report
+    accumulates across ticks."""
+    from pyspark.sql import functions as F
+
+    from incremental_ingest_dedup import ingest_tick
+
+    wd = str(tmp_path / "wd")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    ev_doc = "alpha beta gamma delta epsilon"
+    ev = {"held": docs([(500, ev_doc)])
+          .withColumn("w", F.split(F.trim(F.lower("text")), r"\s+"))}
+
+    r1 = ingest_tick(spark, wd, docs(
+        [(1, ev_doc + " zeta"), (2, "nothing shared here at all")]),
+        eval_sets=ev)
+    assert r1["kept"] == 2 and r1["decontam_flagged"] == 1
+    rep = TableSink(spark, os.path.join(wd, "decontam_report"),
+                    "report_key")
+    assert {(r["doc_id"], r["contaminated"]) for r in rep.read().collect()} \
+        == {(1, True)}
+
+    # tick 2: one clean doc, one contaminated — the report accumulates;
+    # tick 1's rows were NOT recomputed (change-scoped maintenance)
+    r2 = ingest_tick(spark, wd, docs(
+        [(3, "beta gamma delta words ride along"),
+         (4, "still nothing in common")]), eval_sets=ev)
+    assert r2["decontam_flagged"] == 1
+    assert {r["doc_id"] for r in rep.read().collect()} == {1, 3}
