@@ -225,6 +225,128 @@ def dup_line_stats(lines_col: str) -> Column:
         f"AS dup_line_char_bps)")
 
 
+def dup_ngram_char_bps(words_col: str, n: int) -> Column:
+    """Duplicate n-gram character mass in basis points — the remaining
+    Gopher repetition family (Rae et al. 2021 table A1 rows "duplicate
+    n-gram char fraction", n = 5..10): the character mass of every
+    REPEAT occurrence of an n-gram (occurrences beyond the first, chars
+    of the n tokens themselves, separators excluded) over the document's
+    total token character mass, clamped at 10000. Repeat occurrences of
+    overlapping n-grams each count their full mass (Gopher's
+    count-each-char-once refinement needs position interval merging; the
+    repeat-mass form is monotone in the same signal, engine-exact, and
+    one O(L log L) sorted-run walk instead of an interval pass — the
+    clamp caps the pathological all-one-word doc at 100%).
+
+    Expression-only: shingles via zip_with over shifted slices and the
+    repeat mass via a single aggregate over the SORTED shingle array —
+    both the interpreted-HOF O(distinct x len) trap and the
+    indexed-lambda re-evaluation trap measured in top_ngram_bps apply
+    here unchanged, so the same cures are load-bearing."""
+    L = f"greatest(size({words_col}) - {n - 1}, 0)"
+    sh = f"slice({words_col}, 1, {L})"
+    for i in range(2, n + 1):
+        sh = (f"zip_with({sh}, slice({words_col}, {i}, {L}), "
+              f"(x, y) -> concat(x, ' ', y))")
+    dup_chars = (
+        f"aggregate(array_sort({sh}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'dc', 0L), "
+        f"(a, x) -> named_struct('prev', x, "
+        f"'dc', a.dc + IF(x = a.prev, "
+        f"CAST(length(x) - {n - 1} AS BIGINT), 0L)), "
+        f"a -> a.dc)")
+    tot = f"aggregate({words_col}, 0L, (acc, x) -> acc + length(x))"
+    return F.expr(
+        f"CAST(least(10000L, {dup_chars} * 10000 "
+        f"div greatest({tot}, 1L)) AS INT)")
+
+
+def dup_ngram_char_signals(df, id_col: str, tokens_col: str,
+                           ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+                           passthrough: tuple[str, ...] = ("text",)):
+    """All six Gopher duplicate-n-gram char-mass signals (n = 5..10,
+    same semantics as dup_ngram_char_bps) in ONE Arrow-batched
+    mapInPandas pass: (id, *passthrough, dup5_char_bps..dup10_char_bps).
+
+    This is the hot-path form. The expression form exists and is
+    bit-equal (parity test), but six sorted-shingle HOF walks run
+    interpreted — measured 8.0s isolated warm at sf0.1 for the quality
+    query vs 1.3s on this kernel: one token-interning pass per doc, int
+    windows into a dict, O(1) window char mass off a prefix sum, all n
+    sharing the interned tokens. Tokens are built SPARK-SIDE and arrive
+    through Arrow, so there is no Python-vs-engine tokenization drift to
+    mirror in an oracle; outputs are pure integers."""
+    import pandas as pd
+    import pyspark.sql.functions as _F
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    pt = [(c, df.schema[c].dataType.simpleString()) for c in passthrough]
+    out_schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{c} {t}" for c, t in pt]
+        + [f"dup{n}_char_bps int" for n in ns])
+    base = df.select(id_col, *passthrough, tokens_col)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig: dict[int, list[int]] = {n: [] for n in ns}
+            for toks in pdf[tokens_col]:
+                toks = [] if toks is None else \
+                    ["" if t is None else t for t in toks]
+                interned: dict[str, int] = {}
+                tl = [interned.setdefault(t, len(interned)) for t in toks]
+                pref = [0]
+                for t in toks:
+                    pref.append(pref[-1] + len(t))
+                tot = pref[-1]
+                for n in ns:
+                    cnt: dict[tuple, int] = {}
+                    mass: dict[tuple, int] = {}
+                    for i in range(len(tl) - n + 1):
+                        key = tuple(tl[i:i + n])
+                        c = cnt.get(key)
+                        if c is None:
+                            cnt[key] = 1
+                            mass[key] = pref[i + n] - pref[i]
+                        else:
+                            cnt[key] = c + 1
+                    dup = sum((c - 1) * mass[k]
+                              for k, c in cnt.items() if c > 1)
+                    sig[n].append(min(10000, dup * 10000 // max(tot, 1)))
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c, _t in pt:
+                out[c] = pdf[c].to_numpy()
+            for n in ns:
+                out[f"dup{n}_char_bps"] = pd.Series(sig[n], dtype="int32")
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(kernel, out_schema)
+
+
+# Gopher/MassiveText table-A1 thresholds in basis points: top n-gram
+# fraction for n=2,3,4 and duplicate n-gram char fraction for n=5..10.
+MASSIVETEXT_TOP_NGRAM_BPS = {2: 2000, 3: 1800, 4: 1600}
+MASSIVETEXT_DUP_NGRAM_BPS = {5: 1500, 6: 1400, 7: 1300,
+                             8: 1200, 9: 1100, 10: 1000}
+
+
+def massivetext_repetition_pass(words_col: str,
+                                dup_words_col: str | None = None) -> Column:
+    """The FULL MassiveText repetition gate (Rae et al. 2021 table A1):
+    duplicate-word mass < 65%, top n-gram fraction under its per-n bound
+    for n=2..4, duplicate n-gram char mass under its per-n bound for
+    n=5..10. ``dup_words_col`` lets a caller run the dup-n-gram legs on a
+    different (e.g. repeat-injected) token array than the top-n legs."""
+    dcol = dup_words_col or words_col
+    gate = dup_word_bps(words_col) < 6500
+    for n, bps in MASSIVETEXT_TOP_NGRAM_BPS.items():
+        gate = gate & (_top_ngram_bps_expr(words_col, n) < bps)
+    for n, bps in MASSIVETEXT_DUP_NGRAM_BPS.items():
+        gate = gate & (dup_ngram_char_bps(dcol, n) < bps)
+    return gate
+
+
 def gopher_repetition_pass(words_col: str) -> Column:
     """Boolean Gopher-style repetition gate: duplicate-word mass < 65%,
     top 2-gram < 20%, top 3-gram < 18% of their slots. Thresholds follow
@@ -384,6 +506,102 @@ def temperature_mix(df, id_col: str, group_col: str,
             .withColumn("_u16", u16)
             .filter(F.col("_u16") < F.expr("_rate_bps * 65536 div 10000"))
             .drop("_rate_bps", "_u16", "__g"))
+
+
+def unimax_allocation(df, group_col: str, tokens_col: str,
+                      budget_tokens: int, epoch_cap: int = 4):
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining", Algorithm 1): spread a total token budget as UNIFORMLY
+    as possible across groups (languages / sources), capping every group
+    at ``epoch_cap`` epochs of its own data — the epoch cap is what stops
+    low-resource groups from being repeated into memorization, the
+    failure mode temperature mixing has no guard for.
+
+    Returns the group-scale allocation frame: (group, n_tokens,
+    cap_tokens, alloc_tokens, full_epochs, frac_bps) — full epochs plus a
+    fractional remainder in basis points, both integer.
+
+    The paper's allocator is a sequential loop (ascending by size: grant
+    min(cap, remaining budget / groups left), recompute). That loop has a
+    closed form this implementation uses so BOTH engines can mirror it
+    exactly with window functions, no iteration: sorted ascending by
+    (cap, group), the capped set is a prefix (cap_j * groups_from_j +
+    prefix_caps <= budget, monotone in j since caps ascend), and the
+    leftover R = budget - sum(capped caps) spreads over the m uncapped
+    groups as q = R div m each, with the LAST R mod m groups taking q+1
+    — equal to the loop because every uncapped cap exceeds R/m (else it
+    would have been capped), so min(cap, .) never binds after the
+    prefix. All integer arithmetic end to end; token counts at 100 TB
+    (~2.5e13) keep every product within int64 (cap * n_groups and
+    alloc * 10000 both < 2^63 through ~10^5 groups).
+
+    Scale: one map-side-combined groupBy(group) sum, then windows over
+    the GROUP-scale frame only (the temperature_mix pattern); the corpus
+    itself is never touched — callers join the allocation back broadcast
+    (unimax_fraction_sample) or explode full_epochs to materialize."""
+    from pyspark.sql.window import Window as _W
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if epoch_cap < 1:
+        raise ValueError("epoch_cap must be >= 1")
+    b = int(budget_tokens)
+    g = df.groupBy(group_col).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"))
+    ordw = _W.partitionBy().orderBy(F.col("cap_tokens").asc_nulls_first(),
+                                    F.col(group_col).asc_nulls_first())
+    wall = _W.partitionBy()
+    o = (g.withColumn("cap_tokens",
+                      F.col("n_tokens") * F.lit(int(epoch_cap)))
+         .withColumn("_j", F.row_number().over(ordw))
+         .withColumn("_pre", F.coalesce(
+             F.sum("cap_tokens").over(
+                 ordw.rowsBetween(_W.unboundedPreceding, -1)),
+             F.lit(0).cast("long")))
+         .withColumn("_k", F.count(F.lit(1)).over(wall))
+         .withColumn("_capped", F.expr(
+             f"cap_tokens * (_k - _j + 1) + _pre <= {b}")))
+    a = (o.withColumn("_ctot", F.coalesce(
+            F.sum(F.expr("IF(_capped, cap_tokens, 0L)")).over(wall),
+            F.lit(0).cast("long")))
+         .withColumn("_nc", F.coalesce(
+             F.sum(F.expr("IF(_capped, 1L, 0L)")).over(wall),
+             F.lit(0).cast("long")))
+         .withColumn("alloc_tokens", F.expr(
+             f"IF(_capped, cap_tokens, "
+             f"({b} - _ctot) div greatest(_k - _nc, 1L) "
+             f"+ IF(_j - _nc > (_k - _nc) - (({b} - _ctot) % "
+             f"greatest(_k - _nc, 1L)), 1L, 0L))")))
+    return a.select(
+        group_col, "n_tokens", "cap_tokens", "alloc_tokens",
+        F.expr("alloc_tokens div greatest(n_tokens, 1L)")
+            .alias("full_epochs"),
+        F.expr("(alloc_tokens % greatest(n_tokens, 1L)) * 10000 "
+               "div greatest(n_tokens, 1L)").alias("frac_bps"))
+
+
+def unimax_fraction_sample(df, id_col: str, group_col: str, alloc,
+                           salt: str = "um0"):
+    """The rows kept for the final PARTIAL epoch of a UniMax allocation:
+    per-group md5-cutoff subset at frac_bps (the repo's cross-engine
+    sampling idiom — same 16-bit threshold as temperature_mix). Full
+    epochs are whole-group repeats and need no row choice (materialize
+    with explode(sequence(1, full_epochs))); only the remainder picks
+    WHICH rows, and the hash makes that pick deterministic under retries
+    and repartitioning. Carries full_epochs/frac_bps through for the
+    caller. Broadcast join on the group-scale allocation; null-safe on
+    the group key (the temperature_mix null-group lesson)."""
+    r = alloc.select(F.col(group_col).alias("__g"),
+                     "full_epochs", "frac_bps")
+    u16 = F.conv(F.expr(
+        f"substring(md5(concat('{salt}:', cast({id_col} as string))), "
+        f"1, 4)"), 16, 10).cast("long")
+    return (df.join(F.broadcast(r),
+                    F.col(group_col).eqNullSafe(F.col("__g")))
+            .withColumn("_u16", u16)
+            .filter(F.col("_u16") < F.expr("frac_bps * 65536 div 10000"))
+            .drop("_u16", "__g"))
 
 
 # ---------------------------------------------------------------------------

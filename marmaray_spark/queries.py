@@ -13,6 +13,7 @@ timestamps rely on the session being pinned to UTC.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -981,12 +982,46 @@ _SQL_SH2 = ("list_transform(generate_series(1, greatest(len(w) - 1, 0)), "
             "i -> array_to_string(w[i:i+1], ' '))")
 _SQL_SH3 = ("list_transform(generate_series(1, greatest(len(w) - 2, 0)), "
             "i -> array_to_string(w[i:i+2], ' '))")
+_SQL_SH4 = ("list_transform(generate_series(1, greatest(len(w) - 3, 0)), "
+            "i -> array_to_string(w[i:i+3], ' '))")
 
 
 def _sql_top_ngram_bps(sh: str) -> str:
     return (f"CASE WHEN len({sh}) = 0 THEN 0 ELSE "
             f"list_max(list_transform(list_distinct({sh}), "
             f"s -> len(list_filter({sh}, x -> x = s)))) * 10000 // len({sh}) END")
+
+
+def _sql_sorted_shingles(n: int) -> str:
+    # sorted n-gram shingles over the repeat-injected array wr
+    return (f"list_sort(list_transform("
+            f"generate_series(1, greatest(len(wr) - {n - 1}, 0)), "
+            f"i -> array_to_string(wr[i:i+{n - 1}], ' ')))")
+
+
+def _sql_dup_ngram_char_bps(n: int) -> str:
+    # mirror of operators/text.py dup_ngram_char_bps: repeat occurrences
+    # of each n-gram (every sorted element equal to its predecessor)
+    # contribute their token char mass (separators excluded), normalized
+    # by total token chars, clamped at 10000. Sorted-neighbor walk, not
+    # count-per-distinct — the O(distinct x len) list_filter form
+    # measured ~90s on the 500-doc sf0.01 corpus vs ~10s for this one.
+    ss = f"ss{n}"
+    dup = (f"coalesce(list_sum(list_transform("
+           f"generate_series(2, len({ss})), "
+           f"i -> CASE WHEN {ss}[i] = {ss}[i-1] "
+           f"THEN length({ss}[i]) - {n - 1} ELSE 0 END)), 0)")
+    return (
+        f"least(10000, {dup} * 10000 "
+        f"// greatest(coalesce(list_sum(list_transform(wr, "
+        f"x -> length(x))), 0), 1))")
+
+
+_SQL_MASSIVETEXT_PASS = (
+    "(dup_word_bps < 6500 AND top2_bps < 2000 AND top3_bps < 1800 "
+    "AND top4_bps < 1600 AND dup5_char_bps < 1500 AND dup6_char_bps < 1400 "
+    "AND dup7_char_bps < 1300 AND dup8_char_bps < 1200 "
+    "AND dup9_char_bps < 1100 AND dup10_char_bps < 1000)")
 
 
 # Deterministic line structure for the C4 leg (the synthetic corpus has no
@@ -1040,6 +1075,20 @@ _SQL_C4_KEPT = """
                   // greatest(coalesce(list_sum(list_transform(lr,
                     l -> length(l))), 0), 1) AS INT) AS dup_line_char_bps
       FROM rep
+    ), tw0 AS (
+      SELECT doc_id, text, w,
+             list_concat(w, CASE WHEN doc_id % 5 = 0 THEN w[1:12]
+                              ELSE [] END) AS wr
+      FROM t
+    ), tw AS (
+      SELECT doc_id, text, w, wr,
+             {_sql_sorted_shingles(5)} AS ss5,
+             {_sql_sorted_shingles(6)} AS ss6,
+             {_sql_sorted_shingles(7)} AS ss7,
+             {_sql_sorted_shingles(8)} AS ss8,
+             {_sql_sorted_shingles(9)} AS ss9,
+             {_sql_sorted_shingles(10)} AS ss10
+      FROM tw0
     ), s AS (
       SELECT doc_id,
              {_SQL_QUALITY} AS quality,
@@ -1048,14 +1097,22 @@ _SQL_C4_KEPT = """
                   // greatest(len(w), 1) AS INT) AS dup_word_bps,
              CAST({_sql_top_ngram_bps(_SQL_SH2)} AS INT) AS top2_bps,
              CAST({_sql_top_ngram_bps(_SQL_SH3)} AS INT) AS top3_bps,
+             CAST({_sql_top_ngram_bps(_SQL_SH4)} AS INT) AS top4_bps,
+             CAST({_sql_dup_ngram_char_bps(5)} AS INT) AS dup5_char_bps,
+             CAST({_sql_dup_ngram_char_bps(6)} AS INT) AS dup6_char_bps,
+             CAST({_sql_dup_ngram_char_bps(7)} AS INT) AS dup7_char_bps,
+             CAST({_sql_dup_ngram_char_bps(8)} AS INT) AS dup8_char_bps,
+             CAST({_sql_dup_ngram_char_bps(9)} AS INT) AS dup9_char_bps,
+             CAST({_sql_dup_ngram_char_bps(10)} AS INT) AS dup10_char_bps,
              CAST(list_sum(list_transform(w, x -> length(x))) * 100
                   // greatest(len(w), 1) AS INT) AS mean_word_len_x100,
              CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10000
                   // greatest(len(w), 1) AS INT) AS symbol_word_bps
-      FROM t
+      FROM tw
     )
     SELECT s.*, (dup_word_bps < 6500 AND top2_bps < 2000 AND top3_bps < 1800)
               AS gopher_pass,
+           {_SQL_MASSIVETEXT_PASS} AS massivetext_pass,
            CAST(c4.c4_lines_total AS INT) AS c4_lines_total,
            CAST(c4.c4_lines_kept AS INT) AS c4_lines_kept,
            c4.c4_digest,
@@ -1078,16 +1135,36 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-LINE fraction by count and by character mass
     (operators/text.py dup_line_stats) — over the same grid with a
     deterministic repeat of the first line injected every fifth doc.
-    All integer basis points, all per-row expressions in whole-stage
-    codegen; no shuffle."""
-    from marmaray_spark.operators.text import (c4_clean, dup_line_stats,
+    Round 8 completes the table-A1 family: top-4-gram fraction and the
+    duplicate-n-gram CHAR-mass signals for n = 5..10 (operators/text.py
+    dup_ngram_char_signals — repeat-occurrence char mass, clamped bps),
+    evaluated over a repeat-injected token array (first 12 tokens
+    re-appended every fifth doc — the line-grid non-vacuity pattern,
+    mirrored in the oracle) so the signals are provably non-zero on the
+    synthetic corpus, plus the combined massivetext_pass gate over all
+    ten signals. The six dup signals run as ONE Arrow kernel pass with
+    Spark-built tokens (the six-sorted-HOF expression form is bit-equal
+    but interpreted: 8.0s vs 1.x s isolated warm at sf0.1); everything
+    else stays per-row expressions in whole-stage codegen; no shuffle
+    anywhere — the kernel passes text through, so the expression legs
+    compute downstream of it without a join."""
+    from marmaray_spark.operators.text import (MASSIVETEXT_DUP_NGRAM_BPS,
+                                               c4_clean, dup_line_stats,
+                                               dup_ngram_char_signals,
                                                dup_word_bps,
                                                gopher_repetition_pass,
                                                mean_word_len_x100,
                                                quality_score,
-                                               symbol_word_bps, top_ngram_bps)
+                                               symbol_word_bps, top_ngram_bps,
+                                               words)
 
-    docs = _with_words(load(spark, sf_dir, "documents"))
+    base = spread(load(spark, sf_dir, "documents"), spark) \
+        .withColumn("w0", words("text")) \
+        .withColumn("wr", F.expr(
+            "concat(w0, IF(doc_id % 5 = 0, slice(w0, 1, 12), "
+            "slice(w0, 1, 0)))"))
+    docs = _with_words(
+        dup_ngram_char_signals(base, "doc_id", "wr", passthrough=("text",)))
     lined = docs.withColumn("lines", F.expr("""
         transform(
           sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),
@@ -1098,7 +1175,10 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lined", F.expr("array_join(lines, '\\n')")) \
         .withColumn("lr", F.expr(
             "concat(lines, IF(doc_id % 5 = 0, slice(lines, 1, 1), "
-            "slice(lines, 1, 0)))"))
+            "slice(lines, 1, 0)))")) \
+        .withColumn("wr", F.expr(
+            "concat(w, IF(doc_id % 5 = 0, slice(w, 1, 12), "
+            "slice(w, 1, 0)))"))
     return lined.withColumn("c4", c4_clean("lined")) \
         .withColumn("dl", dup_line_stats("lr")).select(
         "doc_id",
@@ -1107,9 +1187,17 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_word_bps("w").alias("dup_word_bps"),
         top_ngram_bps("w", 2).alias("top2_bps"),
         top_ngram_bps("w", 3).alias("top3_bps"),
+        top_ngram_bps("w", 4).alias("top4_bps"),
+        *[F.col(f"dup{n}_char_bps") for n in range(5, 11)],
         mean_word_len_x100("w").alias("mean_word_len_x100"),
         symbol_word_bps("text", "w").alias("symbol_word_bps"),
         gopher_repetition_pass("w").alias("gopher_pass"),
+        (gopher_repetition_pass("w") & (top_ngram_bps("w", 4) < 1600)
+         & functools.reduce(
+             lambda a, b: a & b,
+             [F.col(f"dup{n}_char_bps") < bps
+              for n, bps in MASSIVETEXT_DUP_NGRAM_BPS.items()]))
+            .alias("massivetext_pass"),
         F.col("c4.lines_total").alias("c4_lines_total"),
         F.col("c4.lines_kept").alias("c4_lines_kept"),
         F.md5(F.col("c4.cleaned")).alias("c4_digest"),
@@ -1522,10 +1610,59 @@ def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sc CROSS JOIN cut
       WHERE sc.kkey >= coalesce(cut.t, -4611686018427387904)
     )
+    UNION ALL
+    SELECT doc_id, lang, method, n1 FROM (
+      WITH tq AS (
+        SELECT doc_id, lang, len({_SQL_WORDS}) AS n_tok FROM documents
+      ), gq AS (
+        SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM tq GROUP BY lang
+      ), bb AS (
+        SELECT CAST(SUM(n_tokens) * 5 // 2 AS BIGINT) AS b FROM gq
+      ), oq AS (
+        SELECT lang, n_tokens, n_tokens * 3 AS cap,
+               ROW_NUMBER() OVER (ORDER BY n_tokens * 3 ASC,
+                                  lang ASC NULLS FIRST) AS j,
+               COALESCE(SUM(n_tokens * 3) OVER (
+                 ORDER BY n_tokens * 3 ASC, lang ASC NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS pre,
+               COUNT(*) OVER () AS k
+        FROM gq
+      ), fq AS (
+        SELECT oq.*, (cap * (k - j + 1) + pre <= bb.b) AS capped
+        FROM oq CROSS JOIN bb
+      ), ag AS (
+        SELECT COALESCE(SUM(CASE WHEN capped THEN cap ELSE 0 END), 0)
+                 AS ctot,
+               COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS nc
+        FROM fq
+      ), aq AS (
+        SELECT fq.lang, fq.n_tokens,
+               CASE WHEN fq.capped THEN fq.cap
+                    ELSE (bb.b - ag.ctot) // greatest(fq.k - ag.nc, 1)
+                         + CASE WHEN fq.j - ag.nc >
+                             (fq.k - ag.nc)
+                             - ((bb.b - ag.ctot) % greatest(fq.k - ag.nc, 1))
+                           THEN 1 ELSE 0 END END AS alloc
+        FROM fq CROSS JOIN ag CROSS JOIN bb
+      )
+      SELECT CAST(NULL AS BIGINT) AS doc_id, lang,
+             'unimax_alloc' AS method, CAST(alloc AS BIGINT) AS n1
+      FROM aq
+      UNION ALL
+      SELECT tq.doc_id, tq.lang, 'unimax' AS method,
+             CAST(aq.alloc // greatest(aq.n_tokens, 1) AS BIGINT) AS n1
+      FROM tq JOIN aq USING (lang)
+      WHERE ('0x' || substring(md5('um0:' || CAST(tq.doc_id AS VARCHAR)),
+                               1, 4))::BIGINT
+            < ((aq.alloc % greatest(aq.n_tokens, 1)) * 10000
+               // greatest(aq.n_tokens, 1)) * 65536 // 10000
+    )
     """,
 )
 def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIVE deterministic corpus-partitioning primitives side by side,
+    """SIX deterministic corpus-partitioning primitives side by side,
     tagged by method (sections sharing one scoreboard row — the
     relational_join_family pattern): STRATIFIED rebalancing (keep 10% of
     dominant-language en docs, 40% of everything else, per-stratum md5
@@ -1540,7 +1677,15 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dsir.py, Xie et al. 2023 — hashed unigram+bigram bucket
     models p_target/p_raw with target = the en doc_id%5==0 slice,
     per-doc milli-nat log weights (n1), Gumbel-perturbed top-20%
-    selection via the exact score-histogram cutoff, no global sort).
+    selection via the exact score-histogram cutoff, no global sort), and
+    UNIMAX epoch-capped budget allocation (operators/text.py
+    unimax_allocation — Chung et al. 2023 Algorithm 1 in the closed form
+    both engines mirror with window functions; budget 2.5x the corpus'
+    tokens at a 3-epoch cap, so on this corpus the four minority
+    languages cap at 3 epochs and dominant en water-fills — the
+    'unimax_alloc' rows carry per-group alloc_tokens as n1, the 'unimax'
+    rows are the md5-cutoff fractional-epoch subset with full_epochs as
+    n1).
     The sampling legs are pure pushed-down filters — no shuffle, stable
     across engines, retries and partitionings (rand()-based sample() is
     none of those things); the shard leg's only corpus shuffle is its
@@ -1554,7 +1699,9 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marmaray_spark.operators.shard import shard_assignments
     from marmaray_spark.operators.text import (deterministic_sample,
                                                stratified_sample,
-                                               temperature_mix)
+                                               temperature_mix,
+                                               unimax_allocation,
+                                               unimax_fraction_sample)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     null_n1 = F.lit(None).cast("long")
@@ -1590,8 +1737,23 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dsir_select(wts, k=n_docs * 2000 // 10000, id_col="doc_id")
     dsir = kept.select("doc_id", "lang", F.lit("dsir").alias("method"),
                        F.col("logw_milli").alias("n1"))
+    # UniMax: budget = 2.5x corpus tokens, 3-epoch cap. The total is a
+    # metadata-scale driver scalar (the dsir n_docs precedent); the
+    # allocation frame is group-scale and broadcast back for the
+    # fractional-epoch subset.
+    total_toks = int(toks.agg(
+        F.sum("n_tok").cast("long").alias("t")).first()["t"])
+    ua = unimax_allocation(toks, "lang", "n_tok",
+                           budget_tokens=5 * total_toks // 2, epoch_cap=3)
+    ua_alloc = ua.select(F.lit(None).cast("long").alias("doc_id"), "lang",
+                         F.lit("unimax_alloc").alias("method"),
+                         F.col("alloc_tokens").alias("n1"))
+    ua_docs = unimax_fraction_sample(toks, "doc_id", "lang", ua,
+                                     salt="um0") \
+        .select("doc_id", "lang", F.lit("unimax").alias("method"),
+                F.col("full_epochs").alias("n1"))
     return (strat.unionByName(flat).unionByName(shard).unionByName(mix)
-            .unionByName(dsir))
+            .unionByName(dsir).unionByName(ua_alloc).unionByName(ua_docs))
 
 
 # ---------------------------------------------------------------------------

@@ -463,6 +463,88 @@ def test_gopher_repetition_signals(spark):
     assert got[5]["dup"] == 0 and got[5]["top2"] == 0 and got[5]["mwl"] == 400
 
 
+def test_dup_ngram_char_bps_matches_brute_force(spark):
+    """The duplicate-n-gram char-mass signal (the Gopher table-A1 rows the
+    round-8 gate completes) equals a naive per-doc Python oracle on a
+    seeded corpus whose small vocabularies force real repeats, and the
+    clamp caps the one-word pathological doc at 10000."""
+    import random
+
+    from marmaray_spark.operators.text import dup_ngram_char_bps
+
+    rng = random.Random(8)
+    vocab = ["alpha", "be", "gamma", "dd", "epsilon", "zeta", "eta", "x"]
+    rows = [(i, " ".join(rng.choice(vocab[: 2 + i % 7])
+                         for _ in range(rng.randrange(0, 40))))
+            for i in range(60)]
+    rows += [(100, "spam " * 30), (101, ""), (102, "one two three")]
+    df = (spark.createDataFrame(rows, ["doc_id", "text"])
+          .withColumn("w", F.split(F.trim(F.lower("text")), r"\s+")))
+
+    def brute(text: str, n: int) -> int:
+        w = text.strip().lower().split() if text.strip() else [""]
+        if text == "":
+            w = [""]
+        shingles = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        from collections import Counter
+        dup = sum((c - 1) * (len(s) - (n - 1))
+                  for s, c in Counter(shingles).items() if c > 1)
+        tot = sum(len(x) for x in w)
+        return min(10000, dup * 10000 // max(tot, 1))
+
+    for n in (5, 7, 10):
+        got = {r["doc_id"]: r["bps"] for r in df.select(
+            "doc_id", dup_ngram_char_bps("w", n).alias("bps")).collect()}
+        for doc_id, text in rows:
+            assert got[doc_id] == brute(text, n), (doc_id, n, text)
+    # the all-one-word doc overlaps every 5-gram with itself: clamp binds
+    assert df.filter(F.col("doc_id") == 100).select(
+        dup_ngram_char_bps("w", 5).alias("b")).first()["b"] == 10000
+
+
+def test_dup_ngram_kernel_equals_expression_path(spark):
+    """The Arrow-kernel family pass (the hot path the quality query uses)
+    is bit-equal to the expression form for every n, including empty and
+    null-element token arrays."""
+    import random
+
+    from marmaray_spark.operators.text import (dup_ngram_char_bps,
+                                               dup_ngram_char_signals)
+
+    rng = random.Random(88)
+    vocab = ["a", "bb", "ccc", "dddd", "ee", "f"]
+    rows = [(i, "t", [rng.choice(vocab[: 2 + i % 5])
+                      for _ in range(rng.randrange(0, 30))])
+            for i in range(40)]
+    rows += [(100, "t", []), (101, "t", ["solo"]), (102, "t", ["x"] * 25)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "wr"])
+    got = {r["doc_id"]: r for r in
+           dup_ngram_char_signals(df, "doc_id", "wr").collect()}
+    want = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[dup_ngram_char_bps("wr", n).alias(f"dup{n}_char_bps")
+                    for n in range(5, 11)]).collect()}
+    assert set(got) == set(want)
+    for doc_id, w in want.items():
+        for n in range(5, 11):
+            col = f"dup{n}_char_bps"
+            assert got[doc_id][col] == w[col], (doc_id, col)
+
+
+def test_massivetext_pass_gates_repetitive_docs(spark):
+    from marmaray_spark.operators.text import massivetext_repetition_pass
+
+    rows = [
+        (1, " ".join(["the quick brown fox jumps over one lazy dog and "
+                      "seven wizards brew strong coffee at dawn today"])),
+        (2, "copy paste boiler plate " * 12),   # dup 5..10-grams dominate
+    ]
+    df = (spark.createDataFrame(rows, ["doc_id", "text"])
+          .withColumn("w", F.split(F.trim(F.lower("text")), r"\s+")))
+    got = {r["doc_id"]: r["ok"] for r in df.select(
+        "doc_id", massivetext_repetition_pass("w").alias("ok")).collect()}
+    assert got[1] is True and got[2] is False
+
+
 def test_decontaminate_flags_overlap_and_broadcasts(spark):
     from marmaray_spark.operators.decontam import decontaminate
 

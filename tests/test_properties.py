@@ -126,6 +126,77 @@ def test_pack_sequences_matches_python_model(spark, sizes, seq_len,
         cursors[b] = start + n
 
 
+# -- UniMax allocation (operators/text.py) -----------------------------------
+
+@given(toks=st.lists(st.integers(min_value=0, max_value=50_000),
+                     min_size=1, max_size=12),
+       budget_frac=st.integers(min_value=0, max_value=400),
+       epoch_cap=st.sampled_from([1, 3, 4]))
+@settings(max_examples=10, deadline=None)
+def test_unimax_allocation_matches_sequential_loop(spark, toks, budget_frac,
+                                                   epoch_cap):
+    """The window-function closed form == UniMax Algorithm 1's sequential
+    loop (ascending by cap: grant min(cap, remaining // groups_left),
+    recompute) for any group mix, budget (0..4x total tokens) and epoch
+    cap — including all-capped, none-capped and zero-token groups."""
+    from marmaray_spark.operators.text import unimax_allocation
+
+    groups = [(f"g{i:02d}", n) for i, n in enumerate(toks)]
+    total = sum(toks)
+    budget = total * budget_frac // 100
+
+    def sequential():
+        order = sorted(groups, key=lambda kv: (kv[1] * epoch_cap, kv[0]))
+        left, rem, out = len(order), budget, {}
+        for g, n in order:
+            a = min(n * epoch_cap, rem // left)
+            out[g] = a
+            rem -= a
+            left -= 1
+        return out
+
+    rows = [(g, i, n) for i, (g, n) in enumerate(groups)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "n_tok"])
+    got = {r["lang"]: r for r in unimax_allocation(
+        df, "lang", "n_tok", budget_tokens=budget,
+        epoch_cap=epoch_cap).collect()}
+    want = sequential()
+    assert set(got) == set(want)
+    for g, alloc in want.items():
+        r = got[g]
+        assert r["alloc_tokens"] == alloc, (g, dict(groups), budget)
+        n = dict(groups)[g]
+        assert r["full_epochs"] == alloc // max(n, 1)
+        assert r["frac_bps"] == (alloc % max(n, 1)) * 10000 // max(n, 1)
+        assert r["alloc_tokens"] <= r["cap_tokens"]
+
+
+def test_unimax_fraction_sample_keeps_cutoff_subset(spark):
+    """The fractional-epoch subset is exactly the md5-cutoff set at each
+    group's frac_bps, and capped groups (frac 0) contribute no rows."""
+    import hashlib
+
+    from marmaray_spark.operators.text import (unimax_allocation,
+                                               unimax_fraction_sample)
+
+    rows = [(i, "en" if i % 3 else "de", 10 + i % 7) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    alloc = unimax_allocation(df, "lang", "n_tok",
+                              budget_tokens=1500, epoch_cap=2)
+    fb = {r["lang"]: (r["frac_bps"], r["full_epochs"])
+          for r in alloc.collect()}
+    kept = {r["doc_id"] for r in
+            unimax_fraction_sample(df, "doc_id", "lang", alloc,
+                                   salt="um0").collect()}
+    want = set()
+    for doc_id, lang, _n in rows:
+        frac, _fe = fb[lang]
+        u16 = int(hashlib.md5(f"um0:{doc_id}".encode()).hexdigest()[:4], 16)
+        if u16 < frac * 65536 // 10000:
+            want.add(doc_id)
+    assert kept == want and all(fb[l][0] < 10000 for l in fb)
+
+
 def test_decontaminate_bounds_on_testdata(spark):
     """n-gram sections: overlap_bps in (0, 10000], n_overlap <= n_grams,
     eval docs never appear (they are not corpus rows). The r8 'semantic'
