@@ -268,14 +268,19 @@ def dup_ngram_char_signals(df, id_col: str, tokens_col: str,
     same semantics as dup_ngram_char_bps) in ONE Arrow-batched
     mapInPandas pass: (id, *passthrough, dup5_char_bps..dup10_char_bps).
 
-    This is the hot-path form. The expression form exists and is
-    bit-equal (parity test), but six sorted-shingle HOF walks run
-    interpreted — measured 8.0s isolated warm at sf0.1 for the quality
-    query vs 1.3s on this kernel: one token-interning pass per doc, int
-    windows into a dict, O(1) window char mass off a prefix sum, all n
-    sharing the interned tokens. Tokens are built SPARK-SIDE and arrive
-    through Arrow, so there is no Python-vs-engine tokenization drift to
-    mirror in an oracle; outputs are pure integers."""
+    Bit-equal to the expression form (parity test). MEASURED TIE at
+    sf0.1 on local[32] (0.52s vs 0.50s warm, noop-write-forced — a first
+    count()-based comparison was meaningless because count() prunes
+    expression columns but must still run a Python stage): the declared
+    quality query therefore keeps the expression form, which stays
+    inside whole-stage codegen with no Python workers in the plan. This
+    kernel is the alternative for corpora whose documents run long:
+    one token-interning pass per doc, int-tuple windows into a dict,
+    O(1) window char mass off a prefix sum, all n sharing the interned
+    tokens — no n-gram STRING construction at all, where the expression
+    path builds each n-gram string through an n-deep zip_with chain.
+    Tokens are built SPARK-SIDE and arrive through Arrow, so there is no
+    Python-vs-engine tokenization drift; outputs are pure integers."""
     import pandas as pd
     import pyspark.sql.functions as _F
 

@@ -13,7 +13,6 @@ timestamps rely on the session being pinned to UTC.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -1142,29 +1141,26 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-appended every fifth doc — the line-grid non-vacuity pattern,
     mirrored in the oracle) so the signals are provably non-zero on the
     synthetic corpus, plus the combined massivetext_pass gate over all
-    ten signals. The six dup signals run as ONE Arrow kernel pass with
-    Spark-built tokens (the six-sorted-HOF expression form is bit-equal
-    but interpreted: 8.0s vs 1.x s isolated warm at sf0.1); everything
-    else stays per-row expressions in whole-stage codegen; no shuffle
-    anywhere — the kernel passes text through, so the expression legs
-    compute downstream of it without a join."""
-    from marmaray_spark.operators.text import (MASSIVETEXT_DUP_NGRAM_BPS,
-                                               c4_clean, dup_line_stats,
-                                               dup_ngram_char_signals,
+    ten signals. The six dup signals use the expression form
+    (dup_ngram_char_bps): it MEASURES EQUAL to the Arrow-kernel
+    alternative (0.50s vs 0.52s warm at sf0.1, noop-forced — an earlier
+    8s reading was background-load pollution, re-measured quiet) and
+    keeps the whole query per-row expressions in whole-stage codegen
+    with no Python stage; dup_ngram_char_signals stays available (and
+    parity-pinned) for long-document corpora. No shuffle anywhere."""
+    from marmaray_spark.operators.text import (c4_clean, dup_line_stats,
+                                               dup_ngram_char_bps,
                                                dup_word_bps,
                                                gopher_repetition_pass,
+                                               massivetext_repetition_pass,
                                                mean_word_len_x100,
                                                quality_score,
-                                               symbol_word_bps, top_ngram_bps,
-                                               words)
+                                               symbol_word_bps, top_ngram_bps)
 
-    base = spread(load(spark, sf_dir, "documents"), spark) \
-        .withColumn("w0", words("text")) \
+    docs = _with_words(load(spark, sf_dir, "documents")) \
         .withColumn("wr", F.expr(
-            "concat(w0, IF(doc_id % 5 = 0, slice(w0, 1, 12), "
-            "slice(w0, 1, 0)))"))
-    docs = _with_words(
-        dup_ngram_char_signals(base, "doc_id", "wr", passthrough=("text",)))
+            "concat(w, IF(doc_id % 5 = 0, slice(w, 1, 12), "
+            "slice(w, 1, 0)))"))
     lined = docs.withColumn("lines", F.expr("""
         transform(
           sequence(0, cast(ceil(size(w) / 8.0) as int) - 1),
@@ -1188,15 +1184,12 @@ def doc_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_ngram_bps("w", 2).alias("top2_bps"),
         top_ngram_bps("w", 3).alias("top3_bps"),
         top_ngram_bps("w", 4).alias("top4_bps"),
-        *[F.col(f"dup{n}_char_bps") for n in range(5, 11)],
+        *[dup_ngram_char_bps("wr", n).alias(f"dup{n}_char_bps")
+          for n in range(5, 11)],
         mean_word_len_x100("w").alias("mean_word_len_x100"),
         symbol_word_bps("text", "w").alias("symbol_word_bps"),
         gopher_repetition_pass("w").alias("gopher_pass"),
-        (gopher_repetition_pass("w") & (top_ngram_bps("w", 4) < 1600)
-         & functools.reduce(
-             lambda a, b: a & b,
-             [F.col(f"dup{n}_char_bps") < bps
-              for n, bps in MASSIVETEXT_DUP_NGRAM_BPS.items()]))
+        massivetext_repetition_pass("w", dup_words_col="wr")
             .alias("massivetext_pass"),
         F.col("c4.lines_total").alias("c4_lines_total"),
         F.col("c4.lines_kept").alias("c4_lines_kept"),
