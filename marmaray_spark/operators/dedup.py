@@ -202,22 +202,33 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, simhash_col: str,
 
 def simhash_banded_near_dup(df: DataFrame, id_col: str, simhash_col: str,
                             max_hamming: int = 3,
-                            max_bucket_width: int | None = None) -> DataFrame:
-    """SimHash near-dup at scale: pigeonhole banding instead of all
-    pairs. Split the 16-bit fingerprint into 4 nibbles; two fingerprints
-    within hamming distance 3 differ in at most 3 nibbles, so they MUST
-    share at least one (band_idx, nibble) — equi-join candidates on
-    that, then apply the exact hamming filter. O(rows x 4) keys, never
-    O(rows^2); same recall as the pairwise form for
-    ``max_hamming`` <= 3 (guaranteed by pigeonhole)."""
-    if max_hamming > 3:
-        raise ValueError("pigeonhole with 4 bands guarantees recall only "
-                         "for max_hamming <= 3 over 16 bits")
+                            max_bucket_width: int | None = None,
+                            hash_bits: int = 16,
+                            n_bands: int = 4) -> DataFrame:
+    """Banded Hamming near-dup at scale: pigeonhole banding instead of
+    all pairs. Split the ``hash_bits``-bit fingerprint into ``n_bands``
+    equal slices; two fingerprints within hamming distance < n_bands
+    differ in at most n_bands - 1 slices, so they MUST share at least
+    one (band_idx, slice) — equi-join candidates on that, then apply the
+    exact hamming filter. O(rows x n_bands) keys, never O(rows^2); same
+    recall as the pairwise form for ``max_hamming`` <= n_bands - 1
+    (guaranteed by pigeonhole). Defaults are the 16-bit text SimHash;
+    the 64-bit image dHash (operators/multimodal.py) reuses this with
+    hash_bits=64 (four 16-bit slices). Works on the sign bit too:
+    shiftright sign-extends but the slice mask truncates."""
+    if hash_bits % n_bands:
+        raise ValueError("n_bands must divide hash_bits")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole with {n_bands} bands guarantees recall only "
+            f"for max_hamming <= {n_bands - 1} over {hash_bits} bits")
+    width = hash_bits // n_bands
+    mask = (1 << width) - 1
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col(simhash_col), b * 4).bitwiseAND(0xF)
-                 .alias("nibble"))
-        for b in range(4)
+                 F.shiftright(F.col(simhash_col), b * width)
+                 .bitwiseAND(mask).alias("nibble"))
+        for b in range(n_bands)
     ])
     tagged = df.select(F.col(id_col).alias("id"),
                        F.col(simhash_col).alias("sh"),

@@ -1,0 +1,119 @@
+"""Image perceptual-hash near-dup: dHash kernel + banded Hamming join.
+
+The image leg of the dedup family — real pixels through the pure-Python
+codecs (functions/media_codec.py), integer dHash (operators/multimodal.py
+dhash64), and the generalized pigeonhole banding shared with the text
+SimHash path (operators/dedup.py simhash_banded_near_dup at
+hash_bits=64)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from marmaray_spark.functions.media_codec import encode_bmp
+from marmaray_spark.operators.multimodal import (_decode_pixels,
+                                                 dhash64,
+                                                 dhash_near_dup_pairs,
+                                                 image_dhash)
+
+
+def _gradient(w=63, h=48, reverse=False, dark_block=None):
+    """Horizontal gradient test image; optionally darken one 9x8 grid
+    block (r, c) to flip a known pair of dHash bits."""
+    x = np.arange(w, dtype=np.int64)
+    if reverse:
+        x = x[::-1]
+    row = np.clip(x * 230 // max(w - 1, 1), 0, 240).astype(np.uint8)
+    px = np.repeat(row[None, :, None], h, axis=0)
+    px = np.repeat(px, 3, axis=2).copy()
+    if dark_block is not None:
+        r, c = dark_block
+        y0, y1 = (r * h) // 8, ((r + 1) * h) // 8
+        x0, x1 = (c * w) // 9, ((c + 1) * w) // 9
+        px[y0:y1, x0:x1, :] = 0
+    return px
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (1, encode_bmp(_gradient())),                      # base
+        (2, encode_bmp(np.clip(_gradient().astype(np.int64) + 5, 0, 255)
+                       .astype(np.uint8))),                # brightness shift
+        (3, encode_bmp(_gradient(dark_block=(2, 4)))),     # one block edited
+        (4, encode_bmp(_gradient(reverse=True))),          # structural change
+        (5, b"BM" + b"\x00" * 10),                         # corrupt BMP
+        (6, b"just some text bytes, no image magic"),      # undecodable
+    ]
+    return spark.createDataFrame(rows, ["media_id", "payload"])
+
+
+def test_dhash_kernel_matches_driver_side(spark, images):
+    got = {r["media_id"]: r for r in image_dhash(images).collect()}
+    rows = {r["media_id"]: r["payload"] for r in images.collect()}
+    for mid in (1, 2, 3, 4):
+        want = dhash64(_decode_pixels(bytes(rows[mid])))
+        assert got[mid]["ok"] and got[mid]["dhash"] == want, mid
+
+
+def test_dhash_invariance_and_sensitivity(spark, images):
+    got = {r["media_id"]: r["dhash"] for r in
+           image_dhash(images).filter("ok").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # uniform brightness shift preserves every left>right comparison
+    assert ham(got[1], got[2]) == 0
+    # one edited grid block flips only its neighbor-pair bits
+    assert 1 <= ham(got[1], got[3]) <= 3
+    # reversing the gradient flips (nearly) every bit
+    assert ham(got[1], got[4]) > 32
+
+
+def test_dhash_corrupt_payloads_fork_not_kill(spark, images):
+    got = {r["media_id"]: r for r in image_dhash(images).collect()}
+    assert len(got) == 6
+    for mid in (5, 6):
+        assert got[mid]["ok"] is False
+        assert got[mid]["dhash"] is None
+        assert got[mid]["err"]
+
+
+def test_dhash_near_dup_pairs_end_to_end(spark, images):
+    hashes = image_dhash(images)
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dhash_near_dup_pairs(hashes, "media_id").collect()}
+    # 1-2-3 mutually near; 4 structurally different; 5/6 null-forked
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] >= 1
+
+
+def test_banded_64bit_equals_pairwise_including_sign_bit(spark):
+    """The generalized banding (hash_bits=64, four 16-bit slices) finds
+    exactly the pairwise hamming<=3 set, including hashes with the sign
+    bit set (shiftright sign-extension is masked per slice)."""
+    import random
+
+    from marmaray_spark.operators.dedup import simhash_banded_near_dup
+
+    rng = random.Random(64)
+    base = [rng.getrandbits(64) for _ in range(30)]
+    vals = list(base)
+    for h in base[:10]:                       # plant near-dups
+        flips = rng.sample(range(64), rng.randrange(0, 4))
+        v = h
+        for b in flips:
+            v ^= 1 << b
+        vals.append(v)
+    vals = [v - (1 << 64) if v >= 1 << 63 else v for v in vals]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "h"])
+    got = {(r["a"], r["b"]) for r in simhash_banded_near_dup(
+        df, "id", "h", max_hamming=3, hash_bits=64, n_bands=4).collect()}
+    want = set()
+    for i, vi in rows:
+        for j, vj in rows:
+            if i < j and bin((vi ^ vj) & ((1 << 64) - 1)).count("1") <= 3:
+                want.add((i, j))
+    assert got == want and len(want) >= 8
