@@ -609,6 +609,35 @@ def unimax_fraction_sample(df, id_col: str, group_col: str, alloc,
             .drop("_u16", "__g"))
 
 
+def unimax_materialize(df, id_col: str, group_col: str, alloc,
+                       salt: str = "um0", epoch_col: str = "epoch"):
+    """Materialize a UniMax allocation into actual training rows: every
+    row repeats once per FULL epoch of its group (``epoch`` = 1..E via
+    explode(sequence), no driver loop) and the md5-cutoff fractional
+    subset appears once more as the final partial epoch (``epoch`` =
+    full_epochs + 1). Row multiplicity is exactly alloc semantics: a
+    group allocated 2.4 epochs emits 2 copies of every row plus one copy
+    of the deterministic 40%-cutoff subset. One broadcast join + one
+    generator projection — the corpus never shuffles; a downstream
+    training-shard writer gives the epochs their global order."""
+    a = alloc.select(F.col(group_col).alias("__g"),
+                     "full_epochs", "frac_bps")
+    u16 = F.conv(F.expr(
+        f"substring(md5(concat('{salt}:', cast({id_col} as string))), "
+        f"1, 4)"), 16, 10).cast("long")
+    joined = df.join(F.broadcast(a),
+                     F.col(group_col).eqNullSafe(F.col("__g")))
+    full = (joined.filter(F.col("full_epochs") > 0)
+            .withColumn(epoch_col, F.explode(
+                F.expr("sequence(1L, full_epochs)"))))
+    frac = (joined.withColumn("_u16", u16)
+            .filter(F.col("_u16") < F.expr("frac_bps * 65536 div 10000"))
+            .withColumn(epoch_col, F.col("full_epochs") + F.lit(1))
+            .drop("_u16"))
+    return (full.unionByName(frac)
+            .drop("__g", "full_epochs", "frac_bps"))
+
+
 # ---------------------------------------------------------------------------
 # C4-style line-level cleaning (Raffel et al. 2020, §2.2 "Colossal Clean
 # Crawled Corpus" heuristics). The reference has no text surface at all —

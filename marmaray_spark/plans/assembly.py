@@ -34,6 +34,15 @@ alone, no code):
     corpus.sample_pct         deterministic md5 sample percentage
     corpus.mix_group_col      temperature-mix group column (alpha=0.5)
     corpus.mix_keep_bps       overall keep rate for the mix (default 2000)
+    corpus.massivetext_gate   true -> FULL Rae et al. table-A1 repetition
+                              gate (top 2/3/4-gram + dup 5..10-gram char
+                              mass), superset of gopher_gate
+    corpus.unimax_group_col   UniMax group column — alternative mixer to
+                              mix_group_col (configure one, not both);
+                              output rows carry an `epoch` column and
+                              repeat per allocated epoch
+    corpus.unimax_budget_tokens  total token budget for the allocation
+    corpus.unimax_epoch_cap   per-group epoch cap (default 4)
 
 Stages apply in that order (gates -> dedup -> sample -> mix), after the
 converter's valid stream and before every sink — dropped-by-gate rows are
@@ -97,6 +106,18 @@ def _corpus_stages(config: Configuration):
            if (config.get("corpus.sample_pct") or "") != "" else None)
     mix_group = config.get("corpus.mix_group_col")
     keep = config.get_int("corpus.mix_keep_bps", 2000)
+    mt_gate = config.get_bool("corpus.massivetext_gate", False)
+    um_group = config.get("corpus.unimax_group_col")
+    um_budget = (config.get_int("corpus.unimax_budget_tokens", 0)
+                 if (config.get("corpus.unimax_budget_tokens") or "") != ""
+                 else None)
+    um_cap = config.get_int("corpus.unimax_epoch_cap", 4)
+    if um_group and mix_group:
+        raise ValueError("corpus.unimax_group_col and corpus.mix_group_col "
+                         "are alternative mixers — configure one")
+    if bool(um_group) != (um_budget is not None):
+        raise ValueError("corpus.unimax_group_col and "
+                         "corpus.unimax_budget_tokens go together")
 
     stages = []
     if do_norm:
@@ -122,8 +143,8 @@ def _corpus_stages(config: Configuration):
             keep_ids = sig.filter(cond).select(id_col)
             return df.join(keep_ids, id_col, "left_semi")
         stages.append(comp_gate)
-    if qmin is not None or gopher:
-        def gate(df, _q=qmin, _g=gopher):
+    if qmin is not None or gopher or mt_gate:
+        def gate(df, _q=qmin, _g=gopher, _mt=mt_gate):
             # NOTE: PushDownPredicate will substitute words() into the
             # filter condition regardless of this projection — safe only
             # because the gate expressions are the single-pass rewrites
@@ -136,6 +157,10 @@ def _corpus_stages(config: Configuration):
                                >= _q)
             if _g:
                 cond = cond & gopher_repetition_pass("__w")
+            if _mt:
+                from marmaray_spark.operators.text import (
+                    massivetext_repetition_pass)
+                cond = cond & massivetext_repetition_pass("__w")
             return out.filter(cond).drop("__w")
         stages.append(gate)
     if do_dedup:
@@ -160,6 +185,18 @@ def _corpus_stages(config: Configuration):
             pinned.append(df)
             return temperature_mix(df, id_col, mix_group, keep_bps=keep)
         stages.append(mix)
+    if um_group:
+        def unimax(df, _g=um_group, _b=um_budget, _e=um_cap):
+            from marmaray_spark.operators.text import (unimax_allocation,
+                                                       unimax_materialize)
+            # allocation aggregate + two materialize legs consume df
+            df = df.withColumn("__nt", F.size(words(text_col))).persist()
+            pinned.append(df)
+            alloc = unimax_allocation(df, _g, "__nt",
+                                      budget_tokens=_b, epoch_cap=_e)
+            return unimax_materialize(df, id_col, _g, alloc,
+                                      epoch_col="epoch").drop("__nt")
+        stages.append(unimax)
     return stages, pinned
 
 

@@ -147,6 +147,83 @@ def test_yaml_corpus_pipeline_stages(spark, documents, tmp_path):
     assert got == want and 0 < len(got) < documents.count()
 
 
+def test_yaml_corpus_unimax_and_massivetext_stages(spark, documents,
+                                                   tmp_path):
+    """corpus.massivetext_gate (the full table-A1 repetition battery) and
+    the corpus.unimax_* mixer wire from YAML alone and match direct
+    operator calls — materialized rows repeat per allocated epoch with
+    the `epoch` column the writer orders by."""
+    src = tmp_path / "um_src"
+    documents.select("doc_id", "lang", "text").write.parquet(str(src))
+
+    from marmaray_spark.operators.text import (massivetext_repetition_pass,
+                                               unimax_allocation,
+                                               unimax_materialize, words)
+
+    docs = spark.read.parquet(str(src)).withColumn("__w", words("text"))
+    gated = docs.filter(massivetext_repetition_pass("__w")).drop("__w")
+    toks = gated.withColumn("__nt", F.size(words("text")))
+    total = toks.agg(F.sum("__nt")).first()[0]
+    budget = int(total * 12 // 10)
+
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "unimax_job"},
+        "source": {"type": "parquet", "path": str(src)},
+        "corpus": {"text_col": "text", "id_col": "doc_id",
+                   "massivetext_gate": True,
+                   "unimax_group_col": "lang",
+                   "unimax_budget_tokens": budget,
+                   "unimax_epoch_cap": 2},
+        "sink": {"type": "csv",
+                 "path": str(tmp_path / "um_out")},
+        "checkpoints": {"path": str(tmp_path / "cku")},
+    })
+    p = tmp_path / "unimax.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+
+    alloc = unimax_allocation(toks, "lang", "__nt",
+                              budget_tokens=budget, epoch_cap=2)
+    expected = unimax_materialize(toks, "doc_id", "lang", alloc,
+                                  epoch_col="epoch").drop("__nt")
+    want = sorted((r["doc_id"], r["epoch"])
+                  for r in expected.select("doc_id", "epoch").collect())
+    got_df = (spark.read.option("header", "true")
+              .csv(str(tmp_path / "um_out")))
+    got = sorted((int(r["doc_id"]), int(r["epoch"]))
+                 for r in got_df.select("doc_id", "epoch").collect())
+    assert got == want and len(got) > documents.count() // 2
+    # at least one group earned a repeat epoch under a 1.2x budget
+    assert any(e >= 2 for _, e in got)
+
+
+def test_yaml_corpus_unimax_config_validation(spark, tmp_path):
+    """Both mixers configured, or a unimax group without a budget, fail
+    AT ASSEMBLY — not lazily inside a stage mid-run."""
+    import pytest as _pytest
+    base = {
+        "job": {"name": "bad"},
+        "source": {"type": "parquet", "path": str(tmp_path / "nope")},
+        "sink": {"type": "csv", "path": str(tmp_path / "out")},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    }
+    both = dict(base, corpus={"text_col": "text", "id_col": "doc_id",
+                              "mix_group_col": "lang",
+                              "unimax_group_col": "lang",
+                              "unimax_budget_tokens": 100})
+    p1 = tmp_path / "both.yaml"
+    p1.write_text(yaml.safe_dump(both))
+    with _pytest.raises(ValueError, match="alternative mixers"):
+        build_job_dag(spark, Configuration.from_yaml(p1))
+    nobudget = dict(base, corpus={"text_col": "text", "id_col": "doc_id",
+                                  "unimax_group_col": "lang"})
+    p2 = tmp_path / "nobudget.yaml"
+    p2.write_text(yaml.safe_dump(nobudget))
+    with _pytest.raises(ValueError, match="go together"):
+        build_job_dag(spark, Configuration.from_yaml(p2))
+
+
 def test_yaml_corpus_normalize_and_compression_stages(spark, tmp_path):
     """corpus.normalize runs FIRST (so the digest dedup merges
     NFKC/case variants) and corpus.compression_{min,max}_bps gates by

@@ -197,6 +197,34 @@ def test_unimax_fraction_sample_keeps_cutoff_subset(spark):
     assert kept == want and all(fb[l][0] < 10000 for l in fb)
 
 
+def test_unimax_materialize_row_multiplicity(spark):
+    """Materialized rows = full_epochs copies of every group row plus one
+    copy of the md5-cutoff fractional subset, epoch numbered 1..fe(+1)."""
+    import hashlib
+
+    from marmaray_spark.operators.text import (unimax_allocation,
+                                               unimax_materialize)
+
+    rows = [(i, "en" if i % 3 else "de", 10 + i % 7) for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    alloc = unimax_allocation(df, "lang", "n_tok",
+                              budget_tokens=2000, epoch_cap=3)
+    fb = {r["lang"]: (r["full_epochs"], r["frac_bps"])
+          for r in alloc.collect()}
+    assert any(fe > 0 for fe, _ in fb.values())
+    assert any(fr > 0 for _, fr in fb.values())
+    got = {}
+    for r in unimax_materialize(df, "doc_id", "lang", alloc,
+                                salt="um0").collect():
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for doc_id, lang, _n in rows:
+        fe, frac = fb[lang]
+        u16 = int(hashlib.md5(f"um0:{doc_id}".encode()).hexdigest()[:4], 16)
+        in_frac = u16 < frac * 65536 // 10000
+        want = list(range(1, fe + 1)) + ([fe + 1] if in_frac else [])
+        assert sorted(got.get(doc_id, [])) == want, (doc_id, lang, want)
+
+
 def test_decontaminate_bounds_on_testdata(spark):
     """n-gram sections: overlap_bps in (0, 10000], n_overlap <= n_grams,
     eval docs never appear (they are not corpus rows). The r8 'semantic'
