@@ -443,6 +443,109 @@ def dhash_near_dup_pairs(df: DataFrame, id_col: str = "media_id",
         hash_bits=64, n_bands=4)
 
 
+def _dhash_bands(col: str):
+    # four 16-bit slices of the 64-bit dHash — the pigeonhole keys
+    # (shiftright sign-extends; the mask truncates per slice)
+    return F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col(col), b * 16).bitwiseAND(0xFFFF)
+                 .alias("slice"))
+        for b in range(4)
+    ])
+
+
+def maintain_image_hash_index(base, index, metadata, id_col: str = "media_id",
+                              payload_col: str = "payload",
+                              checkpoint_key: str = "image_dhash_index",
+                              max_commits: int | None = None) -> int:
+    """Keep ``index == image_dhash(base)`` true across the media table's
+    commit stream — the maintained-dedup-index pattern applied to the
+    IMAGE modality, so a new image batch probes an existing 100 TB media
+    corpus at batch cost (maintain each tick, then
+    image_near_dups_against_index for the hygiene question). Rides
+    maintained.maintain_projection: drain-and-collapse, exactly-once
+    checkpoint after the index commit, crash-replay idempotent. The hash
+    parameters are stamped into the index's commit metadata so probes
+    can refuse a drifted hashing scheme instead of silently returning
+    zero candidates (the r7-ADVICE lesson on the text index)."""
+    from marmaray_spark.operators.maintained import maintain_projection
+    return maintain_projection(
+        base, index, metadata, [id_col, payload_col], id_col,
+        lambda df: image_dhash(df, id_col, payload_col),
+        checkpoint_key, max_commits,
+        commit_meta={"image_hash": "dhash64", "hash_bits": "64",
+                     "n_bands": "4"})
+
+
+def image_near_dups_against_index(batch: DataFrame, index,
+                                  id_col: str = "media_id",
+                                  payload_col: str = "payload",
+                                  dhash_col: str = "dhash",
+                                  max_hamming: int = 3,
+                                  max_bucket_width: int | None = None
+                                  ) -> DataFrame:
+    """(new_id, index_id, hamming) for every batch image within
+    ``max_hamming`` of an already-indexed image — WITHOUT re-hashing or
+    shuffling the corpus. Batch-cost plan: hash the batch (one Arrow
+    pass over batch payloads only), explode both sides to the four
+    16-bit pigeonhole keys, semi-prune the INDEX scan by the broadcast
+    batch bucket set BEFORE any join (the text-index pattern — index
+    rows outside the batch's buckets are never read past the scan),
+    then verify exact Hamming. Undecodable batch rows fork out of the
+    probe (they are report material); identical ids on both sides (a
+    re-ingested image probing its own index row) are excluded.
+
+    ``max_bucket_width``: a saturated bucket (constant-ish images —
+    black frames, letterboxing) pairs every batch row with every index
+    row in it; past the cap the bucket collapses to its min-id index
+    anchor, preserving "this batch image HAS an indexed near-dup" while
+    capping the join at one candidate (the incdedup star-anchor guard,
+    index side). ``index`` is the index TableSink (validates the
+    stamped hash params) or a plain DataFrame of (id, dhash)."""
+    if hasattr(index, "read"):
+        meta = (index.log.latest_metadata() or {}) \
+            if hasattr(index, "log") else {}
+        stamped = meta.get("image_hash")
+        if stamped is not None and stamped != "dhash64":
+            raise ValueError(
+                f"index was maintained with image_hash={stamped!r}; "
+                f"this probe hashes dhash64 — rebuild or re-probe with "
+                f"the matching scheme")
+        idx_df = index.read()
+    else:
+        idx_df = index
+    hashed = image_dhash(batch, id_col, payload_col).filter(F.col("ok"))
+    bk = hashed.select(F.col(id_col).alias("a"),
+                       F.col("dhash").alias("ha"),
+                       F.explode(_dhash_bands("dhash")).alias("bk"))
+    idx = (idx_df.filter(F.col(dhash_col).isNotNull())
+           .select(F.col(id_col).alias("b"),
+                   F.col(dhash_col).alias("hb"),
+                   F.explode(_dhash_bands(dhash_col)).alias("bk")))
+    # batch bucket set is batch-scale: broadcast semi-join prunes the
+    # index scan without shuffling it
+    pruned = idx.join(F.broadcast(bk.select("bk").distinct()),
+                      "bk", "left_semi")
+    if max_bucket_width is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("bk")
+        sized = (pruned
+                 .withColumn("__n__", F.count(F.lit(1)).over(w))
+                 .withColumn("__mn__", F.min(F.struct("b", "hb")).over(w)))
+        pruned = (sized.filter(
+            (F.col("__n__") <= max_bucket_width)
+            | ((F.col("b") == F.col("__mn__.b"))
+               & (F.col("hb") == F.col("__mn__.hb"))))
+            .drop("__n__", "__mn__"))
+    return (pruned.join(F.broadcast(bk), "bk")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
 
 

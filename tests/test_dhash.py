@@ -89,6 +89,108 @@ def test_dhash_near_dup_pairs_end_to_end(spark, images):
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] >= 1
 
 
+def _noise(seed=7, w=63, h=48):
+    """Deterministic blocky noise — far from any gradient in dHash."""
+    rng = np.random.default_rng(seed)
+    grid = rng.integers(0, 256, size=(8, 9), dtype=np.int64)
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for r in range(8):
+        for c in range(9):
+            px[(r * h) // 8:((r + 1) * h) // 8,
+               (c * w) // 9:((c + 1) * w) // 9, :] = grid[r, c]
+    return px
+
+
+def test_maintained_image_hash_index_and_probe(spark, tmp_path):
+    """The maintained image-hash index tracks ingest + update through the
+    commit stream (index == image_dhash(base) after every tick), stamps
+    its hash params, and the batch probe finds near-dups against it at
+    batch cost — excluding re-ingested identical ids."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.multimodal import (
+        image_near_dups_against_index, maintain_image_hash_index)
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    base = TableSink(spark, tmp_path / "media", "media_id")
+    index = TableSink(spark, tmp_path / "idx", "media_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    base.write(frame([(1, encode_bmp(_gradient())),
+                      (2, encode_bmp(_noise(seed=7)))]), WriteOp.INSERT)
+    assert maintain_image_hash_index(base, index, md) == 2
+    want = {r["media_id"]: r["dhash"]
+            for r in image_dhash(base.read()).collect()}
+    got = {r["media_id"]: r["dhash"] for r in index.read().collect()}
+    assert got == want
+    assert index.log.latest_metadata().get("image_hash") == "dhash64"
+
+    # probe: 10 = brightness-shifted copy of 1; 11 = fresh noise;
+    # 12 = corrupt (forks out); 1 = re-ingest of an indexed id (excluded)
+    batch = frame([
+        (10, encode_bmp(np.clip(_gradient().astype(np.int64) + 4, 0, 255)
+                        .astype(np.uint8))),
+        (11, encode_bmp(_noise(seed=99))),
+        (12, b"BM" + b"\x01" * 8),
+        (1, encode_bmp(_gradient())),
+    ])
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             image_near_dups_against_index(batch, index).collect()}
+    assert pairs == {(10, 1): 0}
+
+    # UPDATE: image 2's pixels change -> exactly one row re-projected,
+    # index stays == projection(base)
+    base.write(frame([(2, encode_bmp(_gradient(dark_block=(3, 3))))]),
+               WriteOp.UPSERT)
+    assert maintain_image_hash_index(base, index, md) == 1
+    want2 = {r["media_id"]: r["dhash"]
+             for r in image_dhash(base.read()).collect()}
+    got2 = {r["media_id"]: r["dhash"] for r in index.read().collect()}
+    assert got2 == want2 and got2[2] != got[2]
+
+
+def test_image_probe_hot_bucket_anchor_and_param_drift(spark, tmp_path):
+    """A saturated index bucket collapses to its min-id anchor under the
+    cap (one pair, not W); a drifted hash stamp makes the probe refuse
+    instead of silently missing everything."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.maintained import maintain_projection
+    from marmaray_spark.operators.multimodal import (
+        image_near_dups_against_index, maintain_image_hash_index)
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    base = TableSink(spark, tmp_path / "media", "media_id")
+    index = TableSink(spark, tmp_path / "idx", "media_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    payload = encode_bmp(_gradient())
+    base.write(frame([(100 + i, payload) for i in range(20)]),
+               WriteOp.INSERT)
+    assert maintain_image_hash_index(base, index, md) == 20
+
+    batch = frame([(50, payload)])
+    capped = {(r["a"], r["b"]) for r in image_near_dups_against_index(
+        batch, index, max_bucket_width=5).collect()}
+    assert capped == {(50, 100)}          # the min-id anchor, once
+    full = {(r["a"], r["b"]) for r in image_near_dups_against_index(
+        batch, index).collect()}
+    assert len(full) == 20                # uncapped: every copy pairs
+
+    # drift refusal: an index committed under a different hash scheme
+    other = TableSink(spark, tmp_path / "idx2", "media_id")
+    md2 = FileSystemMetadataManager(str(tmp_path / "md2"))
+    maintain_projection(
+        base, other, md2, ["media_id", "payload"], "media_id",
+        lambda df: image_dhash(df, "media_id", "payload"),
+        "drifted", commit_meta={"image_hash": "phash9000"})
+    with pytest.raises(ValueError, match="dhash64"):
+        image_near_dups_against_index(batch, other)
+
+
 def test_banded_64bit_equals_pairwise_including_sign_bit(spark):
     """The generalized banding (hash_bits=64, four 16-bit slices) finds
     exactly the pairwise hamming<=3 set, including hashes with the sign
