@@ -191,6 +191,58 @@ def test_image_probe_hot_bucket_anchor_and_param_drift(spark, tmp_path):
         image_near_dups_against_index(batch, other)
 
 
+def _clip(env, seed=3, frame=400):
+    """Deterministic waveform: seeded noise shaped by an amplitude
+    envelope (one entry per frame of `frame` samples)."""
+    rng = np.random.default_rng(seed)
+    noise = rng.integers(-1000, 1001, size=frame * len(env)).astype(np.int64)
+    amp = np.repeat(np.asarray(env, dtype=np.int64), frame)
+    return np.clip(noise * amp // 100, -32768, 32767).astype(np.int16)
+
+
+def test_audio_dhash_envelope_invariance_and_pairs(spark):
+    """Volume scaling keeps the envelope hash identical; a re-shaped
+    envelope scatters it; short/corrupt clips fork. The audio leg rides
+    the same banded pairing as images."""
+    from marmaray_spark.functions.media_codec import encode_wav_pcm16
+    from marmaray_spark.operators.multimodal import (adhash64, audio_dhash,
+                                                     dhash_near_dup_pairs)
+
+    env = [(i * 37) % 100 + 5 for i in range(80)]        # varied envelope
+    a = _clip(env)
+    b = (a.astype(np.int64) * 7 // 10).astype(np.int16)  # volume down
+    env_edit = list(env)
+    env_edit[10] = 1          # dropout: flips both neighbor comparisons
+    c = _clip(env_edit)
+    d = _clip(list(reversed(env)))                       # re-shaped
+    rows = [
+        (1, encode_wav_pcm16(a, 16000)),
+        (2, encode_wav_pcm16(b, 16000)),
+        (3, encode_wav_pcm16(c, 16000)),
+        (4, encode_wav_pcm16(d, 16000)),
+        (5, encode_wav_pcm16(np.zeros(10, dtype=np.int16), 16000)),  # short
+        (6, b"RIFF" + b"\x00" * 8),                                  # corrupt
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_dhash(df).collect()}
+    assert got[5]["ok"] is False and got[6]["ok"] is False
+    h = {k: r["dhash"] for k, r in got.items() if r["ok"]}
+    # kernel == driver-side hash
+    from marmaray_spark.operators.multimodal import _decode_samples
+    rate, ch, s = _decode_samples(rows[0][1])
+    assert h[1] == adhash64(s, ch)
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[1], h[2]) == 0                  # volume-invariant
+    assert 1 <= ham(h[1], h[3]) <= 3             # one envelope edit
+    assert ham(h[1], h[4]) > 20                  # different shape
+    pairs = {(r["a"], r["b"]) for r in
+             dhash_near_dup_pairs(audio_dhash(df), "media_id").collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) not in pairs
+
+
 def test_banded_64bit_equals_pairwise_including_sign_bit(spark):
     """The generalized banding (hash_bits=64, four 16-bit slices) finds
     exactly the pairwise hamming<=3 set, including hashes with the sign
