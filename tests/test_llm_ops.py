@@ -1779,6 +1779,54 @@ def test_bpe_end_to_end_spark(spark):
         assert row["n_bpe_tokens"] == len(row["tokens"])
 
 
+def test_bpe_tokenizer_aware_packing_and_sharding(spark):
+    """The training-output path composes on REAL tokenizer counts: train
+    BPE on the corpus, tokenize (n_bpe_tokens), then pack sequences and
+    assign token-budget shards on the BPE counts — budgets are respected
+    in tokenizer tokens, not whitespace tokens (the number a trainer
+    actually consumes)."""
+    import random
+
+    from marmaray_spark.operators.bpe import (tokenize_bpe, train_bpe,
+                                              word_frequencies)
+    from marmaray_spark.operators.packing import pack_sequences
+    from marmaray_spark.operators.shard import shard_assignments
+    from marmaray_spark.operators.text import words
+
+    rng = random.Random(11)
+    vocab = ["newest", "lowest", "wide", "widening", "renewal", "slow"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(5, 25))))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, ["id", "text"]) \
+        .withColumn("w", words("text"))
+    merges = train_bpe(word_frequencies(docs, "w", max_words=500), 12)
+    toked = tokenize_bpe(docs, "id", "w", merges)
+    counts = {r["id"]: r["n_bpe_tokens"] for r in toked.collect()}
+    assert any(counts[i] > len(rows[i][1].split()) for i, _ in rows)
+
+    packed = {r["id"]: (r["bucket"], r["bin_id"]) for r in pack_sequences(
+        toked, id_col="id", tokens_col="n_bpe_tokens",
+        seq_len=64, n_buckets=2).collect()}
+    cursors = {}
+    for i, _text in rows:                 # the python packing model
+        b = i % 2
+        start = cursors.get(b, 0)
+        assert packed[i] == (b, start // 64), i
+        cursors[b] = start + counts[i]
+
+    shards = shard_assignments(toked, "id", "n_bpe_tokens",
+                               budget_tokens=300, salt="bp0")
+    per_shard: dict = {}
+    for r in shards.collect():
+        per_shard.setdefault(r["shard"], 0)
+        per_shard[r["shard"]] += counts[r["id"]]
+    # every shard respects the BPE budget up to one straddling doc
+    assert all(tot < 300 + max(counts.values())
+               for tot in per_shard.values())
+    assert len(per_shard) == (sum(counts.values()) // 300) + 1
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: cluster-scoped semantic deduplication (r6)
 # ---------------------------------------------------------------------------
