@@ -364,11 +364,14 @@ def dhash64(pixels) -> int:
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
-    if px.shape[2] == 1:
-        g = px[:, :, 0].astype(np.int64)
-    else:
+    if px.shape[2] >= 3:
         p = px[:, :, :3].astype(np.int64)
         g = (p[:, :, 0] * 299 + p[:, :, 1] * 587 + p[:, :, 2] * 114) // 1000
+    else:
+        # 1 channel (gray) or 2 (gray+alpha, PNG type 4): luma IS
+        # channel 0 — indexing a missing channel 2 here raised
+        # IndexError, which the decode-or-error fork does not catch
+        g = px[:, :, 0].astype(np.int64)
     h, w = g.shape
     if h < 1 or w < 1:
         raise ValueError("empty pixel array")

@@ -552,8 +552,11 @@ def unimax_allocation(df, group_col: str, tokens_col: str,
     if epoch_cap < 1:
         raise ValueError("epoch_cap must be >= 1")
     b = int(budget_tokens)
+    # coalesce: a group whose token counts are all NULL sums to NULL,
+    # which would ride through cap/capped/alloc as NULL instead of 0
     g = df.groupBy(group_col).agg(
-        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens"))
+        F.coalesce(F.sum(F.col(tokens_col).cast("long")),
+                   F.lit(0).cast("long")).alias("n_tokens"))
     ordw = _W.partitionBy().orderBy(F.col("cap_tokens").asc_nulls_first(),
                                     F.col(group_col).asc_nulls_first())
     wall = _W.partitionBy()

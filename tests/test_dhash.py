@@ -243,6 +243,17 @@ def test_audio_dhash_envelope_invariance_and_pairs(spark):
     assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) not in pairs
 
 
+def test_dhash64_channel_shapes():
+    """Gray, gray+alpha (PNG type 4 / PIL 'LA') and RGB arrays all hash;
+    the 2-channel case used to raise IndexError past the decode-or-error
+    fork. Gray and LA agree (alpha is not luma)."""
+    g = _gradient()[:, :, 0]
+    h_gray = dhash64(g)
+    la = np.stack([g, np.full_like(g, 255)], axis=2)
+    assert dhash64(la) == h_gray
+    assert dhash64(_gradient()) == h_gray   # equal-channel RGB == gray
+
+
 def test_banded_64bit_equals_pairwise_including_sign_bit(spark):
     """The generalized banding (hash_bits=64, four 16-bit slices) finds
     exactly the pairwise hamming<=3 set, including hashes with the sign

@@ -171,6 +171,21 @@ def test_unimax_allocation_matches_sequential_loop(spark, toks, budget_frac,
         assert r["alloc_tokens"] <= r["cap_tokens"]
 
 
+def test_unimax_null_token_group_allocates_zero(spark):
+    """A group whose token counts are all NULL allocates 0 (cap 0,
+    capped) instead of riding NULL through the water-fill."""
+    from marmaray_spark.operators.text import unimax_allocation
+
+    rows = [(1, "en", 100), (2, "en", 100), (3, "xx", None), (4, "xx", None)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+    got = {r["lang"]: r for r in unimax_allocation(
+        df, "lang", "n_tok", budget_tokens=150, epoch_cap=2).collect()}
+    assert got["xx"]["n_tokens"] == 0
+    assert got["xx"]["alloc_tokens"] == 0
+    assert got["xx"]["full_epochs"] == 0 and got["xx"]["frac_bps"] == 0
+    assert got["en"]["alloc_tokens"] == 150
+
+
 def test_unimax_fraction_sample_keeps_cutoff_subset(spark):
     """The fractional-epoch subset is exactly the md5-cutoff set at each
     group's frac_bps, and capped groups (frac 0) contribute no rows."""
