@@ -396,15 +396,21 @@ def dhash64(pixels) -> int:
 
 
 def image_dhash(df: DataFrame, id_col: str = "media_id",
-                payload_col: str = "payload") -> DataFrame:
+                payload_col: str = "payload",
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Perceptual dHash per image: one Arrow-batched mapInPandas pass,
     bytes never leave executors. Undecodable payloads fork per-row
     (ok=False, err carries the reason) — the repo-wide decode-or-error
-    contract — instead of hashing a stub or killing the task."""
+    contract — instead of hashing a stub or killing the task.
+    ``passthrough`` columns ride along typed (the video path carries
+    frame_idx through so clip frames stay addressable)."""
     # id keeps its own type (the compression_signals lesson: a hardcoded
     # long turns a string-id corpus into a mid-run Arrow error)
     id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, dhash long, ok boolean, err string"
+    pt = [(c, df.schema[c].dataType.simpleString()) for c in passthrough]
+    out_schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{c} {t}" for c, t in pt]
+        + ["dhash long", "ok boolean", "err string"])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload):
@@ -417,14 +423,15 @@ def image_dhash(df: DataFrame, id_col: str = "media_id",
 
         for pdf in batches:
             res = [one(p) for p in pdf[payload_col]]
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "dhash": pd.array([r[0] for r in res], dtype="Int64"),
-                "ok": [r[1] for r in res],
-                "err": [r[2] for r in res],
-            })
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c, _t in pt:
+                out[c] = pdf[c].to_numpy()
+            out["dhash"] = pd.array([r[0] for r in res], dtype="Int64")
+            out["ok"] = [r[1] for r in res]
+            out["err"] = [r[2] for r in res]
+            yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), F.col(payload_col)) \
+    return df.select(id_col, *passthrough, payload_col) \
         .mapInPandas(kernel, schema=out_schema)
 
 
@@ -630,6 +637,56 @@ def image_near_dups_against_index(batch: DataFrame, index,
                     .alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def video_frame_dhash(df: DataFrame, stride: int = 1,
+                      max_frames: int = 16) -> DataFrame:
+    """(media_id, frame_idx, dhash, ok, err) per sampled video frame —
+    sample_frames (real MJPEG-AVI / animated-GIF frame decode) composed
+    with image_dhash: frames sample inside their executor, each sampled
+    frame's payload hashes in the same Arrow pipeline, raw video bytes
+    never shuffle. Stub-sampled frames from codec-less containers carry
+    no image magic and fork ok=False like any undecodable payload."""
+    frames = sample_frames(df, stride=stride, max_frames=max_frames)
+    return image_dhash(frames.filter(F.col("frame_idx") >= 0),
+                       id_col="media_id", payload_col="frame_payload",
+                       passthrough=("frame_idx",))
+
+
+def video_near_dup_pairs(frames: DataFrame, id_col: str = "media_id",
+                         frame_col: str = "frame_idx",
+                         dhash_col: str = "dhash", max_hamming: int = 3,
+                         min_shared_frames: int = 2) -> DataFrame:
+    """Clip-level near-duplicates from frame hashes: two clips are near
+    dups when at least ``min_shared_frames`` DISTINCT frames of the
+    earlier clip have a frame of the later clip within ``max_hamming``
+    — the shot-based video dedup shape (a re-encode, watermark, or
+    trim shares most frames; one coincidentally similar frame does
+    not make two clips duplicates). Banded pigeonhole join over the
+    frame hashes (O(frames x 4) keys, never all frame pairs), exact
+    Hamming verify, then one pair-keyed aggregate. Returns (a, b,
+    shared_frames, min_hamming)."""
+    ok = frames.filter(F.col(dhash_col).isNotNull())
+    left = ok.select(F.col(id_col).alias("a"),
+                     F.col(frame_col).alias("fa"),
+                     F.col(dhash_col).alias("ha"),
+                     F.explode(_dhash_bands(dhash_col)).alias("bk"))
+    right = ok.select(F.col(id_col).alias("b"),
+                      F.col(frame_col).alias("fb"),
+                      F.col(dhash_col).alias("hb"),
+                      F.explode(_dhash_bands(dhash_col)).alias("bk"))
+    matched = (left.join(right, (left["bk"] == right["bk"])
+                         & (F.col("a") < F.col("b")))
+               .drop("bk")
+               .withColumn("hamming", F.bit_count(
+                   F.col("ha").bitwiseXOR(F.col("hb"))))
+               .filter(F.col("hamming") <= max_hamming)
+               .select("a", "b", "fa", "fb", "hamming")
+               .distinct())
+    return (matched.groupBy("a", "b")
+            .agg(F.countDistinct("fa").alias("shared_frames"),
+                 F.min("hamming").alias("min_hamming"))
+            .filter(F.col("shared_frames") >= min_shared_frames))
 
 
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_payload binary"

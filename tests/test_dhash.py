@@ -191,6 +191,64 @@ def test_image_probe_hot_bucket_anchor_and_param_drift(spark, tmp_path):
         image_near_dups_against_index(batch, other)
 
 
+def _vframe(seed, w=48, h=32):
+    """Video test frame: per-row rolled permutation of 9 well-separated
+    gray levels — adjacent dHash grid cells always differ by >= 28, so
+    the hash is stable under JPEG round-trip noise and small brightness
+    shifts, while different seeds scatter it."""
+    rng = np.random.default_rng(seed)
+    vals = rng.permutation(9).astype(np.int64) * 28 + 8
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for r in range(8):
+        row = np.roll(vals, r)
+        for c in range(9):
+            px[(r * h) // 8:((r + 1) * h) // 8,
+               (c * w) // 9:((c + 1) * w) // 9, :] = row[c]
+    return px
+
+
+def test_video_near_dup_via_frame_hashes(spark):
+    """Clip near-dup from sampled-frame dHashes over REAL MJPEG-AVI
+    decode: a re-encoded brightness-shifted copy shares its frames; a
+    different clip shares none; one coincidental frame does not pair
+    two clips at min_shared_frames=2."""
+    from marmaray_spark.functions.avi_codec import encode_avi_mjpeg
+    from marmaray_spark.functions.jpeg_codec import encode_jpeg
+    from marmaray_spark.operators.multimodal import (video_frame_dhash,
+                                                     video_near_dup_pairs)
+
+    def avi(frames):
+        return encode_avi_mjpeg(
+            [encode_jpeg(f, quality=90) for f in frames], 48, 32)
+
+    f = [_vframe(s) for s in (1, 2, 3, 4, 5, 6, 7, 8)]
+    shift = [np.clip(x.astype(np.int64) + 4, 0, 255).astype(np.uint8)
+             for x in f[:4]]
+    rows = [
+        (1, "video", avi(f[:4])),              # base clip
+        (2, "video", avi(shift + [f[4]])),     # re-encode + extra frame
+        (3, "video", avi(f[5:8])),             # unrelated clip
+        (4, "video", avi([f[0], _vframe(20), _vframe(21)])),
+        # ^ exactly ONE frame in common with clip 1, none with clip 3
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, "
+                                     "payload binary")
+    hashed = video_frame_dhash(df)
+    per_clip = {r["media_id"]: r["n"] for r in
+                hashed.filter("ok").groupBy("media_id")
+                .agg(F.count("*").alias("n")).collect()}
+    assert per_clip == {1: 4, 2: 5, 3: 3, 4: 3}
+
+    pairs = {(r["a"], r["b"]): r for r in
+             video_near_dup_pairs(hashed, min_shared_frames=2).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["shared_frames"] == 4
+    # the single-common-frame pair appears at threshold 1, not 2
+    loose = {(r["a"], r["b"]) for r in
+             video_near_dup_pairs(hashed, min_shared_frames=1).collect()}
+    assert (1, 4) in loose and (1, 2) in loose and (1, 3) not in loose
+
+
 def _clip(env, seed=3, frame=400):
     """Deterministic waveform: seeded noise shaped by an amplitude
     envelope (one entry per frame of `frame` samples)."""
