@@ -182,3 +182,55 @@ def test_ingest_tick_maintains_decontam_report(spark, tmp_path):
          (4, "still nothing in common")]), eval_sets=ev)
     assert r2["decontam_flagged"] == 1
     assert {r["doc_id"] for r in rep.read().collect()} == {1, 3}
+
+
+def test_multimodal_ingest_dedup_example(spark, tmp_path):
+    """examples/multimodal_ingest_dedup.py: across ticks the media table
+    stays perceptually deduplicated against everything stored, corrupt
+    payloads land flagged instead of dropped, and a replayed tick
+    (crash-recovery shape) changes nothing."""
+    import numpy as np
+    from multimodal_ingest_dedup import media_ingest_tick
+
+    from marmaray_spark.functions.media_codec import decode_bmp, encode_bmp
+
+    def img(seed):
+        rng = np.random.default_rng(seed)
+        grid = rng.integers(0, 8, size=(8, 9)) * 30 + 8
+        px = np.repeat(np.repeat(grid, 6, axis=0), 7, axis=1)[:48, :63]
+        return encode_bmp(np.repeat(px[:, :, None], 3, axis=2)
+                          .astype("uint8"))
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    wd = str(tmp_path / "wd")
+    r1 = media_ingest_tick(spark, wd, frame(
+        [(1, img(1)), (2, img(2)), (3, img(1))]))
+    assert r1 == {"in": 3, "batch_dups": 1, "near_dups": 0, "kept": 2,
+                  "decode_failed": 0, "indexed": 2}
+
+    # tick 2: a brightness-shifted copy of image 1 (near-dup, dropped),
+    # a fresh image, and a corrupt payload (kept, flagged)
+    px = decode_bmp(img(1)).astype(np.int64)
+    shifted = encode_bmp(np.clip(px + 4, 0, 255).astype("uint8"))
+    batch2 = frame([(10, shifted), (11, img(9)), (12, b"BM\x00bad")])
+    r2 = media_ingest_tick(spark, wd, batch2)
+    assert r2 == {"in": 3, "batch_dups": 0, "near_dups": 1, "kept": 2,
+                  "decode_failed": 1, "indexed": 2}
+
+    from marmaray_spark.sinks.table import TableSink
+    t = TableSink(spark, os.path.join(wd, "media"), "media_id")
+    assert {r["media_id"] for r in t.read().collect()} == {1, 2, 11, 12}
+    flags = {r["media_id"]: r["decode_ok"] for r in t.read().collect()}
+    assert flags[12] is False and flags[11] is True
+
+    # replay tick 2 verbatim: 10 re-drops as a near-dup; 11 probes its
+    # own index row but identical ids are excluded, so it survives to
+    # DEDUP_INSERT, which anti-joins it away; nothing changes
+    r2b = media_ingest_tick(spark, wd, batch2)
+    assert r2b == {"in": 3, "batch_dups": 0, "near_dups": 1, "kept": 2,
+                   "decode_failed": 1, "indexed": 0}
+    assert {r["media_id"] for r in t.read().collect()} == {1, 2, 11, 12}
+    idx = TableSink(spark, os.path.join(wd, "image_index"), "media_id")
+    assert {r["media_id"] for r in idx.read().collect()} == {1, 2, 11, 12}
