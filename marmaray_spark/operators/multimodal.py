@@ -595,19 +595,63 @@ def image_near_dups_against_index(batch: DataFrame, index,
     capping the join at one candidate (the incdedup star-anchor guard,
     index side). ``index`` is the index TableSink (validates the
     stamped hash params) or a plain DataFrame of (id, dhash)."""
+    return _media_near_dups_against_index(
+        batch, index, image_dhash, "dhash64", id_col, payload_col,
+        dhash_col, max_hamming, max_bucket_width)
+
+
+def maintain_audio_hash_index(base, index, metadata, id_col: str = "media_id",
+                              payload_col: str = "payload",
+                              checkpoint_key: str = "audio_dhash_index",
+                              max_commits: int | None = None) -> int:
+    """maintain_image_hash_index's audio twin: keep ``index ==
+    audio_dhash(base)`` across the media table's commit stream, envelope
+    hash params stamped for drift refusal."""
+    from marmaray_spark.operators.maintained import maintain_projection
+    return maintain_projection(
+        base, index, metadata, [id_col, payload_col], id_col,
+        lambda df: audio_dhash(df, id_col, payload_col),
+        checkpoint_key, max_commits,
+        commit_meta={"image_hash": "adhash64", "hash_bits": "64",
+                     "n_bands": "4"})
+
+
+def audio_near_dups_against_index(batch: DataFrame, index,
+                                  id_col: str = "media_id",
+                                  payload_col: str = "payload",
+                                  dhash_col: str = "dhash",
+                                  max_hamming: int = 3,
+                                  max_bucket_width: int | None = None
+                                  ) -> DataFrame:
+    """image_near_dups_against_index's audio twin: batch clips decode +
+    envelope-hash in one Arrow pass, probe the maintained audio index
+    through the same bucket-pruned banded join."""
+    return _media_near_dups_against_index(
+        batch, index, audio_dhash, "adhash64", id_col, payload_col,
+        dhash_col, max_hamming, max_bucket_width)
+
+
+def _media_near_dups_against_index(batch: DataFrame, index, hasher,
+                                   scheme: str, id_col: str,
+                                   payload_col: str, dhash_col: str,
+                                   max_hamming: int,
+                                   max_bucket_width: int | None
+                                   ) -> DataFrame:
+    # one probe plan for every 64-bit media hash; `scheme` must match
+    # the stamp the maintainer wrote, or the probe refuses
     if hasattr(index, "read"):
         meta = (index.log.latest_metadata() or {}) \
             if hasattr(index, "log") else {}
         stamped = meta.get("image_hash")
-        if stamped is not None and stamped != "dhash64":
+        if stamped is not None and stamped != scheme:
             raise ValueError(
                 f"index was maintained with image_hash={stamped!r}; "
-                f"this probe hashes dhash64 — rebuild or re-probe with "
+                f"this probe hashes {scheme} — rebuild or re-probe with "
                 f"the matching scheme")
         idx_df = index.read()
     else:
         idx_df = index
-    hashed = image_dhash(batch, id_col, payload_col).filter(F.col("ok"))
+    hashed = hasher(batch, id_col, payload_col).filter(F.col("ok"))
     bk = hashed.select(F.col(id_col).alias("a"),
                        F.col("dhash").alias("ha"),
                        F.explode(_dhash_bands("dhash")).alias("bk"))

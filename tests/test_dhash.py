@@ -312,6 +312,52 @@ def test_dhash64_channel_shapes():
     assert dhash64(_gradient()) == h_gray   # equal-channel RGB == gray
 
 
+def test_maintained_audio_hash_index_and_probe(spark, tmp_path):
+    """The audio twins: maintained envelope-hash index + batch probe,
+    sharing the generalized probe plan; an image-scheme index refuses an
+    audio probe (scheme stamp mismatch)."""
+    from marmaray_spark.functions.media_codec import encode_wav_pcm16
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.multimodal import (
+        audio_dhash, audio_near_dups_against_index,
+        maintain_audio_hash_index, maintain_image_hash_index)
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    env = [(i * 41) % 90 + 10 for i in range(80)]
+    a = _clip(env, seed=5)
+    base = TableSink(spark, tmp_path / "audio", "media_id")
+    index = TableSink(spark, tmp_path / "aidx", "media_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    base.write(frame([
+        (1, encode_wav_pcm16(a, 16000)),
+        (2, encode_wav_pcm16(_clip(list(reversed(env)), seed=5), 16000)),
+    ]), WriteOp.INSERT)
+    assert maintain_audio_hash_index(base, index, md) == 2
+    assert index.log.latest_metadata().get("image_hash") == "adhash64"
+    got = {r["media_id"]: r["dhash"] for r in index.read().collect()}
+    want = {r["media_id"]: r["dhash"]
+            for r in audio_dhash(base.read()).collect()}
+    assert got == want
+
+    louder = (a.astype(np.int64) * 13 // 10).astype(np.int16)
+    batch = frame([(10, encode_wav_pcm16(louder, 16000))])
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             audio_near_dups_against_index(batch, index).collect()}
+    assert pairs == {(10, 1): 0}
+
+    # an IMAGE index refuses the audio probe
+    img_base = TableSink(spark, tmp_path / "media", "media_id")
+    img_idx = TableSink(spark, tmp_path / "iidx", "media_id")
+    md2 = FileSystemMetadataManager(str(tmp_path / "md2"))
+    img_base.write(frame([(5, encode_bmp(_gradient()))]), WriteOp.INSERT)
+    maintain_image_hash_index(img_base, img_idx, md2)
+    with pytest.raises(ValueError, match="adhash64"):
+        audio_near_dups_against_index(batch, img_idx)
+
+
 def test_banded_64bit_equals_pairwise_including_sign_bit(spark):
     """The generalized banding (hash_bits=64, four 16-bit slices) finds
     exactly the pairwise hamming<=3 set, including hashes with the sign
