@@ -234,3 +234,58 @@ def test_multimodal_ingest_dedup_example(spark, tmp_path):
     assert {r["media_id"] for r in t.read().collect()} == {1, 2, 11, 12}
     idx = TableSink(spark, os.path.join(wd, "image_index"), "media_id")
     assert {r["media_id"] for r in idx.read().collect()} == {1, 2, 11, 12}
+
+
+def test_streaming_media_ingest_loop(spark, tmp_path):
+    """The media ingest loop under Structured Streaming: each arriving
+    file of images runs the dedup tick inside foreachBatch; file pickup
+    is exactly-once across stream restarts and a perceptual copy landing
+    in a LATER file still dedups against the stored corpus."""
+    import numpy as np
+    from multimodal_ingest_dedup import media_ingest_tick
+
+    from marmaray_spark.functions.media_codec import decode_bmp, encode_bmp
+    from marmaray_spark.streaming.incremental import read_parquet_stream
+
+    def img(seed):
+        rng = np.random.default_rng(seed)
+        grid = rng.integers(0, 8, size=(8, 9)) * 30 + 8
+        px = np.repeat(np.repeat(grid, 6, axis=0), 7, axis=1)[:48, :63]
+        return encode_bmp(np.repeat(px[:, :, None], 3, axis=2)
+                          .astype("uint8"))
+
+    src, wd = tmp_path / "src", str(tmp_path / "wd")
+    ck = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, img(1)), (2, img(2))],
+                          "media_id long, payload binary") \
+        .write.parquet(str(src / "b0"))
+    schema = spark.read.parquet(str(src / "b0")).schema
+    reports = []
+
+    def run():
+        q = (read_parquet_stream(spark, f"{src}/b*", schema)
+             .writeStream
+             .foreachBatch(lambda bdf, eid:
+                           reports.append(media_ingest_tick(spark, wd, bdf)))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    assert sum(r["kept"] for r in reports) == 2
+
+    px = decode_bmp(img(2)).astype(np.int64)
+    near = encode_bmp(np.clip(px + 3, 0, 255).astype("uint8"))
+    spark.createDataFrame([(10, near), (11, img(7))],
+                          "media_id long, payload binary") \
+        .write.parquet(str(src / "b1"))
+    n_before = len(reports)
+    run()
+    new = reports[n_before:]
+    assert sum(r["in"] for r in new) == 2       # b0 NOT reprocessed
+    assert sum(r["near_dups"] for r in new) == 1
+    assert sum(r["kept"] for r in new) == 1
+
+    from marmaray_spark.sinks.table import TableSink
+    t = TableSink(spark, os.path.join(wd, "media"), "media_id")
+    assert {r["media_id"] for r in t.read().collect()} == {1, 2, 11}
