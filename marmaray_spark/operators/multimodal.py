@@ -204,6 +204,36 @@ def extract_image_features(df: DataFrame,
     return cols.mapInPandas(kernel, schema=schema)
 
 
+def image_quality_gates(features: DataFrame, min_width: int = 64,
+                        min_height: int = 64,
+                        aspect_milli_bounds: tuple[int, int] = (333, 3000),
+                        min_bytes_per_kpx: int = 30) -> DataFrame:
+    """LAION-style image quality gates as pure expressions over the
+    extract_image_features output (no second decode): resolution floor,
+    aspect-ratio band (extreme aspect = banners/sprites, the classic
+    web-crawl junk), and a bytes-per-kilopixel floor — a near-constant
+    image compresses to almost nothing, the image analog of the text
+    zlib compression gate (compression already happened in the codec, so
+    byte_len over pixel count IS the signal; BMP is uncompressed and
+    passes trivially, which is honest: the gate measures the stored
+    encoding). Adds the per-rule booleans + the combined ``gate_pass``
+    (decode failures fail the gate by definition); integer-only, stays
+    in whole-stage codegen downstream of the one feature pass."""
+    lo, hi = aspect_milli_bounds
+    kpx = "(CAST(width AS BIGINT) * height div 1000)"
+    return (features
+            .withColumn("res_ok", (F.col("width") >= min_width)
+                        & (F.col("height") >= min_height))
+            .withColumn("aspect_ok", (F.col("aspect_milli") >= lo)
+                        & (F.col("aspect_milli") <= hi))
+            .withColumn("density_ok", F.expr(
+                f"byte_len >= {int(min_bytes_per_kpx)} "
+                f"* greatest({kpx}, 1)"))
+            .withColumn("gate_pass",
+                        F.col("ok") & F.col("res_ok") & F.col("aspect_ok")
+                        & F.col("density_ok")))
+
+
 AUDIO_FEATURES_SCHEMA = ("media_id long, sample_rate int, n_samples long, "
                          "duration_ms long, rms_milli int, ok boolean")
 

@@ -358,7 +358,60 @@ def test_maintained_audio_hash_index_and_probe(spark, tmp_path):
         audio_near_dups_against_index(batch, img_idx)
 
 
-def test_banded_64bit_equals_pairwise_including_sign_bit(spark):
+def test_image_quality_gates(spark):
+    """Resolution / aspect / byte-density gates over the single feature
+    pass: a tiny image, a banner aspect, and a JPEG-compressed
+    near-constant image each fail their own rule; a normal image and a
+    decode failure behave as documented."""
+    from marmaray_spark.functions.jpeg_codec import encode_jpeg
+    from marmaray_spark.operators.multimodal import (extract_image_features,
+                                                     image_quality_gates)
+
+    # big enough that entropy-coded content, not headers, sets byte_len
+    flat = np.full((512, 512, 3), 128, dtype=np.uint8)
+    rows = [
+        (1, "image", encode_bmp(_gradient(w=96, h=64))),   # fine
+        (2, "image", encode_bmp(_gradient(w=16, h=16))),   # too small
+        (3, "image", encode_bmp(_gradient(w=640, h=64))),  # banner 10:1
+        (4, "image", encode_jpeg(flat, quality=75)),       # near-constant
+        (5, "image", b"BM\x00broken"),                     # decode fail
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, "
+                                     "payload binary")
+    got = {r["media_id"]: r for r in
+           image_quality_gates(extract_image_features(df)).collect()}
+    assert got[1]["gate_pass"]
+    assert not got[2]["res_ok"] and not got[2]["gate_pass"]
+    assert not got[3]["aspect_ok"] and got[3]["res_ok"]
+    assert not got[4]["density_ok"] and got[4]["aspect_ok"]
+    assert not got[5]["ok"] and not got[5]["gate_pass"]
+
+
+def test_leakage_safe_splits_over_image_components(spark):
+    """The text-side leakage-safe split machinery is modality-agnostic:
+    image near-dup pairs -> connected components -> every member of a
+    perceptual-duplicate group lands in the SAME train/val/test split."""
+    from marmaray_spark.operators.dedup import (connected_components,
+                                                leakage_safe_splits)
+    from marmaray_spark.operators.multimodal import (dhash_near_dup_pairs,
+                                                     image_dhash)
+
+    variants = [np.clip(_gradient().astype(np.int64) + k, 0, 255)
+                .astype(np.uint8) for k in (0, 2, 4)]
+    rows = ([(i + 1, encode_bmp(v)) for i, v in enumerate(variants)]
+            + [(10 + i, encode_bmp(_noise(seed=40 + i))) for i in range(6)])
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = image_dhash(df)
+    pairs = dhash_near_dup_pairs(hashed, "media_id")
+    comps = connected_components(pairs)
+    labeled = hashed.join(
+        comps.withColumnRenamed("node", "media_id"), "media_id", "left") \
+        .withColumn("component", F.coalesce("component", "media_id"))
+    split = {r["media_id"]: r["split"] for r in leakage_safe_splits(
+        labeled, "component").collect()}
+    assert len(split) == 9
+    assert split[1] == split[2] == split[3]   # the whole dup group moves
+    assert len(set(split.values())) > 1       # singletons still spread
     """The generalized banding (hash_bits=64, four 16-bit slices) finds
     exactly the pairwise hamming<=3 set, including hashes with the sign
     bit set (shiftright sign-extension is masked per slice)."""
