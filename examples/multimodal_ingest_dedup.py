@@ -73,26 +73,30 @@ def media_ingest_tick(spark: SparkSession, workdir: str, batch: DataFrame,
     batch = batch.join(keepers.select("media_id"), "media_id", "left_semi")
     n_batch_dups = n_in - batch.count()
 
+    # hash ONCE per tick: the probe and the decode-health flags share
+    # this frame (prehashed=True), so each payload decodes exactly once
+    # however many consumers follow
+    hashed = image_dhash(batch).persist()
+
     n_near = 0
     if not index.is_empty():
         near = image_near_dups_against_index(
-            batch, index, max_hamming=max_hamming,
-            max_bucket_width=max_bucket_width)
+            hashed, index, max_hamming=max_hamming,
+            max_bucket_width=max_bucket_width, prehashed=True)
         drop = near.select(F.col("a").alias("media_id")).distinct()
         n_near = drop.count()
         batch = batch.join(drop, "media_id", "left_anti")
 
-    # decode health for the report (same Arrow pass shape the probe
-    # used; survivors keep their payloads either way — a corrupt image
-    # is flagged, not silently discarded)
-    flags = image_dhash(batch).select("media_id", "ok")
-    survivors = batch.join(flags, "media_id") \
+    # decode health for the report (survivors keep their payloads either
+    # way — a corrupt image is flagged, not silently discarded)
+    survivors = batch.join(hashed.select("media_id", "ok"), "media_id") \
         .select("media_id", "payload", F.col("ok").alias("decode_ok"))
     n_kept = survivors.count()
     n_bad = survivors.filter(~F.col("decode_ok")).count()
     if n_kept:
         base.write(survivors, WriteOp.DEDUP_INSERT)
     n_indexed = maintain_image_hash_index(base, index, md)
+    hashed.unpersist()
     return {"in": n_in, "batch_dups": n_batch_dups, "near_dups": n_near,
             "kept": n_kept, "decode_failed": n_bad, "indexed": n_indexed}
 

@@ -606,7 +606,8 @@ def image_near_dups_against_index(batch: DataFrame, index,
                                   dhash_col: str = "dhash",
                                   max_hamming: int = 3,
                                   max_bucket_width: int | None = None,
-                                  bucket_stats: DataFrame | None = None
+                                  bucket_stats: DataFrame | None = None,
+                                  prehashed: bool = False
                                   ) -> DataFrame:
     """(new_id, index_id, hamming) for every batch image within
     ``max_hamming`` of an already-indexed image — WITHOUT re-hashing or
@@ -628,7 +629,8 @@ def image_near_dups_against_index(batch: DataFrame, index,
     stamped hash params) or a plain DataFrame of (id, dhash)."""
     return _media_near_dups_against_index(
         batch, index, image_dhash, "dhash64", id_col, payload_col,
-        dhash_col, max_hamming, max_bucket_width, bucket_stats)
+        dhash_col, max_hamming, max_bucket_width, bucket_stats,
+        prehashed)
 
 
 def maintain_audio_hash_index(base, index, metadata, id_col: str = "media_id",
@@ -653,14 +655,16 @@ def audio_near_dups_against_index(batch: DataFrame, index,
                                   dhash_col: str = "dhash",
                                   max_hamming: int = 3,
                                   max_bucket_width: int | None = None,
-                                  bucket_stats: DataFrame | None = None
+                                  bucket_stats: DataFrame | None = None,
+                                  prehashed: bool = False
                                   ) -> DataFrame:
     """image_near_dups_against_index's audio twin: batch clips decode +
     envelope-hash in one Arrow pass, probe the maintained audio index
     through the same bucket-pruned banded join."""
     return _media_near_dups_against_index(
         batch, index, audio_dhash, "adhash64", id_col, payload_col,
-        dhash_col, max_hamming, max_bucket_width, bucket_stats)
+        dhash_col, max_hamming, max_bucket_width, bucket_stats,
+        prehashed)
 
 
 def media_index_bucket_stats(index_df: DataFrame,
@@ -690,7 +694,8 @@ def _media_near_dups_against_index(batch: DataFrame, index, hasher,
                                    payload_col: str, dhash_col: str,
                                    max_hamming: int,
                                    max_bucket_width: int | None,
-                                   bucket_stats: DataFrame | None = None
+                                   bucket_stats: DataFrame | None = None,
+                                   prehashed: bool = False
                                    ) -> DataFrame:
     # one probe plan for every 64-bit media hash; `scheme` must match
     # the stamp the maintainer wrote, or the probe refuses
@@ -706,7 +711,12 @@ def _media_near_dups_against_index(batch: DataFrame, index, hasher,
         idx_df = index.read()
     else:
         idx_df = index
-    hashed = hasher(batch, id_col, payload_col).filter(F.col("ok"))
+    # prehashed: the caller already ran the hash kernel (an ingest tick
+    # needs the hashes for decode-health flags anyway — hashing once per
+    # tick, not per consumer, halves the batch decode cost); batch is
+    # then (id, dhash, ok, ...) instead of raw payloads
+    hashed = (batch if prehashed
+              else hasher(batch, id_col, payload_col)).filter(F.col("ok"))
     bk = hashed.select(F.col(id_col).alias("a"),
                        F.col("dhash").alias("ha"),
                        F.explode(_dhash_bands("dhash")).alias("bk"))
