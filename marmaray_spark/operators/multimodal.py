@@ -508,12 +508,15 @@ def adhash64(samples, channels: int = 1) -> int:
     dHash idea transposed to audio: integer mono mixdown, 65 equal
     frames, per-frame mean absolute amplitude on exact integer sums,
     one bit per neighbor pair (louder-than-next), packed into a signed
-    int64. Volume scaling preserves every comparison (same reason a
-    brightness shift preserves image dHash bits), so a re-encoded or
-    re-levelled copy of a clip lands within a few bits while a different
-    recording's envelope scatters ~32. All-integer => deterministic
-    across numpy builds. Needs >= 65 mono samples (shorter clips have no
-    envelope to hash — callers fork them)."""
+    int64. Volume scaling preserves a comparison whenever the two frame
+    energies differ by more than the integer-mean rounding wobble (frame
+    lengths differ by at most 1, so flooring can flip only near-ties —
+    NOT the exact theorem image dHash has for brightness shifts, where
+    (sum + k*size)//size == sum//size + k makes every bit provably
+    stable); in practice a re-levelled copy lands within a few bits
+    while a different recording's envelope scatters ~32. All-integer =>
+    deterministic across numpy builds. Needs >= 65 mono samples
+    (shorter clips have no envelope to hash — callers fork them)."""
     import numpy as np
 
     s = np.asarray(samples).astype(np.int64).ravel()

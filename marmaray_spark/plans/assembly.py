@@ -50,6 +50,19 @@ filtered, not errors (quality rejection is corpus policy, not data
 corruption; the reference's error table keeps its malformed-data
 meaning).
 
+Media-stage block (the image tier's counterpart — an image-table
+cleaning job wires from YAML alone):
+
+    media.payload_col         binary image column (enables the block)
+    media.id_col              media id column (required with block)
+    media.quality_gate        true -> resolution/aspect/byte-density
+                              gates over one decode pass
+    media.min_width/.min_height/.aspect_milli_min/.aspect_milli_max/
+    media.min_bytes_per_kpx   gate thresholds (defaults 64/64/333/3000/30)
+    media.near_dup            true -> perceptual dHash near-dup keep-min
+                              (connected components over banded pairs)
+    media.max_hamming         near-dup Hamming bound (default 3)
+
 Unknown sink/source types raise — fail at assembly, not mid-run.
 """
 
@@ -200,6 +213,70 @@ def _corpus_stages(config: Configuration):
     return stages, pinned
 
 
+def _media_stages(config: Configuration):
+    """Compile the ``media.*`` block into ``(stages, pinned)`` — the
+    image tier's counterpart of the corpus block: quality gates ->
+    perceptual near-dup keep-min, both from config alone. Gates run on
+    ONE feature pass (extract_image_features + image_quality_gates);
+    dedup hashes once and keeps each connected component's min id.
+    Order is fixed (gate -> dedup) so junk never pays decode twice."""
+    pinned: list = []
+    payload_col = config.get("media.payload_col")
+    if not payload_col:
+        return [], pinned
+    id_col = config.get_required("media.id_col")
+    from pyspark.sql import functions as F
+
+    do_gate = config.get_bool("media.quality_gate", False)
+    min_w = config.get_int("media.min_width", 64)
+    min_h = config.get_int("media.min_height", 64)
+    asp_lo = config.get_int("media.aspect_milli_min", 333)
+    asp_hi = config.get_int("media.aspect_milli_max", 3000)
+    min_density = config.get_int("media.min_bytes_per_kpx", 30)
+    do_dedup = config.get_bool("media.near_dup", False)
+    max_hamming = config.get_int("media.max_hamming", 3)
+
+    def as_media(df):
+        return df.select(F.col(id_col).alias("media_id"),
+                         F.lit("image").alias("media_type"),
+                         F.col(payload_col).alias("payload"))
+
+    stages = []
+    if do_gate:
+        def gate(df):
+            from marmaray_spark.operators.multimodal import (
+                extract_image_features, image_quality_gates)
+            df = df.persist()
+            pinned.append(df)
+            keep = image_quality_gates(
+                extract_image_features(as_media(df)),
+                min_width=min_w, min_height=min_h,
+                aspect_milli_bounds=(asp_lo, asp_hi),
+                min_bytes_per_kpx=min_density) \
+                .filter("gate_pass") \
+                .select(F.col("media_id").alias(id_col))
+            return df.join(keep, id_col, "left_semi")
+        stages.append(gate)
+    if do_dedup:
+        def dedup(df):
+            from marmaray_spark.operators.dedup import connected_components
+            from marmaray_spark.operators.multimodal import (
+                dhash_near_dup_pairs, image_dhash)
+            df = df.persist()
+            pinned.append(df)
+            pairs = dhash_near_dup_pairs(image_dhash(as_media(df)),
+                                         "media_id",
+                                         max_hamming=max_hamming)
+            # component label = min reachable id: drop every non-label
+            # member; rows absent from the pair graph are singletons
+            drop = (connected_components(pairs)
+                    .filter(F.col("node") != F.col("component"))
+                    .select(F.col("node").alias(id_col)))
+            return df.join(drop, id_col, "left_anti")
+        stages.append(dedup)
+    return stages, pinned
+
+
 def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
     name = config.get_required("job.name")
     meta = FileSystemMetadataManager(config.get_required("checkpoints.path"))
@@ -234,6 +311,7 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
 
     state: dict = {}
     corpus_chain, corpus_pinned = _corpus_stages(config)
+    media_chain, media_pinned = _media_stages(config)
 
     def transform(df: DataFrame) -> DataFrame:
         if conv is not None:
@@ -241,6 +319,8 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
             state["errors"] = res.errors
             df = res.valid
         for stage in corpus_chain:
+            df = stage(df)
+        for stage in media_chain:
             df = stage(df)
         return df
 
@@ -283,13 +363,15 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
     else:
         raise ValueError(f"unknown sink.type {sink_type!r}")
 
-    if corpus_chain:
+    if corpus_chain or media_chain:
         def _unpin():
-            # release the corpus-stage persist barriers once every sink
-            # committed — cached corpus partitions must not outlive the
+            # release the corpus/media-stage persist barriers once every
+            # sink committed — cached partitions must not outlive the
             # job in a long-running driver
             while corpus_pinned:
                 corpus_pinned.pop().unpersist()
+            while media_pinned:
+                media_pinned.pop().unpersist()
         nodes.append(SinkNode("corpus_unpersist", lambda _df: None,
                               commit=_unpin, priority=999))
 

@@ -259,3 +259,50 @@ def test_yaml_corpus_normalize_and_compression_stages(spark, tmp_path):
     assert set(kept) == {1, 4}
     assert kept[1] == "café mixture of words here"
     assert kept[4] == "an ordinary single document body"
+
+
+def test_yaml_media_gates_and_near_dup_stages(spark, tmp_path):
+    """The media.* block wires the image tier from YAML alone: quality
+    gates (resolution/aspect/byte-density over one decode pass) then
+    perceptual near-dup keep-min — matching direct operator calls."""
+    import numpy as np
+
+    from marmaray_spark.functions.media_codec import encode_bmp
+
+    def img(seed, w=96, h=64, shift=0):
+        rng = np.random.default_rng(seed)
+        grid = rng.integers(0, 8, size=(8, 9)) * 30 + 8 + shift
+        px = np.repeat(np.repeat(grid, (h + 7) // 8, axis=0),
+                       (w + 8) // 9, axis=1)[:h, :w]
+        return encode_bmp(np.repeat(px[:, :, None], 3, axis=2)
+                          .astype("uint8"))
+
+    rows = [
+        (1, img(1)),                    # fine
+        (2, img(1, shift=4)),           # near-dup of 1 (dropped, 1 kept)
+        (3, img(3)),                    # fine, distinct
+        (4, img(4, w=16, h=16)),        # fails resolution
+        (5, img(5, w=640, h=64)),       # fails aspect
+        (6, b"BM\x00broken"),           # decode failure fails the gate
+    ]
+    src = tmp_path / "media_src"
+    spark.createDataFrame(rows, "media_id long, payload binary") \
+        .write.parquet(str(src))
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "media_job"},
+        "source": {"type": "parquet", "path": str(src)},
+        "media": {"payload_col": "payload", "id_col": "media_id",
+                  "quality_gate": True, "near_dup": True},
+        "sink": {"type": "table", "path": str(tmp_path / "media_table"),
+                 "record_key": "media_id", "op": "insert"},
+        "checkpoints": {"path": str(tmp_path / "ckm")},
+    })
+    p = tmp_path / "media.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+
+    t = TableSink(spark, tmp_path / "media_table",
+                  record_key_field="media_id")
+    kept = {r["media_id"] for r in t.read().collect()}
+    assert kept == {1, 3}

@@ -487,3 +487,25 @@ def test_image_probe_bucket_stats_path_equals_window_path(spark, tmp_path):
         fresh_probe, index, max_bucket_width=5,
         bucket_stats=stats).collect()}
     assert (60, 300) in found
+
+
+def test_dhash_brightness_shift_invariance_is_exact():
+    """The brightness-shift theorem, property-tested: for ANY image and
+    any uniform shift that stays inside [0, 255], every dHash bit is
+    stable — block means shift exactly ((sum + k*size) // size ==
+    sum // size + k), so no left>right comparison can flip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=10_000),
+           w=st.integers(min_value=1, max_value=40),
+           h=st.integers(min_value=1, max_value=40),
+           k=st.integers(min_value=1, max_value=50))
+    def prop(seed, w, h, k):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256 - k, size=(h, w, 3)).astype(np.uint8)
+        assert dhash64(px) == dhash64((px.astype(np.int64) + k)
+                                      .astype(np.uint8))
+
+    prop()
