@@ -305,3 +305,205 @@ def read_webdataset_shards(spark, path: str,
              .load(os.path.join(path, "data", "shard-*.tar"))
              .select("path", "content"))
     return files.mapInPandas(kernel, out_schema)
+
+
+# TFRecord manifest name: distinct from the tar writer's manifest so both
+# containers can coexist under one output root
+_TFRECORD_MANIFEST = "tfrecord_manifest.json"
+
+_TF_TYPES = {"binary", "string", "long", "double",
+             "array<long>", "array<double>", "array<string>"}
+
+
+def write_tfrecord_shards(df: DataFrame, path: str, id_col: str,
+                          features: dict, tokens_col: str | None = None,
+                          budget_tokens: int = 1 << 28,
+                          salt: str = "tfr0", hex_chars: int = 2) -> dict:
+    """Write the corpus as TFRecord shards of ``tf.train.Example``
+    records — the OTHER standard training container next to WebDataset
+    (functions/tfrecord_codec.py holds the hand-rolled public wire
+    formats: protobuf Example + CRC32C-framed records).
+
+    ``features`` maps feature name -> column: string columns land as
+    UTF-8 bytes features, binary raw, long/array<long> as int64 lists,
+    double/array<double> as float lists (float32 by proto spec). The
+    record always carries the stringified ``id_col`` as feature
+    ``__key__`` so the round-trip keys rows without relying on order.
+    Sharding, determinism and the physical plan are exactly
+    write_webdataset_shards': deterministic md5 shuffle + token/byte
+    budget, ONE corpus shuffle (groupBy shard -> applyInPandas), temp
+    file + atomic os.replace per shard, rows in sort_key order and
+    canonical Example encoding — shard bytes are reproducible under any
+    partitioning or retry."""
+    from pyspark.sql import types as T  # noqa: F401
+
+    types: dict[str, str] = {}
+    for name, col in features.items():
+        if not name or name == "__key__":
+            raise ValueError(f"bad feature name {name!r}")
+        if col not in df.columns:
+            raise ValueError(f"feature column {col!r} not in frame")
+        t = df.schema[col].dataType.simpleString()
+        t = {"int": "long", "bigint": "long", "float": "double",
+             "array<bigint>": "array<long>", "array<int>": "array<long>",
+             "array<float>": "array<double>"}.get(t, t)
+        if t not in _TF_TYPES:
+            raise ValueError(f"feature {name!r}: unsupported column type "
+                             f"{t!r}")
+        types[name] = t
+    if tokens_col is None:
+        size_expr = " + ".join(
+            f"coalesce(octet_length(cast({c} as string)), 0)"
+            for c in features.values())
+        df = df.withColumn("__tf_sz", F.expr(size_expr).cast("long"))
+        tokens_col = "__tf_sz"
+    assigned = shard_assignments(df, id_col, tokens_col, budget_tokens,
+                                 salt=salt, hex_chars=hex_chars)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    names = sorted(features)
+
+    def write_shard(key, pdf):
+        import pandas as pd
+
+        from marmaray_spark.functions.tfrecord_codec import (encode_example,
+                                                             frame_record)
+
+        shard = int(key[0])
+        pdf = pdf.sort_values(["sort_key", id_col])
+        fname = f"shard-{shard:06d}.tfrecord"
+        tmp = os.path.join(data_dir, f".{fname}.inprogress")
+        n_bytes = 0
+        with open(tmp, "wb") as out:
+            for _, row in pdf.iterrows():
+                feats: dict = {"__key__": str(row[id_col]).encode("utf-8")}
+                for name in names:
+                    val = row[features[name]]
+                    if val is None:
+                        continue
+                    t = types[name]
+                    if t == "string":
+                        feats[name] = str(val).encode("utf-8")
+                    elif t == "binary":
+                        feats[name] = bytes(val)
+                    elif t == "long":
+                        feats[name] = [int(val)]
+                    elif t == "double":
+                        feats[name] = [float(val)]
+                    elif t == "array<long>":
+                        feats[name] = [int(v) for v in val]
+                    elif t == "array<double>":
+                        feats[name] = [float(v) for v in val]
+                    else:                       # array<string>
+                        feats[name] = [str(v).encode("utf-8") for v in val]
+                rec = frame_record(encode_example(feats))
+                out.write(rec)
+                n_bytes += len(rec)
+            out.flush()
+            os.fsync(out.fileno())
+        os.replace(tmp, os.path.join(data_dir, fname))
+        return pd.DataFrame([{"shard": shard, "docs": len(pdf),
+                              "n_bytes": n_bytes, "file": fname}])
+
+    stats = (assigned.groupBy("shard")
+             .applyInPandas(write_shard,
+                            "shard long, docs long, n_bytes long, "
+                            "file string")
+             .orderBy("shard").collect())
+    manifest = {
+        "salt": salt,
+        "budget_tokens": int(budget_tokens),
+        "n_shards": len(stats),
+        "total_docs": int(sum(r["docs"] for r in stats)),
+        "total_bytes": int(sum(r["n_bytes"] for r in stats)),
+        "features": {n: types[n] for n in names},
+        "shards": [{"shard": int(r["shard"]), "docs": int(r["docs"]),
+                    "n_bytes": int(r["n_bytes"]), "file": r["file"]}
+                   for r in stats],
+    }
+    with open(os.path.join(path, _TFRECORD_MANIFEST), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def read_tfrecord_shards(spark, path: str,
+                         features: dict[str, str] | None = None) -> DataFrame:
+    """One row per Example — the inverse of write_tfrecord_shards (and
+    an ingest path for ANY TFRecord producer whose features fit the
+    supported kinds). ``features`` maps name -> spark type (defaults to
+    the directory's tfrecord manifest); CRC failures raise — a torn
+    shard fails the task, never yields silent garbage.
+
+    Same 100 TB posture as the tar reader: binaryFile scan over
+    ``data/shard-*.tfrecord`` (parallelism = shard count, shard bytes
+    never leave their executor), one Arrow kernel walks each shard's
+    frames sequentially."""
+    from pyspark.sql import types as T
+
+    if features is None:
+        try:
+            with open(os.path.join(path, _TFRECORD_MANIFEST)) as fh:
+                features = json.load(fh)["features"]
+        except (OSError, ValueError, KeyError):
+            raise ValueError(f"no features given and no readable "
+                             f"{_TFRECORD_MANIFEST} under {path!r}")
+    for name, t in features.items():
+        if t not in _TF_TYPES:
+            raise ValueError(f"feature {name!r}: type must be one of "
+                             f"{sorted(_TF_TYPES)}, got {t!r}")
+    names = sorted(features)
+    spark_t = {"binary": T.BinaryType(), "string": T.StringType(),
+               "long": T.LongType(), "double": T.DoubleType(),
+               "array<long>": T.ArrayType(T.LongType()),
+               "array<double>": T.ArrayType(T.DoubleType()),
+               "array<string>": T.ArrayType(T.StringType())}
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType()),
+         T.StructField("shard", T.LongType())]
+        + [T.StructField(n, spark_t[features[n]]) for n in names])
+
+    def kernel(batches):
+        import re
+
+        import pandas as pd
+
+        from marmaray_spark.functions.tfrecord_codec import (decode_example,
+                                                             iter_records)
+
+        def convert(vals, t):
+            if vals is None:
+                return None
+            if t == "binary":
+                return vals[0]
+            if t == "string":
+                return vals[0].decode("utf-8")
+            if t == "long":
+                return int(vals[0])
+            if t == "double":
+                return float(vals[0])
+            if t == "array<long>":
+                return [int(v) for v in vals]
+            if t == "array<double>":
+                return [float(v) for v in vals]
+            return [v.decode("utf-8") for v in vals]
+
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.tfrecord$", fpath)
+                shard = int(m.group(1)) if m else -1
+                for payload in iter_records(bytes(blob)):
+                    ex = decode_example(payload)
+                    row = {"key": ex["__key__"][0].decode("utf-8"),
+                           "shard": shard}
+                    for n in names:
+                        row[n] = convert(ex.get(n), features[n])
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=["key", "shard"] + names) \
+                if rows else pd.DataFrame(
+                    {c: [] for c in ["key", "shard"] + names})
+
+    scan = (spark.read.format("binaryFile")
+            .load(os.path.join(path, "data", "shard-*.tfrecord"))
+            .select("path", "content"))
+    return scan.mapInPandas(kernel, out_schema)

@@ -47,7 +47,7 @@ HALF2=(
   tests/test_pii_properties.py tests/test_pq.py
   tests/test_retrieval_bloom.py tests/test_skew.py
   tests/test_sql_surface.py tests/test_table_sink.py
-  tests/test_webdataset.py
+  tests/test_webdataset.py tests/test_tfrecord.py
 )
 
 # coverage guard: every tests/test_*.py must appear in EXACTLY one half
