@@ -204,6 +204,31 @@ def extract_image_features(df: DataFrame,
     return cols.mapInPandas(kernel, schema=schema)
 
 
+def audio_quality_gates(features: DataFrame, min_ms: int = 500,
+                        max_ms: int = 10 * 60 * 1000,
+                        rms_milli_bounds: tuple[int, int] = (5, 900),
+                        min_rate: int = 8000) -> DataFrame:
+    """Audio quality gates as pure expressions over the
+    extract_audio_features output (no second decode): duration band
+    (sub-half-second blips and hour-long streams are both junk for most
+    training mixes), RMS loudness band (near-zero = silence/DC, near
+    full-scale = clipping or noise), and a sample-rate floor. Stub-
+    decoded rows (rms_milli = -1, no real sample decode available) fail
+    the RMS rule by construction — an unverifiable clip must not pass a
+    loudness gate. Adds per-rule booleans + combined ``gate_pass``
+    (decode failures fail); integer-only."""
+    lo, hi = rms_milli_bounds
+    return (features
+            .withColumn("dur_ok", (F.col("duration_ms") >= min_ms)
+                        & (F.col("duration_ms") <= max_ms))
+            .withColumn("rms_ok", (F.col("rms_milli") >= lo)
+                        & (F.col("rms_milli") <= hi))
+            .withColumn("rate_ok", F.col("sample_rate") >= min_rate)
+            .withColumn("gate_pass",
+                        F.col("ok") & F.col("dur_ok") & F.col("rms_ok")
+                        & F.col("rate_ok")))
+
+
 def image_quality_gates(features: DataFrame, min_width: int = 64,
                         min_height: int = 64,
                         aspect_milli_bounds: tuple[int, int] = (333, 3000),

@@ -509,3 +509,34 @@ def test_dhash_brightness_shift_invariance_is_exact():
                                       .astype(np.uint8))
 
     prop()
+
+
+def test_audio_quality_gates(spark):
+    """Duration / RMS / rate gates over the one audio feature pass: a
+    blip, a silent clip, a clipped-loud clip and a low-rate clip each
+    fail their own rule; stub-decoded payloads (no real sample decode)
+    fail the RMS rule by construction."""
+    from marmaray_spark.functions.media_codec import encode_wav_pcm16
+    from marmaray_spark.operators.multimodal import (audio_quality_gates,
+                                                     extract_audio_features)
+
+    env = [(i * 37) % 80 + 10 for i in range(80)]
+    good = _clip(env, frame=400)                          # 2s at 16 kHz
+    rows = [
+        (1, "audio", encode_wav_pcm16(good, 16000)),
+        (2, "audio", encode_wav_pcm16(good[:1600], 16000)),   # 0.1s blip
+        (3, "audio", encode_wav_pcm16(
+            np.zeros(32000, dtype=np.int16), 16000)),         # silence
+        (4, "audio", encode_wav_pcm16(
+            np.full(32000, 32000, dtype=np.int16), 16000)),   # clipped/DC
+        (5, "audio", encode_wav_pcm16(good, 4000)),           # low rate
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, "
+                                     "payload binary")
+    got = {r["media_id"]: r for r in
+           audio_quality_gates(extract_audio_features(df)).collect()}
+    assert got[1]["gate_pass"]
+    assert not got[2]["dur_ok"] and not got[2]["gate_pass"]
+    assert not got[3]["rms_ok"] and got[3]["dur_ok"]
+    assert not got[4]["rms_ok"]
+    assert not got[5]["rate_ok"] and got[5]["rms_ok"]
