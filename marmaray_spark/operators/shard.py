@@ -339,7 +339,10 @@ def write_tfrecord_shards(df: DataFrame, path: str, id_col: str,
 
     types: dict[str, str] = {}
     for name, col in features.items():
-        if not name or name == "__key__":
+        # __key__ is the writer's own key feature; key/shard are the
+        # reader's output columns — any of them as a feature name would
+        # collide on the round-trip
+        if not name or name in ("__key__", "key", "shard"):
             raise ValueError(f"bad feature name {name!r}")
         if col not in df.columns:
             raise ValueError(f"feature column {col!r} not in frame")
@@ -448,6 +451,9 @@ def read_tfrecord_shards(spark, path: str,
             raise ValueError(f"no features given and no readable "
                              f"{_TFRECORD_MANIFEST} under {path!r}")
     for name, t in features.items():
+        if name in ("key", "shard", "__key__"):
+            raise ValueError(f"feature name {name!r} collides with a "
+                             f"reader output column")
         if t not in _TF_TYPES:
             raise ValueError(f"feature {name!r}: type must be one of "
                              f"{sorted(_TF_TYPES)}, got {t!r}")
