@@ -18,8 +18,10 @@ are hand-rolled against the specs with pinned golden bytes in tests.
 Encoding is CANONICAL — sorted feature names, packed numeric lists — so
 shard bytes are reproducible no matter the partitioning. CRC32C uses
 the ``crc32c`` wheel when importable (import-try seam, the PIL
-pattern); the table-driven fallback is exact but serial (~2-3 MB/s per
-core) — fine for verify paths, swap the wheel in for bulk writes.
+pattern); the table-driven fallback is exact but serial (measured
+9.0 MiB/s per core on this box) — fine for verify paths and sharded
+writes (each task crcs only its own shard), swap the wheel in when the
+crc becomes the write bottleneck.
 """
 
 from __future__ import annotations
