@@ -126,3 +126,139 @@ def blocklist_gate(docs: DataFrame, url_col: str,
     kept = tagged.join(bl, "__dom", "left_anti").drop("__dom")
     blocked = tagged.join(bl, "__dom", "left_semi").drop("__dom")
     return kept, blocked
+
+
+def extract_text_from_html(df: DataFrame, id_col: str,
+                           html_col: str = "html",
+                           min_block_words: int = 4,
+                           max_link_density_bps: int = 4000,
+                           passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """HTML -> training text: the step-0 a RefinedWeb-style pipeline
+    runs before any quality gate — parse the markup, drop
+    script/style/template noise, split into block-level text blocks,
+    and keep blocks that read like CONTENT rather than chrome (the
+    jusText/trafilatura heuristic family reduced to its two strongest
+    signals: enough words, low link density — nav bars and footers are
+    lists of links, paragraphs are not).
+
+    One Arrow-batched mapInPandas pass over (id, html); the parser is
+    the stdlib ``html.parser`` (a real tolerant HTML tokenizer — NOT
+    regex tag-stripping, which breaks on attributes containing '>',
+    comments, and CDATA), entities decode via its built-in handling.
+    Output per row: title, text (kept blocks joined by newline),
+    n_blocks / n_kept, link_bps (link-text char mass of the RAW page —
+    a page-level chrome signal), ok/err (a pathological payload forks
+    its row, never the task). 100 TB posture: embarrassingly parallel
+    per row, no shuffle, html bytes never leave their executor."""
+    from html.parser import HTMLParser
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    pt = [(c, df.schema[c].dataType.simpleString()) for c in passthrough]
+    out_schema = ", ".join(
+        [f"{id_col} {id_type}"] + [f"{c} {t}" for c, t in pt]
+        + ["title string", "text string", "n_blocks int", "n_kept int",
+           "link_bps int", "ok boolean", "err string"])
+
+    SKIP = {"script", "style", "noscript", "template", "svg", "head"}
+    BLOCK = {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "br",
+             "td", "th", "tr", "article", "section", "header", "footer",
+             "nav", "aside", "blockquote", "pre", "ul", "ol", "table",
+             "body", "title"}
+
+    class Extractor(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[tuple[str, int]] = []   # (text, link_chars)
+            self.cur: list[str] = []
+            self.cur_link = 0
+            self.skip_depth = 0
+            self.link_depth = 0
+            self.in_title = False
+            self.title = ""
+
+        def _flush(self):
+            text = " ".join("".join(self.cur).split())
+            if text:
+                self.blocks.append((text, self.cur_link))
+            self.cur, self.cur_link = [], 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in SKIP:
+                self.skip_depth += 1
+            elif tag == "a":
+                self.link_depth += 1
+            elif tag == "title":
+                self.in_title = True
+            if tag in BLOCK:
+                self._flush()
+
+        def handle_endtag(self, tag):
+            if tag in SKIP and self.skip_depth:
+                self.skip_depth -= 1
+            elif tag == "a" and self.link_depth:
+                self.link_depth -= 1
+            elif tag == "title":
+                self.in_title = False
+            if tag in BLOCK:
+                self._flush()
+
+        def handle_data(self, data):
+            if self.in_title:
+                # before the skip check: <title> lives inside <head>,
+                # which is skipped as a whole otherwise
+                self.title += data
+                return
+            if self.skip_depth:
+                return
+            self.cur.append(data)
+            if self.link_depth:
+                self.cur_link += len("".join(data.split()))
+
+    def one(payload):
+        ex = Extractor()
+        ex.feed(payload or "")
+        ex.close()
+        ex._flush()
+        kept = []
+        total_chars = link_chars = 0
+        for text, lk in ex.blocks:
+            chars = len("".join(text.split()))
+            total_chars += chars
+            link_chars += min(lk, chars)
+            if len(text.split()) < min_block_words:
+                continue
+            if chars and min(lk, chars) * 10000 // chars \
+                    > max_link_density_bps:
+                continue
+            kept.append(text)
+        return (" ".join(ex.title.split()), "\n".join(kept),
+                len(ex.blocks), len(kept),
+                link_chars * 10000 // max(total_chars, 1))
+
+    def kernel(batches):
+        for pdf in batches:
+            res = []
+            for payload in pdf[html_col]:
+                try:
+                    res.append(one(payload) + (True, None))
+                except Exception as e:   # the parser is tolerant; a raise
+                    res.append(("", "", 0, 0, 0, False,   # here is exotic
+                                f"{type(e).__name__}: {e}"))
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c, _t in pt:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame({
+                **out,
+                "title": [r[0] for r in res],
+                "text": [r[1] for r in res],
+                "n_blocks": [r[2] for r in res],
+                "n_kept": [r[3] for r in res],
+                "link_bps": [r[4] for r in res],
+                "ok": [r[5] for r in res],
+                "err": [r[6] for r in res],
+            })
+
+    return df.select(id_col, *passthrough, html_col) \
+        .mapInPandas(kernel, out_schema)

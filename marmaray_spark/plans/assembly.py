@@ -28,6 +28,12 @@ alone, no code):
 
     corpus.text_col           text column (enables the block)
     corpus.id_col             document id column (required with block)
+    corpus.html_col           raw-markup column: an HTML -> text
+                              extraction stage (block split, chrome
+                              dropped by word floor + link density)
+                              runs FIRST and produces text_col
+    corpus.html_min_block_words / corpus.html_max_link_density_bps
+                              extraction thresholds (defaults 4 / 4000)
     corpus.quality_min        composite quality-score floor (int)
     corpus.gopher_gate        true -> Gopher repetition gate
     corpus.exact_dedup        true -> keep-min-id per content digest
@@ -132,11 +138,30 @@ def _corpus_stages(config: Configuration):
         raise ValueError("corpus.unimax_group_col and "
                          "corpus.unimax_budget_tokens go together")
 
+    html_col = config.get("corpus.html_col")
+    html_min_words = config.get_int("corpus.html_min_block_words", 4)
+    html_max_link = config.get_int("corpus.html_max_link_density_bps", 4000)
+
     stages = []
+    if html_col:
+        # step 0, before everything: a crawl table carries MARKUP, and
+        # every downstream stage (normalize, gates, dedup, mix) wants
+        # the extracted text_col — chrome-stripped, entity-decoded
+        def html_extract(df, _h=html_col, _mw=html_min_words,
+                         _ml=html_max_link):
+            from marmaray_spark.operators.web import extract_text_from_html
+            carry = tuple(c for c in df.columns
+                          if c not in (id_col, _h, text_col))
+            out = extract_text_from_html(
+                df, id_col, _h, min_block_words=_mw,
+                max_link_density_bps=_ml, passthrough=carry)
+            return out.withColumnRenamed("text", text_col) \
+                if text_col != "text" else out
+        stages.append(html_extract)
     if do_norm:
-        # FIRST, before anything hashes or gates: render-identical
-        # crawl variants (NFKC / case) must be canonical before the
-        # digest dedup below can merge them
+        # FIRST among the text stages: render-identical crawl variants
+        # (NFKC / case) must be canonical before the digest dedup below
+        # can merge them
         def norm_stage(df):
             from marmaray_spark.operators.text import normalize_text
             return normalize_text(df, text_col)

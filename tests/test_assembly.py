@@ -306,3 +306,44 @@ def test_yaml_media_gates_and_near_dup_stages(spark, tmp_path):
                   record_key_field="media_id")
     kept = {r["media_id"] for r in t.read().collect()}
     assert kept == {1, 3}
+
+
+def test_yaml_corpus_html_extraction_stage(spark, tmp_path):
+    """corpus.html_col stages HTML -> text extraction FIRST: a crawl
+    table wires straight from YAML — chrome dropped, entities decoded,
+    and the downstream gates see the extracted text column."""
+    pages = [
+        (1, "en", """<html><head><title>Doc one</title></head><body>
+            <nav><a href='/'>Home</a> <a href='/x'>About</a>
+                 <a href='/y'>More</a> <a href='/z'>Links</a></nav>
+            <p>the quick brown fox jumps over the lazy dog while seven
+               wizards brew strong coffee at dawn for everyone</p>
+            </body></html>"""),
+        (2, "en", "<body><p>" + "spam " * 40 + "</p></body>"),
+    ]
+    src = tmp_path / "crawl_src"
+    spark.createDataFrame(pages, "doc_id long, lang string, html string") \
+        .write.parquet(str(src))
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "crawl_job"},
+        "source": {"type": "parquet", "path": str(src)},
+        "corpus": {"text_col": "text", "id_col": "doc_id",
+                   "html_col": "html", "gopher_gate": True},
+        "sink": {"type": "table", "path": str(tmp_path / "crawl_table"),
+                 "record_key": "doc_id", "op": "insert"},
+        "checkpoints": {"path": str(tmp_path / "ckh")},
+    })
+    p = tmp_path / "crawl.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+
+    t = TableSink(spark, tmp_path / "crawl_table",
+                  record_key_field="doc_id")
+    kept = {r["doc_id"]: r["text"] for r in t.read().collect()}
+    # doc 2's repeated-word body fails the gopher gate POST-extraction;
+    # doc 1's extracted text carries the paragraph, not the nav chrome
+    assert set(kept) == {1}
+    assert "quick brown fox" in kept[1] and "Home" not in kept[1]
+    # the lang column rode through the extraction's passthrough
+    assert {r["lang"] for r in t.read().collect()} == {"en"}

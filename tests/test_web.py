@@ -87,3 +87,51 @@ def test_blocklist_gate_forks_by_domain(spark):
     assert {r["doc_id"] for r in kept.collect()} == {3}
     assert {r["doc_id"] for r in blocked.collect()} == {1, 2}
     assert kept.columns == docs.columns           # payload survives the fork
+
+
+def test_extract_text_from_html(spark):
+    """The HTML -> text stage: a real tolerant parse (not regex) drops
+    script/style, strips nav chrome by link density, keeps content
+    paragraphs, decodes entities, survives malformed markup per-row."""
+    from marmaray_spark.operators.web import extract_text_from_html
+
+    page = """<!DOCTYPE html><html><head>
+      <title>A &amp; B — the article</title>
+      <style>p { color: red; } NOSTYLETEXT</style>
+      <script>var leaked = "NOSCRIPTTEXT";</script></head>
+      <body>
+        <nav><ul>
+          <li><a href="/">Home</a></li><li><a href="/a">About</a></li>
+          <li><a href="/b">Contact</a></li><li><a href="/c">Shop</a></li>
+        </ul></nav>
+        <article>
+          <p>This paragraph carries the actual content a corpus wants,
+             with an entity like &quot;caf&eacute;&quot; decoded.</p>
+          <p>Another substantive paragraph follows with enough words to
+             clear the block floor easily — see <a href="/ref">one
+             reference</a> inline, which is fine.</p>
+        </article>
+        <footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+      </body></html>"""
+    rows = [
+        (1, page),
+        (2, "<p>short</p>"),                          # below word floor
+        (3, "<p>unclosed <b>tags & raw text with plenty of words here"),
+        (4, None),                                    # null html
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in
+           extract_text_from_html(df, "doc_id").collect()}
+
+    r1 = got[1]
+    assert r1["ok"] and r1["title"] == "A & B — the article"
+    assert "actual content" in r1["text"] and '"café"' in r1["text"]
+    assert "one reference" in r1["text"]              # inline link kept
+    assert "NOSCRIPTTEXT" not in r1["text"]
+    assert "NOSTYLETEXT" not in r1["text"]
+    assert "Home" not in r1["text"] and "Terms" not in r1["text"]
+    assert r1["n_kept"] < r1["n_blocks"] and r1["link_bps"] > 0
+
+    assert got[2]["ok"] and got[2]["text"] == "" and got[2]["n_blocks"] == 1
+    assert got[3]["ok"] and "plenty of words" in got[3]["text"]
+    assert got[4]["ok"] and got[4]["text"] == "" and got[4]["n_blocks"] == 0
