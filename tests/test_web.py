@@ -135,3 +135,63 @@ def test_extract_text_from_html(spark):
     assert got[2]["ok"] and got[2]["text"] == "" and got[2]["n_blocks"] == 1
     assert got[3]["ok"] and "plenty of words" in got[3]["text"]
     assert got[4]["ok"] and got[4]["text"] == "" and got[4]["n_blocks"] == 0
+
+
+def _http(body: bytes, status=200, ctype="text/html"):
+    return (f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+
+def test_read_warc_records_and_forks(spark, tmp_path):
+    """WARC source: response records surface with URI/status/body split
+    out, non-requested types filter, a corrupt gzip member forks its
+    row, and the whole thing composes with HTML extraction — the full
+    crawl first mile."""
+    from marmaray_spark.operators.web import extract_text_from_html
+    from marmaray_spark.sources.warc import read_warc, write_warc_gz
+
+    html1 = (b"<html><head><title>One</title></head><body>"
+             b"<p>the quick brown fox jumps over the lazy dog while "
+             b"seven wizards brew strong coffee at dawn</p></body></html>")
+    html2 = b"<body><p>another page with plenty of words inside it</p></body>"
+    recs = [
+        ({"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>"},
+         b"software: test\r\n"),
+        ({"WARC-Type": "request", "WARC-Record-ID": "<urn:uuid:1>",
+          "WARC-Target-URI": "http://example.com/a"},
+         b"GET /a HTTP/1.1\r\n\r\n"),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:2>",
+          "WARC-Target-URI": "http://example.com/a",
+          "WARC-Date": "2026-08-15T00:00:00Z",
+          "Content-Type": "application/http; msgtype=response"},
+         _http(html1)),
+        ({"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:3>",
+          "WARC-Target-URI": "https://example.org/b"},
+         _http(html2, status=404)),
+    ]
+    blob = write_warc_gz(recs)
+    blob += b"\x1f\x8b\x08\x00garbage-member-not-gzip"   # corrupt member
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(blob)
+
+    df = read_warc(spark, str(d / "*.warc.gz"))
+    rows = df.collect()
+    good = {r["target_uri"]: r for r in rows if r["ok"]}
+    assert set(good) == {"http://example.com/a", "https://example.org/b"}
+    a = good["http://example.com/a"]
+    assert a["http_status"] == 200 and a["http_content_type"] == "text/html"
+    assert bytes(a["payload"]) == html1
+    assert a["warc_date"] == "2026-08-15T00:00:00Z"
+    assert good["https://example.org/b"]["http_status"] == 404
+    bad = [r for r in rows if not r["ok"]]
+    assert len(bad) == 1 and bad[0]["err"]
+
+    # the first mile composes: WARC -> HTML -> text
+    pages = (df.filter("ok AND http_status = 200")
+             .select("target_uri",
+                     F.decode("payload", "utf-8").alias("html")))
+    text = {r["target_uri"]: r for r in extract_text_from_html(
+        pages, "target_uri").collect()}
+    assert "quick brown fox" in text["http://example.com/a"]["text"]
+    assert text["http://example.com/a"]["title"] == "One"
