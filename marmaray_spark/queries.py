@@ -2700,13 +2700,15 @@ def sessionization_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style join+agg+topk; the dimension join broadcasts."""
+    """TPC-H Q3-style join+agg+topk. No broadcast hint on customer: it
+    scales with SF (1.5B rows at 100 TB) — the planner/AQE broadcasts it
+    when file statistics say it fits, shuffle-joins when not."""
     customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     return (lineitem
             .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
             .groupBy("o_orderkey", "o_orderdate")
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
@@ -2743,7 +2745,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (lineitem
             .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
             .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .groupBy(F.col("r_name").alias("region_name"),
@@ -2864,7 +2866,10 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirty = (decontaminate(corpus, eval_set, n=3, contaminated_bps=500)
              .filter(F.col("contaminated"))
              .select("doc_id").withColumn("dirty", F.lit(True)))
-    gated = (flags.join(F.broadcast(dirty), "doc_id", "left")
+    # no broadcast hint: dirty is bounded by the contamination rate in
+    # practice but corpus-derived and adversarially unbounded — let the
+    # planner/AQE decide (it broadcasts anyway when it IS small).
+    gated = (flags.join(dirty, "doc_id", "left")
              .withColumn("dirty", F.coalesce("dirty", F.lit(False)))
              .withColumn("u", F.col("is_keeper") & ~F.col("is_eval")))
 
@@ -2963,7 +2968,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile, no per-language row window) -> quality gate (score >= 60)
     -> per-(language, bucket) corpus stats. Each stage is an already
     oracle-checked operator; this checks their COMPOSITION end-to-end.
-    One digest shuffle + one broadcast semi-join + the LM's term
+    One digest shuffle + one planner-chosen semi-join + the LM's term
     aggregate + the histogram aggregate + one final agg."""
     from marmaray_spark.operators.dedup import exact_dedup
     from marmaray_spark.operators.lm import (lm_score, surprisal_buckets,
@@ -2973,7 +2978,10 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     keepers = exact_dedup(docs, "doc_id", "text").select(
         F.col("keeper_id").alias("doc_id"))
-    kept = _with_words(docs.join(F.broadcast(keepers), "doc_id", "left_semi"))
+    # no broadcast hint: keepers is one row per DISTINCT content digest —
+    # corpus-scale at 100 TB. Planner/AQE picks the strategy (the YAML
+    # path, plans/assembly.py, spells it the same way).
+    kept = _with_words(docs.join(keepers, "doc_id", "left_semi"))
     lm = train_unigram_lm(kept, "w")
     per_doc_lm = lm_score(kept, "doc_id", "w", lm) \
         .select("doc_id", "lm_logp_milli")
@@ -3682,12 +3690,13 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (nation, priority): all four grouping-set combinations in
     one shuffle (Spark expands the grouping sets map-side, so the fact
     table is scanned once). Complements rollup_pricing's ROLLUP with the
-    full lattice; dimension joins broadcast."""
+    full lattice. nation (25 rows always) broadcasts explicitly;
+    customer scales with SF so the planner/AQE picks its strategy."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (orders
-              .join(F.broadcast(customer),
+              .join(customer,
                     orders.o_custkey == customer.c_custkey)
               .join(F.broadcast(nation),
                     customer.c_nationkey == nation.n_nationkey)

@@ -107,6 +107,24 @@ def test_ivf_probe_broadcasts_and_assigns_without_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_no_corpus_scale_forced_broadcast():
+    """No declared query may force-broadcast a corpus-derived relation.
+
+    ``F.broadcast`` overrides the planner REGARDLESS of size, so a hint on
+    anything that grows with the corpus (dedup keepers, contamination id
+    sets, SF-scaled tables like customer) is a guaranteed OOM at 100 TB.
+    The allowlist is exactly the relations whose size is bounded by
+    construction: nation/region (25/5 rows at every TPC-H SF), 1-row
+    global aggregates (avg_bal, mx), and the argmax-filtered top set.
+    Everything else must leave the strategy to the planner/AQE, which
+    still broadcasts small relations — without the hint's scale cliff."""
+    import inspect
+    src = inspect.getsource(Q)
+    targets = set(re.findall(r"F\.broadcast\((\w+)", src))
+    allowed = {"nation", "region", "avg_bal", "mx", "top"}
+    assert targets <= allowed, f"forced broadcast of {targets - allowed}"
+
+
 def test_no_allpairs_plan_in_any_declared_query(spark):
     """The scale plan IS the declared plan: no declared query may compile
     to a CartesianProduct, and the only tolerated BroadcastNestedLoopJoin
