@@ -61,6 +61,85 @@ def synth_media_from_text(df: DataFrame, id_col: str, text_col: str,
     return attach_media_metadata(out)
 
 
+def synth_gradient_bmp(df: DataFrame, id_col: str,
+                       n_variants: int = 8) -> DataFrame:
+    """Deterministic REAL BMP images from ids — oracle-checkable media.
+
+    Each id paints an 18x16 gray-RGB image whose pixel value is closed-
+    form integer arithmetic: ``v(x, y) = (g*(x+1) + 7*y) % 251`` with
+    ``g = id // n_variants`` (the gradient family), except the 2x2 cell
+    at ``(x//2 == k, y//2 == k)`` with ``k = id % n_variants`` which is
+    darkened to 0 (one grid block per variant — the near-dup structure).
+    The dims are chosen so dhash64's 9x8 grid lands on EXACT 2x2 blocks
+    (xs stride 2 over w=18, ys stride 2 over h=16): every block mean is
+    a 4-pixel integer sum // 4, so the perceptual hash of each image is
+    itself a closed-form integer an external SQL oracle can compute —
+    the engine-exact gate pattern (cf. the semantic-decontam matmul).
+    Payloads are real BMPs through encode_bmp, so the full decode path
+    (not a stub) is what the gate exercises."""
+    import numpy as np
+
+    from marmaray_spark.functions.media_codec import encode_bmp
+
+    nv = int(n_variants)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x = np.arange(18, dtype=np.int64)[None, :]
+        y = np.arange(16, dtype=np.int64)[:, None]
+
+        def one(i: int) -> bytes:
+            g, k = i // nv, i % nv
+            v = (g * (x + 1) + 7 * y) % 251
+            v = np.where((x // 2 == k) & (y // 2 == k), 0, v)
+            px = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+            return encode_bmp(np.ascontiguousarray(px))
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "media_type": "image",
+                "payload": [one(int(i)) for i in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema="media_id long, media_type string, payload binary")
+
+
+def synth_tone_wav(df: DataFrame, id_col: str,
+                   n_variants: int = 8) -> DataFrame:
+    """Deterministic REAL WAV clips from ids — the audio twin of
+    synth_gradient_bmp. 130 PCM-16 mono samples at 8 kHz, all
+    NON-NEGATIVE closed-form integers ``s(j) = (g*(j+1) + 13*k) % 1999``
+    (``g = id // n_variants``, ``k = id % n_variants``): 130 = 2 * 65,
+    so adhash64's 65-frame energy envelope lands on exact 2-sample
+    frames and each envelope value is ``(s(2i) + s(2i+1)) // 2`` —
+    abs() is the identity on these samples, making the envelope hash a
+    closed-form integer a SQL oracle can mirror."""
+    import numpy as np
+
+    from marmaray_spark.functions.media_codec import encode_wav_pcm16
+
+    nv = int(n_variants)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(130, dtype=np.int64)
+
+        def one(i: int) -> bytes:
+            g, k = i // nv, i % nv
+            s = (g * (j + 1) + 13 * k) % 1999
+            return encode_wav_pcm16(s.astype(np.int16), 8000)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "media_type": "audio",
+                "payload": [one(int(i)) for i in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema="media_id long, media_type string, payload binary")
+
+
 # -- decode kernels: REAL for BMP/WAV, deterministic stubs otherwise ---------
 
 def _decode_image(payload: bytes) -> tuple[int, int, int]:
@@ -192,8 +271,12 @@ def extract_image_features(df: DataFrame,
 
     src = df.filter(F.col("media_type") == "image")
     cols = src.select("media_id", "payload", *passthrough)
+    # id keeps the SOURCE column's type (the compression_signals lesson,
+    # same as image_dhash): a hardcoded long turns a string-id media
+    # table — reachable straight from the YAML media.* block — into a
+    # mid-run Arrow conversion error
     schema = T.StructType(
-        [T.StructField("media_id", T.LongType()),
+        [T.StructField("media_id", src.schema["media_id"].dataType),
          T.StructField("width", T.IntegerType()),
          T.StructField("height", T.IntegerType()),
          T.StructField("channels", T.IntegerType()),
@@ -259,7 +342,10 @@ def image_quality_gates(features: DataFrame, min_width: int = 64,
                         & F.col("density_ok")))
 
 
-AUDIO_FEATURES_SCHEMA = ("media_id long, sample_rate int, n_samples long, "
+# {id} slot: the id type is derived from the input frame at call time
+# (hardcoding long breaks string-id media tables mid-run — see
+# image_dhash's note on the compression_signals lesson)
+AUDIO_FEATURES_SCHEMA = ("media_id {id}, sample_rate int, n_samples long, "
                          "duration_ms long, rms_milli int, ok boolean")
 
 
@@ -308,10 +394,13 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             })
 
     cols = df.filter(F.col("media_type") == "audio").select("media_id", "payload")
-    return cols.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+    id_type = df.schema["media_id"].dataType.simpleString()
+    return cols.mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA.format(id=id_type))
 
 
-RESIZE_SCHEMA = "media_id long, width int, height int, payload binary, ok boolean"
+RESIZE_SCHEMA = ("media_id {id}, width int, height int, payload binary, "
+                 "ok boolean")
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
@@ -371,7 +460,8 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             })
 
     cols = df.filter(F.col("media_type") == "image").select("media_id", "payload")
-    return cols.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+    id_type = df.schema["media_id"].dataType.simpleString()
+    return cols.mapInPandas(kernel, schema=RESIZE_SCHEMA.format(id=id_type))
 
 
 def _decode_pixels(payload: bytes):
@@ -840,7 +930,7 @@ def video_near_dup_pairs(frames: DataFrame, id_col: str = "media_id",
             .filter(F.col("shared_frames") >= min_shared_frames))
 
 
-FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
+FRAME_SAMPLE_SCHEMA = "media_id {id}, frame_idx int, frame_payload binary"
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 64,
@@ -864,6 +954,11 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
 
         def one(mid, payload) -> list:
             rows = []
+            # NULL payload is legal per MEDIA_SCHEMA: emit the corrupt-
+            # container marker row instead of letting bytes(None) kill
+            # the task (the per-row decode-or-error contract)
+            if payload is None:
+                return [(mid, -1, None)]
             p = bytes(payload)
             try:
                 if looks_like_avi(p[:12]):
@@ -893,4 +988,6 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64,
                                               "frame_payload"])
 
     cols = df.filter(F.col("media_type") == "video").select("media_id", "payload")
-    return cols.mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
+    id_type = df.schema["media_id"].dataType.simpleString()
+    return cols.mapInPandas(
+        kernel, schema=FRAME_SAMPLE_SCHEMA.format(id=id_type))

@@ -37,6 +37,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _clean_shard_dir(data_dir: str, suffix: str) -> None:
+    """Remove this container's shard files (and torn ``.inprogress`` temps)
+    before a re-run writes fewer shards than the last one.
+
+    The tar/tfrecord writers emit one file per shard via applyInPandas —
+    there is no Spark ``overwrite`` mode to lean on like the parquet
+    writer has, so without this sweep a re-run that produces FEWER shards
+    leaves stale ``shard-NNNNNN.*`` files behind and the glob-based
+    readers would silently ingest samples that contradict the fresh
+    manifest. Suffix-scoped so tar and tfrecord outputs can coexist under
+    one root (their manifests already do)."""
+    import glob as _glob
+    for pat in (f"shard-*.{suffix}", f".shard-*.{suffix}.inprogress"):
+        for p in _glob.glob(os.path.join(data_dir, pat)):
+            os.remove(p)
+
+
 def shard_assignments(df: DataFrame, id_col: str, tokens_col: str,
                       budget_tokens: int, salt: str = "s0",
                       hex_chars: int = 2) -> DataFrame:
@@ -95,9 +112,13 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
                       F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
                  .orderBy("shard").collect())
         n_shards = max((r["shard"] for r in stats), default=-1) + 1
+        # 'shard' leads the sort: partitionBy requires ordering on the
+        # partition column, and if it isn't already a satisfied prefix the
+        # file writer inserts its OWN (non-stable) sort — which would void
+        # the byte-deterministic sort_key order this sort exists to pin
         (assigned.drop("bucket")
          .repartition(max(int(n_shards), 1), "shard")
-         .sortWithinPartitions("sort_key", id_col)
+         .sortWithinPartitions("shard", "sort_key", id_col)
          .write.mode("overwrite").partitionBy("shard")
          .format(fmt).save(os.path.join(path, "data")))
     finally:
@@ -160,6 +181,7 @@ def write_webdataset_shards(df: DataFrame, path: str, id_col: str,
                                  salt=salt, hex_chars=hex_chars)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
+    _clean_shard_dir(data_dir, "tar")
     exts = sorted(members)           # fixed member order inside a sample
 
     def write_shard(key, pdf):
@@ -302,9 +324,28 @@ def read_webdataset_shards(spark, path: str,
             yield pd.DataFrame(rows, columns=["key", "shard", *exts])
 
     files = (spark.read.format("binaryFile")
-             .load(os.path.join(path, "data", "shard-*.tar"))
+             .load(_shard_scan_paths(path, "manifest.json", "shard-*.tar"))
              .select("path", "content"))
     return files.mapInPandas(kernel, out_schema)
+
+
+def _shard_scan_paths(path: str, manifest_name: str,
+                      glob_pat: str) -> list[str]:
+    """The exact shard files the manifest recorded, else the glob.
+
+    The writer sweeps stale shards before writing, but a reader pointed at
+    a directory written by an OLDER writer (or torn by a mid-sweep crash)
+    must still never ingest samples the manifest doesn't vouch for — the
+    manifest's shard list is the source of truth when it exists."""
+    try:
+        with open(os.path.join(path, manifest_name)) as fh:
+            shards = json.load(fh).get("shards") or []
+        files = [os.path.join(path, "data", s["file"]) for s in shards]
+        if files:
+            return files
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    return [os.path.join(path, "data", glob_pat)]
 
 
 # TFRecord manifest name: distinct from the tar writer's manifest so both
@@ -364,6 +405,7 @@ def write_tfrecord_shards(df: DataFrame, path: str, id_col: str,
                                  salt=salt, hex_chars=hex_chars)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
+    _clean_shard_dir(data_dir, "tfrecord")
     names = sorted(features)
 
     def write_shard(key, pdf):
@@ -510,6 +552,7 @@ def read_tfrecord_shards(spark, path: str,
                     {c: [] for c in ["key", "shard"] + names})
 
     scan = (spark.read.format("binaryFile")
-            .load(os.path.join(path, "data", "shard-*.tfrecord"))
+            .load(_shard_scan_paths(path, _TFRECORD_MANIFEST,
+                                    "shard-*.tfrecord"))
             .select("path", "content"))
     return scan.mapInPandas(kernel, out_schema)

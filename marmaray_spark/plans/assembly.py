@@ -150,6 +150,25 @@ def _corpus_stages(config: Configuration):
         def html_extract(df, _h=html_col, _mw=html_min_words,
                          _ml=html_max_link):
             from marmaray_spark.operators.web import extract_text_from_html
+            # the extractor OWNS these output names; a passthrough column
+            # with the same name (read_warc's ok/err, the advertised
+            # producer for this stage) would yield a duplicate-name
+            # schema that dies mid-run — rename the source's copy to
+            # src_<name> so fetch provenance survives next to the
+            # extractor's own verdict
+            reserved = {"title", "text", "n_blocks", "n_kept",
+                        "link_bps", "ok", "err"}
+            renames = {c: f"src_{c}" for c in df.columns
+                       if c in reserved and c not in (id_col, _h, text_col)}
+            clash = [v for v in renames.values() if v in df.columns]
+            if clash:
+                raise ValueError(
+                    f"corpus.html_col: cannot carry {sorted(renames)} past "
+                    f"the HTML extractor — the src_-prefixed fallback "
+                    f"{clash} already exists in the source frame; rename "
+                    f"the source columns before this stage")
+            for old, new in renames.items():
+                df = df.withColumnRenamed(old, new)
             carry = tuple(c for c in df.columns
                           if c not in (id_col, _h, text_col))
             out = extract_text_from_html(

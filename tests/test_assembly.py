@@ -347,3 +347,41 @@ def test_yaml_corpus_html_extraction_stage(spark, tmp_path):
     assert "quick brown fox" in kept[1] and "Home" not in kept[1]
     # the lang column rode through the extraction's passthrough
     assert {r["lang"] for r in t.read().collect()} == {"en"}
+
+
+def test_yaml_corpus_html_extraction_warc_shaped_source(spark, tmp_path):
+    """A source that already carries the extractor's reserved output
+    names (read_warc emits ok/err — the advertised producer for the
+    html_col stage) must not die on a duplicate-name schema: the stage
+    renames the source copies to src_<name> so fetch provenance rides
+    through next to the extractor's own verdict."""
+    pages = [
+        (1, "<body><p>the quick brown fox jumps over the lazy dog while "
+            "seven wizards brew strong coffee at dawn for everyone"
+            "</p></body>", True, None),
+        (2, "<body><p>" + "spam " * 40 + "</p></body>", True, None),
+    ]
+    src = tmp_path / "warc_src"
+    spark.createDataFrame(
+        pages, "doc_id long, html string, ok boolean, err string") \
+        .write.parquet(str(src))
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "warc_crawl_job"},
+        "source": {"type": "parquet", "path": str(src)},
+        "corpus": {"text_col": "text", "id_col": "doc_id",
+                   "html_col": "html", "gopher_gate": True},
+        "sink": {"type": "table", "path": str(tmp_path / "warc_table"),
+                 "record_key": "doc_id", "op": "insert"},
+        "checkpoints": {"path": str(tmp_path / "ckw")},
+    })
+    p = tmp_path / "warc.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+    t = TableSink(spark, tmp_path / "warc_table",
+                  record_key_field="doc_id")
+    rows = {r["doc_id"]: r for r in t.read().collect()}
+    assert set(rows) == {1}
+    # the fetch-level ok survived under the src_ prefix; the extractor's
+    # own ok is the row-level extraction verdict
+    assert rows[1]["src_ok"] is True and rows[1]["ok"] is True

@@ -191,11 +191,19 @@ def test_write_training_shards_layout_and_manifest(spark, documents, tmp_path):
                 F.sum("n_tok").alias("tokens")).collect()}
     assert per == {s["shard"]: (s["docs"], s["tokens"])
                    for s in manifest["shards"]}
-    # one data file per shard (deterministic output layout)
+    # one data file per shard (deterministic output layout), and rows
+    # INSIDE each file are in sort_key order — the byte-determinism
+    # claim. Guards the sortWithinPartitions prefix: without 'shard'
+    # leading it, the partitionBy writer injects its own non-stable sort
+    # and the pinned order silently evaporates.
+    import pyarrow.parquet as pq
     for s in manifest["shards"]:
         d = os.path.join(out, "data", f"shard={s['shard']}")
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1
+        keys = pq.read_table(os.path.join(d, files[0]),
+                             columns=["sort_key"])["sort_key"].to_pylist()
+        assert keys == sorted(keys)
 
 
 def test_dup_line_stats_count_and_char_mass(spark):

@@ -129,3 +129,20 @@ def test_tfrecord_torn_shard_fails_the_read(spark, tmp_path):
     open(p, "wb").write(bytes(blob))
     with pytest.raises(Exception, match="crc mismatch"):
         read_tfrecord_shards(spark, str(tmp_path)).collect()
+
+
+def test_tfrecord_rerun_sweeps_stale_shards(spark, tmp_path):
+    """Re-run with fewer shards: stale shard-*.tfrecord files are swept
+    by the writer and the reader's manifest-restricted scan never sees
+    shards the fresh manifest doesn't list."""
+    df = _df(spark)
+    many = write_tfrecord_shards(df, str(tmp_path), "doc_id", FEATS,
+                                 budget_tokens=200)
+    assert many["n_shards"] > 1
+    few = write_tfrecord_shards(df.filter("doc_id < 2"), str(tmp_path),
+                                "doc_id", FEATS, budget_tokens=1 << 28)
+    files = [f for f in os.listdir(os.path.join(str(tmp_path), "data"))
+             if f.endswith(".tfrecord")]
+    assert len(files) == few["n_shards"] < many["n_shards"]
+    back = read_tfrecord_shards(spark, str(tmp_path))
+    assert {int(r["key"]) for r in back.collect()} == {0, 1}

@@ -151,3 +151,57 @@ def test_webdataset_reader_null_member_and_validation(spark, tmp_path):
         read_webdataset_shards(spark, path, {"txt": "int"})
     with pytest.raises(ValueError):
         read_webdataset_shards(spark, str(tmp_path / "nowhere"))
+
+
+def test_webdataset_rerun_sweeps_stale_shards(spark, tmp_path):
+    """A re-run that produces FEWER shards must not leave stale shard
+    files from the prior run: the writer sweeps same-suffix shard files
+    (and torn .inprogress temps) before writing, and the reader trusts
+    the manifest's shard list over the directory glob."""
+    from marmaray_spark.operators.shard import read_webdataset_shards
+
+    df = _df(spark)
+    path = str(tmp_path / "wd")
+    many = write_webdataset_shards(
+        df, path, "doc_id", {"txt": "text"}, budget_tokens=60)
+    assert many["n_shards"] > 2
+    # plant a torn temp too — the sweep must clear it
+    open(os.path.join(path, "data", ".shard-000099.tar.inprogress"),
+         "wb").write(b"torn")
+    few = write_webdataset_shards(
+        df.filter("doc_id < 3"), path, "doc_id", {"txt": "text"},
+        budget_tokens=1 << 20)
+    assert few["n_shards"] < many["n_shards"]
+    files = os.listdir(os.path.join(path, "data"))
+    assert len([f for f in files if f.endswith(".tar")]) == few["n_shards"]
+    assert not [f for f in files if f.startswith(".")]
+    got = {r["key"] for r in
+           read_webdataset_shards(spark, path, {"txt": "string"}).collect()}
+    assert got == {"0", "1", "2"}
+
+
+def test_webdataset_reader_restricts_to_manifest(spark, tmp_path):
+    """Directory written by an older writer: a stale shard file the
+    manifest doesn't list must not be ingested."""
+    import json as _json
+
+    from marmaray_spark.operators.shard import read_webdataset_shards
+
+    df = _df(spark)
+    path = str(tmp_path / "wd")
+    write_webdataset_shards(df.filter("doc_id < 5"), path, "doc_id",
+                            {"txt": "text"}, budget_tokens=1 << 20)
+    man = _json.load(open(os.path.join(path, "manifest.json")))
+    listed = {s["file"] for s in man["shards"]}
+    # plant a stale shard the manifest doesn't know about
+    stale = os.path.join(path, "data", "shard-000042.tar")
+    assert "shard-000042.tar" not in listed
+    with tarfile.open(stale, "w") as tf:
+        import io as _io
+        info = tarfile.TarInfo(name="999.txt")
+        blob = b"stale sample"
+        info.size = len(blob)
+        tf.addfile(info, _io.BytesIO(blob))
+    got = {r["key"] for r in
+           read_webdataset_shards(spark, path, {"txt": "string"}).collect()}
+    assert "999" not in got and got == {"0", "1", "2", "3", "4"}
