@@ -67,54 +67,22 @@ def maintain_ann_index(base, index, metadata,
     key collapse to the newest version before assignment, so the index
     write is one UPSERT regardless of backlog depth; commits whose
     ``removes`` manifests dropped keys from the base additionally
-    rewrite those keys out of the index."""
-    from marmaray_spark.operators.maintained import consume_latest
-    from marmaray_spark.sinks.table import WriteOp
+    rewrite those keys out of the index.
 
-    latest, affected = consume_latest(base, metadata, [id_col, vec_col],
-                                      id_col, checkpoint_key, max_commits)
-    if latest is None:
-        return 0
-    # only keys STILL LIVE in the base are assigned — a backlog that
-    # inserted and then overwrite-dropped a key before this run must not
-    # resurrect it from the insert's after-image
-    live = latest.join(base.read().select(id_col), id_col, "left_semi")
-    # persist: the count and the UPSERT both consume the assignment
-    # plan (union + latest-version window + cell kernel) — without the
-    # barrier every ingest tick pays it twice over the change volume
-    assigned = assign_cells(live, centroids, id_col=id_col,
-                            vec_col=vec_col).persist()
-    try:
-        n = assigned.count()
-        # affected keys no longer in the base were dropped by an
-        # overwrite: rewrite them out (UPSERT cannot delete). The stale
-        # set is change-scoped; the rewrite is not — overwrite-heavy
-        # bases should rebuild instead of maintain.
-        gone_keys = affected.join(base.read().select(id_col),
-                                  id_col, "left_anti")
-        if (not index.is_empty()) and gone_keys.limit(1).count() > 0:
-            if index.partition is not None:
-                # INSERT_OVERWRITE only replaces partitions the new
-                # frame touches — a partitioned index could silently
-                # keep dropped keys (same guard as maintain_rollup)
-                raise ValueError(
-                    "stale-key rewrite needs an unpartitioned index "
-                    f"table; index is partitioned by {index.partition!r}")
-            # rewrite = current index minus (dropped keys AND the keys
-            # this batch re-assigns), plus the fresh assignments — the
-            # anti-join must cover both or re-assigned keys duplicate
-            gone = (gone_keys.withColumnRenamed(id_col, "vec_id")
-                    .unionByName(assigned.select("vec_id")))
-            survivors = index.read().join(gone, "vec_id", "left_anti")
-            index.write(survivors.unionByName(assigned),
-                        WriteOp.INSERT_OVERWRITE)
-        elif n:
-            index.write(assigned, WriteOp.UPSERT)
-    finally:
-        assigned.unpersist()
-    # durable only now — after the index commit (work-unit contract)
-    metadata.save_changes()
-    return n
+    A thin wrapper over the shared maintenance skeleton
+    (operators/maintained.py maintain_projection) — the only specifics
+    here are the projection itself (``assign_cells``) and that its
+    output renames the base key to the index's fixed ``vec_id`` schema
+    (the ``derived_key`` parameter)."""
+    from marmaray_spark.operators.maintained import maintain_projection
+
+    def project(live):
+        return assign_cells(live, centroids, id_col=id_col,
+                            vec_col=vec_col)
+
+    return maintain_projection(base, index, metadata, [id_col, vec_col],
+                               id_col, project, checkpoint_key,
+                               max_commits, derived_key="vec_id")
 
 
 def ivf_probe_topk_indexed(queries: DataFrame, index_df: DataFrame,

@@ -82,16 +82,18 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
 def maintain_projection(base, derived, metadata, cols: list[str],
                         id_col: str, project, checkpoint_key: str,
                         max_commits: int | None = None,
-                        commit_meta: dict[str, str] | None = None) -> int:
+                        commit_meta: dict[str, str] | None = None,
+                        derived_key: str | None = None) -> int:
     """Keep ``derived == project(base)`` true across the base table's
     commit stream, for any per-row projection ``project(df) ->
-    DataFrame`` that (a) keys its output by ``id_col`` and (b) derives
+    DataFrame`` that (a) keys its output by ``derived_key`` (default:
+    the base's ``id_col``; pass it when the projection renames the key,
+    e.g. the ANN index's fixed ``vec_id`` schema) and (b) derives
     each output row from exactly one input row (cell assignment, digest
     + LSH buckets, any featurizer). Returns rows (re)projected.
 
-    Generalized from maintain_ann_index's body (which keeps its own copy
-    because its projection renames the key column to the index's fixed
-    ``vec_id`` schema): drain-and-collapse via ``consume_latest``,
+    Generalized from maintain_ann_index's body (now a thin wrapper over
+    this): drain-and-collapse via ``consume_latest``,
     restrict after-images to
     keys still live in the base (no backlog resurrection), project ONCE
     behind a persist barrier (count + write both consume the plan), then
@@ -114,6 +116,7 @@ def maintain_projection(base, derived, metadata, cols: list[str],
     probing with mismatched hashing."""
     from marmaray_spark.sinks.table import WriteOp
 
+    derived_key = derived_key or id_col
     latest, affected = consume_latest(base, metadata, cols, id_col,
                                       checkpoint_key, max_commits)
     if latest is None:
@@ -129,9 +132,9 @@ def maintain_projection(base, derived, metadata, cols: list[str],
                 raise ValueError(
                     "stale-key rewrite needs an unpartitioned derived "
                     f"table; it is partitioned by {derived.partition!r}")
-            gone = gone_keys.select(F.col(id_col)) \
-                .unionByName(projected.select(id_col))
-            survivors = derived.read().join(gone, id_col, "left_anti")
+            gone = gone_keys.select(F.col(id_col).alias(derived_key)) \
+                .unionByName(projected.select(derived_key))
+            survivors = derived.read().join(gone, derived_key, "left_anti")
             derived.write(survivors.unionByName(projected),
                           WriteOp.INSERT_OVERWRITE, metadata=commit_meta)
         elif n:

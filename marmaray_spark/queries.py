@@ -2496,41 +2496,186 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     """
-    SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
-           CAST(16 + (octet_length(encode(text)) % 240) AS INT) AS width,
-           CAST(16 + (ascii(substr(text, 1, 1)) % 240) AS INT) AS height,
-           CAST(3 AS INT) AS channels,
-           CAST((16 + (octet_length(encode(text)) % 240)) * 1000
-                // (16 + (ascii(substr(text, 1, 1)) % 240)) AS BIGINT) AS aspect_milli
-    FROM documents
-    WHERE octet_length(encode(text)) > 0
+    WITH feat AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
+             CAST(16 + (octet_length(encode(text)) % 240) AS INT) AS width,
+             CAST(16 + (ascii(substr(text, 1, 1)) % 240) AS INT) AS height,
+             CAST(3 AS INT) AS channels,
+             CAST((16 + (octet_length(encode(text)) % 240)) * 1000
+                  // (16 + (ascii(substr(text, 1, 1)) % 240)) AS BIGINT) AS aspect_milli
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    -- dHash of the synthetic 18x16 gradient BMPs: pixel v(x,y) =
+    -- (g*(x+1) + 7*y) % 251, block (k,k) darkened to 0; the 9x8 dHash
+    -- grid lands on exact 2x2 cells, so each grid mean is a 4-pixel
+    -- integer sum // 4 and the whole hash is closed-form
+    dh_src AS (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
+               FROM documents WHERE doc_id < 512),
+    dh_grid AS (
+      SELECT s.doc_id, r.r, c.c,
+             CASE WHEN r.r = s.k AND c.c = s.k THEN 0 ELSE
+               ((s.g*(2*c.c+1) + 14*r.r) % 251
+              + (s.g*(2*c.c+2) + 14*r.r) % 251
+              + (s.g*(2*c.c+1) + 14*r.r + 7) % 251
+              + (s.g*(2*c.c+2) + 14*r.r + 7) % 251) // 4 END AS m
+      FROM dh_src s, generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+    ),
+    dh_bits AS (
+      SELECT l.doc_id, l.r * 8 + l.c AS idx,
+             CASE WHEN l.m > rt.m THEN 1 ELSE 0 END AS bit
+      FROM dh_grid l JOIN dh_grid rt
+        ON l.doc_id = rt.doc_id AND l.r = rt.r AND rt.c = l.c + 1
+      WHERE l.c < 8
+    ),
+    dh AS (
+      SELECT doc_id AS media_id,
+             CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                        ELSE hi END) * 4294967296 + lo AS BIGINT) AS dhash
+      FROM (SELECT doc_id,
+                   SUM(CASE WHEN idx < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (31 - idx))
+                       ELSE 0 END) AS hi,
+                   SUM(CASE WHEN idx >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (63 - idx))
+                       ELSE 0 END) AS lo
+            FROM dh_bits GROUP BY doc_id)
+    ),
+    dh_pairs AS (
+      SELECT a.media_id AS a, b.media_id AS b,
+             bit_count(xor(a.dhash, b.dhash)) AS hamming
+      FROM dh a JOIN dh b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ),
+    -- adhash64 of the synthetic 130-sample WAV clips: s(j) =
+    -- (g*(j+1) + 13*k) % 1999 (all non-negative, so |s| = s); the
+    -- 65-frame envelope lands on exact 2-sample frames
+    ah_env AS (
+      SELECT s.doc_id, q.q,
+             ((s.g*(2*q.q+1) + 13*s.k) % 1999
+            + (s.g*(2*q.q+2) + 13*s.k) % 1999) // 2 AS e
+      FROM (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
+            FROM documents WHERE doc_id < 256) s,
+           generate_series(0, 64) q(q)
+    ),
+    ah_bits AS (
+      SELECT l.doc_id, l.q AS idx,
+             CASE WHEN l.e > rt.e THEN 1 ELSE 0 END AS bit
+      FROM ah_env l JOIN ah_env rt
+        ON l.doc_id = rt.doc_id AND rt.q = l.q + 1
+      WHERE l.q < 64
+    ),
+    ah AS (
+      SELECT doc_id AS media_id,
+             CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                        ELSE hi END) * 4294967296 + lo AS BIGINT) AS dhash
+      FROM (SELECT doc_id,
+                   SUM(CASE WHEN idx < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (31 - idx))
+                       ELSE 0 END) AS hi,
+                   SUM(CASE WHEN idx >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (63 - idx))
+                       ELSE 0 END) AS lo
+            FROM ah_bits GROUP BY doc_id)
+    )
+    SELECT 'features' AS kind, media_id, byte_len, head_hex, width, height,
+           channels, aspect_milli, CAST(NULL AS BIGINT) AS dhash,
+           CAST(NULL AS BIGINT) AS peer, CAST(NULL AS INT) AS hamming
+    FROM feat
+    UNION ALL
+    SELECT 'dhash', media_id, NULL, NULL, NULL, NULL, NULL, NULL,
+           dhash, NULL, NULL
+    FROM dh
+    UNION ALL
+    SELECT 'adhash', media_id, NULL, NULL, NULL, NULL, NULL, NULL,
+           dhash, NULL, NULL
+    FROM ah
+    UNION ALL
+    SELECT 'dhash_pairs', a, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, b, CAST(hamming AS INT)
+    FROM dh_pairs
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole multimodal column pipeline in one result: binary payload
-    + typed METADATA (byte length, magic-bytes hex — the expression-only
-    half) joined with the Arrow-batched mapInPandas DECODE kernel's typed
-    features (operators/multimodal.py synth_media_from_text +
+    """The multimodal column pipeline, four hash-checked sections:
+
+    'features' — binary payload + typed METADATA (byte length,
+    magic-bytes hex — the expression-only half) joined with the
+    Arrow-batched mapInPandas DECODE kernel's typed features
+    (operators/multimodal.py synth_media_from_text +
     extract_image_features). The stub decode is deterministic byte
     arithmetic, so the oracle checks the WHOLE mapInPandas pipeline —
     batch shapes, binary round-trip, schema — not just the projection.
-    Metadata rides through the decode kernel as passthrough columns —
-    ONE Arrow pass over one scan, no self-join (which would be a
-    whole-table join at corpus scale)."""
+    Metadata rides through the decode kernel as a passthrough column —
+    ONE Arrow pass over one scan, no self-join.
+
+    'dhash' / 'adhash' — the perceptual media hashes over REAL encoded
+    payloads: synth_gradient_bmp builds actual BMPs whose pixels are
+    closed-form integers aligned with dhash64's 9x8 grid, synth_tone_wav
+    builds actual WAVs whose 65-frame energy envelope is closed-form —
+    so the oracle recomputes both hashes engine-exactly (the
+    semantic-decontam matmul pattern) while Spark exercises the full
+    encode -> decode -> hash kernels.
+
+    'dhash_pairs' — the banded Hamming near-dup join over those image
+    hashes (pigeonhole 4x16-bit bands, full recall at max_hamming=3, no
+    all-pairs); the oracle's pairwise bit_count(xor) join is the recall
+    theorem made executable."""
     from marmaray_spark.operators.multimodal import (
+        audio_dhash,
+        dhash_near_dup_pairs,
         extract_image_features,
+        image_dhash,
+        synth_gradient_bmp,
         synth_media_from_text,
+        synth_tone_wav,
     )
 
     docs = spread(load(spark, sf_dir, "documents"), spark)
     media = (synth_media_from_text(docs, "doc_id", "text")
              .filter(F.octet_length("payload") > 0)
              .withColumn("head_hex", F.col("meta.head_hex")))
-    return extract_image_features(media, passthrough=["head_hex"]) \
-        .select("media_id", "byte_len", "head_hex", "width", "height",
-                "channels", "aspect_milli")
+    nulls = [F.lit(None).cast("bigint").alias("dhash"),
+             F.lit(None).cast("bigint").alias("peer"),
+             F.lit(None).cast("int").alias("hamming")]
+    features = (extract_image_features(media, passthrough=["head_hex"])
+                .select(F.lit("features").alias("kind"), "media_id",
+                        "byte_len", "head_hex", "width", "height",
+                        "channels", "aspect_milli", *nulls))
+
+    fnulls = [F.lit(None).cast("bigint").alias("byte_len"),
+              F.lit(None).cast("string").alias("head_hex"),
+              F.lit(None).cast("int").alias("width"),
+              F.lit(None).cast("int").alias("height"),
+              F.lit(None).cast("int").alias("channels"),
+              F.lit(None).cast("bigint").alias("aspect_milli")]
+    # persist: the image hashes feed BOTH the 'dhash' section and the
+    # banded pair join — without the barrier the BMP encode+decode+hash
+    # kernels run twice
+    ih = image_dhash(synth_gradient_bmp(
+        docs.select("doc_id").filter(F.col("doc_id") < 512), "doc_id"))
+    ih = ih.persist()
+    dhash_rows = ih.select(F.lit("dhash").alias("kind"), "media_id",
+                           *fnulls, F.col("dhash"),
+                           F.lit(None).cast("bigint").alias("peer"),
+                           F.lit(None).cast("int").alias("hamming"))
+    pair_rows = (dhash_near_dup_pairs(ih, max_hamming=3)
+                 .select(F.lit("dhash_pairs").alias("kind"),
+                         F.col("a").alias("media_id"), *fnulls,
+                         F.lit(None).cast("bigint").alias("dhash"),
+                         F.col("b").cast("bigint").alias("peer"),
+                         F.col("hamming").cast("int").alias("hamming")))
+    adhash_rows = (audio_dhash(synth_tone_wav(
+                       docs.select("doc_id").filter(F.col("doc_id") < 256),
+                       "doc_id"))
+                   .select(F.lit("adhash").alias("kind"), "media_id",
+                           *fnulls, F.col("dhash"),
+                           F.lit(None).cast("bigint").alias("peer"),
+                           F.lit(None).cast("int").alias("hamming")))
+    return (features.unionByName(dhash_rows).unionByName(adhash_rows)
+            .unionByName(pair_rows))
 
 
 @register(

@@ -540,3 +540,107 @@ def test_audio_quality_gates(spark):
     assert not got[3]["rms_ok"] and got[3]["dur_ok"]
     assert not got[4]["rms_ok"]
     assert not got[5]["rate_ok"] and got[5]["rms_ok"]
+
+
+def test_media_feature_schemas_follow_string_id(spark):
+    """extract_image_features / extract_audio_features / resize_images /
+    sample_frames derive the media_id OUTPUT type from the input frame —
+    a string-id media table (reachable straight from the YAML media.*
+    block, which aliases an arbitrary id_col with no cast) must flow
+    through without a mid-run Arrow conversion error."""
+    from marmaray_spark.functions.media_codec import encode_wav_pcm16
+    from marmaray_spark.operators.multimodal import (extract_audio_features,
+                                                     extract_image_features,
+                                                     resize_images,
+                                                     sample_frames)
+
+    rows = [
+        ("img-a", "image", encode_bmp(_gradient())),
+        ("aud-b", "audio", encode_wav_pcm16(
+            np.array([0, 1000] * 400, dtype=np.int16), 8000)),
+        ("vid-c", "video", b"\x01\x02" * 80),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, media_type string, payload binary")
+
+    feats = extract_image_features(df)
+    assert dict(feats.dtypes)["media_id"] == "string"
+    assert [r["media_id"] for r in feats.collect()] == ["img-a"]
+
+    af = extract_audio_features(df)
+    assert dict(af.dtypes)["media_id"] == "string"
+    a = af.collect()[0]
+    assert a["media_id"] == "aud-b" and a["ok"] and a["sample_rate"] == 8000
+
+    rz = resize_images(df, 8, 8)
+    assert dict(rz.dtypes)["media_id"] == "string"
+    assert rz.collect()[0]["media_id"] == "img-a"
+
+    fr = sample_frames(df, every_n_bytes=32)
+    assert dict(fr.dtypes)["media_id"] == "string"
+    assert {r["media_id"] for r in fr.collect()} == {"vid-c"}
+
+
+def test_sample_frames_null_payload_forks_not_kills(spark):
+    """NULL payload is legal per MEDIA_SCHEMA: sample_frames must emit
+    the frame_idx=-1 marker row for it (the per-row decode-or-error
+    contract), not die in bytes(None)."""
+    from marmaray_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "video", None), (2, "video", b"\x07" * 100)],
+        "media_id long, media_type string, payload binary")
+    rows = sample_frames(df, every_n_bytes=64).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert [(r["frame_idx"], r["frame_payload"]) for r in by_id[1]] \
+        == [(-1, None)]
+    assert all(r["frame_idx"] >= 0 for r in by_id[2]) and len(by_id[2]) == 2
+
+
+def test_synth_media_hashes_match_closed_form(spark):
+    """synth_gradient_bmp / synth_tone_wav payloads hash (through the
+    REAL encode -> decode -> hash kernels) to the same integers as the
+    pure closed-form mirror — the arithmetic the DuckDB oracle of
+    multimodal_features' dhash/adhash sections re-implements in SQL."""
+    from marmaray_spark.operators.multimodal import (audio_dhash,
+                                                     image_dhash,
+                                                     synth_gradient_bmp,
+                                                     synth_tone_wav)
+
+    def mirror_dhash(i, nv=8):
+        g, k = i // nv, i % nv
+
+        def vv(x, y):
+            if x // 2 == k and y // 2 == k:
+                return 0
+            return (g * (x + 1) + 7 * y) % 251
+
+        grid = [[(vv(2 * c, 2 * r) + vv(2 * c + 1, 2 * r)
+                  + vv(2 * c, 2 * r + 1) + vv(2 * c + 1, 2 * r + 1)) // 4
+                 for c in range(9)] for r in range(8)]
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                bits = (bits << 1) | (1 if grid[r][c] > grid[r][c + 1] else 0)
+        return bits - (1 << 64 if bits >= 1 << 63 else 0)
+
+    def mirror_adhash(i, nv=8):
+        g, k = i // nv, i % nv
+        s = [(g * (j + 1) + 13 * k) % 1999 for j in range(130)]
+        e = [(s[2 * q] + s[2 * q + 1]) // 2 for q in range(65)]
+        bits = 0
+        for q in range(64):
+            bits = (bits << 1) | (1 if e[q] > e[q + 1] else 0)
+        return bits - (1 << 64 if bits >= 1 << 63 else 0)
+
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    ih = image_dhash(synth_gradient_bmp(ids, "doc_id")).collect()
+    assert all(r["ok"] for r in ih) and len(ih) == 40
+    assert {r["media_id"]: r["dhash"] for r in ih} \
+        == {i: mirror_dhash(i) for i in range(40)}
+    ah = audio_dhash(synth_tone_wav(ids, "doc_id")).collect()
+    assert all(r["ok"] for r in ah) and len(ah) == 40
+    assert {r["media_id"]: r["dhash"] for r in ah} \
+        == {i: mirror_adhash(i) for i in range(40)}
