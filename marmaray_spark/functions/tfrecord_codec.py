@@ -18,10 +18,11 @@ are hand-rolled against the specs with pinned golden bytes in tests.
 Encoding is CANONICAL — sorted feature names, packed numeric lists — so
 shard bytes are reproducible no matter the partitioning. CRC32C uses
 the ``crc32c`` wheel when importable (import-try seam, the PIL
-pattern); the table-driven fallback is exact but serial (measured
-9.0 MiB/s per core on this box) — fine for verify paths and sharded
-writes (each task crcs only its own shard), swap the wheel in when the
-crc becomes the write bottleneck.
+pattern); the fallback is the numpy column-parallel slice-by-4 CRC
+below (244 MiB/s/core measured — 28x the serial table loop it
+replaced, enough that the shard writer's crc is no longer the
+training-output bottleneck), dropping to the serial loop only for
+sub-4-KiB inputs where numpy setup costs more than it saves.
 """
 
 from __future__ import annotations
@@ -45,13 +46,114 @@ def _crc32c_py(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+# -- numpy-vectorized CRC32C -------------------------------------------------
+# The CRC register update is LINEAR over GF(2): processing message M from
+# init I gives raw(M, 0) XOR Z_{|M|}(I), where Z_m is the linear operator
+# "feed m zero bytes". That decomposition makes the whole CRC
+# parallelizable: split the data into equal chunks, run the word loop
+# COLUMN-WISE across all chunks at once (slice-by-4: per 4-byte column,
+# new = Z4(reg ^ word), evaluated as two 65536-entry gathers — 512 KiB
+# of tables, L2-resident), then fold the per-chunk registers pairwise
+# with precomputed Z_{chunk_bytes * 2^t} operators (log-doubling — each
+# a 4x256 byte-table form, built once by operator squaring from the
+# single-zero-byte step). Same linear-combine construction as zlib's
+# crc32_combine. Measured 244 MiB/s vs 8.8 MiB/s serial on this box
+# (28x/core; ~7.6 GiB/s aggregate across 32 shard-writer cores — the
+# crc is no longer the training-output bottleneck) — see NOTES r9. The
+# word view is little-endian, which is what every platform this runs on
+# is; frombuffer('<u4') is explicit so a big-endian host would still be
+# CORRECT, just unaligned with its native order.
+
+_CHUNK = 1024          # bytes per parallel chunk (word-loop length / 4)
+
+
+def _apply_op(op, vals):
+    """Apply a 4x256 byte-table operator to uint32 value(s)."""
+    return (op[0][vals & 0xFF] ^ op[1][(vals >> 8) & 0xFF]
+            ^ op[2][(vals >> 16) & 0xFF] ^ op[3][(vals >> 24) & 0xFF])
+
+
+def _build_tables():
+    """(UL, UH, ops): the two slice-by-4 gather tables for Z4 and the
+    fold operators ops[t] = Z_{_CHUNK * 2^t}, all by operator squaring
+    from Z1."""
+    import numpy as np
+
+    table = np.array(_TABLE, dtype=np.uint32)
+    basis = np.arange(256, dtype=np.uint64)
+    # Z1 (one zero byte) as four byte tables: byte p of the register,
+    # placed at its bit position, pushed through one zero-byte step
+    op = []
+    for p in range(4):
+        reg = basis << (8 * p)
+        stepped = (table[(reg & 0xFF).astype(np.intp)]
+                   ^ (reg >> 8).astype(np.uint32))
+        op.append(stepped.astype(np.uint32))
+
+    def square(o):
+        return [_apply_op(o, o[p]) for p in range(4)]
+
+    z4 = square(square(op))
+    v16 = np.arange(65536, dtype=np.uint32)
+    ul, uh = _apply_op(z4, v16), _apply_op(z4, v16 << 16)
+    # Z1 -> Z_CHUNK by squaring log2(_CHUNK) times, then the fold ladder
+    for _ in range(_CHUNK.bit_length() - 1):
+        op = square(op)
+    ops = [op]                           # ops[t] = Z_{_CHUNK * 2^t}
+    for _ in range(40):
+        ops.append(square(ops[-1]))
+    return ul, uh, ops
+
+
+_NUMPY_TABLES = None
+
+
+def _crc32c_numpy(data: bytes) -> int:
+    import numpy as np
+
+    global _NUMPY_TABLES
+    if _NUMPY_TABLES is None:
+        _NUMPY_TABLES = _build_tables()
+    ul, uh, ops = _NUMPY_TABLES
+    n = len(data)
+    nchunks = n // _CHUNK
+    # largest power-of-two block of chunks folds in log levels; the rest
+    # of the data (remainder chunks + tail bytes) runs through the
+    # serial loop seeded with the folded register
+    p2 = 1 << (nchunks.bit_length() - 1)
+    head = p2 * _CHUNK
+    words = np.frombuffer(data, dtype="<u4",
+                          count=head // 4).reshape(p2, _CHUNK // 4)
+    reg = np.zeros(p2, dtype=np.uint32)
+    for j in range(_CHUNK // 4):         # word loop, vectorized over chunks
+        x = reg ^ words[:, j]
+        reg = (ul[(x & 0xFFFF).astype(np.intp)]
+               ^ uh[(x >> 16).astype(np.intp)])
+    t = 0
+    while len(reg) > 1:                  # pairwise fold: Z(left) ^ right
+        reg = _apply_op(ops[t], reg[0::2]) ^ reg[1::2]
+        t += 1
+    folded = int(reg[0])
+    # init 0xFFFFFFFF enters as Z_{head}(init) — ops[t] is exactly Z_{head}
+    crc = folded ^ int(_apply_op(ops[t], np.uint32(0xFFFFFFFF)))
+    for b in data[head:]:
+        crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _crc32c_best(data: bytes) -> int:
+    if len(data) >= 4 * _CHUNK:
+        return _crc32c_numpy(data)
+    return _crc32c_py(data)
+
+
 try:                                    # import-try seam: native wheel
     import crc32c as _crc32c_mod
 
     def crc32c(data: bytes) -> int:
         return _crc32c_mod.crc32c(data)
 except ImportError:
-    crc32c = _crc32c_py
+    crc32c = _crc32c_best
 
 
 def masked_crc(data: bytes) -> int:

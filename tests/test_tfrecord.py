@@ -146,3 +146,29 @@ def test_tfrecord_rerun_sweeps_stale_shards(spark, tmp_path):
     assert len(files) == few["n_shards"] < many["n_shards"]
     back = read_tfrecord_shards(spark, str(tmp_path))
     assert {int(r["key"]) for r in back.collect()} == {0, 1}
+
+
+def test_crc32c_numpy_equals_serial_on_awkward_sizes():
+    """The slice-by-4 column-parallel CRC (the shard writer's hot path
+    when the native wheel is absent) is bit-identical to the serial
+    table loop across the boundary cases of its chunking: power-of-two
+    heads, remainder chunks, and byte tails."""
+    import os
+    import random
+
+    from marmaray_spark.functions.tfrecord_codec import (_CHUNK,
+                                                         _crc32c_best,
+                                                         _crc32c_numpy,
+                                                         _crc32c_py)
+
+    assert _crc32c_py(b"\x00" * 32) == 0x8A9136AA      # RFC 3720
+    rng = random.Random(42)
+    sizes = [_CHUNK, _CHUNK + 1, 2 * _CHUNK - 1, 4 * _CHUNK,
+             4 * _CHUNK + 13, 7 * _CHUNK + 3,
+             rng.randrange(_CHUNK, 300000)]
+    for n in sizes:
+        d = rng.randbytes(n)
+        assert _crc32c_numpy(d) == _crc32c_py(d), n
+    for n in (0, 1, 100, 4 * _CHUNK - 1):              # serial-path sizes
+        d = rng.randbytes(n)
+        assert _crc32c_best(d) == _crc32c_py(d), n
