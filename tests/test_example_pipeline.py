@@ -289,3 +289,43 @@ def test_streaming_media_ingest_loop(spark, tmp_path):
     from marmaray_spark.sinks.table import TableSink
     t = TableSink(spark, os.path.join(wd, "media"), "media_id")
     assert {r["media_id"] for r in t.read().collect()} == {1, 2, 11}
+
+
+def test_crawl_ingest_pipeline_example(spark, tmp_path):
+    """examples/crawl_ingest_pipeline.py: the checkpointed crawl tick —
+    tick 1 ingests both archives (gate drops the spam page), tick 2 with
+    nothing new reads nothing, a freshly arrived archive ticks in alone."""
+    import os
+
+    from crawl_ingest_pipeline import _synth_crawl, crawl_tick
+
+    wd = str(tmp_path / "wd")
+    archive_dir = str(tmp_path / "crawl")
+    os.makedirs(archive_dir)
+    os.makedirs(wd)
+    _synth_crawl(archive_dir)
+
+    r1 = crawl_tick(spark, wd, archive_dir)
+    assert r1["archives"] == 2 and r1["records"] == 3
+    from marmaray_spark.sinks.table import TableSink
+    pages = TableSink(spark, os.path.join(wd, "pages"),
+                      record_key_field="target_uri")
+    assert {r["target_uri"] for r in pages.read().collect()} \
+        == {"http://ex.com/a", "http://ex.org/b"}
+
+    r2 = crawl_tick(spark, wd, archive_dir)
+    assert r2["archives"] == 0 and r2["records"] == 0
+
+    from marmaray_spark.sources.warc import write_warc_gz
+    body = (b"<body><p>a brand new page full of distinct and varied "
+            b"words arriving later in the crawl</p></body>")
+    payload = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+    with open(os.path.join(archive_dir, "seg-00002.warc.gz"), "wb") as fh:
+        fh.write(write_warc_gz([({"WARC-Type": "response",
+                                  "WARC-Record-ID": "<n>",
+                                  "WARC-Target-URI": "http://new.net/c"},
+                                 payload)]))
+    r3 = crawl_tick(spark, wd, archive_dir)
+    assert r3["archives"] == 1
+    assert pages.read().count() == 3

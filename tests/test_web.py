@@ -195,3 +195,104 @@ def test_read_warc_records_and_forks(spark, tmp_path):
         pages, "target_uri").collect()}
     assert "quick brown fox" in text["http://example.com/a"]["text"]
     assert text["http://example.com/a"]["title"] == "One"
+
+
+def _archive(*uris, corrupt=False):
+    from marmaray_spark.sources.warc import write_warc_gz
+    recs = [({"WARC-Type": "response", "WARC-Record-ID": f"<urn:uuid:{u}>",
+              "WARC-Target-URI": u},
+             _http(f"<body><p>page for {u} with plenty of words "
+                   f"inside it</p></body>".encode()))
+            for u in uris]
+    blob = write_warc_gz(recs)
+    if corrupt:
+        blob += b"\x1f\x8b\x08\x00not-actually-gzip"
+    return blob
+
+
+def test_warc_incremental_loop_exactly_once_across_restart(spark, tmp_path):
+    """The crawl first mile TICKS: two planning rounds read each archive
+    exactly once across a calculator+metadata restart from disk state; a
+    crash between read and state commit replays the same archives and
+    the dedup-insert sink absorbs the replay; a corrupt member lands in
+    the error records without blocking the tick; a late arrival below
+    the committed watermark is detected loudly, never skipped silently
+    (the kafka contract, transposed to archives)."""
+    import pytest as _pytest
+
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+    from marmaray_spark.sources.warc import (WarcLateArrivalError,
+                                             WarcSource,
+                                             WarcWorkUnitCalculator)
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg-00000.warc.gz").write_bytes(_archive("u://a", "u://b"))
+    (d / "seg-00001.warc.gz").write_bytes(
+        _archive("u://c", corrupt=True))
+    sink = TableSink(spark, tmp_path / "pages", record_key_field="target_uri")
+    source = WarcSource(spark)
+
+    def tick(crash_before_commit=False):
+        md = FileSystemMetadataManager(str(tmp_path / "md"))     # restart
+        calc = WarcWorkUnitCalculator(d, md, max_archives=2)
+        units = calc.compute_work_units()
+        n_err = 0
+        for wu in units:
+            res = source.get_data(wu)
+            sink.write(res.valid.select("target_uri", "payload"),
+                       WriteOp.DEDUP_INSERT)
+            n_err += res.error_count
+        calc.save_next_run_state(units)
+        if not crash_before_commit:
+            md.save_changes()                                    # after sink
+        return [wu.paths for wu in units], n_err
+
+    paths1, err1 = tick()
+    assert [len(p) for p in paths1] == [2] and err1 == 1
+    got = {r["target_uri"] for r in sink.read().collect()}
+    assert got == {"u://a", "u://b", "u://c"}
+
+    # nothing new -> empty plan (no re-read)
+    paths2, _ = tick()
+    assert paths2 == []
+
+    # new archive arrives; crash AFTER sink write, BEFORE state commit
+    (d / "seg-00002.warc.gz").write_bytes(_archive("u://d"))
+    paths3, _ = tick(crash_before_commit=True)
+    assert [p[0].rsplit("/", 1)[-1] for p in paths3] == ["seg-00002.warc.gz"]
+    # replay: the restarted tick re-plans the SAME archive; the
+    # dedup-insert sink keeps the table exactly-once
+    paths4, _ = tick()
+    assert paths3 == paths4
+    assert sink.read().filter("target_uri = 'u://d'").count() == 1
+    assert tick() == ([], 0)
+
+    # a late arrival below the watermark is loud, not silently skipped
+    (d / "seg-00001a.warc.gz").write_bytes(_archive("u://late"))
+    with _pytest.raises(WarcLateArrivalError):
+        tick()
+
+
+def test_warc_backlog_drains_across_capped_ticks(spark, tmp_path):
+    """max_archives bounds each run; a backlog drains across ticks in
+    name order (the Kafka max-messages cap transposed)."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.sources.warc import WarcWorkUnitCalculator
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for i in range(5):
+        (d / f"seg-{i:05d}.warc.gz").write_bytes(_archive(f"u://{i}"))
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    seen = []
+    for _ in range(4):
+        calc = WarcWorkUnitCalculator(d, md, max_archives=2)
+        units = calc.compute_work_units()
+        seen.append([p.rsplit("/", 1)[-1] for wu in units for p in wu.paths])
+        calc.save_next_run_state(units)
+        md.save_changes()
+    assert seen == [["seg-00000.warc.gz", "seg-00001.warc.gz"],
+                    ["seg-00002.warc.gz", "seg-00003.warc.gz"],
+                    ["seg-00004.warc.gz"], []]
