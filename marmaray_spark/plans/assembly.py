@@ -5,9 +5,18 @@ Reference parity: every reference job is wired from a YAML config
 module is the equivalent factory for this engine's parts. Keys:
 
     job.name                  pipeline / lock / metrics name
-    source.type               parquet | json
+    source.type               parquet | json | warc
     source.path               table or directory path
     source.schema_json        (json source) StructType JSON string
+    source.max_archives       (warc) per-run archive cap (backlog drains
+                              across ticks); default unlimited
+    source.record_types       (warc) comma-separated WARC record types
+                              (default: response)
+    source.decode_payload_col (warc) decode the binary payload to utf-8
+                              under this column name (feeds
+                              corpus.html_col), dropping the raw bytes
+    source.http_ok_only       (warc) keep only http_status == 200 rows
+                              (pushed into the scan, before any decode)
     converter.required_keys   comma-separated non-null key columns
     converter.fields          optional comma-separated projection
     sink.type                 table | csv | json
@@ -325,6 +334,7 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
     name = config.get_required("job.name")
     meta = FileSystemMetadataManager(config.get_required("checkpoints.path"))
 
+    state: dict = {}
     src_type = config.get("source.type", "parquet")
     if src_type == "parquet":
         calc = ParquetWorkUnitCalculator(
@@ -343,6 +353,37 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
             __import__("json").loads(config.get_required("source.schema_json")))
         jsrc = JsonFileSource(spark, schema)
         get_data = lambda wu: jsrc.get_data(wu).valid  # noqa: E731
+    elif src_type == "warc":
+        # the crawl first mile from YAML alone, TICKING: incremental
+        # checkpointed archive pickup (watermark staged by the
+        # calculator, persisted by JobDag only after every sink
+        # committed — the standard work-unit contract), corrupt members
+        # quarantined to the error table
+        from pyspark.sql import functions as F
+
+        from marmaray_spark.sources.warc import (WarcSource,
+                                                 WarcWorkUnitCalculator)
+        calc = WarcWorkUnitCalculator(
+            config.get_required("source.path"), meta, source_name=name,
+            max_archives=(config.get_int("source.max_archives", 0) or None))
+        rtypes = tuple(t.strip() for t in
+                       (config.get("source.record_types") or "response")
+                       .split(",") if t.strip())
+        wsrc = WarcSource(spark, record_types=rtypes)
+
+        decode_col = config.get("source.decode_payload_col")
+        http_ok = config.get_bool("source.http_ok_only", False)
+
+        def get_data(wu, _w=wsrc, _dc=decode_col, _ok=http_ok):
+            res = _w.get_data(wu)
+            state["source_errors"] = res.errors
+            df = res.valid
+            if _ok:
+                df = df.filter(F.col("http_status") == 200)
+            if _dc:
+                df = df.withColumn(_dc, F.decode("payload", "utf-8")) \
+                    .drop("payload")
+            return df
     else:
         raise ValueError(f"unknown source.type {src_type!r}")
 
@@ -353,7 +394,6 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
         required_keys=required, fields_to_convert=fields or None) \
         if required or fields else None
 
-    state: dict = {}
     corpus_chain, corpus_pinned = _corpus_stages(config)
     media_chain, media_pinned = _media_stages(config)
 
@@ -373,6 +413,13 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
     if err_path and conv is not None:
         nodes.append(SinkNode(
             "errors", lambda _df: write_error_table(state["errors"], err_path),
+            priority=0))
+    if err_path and src_type == "warc":
+        # source-level quarantine: corrupt WARC members/records (the
+        # converter node above covers schema rejects — distinct channel)
+        nodes.append(SinkNode(
+            "source_errors",
+            lambda _df: write_error_table(state["source_errors"], err_path),
             priority=0))
 
     sink_type = config.get_required("sink.type")

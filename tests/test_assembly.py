@@ -385,3 +385,63 @@ def test_yaml_corpus_html_extraction_warc_shaped_source(spark, tmp_path):
     # the fetch-level ok survived under the src_ prefix; the extractor's
     # own ok is the row-level extraction verdict
     assert rows[1]["src_ok"] is True and rows[1]["ok"] is True
+
+
+def test_yaml_warc_crawl_job_ticks_incrementally(spark, tmp_path):
+    """The WHOLE crawl first mile from YAML alone, TICKING: a warc
+    source with checkpointed archive pickup feeds the html extraction +
+    gopher gate chain into a dedup-insert table; run 2 with nothing new
+    is a no-work run; a new archive ticks in alone; corrupt members land
+    in the error table. The watermark persists only after the table
+    commit (the work-unit contract through JobDag)."""
+    from marmaray_spark.sources.warc import write_warc_gz
+
+    def page(u, body):
+        payload = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                   f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        return ({"WARC-Type": "response", "WARC-Record-ID": f"<{u}>",
+                 "WARC-Target-URI": u}, payload)
+
+    good = (b"<html><body><p>the quick brown fox jumps over the lazy dog "
+            b"while seven wizards brew strong coffee at dawn for everyone"
+            b"</p></body></html>")
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    blob = write_warc_gz([page("http://ex.com/a", good)])
+    blob += b"\x1f\x8b\x08\x00corrupt-member"
+    (crawl / "seg-00000.warc.gz").write_bytes(blob)
+
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "warc_tick_job"},
+        "source": {"type": "warc", "path": str(crawl),
+                   "decode_payload_col": "html", "http_ok_only": True},
+        "corpus": {"text_col": "text", "id_col": "target_uri",
+                   "html_col": "html", "gopher_gate": True},
+        "sink": {"type": "table", "path": str(tmp_path / "pages"),
+                 "record_key": "target_uri", "op": "dedup_insert"},
+        "error_table": {"path": str(tmp_path / "errs")},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    })
+    p = tmp_path / "crawl.yaml"
+    p.write_text(cfg_yaml)
+
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+    t = TableSink(spark, tmp_path / "pages", record_key_field="target_uri")
+    rows = {r["target_uri"]: r["text"] for r in t.read().collect()}
+    assert set(rows) == {"http://ex.com/a"}
+    assert "quick brown fox" in rows["http://ex.com/a"]
+    from marmaray_spark.operators.errors import read_error_table
+    errs = read_error_table(spark, str(tmp_path / "errs"))
+    assert errs.count() == 1                       # the corrupt member
+
+    # tick 2: nothing new -> no work, watermark held
+    dag2 = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag2.execute(spark) is False
+
+    # a new archive arrives and ticks in alone
+    (crawl / "seg-00001.warc.gz").write_bytes(
+        write_warc_gz([page("http://ex.org/b", good)]))
+    dag3 = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag3.execute(spark) is True
+    assert t.read().count() == 2
