@@ -2549,6 +2549,45 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dh a JOIN dh b ON a.media_id < b.media_id
       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
     ),
+    -- dHash AFTER a real 1.5x nearest-neighbor resize (18x16 -> 27x24):
+    -- resized pixel (x,y) samples source ((2x)//3, (2y)//3), so each 3x3
+    -- dHash block covers source pixels (2c..2c+1, 2r..2r+1) with
+    -- multiplicities (2,1)x(2,1) — closed form again, and DISTINCT from
+    -- the unresized hash for most ids (an identity-resize bug fails)
+    rz_grid AS (
+      SELECT s.doc_id, r.r, c.c,
+             (4 * (CASE WHEN c.c = s.k AND r.r = s.k THEN 0 ELSE
+                   (s.g*(2*c.c+1) + 14*r.r) % 251 END)
+            + 2 * (CASE WHEN c.c = s.k AND r.r = s.k THEN 0 ELSE
+                   (s.g*(2*c.c+2) + 14*r.r) % 251 END)
+            + 2 * (CASE WHEN c.c = s.k AND r.r = s.k THEN 0 ELSE
+                   (s.g*(2*c.c+1) + 14*r.r + 7) % 251 END)
+            +     (CASE WHEN c.c = s.k AND r.r = s.k THEN 0 ELSE
+                   (s.g*(2*c.c+2) + 14*r.r + 7) % 251 END)) // 9 AS m
+      FROM (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
+            FROM documents WHERE doc_id < 384) s,
+           generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+    ),
+    rz_bits AS (
+      SELECT l.doc_id, l.r * 8 + l.c AS idx,
+             CASE WHEN l.m > rt.m THEN 1 ELSE 0 END AS bit
+      FROM rz_grid l JOIN rz_grid rt
+        ON l.doc_id = rt.doc_id AND l.r = rt.r AND rt.c = l.c + 1
+      WHERE l.c < 8
+    ),
+    rz AS (
+      SELECT doc_id AS media_id,
+             CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                        ELSE hi END) * 4294967296 + lo AS BIGINT) AS dhash
+      FROM (SELECT doc_id,
+                   SUM(CASE WHEN idx < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (31 - idx))
+                       ELSE 0 END) AS hi,
+                   SUM(CASE WHEN idx >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (63 - idx))
+                       ELSE 0 END) AS lo
+            FROM rz_bits GROUP BY doc_id)
+    ),
     -- adhash64 of the synthetic 130-sample WAV clips: s(j) =
     -- (g*(j+1) + 13*k) % 1999 (all non-negative, so |s| = s); the
     -- 65-frame envelope lands on exact 2-sample frames
@@ -2593,6 +2632,10 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            dhash, NULL, NULL
     FROM ah
     UNION ALL
+    SELECT 'resize_dhash', media_id, NULL, NULL, NULL, NULL, NULL, NULL,
+           dhash, NULL, NULL
+    FROM rz
+    UNION ALL
     SELECT 'dhash_pairs', a, NULL, NULL, NULL, NULL, NULL, NULL,
            NULL, b, CAST(hamming AS INT)
     FROM dh_pairs
@@ -2619,6 +2662,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-decontam matmul pattern) while Spark exercises the full
     encode -> decode -> hash kernels.
 
+    'resize_dhash' — the same gate THROUGH the real resize kernel:
+    decode -> 1.5x nearest-neighbor sample -> re-encode -> decode ->
+    hash; the sampled grid is closed-form too (multiplicity-weighted
+    source pixels), and the result differs from the unresized hash for
+    most ids, so both a sampling-grid bug and an identity-resize bug
+    break oracle equality.
+
     'dhash_pairs' — the banded Hamming near-dup join over those image
     hashes (pigeonhole 4x16-bit bands, full recall at max_hamming=3, no
     all-pairs); the oracle's pairwise bit_count(xor) join is the recall
@@ -2628,6 +2678,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_near_dup_pairs,
         extract_image_features,
         image_dhash,
+        resize_images,
         synth_gradient_bmp,
         synth_media_from_text,
         synth_tone_wav,
@@ -2674,8 +2725,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                            *fnulls, F.col("dhash"),
                            F.lit(None).cast("bigint").alias("peer"),
                            F.lit(None).cast("int").alias("hamming")))
+    # the REAL resize path under the same closed-form gate: decode ->
+    # 1.5x nearest-neighbor sample -> re-encode -> decode -> hash; a
+    # sampling-grid bug (or an identity-resize bug — the hash differs
+    # from the unresized one for most ids) breaks oracle equality
+    resized = resize_images(
+        synth_gradient_bmp(
+            docs.select("doc_id").filter(F.col("doc_id") < 384), "doc_id"),
+        27, 24)
+    resize_rows = (image_dhash(resized)
+                   .select(F.lit("resize_dhash").alias("kind"), "media_id",
+                           *fnulls, F.col("dhash"),
+                           F.lit(None).cast("bigint").alias("peer"),
+                           F.lit(None).cast("int").alias("hamming")))
     return (features.unionByName(dhash_rows).unionByName(adhash_rows)
-            .unionByName(pair_rows))
+            .unionByName(resize_rows).unionByName(pair_rows))
 
 
 @register(
