@@ -140,6 +140,49 @@ def synth_tone_wav(df: DataFrame, id_col: str,
         kernel, schema="media_id long, media_type string, payload binary")
 
 
+def synth_gif_video(df: DataFrame, id_col: str, n_frames: int = 4,
+                    n_variants: int = 8) -> DataFrame:
+    """Deterministic REAL animated GIFs from ids — the video twin of
+    synth_gradient_bmp. Each id paints ``n_frames`` 18x16 frames over a
+    251-entry grayscale palette (palette[i] = (i, i, i), so the decoded
+    pixel's luma IS the index): frame f's pixel is
+    ``(g*(x+1) + 7*y + 11*f) % 251`` with the (k, k) grid block darkened
+    to 0 (``g = id // n_variants``, ``k = id % n_variants``). Same
+    2x2-block alignment as the BMP generator, so every sampled frame's
+    dHash is closed-form integer arithmetic — the whole GIF decode ->
+    frame composite -> PNG re-encode -> hash chain becomes
+    oracle-checkable."""
+    import numpy as np
+
+    from marmaray_spark.functions.gif_codec import encode_gif
+
+    nv, nf = int(n_variants), int(n_frames)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        x = np.arange(18, dtype=np.int64)[None, :]
+        y = np.arange(16, dtype=np.int64)[:, None]
+        pal = np.stack([np.arange(251)] * 3, axis=1).astype(np.uint8)
+
+        def one(i: int) -> bytes:
+            g, k = i // nv, i % nv
+            dark = (x // 2 == k) & (y // 2 == k)
+            frames = []
+            for f in range(nf):
+                v = (g * (x + 1) + 7 * y + 11 * f) % 251
+                frames.append(np.where(dark, 0, v).astype(np.uint8))
+            return encode_gif(frames, pal)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "media_type": "video",
+                "payload": [one(int(i)) for i in pdf[id_col]],
+            })
+
+    return df.select(id_col).mapInPandas(
+        kernel, schema="media_id long, media_type string, payload binary")
+
+
 # -- decode kernels: REAL for BMP/WAV, deterministic stubs otherwise ---------
 
 def _decode_image(payload: bytes) -> tuple[int, int, int]:

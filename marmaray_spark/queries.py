@@ -2618,27 +2618,87 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN bit * (CAST(1 AS BIGINT) << (63 - idx))
                        ELSE 0 END) AS lo
             FROM ah_bits GROUP BY doc_id)
+    ),
+    -- per-frame dHash of the synthetic animated GIFs (4 frames, 18x16,
+    -- grayscale palette => decoded luma == palette index): frame f's
+    -- pixel is (g*(x+1) + 7*y + 11*f) % 251 with block (k,k) darkened
+    vh_grid AS (
+      SELECT s.doc_id, f.f, r.r, c.c,
+             CASE WHEN r.r = s.k AND c.c = s.k THEN 0 ELSE
+               ((s.g*(2*c.c+1) + 14*r.r + 11*f.f) % 251
+              + (s.g*(2*c.c+2) + 14*r.r + 11*f.f) % 251
+              + (s.g*(2*c.c+1) + 14*r.r + 7 + 11*f.f) % 251
+              + (s.g*(2*c.c+2) + 14*r.r + 7 + 11*f.f) % 251) // 4 END AS m
+      FROM (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
+            FROM documents WHERE doc_id < 128) s,
+           generate_series(0, 3) f(f),
+           generate_series(0, 7) r(r), generate_series(0, 8) c(c)
+    ),
+    vh_bits AS (
+      SELECT l.doc_id, l.f, l.r * 8 + l.c AS idx,
+             CASE WHEN l.m > rt.m THEN 1 ELSE 0 END AS bit
+      FROM vh_grid l JOIN vh_grid rt
+        ON l.doc_id = rt.doc_id AND l.f = rt.f AND l.r = rt.r
+           AND rt.c = l.c + 1
+      WHERE l.c < 8
+    ),
+    vh AS (
+      SELECT doc_id AS media_id, f AS frame_idx,
+             CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296
+                        ELSE hi END) * 4294967296 + lo AS BIGINT) AS dhash
+      FROM (SELECT doc_id, f,
+                   SUM(CASE WHEN idx < 32
+                       THEN bit * (CAST(1 AS BIGINT) << (31 - idx))
+                       ELSE 0 END) AS hi,
+                   SUM(CASE WHEN idx >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (63 - idx))
+                       ELSE 0 END) AS lo
+            FROM vh_bits GROUP BY doc_id, f)
+    ),
+    -- clip-level near dups: frames within hamming 3, >= 2 distinct
+    -- shared frames of the earlier clip (the shot-based video shape)
+    vh_frame_pairs AS (
+      SELECT a.media_id AS a, b.media_id AS b, a.frame_idx AS fa,
+             bit_count(xor(a.dhash, b.dhash)) AS hamming
+      FROM vh a JOIN vh b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ),
+    vp AS (
+      SELECT a, b, CAST(count(DISTINCT fa) AS BIGINT) AS shared_frames,
+             CAST(min(hamming) AS INT) AS min_hamming
+      FROM vh_frame_pairs GROUP BY a, b
+      HAVING count(DISTINCT fa) >= 2
     )
     SELECT 'features' AS kind, media_id, byte_len, head_hex, width, height,
            channels, aspect_milli, CAST(NULL AS BIGINT) AS dhash,
-           CAST(NULL AS BIGINT) AS peer, CAST(NULL AS INT) AS hamming
+           CAST(NULL AS BIGINT) AS peer, CAST(NULL AS INT) AS hamming,
+           CAST(NULL AS INT) AS frame_idx,
+           CAST(NULL AS BIGINT) AS shared_frames
     FROM feat
     UNION ALL
     SELECT 'dhash', media_id, NULL, NULL, NULL, NULL, NULL, NULL,
-           dhash, NULL, NULL
+           dhash, NULL, NULL, NULL, NULL
     FROM dh
     UNION ALL
     SELECT 'adhash', media_id, NULL, NULL, NULL, NULL, NULL, NULL,
-           dhash, NULL, NULL
+           dhash, NULL, NULL, NULL, NULL
     FROM ah
     UNION ALL
     SELECT 'resize_dhash', media_id, NULL, NULL, NULL, NULL, NULL, NULL,
-           dhash, NULL, NULL
+           dhash, NULL, NULL, NULL, NULL
     FROM rz
     UNION ALL
+    SELECT 'video_dhash', media_id, NULL, NULL, NULL, NULL, NULL, NULL,
+           dhash, NULL, NULL, CAST(frame_idx AS INT), NULL
+    FROM vh
+    UNION ALL
     SELECT 'dhash_pairs', a, NULL, NULL, NULL, NULL, NULL, NULL,
-           NULL, b, CAST(hamming AS INT)
+           NULL, b, CAST(hamming AS INT), NULL, NULL
     FROM dh_pairs
+    UNION ALL
+    SELECT 'video_pairs', a, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, b, min_hamming, NULL, shared_frames
+    FROM vp
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2669,6 +2729,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     most ids, so both a sampling-grid bug and an identity-resize bug
     break oracle equality.
 
+    'video_dhash' / 'video_pairs' — the VIDEO leg under the same gate:
+    synth_gif_video builds real animated GIFs (grayscale palette, so the
+    decoded luma IS the closed-form palette index); Spark runs the full
+    GIF decode -> frame composite -> PNG re-encode -> per-frame hash ->
+    shot-based clip pairing (>= 2 shared frames within hamming 3), and
+    the oracle recomputes every frame hash plus the pairwise grouping.
+
     'dhash_pairs' — the banded Hamming near-dup join over those image
     hashes (pigeonhole 4x16-bit bands, full recall at max_hamming=3, no
     all-pairs); the oracle's pairwise bit_count(xor) join is the recall
@@ -2679,18 +2746,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
         image_dhash,
         resize_images,
+        synth_gif_video,
         synth_gradient_bmp,
         synth_media_from_text,
         synth_tone_wav,
+        video_frame_dhash,
+        video_near_dup_pairs,
     )
 
     docs = spread(load(spark, sf_dir, "documents"), spark)
     media = (synth_media_from_text(docs, "doc_id", "text")
              .filter(F.octet_length("payload") > 0)
              .withColumn("head_hex", F.col("meta.head_hex")))
+    tail_nulls = [F.lit(None).cast("int").alias("frame_idx"),
+                  F.lit(None).cast("bigint").alias("shared_frames")]
     nulls = [F.lit(None).cast("bigint").alias("dhash"),
              F.lit(None).cast("bigint").alias("peer"),
-             F.lit(None).cast("int").alias("hamming")]
+             F.lit(None).cast("int").alias("hamming"), *tail_nulls]
     features = (extract_image_features(media, passthrough=["head_hex"])
                 .select(F.lit("features").alias("kind"), "media_id",
                         "byte_len", "head_hex", "width", "height",
@@ -2711,20 +2783,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     dhash_rows = ih.select(F.lit("dhash").alias("kind"), "media_id",
                            *fnulls, F.col("dhash"),
                            F.lit(None).cast("bigint").alias("peer"),
-                           F.lit(None).cast("int").alias("hamming"))
+                           F.lit(None).cast("int").alias("hamming"),
+                           *tail_nulls)
     pair_rows = (dhash_near_dup_pairs(ih, max_hamming=3)
                  .select(F.lit("dhash_pairs").alias("kind"),
                          F.col("a").alias("media_id"), *fnulls,
                          F.lit(None).cast("bigint").alias("dhash"),
                          F.col("b").cast("bigint").alias("peer"),
-                         F.col("hamming").cast("int").alias("hamming")))
+                         F.col("hamming").cast("int").alias("hamming"),
+                         *tail_nulls))
     adhash_rows = (audio_dhash(synth_tone_wav(
                        docs.select("doc_id").filter(F.col("doc_id") < 256),
                        "doc_id"))
                    .select(F.lit("adhash").alias("kind"), "media_id",
                            *fnulls, F.col("dhash"),
                            F.lit(None).cast("bigint").alias("peer"),
-                           F.lit(None).cast("int").alias("hamming")))
+                           F.lit(None).cast("int").alias("hamming"),
+                           *tail_nulls))
     # the REAL resize path under the same closed-form gate: decode ->
     # 1.5x nearest-neighbor sample -> re-encode -> decode -> hash; a
     # sampling-grid bug (or an identity-resize bug — the hash differs
@@ -2737,9 +2812,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select(F.lit("resize_dhash").alias("kind"), "media_id",
                            *fnulls, F.col("dhash"),
                            F.lit(None).cast("bigint").alias("peer"),
-                           F.lit(None).cast("int").alias("hamming")))
+                           F.lit(None).cast("int").alias("hamming"),
+                           *tail_nulls))
+    # the video leg: real animated GIFs -> per-frame sample + hash ->
+    # clip-level pairing; vf feeds both the per-frame section and the
+    # pair join, so it gets the same persist barrier as ih
+    vf = video_frame_dhash(synth_gif_video(
+        docs.select("doc_id").filter(F.col("doc_id") < 128), "doc_id",
+        n_frames=4), max_frames=4).persist()
+    video_rows = (vf.select(F.lit("video_dhash").alias("kind"), "media_id",
+                            *fnulls, F.col("dhash"),
+                            F.lit(None).cast("bigint").alias("peer"),
+                            F.lit(None).cast("int").alias("hamming"),
+                            F.col("frame_idx").cast("int").alias("frame_idx"),
+                            F.lit(None).cast("bigint")
+                            .alias("shared_frames")))
+    video_pair_rows = (video_near_dup_pairs(vf)
+                       .select(F.lit("video_pairs").alias("kind"),
+                               F.col("a").alias("media_id"), *fnulls,
+                               F.lit(None).cast("bigint").alias("dhash"),
+                               F.col("b").cast("bigint").alias("peer"),
+                               F.col("min_hamming").cast("int")
+                               .alias("hamming"),
+                               F.lit(None).cast("int").alias("frame_idx"),
+                               F.col("shared_frames").cast("bigint")
+                               .alias("shared_frames")))
     return (features.unionByName(dhash_rows).unionByName(adhash_rows)
-            .unionByName(resize_rows).unionByName(pair_rows))
+            .unionByName(resize_rows).unionByName(video_rows)
+            .unionByName(pair_rows).unionByName(video_pair_rows))
 
 
 @register(

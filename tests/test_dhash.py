@@ -644,3 +644,35 @@ def test_synth_media_hashes_match_closed_form(spark):
     assert all(r["ok"] for r in ah) and len(ah) == 40
     assert {r["media_id"]: r["dhash"] for r in ah} \
         == {i: mirror_adhash(i) for i in range(40)}
+
+
+def test_synth_gif_video_hashes_match_closed_form(spark):
+    """synth_gif_video payloads, through the REAL GIF decode -> frame
+    sample -> PNG re-encode -> hash chain, match the pure closed-form
+    mirror the DuckDB video_dhash oracle re-implements."""
+    from marmaray_spark.operators.multimodal import (synth_gif_video,
+                                                     video_frame_dhash)
+
+    def mirror(i, f, nv=8):
+        g, k = i // nv, i % nv
+
+        def vv(x, y):
+            if x // 2 == k and y // 2 == k:
+                return 0
+            return (g * (x + 1) + 7 * y + 11 * f) % 251
+
+        grid = [[(vv(2 * c, 2 * r) + vv(2 * c + 1, 2 * r)
+                  + vv(2 * c, 2 * r + 1) + vv(2 * c + 1, 2 * r + 1)) // 4
+                 for c in range(9)] for r in range(8)]
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                bits = (bits << 1) | (1 if grid[r][c] > grid[r][c + 1] else 0)
+        return bits - (1 << 64 if bits >= 1 << 63 else 0)
+
+    ids = spark.range(24).withColumnRenamed("id", "doc_id")
+    vf = video_frame_dhash(synth_gif_video(ids, "doc_id", n_frames=3),
+                           max_frames=3).collect()
+    assert all(r["ok"] for r in vf) and len(vf) == 72
+    got = {(r["media_id"], r["frame_idx"]): r["dhash"] for r in vf}
+    assert got == {(i, f): mirror(i, f) for i in range(24) for f in range(3)}
