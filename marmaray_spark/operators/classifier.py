@@ -273,3 +273,59 @@ def score_quality(df: DataFrame, feats_col: str, weights,
             yield b
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def weights_digest(weights) -> str:
+    """Stable stamp for a trained weight vector: md5 of the float64
+    little-endian bytes. Two trainings that produce bit-identical
+    weights share a digest; anything else is a different model."""
+    import hashlib
+
+    w = np.asarray(weights, dtype="<f8")
+    return hashlib.md5(w.tobytes()).hexdigest()
+
+
+def maintain_quality_scores(base, scored, metadata, weights,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            dim: int = DEFAULT_DIM,
+                            checkpoint_key: str = "quality_scores",
+                            max_commits: int | None = None) -> int:
+    """Keep ``scored == score_quality(base)`` true across the corpus
+    table's commit stream — classifier scoring joins the maintained-twin
+    family (dedup index, media hash indices, decontamination reports):
+    every ingest tick scores ONLY the new/updated documents, never the
+    100 TB corpus, with exactly-once checkpointing and crash-replay
+    idempotence riding maintained.maintain_projection.
+
+    The model identity (weight digest + feature dim) is stamped into
+    every scored-table commit, and advancing an EXISTING scored table
+    with different weights is REFUSED: a mixed-weights score column is
+    silently poisoned data — thresholds mean different things row by
+    row — so the caller must rebuild the table when the model changes
+    (the param-drift-refusal rule every maintained index here follows)."""
+    from marmaray_spark.operators.maintained import maintain_projection
+
+    digest = weights_digest(weights)
+    stamp = {"classifier": "quality_logit_milli", "dim": str(int(dim)),
+             "weights_md5": digest}
+    if not scored.is_empty():
+        prior = scored.log.latest_metadata()
+        got = {k: prior.get(k) for k in stamp}
+        if got != stamp:
+            raise ValueError(
+                f"scored table was built with a different model "
+                f"({got}) than these weights ({stamp}) — a mixed-weights "
+                f"score column is unusable; rebuild the scored table")
+
+    def project(df):
+        feats = df.select(
+            id_col,
+            hashed_features(f"split({text_col}, '\\\\s+')", dim=dim)
+            .alias("__f"))
+        return score_quality(feats, "__f", weights).drop("__f")
+
+    return maintain_projection(base, scored, metadata,
+                               [id_col, text_col], id_col, project,
+                               checkpoint_key, max_commits,
+                               commit_meta=stamp)

@@ -113,12 +113,10 @@ def split_http_payload(payload: bytes):
     return status, ctype, payload[head_end + 4:]
 
 
-def read_warc(spark: SparkSession, path_glob: str,
-              record_types: tuple[str, ...] = ("response",)) -> DataFrame:
-    """One row per WARC record of the requested types across every
-    matched archive. Corrupt gzip members and malformed records fork
-    per-row (ok=False, err says why, payload NULL) — an archive with one
-    bad record still yields its other million."""
+def _warc_kernel(record_types: tuple[str, ...]):
+    """The per-file WARC parse as an Arrow kernel over (path, content)
+    batches — shared by the batch scan and the streaming leg, so the two
+    can never disagree on record semantics."""
     import pandas as pd
 
     wanted = tuple(t.lower() for t in record_types)
@@ -157,9 +155,39 @@ def read_warc(spark: SparkSession, path_glob: str,
                         "warc_date", "content_type", "http_status",
                         "http_content_type", "payload", "ok", "err"]})
 
+    return kernel
+
+
+def read_warc(spark: SparkSession, path_glob: str,
+              record_types: tuple[str, ...] = ("response",)) -> DataFrame:
+    """One row per WARC record of the requested types across every
+    matched archive. Corrupt gzip members and malformed records fork
+    per-row (ok=False, err says why, payload NULL) — an archive with one
+    bad record still yields its other million."""
     scan = (spark.read.format("binaryFile").load(path_glob)
             .select("path", "content"))
-    return scan.mapInPandas(kernel, WARC_SCHEMA)
+    return scan.mapInPandas(_warc_kernel(record_types), WARC_SCHEMA)
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     record_types: tuple[str, ...] = ("response",)
+                     ) -> DataFrame:
+    """Structured-Streaming WARC ingest: archives arriving under ``path``
+    are parsed exactly once (the file source's checkpointed file log —
+    pair with ``trigger(availableNow=True)`` for the bounded-catch-up
+    tick shape, streaming/incremental.py). Same Arrow kernel as
+    :func:`read_warc`, so batch and streaming cannot disagree; same
+    decode-or-error row contract. The batch-side alternative with a
+    LOUD late-arrival guard is WarcWorkUnitCalculator — this leg is for
+    pipelines already running their ingest as streams (the OCF stream's
+    twin, sources/avro_file.py read_ocf_stream)."""
+    files = (spark.readStream.format("binaryFile")
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("pathGlobFilter", "*.warc.gz")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_warc_kernel(record_types), WARC_SCHEMA)
 
 
 def write_warc_gz(records: list[tuple[dict, bytes]]) -> bytes:

@@ -417,3 +417,60 @@ def test_shard_assignments_rejects_bad_budget(spark, documents):
     docs = documents.select("doc_id").withColumn("n", F.lit(1))
     with pytest.raises(ValueError):
         shard_assignments(docs, "doc_id", "n", budget_tokens=0)
+
+
+def test_maintained_quality_scores_twin(spark, tmp_path):
+    """Classifier scoring as a maintained twin: after every tick the
+    scored table equals a from-scratch scoring of the whole base, an
+    update re-scores exactly one row, and advancing with DIFFERENT
+    weights is refused (a mixed-weights score column is poisoned)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.classifier import (hashed_features,
+                                                     maintain_quality_scores,
+                                                     score_quality,
+                                                     weights_digest)
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    dim = 64
+    rng = np.random.default_rng(7)
+    w = rng.normal(size=dim + 1)
+
+    base = TableSink(spark, tmp_path / "docs", record_key_field="doc_id")
+    scored = TableSink(spark, tmp_path / "scores",
+                       record_key_field="doc_id")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def full_scores():
+        feats = base.read().select(
+            "doc_id", hashed_features("split(text, '\\\\s+')",
+                                      dim=dim).alias("__f"))
+        return {r["doc_id"]: r["quality_logit_milli"]
+                for r in score_quality(feats, "__f", w).collect()}
+
+    base.write(frame([(1, "a fine document with words"),
+                      (2, "spam spam spam spam"),
+                      (3, "another ordinary text")]), WriteOp.INSERT)
+    assert maintain_quality_scores(base, scored, md, w, dim=dim) == 3
+    got = {r["doc_id"]: r["quality_logit_milli"]
+           for r in scored.read().collect()}
+    assert got == full_scores() and len(got) == 3
+    assert scored.log.latest_metadata()["weights_md5"] == weights_digest(w)
+
+    # update one doc -> exactly one row re-scored, equality holds
+    base.write(frame([(2, "now a perfectly reasonable sentence")]),
+               WriteOp.UPSERT)
+    assert maintain_quality_scores(base, scored, md, w, dim=dim) == 1
+    got2 = {r["doc_id"]: r["quality_logit_milli"]
+            for r in scored.read().collect()}
+    assert got2 == full_scores() and got2[2] != got[2]
+
+    # drifted weights refuse instead of silently mixing models
+    base.write(frame([(4, "one more")]), WriteOp.UPSERT)
+    with _pytest.raises(ValueError, match="different model"):
+        maintain_quality_scores(base, scored, md, w + 1.0, dim=dim)

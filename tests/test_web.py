@@ -296,3 +296,35 @@ def test_warc_backlog_drains_across_capped_ticks(spark, tmp_path):
     assert seen == [["seg-00000.warc.gz", "seg-00001.warc.gz"],
                     ["seg-00002.warc.gz", "seg-00003.warc.gz"],
                     ["seg-00004.warc.gz"], []]
+
+
+def test_warc_streaming_ingest_exactly_once(spark, tmp_path):
+    """read_warc_stream parses each arriving archive exactly once across
+    restarts (file-source checkpoint), through the SAME Arrow kernel as
+    the batch reader — corrupt members fork their row in the stream
+    too."""
+    from marmaray_spark.sources.warc import read_warc_stream
+    from marmaray_spark.streaming.incremental import run_available_now
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    src.mkdir()
+    (src / "seg-00000.warc.gz").write_bytes(
+        _archive("u://a", "u://b", corrupt=True))
+
+    def drain():
+        stream = read_warc_stream(spark, str(src))
+        run_available_now(stream.writeStream.format("parquet")
+                          .option("path", str(out))
+                          .option("checkpointLocation", str(ckpt)))
+
+    drain()
+    rows = spark.read.parquet(str(out)).collect()
+    assert {r["target_uri"] for r in rows if r["ok"]} == {"u://a", "u://b"}
+    assert sum(1 for r in rows if not r["ok"]) == 1
+
+    (src / "seg-00001.warc.gz").write_bytes(_archive("u://c"))
+    drain()  # restart: only the NEW archive is parsed
+    rows2 = spark.read.parquet(str(out)).collect()
+    assert {r["target_uri"] for r in rows2 if r["ok"]} \
+        == {"u://a", "u://b", "u://c"}
+    assert len(rows2) == len(rows) + 1
