@@ -109,12 +109,17 @@ def synth_tone_wav(df: DataFrame, id_col: str,
                    n_variants: int = 8) -> DataFrame:
     """Deterministic REAL WAV clips from ids — the audio twin of
     synth_gradient_bmp. 130 PCM-16 mono samples at 8 kHz, all
-    NON-NEGATIVE closed-form integers ``s(j) = (g*(j+1) + 13*k) % 1999``
+    NON-NEGATIVE closed-form integers
+    ``s(j) = (g*(j+1)*37 + 13*k) % 1999``
     (``g = id // n_variants``, ``k = id % n_variants``): 130 = 2 * 65,
     so adhash64's 65-frame energy envelope lands on exact 2-sample
     frames and each envelope value is ``(s(2i) + s(2i+1)) // 2`` —
     abs() is the identity on these samples, making the envelope hash a
-    closed-form integer a SQL oracle can mirror."""
+    closed-form integer a SQL oracle can mirror. The *37 multiplier
+    makes the modulus wrap often even for small g, so envelopes are
+    non-monotone and the near-dup pair structure is non-degenerate
+    (without it, small-g envelopes rise monotonically and every such
+    clip hashes to 0 — near-vacuous pairs)."""
     import numpy as np
 
     from marmaray_spark.functions.media_codec import encode_wav_pcm16
@@ -126,7 +131,7 @@ def synth_tone_wav(df: DataFrame, id_col: str,
 
         def one(i: int) -> bytes:
             g, k = i // nv, i % nv
-            s = (g * (j + 1) + 13 * k) % 1999
+            s = (g * (j + 1) * 37 + 13 * k) % 1999
             return encode_wav_pcm16(s.astype(np.int16), 8000)
 
         for pdf in batches:

@@ -2589,12 +2589,12 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rz_bits GROUP BY doc_id)
     ),
     -- adhash64 of the synthetic 130-sample WAV clips: s(j) =
-    -- (g*(j+1) + 13*k) % 1999 (all non-negative, so |s| = s); the
+    -- (g*(j+1)*37 + 13*k) % 1999 (all non-negative, so |s| = s); the
     -- 65-frame envelope lands on exact 2-sample frames
     ah_env AS (
       SELECT s.doc_id, q.q,
-             ((s.g*(2*q.q+1) + 13*s.k) % 1999
-            + (s.g*(2*q.q+2) + 13*s.k) % 1999) // 2 AS e
+             ((s.g*(2*q.q+1)*37 + 13*s.k) % 1999
+            + (s.g*(2*q.q+2)*37 + 13*s.k) % 1999) // 2 AS e
       FROM (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
             FROM documents WHERE doc_id < 256) s,
            generate_series(0, 64) q(q)
@@ -2618,6 +2618,12 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN bit * (CAST(1 AS BIGINT) << (63 - idx))
                        ELSE 0 END) AS lo
             FROM ah_bits GROUP BY doc_id)
+    ),
+    ah_pairs AS (
+      SELECT a.media_id AS a, b.media_id AS b,
+             bit_count(xor(a.dhash, b.dhash)) AS hamming
+      FROM ah a JOIN ah b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
     ),
     -- per-frame dHash of the synthetic animated GIFs (4 frames, 18x16,
     -- grayscale palette => decoded luma == palette index): frame f's
@@ -2695,6 +2701,10 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'dhash_pairs', a, NULL, NULL, NULL, NULL, NULL, NULL,
            NULL, b, CAST(hamming AS INT), NULL, NULL
     FROM dh_pairs
+    UNION ALL
+    SELECT 'adhash_pairs', a, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, b, CAST(hamming AS INT), NULL, NULL
+    FROM ah_pairs
     UNION ALL
     SELECT 'video_pairs', a, NULL, NULL, NULL, NULL, NULL, NULL,
            NULL, b, min_hamming, NULL, shared_frames
@@ -2792,14 +2802,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("b").cast("bigint").alias("peer"),
                          F.col("hamming").cast("int").alias("hamming"),
                          *tail_nulls))
-    adhash_rows = (audio_dhash(synth_tone_wav(
-                       docs.select("doc_id").filter(F.col("doc_id") < 256),
-                       "doc_id"))
+    # same persist rationale as ih: the audio hashes feed the 'adhash'
+    # section AND the banded pair join
+    ah = audio_dhash(synth_tone_wav(
+        docs.select("doc_id").filter(F.col("doc_id") < 256), "doc_id"))
+    ah = ah.persist()
+    adhash_rows = (ah
                    .select(F.lit("adhash").alias("kind"), "media_id",
                            *fnulls, F.col("dhash"),
                            F.lit(None).cast("bigint").alias("peer"),
                            F.lit(None).cast("int").alias("hamming"),
                            *tail_nulls))
+    adhash_pair_rows = (dhash_near_dup_pairs(ah, max_hamming=3)
+                        .select(F.lit("adhash_pairs").alias("kind"),
+                                F.col("a").alias("media_id"), *fnulls,
+                                F.lit(None).cast("bigint").alias("dhash"),
+                                F.col("b").cast("bigint").alias("peer"),
+                                F.col("hamming").cast("int")
+                                .alias("hamming"), *tail_nulls))
     # the REAL resize path under the same closed-form gate: decode ->
     # 1.5x nearest-neighbor sample -> re-encode -> decode -> hash; a
     # sampling-grid bug (or an identity-resize bug — the hash differs
@@ -2839,7 +2859,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .alias("shared_frames")))
     return (features.unionByName(dhash_rows).unionByName(adhash_rows)
             .unionByName(resize_rows).unionByName(video_rows)
-            .unionByName(pair_rows).unionByName(video_pair_rows))
+            .unionByName(pair_rows).unionByName(adhash_pair_rows)
+            .unionByName(video_pair_rows))
 
 
 @register(

@@ -628,7 +628,7 @@ def test_synth_media_hashes_match_closed_form(spark):
 
     def mirror_adhash(i, nv=8):
         g, k = i // nv, i % nv
-        s = [(g * (j + 1) + 13 * k) % 1999 for j in range(130)]
+        s = [(g * (j + 1) * 37 + 13 * k) % 1999 for j in range(130)]
         e = [(s[2 * q] + s[2 * q + 1]) // 2 for q in range(65)]
         bits = 0
         for q in range(64):
