@@ -69,14 +69,24 @@ def crawl_tick(spark: SparkSession, workdir: str, archive_dir: str,
             errors.write(res.errors, WriteOp.INSERT)
         html = (res.valid.filter(F.col("http_status") == 200)
                 .select("target_uri",
-                        F.decode("payload", "utf-8").alias("html")))
+                        # lenient lossy conversion, not decode(): a
+                        # latin-1 page or binary 200 response must not
+                        # kill the tick (replacement chars per row)
+                        F.expr("make_valid_utf8(cast(payload as string))")
+                        .alias("html")))
         text = extract_text_from_html(html, "target_uri")
         kept = (text.filter("ok")
                 .withColumn("w", F.split("text", r"\s+"))
                 .filter(gopher_repetition_pass("w"))
                 .select("target_uri", "title", "text"))
-        pages.write(kept, WriteOp.DEDUP_INSERT)
-        report["kept"] += pages.read().count()
+        # persist: the per-tick count and the table write both consume
+        # the extraction plan
+        kept = kept.persist()
+        try:
+            report["kept"] += kept.count()      # THIS tick's survivors
+            pages.write(kept, WriteOp.DEDUP_INSERT)
+        finally:
+            kept.unpersist()
     calc.save_next_run_state(units)
     md.save_changes()                       # AFTER the table commits
     return report

@@ -143,7 +143,14 @@ def _crc32c_numpy(data: bytes) -> int:
 
 def _crc32c_best(data: bytes) -> int:
     if len(data) >= 4 * _CHUNK:
-        return _crc32c_numpy(data)
+        # numpy is its own import-try seam: this module's contract is
+        # stdlib-only top-level imports (it targets hosts with no
+        # tensorflow/protobuf/crc32c wheel, and numpy must not become a
+        # hard requirement through the back door)
+        try:
+            return _crc32c_numpy(data)
+        except ImportError:
+            return _crc32c_py(data)
     return _crc32c_py(data)
 
 

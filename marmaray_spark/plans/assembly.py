@@ -381,8 +381,17 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
             if _ok:
                 df = df.filter(F.col("http_status") == 200)
             if _dc:
-                df = df.withColumn(_dc, F.decode("payload", "utf-8")) \
-                    .drop("payload")
+                # make_valid_utf8(cast(...)), NOT F.decode('utf-8'):
+                # decode raises MALFORMED_CHARACTER_CODING on the first
+                # non-UTF-8 byte (latin-1 pages, binary 200 responses —
+                # routine in real crawls) and kills the whole tick, and
+                # the bare cast passes the invalid bytes through where
+                # the first Arrow kernel chokes on them; make_valid_utf8
+                # substitutes replacement chars per row JVM-side, keeping
+                # the per-row quarantine contract
+                df = df.withColumn(
+                    _dc, F.expr("make_valid_utf8(cast(payload as string))")
+                ).drop("payload")
             return df
     else:
         raise ValueError(f"unknown source.type {src_type!r}")

@@ -445,3 +445,48 @@ def test_yaml_warc_crawl_job_ticks_incrementally(spark, tmp_path):
     dag3 = build_job_dag(spark, Configuration.from_yaml(p))
     assert dag3.execute(spark) is True
     assert t.read().count() == 2
+
+
+def test_yaml_warc_non_utf8_payload_survives_the_tick(spark, tmp_path):
+    """A latin-1 (or binary) 200 response must not kill the tick: the
+    decode_payload_col bridge uses the lenient binary->string cast, so
+    the malformed bytes degrade to replacement characters in THEIR row
+    while every other page ingests normally."""
+    from marmaray_spark.sources.warc import write_warc_gz
+
+    body_ok = (b"<body><p>the quick brown fox jumps over the lazy dog "
+               b"while seven wizards brew strong coffee at dawn for "
+               b"everyone</p></body>")
+    body_latin1 = ("<body><p>caf\xe9 ole the quick brown fox jumps over "
+                   "the lazy dog while seven wizards brew strong coffee "
+                   "at dawn</p></body>").encode("latin-1")
+
+    def page(u, body):
+        payload = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                   f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        return ({"WARC-Type": "response", "WARC-Record-ID": f"<{u}>",
+                 "WARC-Target-URI": u}, payload)
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg-00000.warc.gz").write_bytes(
+        write_warc_gz([page("http://ex.com/ok", body_ok),
+                       page("http://ex.com/latin1", body_latin1)]))
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "warc_latin1_job"},
+        "source": {"type": "warc", "path": str(crawl),
+                   "decode_payload_col": "html", "http_ok_only": True},
+        "corpus": {"text_col": "text", "id_col": "target_uri",
+                   "html_col": "html", "gopher_gate": True},
+        "sink": {"type": "table", "path": str(tmp_path / "pages"),
+                 "record_key": "target_uri", "op": "dedup_insert"},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    })
+    p = tmp_path / "l1.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True          # the tick SURVIVES
+    t = TableSink(spark, tmp_path / "pages", record_key_field="target_uri")
+    rows = {r["target_uri"]: r["text"] for r in t.read().collect()}
+    assert "http://ex.com/ok" in rows
+    assert "quick brown fox" in rows["http://ex.com/ok"]

@@ -307,6 +307,7 @@ def test_crawl_ingest_pipeline_example(spark, tmp_path):
 
     r1 = crawl_tick(spark, wd, archive_dir)
     assert r1["archives"] == 2 and r1["records"] == 3
+    assert r1["kept"] == 2                    # spam page gated out
     from marmaray_spark.sinks.table import TableSink
     pages = TableSink(spark, os.path.join(wd, "pages"),
                       record_key_field="target_uri")
@@ -327,5 +328,5 @@ def test_crawl_ingest_pipeline_example(spark, tmp_path):
                                   "WARC-Target-URI": "http://new.net/c"},
                                  payload)]))
     r3 = crawl_tick(spark, wd, archive_dir)
-    assert r3["archives"] == 1
+    assert r3["archives"] == 1 and r3["kept"] == 1   # THIS tick only
     assert pages.read().count() == 3

@@ -190,7 +190,8 @@ def test_read_warc_records_and_forks(spark, tmp_path):
     # the first mile composes: WARC -> HTML -> text
     pages = (df.filter("ok AND http_status = 200")
              .select("target_uri",
-                     F.decode("payload", "utf-8").alias("html")))
+                     F.expr("make_valid_utf8(cast(payload as string))")
+                     .alias("html")))
     text = {r["target_uri"]: r for r in extract_text_from_html(
         pages, "target_uri").collect()}
     assert "quick brown fox" in text["http://example.com/a"]["text"]
