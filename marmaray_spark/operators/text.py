@@ -775,3 +775,57 @@ def compression_signals(df, id_col: str, text_col: str = "text",
                                 "ratio_bps": bps})
 
     return base.mapInPandas(kernel, out_schema)
+
+
+def adjacent_bigrams(words_col: str) -> Column:
+    """Adjacent word pairs as 'a b' strings, empty tokens dropped FIRST
+    so adjacency is over the real token stream (an empty split artifact
+    must not break a phrase in one engine and not the other). Same
+    descending-``sequence`` guard as ``word_shingles``."""
+    fw = f"filter({words_col}, x -> x != '')"
+    return F.expr(
+        f"IF(size({fw}) < 2, array(), "
+        f"transform(sequence(0, size({fw}) - 2), "
+        f"i -> concat({fw}[i], ' ', {fw}[i + 1])))")
+
+
+def collocation_lift(df: DataFrame, words_col: str,
+                     min_count: int = 3, top_k: int = 25) -> DataFrame:
+    """Phrase mining by integer lift: for each adjacent bigram 'a b',
+    ``lift_x1000 = (c_ab * n_tok * 1000) div (c_a * c_b)`` — the
+    word2phrase / PMI ranking (Mikolov et al. 2013 §4) with the floats
+    removed so the oracle recomputes it bit-for-bit. ``n_tok`` is the
+    total (non-empty) token count; c_a, c_b unigram counts; c_ab the
+    bigram count. Top-k by (lift desc, count desc, bigram asc) — a
+    total order, so the selected set is engine-exact.
+
+    Plan: two map-side-combined counts (unigrams, bigrams) + one 1-row
+    total, then two small joins keyed by the candidate bigram's words.
+    The ``min_count`` floor prunes the hapax tail BEFORE the joins —
+    at 100 TB that tail is most of the dictionary. int64 overflow note:
+    ``c_ab * n_tok * 1000`` needs c_ab * n_tok < 9.2e15; beyond that
+    (corpus over ~a trillion tokens with million-count bigrams) divide
+    n_tok's magnitude out first or move to decimal(38).
+    """
+    toks = (df.select(F.explode(F.expr(
+        f"filter({words_col}, x -> x != '')")).alias("t")))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    ntok = toks.select(F.count(F.lit(1)).alias("n_tok"))
+    bi = (df.select(F.explode(adjacent_bigrams(words_col)).alias("bg"))
+          .groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+          .filter(F.col("c_ab") >= min_count)
+          .withColumn("a", F.expr("split(bg, ' ')[0]"))
+          .withColumn("b", F.expr("split(bg, ' ')[1]")))
+    from marmaray_spark.operators import attach_scalar
+
+    scored = attach_scalar(
+        bi.join(uni.select(F.col("t").alias("a"),
+                           F.col("c1").alias("c_a")), "a")
+          .join(uni.select(F.col("t").alias("b"),
+                           F.col("c1").alias("c_b")), "b"),
+        ntok).select("bg", "c_ab",
+                     F.expr("(c_ab * n_tok * 1000) div (c_a * c_b)")
+                     .alias("lift_x1000"))
+    return (scored.orderBy(F.col("lift_x1000").desc(),
+                           F.col("c_ab").desc(), "bg")
+            .limit(top_k))

@@ -1306,27 +1306,107 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "term_heavy_hitters",
     f"""
-    SELECT term, COUNT(*) AS cnt
-    FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents)
-    WHERE term <> ''
-    GROUP BY term
-    ORDER BY cnt DESC, term
-    LIMIT 25
+    WITH fw AS (
+      SELECT list_filter({_SQL_WORDS}, x -> x <> '') AS w FROM documents
+    ), toks AS (SELECT unnest(w) AS t FROM fw
+    ), uni AS (SELECT t, COUNT(*) AS c1 FROM toks GROUP BY t
+    ), ntot AS (SELECT COUNT(*) AS n_tok FROM toks
+    ), top25 AS (
+      SELECT t AS term, c1 AS cnt, rn FROM (
+        SELECT t, c1, row_number() OVER (ORDER BY c1 DESC, t) AS rn
+        FROM uni) WHERE rn <= 25
+    ), cells AS (
+      SELECT j, ('0x' || substring(md5('cms' || CAST(j AS VARCHAR)
+                 || ':' || t), 1, 8))::BIGINT % 1024 AS cell,
+             COUNT(*) AS c
+      FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+      GROUP BY 1, 2
+    ), probe AS (
+      SELECT term, cnt, j,
+             ('0x' || substring(md5('cms' || CAST(j AS VARCHAR)
+              || ':' || term), 1, 8))::BIGINT % 1024 AS cell
+      FROM top25 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    ), est AS (
+      SELECT p.term, min(p.cnt) AS cnt, MIN(coalesce(c.c, 0)) AS est
+      FROM probe p LEFT JOIN cells c ON c.j = p.j AND c.cell = p.cell
+      GROUP BY p.term
+    ), bi AS (
+      SELECT bg, COUNT(*) AS c_ab FROM (
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i + 1])) AS bg
+        FROM fw) GROUP BY bg HAVING COUNT(*) >= 3
+    ), colloc AS (
+      SELECT bg, c_ab, lift, rn FROM (
+        SELECT bg, c_ab, lift,
+               row_number() OVER (ORDER BY lift DESC, c_ab DESC, bg) AS rn
+        FROM (
+          SELECT bg, c_ab,
+                 (c_ab * n_tok * 1000) // (ua.c1 * ub.c1) AS lift
+          FROM bi
+          JOIN uni ua ON ua.t = string_split(bg, ' ')[1]
+          JOIN uni ub ON ub.t = string_split(bg, ' ')[2]
+          CROSS JOIN ntot)) WHERE rn <= 25
+    )
+    SELECT 'exact' AS section, term, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rn AS BIGINT) AS score
+    FROM top25
+    UNION ALL
+    SELECT 'cms', term, CAST(cnt AS BIGINT), CAST(est AS BIGINT) FROM est
+    UNION ALL
+    SELECT 'colloc', bg, CAST(c_ab AS BIGINT), CAST(lift AS BIGINT)
+    FROM colloc
     """,
 )
 def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide heavy hitters: top-25 terms by frequency, ties broken
-    by term. Map-side partial aggregation does the heavy lifting; the
-    ordered limit is a TakeOrderedAndProject (per-partition top-k then a
-    25-row driver merge), never a global sort of the term dictionary."""
-    from marmaray_spark.operators.text import words
+    """Corpus term statistics at three cost tiers, tagged by section:
 
-    docs = load(spark, sf_dir, "documents")
-    return (docs.select(F.explode(words("text")).alias("term"))
-            .filter(F.col("term") != "")
-            .groupBy("term").agg(F.count("*").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "term")
-            .limit(25))
+    (a) 'exact' — top-25 terms by frequency (ties by term), score =
+    rank. Map-side partial aggregation + TakeOrderedAndProject
+    (per-partition top-k then a 25-row driver merge), never a global
+    sort of the term dictionary.
+
+    (b) 'cms' — the same 25 terms point-estimated from a 4x1024
+    count-min sketch (operators/cms.py): cnt = exact count, score =
+    sketch estimate. est >= cnt ALWAYS (collisions only inflate); the
+    oracle recomputes the sketch cell-for-cell, so the gate checks the
+    estimator itself, not just the property. At 100 TB the sketch —
+    4096 mergeable cells however large the dictionary — replaces the
+    exact count table for streaming/rollup term stats.
+
+    (c) 'colloc' — top-25 adjacent-bigram collocations by integer lift
+    (operators/text.py collocation_lift, the word2phrase/PMI ranking
+    with floats removed): cnt = bigram count, score = lift_x1000. The
+    min_count floor prunes the hapax tail before any join.
+
+    All three sections share ONE tokenization (empty tokens dropped
+    before counting AND pairing, so bigram adjacency is over the real
+    token stream in both engines)."""
+    from marmaray_spark.operators.cms import cms_build, cms_lookup
+    from marmaray_spark.operators.text import collocation_lift, words
+
+    docs = (load(spark, sf_dir, "documents")
+            .select(words("text").alias("w")))
+    toks = docs.select(
+        F.explode(F.expr("filter(w, x -> x != '')")).alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    top = uni.orderBy(F.col("cnt").desc(), "t").limit(25)
+    w25 = W.orderBy(F.col("cnt").desc(), "t")
+    exact = (top.withColumn("score", F.row_number().over(w25)
+                            .cast("long"))
+             .select(F.lit("exact").alias("section"),
+                     F.col("t").alias("term"), "cnt", "score"))
+    sketch = cms_build(toks, "t", depth=4, width=1024)
+    cms = (cms_lookup(sketch, top, "t", depth=4, width=1024)
+           .join(top, "t")
+           .select(F.lit("cms").alias("section"),
+                   F.col("t").alias("term"), "cnt",
+                   F.col("cms_est").alias("score")))
+    colloc = (collocation_lift(docs, "w", min_count=3, top_k=25)
+              .select(F.lit("colloc").alias("section"),
+                      F.col("bg").alias("term"),
+                      F.col("c_ab").alias("cnt"),
+                      F.col("lift_x1000").alias("score")))
+    return exact.unionByName(cms).unionByName(colloc)
 
 
 @register(
@@ -3671,6 +3751,40 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_embed_only"))
 
 
+# Unrolled integer power iteration (operators/web.py pagerank_integer's
+# oracle twin): r{{k+1}}(v) = teleport + 85 * SUM_{{u->v}} (r{{k}}(u) //
+# outdeg(u)) // 100, all floor division — engine-exact, no floats.
+_SQL_PAGERANK_ITERS = "".join(
+    f""", r{k + 1} AS (
+        SELECT nd.node, ((1000000000000 * 15 // 100) // nn.n)
+               + (85 * coalesce(s.s, 0)) // 100 AS rank
+        FROM nd CROSS JOIN nn LEFT JOIN (
+          SELECT ew.dst AS node, SUM(r{k}.rank // ew.outdeg) AS s
+          FROM ew JOIN r{k} ON r{k}.node = ew.src GROUP BY ew.dst) s
+          USING (node)
+      )"""
+    for k in range(5))
+
+_SQL_PAGERANK = f"""
+      WITH e AS (
+        SELECT 'd' || CAST(doc_id % 211 AS VARCHAR) AS src,
+               'd' || CAST((doc_id * 7919 + 13) % 211 AS VARCHAR) AS dst
+        FROM documents
+      ), nd AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      ), nn AS (SELECT COUNT(*) AS n FROM nd
+      ), ew AS (
+        SELECT e.src, e.dst, od.outdeg
+        FROM e JOIN (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)
+          AS od USING (src)
+      ), r0 AS (
+        SELECT node, 1000000000000 // nn.n AS rank FROM nd CROSS JOIN nn
+      ){_SQL_PAGERANK_ITERS}
+      SELECT node, rank FROM r5
+"""
+
+
 @register(
     "language_report",
     f"""
@@ -3782,6 +3896,10 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT domain, 'token_bps', CAST(toks * 10000 // tot AS BIGINT)
       FROM dom CROSS JOIN dtot
     )
+    UNION ALL
+    SELECT 'pagerank', node, 'rank_x1e12', CAST(rank AS BIGINT),
+           CAST(row_number() OVER (ORDER BY rank DESC, node) AS INT)
+    FROM ({_SQL_PAGERANK})
     """,
 )
 def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3807,10 +3925,18 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern) are canonicalized expression-only, rolled up per
     registrable domain into n_docs / distinct canonical n_urls /
     dup_docs / token_bps share — one groupBy at domain cardinality,
-    corpus-total tokens on a 1-row broadcast."""
+    corpus-total tokens on a 1-row broadcast. Section (e) 'pagerank' is
+    the CRAWL-FRONTIER ranking (operators/web.py pagerank_integer):
+    5-step integer power iteration over a deterministic doc-derived
+    link graph (the synth-edge pattern of the URL/media sections —
+    node = doc_id % 211, link = affine-mixed residue), n = the fixed
+    point rank in 1e-12 units, rank = frontier position. The oracle
+    re-runs all five iterations as unrolled CTEs in the same floor
+    arithmetic, so the gate checks the iteration itself."""
     from marmaray_spark.operators.drift import term_drift
     from marmaray_spark.operators.text import lang_id, words
-    from marmaray_spark.operators.web import domain_report
+    from marmaray_spark.operators.web import (domain_report,
+                                              pagerank_integer)
 
     docs = load(spark, sf_dir, "documents")
     conf = (_with_words(docs)
@@ -3857,8 +3983,21 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "'token_bps', cast(token_bps as bigint)) "
                            "AS (item, n)")
                .withColumn("rank", F.lit(0).cast("int")))
+    edges = docs.select(
+        F.concat(F.lit("d"), (F.col("doc_id") % 211).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("d"),
+                 ((F.col("doc_id") * 7919 + 13) % 211).cast("string"))
+        .alias("dst"))
+    pr = pagerank_integer(edges, "src", "dst", iters=5)
+    prs = (pr.select(F.lit("pagerank").alias("section"),
+                     F.col("node").alias("grp"),
+                     F.lit("rank_x1e12").alias("item"),
+                     F.col("rank").alias("n"))
+           .withColumn("rank", F.row_number().over(
+               W.orderBy(F.col("n").desc(), "grp")).cast("int")))
     return (conf.unionByName(terms).unionByName(drift)
-            .unionByName(domains))
+            .unionByName(domains).unionByName(prs))
 
 
 # ---------------------------------------------------------------------------

@@ -2059,3 +2059,106 @@ def test_leakage_safe_splits_bps_validation_and_edges(spark):
     assert {r["split"] for r in out} <= {"train", "test"}
     with pytest.raises(ValueError):
         leakage_safe_splits(df, "component", val_bps=6000, test_bps=6000)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (operators/cms.py)
+# ---------------------------------------------------------------------------
+
+def _cms_cell_mirror(term: str, row: int, width: int) -> int:
+    import hashlib
+    h = hashlib.md5(f"cms{row}:{term}".encode()).hexdigest()
+    return int(h[:8], 16) % width
+
+
+def test_cms_never_underestimates_and_matches_mirror(spark):
+    from marmaray_spark.operators.cms import cms_build, cms_lookup
+
+    rows = [(f"t{i % 23}",) for i in range(500)] + [("rare",)] * 3
+    df = spark.createDataFrame(rows, "t string")
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    sketch = cms_build(df, "t", depth=4, width=64)  # narrow => collisions
+    # the sketch itself matches a serial mirror cell-for-cell
+    mirror_cells = {}
+    for t, c in exact.items():
+        for j in range(4):
+            key = (j, _cms_cell_mirror(t, j, 64))
+            mirror_cells[key] = mirror_cells.get(key, 0) + c
+    got_cells = {(r["row"], r["cell"]): r["cnt"] for r in sketch.collect()}
+    assert got_cells == mirror_cells
+    cand = spark.createDataFrame([(t,) for t in exact], "t string")
+    est = {r["t"]: r["cms_est"]
+           for r in cms_lookup(sketch, cand, "t", depth=4, width=64)
+           .collect()}
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c)
+        assert est[t] == min(got_cells[(j, _cms_cell_mirror(t, j, 64))]
+                             for j in range(4))
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    from marmaray_spark.operators.cms import cms_build, cms_merge
+
+    a = spark.createDataFrame([(f"w{i % 7}",) for i in range(80)],
+                              "t string")
+    b = spark.createDataFrame([(f"w{i % 11}",) for i in range(90)],
+                              "t string")
+    merged = {(r["row"], r["cell"]): r["cnt"]
+              for r in cms_merge(cms_build(a, "t"), cms_build(b, "t"))
+              .collect()}
+    union = {(r["row"], r["cell"]): r["cnt"]
+             for r in cms_build(a.unionByName(b), "t").collect()}
+    assert merged == union
+
+
+def test_cms_unseen_term_estimates_zero_with_headroom(spark):
+    from marmaray_spark.operators.cms import cms_build, cms_lookup
+
+    df = spark.createDataFrame([("alpha",), ("beta",)], "t string")
+    sketch = cms_build(df, "t", depth=4, width=1024)
+    cand = spark.createDataFrame([("never-seen-term-xyz",)], "t string")
+    est = cms_lookup(sketch, cand, "t", depth=4, width=1024).collect()
+    # 2 terms in 4x1024 cells: all 4 probed cells of a foreign term
+    # colliding is (2/1024)^4-improbable AND deterministic — pinned
+    assert est[0]["cms_est"] == 0
+
+
+# ---------------------------------------------------------------------------
+# collocation lift (operators/text.py collocation_lift)
+# ---------------------------------------------------------------------------
+
+def test_collocation_lift_matches_bruteforce(spark):
+    from marmaray_spark.operators.text import collocation_lift
+
+    texts = [
+        "new york is a big city",
+        "new york has new ideas and new york wins",
+        "the city is big and the city is loud",
+        "big city big city big city",
+        "  spaced   out  tokens new york  ",
+    ]
+    df = (spark.createDataFrame([(t,) for t in texts], "text string")
+          .select(F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                  .alias("w")))
+    got = [(r["bg"], r["c_ab"], r["lift_x1000"])
+           for r in collocation_lift(df, "w", min_count=2, top_k=5)
+           .collect()]
+
+    toks, bgs = [], []
+    for t in texts:
+        ws = [x for x in t.strip().lower().split() if x]
+        toks += ws
+        bgs += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    uni = {t: toks.count(t) for t in set(toks)}
+    cab = {b: bgs.count(b) for b in set(bgs)}
+    n = len(toks)
+    want = sorted(
+        ((bg, c, (c * n * 1000) // (uni[a] * uni[b]))
+         for bg, c in cab.items() if c >= 2
+         for a, b in [bg.split(" ")]),
+        key=lambda r: (-r[2], -r[1], r[0]))[:5]
+    assert got == want
+    # the signature phrase is found and ranks by lift, not raw count
+    assert any(bg == "new york" for bg, _, _ in got)

@@ -145,9 +145,13 @@ def test_no_allpairs_plan_in_any_declared_query(spark):
     # language_report's domain section attaches the 1-row corpus token
     # total (operators/web.py domain_report); sampling_methods' dsir
     # section attaches the 1-row LM floors and the histogram-cutoff
-    # scalar (operators/dsir.py) — all via operators.attach_scalar,
-    # whose docstring records why the 1-row BNLJ is the honest plan
+    # scalar (operators/dsir.py); term_heavy_hitters' colloc section
+    # attaches the 1-row corpus token total to the min_count-floored
+    # candidate bigrams (operators/text.py collocation_lift) — all via
+    # operators.attach_scalar, whose docstring records why the 1-row
+    # BNLJ is the honest plan
     allowed_bnlj = {"embedding_topk_bruteforce",
+                    "term_heavy_hitters",
                     "validate_required_keys_valid",
                     "table_incremental_cdc",
                     "bm25_topical_ranking",

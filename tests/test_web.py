@@ -329,3 +329,77 @@ def test_warc_streaming_ingest_exactly_once(spark, tmp_path):
     assert {r["target_uri"] for r in rows2 if r["ok"]} \
         == {"u://a", "u://b", "u://c"}
     assert len(rows2) == len(rows) + 1
+
+
+# ---------------------------------------------------------------------------
+# pagerank_integer: crawl-frontier ranking by integer power iteration
+# ---------------------------------------------------------------------------
+
+def _pagerank_mirror(edges, iters=5, scale=10 ** 12, damping_pct=85):
+    """Serial dict mirror of operators/web.py pagerank_integer — the
+    same floor arithmetic, no Spark."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    teleport = (scale * (100 - damping_pct) // 100) // n
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += rank[a] // outdeg[a]
+        rank = {v: teleport + (damping_pct * s[v]) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_integer_matches_serial_mirror(spark):
+    from marmaray_spark.operators.web import pagerank_integer
+
+    # affine-mixed residue graph, same family as the declared query's
+    import random
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(37)}", f"n{(i * 13 + 5) % 37}")
+             for i in range(400)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_integer(df, iters=5).collect()}
+    assert got == _pagerank_mirror(edges, iters=5)
+
+
+def test_pagerank_integer_star_graph_ranks_hub_first(spark):
+    from marmaray_spark.operators.web import pagerank_integer
+
+    # every leaf links to the hub: the hub must out-rank every leaf,
+    # and all leaves (teleport-only) must tie exactly
+    edges = [(f"leaf{i}", "hub") for i in range(20)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank_integer(df, iters=5).collect()}
+    leaf_ranks = {v for k, v in ranks.items() if k != "hub"}
+    assert len(leaf_ranks) == 1
+    assert ranks["hub"] > leaf_ranks.pop()
+
+
+def test_pagerank_integer_mass_is_bounded_and_nearly_conserved(spark):
+    from marmaray_spark.operators.web import pagerank_integer
+
+    # a strongly connected ring conserves mass up to floor-division
+    # leak: each step floors at most once per node (teleport), once per
+    # node (div 100) and once per edge (div outdeg) = 48 units here,
+    # and prior-step losses decay by 0.85 -> total leak < 48/0.15 = 320
+    scale = 10 ** 12
+    edges = [(f"r{i}", f"r{(i + 1) % 16}") for i in range(16)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    total = sum(r["rank"]
+                for r in pagerank_integer(df, iters=5, scale=scale)
+                .collect())
+    assert total <= scale
+    assert total >= scale - 320
+
+
+def test_pagerank_integer_empty_edges(spark):
+    from marmaray_spark.operators.web import pagerank_integer
+
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_integer(df).count() == 0
