@@ -147,9 +147,15 @@ def extract_text_from_html(df: DataFrame, id_col: str,
     comments, and CDATA), entities decode via its built-in handling.
     Output per row: title, text (kept blocks joined by newline),
     n_blocks / n_kept, link_bps (link-text char mass of the RAW page —
-    a page-level chrome signal), ok/err (a pathological payload forks
-    its row, never the task). 100 TB posture: embarrassingly parallel
-    per row, no shuffle, html bytes never leave their executor."""
+    a page-level chrome signal), link_hosts (the distinct lowercased
+    hosts of absolute/protocol-relative ``<a href>`` targets, sorted —
+    the raw material of the host graph ``pagerank_integer`` ranks the
+    crawl frontier with; relative / javascript: / mailto: links carry
+    no cross-host signal and are skipped), ok/err (a pathological
+    payload forks its row, never the task). 100 TB posture:
+    embarrassingly parallel per row, no shuffle, html bytes never
+    leave their executor."""
+    import re as _re
     from html.parser import HTMLParser
 
     import pandas as pd
@@ -159,7 +165,28 @@ def extract_text_from_html(df: DataFrame, id_col: str,
     out_schema = ", ".join(
         [f"{id_col} {id_type}"] + [f"{c} {t}" for c, t in pt]
         + ["title string", "text string", "n_blocks int", "n_kept int",
-           "link_bps int", "ok boolean", "err string"])
+           "link_bps int", "link_hosts array<string>",
+           "ok boolean", "err string"])
+
+    def href_host(href):
+        """Lowercased, port- and userinfo-free host of an absolute or
+        protocol-relative href; None for everything else (matches
+        ``url_host``'s normalization so extracted edges join cleanly
+        against canonicalized page URLs)."""
+        h = (href or "").strip()
+        low = h.lower()
+        if low.startswith("http://"):
+            rest = h[7:]
+        elif low.startswith("https://"):
+            rest = h[8:]
+        elif h.startswith("//"):
+            rest = h[2:]
+        else:
+            return None
+        netloc = _re.split(r"[/?#]", rest, 1)[0]
+        netloc = netloc.rsplit("@", 1)[-1].lower()
+        netloc = _re.sub(r":[0-9]+$", "", netloc)
+        return netloc or None
 
     SKIP = {"script", "style", "noscript", "template", "svg", "head"}
     BLOCK = {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "br",
@@ -177,6 +204,7 @@ def extract_text_from_html(df: DataFrame, id_col: str,
             self.link_depth = 0
             self.in_title = False
             self.title = ""
+            self.hosts: set[str] = set()
 
         def _flush(self):
             text = " ".join("".join(self.cur).split())
@@ -189,6 +217,12 @@ def extract_text_from_html(df: DataFrame, id_col: str,
                 self.skip_depth += 1
             elif tag == "a":
                 self.link_depth += 1
+                for name, value in attrs:
+                    if name == "href":
+                        host = href_host(value)
+                        if host:
+                            self.hosts.add(host)
+                        break
             elif tag == "title":
                 self.in_title = True
             if tag in BLOCK:
@@ -235,7 +269,8 @@ def extract_text_from_html(df: DataFrame, id_col: str,
             kept.append(text)
         return (" ".join(ex.title.split()), "\n".join(kept),
                 len(ex.blocks), len(kept),
-                link_chars * 10000 // max(total_chars, 1))
+                link_chars * 10000 // max(total_chars, 1),
+                sorted(ex.hosts))
 
     def kernel(batches):
         for pdf in batches:
@@ -244,7 +279,7 @@ def extract_text_from_html(df: DataFrame, id_col: str,
                 try:
                     res.append(one(payload) + (True, None))
                 except Exception as e:   # the parser is tolerant; a raise
-                    res.append(("", "", 0, 0, 0, False,   # here is exotic
+                    res.append(("", "", 0, 0, 0, [], False,  # is exotic
                                 f"{type(e).__name__}: {e}"))
             out = {id_col: pdf[id_col].to_numpy()}
             for c, _t in pt:
@@ -256,8 +291,9 @@ def extract_text_from_html(df: DataFrame, id_col: str,
                 "n_blocks": [r[2] for r in res],
                 "n_kept": [r[3] for r in res],
                 "link_bps": [r[4] for r in res],
-                "ok": [r[5] for r in res],
-                "err": [r[6] for r in res],
+                "link_hosts": [r[5] for r in res],
+                "ok": [r[6] for r in res],
+                "err": [r[7] for r in res],
             })
 
     return df.select(id_col, *passthrough, html_col) \
@@ -319,3 +355,21 @@ def pagerank_integer(edges: DataFrame, src_col: str = "src",
                           + F.expr(f"({damping_pct} * coalesce(s, 0L)) "
                                    f"div 100")).alias("rank")))
     return ranks
+
+
+def link_host_edges(pages: DataFrame, url_col: str,
+                    hosts_col: str = "link_hosts",
+                    drop_self: bool = True) -> DataFrame:
+    """Host-graph edge list from extracted pages: one (src, dst) row per
+    out-link host — ``src`` = the page's own host (``url_host``
+    normalization), ``dst`` = each entry of the extractor's
+    ``link_hosts``. Self-links (intra-site nav, the bulk of most pages)
+    are dropped by default: they carry no frontier signal and inflate a
+    site's own rank. Feed the result to ``pagerank_integer``.
+
+    Expression-only (one explode + filter); dedup/weighting is the
+    caller's choice — PageRank over the multigraph weights a repeated
+    link naturally."""
+    e = pages.select(url_host(url_col).alias("src"),
+                     F.explode(hosts_col).alias("dst"))
+    return e.filter(F.col("src") != F.col("dst")) if drop_self else e

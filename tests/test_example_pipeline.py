@@ -330,3 +330,14 @@ def test_crawl_ingest_pipeline_example(spark, tmp_path):
     r3 = crawl_tick(spark, wd, archive_dir)
     assert r3["archives"] == 1 and r3["kept"] == 1   # THIS tick only
     assert pages.read().count() == 3
+
+    # the host graph accrued from REAL extracted hrefs across ticks:
+    # ex.com/a -> {hub.example.com, ex.org}, ex.org/b -> hub.example.com
+    # (spam page gated out before it can vote; tick-3 page is linkless);
+    # the frontier ranks the twice-linked hub first
+    from crawl_ingest_pipeline import frontier_report
+    assert r1["edges"] == 3 and r2["edges"] == 0 and r3["edges"] == 0
+    frontier = frontier_report(spark, wd).collect()
+    assert frontier[0]["node"] == "hub.example.com"
+    ranks = {r["node"]: r["rank"] for r in frontier}
+    assert ranks["hub.example.com"] > ranks["ex.org"] > ranks["ex.com"]

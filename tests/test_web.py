@@ -403,3 +403,41 @@ def test_pagerank_integer_empty_edges(spark):
 
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank_integer(df).count() == 0
+
+
+def test_extract_link_hosts_absolute_only(spark):
+    """link_hosts: absolute and protocol-relative hrefs yield their
+    lowercased port-free hosts (distinct, sorted); relative, fragment,
+    javascript: and mailto: targets — no cross-host signal — don't."""
+    from marmaray_spark.operators.web import extract_text_from_html
+
+    page = """<body>
+      <a href="http://Ex.COM:80/a">x</a>
+      <a href="https://user:pw@Peer.ORG/path?q=1#f">y</a>
+      <a href="//proto.net/rel">z</a>
+      <a href="/relative">no</a> <a href="#frag">no</a>
+      <a href="javascript:void(0)">no</a> <a href="mailto:a@b.c">no</a>
+      <a href="http://ex.com/b">dup host</a>
+      <a name="anchor-without-href">no</a>
+      <p>enough words that this block clears the content floor fine</p>
+    </body>"""
+    df = spark.createDataFrame([(1, page), (2, "<p>no links here at all"
+                                               " but plenty of words</p>")],
+                               "doc_id long, html string")
+    got = {r["doc_id"]: r for r in
+           extract_text_from_html(df, "doc_id").collect()}
+    assert got[1]["link_hosts"] == ["ex.com", "peer.org", "proto.net"]
+    assert got[2]["link_hosts"] == []
+
+
+def test_link_host_edges_drops_self_links(spark):
+    from marmaray_spark.operators.web import link_host_edges
+
+    df = spark.createDataFrame(
+        [("http://a.com/p", ["a.com", "b.org", "c.net"]),
+         ("https://b.org/q", ["b.org"])],
+        "url string, link_hosts array<string>")
+    got = {(r["src"], r["dst"])
+           for r in link_host_edges(df, "url").collect()}
+    assert got == {("a.com", "b.org"), ("a.com", "c.net")}
+    assert link_host_edges(df, "url", drop_self=False).count() == 4
