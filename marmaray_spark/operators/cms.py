@@ -92,3 +92,182 @@ def cms_lookup(sketch: DataFrame, terms: DataFrame, term_col: str,
             # min of whatever cells happen to exist
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# Maintained twin: a term sketch kept in sync with a corpus table's
+# commit log by pure cell arithmetic — the first LINEAR maintainer in
+# the family. Projections re-derive affected rows and rollups re-scan
+# affected groups; a CMS needs neither: cells are counters, so an
+# update is "+after-image terms, -displaced-version terms" and the
+# maintained sketch stays EXACTLY cms_build(current corpus) at
+# change-batch cost, with no affected-key rescan of the base at all.
+# ---------------------------------------------------------------------------
+
+_CMS_META_PREFIX = "term_sketch."
+_CMS_DEFAULTS = {"depth": 4, "width": 1024}
+
+
+def sketch_commit_meta(depth: int, width: int,
+                       consumed_through: str) -> dict[str, str]:
+    """Commit-metadata stamp for ``maintain_term_sketch``: the hash
+    geometry (a sketch probed or merged under different (depth, width)
+    is silently garbage — the incdedup param-drift lesson,
+    operators/incdedup.py) plus the last base commit folded in (the
+    crash-replay fence — see maintain_term_sketch)."""
+    return {_CMS_META_PREFIX + "depth": str(depth),
+            _CMS_META_PREFIX + "width": str(width),
+            _CMS_META_PREFIX + "consumed_through": consumed_through}
+
+
+def sketch_params(sketch) -> dict | None:
+    """(depth, width, consumed_through) recorded on the sketch table's
+    latest commit; None for an empty/pre-stamp table."""
+    meta = sketch.log.latest_metadata()
+    if _CMS_META_PREFIX + "depth" not in meta:
+        return None
+    return {"depth": int(meta[_CMS_META_PREFIX + "depth"]),
+            "width": int(meta[_CMS_META_PREFIX + "width"]),
+            "consumed_through":
+                meta.get(_CMS_META_PREFIX + "consumed_through", "")}
+
+
+def _signed_cells(df: DataFrame, text_col: str, depth: int, width: int,
+                  sign: int) -> DataFrame:
+    """(row, cell, d=sign) per term occurrence of ``df``'s text —
+    tokenized exactly like the declared query path (lowercase,
+    whitespace split, empties dropped)."""
+    # F.split gets the regex verbatim — an expr() string literal's
+    # backslash handling depends on spark.sql.parser.escapedStringLiterals
+    toks = (df.select(F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("t"))
+        .filter(F.col("t") != ""))
+    cells = toks.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("row"),
+                 cms_cell(F.col("t"), j, width).alias("cell"))
+        for j in range(depth)])).alias("rc"))
+    return cells.select(F.col("rc.row").alias("row"),
+                        F.col("rc.cell").alias("cell"),
+                        F.lit(sign).alias("d"))
+
+
+def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
+                         depth: int = 4, width: int = 1024,
+                         checkpoint_key: str = "term_sketch.last_commit",
+                         max_commits: int | None = None) -> int:
+    """Advance the sketch by the base table's new commits; returns
+    touched cells (0 = nothing new). ``sketch`` is a TableSink keyed by
+    ``cell_key`` with columns (cell_key, row, cell, cnt).
+
+    Per commit the delta is exact: after-image terms increment; for
+    updated keys the displaced version (read from the commit's removes
+    manifest, which copy-on-write keeps on disk until vacuum) and for
+    overwrite-dropped keys the final pre-image decrement. Unchanged
+    rows carried across a slice rewrite keep their original commit
+    stamp, so they appear in neither side. The net cell deltas then
+    UPSERT onto the existing counters — one change-scale pass, never a
+    base rescan; a cell at 0 keeps its row (the table is bounded at
+    depth*width rows regardless).
+
+    Crash-replay: a relative (+=) maintainer is NOT naturally
+    idempotent, so every sketch commit stamps the newest base commit it
+    folded in (``consumed_through``); when a crash lands the sketch
+    commit but not the checkpoint, the next run sees the stamp ahead of
+    the checkpoint, fast-forwards the checkpoint instead of re-adding,
+    and stays exact. Geometry drift (a sketch maintained under one
+    (depth, width), advanced under another) is refused loudly."""
+    from marmaray_spark.sinks.table import WriteOp
+
+    prior = sketch_params(sketch)
+    if prior is not None and (prior["depth"] != depth
+                              or prior["width"] != width):
+        raise ValueError(
+            f"sketch maintained with depth={prior['depth']} "
+            f"width={prior['width']}; refusing to fold deltas hashed "
+            f"with depth={depth} width={width} — rebuild instead")
+    if prior is not None and prior["consumed_through"] > \
+            (metadata.get(checkpoint_key) or ""):
+        # the previous run committed the sketch, then crashed before
+        # persisting the checkpoint: absorb, don't double-count
+        metadata.set(checkpoint_key, prior["consumed_through"])
+        metadata.save_changes()
+    batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
+                                   max_commits=max_commits)
+    if not batches:
+        return 0
+    commits_by_id = {c.commit_id: c for c in base.log.commits()}
+    deltas = []
+    for cid, change_df in batches:
+        deltas.append(_signed_cells(change_df, text_col, depth, width, 1))
+        commit = commits_by_id[cid]
+        if not commit.removes:
+            continue  # pure append: nothing displaced
+        missing = [s for s in commit.removes
+                   if not (base.table_path / s).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
+                "the sketch cannot subtract the displaced terms — lower "
+                "the consumer lag or raise vacuum retain_last_n_commits")
+        pre = (base.spark.read.option("mergeSchema", "true")
+               .parquet(*[str(base.table_path / s) for s in commit.removes])
+               .select(base.key, text_col))
+        updated = (change_df.filter(F.col("change_op") == "update")
+                   .select(base.key))
+        post = base.read(as_of=cid).select(base.key)
+        displaced = (pre.join(updated, base.key, "left_semi")
+                     .unionByName(pre.join(post, base.key, "left_anti")))
+        deltas.append(_signed_cells(displaced, text_col, depth, width, -1))
+    delta = deltas[0]
+    for d in deltas[1:]:
+        delta = delta.unionByName(d)
+    delta = (delta.groupBy("row", "cell")
+             .agg(F.sum("d").alias("delta"))
+             .filter(F.col("delta") != 0))
+    if not sketch.is_empty():
+        delta = (delta.join(sketch.read().select("row", "cell", "cnt"),
+                            ["row", "cell"], "left")
+                 .select("row", "cell",
+                         (F.coalesce(F.col("cnt"), F.lit(0))
+                          + F.col("delta")).alias("delta")))
+    merged = (delta.select(
+        F.concat_ws(":", "row", "cell").alias("cell_key"),
+        "row", "cell", F.col("delta").cast("long").alias("cnt"))
+        .persist())
+    try:
+        n = merged.count()
+        if n:
+            sketch.write(merged, WriteOp.UPSERT,
+                         metadata=sketch_commit_meta(
+                             depth, width, batches[-1][0]))
+    finally:
+        merged.unpersist()
+    metadata.save_changes()
+    return n
+
+
+def sketch_estimates(sketch, terms: DataFrame, term_col: str,
+                     depth: int | None = None,
+                     width: int | None = None) -> DataFrame:
+    """Probe a MAINTAINED sketch: estimates for a candidate term list.
+    Geometry defaults from (and explicit arguments are validated
+    against) the params stamped on the sketch's commits — a probe
+    hashed under the wrong (depth, width) never matches a cell and
+    silently reports 0 for everything, the failure mode the stamp
+    exists to prevent."""
+    stamped = sketch_params(sketch)
+    if stamped is None:
+        if depth is None or width is None:
+            raise ValueError("sketch has no stamped params; pass "
+                             "depth and width explicitly")
+    else:
+        if depth is not None and depth != stamped["depth"]:
+            raise ValueError(f"probe depth={depth} != maintained "
+                             f"depth={stamped['depth']}")
+        if width is not None and width != stamped["width"]:
+            raise ValueError(f"probe width={width} != maintained "
+                             f"width={stamped['width']}")
+        depth = stamped["depth"]
+        width = stamped["width"]
+    return cms_lookup(sketch.read().select("row", "cell", "cnt"),
+                      terms, term_col, depth=depth, width=width)

@@ -2162,3 +2162,130 @@ def test_collocation_lift_matches_bruteforce(spark):
     assert got == want
     # the signature phrase is found and ranks by lift, not raw count
     assert any(bg == "new york" for bg, _, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# maintained term sketch (operators/cms.py maintain_term_sketch): the
+# linear maintainer — cell increments/decrements keep the sketch EXACTLY
+# cms_build(current corpus) across inserts, updates, and overwrite-drops,
+# with no base rescan
+# ---------------------------------------------------------------------------
+
+def _cms_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _cms_full(base_df):
+    from marmaray_spark.operators.cms import cms_build
+    # NB: F.split takes the regex verbatim; an expr() string literal
+    # would eat the backslash ('\s+' parses to 's+')
+    toks = (base_df.select(F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"))
+        .filter(F.col("t") != ""))
+    return {(r["row"], r["cell"]): r["cnt"]
+            for r in cms_build(toks, "t", depth=4, width=64).collect()}
+
+
+def _cms_cells(sketch):
+    return {(r["row"], r["cell"]): r["cnt"]
+            for r in sketch.read().collect() if r["cnt"] != 0}
+
+
+def test_maintained_sketch_tracks_insert_update_and_overwrite(
+        spark, tmp_path):
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.cms import maintain_term_sketch
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    sketch = TableSink(spark, tmp_path / "sk", "cell_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    base.write(_cms_docs(spark, [(1, "alpha beta beta"),
+                                 (2, "gamma delta")]), WriteOp.INSERT)
+    assert maintain_term_sketch(base, sketch, md, depth=4, width=64) > 0
+    assert _cms_cells(sketch) == _cms_full(base.read())
+
+    # update doc 1 (old terms must decrement, new increment); add doc 3
+    base.write(_cms_docs(spark, [(1, "epsilon zeta")]), WriteOp.UPSERT)
+    base.write(_cms_docs(spark, [(3, "alpha alpha eta")]), WriteOp.INSERT)
+    maintain_term_sketch(base, sketch, md, depth=4, width=64)
+    assert _cms_cells(sketch) == _cms_full(base.read())
+
+    # overwrite drops doc 2 entirely: its terms must leave the sketch
+    keep = base.read().filter(F.col("doc_id") != 2) \
+        .select("doc_id", "text")
+    base.write(keep, WriteOp.INSERT_OVERWRITE)
+    maintain_term_sketch(base, sketch, md, depth=4, width=64)
+    assert _cms_cells(sketch) == _cms_full(base.read())
+    # nothing new -> no-op
+    assert maintain_term_sketch(base, sketch, md, depth=4, width=64) == 0
+
+
+def test_maintained_sketch_crash_replay_does_not_double_count(
+        spark, tmp_path):
+    """The += maintainer's replay fence: sketch commit lands, the
+    consumer checkpoint does NOT (crash between) — the next run must
+    fast-forward past the stamped consumed_through commit instead of
+    folding the same delta twice."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.cms import maintain_term_sketch
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    sketch = TableSink(spark, tmp_path / "sk", "cell_key")
+    md_dir = str(tmp_path / "md")
+
+    class CrashyMd(FileSystemMetadataManager):
+        def save_changes(self):
+            raise RuntimeError("simulated crash before checkpoint")
+
+    base.write(_cms_docs(spark, [(1, "alpha beta")]), WriteOp.INSERT)
+    maintain_term_sketch(base, sketch,
+                         FileSystemMetadataManager(md_dir),
+                         depth=4, width=64)
+
+    base.write(_cms_docs(spark, [(2, "beta gamma")]), WriteOp.INSERT)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        maintain_term_sketch(base, sketch, CrashyMd(md_dir),
+                             depth=4, width=64)
+    # sketch already holds batch 2; checkpoint says it doesn't
+    assert _cms_cells(sketch) == _cms_full(base.read())
+
+    # recovery run with a fresh manager: must NOT re-add batch 2
+    maintain_term_sketch(base, sketch, FileSystemMetadataManager(md_dir),
+                         depth=4, width=64)
+    assert _cms_cells(sketch) == _cms_full(base.read())
+
+    # and new work still flows after the fence
+    base.write(_cms_docs(spark, [(3, "delta")]), WriteOp.INSERT)
+    maintain_term_sketch(base, sketch, FileSystemMetadataManager(md_dir),
+                         depth=4, width=64)
+    assert _cms_cells(sketch) == _cms_full(base.read())
+
+
+def test_maintained_sketch_refuses_geometry_drift_and_probes(
+        spark, tmp_path):
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.cms import (maintain_term_sketch,
+                                              sketch_estimates)
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    sketch = TableSink(spark, tmp_path / "sk", "cell_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    base.write(_cms_docs(spark, [(1, "alpha beta beta gamma")]),
+               WriteOp.INSERT)
+    maintain_term_sketch(base, sketch, md, depth=4, width=64)
+
+    base.write(_cms_docs(spark, [(2, "x")]), WriteOp.INSERT)
+    with pytest.raises(ValueError, match="refusing to fold"):
+        maintain_term_sketch(base, sketch, md, depth=4, width=128)
+
+    cand = spark.createDataFrame([("beta",), ("nope",)], "t string")
+    est = {r["t"]: r["cms_est"] for r in
+           sketch_estimates(sketch, cand, "t").collect()}
+    assert est["beta"] >= 2 and est["nope"] == 0
+    with pytest.raises(ValueError, match="probe width"):
+        sketch_estimates(sketch, cand, "t", width=128)
