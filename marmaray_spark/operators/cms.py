@@ -39,23 +39,31 @@ def cms_cell(term: Column, row: int, width: int) -> Column:
 
 
 def cms_build(df: DataFrame, term_col: str, depth: int = 4,
-              width: int = 1024) -> DataFrame:
-    """Build the sketch over one term occurrence per input row.
+              width: int = 1024,
+              weight_col: str | None = None) -> DataFrame:
+    """Build the sketch: one term occurrence per input row, or — with
+    ``weight_col`` — pre-aggregated (term, count) rows, each
+    incrementing its cells by the count. The two forms are EXACTLY
+    equal; feed an already-computed term dictionary through
+    ``weight_col`` to hash vocab-size rows instead of re-exploding the
+    corpus (measured the difference on the declared query: the corpus
+    token explode is the dominant cost, the dictionary pass is noise).
 
     Returns ``(row int, cell long, cnt long)`` — at most ``depth *
     width`` rows however large the corpus. One explode (depth entries
-    per occurrence) into one map-side-combined groupBy; the shuffle
+    per input row) into one map-side-combined groupBy; the shuffle
     carries at most ``depth * width`` distinct keys per partition, not
     the term dictionary."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
     cells = F.explode(F.array(*[
         F.struct(F.lit(j).alias("row"),
                  cms_cell(F.col(term_col), j, width).alias("cell"))
         for j in range(depth)
     ])).alias("rc")
-    return (df.select(cells)
+    return (df.select(cells, w.cast("long").alias("__w"))
             .groupBy(F.col("rc.row").alias("row"),
                      F.col("rc.cell").alias("cell"))
-            .agg(F.count(F.lit(1)).alias("cnt")))
+            .agg(F.sum("__w").alias("cnt")))
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:

@@ -790,7 +790,8 @@ def adjacent_bigrams(words_col: str) -> Column:
 
 
 def collocation_lift(df: DataFrame, words_col: str,
-                     min_count: int = 3, top_k: int = 25) -> DataFrame:
+                     min_count: int = 3, top_k: int = 25,
+                     unigrams: DataFrame | None = None) -> DataFrame:
     """Phrase mining by integer lift: for each adjacent bigram 'a b',
     ``lift_x1000 = (c_ab * n_tok * 1000) div (c_a * c_b)`` — the
     word2phrase / PMI ranking (Mikolov et al. 2013 §4) with the floats
@@ -802,15 +803,20 @@ def collocation_lift(df: DataFrame, words_col: str,
     Plan: two map-side-combined counts (unigrams, bigrams) + one 1-row
     total, then two small joins keyed by the candidate bigram's words.
     The ``min_count`` floor prunes the hapax tail BEFORE the joins —
-    at 100 TB that tail is most of the dictionary. int64 overflow note:
+    at 100 TB that tail is most of the dictionary. Pass ``unigrams``
+    (columns ``t``, ``c1``) when the caller already counted the
+    dictionary — the token total then derives from it (a vocab-size
+    sum, not a corpus re-explode). int64 overflow note:
     ``c_ab * n_tok * 1000`` needs c_ab * n_tok < 9.2e15; beyond that
     (corpus over ~a trillion tokens with million-count bigrams) divide
     n_tok's magnitude out first or move to decimal(38).
     """
-    toks = (df.select(F.explode(F.expr(
-        f"filter({words_col}, x -> x != '')")).alias("t")))
-    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
-    ntok = toks.select(F.count(F.lit(1)).alias("n_tok"))
+    if unigrams is None:
+        unigrams = (df.select(F.explode(F.expr(
+            f"filter({words_col}, x -> x != '')")).alias("t"))
+            .groupBy("t").agg(F.count(F.lit(1)).alias("c1")))
+    uni = unigrams
+    ntok = uni.agg(F.sum("c1").alias("n_tok"))
     bi = (df.select(F.explode(adjacent_bigrams(words_col)).alias("bg"))
           .groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
           .filter(F.col("c_ab") >= min_count)

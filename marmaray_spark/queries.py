@@ -1386,22 +1386,30 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (load(spark, sf_dir, "documents")
             .select(words("text").alias("w")))
-    toks = docs.select(
+    # ONE corpus token explode feeds everything term-keyed: the exact
+    # top-k, the sketch (weighted build over the vocab-size dictionary
+    # — exactly equal to hashing every occurrence), the collocation
+    # unigram joins and the token total. Only the bigram pass touches
+    # the corpus again (it has to — pairs aren't derivable from counts).
+    uni = (docs.select(
         F.explode(F.expr("filter(w, x -> x != '')")).alias("t"))
-    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+        .persist())
     top = uni.orderBy(F.col("cnt").desc(), "t").limit(25)
     w25 = W.orderBy(F.col("cnt").desc(), "t")
     exact = (top.withColumn("score", F.row_number().over(w25)
                             .cast("long"))
              .select(F.lit("exact").alias("section"),
                      F.col("t").alias("term"), "cnt", "score"))
-    sketch = cms_build(toks, "t", depth=4, width=1024)
+    sketch = cms_build(uni, "t", depth=4, width=1024, weight_col="cnt")
     cms = (cms_lookup(sketch, top, "t", depth=4, width=1024)
            .join(top, "t")
            .select(F.lit("cms").alias("section"),
                    F.col("t").alias("term"), "cnt",
                    F.col("cms_est").alias("score")))
-    colloc = (collocation_lift(docs, "w", min_count=3, top_k=25)
+    colloc = (collocation_lift(docs, "w", min_count=3, top_k=25,
+                               unigrams=uni.select(
+                                   "t", F.col("cnt").alias("c1")))
               .select(F.lit("colloc").alias("section"),
                       F.col("bg").alias("term"),
                       F.col("c_ab").alias("cnt"),
