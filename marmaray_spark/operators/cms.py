@@ -199,10 +199,17 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
         # persisting the checkpoint: absorb, don't double-count
         metadata.set(checkpoint_key, prior["consumed_through"])
         metadata.save_changes()
+    # with_op=False: the insert/update tag costs a join against the
+    # whole previous snapshot's keys — the displaced versions come from
+    # the removes manifests instead, keeping the drain commit-scale
+    # (the first rehearsal run measured the tagged path shuffling MORE
+    # rows than a full rebuild; tools/scale_rehearsal_termsketch.py)
     batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
-                                   max_commits=max_commits)
+                                   max_commits=max_commits, with_op=False)
     if not batches:
         return 0
+    from marmaray_spark.sinks.table import WriteOp as _Op
+
     commits_by_id = {c.commit_id: c for c in base.log.commits()}
     deltas = []
     for cid, change_df in batches:
@@ -220,11 +227,17 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
         pre = (base.spark.read.option("mergeSchema", "true")
                .parquet(*[str(base.table_path / s) for s in commit.removes])
                .select(base.key, text_col))
-        updated = (change_df.filter(F.col("change_op") == "update")
-                   .select(base.key))
-        post = base.read(as_of=cid).select(base.key)
-        displaced = (pre.join(updated, base.key, "left_semi")
-                     .unionByName(pre.join(post, base.key, "left_anti")))
+        if commit.op == _Op.INSERT_OVERWRITE.value:
+            # an overwrite can DROP keys: every displaced row's version
+            # leaves the sketch unless re-asserted; the post-image check
+            # is against the overwrite's own (commit-scale) key set
+            displaced = pre
+        else:
+            # upsert/insert never drop keys — only rows whose key was
+            # re-written are displaced; inserted keys have no pre-image
+            # so the semi-join is a no-op for them
+            displaced = pre.join(change_df.select(base.key), base.key,
+                                 "left_semi")
         deltas.append(_signed_cells(displaced, text_col, depth, width, -1))
     delta = deltas[0]
     for d in deltas[1:]:

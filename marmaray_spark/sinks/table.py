@@ -238,18 +238,52 @@ class TableSink:
         return df if with_meta or COMMIT_COL not in df.columns \
             else df.drop(COMMIT_COL)
 
-    def read_changes(self, commit_id: str) -> DataFrame:
+    def read_changes(self, commit_id: str,
+                     with_op: bool = True) -> DataFrame:
         """Change capture for one commit: the after-image of every record
         it introduced, tagged ``change_op`` = 'insert' (new key) or
         'update' (key overwritten an earlier record). Copy-on-write
         tables have no delete op (reference parity: HoodieSink exposes
         none either). Built from commit stamps + the time-travel
-        snapshot, so it works for any historical commit."""
-        commits = [c.commit_id for c in self.log.commits()]
-        if commit_id not in commits:
+        snapshot, so it works for any historical commit.
+
+        ``with_op=False`` skips the tag and its cost: the insert/update
+        distinction needs a join against the ENTIRE previous snapshot's
+        key set, which makes change capture corpus-scale. A consumer
+        that doesn't branch on the op (the linear sketch maintainer
+        derives displacements from the removes manifests instead) reads
+        changes at commit scale.
+
+        The after-images are read from the commit's OWN adds manifest —
+        commit-scale I/O, never an as-of snapshot scan (the term-sketch
+        rehearsal measured the snapshot form reading the whole corpus
+        per drained commit); the stamp filter still applies because an
+        upsert's rewritten slices carry displaced-slice rows under
+        their ORIGINAL commit ids. Adds vacuumed by later rewrites fail
+        loudly, same contract as the removes manifests."""
+        by_id = {c.commit_id: c for c in self.log.commits()}
+        if commit_id not in by_id:
             raise KeyError(f"unknown commit {commit_id!r}")
-        snap = self.read(as_of=commit_id, with_meta=True)
-        mine = snap.filter(F.col(COMMIT_COL) == commit_id).drop(COMMIT_COL)
+        commit = by_id[commit_id]
+        if not commit.adds:    # a zero-row commit introduces nothing
+            empty = (self.read(with_meta=True)
+                     .filter(F.lit(False)).drop(COMMIT_COL))
+            return empty.withColumn("change_op", F.lit("insert")) \
+                if with_op else empty
+        missing = [s for s in commit.adds
+                   if not (self.table_path / s).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"commit {commit_id} adds vacuumed ({missing[:3]}...); "
+                "change capture for historical commits needs their "
+                "slices — raise vacuum retain_last_n_commits")
+        files = (self.spark.read.option("mergeSchema", "true")
+                 .parquet(*[str(self.table_path / s) for s in commit.adds]))
+        mine = (files.filter(F.col(COMMIT_COL) == commit_id)
+                .drop(COMMIT_COL))
+        if not with_op:
+            return mine
+        commits = list(by_id)
         i = commits.index(commit_id)
         if i == 0:
             return mine.withColumn("change_op", F.lit("insert"))
@@ -587,7 +621,8 @@ class TableSink:
 
     def consume_changes(self, metadata: MetadataManager,
                         checkpoint_key: str = "table_consumer.last_commit",
-                        max_commits: int | None = None) -> list[tuple[str, DataFrame]]:
+                        max_commits: int | None = None,
+                        with_op: bool = True) -> list[tuple[str, DataFrame]]:
         """Incremental change consumer: the table as an upstream source
         for downstream pipelines. Returns [(commit_id, change_df), ...]
         for commits after the checkpointed one (oldest first, optionally
@@ -601,7 +636,8 @@ class TableSink:
                    if c.commit_id > last and c.op not in ("compact", "restore")]
         if max_commits is not None:
             pending = pending[:max_commits]
-        out = [(c.commit_id, self.read_changes(c.commit_id)) for c in pending]
+        out = [(c.commit_id, self.read_changes(c.commit_id, with_op=with_op))
+               for c in pending]
         if pending:
             metadata.set(checkpoint_key, pending[-1].commit_id)
         return out
