@@ -78,6 +78,19 @@ cleaning job wires from YAML alone):
                               (connected components over banded pairs)
     media.max_hamming         near-dup Hamming bound (default 3)
 
+Frontier block (crawl jobs: accrue the host link graph alongside the
+page table, so `pagerank_integer` can rank what to fetch next — the
+edges ride the SAME commit-by-priority two-phase protocol as the main
+table, and the src->dst dedup key makes crash replay land on identical
+rows):
+
+    frontier.edges_path       host-edge TableSink directory (enables
+                              the block)
+    frontier.url_col          page URL column (default: corpus.id_col)
+    frontier.hosts_col        extracted link-host array column
+                              (default link_hosts, the HTML extractor's
+                              output)
+
 Unknown sink/source types raise — fail at assembly, not mid-run.
 """
 
@@ -430,6 +443,35 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
             "source_errors",
             lambda _df: write_error_table(state["source_errors"], err_path),
             priority=0))
+
+    fr_path = config.get("frontier.edges_path")
+    if fr_path:
+        from pyspark.sql import functions as F
+
+        fr_url = config.get("frontier.url_col") \
+            or config.get_required("corpus.id_col")
+        fr_hosts = config.get("frontier.hosts_col", "link_hosts")
+        fr_table = TableSink(spark, fr_path, record_key_field="edge_key")
+
+        def write_frontier(df: DataFrame, _t=fr_table, _u=fr_url,
+                           _h=fr_hosts):
+            from marmaray_spark.operators.web import link_host_edges
+            if _h not in df.columns:
+                raise ValueError(
+                    f"frontier.edges_path set but column {_h!r} is not "
+                    f"in the transformed frame ({df.columns}); the HTML "
+                    "extraction stage (corpus.html_col) produces it — "
+                    "or point frontier.hosts_col at your own array")
+            edges = (link_host_edges(df, _u, _h)
+                     .withColumn("edge_key",
+                                 F.concat_ws("->", "src", "dst")))
+            state["fr_staged"] = _t.stage(edges, WriteOp.DEDUP_INSERT)
+
+        def commit_frontier(_t=fr_table):
+            _t.commit_staged(state.pop("fr_staged", None))
+
+        nodes.append(SinkNode("frontier_edges", write_frontier,
+                              commit=commit_frontier, priority=90))
 
     sink_type = config.get_required("sink.type")
     if sink_type == "table":

@@ -402,7 +402,9 @@ def test_yaml_warc_crawl_job_ticks_incrementally(spark, tmp_path):
         return ({"WARC-Type": "response", "WARC-Record-ID": f"<{u}>",
                  "WARC-Target-URI": u}, payload)
 
-    good = (b"<html><body><p>the quick brown fox jumps over the lazy dog "
+    good = (b"<html><body>"
+            b'<nav><a href="http://hub.example.com/x">hub</a></nav>'
+            b"<p>the quick brown fox jumps over the lazy dog "
             b"while seven wizards brew strong coffee at dawn for everyone"
             b"</p></body></html>")
     crawl = tmp_path / "crawl"
@@ -417,6 +419,7 @@ def test_yaml_warc_crawl_job_ticks_incrementally(spark, tmp_path):
                    "decode_payload_col": "html", "http_ok_only": True},
         "corpus": {"text_col": "text", "id_col": "target_uri",
                    "html_col": "html", "gopher_gate": True},
+        "frontier": {"edges_path": str(tmp_path / "edges")},
         "sink": {"type": "table", "path": str(tmp_path / "pages"),
                  "record_key": "target_uri", "op": "dedup_insert"},
         "error_table": {"path": str(tmp_path / "errs")},
@@ -445,6 +448,19 @@ def test_yaml_warc_crawl_job_ticks_incrementally(spark, tmp_path):
     dag3 = build_job_dag(spark, Configuration.from_yaml(p))
     assert dag3.execute(spark) is True
     assert t.read().count() == 2
+
+    # the frontier block accrued the REAL extracted host edges across
+    # both ticks, deduped by src->dst key, and pagerank ranks the
+    # twice-linked hub first — the full crawl loop from YAML alone
+    from marmaray_spark.operators.web import pagerank_integer
+    edges = TableSink(spark, tmp_path / "edges",
+                      record_key_field="edge_key")
+    assert {(r["src"], r["dst"]) for r in edges.read().collect()} == {
+        ("ex.com", "hub.example.com"), ("ex.org", "hub.example.com")}
+    ranks = {r["node"]: r["rank"] for r in pagerank_integer(
+        edges.read().select("src", "dst")).collect()}
+    assert ranks["hub.example.com"] > max(ranks["ex.com"],
+                                          ranks["ex.org"])
 
 
 def test_yaml_warc_non_utf8_payload_survives_the_tick(spark, tmp_path):
