@@ -100,8 +100,11 @@ def crawl_tick(spark: SparkSession, workdir: str, archive_dir: str,
             pages.write(kept.drop("link_hosts"), WriteOp.DEDUP_INSERT)
             # host graph from the SURVIVORS' out-links: gated pages
             # (spam) don't get to vote on the frontier; the src->dst
-            # key makes a crash replay land on the same edge rows
+            # key makes a crash replay land on the same edge rows, and
+            # the in-batch dropDuplicates is required — DEDUP_INSERT
+            # only dedups against PRIOR commits, not within the batch
             tick_edges = (link_host_edges(kept, "target_uri")
+                          .dropDuplicates(["src", "dst"])
                           .withColumn("edge_key",
                                       F.concat_ws("->", "src", "dst")))
             tick_edges = tick_edges.persist()
@@ -125,8 +128,13 @@ def frontier_report(spark: SparkSession, workdir: str,
     fetch next" view. Reads the deduped src->dst edge table the ticks
     maintain and runs the 5-step integer power iteration — host rank
     in 1e-12 units, highest first."""
-    edges = TableSink(spark, os.path.join(workdir, "host_edges"),
-                      record_key_field="edge_key").read()
+    try:
+        edges = TableSink(spark, os.path.join(workdir, "host_edges"),
+                          record_key_field="edge_key").read()
+    except FileNotFoundError:
+        # linkless crawls never commit an edge table: an empty ranking,
+        # not a crash
+        return spark.createDataFrame([], "node string, rank long")
     pr = pagerank_integer(edges.select("src", "dst"), "src", "dst",
                           iters=5)
     return pr.orderBy(F.col("rank").desc(), "node").limit(top_n)

@@ -199,6 +199,19 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
         # persisting the checkpoint: absorb, don't double-count
         metadata.set(checkpoint_key, prior["consumed_through"])
         metadata.save_changes()
+    # a restore rolls base content back WITHOUT change records (and
+    # consume_changes skips it as a maintenance commit) — a linear
+    # maintainer cannot see the rollback, so the exactly-equal claim
+    # would silently break; refuse loudly, same posture as geometry
+    # drift and vacuumed pre-images
+    last = metadata.get(checkpoint_key) or ""
+    restored = [c.commit_id for c in base.log.commits()
+                if c.commit_id > last and c.op == "restore"]
+    if restored:
+        raise ValueError(
+            f"base table was restored ({restored[0]}) after the sketch "
+            "checkpoint; a rollback has no change records to subtract — "
+            "rebuild the sketch from the current snapshot")
     # with_op=False: the insert/update tag costs a join against the
     # whole previous snapshot's keys — the displaced versions come from
     # the removes manifests instead, keeping the drain commit-scale
@@ -208,8 +221,6 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
                                    max_commits=max_commits, with_op=False)
     if not batches:
         return 0
-    from marmaray_spark.sinks.table import WriteOp as _Op
-
     commits_by_id = {c.commit_id: c for c in base.log.commits()}
     deltas = []
     for cid, change_df in batches:
@@ -227,7 +238,7 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
         pre = (base.spark.read.option("mergeSchema", "true")
                .parquet(*[str(base.table_path / s) for s in commit.removes])
                .select(base.key, text_col))
-        if commit.op == _Op.INSERT_OVERWRITE.value:
+        if commit.op == WriteOp.INSERT_OVERWRITE.value:
             # an overwrite can DROP keys: every displaced row's version
             # leaves the sketch unless re-asserted; the post-image check
             # is against the overwrite's own (commit-scale) key set

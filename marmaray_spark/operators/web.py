@@ -64,10 +64,14 @@ def canonical_url(url_col: str) -> Column:
 
 
 def url_host(url_col: str) -> Column:
-    """Lowercased host (port and userinfo-free; '' for non-URLs)."""
+    """Lowercased host (port and userinfo-free; '' for non-URLs).
+    Userinfo actually IS stripped (it wasn't, despite this docstring,
+    until the frontier work made the mismatch observable: a crawled
+    'http://alice@ex.com/p' minted a second pagerank node next to
+    'ex.com', splitting the host's rank mass)."""
     return F.expr(
-        f"regexp_replace(lower(regexp_extract({url_col}, "
-        f"'://([^/?#]+)', 1)), ':[0-9]+$', '')")
+        f"regexp_replace(regexp_replace(lower(regexp_extract({url_col}, "
+        f"'://([^/?#]+)', 1)), '^[^@]*@', ''), ':[0-9]+$', '')")
 
 
 def registrable_domain(host_col: str) -> Column:
@@ -369,7 +373,10 @@ def link_host_edges(pages: DataFrame, url_col: str,
 
     Expression-only (one explode + filter); dedup/weighting is the
     caller's choice — PageRank over the multigraph weights a repeated
-    link naturally."""
-    e = pages.select(url_host(url_col).alias("src"),
-                     F.explode(hosts_col).alias("dst"))
+    link naturally. Rows whose ``url_col`` is not URL-shaped (host
+    extracts to '') emit NO edges rather than minting a phantom
+    ''-source node in the frontier graph."""
+    e = (pages.select(url_host(url_col).alias("src"),
+                      F.explode(hosts_col).alias("dst"))
+         .filter(F.col("src") != ""))
     return e.filter(F.col("src") != F.col("dst")) if drop_self else e

@@ -462,7 +462,12 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                     f"in the transformed frame ({df.columns}); the HTML "
                     "extraction stage (corpus.html_col) produces it — "
                     "or point frontier.hosts_col at your own array")
+            # in-batch dedup is OURS to do: DEDUP_INSERT only anti-joins
+            # against already-committed keys, so two survivor pages on
+            # one host linking the same target would otherwise land two
+            # rows under one edge_key in the same commit
             edges = (link_host_edges(df, _u, _h)
+                     .dropDuplicates(["src", "dst"])
                      .withColumn("edge_key",
                                  F.concat_ws("->", "src", "dst")))
             state["fr_staged"] = _t.stage(edges, WriteOp.DEDUP_INSERT)

@@ -2289,3 +2289,24 @@ def test_maintained_sketch_refuses_geometry_drift_and_probes(
     assert est["beta"] >= 2 and est["nope"] == 0
     with pytest.raises(ValueError, match="probe width"):
         sketch_estimates(sketch, cand, "t", width=128)
+
+
+def test_maintained_sketch_refuses_after_base_restore(spark, tmp_path):
+    """A restore rolls base content back with NO change records — the
+    linear maintainer cannot subtract what it cannot see, so it must
+    refuse loudly instead of serving stale counts."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.cms import maintain_term_sketch
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    sketch = TableSink(spark, tmp_path / "sk", "cell_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    base.write(_cms_docs(spark, [(1, "alpha")]), WriteOp.INSERT)
+    first = base.log.commits()[-1].commit_id
+    maintain_term_sketch(base, sketch, md, depth=4, width=64)
+    base.write(_cms_docs(spark, [(2, "beta")]), WriteOp.INSERT)
+    maintain_term_sketch(base, sketch, md, depth=4, width=64)
+    base.restore(first)
+    with pytest.raises(ValueError, match="restored"):
+        maintain_term_sketch(base, sketch, md, depth=4, width=64)

@@ -441,3 +441,26 @@ def test_link_host_edges_drops_self_links(spark):
            for r in link_host_edges(df, "url").collect()}
     assert got == {("a.com", "b.org"), ("a.com", "c.net")}
     assert link_host_edges(df, "url", drop_self=False).count() == 4
+
+
+def test_url_host_strips_userinfo_matching_href_host(spark):
+    """One physical host must be ONE frontier node: url_host (page side)
+    and the extractor's href_host (link side) both drop userinfo and
+    ports, so self-links filter correctly."""
+    df = spark.createDataFrame(
+        [(1, "http://alice@Ex.COM:8080/p"), (2, "https://ex.com/q")],
+        "i int, url string")
+    got = {r["i"]: r["h"]
+           for r in df.select("i", url_host("url").alias("h")).collect()}
+    assert got[1] == got[2] == "ex.com"
+
+
+def test_link_host_edges_no_phantom_empty_source(spark):
+    from marmaray_spark.operators.web import link_host_edges
+
+    df = spark.createDataFrame(
+        [("not-a-url", ["b.org"]), ("http://a.com/x", ["b.org"])],
+        "url string, link_hosts array<string>")
+    got = {(r["src"], r["dst"])
+           for r in link_host_edges(df, "url").collect()}
+    assert got == {("a.com", "b.org")}      # no ('', 'b.org') node

@@ -137,8 +137,13 @@ def main() -> None:
         # follows touched slices (the honest rewrite amplification)
         fresh = synth_docs(spark, int(n_batch * 0.7), id_offset=next_id)
         next_id += int(n_batch * 0.7)
-        updates = synth_docs(spark, n_batch - int(n_batch * 0.7),
-                             id_offset=(ratio % 7) * 1000, salt=ratio)
+        n_upd = n_batch - int(n_batch * 0.7)
+        # clamp into the original id range so the updates really are
+        # updates — off-range ids would silently turn this leg into a
+        # second append tick and never exercise the decrement path
+        upd_offset = min((ratio % 7) * 1000, max(n_corpus - n_upd, 0))
+        updates = synth_docs(spark, n_upd, id_offset=upd_offset,
+                             salt=ratio)
         base.write(fresh.unionByName(updates), WriteOp.UPSERT)
         maintained = measure(
             f"upsert-maintain@1:{ratio}",
