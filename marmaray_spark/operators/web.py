@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # the query parameters stripped during canonicalization: pure tracking
 # noise whose presence forks otherwise-identical URLs (the dominant
@@ -380,3 +381,145 @@ def link_host_edges(pages: DataFrame, url_col: str,
                       F.explode(hosts_col).alias("dst"))
          .filter(F.col("src") != ""))
     return e.filter(F.col("src") != F.col("dst")) if drop_self else e
+
+
+ROBOTS_RULE_SCHEMA = ("host string, pattern string, allow boolean, "
+                      "spec int, like_pattern string")
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "robots_txt",
+                 user_agent: str = "*") -> DataFrame:
+    """robots.txt (RFC 9309) -> per-host rule table for ONE crawler
+    identity: (host, pattern, allow, spec, like_pattern).
+
+    Group selection per the RFC: the group whose User-agent token is
+    the LONGEST case-insensitive substring of ``user_agent`` wins;
+    ``*`` is the fallback; a host with no matching group (or an
+    unparseable body) emits NO rules — and no rules means allowed, the
+    RFC default. Rule patterns keep ``*`` wildcards and the ``$`` end
+    anchor; ``spec`` is the pattern's octet length (the RFC's
+    longest-match precedence key) and ``like_pattern`` is the
+    SQL-LIKE compilation the gate matches with JVM-side (%/_ escaped,
+    ``*`` -> ``%``, trailing ``$`` pins the end) — parsing runs ONCE
+    per host in an Arrow batch, matching stays in codegen.
+
+    Scale: the rules table is hosts x (rules per group, typically
+    dozens) — index-sized, not crawl-sized; it joins URLs by host."""
+    import pandas as pd
+
+    ua = user_agent.lower()
+
+    def compile_like(pattern: str) -> str:
+        out = []
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        for ch in body:
+            if ch in ("%", "_", "\\"):
+                out.append("\\" + ch)
+            elif ch == "*":
+                out.append("%")
+            else:
+                out.append(ch)
+        if not anchored:
+            out.append("%")
+        return "".join(out)
+
+    def rules_of(body: str):
+        groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+        agents: list[str] = []
+        rules: list[tuple[str, bool]] = []
+        open_group = True  # collecting user-agent lines
+        for raw in (body or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if not open_group:
+                    groups.append((agents, rules))
+                    agents, rules = [], []
+                    open_group = True
+                agents.append(value.lower())
+            elif field in ("allow", "disallow"):
+                open_group = False
+                if not agents:
+                    continue       # rules before any user-agent line
+                if value == "":
+                    continue       # empty pattern matches nothing (RFC)
+                rules.append((value, field == "allow"))
+        if agents:
+            groups.append((agents, rules))
+        # longest UA-substring match wins; '*' is specificity 0
+        best, best_len = None, -1
+        for agents, grules in groups:
+            for a in agents:
+                if a == "*":
+                    cand_len = 0
+                elif a and a in ua:
+                    cand_len = len(a)
+                else:
+                    continue
+                if cand_len > best_len:
+                    best, best_len = grules, cand_len
+        return best or []
+
+    def kernel(batches):
+        for pdf in batches:
+            hosts, pats, allows, specs, likes = [], [], [], [], []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                try:
+                    parsed = rules_of(body)
+                except Exception:
+                    parsed = []    # unparseable -> no rules -> allowed
+                for pattern, allow in parsed:
+                    hosts.append(host)
+                    pats.append(pattern)
+                    allows.append(allow)
+                    specs.append(len(pattern))
+                    likes.append(compile_like(pattern))
+            yield pd.DataFrame({"host": hosts, "pattern": pats,
+                                "allow": allows, "spec": specs,
+                                "like_pattern": likes})
+
+    return (robots.select(F.col(host_col).alias(host_col),
+                          F.col(body_col).alias(body_col))
+            .mapInPandas(kernel, ROBOTS_RULE_SCHEMA))
+
+
+def robots_gate(urls: DataFrame, url_col: str,
+                rules: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(allowed, blocked) URL fork against a ``parse_robots`` rule
+    table — RFC 9309 precedence: among the rules whose pattern matches
+    the URL's path, the longest (most octets) wins; a spec tie goes to
+    allow; no matching rule, or no rules for the host at all, allows.
+
+    Plan: one equi-join on host (the rules side is index-sized), LIKE
+    matching and the precedence window all in codegen; rows per URL are
+    bounded by that host's rule count."""
+    tagged = (urls.withColumn("__host", url_host(url_col))
+              .withColumn("__path", F.expr(
+                  f"coalesce(nullif(regexp_extract({url_col}, "
+                  f"'://[^/?#]+([^#]*)', 1), ''), '/')"))
+              .withColumn("__uid", F.monotonically_increasing_id()))
+    joined = tagged.join(
+        rules.select(F.col("host").alias("__host"), "allow", "spec",
+                     "like_pattern"),
+        "__host", "left")
+    matched = joined.withColumn(
+        "__hit",
+        F.expr("like_pattern IS NOT NULL "
+               "AND __path LIKE like_pattern ESCAPE '\\\\'"))
+    w = W.partitionBy("__uid").orderBy(
+        F.col("__hit").desc(), F.col("spec").desc(), F.col("allow").desc())
+    verdict = (matched.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1)
+               .withColumn("__allowed",
+                           F.when(F.col("__hit"), F.col("allow"))
+                           .otherwise(F.lit(True))))
+    keep_cols = urls.columns
+    allowed = (verdict.filter(F.col("__allowed")).select(*keep_cols))
+    blocked = (verdict.filter(~F.col("__allowed")).select(*keep_cols))
+    return allowed, blocked

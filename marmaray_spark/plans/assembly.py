@@ -58,6 +58,15 @@ alone, no code):
                               repeat per allocated epoch
     corpus.unimax_budget_tokens  total token budget for the allocation
     corpus.unimax_epoch_cap   per-group epoch cap (default 4)
+    corpus.robots_table       parquet dir of (host, robots_txt) rows:
+                              an RFC 9309 robots gate runs FIRST (even
+                              before HTML extraction) and drops
+                              disallowed pages — retroactive crawl
+                              compliance
+    corpus.robots_user_agent  crawler identity for group selection
+                              (default '*')
+    corpus.robots_url_col     URL column to gate on (default:
+                              corpus.id_col)
 
 Stages apply in that order (gates -> dedup -> sample -> mix), after the
 converter's valid stream and before every sink — dropped-by-gate rows are
@@ -163,8 +172,25 @@ def _corpus_stages(config: Configuration):
     html_col = config.get("corpus.html_col")
     html_min_words = config.get_int("corpus.html_min_block_words", 4)
     html_max_link = config.get_int("corpus.html_max_link_density_bps", 4000)
+    robots_table = config.get("corpus.robots_table")
+    robots_ua = config.get("corpus.robots_user_agent", "*")
+    robots_url = config.get("corpus.robots_url_col") or id_col
 
     stages = []
+    if robots_table:
+        # BEFORE everything, even the HTML extraction: a disallowed page
+        # must not be parsed at all — retroactive RFC 9309 compliance
+        # (robots changed after the crawl, or the fetcher ignored it).
+        # Dropped rows are policy, not errors, like every corpus gate.
+        def robots_stage(df, _p=robots_table, _ua=robots_ua,
+                         _u=robots_url):
+            from marmaray_spark.operators.web import (parse_robots,
+                                                      robots_gate)
+            robots = df.sparkSession.read.parquet(_p)
+            allowed, _blocked = robots_gate(
+                df, _u, parse_robots(robots, user_agent=_ua))
+            return allowed
+        stages.append(robots_stage)
     if html_col:
         # step 0, before everything: a crawl table carries MARKUP, and
         # every downstream stage (normalize, gates, dedup, mix) wants

@@ -506,3 +506,50 @@ def test_yaml_warc_non_utf8_payload_survives_the_tick(spark, tmp_path):
     rows = {r["target_uri"]: r["text"] for r in t.read().collect()}
     assert "http://ex.com/ok" in rows
     assert "quick brown fox" in rows["http://ex.com/ok"]
+
+
+def test_yaml_robots_gate_drops_disallowed_pages(spark, tmp_path):
+    """corpus.robots_table: retroactive RFC 9309 compliance from config
+    alone — a page disallowed for our user agent is dropped BEFORE HTML
+    extraction; everything else flows through unchanged."""
+    from marmaray_spark.sources.warc import write_warc_gz
+
+    def page(u, body):
+        payload = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                   f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        return ({"WARC-Type": "response", "WARC-Record-ID": f"<{u}>",
+                 "WARC-Target-URI": u}, payload)
+
+    good = (b"<html><body><p>the quick brown fox jumps over the lazy dog"
+            b" while seven wizards brew strong coffee at dawn today"
+            b"</p></body></html>")
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg-00000.warc.gz").write_bytes(write_warc_gz([
+        page("http://ex.com/keep/a", good),
+        page("http://ex.com/private/b", good),
+        page("http://open.org/anything", good)]))
+
+    spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "robots"))
+
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "robots_job"},
+        "source": {"type": "warc", "path": str(crawl),
+                   "decode_payload_col": "html", "http_ok_only": True},
+        "corpus": {"text_col": "text", "id_col": "target_uri",
+                   "html_col": "html",
+                   "robots_table": str(tmp_path / "robots")},
+        "sink": {"type": "table", "path": str(tmp_path / "pages"),
+                 "record_key": "target_uri", "op": "dedup_insert"},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    })
+    p = tmp_path / "robots.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+    t = TableSink(spark, tmp_path / "pages", record_key_field="target_uri")
+    assert {r["target_uri"] for r in t.read().collect()} == {
+        "http://ex.com/keep/a", "http://open.org/anything"}

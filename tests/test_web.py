@@ -464,3 +464,90 @@ def test_link_host_edges_no_phantom_empty_source(spark):
     got = {(r["src"], r["dst"])
            for r in link_host_edges(df, "url").collect()}
     assert got == {("a.com", "b.org")}      # no ('', 'b.org') node
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309): parse_robots + robots_gate
+# ---------------------------------------------------------------------------
+
+ROBOTS_BODY = """
+# global group
+User-agent: *
+Disallow: /private/
+Allow: /private/public.html
+Disallow: /tmp*
+Disallow: /exact-dir/$
+
+User-agent: SpecialBot
+Disallow: /special-only/
+
+User-agent: rude
+Disallow: /
+"""
+
+
+def _robots_df(spark, bodies):
+    return spark.createDataFrame(bodies, "host string, robots_txt string")
+
+
+def test_parse_robots_group_selection_and_rules(spark):
+    from marmaray_spark.operators.web import parse_robots
+
+    df = _robots_df(spark, [("ex.com", ROBOTS_BODY)])
+    star = {(r["pattern"], r["allow"])
+            for r in parse_robots(df, user_agent="SomeCrawler").collect()}
+    assert star == {("/private/", False), ("/private/public.html", True),
+                    ("/tmp*", False), ("/exact-dir/$", False)}
+    # the longest matching UA token's group wins over '*'
+    spec = {(r["pattern"], r["allow"])
+            for r in parse_robots(df, user_agent="SpecialBot/1.2")
+            .collect()}
+    assert spec == {("/special-only/", False)}
+
+
+def test_robots_gate_rfc_precedence(spark):
+    from marmaray_spark.operators.web import parse_robots, robots_gate
+
+    rules = parse_robots(_robots_df(spark, [("ex.com", ROBOTS_BODY)]),
+                         user_agent="SomeCrawler")
+    urls = spark.createDataFrame(
+        [(1, "http://ex.com/ok.html"),            # no rule -> allow
+         (2, "http://ex.com/private/a.html"),     # disallow
+         (3, "http://ex.com/private/public.html"),  # longer ALLOW wins
+         (4, "http://ex.com/tmp/x"),              # wildcard disallow
+         (5, "http://ex.com/tmpfile"),            # /tmp* matches too
+         (6, "http://ex.com/exact-dir/"),         # $-anchored: exact
+         (7, "http://ex.com/exact-dir/sub"),      # past anchor -> allow
+         (8, "http://other.org/private/a")],      # host with no rules
+        "i long, url string")
+    allowed, blocked = robots_gate(urls, "url", rules)
+    assert {r["i"] for r in blocked.collect()} == {2, 4, 5, 6}
+    assert {r["i"] for r in allowed.collect()} == {1, 3, 7, 8}
+    assert allowed.columns == urls.columns        # fork keeps the schema
+
+
+def test_robots_gate_tie_goes_to_allow_and_empty_disallow(spark):
+    from marmaray_spark.operators.web import parse_robots, robots_gate
+
+    body = ("User-agent: *\nAllow: /page\nDisallow: /page\n"
+            "Disallow:\n")                        # empty = no rule
+    rules = parse_robots(_robots_df(spark, [("t.com", body)]))
+    urls = spark.createDataFrame([(1, "http://t.com/page"),
+                                  (2, "http://t.com/elsewhere")],
+                                 "i long, url string")
+    allowed, blocked = robots_gate(urls, "url", rules)
+    assert {r["i"] for r in allowed.collect()} == {1, 2}
+    assert blocked.count() == 0
+
+
+def test_parse_robots_unparseable_body_means_allowed(spark):
+    from marmaray_spark.operators.web import parse_robots, robots_gate
+
+    rules = parse_robots(_robots_df(
+        spark, [("bad.com", None), ("half.com", "Disallow: /x\n")]))
+    # rules before any User-agent line are dropped; None body -> none
+    assert rules.count() == 0
+    urls = spark.createDataFrame([(1, "http://bad.com/anything")],
+                                 "i long, url string")
+    allowed, blocked = robots_gate(urls, "url", rules)
+    assert allowed.count() == 1 and blocked.count() == 0
