@@ -156,7 +156,10 @@ def extract_text_from_html(df: DataFrame, id_col: str,
     hosts of absolute/protocol-relative ``<a href>`` targets, sorted —
     the raw material of the host graph ``pagerank_integer`` ranks the
     crawl frontier with; relative / javascript: / mailto: links carry
-    no cross-host signal and are skipped), ok/err (a pathological
+    no cross-host signal and are skipped), rel_canonical (the first
+    <link rel="canonical"> href verbatim, or NULL — the publisher's
+    own dedup hint, strictly stronger than URL canonicalization when
+    present), ok/err (a pathological
     payload forks its row, never the task). 100 TB posture:
     embarrassingly parallel per row, no shuffle, html bytes never
     leave their executor."""
@@ -171,7 +174,7 @@ def extract_text_from_html(df: DataFrame, id_col: str,
         [f"{id_col} {id_type}"] + [f"{c} {t}" for c, t in pt]
         + ["title string", "text string", "n_blocks int", "n_kept int",
            "link_bps int", "link_hosts array<string>",
-           "ok boolean", "err string"])
+           "rel_canonical string", "ok boolean", "err string"])
 
     def href_host(href):
         """Lowercased, port- and userinfo-free host of an absolute or
@@ -210,6 +213,7 @@ def extract_text_from_html(df: DataFrame, id_col: str,
             self.in_title = False
             self.title = ""
             self.hosts: set[str] = set()
+            self.canonical: str | None = None
 
         def _flush(self):
             text = " ".join("".join(self.cur).split())
@@ -230,6 +234,12 @@ def extract_text_from_html(df: DataFrame, id_col: str,
                         break
             elif tag == "title":
                 self.in_title = True
+            elif tag == "link" and self.canonical is None:
+                d = dict(attrs)
+                rel = (d.get("rel") or "").lower().split()
+                href = (d.get("href") or "").strip()
+                if "canonical" in rel and href:
+                    self.canonical = href
             if tag in BLOCK:
                 self._flush()
 
@@ -275,7 +285,7 @@ def extract_text_from_html(df: DataFrame, id_col: str,
         return (" ".join(ex.title.split()), "\n".join(kept),
                 len(ex.blocks), len(kept),
                 link_chars * 10000 // max(total_chars, 1),
-                sorted(ex.hosts))
+                sorted(ex.hosts), ex.canonical)
 
     def kernel(batches):
         for pdf in batches:
@@ -284,7 +294,8 @@ def extract_text_from_html(df: DataFrame, id_col: str,
                 try:
                     res.append(one(payload) + (True, None))
                 except Exception as e:   # the parser is tolerant; a raise
-                    res.append(("", "", 0, 0, 0, [], False,  # is exotic
+                    res.append(("", "", 0, 0, 0, [], None,
+                                False,   # a raise here is exotic
                                 f"{type(e).__name__}: {e}"))
             out = {id_col: pdf[id_col].to_numpy()}
             for c, _t in pt:
@@ -297,8 +308,9 @@ def extract_text_from_html(df: DataFrame, id_col: str,
                 "n_kept": [r[3] for r in res],
                 "link_bps": [r[4] for r in res],
                 "link_hosts": [r[5] for r in res],
-                "ok": [r[6] for r in res],
-                "err": [r[7] for r in res],
+                "rel_canonical": [r[6] for r in res],
+                "ok": [r[7] for r in res],
+                "err": [r[8] for r in res],
             })
 
     return df.select(id_col, *passthrough, html_col) \
@@ -523,3 +535,21 @@ def robots_gate(urls: DataFrame, url_col: str,
     allowed = (verdict.filter(F.col("__allowed")).select(*keep_cols))
     blocked = (verdict.filter(~F.col("__allowed")).select(*keep_cols))
     return allowed, blocked
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    body_col: str = "robots_txt") -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies — (host,
+    sitemap_url) rows, distinct per host. Sitemap lines live OUTSIDE
+    user-agent groups (RFC 9309 §2.3 treats them as independent
+    records), so this is a flat line scan: expression-only, no Python
+    parse — the discovery companion to ``parse_robots``'s access
+    rules."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.coalesce(F.col(body_col), F.lit("")),
+                          "\r?\n")).alias("line"))
+    url = F.expr("trim(regexp_extract(line, '(?i)^\\\\s*sitemap\\\\s*:(.*)$', 1))")
+    return (lines.select("host", url.alias("sitemap_url"))
+            .filter(F.col("sitemap_url") != "")
+            .distinct())

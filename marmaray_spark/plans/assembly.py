@@ -205,7 +205,8 @@ def _corpus_stages(config: Configuration):
             # src_<name> so fetch provenance survives next to the
             # extractor's own verdict
             reserved = {"title", "text", "n_blocks", "n_kept",
-                        "link_bps", "link_hosts", "ok", "err"}
+                        "link_bps", "link_hosts", "rel_canonical",
+                        "ok", "err"}
             renames = {c: f"src_{c}" for c in df.columns
                        if c in reserved and c not in (id_col, _h, text_col)}
             clash = [v for v in renames.values() if v in df.columns]

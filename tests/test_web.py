@@ -551,3 +551,39 @@ def test_parse_robots_unparseable_body_means_allowed(spark):
                                  "i long, url string")
     allowed, blocked = robots_gate(urls, "url", rules)
     assert allowed.count() == 1 and blocked.count() == 0
+
+
+def test_extract_rel_canonical_first_wins(spark):
+    from marmaray_spark.operators.web import extract_text_from_html
+
+    page = """<html><head>
+      <link rel="stylesheet" href="/style.css">
+      <link rel="canonical" href="https://ex.com/the-one">
+      <link rel="canonical" href="https://ex.com/ignored-second">
+      </head><body><p>plenty of words fill this block right up</p>
+      </body></html>"""
+    df = spark.createDataFrame(
+        [(1, page), (2, "<p>no canonical link here but words</p>")],
+        "doc_id long, html string")
+    got = {r["doc_id"]: r["rel_canonical"] for r in
+           extract_text_from_html(df, "doc_id").collect()}
+    assert got[1] == "https://ex.com/the-one"
+    assert got[2] is None
+
+
+def test_robots_sitemaps_expression_scan(spark):
+    from marmaray_spark.operators.web import robots_sitemaps
+
+    body = ("User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://ex.com/sitemap.xml\n"
+            "sitemap:https://ex.com/sitemap2.xml \n"
+            "# Sitemap: https://ex.com/commented-out.xml is a comment?\n")
+    # NB the commented line still matches the lenient scan? No: the
+    # regex anchors at optional whitespace then 'sitemap' — a '#'
+    # prefix fails the match
+    df = spark.createDataFrame([("ex.com", body), ("b.org", None)],
+                               "host string, robots_txt string")
+    got = {(r["host"], r["sitemap_url"])
+           for r in robots_sitemaps(df).collect()}
+    assert got == {("ex.com", "https://ex.com/sitemap.xml"),
+                   ("ex.com", "https://ex.com/sitemap2.xml")}
