@@ -509,8 +509,13 @@ def robots_gate(urls: DataFrame, url_col: str,
     allow; no matching rule, or no rules for the host at all, allows.
 
     Plan: one equi-join on host (the rules side is index-sized), LIKE
-    matching and the precedence window all in codegen; rows per URL are
-    bounded by that host's rule count."""
+    matching in codegen, and the precedence pick is
+    ``max(struct(hit, spec, allow))`` — a HASH AGGREGATE whose
+    lexicographic struct order IS the RFC order (matched first,
+    longest pattern, allow on ties), so the per-URL candidate rows
+    collapse map-side before the shuffle instead of sorting inside a
+    per-URL window."""
+    keep_cols = urls.columns
     tagged = (urls.withColumn("__host", url_host(url_col))
               .withColumn("__path", F.expr(
                   f"coalesce(nullif(regexp_extract({url_col}, "
@@ -524,14 +529,15 @@ def robots_gate(urls: DataFrame, url_col: str,
         "__hit",
         F.expr("like_pattern IS NOT NULL "
                "AND __path LIKE like_pattern ESCAPE '\\\\'"))
-    w = W.partitionBy("__uid").orderBy(
-        F.col("__hit").desc(), F.col("spec").desc(), F.col("allow").desc())
-    verdict = (matched.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") == 1)
-               .withColumn("__allowed",
-                           F.when(F.col("__hit"), F.col("allow"))
-                           .otherwise(F.lit(True))))
-    keep_cols = urls.columns
+    win = (matched.groupBy("__uid")
+           .agg(F.max(F.struct(
+               F.col("__hit").alias("h"), F.col("spec").alias("s"),
+               F.col("allow").alias("a"),
+               *[F.col(c).alias(f"c{i}")
+                 for i, c in enumerate(keep_cols)])).alias("w")))
+    verdict = win.select(
+        F.expr("CASE WHEN w.h THEN w.a ELSE true END").alias("__allowed"),
+        *[F.col(f"w.c{i}").alias(c) for i, c in enumerate(keep_cols)])
     allowed = (verdict.filter(F.col("__allowed")).select(*keep_cols))
     blocked = (verdict.filter(~F.col("__allowed")).select(*keep_cols))
     return allowed, blocked

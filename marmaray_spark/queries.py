@@ -3908,6 +3908,52 @@ _SQL_PAGERANK = f"""
     SELECT 'pagerank', node, 'rank_x1e12', CAST(rank AS BIGINT),
            CAST(row_number() OVER (ORDER BY rank DESC, node) AS INT)
     FROM ({_SQL_PAGERANK})
+    UNION ALL
+    SELECT 'robots', grp, item, CAST(n AS BIGINT), CAST(0 AS INT) FROM (
+      WITH u AS (
+        SELECT doc_id,
+          'HTTPS://WWW.' || source || '-corp.COM'
+            || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+            || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+            || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=x&ref=' || lang || '&fbclid=zz'
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+      ), ru AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(lower(regexp_extract(url,
+            '://([^/?#]+)', 1)), '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+          coalesce(nullif(regexp_extract(url,
+            '://[^/?#]+([^#]*)', 1), ''), '/') AS path
+        FROM u
+      ), rr AS (
+        SELECT 'www.' || source || '-corp.com' AS host,
+               p.pattern, p.allow, p.spec, p.like_pattern
+        FROM (SELECT DISTINCT source FROM documents)
+        CROSS JOIN (VALUES ('/p/3', FALSE, 4, '/p/3%'),
+                           ('/p/3/', TRUE, 5, '/p/3/%'),
+                           ('/p/5$', FALSE, 5, '/p/5'))
+             AS p(pattern, allow, spec, like_pattern)
+      ), m AS (
+        SELECT ru.doc_id, ru.host, rr.allow, rr.spec,
+               (rr.like_pattern IS NOT NULL
+                AND ru.path LIKE rr.like_pattern) AS hit
+        FROM ru LEFT JOIN rr ON rr.host = ru.host
+      ), v AS (
+        SELECT doc_id, host,
+               CASE WHEN hit THEN allow ELSE TRUE END AS allowed
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY hit DESC, spec DESC, allow DESC) AS rn
+              FROM m)
+        WHERE rn = 1
+      )
+      SELECT host AS grp,
+             CASE WHEN allowed THEN 'allowed' ELSE 'blocked' END AS item,
+             COUNT(*) AS n
+      FROM v GROUP BY 1, 2
+    )
     """,
 )
 def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3940,11 +3986,20 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     node = doc_id % 211, link = affine-mixed residue), n = the fixed
     point rank in 1e-12 units, rank = frontier position. The oracle
     re-runs all five iterations as unrolled CTEs in the same floor
-    arithmetic, so the gate checks the iteration itself."""
+    arithmetic, so the gate checks the iteration itself. Section (f)
+    'robots' puts the RFC 9309 GATE under the hash gate: a
+    deterministic 3-rule policy per synthetic host (disallow '/p/3',
+    the LONGER '/p/3/' allow overriding it, exact-anchored '/p/5$'),
+    per-host allowed/blocked verdict counts — the oracle recomputes
+    the LIKE compilation, longest-match precedence, allow-wins-ties
+    and no-rule-default-allow semantics (operators/web.py
+    robots_gate); the robots.txt PARSER stays pytest-pinned against
+    the RFC examples."""
     from marmaray_spark.operators.drift import term_drift
     from marmaray_spark.operators.text import lang_id, words
     from marmaray_spark.operators.web import (domain_report,
-                                              pagerank_integer)
+                                              pagerank_integer,
+                                              robots_gate, url_host)
 
     docs = load(spark, sf_dir, "documents")
     conf = (_with_words(docs)
@@ -4004,8 +4059,42 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("rank").alias("n"))
            .withColumn("rank", F.row_number().over(
                W.orderBy(F.col("n").desc(), "grp")).cast("int")))
+    # section (f) 'robots': the RFC 9309 gate's longest-match
+    # precedence under the hash gate — a deterministic 3-rule policy
+    # per synthetic host ('/p/3' disallowed, the LONGER '/p/3/' allow
+    # overriding it, '/p/5$' exact-anchored), verdict counts per host.
+    # The parser stays pytest-pinned; the MATCHING semantics (LIKE
+    # compilation, spec precedence, allow-wins-ties, no-rule default)
+    # are what the oracle recomputes.
+    rule_structs = F.array(
+        F.struct(F.lit("/p/3").alias("pattern"),
+                 F.lit(False).alias("allow"),
+                 F.lit(4).alias("spec"),
+                 F.lit("/p/3%").alias("like_pattern")),
+        F.struct(F.lit("/p/3/").alias("pattern"),
+                 F.lit(True).alias("allow"),
+                 F.lit(5).alias("spec"),
+                 F.lit("/p/3/%").alias("like_pattern")),
+        F.struct(F.lit("/p/5$").alias("pattern"),
+                 F.lit(False).alias("allow"),
+                 F.lit(5).alias("spec"),
+                 F.lit("/p/5").alias("like_pattern")))
+    rules = (docs.select("source").distinct()
+             .select(F.expr("concat('www.', source, '-corp.com')")
+                     .alias("host"),
+                     F.explode(rule_structs).alias("r"))
+             .select("host", "r.*"))
+    r_allowed, r_blocked = robots_gate(urls.select("doc_id", "url"),
+                                       "url", rules)
+    robots = (r_allowed.withColumn("item", F.lit("allowed"))
+              .unionByName(r_blocked.withColumn("item", F.lit("blocked")))
+              .groupBy(url_host("url").alias("grp"), "item")
+              .agg(F.count(F.lit(1)).cast("long").alias("n"))
+              .select(F.lit("robots").alias("section"), "grp", "item",
+                      "n", F.lit(0).cast("int").alias("rank")))
     return (conf.unionByName(terms).unionByName(drift)
-            .unionByName(domains).unionByName(prs))
+            .unionByName(domains).unionByName(prs)
+            .unionByName(robots))
 
 
 # ---------------------------------------------------------------------------
