@@ -559,3 +559,72 @@ def robots_sitemaps(robots: DataFrame, host_col: str = "host",
     return (lines.select("host", url.alias("sitemap_url"))
             .filter(F.col("sitemap_url") != "")
             .distinct())
+
+
+SITEMAP_SCHEMA = ("src string, kind string, loc string, lastmod string, "
+                  "priority_milli int, ok boolean, err string")
+
+
+def parse_sitemap(sitemaps: DataFrame, src_col: str = "src",
+                  body_col: str = "xml") -> DataFrame:
+    """sitemaps.org XML -> URL seed rows: (src, kind, loc, lastmod,
+    priority_milli, ok, err). ``kind`` is 'url' for <urlset> entries
+    and 'sitemap' for <sitemapindex> references (fetch those and feed
+    them back through — the recursion is the CALLER's loop, one tick
+    per level, same shape as the WARC backlog drain). ``lastmod`` stays
+    the raw string (the spec allows several ISO-8601 shapes; parsing to
+    a timestamp is a caller policy), priority scales to integer
+    thousandths. Gzipped sitemap bodies must be decompressed upstream
+    (the fetch layer knows the Content-Encoding; this operator sees
+    text).
+
+    Arrow-batched per row, stdlib ElementTree with namespace-agnostic
+    tag matching (real-world sitemaps carry several xmlns variants); a
+    malformed body forks to ONE ok=false row for its source — never the
+    task. Index-scale data (urls per sitemap <= 50k by spec), no
+    shuffle."""
+    import pandas as pd
+
+    def one(src, body):
+        import xml.etree.ElementTree as ET
+        rows = []
+        root = ET.fromstring(body or "")
+        tag = root.tag.rsplit("}", 1)[-1].lower()
+        kind = {"urlset": "url", "sitemapindex": "sitemap"}.get(tag)
+        if kind is None:
+            raise ValueError(f"not a sitemap root: <{tag}>")
+        for entry in root:
+            loc = lastmod = None
+            prio = None
+            for child in entry:
+                c = child.tag.rsplit("}", 1)[-1].lower()
+                v = (child.text or "").strip()
+                if c == "loc":
+                    loc = v
+                elif c == "lastmod":
+                    lastmod = v
+                elif c == "priority":
+                    try:
+                        prio = int(round(float(v) * 1000))
+                    except ValueError:
+                        prio = None
+            if loc:
+                rows.append((src, kind, loc, lastmod, prio, True, None))
+        return rows
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for src, body in zip(pdf[src_col], pdf[body_col]):
+                try:
+                    out.extend(one(src, body))
+                except Exception as e:
+                    out.append((src, "error", None, None, None, False,
+                                f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(out, columns=["src", "kind", "loc",
+                                             "lastmod", "priority_milli",
+                                             "ok", "err"])
+
+    return (sitemaps.select(F.col(src_col).alias(src_col),
+                            F.col(body_col).alias(body_col))
+            .mapInPandas(kernel, SITEMAP_SCHEMA))

@@ -587,3 +587,38 @@ def test_robots_sitemaps_expression_scan(spark):
            for r in robots_sitemaps(df).collect()}
     assert got == {("ex.com", "https://ex.com/sitemap.xml"),
                    ("ex.com", "https://ex.com/sitemap2.xml")}
+
+
+def test_parse_sitemap_urlset_index_and_corrupt(spark):
+    from marmaray_spark.operators.web import parse_sitemap
+
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://ex.com/a</loc>
+           <lastmod>2026-01-05</lastmod><priority>0.8</priority></url>
+      <url><loc>https://ex.com/b</loc></url>
+      <url><lastmod>2026-01-06</lastmod></url>  <!-- no loc: dropped -->
+    </urlset>"""
+    index = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <sitemap><loc>https://ex.com/sitemap-news.xml</loc></sitemap>
+    </sitemapindex>"""
+    df = spark.createDataFrame(
+        [("https://ex.com/sitemap.xml", urlset),
+         ("https://ex.com/sitemap_index.xml", index),
+         ("https://bad.com/sitemap.xml", "<html>not a sitemap</html>"),
+         ("https://worse.com/sitemap.xml", "txt <<< not even xml")],
+        "src string, xml string")
+    rows = parse_sitemap(df).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    urls = {(r["loc"], r["lastmod"], r["priority_milli"])
+            for r in by_kind["url"]}
+    assert urls == {("https://ex.com/a", "2026-01-05", 800),
+                    ("https://ex.com/b", None, None)}
+    assert [r["loc"] for r in by_kind["sitemap"]] == [
+        "https://ex.com/sitemap-news.xml"]
+    errs = {r["src"]: r["err"] for r in by_kind["error"]}
+    assert set(errs) == {"https://bad.com/sitemap.xml",
+                         "https://worse.com/sitemap.xml"}
+    assert all(not r["ok"] for r in by_kind["error"])
