@@ -113,7 +113,6 @@ def cms_lookup(sketch: DataFrame, terms: DataFrame, term_col: str,
 # ---------------------------------------------------------------------------
 
 _CMS_META_PREFIX = "term_sketch."
-_CMS_DEFAULTS = {"depth": 4, "width": 1024}
 
 
 def sketch_commit_meta(depth: int, width: int,
