@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 # the query parameters stripped during canonicalization: pure tracking
 # noise whose presence forks otherwise-identical URLs (the dominant
@@ -464,19 +463,24 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
                 rules.append((value, field == "allow"))
         if agents:
             groups.append((agents, rules))
-        # longest UA-substring match wins; '*' is specificity 0
-        best, best_len = None, -1
-        for agents, grules in groups:
+        # longest UA-substring match wins; '*' is specificity 0. ALL
+        # groups at the winning specificity combine (RFC 9309 §2.2.1
+        # MUST treat multiple same-agent groups as one — real robots
+        # files routinely repeat 'User-agent: *')
+        best_len = -1
+        for agents, _ in groups:
             for a in agents:
                 if a == "*":
-                    cand_len = 0
+                    best_len = max(best_len, 0)
                 elif a and a in ua:
-                    cand_len = len(a)
-                else:
-                    continue
-                if cand_len > best_len:
-                    best, best_len = grules, cand_len
-        return best or []
+                    best_len = max(best_len, len(a))
+        combined: list[tuple[str, bool]] = []
+        for agents, grules in groups:
+            lens = [0 if a == "*" else len(a) for a in agents
+                    if a == "*" or (a and a in ua)]
+            if lens and max(lens) == best_len:
+                combined.extend(grules)
+        return combined
 
     def kernel(batches):
         for pdf in batches:
@@ -508,38 +512,43 @@ def robots_gate(urls: DataFrame, url_col: str,
     the URL's path, the longest (most octets) wins; a spec tie goes to
     allow; no matching rule, or no rules for the host at all, allows.
 
-    Plan: one equi-join on host (the rules side is index-sized), LIKE
-    matching in codegen, and the precedence pick is
-    ``max(struct(hit, spec, allow))`` — a HASH AGGREGATE whose
-    lexicographic struct order IS the RFC order (matched first,
-    longest pattern, allow on ties), so the per-URL candidate rows
-    collapse map-side before the shuffle instead of sorting inside a
-    per-URL window."""
+    Plan: the rules first collapse to ONE array row per host (an
+    index-scale aggregate), then join the URLs by host — the planner
+    broadcasts the typical rules side, and even a shuffle join moves
+    the corpus ONCE with no row multiplication. Precedence is
+    evaluated per URL inside codegen: ``filter`` the host's rule array
+    by LIKE match, ``array_max`` of ``struct(spec, allow)`` — the
+    lexicographic struct order IS the RFC order (longest pattern,
+    allow on ties), NULL (no match / no rules) allows. No per-URL
+    aggregation, no corpus-wide grouping, and page payload columns
+    never enter a struct comparison (the first cut grouped the corpus
+    by a row id with every payload column inside the max-struct —
+    flagged in review as a corpus-scale shuffle of page bodies).
+
+    The urls frame is wrapped in a single struct column before the
+    join, so caller column names can never collide with the rule
+    columns or the derived host/path."""
     keep_cols = urls.columns
-    tagged = (urls.withColumn("__host", url_host(url_col))
-              .withColumn("__path", F.expr(
-                  f"coalesce(nullif(regexp_extract({url_col}, "
-                  f"'://[^/?#]+([^#]*)', 1), ''), '/')"))
-              .withColumn("__uid", F.monotonically_increasing_id()))
-    joined = tagged.join(
-        rules.select(F.col("host").alias("__host"), "allow", "spec",
-                     "like_pattern"),
-        "__host", "left")
-    matched = joined.withColumn(
-        "__hit",
-        F.expr("like_pattern IS NOT NULL "
-               "AND __path LIKE like_pattern ESCAPE '\\\\'"))
-    win = (matched.groupBy("__uid")
-           .agg(F.max(F.struct(
-               F.col("__hit").alias("h"), F.col("spec").alias("s"),
-               F.col("allow").alias("a"),
-               *[F.col(c).alias(f"c{i}")
-                 for i, c in enumerate(keep_cols)])).alias("w")))
-    verdict = win.select(
-        F.expr("CASE WHEN w.h THEN w.a ELSE true END").alias("__allowed"),
-        *[F.col(f"w.c{i}").alias(c) for i, c in enumerate(keep_cols)])
-    allowed = (verdict.filter(F.col("__allowed")).select(*keep_cols))
-    blocked = (verdict.filter(~F.col("__allowed")).select(*keep_cols))
+    packed = urls.select(
+        F.struct(*[F.col(c) for c in keep_cols]).alias("__row"),
+        url_host(url_col).alias("__host"),
+        F.expr(f"coalesce(nullif(regexp_extract({url_col}, "
+               f"'://[^/?#]+([^#]*)', 1), ''), '/')").alias("__path"))
+    per_host = (rules.groupBy("host")
+                .agg(F.collect_list(F.struct(
+                    F.col("spec").alias("s"),
+                    F.col("allow").alias("a"),
+                    F.col("like_pattern").alias("p"))).alias("__rules"))
+                .withColumnRenamed("host", "__host"))
+    verdict = (packed.join(per_host, "__host", "left")
+               .withColumn("__win", F.expr(
+                   "array_max(transform(filter(coalesce(__rules, "
+                   "array()), r -> __path LIKE r.p ESCAPE '\\\\'), "
+                   "r -> struct(r.s AS s, r.a AS a)))"))
+               .withColumn("__allowed",
+                           F.expr("coalesce(__win.a, true)")))
+    allowed = (verdict.filter(F.col("__allowed")).select("__row.*"))
+    blocked = (verdict.filter(~F.col("__allowed")).select("__row.*"))
     return allowed, blocked
 
 
@@ -555,7 +564,12 @@ def robots_sitemaps(robots: DataFrame, host_col: str = "host",
         F.col(host_col).alias("host"),
         F.explode(F.split(F.coalesce(F.col(body_col), F.lit("")),
                           "\r?\n")).alias("line"))
-    url = F.expr("trim(regexp_extract(line, '(?i)^\\\\s*sitemap\\\\s*:(.*)$', 1))")
+    # '#' starts a comment anywhere on a robots.txt line (same rule
+    # parse_robots applies) — a sitemap URL carries no fragment, so the
+    # strip cannot eat a legitimate character
+    clean = "regexp_replace(line, '#.*', '')"
+    url = F.expr(f"trim(regexp_extract({clean}, "
+                 f"'(?i)^\\\\s*sitemap\\\\s*:(.*)$', 1))")
     return (lines.select("host", url.alias("sitemap_url"))
             .filter(F.col("sitemap_url") != "")
             .distinct())
@@ -606,8 +620,8 @@ def parse_sitemap(sitemaps: DataFrame, src_col: str = "src",
                 elif c == "priority":
                     try:
                         prio = int(round(float(v) * 1000))
-                    except ValueError:
-                        prio = None
+                    except (ValueError, OverflowError):
+                        prio = None   # 'inf'/'1e999' raise Overflow
             if loc:
                 rows.append((src, kind, loc, lastmod, prio, True, None))
         return rows

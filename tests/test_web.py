@@ -622,3 +622,41 @@ def test_parse_sitemap_urlset_index_and_corrupt(spark):
     assert set(errs) == {"https://bad.com/sitemap.xml",
                          "https://worse.com/sitemap.xml"}
     assert all(not r["ok"] for r in by_kind["error"])
+
+
+def test_parse_robots_combines_repeated_star_groups(spark):
+    """RFC 9309 §2.2.1: multiple groups for the same agent MUST merge —
+    real robots.txt files routinely repeat 'User-agent: *'."""
+    from marmaray_spark.operators.web import parse_robots, robots_gate
+
+    body = ("User-agent: *\nDisallow: /a\n\n"
+            "Sitemap: https://ex.com/s.xml\n\n"
+            "User-agent: *\nDisallow: /b\n")
+    rules = parse_robots(_robots_df(spark, [("ex.com", body)]))
+    assert {r["pattern"] for r in rules.collect()} == {"/a", "/b"}
+    urls = spark.createDataFrame(
+        [(1, "http://ex.com/a"), (2, "http://ex.com/b"),
+         (3, "http://ex.com/c")], "i long, url string")
+    _, blocked = robots_gate(urls, "url", rules)
+    assert {r["i"] for r in blocked.collect()} == {1, 2}
+
+
+def test_robots_gate_survives_colliding_column_names(spark):
+    """A corpus frame may already carry columns named allow/spec/
+    like_pattern/host — the gate packs the caller's row into a struct
+    before joining, so nothing collides."""
+    from marmaray_spark.operators.web import parse_robots, robots_gate
+
+    rules = parse_robots(_robots_df(
+        spark, [("ex.com", "User-agent: *\nDisallow: /private/\n")]))
+    urls = spark.createDataFrame(
+        [(1, "http://ex.com/private/x", True, 9, "zz", "h"),
+         (2, "http://ex.com/open", False, 3, "yy", "g")],
+        "i long, url string, allow boolean, spec int, "
+        "like_pattern string, host string")
+    allowed, blocked = robots_gate(urls, "url", rules)
+    assert [r["i"] for r in blocked.collect()] == [1]
+    row = {r["i"]: r for r in allowed.collect()}[2]
+    # caller columns come back VERBATIM
+    assert (row["allow"], row["spec"], row["like_pattern"], row["host"]) \
+        == (False, 3, "yy", "g")
