@@ -220,59 +220,75 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
                                    max_commits=max_commits, with_op=False)
     if not batches:
         return 0
-    commits_by_id = {c.commit_id: c for c in base.log.commits()}
-    deltas = []
-    for cid, change_df in batches:
-        deltas.append(_signed_cells(change_df, text_col, depth, width, 1))
-        commit = commits_by_id[cid]
-        if not commit.removes:
-            continue  # pure append: nothing displaced
-        missing = [s for s in commit.removes
-                   if not (base.table_path / s).exists()]
-        if missing:
-            raise FileNotFoundError(
-                f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
-                "the sketch cannot subtract the displaced terms — lower "
-                "the consumer lag or raise vacuum retain_last_n_commits")
-        pre = (base.spark.read.option("mergeSchema", "true")
-               .parquet(*[str(base.table_path / s) for s in commit.removes])
-               .select(base.key, text_col))
-        if commit.op == WriteOp.INSERT_OVERWRITE.value:
-            # an overwrite can DROP keys: every displaced row's version
-            # leaves the sketch unless re-asserted; the post-image check
-            # is against the overwrite's own (commit-scale) key set
-            displaced = pre
-        else:
-            # upsert/insert never drop keys — only rows whose key was
-            # re-written are displaced; inserted keys have no pre-image
-            # so the semi-join is a no-op for them
-            displaced = pre.join(change_df.select(base.key), base.key,
-                                 "left_semi")
-        deltas.append(_signed_cells(displaced, text_col, depth, width, -1))
-    delta = deltas[0]
-    for d in deltas[1:]:
-        delta = delta.unionByName(d)
-    delta = (delta.groupBy("row", "cell")
-             .agg(F.sum("d").alias("delta"))
-             .filter(F.col("delta") != 0))
-    if not sketch.is_empty():
-        delta = (delta.join(sketch.read().select("row", "cell", "cnt"),
-                            ["row", "cell"], "left")
-                 .select("row", "cell",
-                         (F.coalesce(F.col("cnt"), F.lit(0))
-                          + F.col("delta")).alias("delta")))
-    merged = (delta.select(
-        F.concat_ws(":", "row", "cell").alias("cell_key"),
-        "row", "cell", F.col("delta").cast("long").alias("cnt"))
-        .persist())
+    # consume_changes has already advanced the checkpoint in the shared
+    # (in-memory) manager; every raise below must roll it back to the
+    # pre-drain value, or a LATER save_changes() by the caller (the
+    # work-unit loop's post-commit save) would persist a checkpoint for
+    # commits whose deltas were never folded — the sketch would then
+    # silently diverge from cms_build(corpus) with no further error.
     try:
-        n = merged.count()
-        if n:
-            sketch.write(merged, WriteOp.UPSERT,
-                         metadata=sketch_commit_meta(
-                             depth, width, batches[-1][0]))
-    finally:
-        merged.unpersist()
+        commits_by_id = {c.commit_id: c for c in base.log.commits()}
+        deltas = []
+        for cid, change_df in batches:
+            deltas.append(_signed_cells(change_df, text_col, depth, width, 1))
+            commit = commits_by_id[cid]
+            if not commit.removes:
+                continue  # pure append: nothing displaced
+            missing = [s for s in commit.removes
+                       if not (base.table_path / s).exists()]
+            if missing:
+                raise FileNotFoundError(
+                    f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
+                    "the sketch cannot subtract the displaced terms — lower "
+                    "the consumer lag or raise vacuum retain_last_n_commits")
+            pre = (base.spark.read.option("mergeSchema", "true")
+                   .parquet(*[str(base.table_path / s)
+                              for s in commit.removes])
+                   .select(base.key, text_col))
+            if commit.op == WriteOp.INSERT_OVERWRITE.value:
+                # an overwrite can DROP keys: every displaced row's version
+                # leaves the sketch unless re-asserted; the post-image check
+                # is against the overwrite's own (commit-scale) key set
+                displaced = pre
+            else:
+                # upsert/insert never drop keys — only rows whose key was
+                # re-written are displaced; inserted keys have no pre-image
+                # so the semi-join is a no-op for them
+                displaced = pre.join(change_df.select(base.key), base.key,
+                                     "left_semi")
+            deltas.append(_signed_cells(displaced, text_col, depth,
+                                        width, -1))
+        delta = deltas[0]
+        for d in deltas[1:]:
+            delta = delta.unionByName(d)
+        delta = (delta.groupBy("row", "cell")
+                 .agg(F.sum("d").alias("delta"))
+                 .filter(F.col("delta") != 0))
+        if not sketch.is_empty():
+            delta = (delta.join(sketch.read().select("row", "cell", "cnt"),
+                                ["row", "cell"], "left")
+                     .select("row", "cell",
+                             (F.coalesce(F.col("cnt"), F.lit(0))
+                              + F.col("delta")).alias("delta")))
+        merged = (delta.select(
+            F.concat_ws(":", "row", "cell").alias("cell_key"),
+            "row", "cell", F.col("delta").cast("long").alias("cnt"))
+            .persist())
+        try:
+            n = merged.count()
+            if n:
+                sketch.write(merged, WriteOp.UPSERT,
+                             metadata=sketch_commit_meta(
+                                 depth, width, batches[-1][0]))
+        finally:
+            merged.unpersist()
+    except BaseException:
+        # restore the pre-drain checkpoint ("" ≡ never-consumed: every
+        # reader applies `get(...) or ""`). If the sketch commit itself
+        # landed before the raise, the next run's consumed_through
+        # fast-forward absorbs it — the same crash-replay fence.
+        metadata.set(checkpoint_key, last)
+        raise
     metadata.save_changes()
     return n
 

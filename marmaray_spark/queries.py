@@ -3924,7 +3924,7 @@ _SQL_PAGERANK = f"""
       ), ru AS (
         SELECT doc_id,
           regexp_replace(regexp_replace(lower(regexp_extract(url,
-            '://([^/?#]+)', 1)), '^[^@]*@', ''), ':[0-9]+$', '') AS host,
+            '://([^/?#]+)', 1)), '^.*@', ''), ':[0-9]+$', '') AS host,
           coalesce(nullif(regexp_extract(url,
             '://[^/?#]+([^#]*)', 1), ''), '/') AS path
         FROM u

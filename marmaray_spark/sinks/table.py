@@ -266,8 +266,7 @@ class TableSink:
             raise KeyError(f"unknown commit {commit_id!r}")
         commit = by_id[commit_id]
         if not commit.adds:    # a zero-row commit introduces nothing
-            empty = (self.read(with_meta=True)
-                     .filter(F.lit(False)).drop(COMMIT_COL))
+            empty = self._empty_frame()
             return empty.withColumn("change_op", F.lit("insert")) \
                 if with_op else empty
         missing = [s for s in commit.adds
@@ -308,6 +307,30 @@ class TableSink:
 
     def is_empty(self) -> bool:
         return not self.log.active_slices()
+
+    def _empty_frame(self) -> DataFrame:
+        """Zero-row frame in the table's schema — derived from slice
+        FILES (active ones, else any historical slice still on disk),
+        never from ``read()``: when the table's only commits are
+        zero-row there is no active snapshot and read() raises, but the
+        documented contract of the zero-adds ``read_changes`` branch is
+        an EMPTY change frame, not an error. A table that has never
+        written a data file at all has no recoverable schema; that
+        degenerate case returns a zero-column empty frame (schema-free
+        consumers like row counting still work; anything selecting
+        columns fails loudly, which is the honest answer)."""
+        from pyspark.sql.types import StructType
+
+        slices = list(self.log.active_slices())
+        if not slices:
+            slices = [s for c in self.log.commits() for s in c.adds
+                      if (self.table_path / s).exists()]
+        if not slices:
+            return self.spark.createDataFrame([], StructType([]))
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(*[str(self.table_path / s) for s in slices])
+              .filter(F.lit(False)))
+        return df.drop(COMMIT_COL) if COMMIT_COL in df.columns else df
 
     # -- write path --------------------------------------------------------
 

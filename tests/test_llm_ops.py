@@ -2265,6 +2265,45 @@ def test_maintained_sketch_crash_replay_does_not_double_count(
     assert _cms_cells(sketch) == _cms_full(base.read())
 
 
+def test_maintained_sketch_vacuumed_preimage_leaves_checkpoint_clean(
+        spark, tmp_path):
+    """ADVICE r9 (medium): consume_changes advances the checkpoint in
+    the SHARED in-memory manager before the vacuumed-pre-image check can
+    raise; the raise must roll it back to the pre-drain value, or a
+    later save_changes() by the caller (the work-unit loop's post-commit
+    save) persists a checkpoint for commits whose deltas were never
+    folded — and the sketch silently diverges forever after."""
+    import shutil
+
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.cms import maintain_term_sketch
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    sketch = TableSink(spark, tmp_path / "sk", "cell_key")
+    md_dir = str(tmp_path / "md")
+    md = FileSystemMetadataManager(md_dir)
+
+    base.write(_cms_docs(spark, [(1, "alpha beta")]), WriteOp.INSERT)
+    maintain_term_sketch(base, sketch, md, depth=4, width=64)
+    good = md.get("term_sketch.last_commit")
+
+    # an upsert whose pre-image we then delete (simulated early vacuum)
+    base.write(_cms_docs(spark, [(1, "gamma")]), WriteOp.UPSERT)
+    for s in base.log.commits()[-1].removes:
+        p = base.table_path / s
+        shutil.rmtree(p) if p.is_dir() else p.unlink()
+
+    with pytest.raises(FileNotFoundError, match="pre-image vacuumed"):
+        maintain_term_sketch(base, sketch, md, depth=4, width=64)
+    # the shared manager holds the PRE-drain checkpoint again...
+    assert md.get("term_sketch.last_commit") == good
+    # ...so a caller's save_changes() persists the clean value
+    md.save_changes()
+    assert FileSystemMetadataManager(md_dir).get(
+        "term_sketch.last_commit") == good
+
+
 def test_maintained_sketch_refuses_geometry_drift_and_probes(
         spark, tmp_path):
     from marmaray_spark.metadata.manager import FileSystemMetadataManager

@@ -234,6 +234,31 @@ def test_read_changes_insert_vs_update(spark, tmp_path):
         t.read_changes("999999999999")
 
 
+def test_read_changes_zero_adds_commit_returns_empty_frame(spark, tmp_path):
+    """ADVICE r9: a partitioned write of an empty batch commits with NO
+    adds; read_changes for it must return the documented empty change
+    frame — not FileNotFoundError('no commits') — even when that commit
+    is the ONLY one, so the table has no active snapshot to borrow a
+    schema from."""
+    t = TableSink(spark, tmp_path / "z", record_key_field="k",
+                  partition_field="dt")
+    empty = spark.createDataFrame([], "k int, v string, dt string")
+    c0 = t.write(empty, WriteOp.INSERT)
+    assert c0.adds == []
+    ch = t.read_changes(c0.commit_id)
+    assert ch.count() == 0 and "change_op" in ch.columns
+
+    # once a real slice exists, the empty frame carries the table schema
+    c1 = t.write(spark.createDataFrame([(1, "a", "d1")], ["k", "v", "dt"]),
+                 WriteOp.INSERT)
+    assert c1.adds
+    c2 = t.write(empty, WriteOp.INSERT)
+    assert c2.adds == []
+    ch2 = t.read_changes(c2.commit_id)
+    assert ch2.count() == 0
+    assert {"k", "v", "dt", "change_op"} <= set(ch2.columns)
+
+
 def test_vacuum_deletes_expired_slices_only(spark, tmp_path):
     from marmaray_spark.sinks.table import TableSink, WriteOp
 

@@ -398,6 +398,24 @@ def test_pagerank_integer_mass_is_bounded_and_nearly_conserved(spark):
     assert total >= scale - 320
 
 
+def test_pagerank_plan_depth_constant_in_iters(spark):
+    """The returned frame must be checkpoint-backed: lineage (and plan
+    size) CONSTANT in iters — frontier_report runs pagerank every crawl
+    tick, and an iteration-deep lineage re-plans and re-executes the
+    whole join chain on every downstream action (r9 verdict item 2)."""
+    from marmaray_spark.operators.web import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string")
+    p2 = pagerank_integer(edges, iters=2)
+    p9 = pagerank_integer(edges, iters=9)
+    d2 = p2._jdf.queryExecution().optimizedPlan().toString()
+    d9 = p9._jdf.queryExecution().optimizedPlan().toString()
+    assert len(d9.splitlines()) == len(d2.splitlines())
+    assert p9.count() == 3
+
+
 def test_pagerank_integer_empty_edges(spark):
     from marmaray_spark.operators.web import pagerank_integer
 
@@ -453,6 +471,26 @@ def test_url_host_strips_userinfo_matching_href_host(spark):
     got = {r["i"]: r["h"]
            for r in df.select("i", url_host("url").alias("h")).collect()}
     assert got[1] == got[2] == "ex.com"
+
+
+def test_url_host_multi_at_uses_last_at(spark):
+    """RFC 3986: userinfo ends at the LAST '@' of the authority. A
+    crafted 'http://a@b@evil.com/' must resolve to 'evil.com' on BOTH
+    the page side (url_host, greedy '^.*@') and the link side
+    (href_host's rsplit('@', 1)) — a first-@ strip yields 'b@evil.com'
+    on one side only, splitting one physical host into two frontier
+    nodes and defeating self-link filtering (ADVICE r9)."""
+    from marmaray_spark.operators.web import extract_text_from_html
+
+    df = spark.createDataFrame([(1, "http://a@b@evil.com/x")],
+                               "i int, url string")
+    [r] = df.select(url_host("url").alias("h")).collect()
+    assert r["h"] == "evil.com"
+    page = spark.createDataFrame(
+        [(1, '<p>word one two three <a href="http://a@b@evil.com/y">'
+             "link</a></p>")], "i int, html string")
+    [ex] = extract_text_from_html(page, "i").collect()
+    assert ex["link_hosts"] == ["evil.com"]
 
 
 def test_link_host_edges_no_phantom_empty_source(spark):
@@ -538,6 +576,23 @@ def test_robots_gate_tie_goes_to_allow_and_empty_disallow(spark):
     allowed, blocked = robots_gate(urls, "url", rules)
     assert {r["i"] for r in allowed.collect()} == {1, 2}
     assert blocked.count() == 0
+
+
+def test_parse_robots_spec_is_octet_length_and_flips_precedence(spark):
+    """RFC 9309 §2.2.2 ranks matching rules by OCTET length, not
+    characters: 'Disallow: /aaa' (4 chars = 4 octets) vs 'Allow: *éé'
+    (3 chars but 5 octets in UTF-8). Character counting picks the
+    disallow; octet counting picks the allow (ADVICE r9)."""
+    from marmaray_spark.operators.web import parse_robots, robots_gate
+
+    body = "User-agent: *\nDisallow: /aaa\nAllow: *éé\n"
+    rules = parse_robots(_robots_df(spark, [("o.com", body)]))
+    specs = {r["pattern"]: r["spec"] for r in rules.collect()}
+    assert specs == {"/aaa": 4, "*éé": 5}
+    urls = spark.createDataFrame(
+        [(1, "http://o.com/aaaéé")], "i long, url string")
+    allowed, blocked = robots_gate(urls, "url", rules)
+    assert allowed.count() == 1 and blocked.count() == 0
 
 
 def test_parse_robots_unparseable_body_means_allowed(spark):
