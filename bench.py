@@ -135,9 +135,27 @@ def _previous_isolated(sf: str) -> dict:
     return {}
 
 
-def _isolated_remeasure(names: list[str]) -> dict[str, float]:
+def _previous_cold(sf: str) -> dict[str, float]:
+    """Last recorded RAW per-query cold times (same SF) — the reference
+    for flagging a cold-iteration outlier (r9 verdict item 1: one 27s
+    environment spike on an UNCHANGED query printed a 1.56x cold
+    headline; the warm delta table never saw it because warm is already
+    min-of-two)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, _LOCAL_BASELINE)) as f:
+            doc = json.load(f)
+        if doc.get("sf_raw") == sf:
+            return doc.get("queries_cold") or {}
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def _isolated_remeasure(names: list[str]) -> dict[str, dict[str, float]]:
     """Re-run flagged queries ALONE, each in a fresh JVM (subprocess of
-    this same script with --only), and return their isolated warm times.
+    this same script with --only), and return their isolated cold AND
+    warm times.
 
     Rationale (NOTES r7 item 17): whole-bench totals on this box swing
     29-45s run-to-run with identical code — session-environment effects,
@@ -146,7 +164,7 @@ def _isolated_remeasure(names: list[str]) -> dict[str, float]:
     until re-measured in isolation; doing it automatically makes the
     REGRESSED flag trustworthy instead of a manual NOTES discipline."""
     import subprocess
-    out: dict[str, float] = {}
+    out: dict[str, dict[str, float]] = {}
     for name in names:
         try:
             proc = subprocess.run(
@@ -154,7 +172,9 @@ def _isolated_remeasure(names: list[str]) -> dict[str, float]:
                 capture_output=True, text=True, timeout=600)
             line = [ln for ln in proc.stdout.splitlines()
                     if ln.strip().startswith("{")][-1]
-            out[name] = json.loads(line)["queries"][name]
+            doc = json.loads(line)
+            out[name] = {"warm": doc["queries"][name],
+                         "cold": doc["queries_cold"][name]}
         except Exception as e:  # noqa: BLE001 — isolation is best-effort
             print(f"#   isolation re-measure failed for {name}: {e}",
                   file=sys.stderr)
@@ -238,17 +258,35 @@ def main() -> None:
         if new:
             print(f"#   new this round: {new}", file=sys.stderr)
 
+    # a cold-iteration outlier (vs the last recorded raw cold) also
+    # triggers isolation: warm is min-of-two and shrugs off a transient
+    # spike, but cold is a SINGLE sample, and one environment hiccup on
+    # an unchanged query must not inflate the headline value_cold
+    cold_flagged: list[str] = []
+    prev_cold = _previous_cold(sf) if only is None else {}
+    for name in HEADLINE:
+        if name in cold and prev_cold.get(name, 0) > 0:
+            if cold[name] / prev_cold[name] > 1.5 \
+                    and cold[name] - prev_cold[name] > 1.0:
+                cold_flagged.append(name)
+    if cold_flagged:
+        print(f"# cold outliers vs last recorded cold: "
+              f"{[(n, cold[n], prev_cold[n]) for n in cold_flagged]}",
+              file=sys.stderr)
+
     # flagged deltas are noise on this box until re-measured alone
     # (fresh JVM, nothing else running) — do it automatically and record
     # BOTH numbers, so the artifact distinguishes "bench-environment
     # noise" from "this query really got slower"
     isolated: dict[str, dict] = {}
     prev_iso = _previous_isolated(sf)
-    if flagged and not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
-        print(f"# isolation re-measure for {len(flagged)} REGRESSED "
-              f"flag(s): {flagged}", file=sys.stderr)
-        iso = _isolated_remeasure(flagged)
-        for name, t in iso.items():
+    to_isolate = sorted(set(flagged) | set(cold_flagged))
+    if to_isolate and not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
+        print(f"# isolation re-measure for {len(to_isolate)} flag(s): "
+              f"{to_isolate}", file=sys.stderr)
+        iso = _isolated_remeasure(to_isolate)
+        for name, m in iso.items():
+            t = m["warm"]
             # compare isolated-vs-isolated when the query has ever been
             # isolated before; isolated-vs-in-bench is biased toward
             # "noise" (in-bench runs high) so it can only CONFIRM, never
@@ -260,6 +298,7 @@ def main() -> None:
                 base, kind = prev[1][name], "in_bench"
             real = t / base > 1.5 and t - base > 0.3
             isolated[name] = {"in_bench": warm[name], "isolated": t,
+                              "isolated_cold": m["cold"],
                               "baseline": base, "baseline_kind": kind,
                               "confirmed_regression": real}
             if real:
@@ -273,16 +312,32 @@ def main() -> None:
                   f"{t:.2f}s vs {kind} baseline {base:.2f}s -> {verdict}",
                   file=sys.stderr)
 
+    # headline value_cold is ROBUST: for a flagged cold outlier whose
+    # fresh-JVM isolated cold came in lower, report the isolated number
+    # in the total (the raw sample and sum stay in the artifact under
+    # *_raw) — a single environment spike on an unchanged query must
+    # never again print a 1.56x cold headline (r9 verdict item 1)
+    cold_robust = dict(cold)
+    substituted: dict[str, dict[str, float]] = {}
+    for name in cold_flagged:
+        iso_cold = (isolated.get(name) or {}).get("isolated_cold")
+        if iso_cold is not None and iso_cold < cold[name]:
+            substituted[name] = {"in_bench_cold": cold[name],
+                                 "isolated_cold": iso_cold}
+            cold_robust[name] = iso_cold
     result = {
         "metric": "headline_query_wall_time",
         "value": round(sum(warm.values()), 3),
         "unit": "sec",
         "queries": warm,
         "queries_cold": cold,
-        "value_cold": round(sum(cold.values()), 3),
+        "value_cold": round(sum(cold_robust.values()), 3),
+        "value_cold_raw": round(sum(cold.values()), 3),
         "iterations": 3,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if substituted:
+        result["cold_substituted"] = substituted
     if isolated:
         result["isolated"] = isolated
     # persist this run as the next run's delta baseline (same-SF only);
@@ -294,8 +349,12 @@ def main() -> None:
             with open(os.path.join(here, _LOCAL_BASELINE), "w") as f:
                 # the baseline file keeps the most recent ISOLATED number
                 # per query (old entries carried forward) so a future
-                # flag can be judged isolated-vs-isolated
-                json.dump({**result, "isolated": {**prev_iso, **isolated},
+                # flag can be judged isolated-vs-isolated; its cold map
+                # is the ROBUST one — a recorded spike would make the
+                # next round's outlier detection lenient by exactly the
+                # spike it failed to catch
+                json.dump({**result, "queries_cold": cold_robust,
+                           "isolated": {**prev_iso, **isolated},
                            "sf_raw": sf}, f, indent=1)
         except OSError:
             pass

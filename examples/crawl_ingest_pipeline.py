@@ -13,10 +13,15 @@ first-mile funnel:
                                 chrome dropped by word floor + link density)
     -> quality gate            (Gopher repetition battery over the
                                 extracted text)
+    -> canonical dedup         (pages declaring the same rel=canonical
+                                target collapse first-occurrence-wins —
+                                the publisher hint, ahead of digest dedup)
     -> survivors DEDUP_INSERT  (commit-logged managed table; replay-safe)
-    -> host-graph edges        (link_host_edges over the survivors'
-                                extracted link_hosts; deduped by
-                                src->dst key, replay-safe)
+    -> host-graph edges        (maintain_link_edges: the edge table is
+                                MAINTAINED from the pages table's commit
+                                log on the shared sparse-report skeleton —
+                                page-owned (page, dst) rows, so an updated
+                                page that drops a link drops its edge)
     -> watermark commit        (metadata.save_changes() only AFTER the
                                 sink commit — the work-unit contract, so a
                                 crash replays the tick and the dedup-insert
@@ -44,8 +49,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from marmaray_spark.metadata.manager import FileSystemMetadataManager  # noqa: E402
 from marmaray_spark.operators.text import gopher_repetition_pass  # noqa: E402
-from marmaray_spark.operators.web import (extract_text_from_html,  # noqa: E402
-                                          link_host_edges,
+from marmaray_spark.operators.web import (canonical_dedup,  # noqa: E402
+                                          extract_text_from_html,
+                                          maintain_link_edges,
                                           pagerank_integer)
 from marmaray_spark.sinks.table import TableSink, WriteOp  # noqa: E402
 from marmaray_spark.sources.warc import (WarcSource,  # noqa: E402
@@ -63,7 +69,7 @@ def crawl_tick(spark: SparkSession, workdir: str, archive_dir: str,
     pages = TableSink(spark, os.path.join(workdir, "pages"),
                       record_key_field="target_uri")
     edges = TableSink(spark, os.path.join(workdir, "host_edges"),
-                      record_key_field="edge_key")
+                      record_key_field="report_key")
     errors = TableSink(spark, os.path.join(workdir, "crawl_errors"),
                        record_key_field="hadoop_row_key")
 
@@ -91,32 +97,28 @@ def crawl_tick(spark: SparkSession, workdir: str, archive_dir: str,
         kept = (text.filter("ok")
                 .withColumn("w", F.split("text", r"\s+"))
                 .filter(gopher_repetition_pass("w"))
-                .select("target_uri", "title", "text", "link_hosts"))
-        # persist: the per-tick count, the table write and the edge
-        # extraction all consume the extraction plan
+                .select("target_uri", "title", "text", "rel_canonical",
+                        "link_hosts"))
+        # publisher-hint dedup ahead of the key-level dedup insert: a
+        # print/AMP twin declaring the same canonical target collapses
+        # here even though its target_uri (the table key) differs
+        kept = canonical_dedup(kept, "target_uri", "target_uri") \
+            .drop("rel_canonical")
+        # persist: the per-tick count and the table write both consume
+        # the extraction plan. link_hosts STAYS in the pages table —
+        # the edge maintainer derives the host graph from the table's
+        # own commit log, not from this tick's in-flight frame
         kept = kept.persist()
         try:
             report["kept"] += kept.count()      # THIS tick's survivors
-            pages.write(kept.drop("link_hosts"), WriteOp.DEDUP_INSERT)
-            # host graph from the SURVIVORS' out-links: gated pages
-            # (spam) don't get to vote on the frontier; the src->dst
-            # key makes a crash replay land on the same edge rows, and
-            # the in-batch dropDuplicates is required — DEDUP_INSERT
-            # only dedups against PRIOR commits, not within the batch
-            tick_edges = (link_host_edges(kept, "target_uri")
-                          .dropDuplicates(["src", "dst"])
-                          .withColumn("edge_key",
-                                      F.concat_ws("->", "src", "dst")))
-            tick_edges = tick_edges.persist()
-            try:
-                n_edges = tick_edges.count()
-                report["edges"] += n_edges
-                if n_edges:
-                    edges.write(tick_edges, WriteOp.DEDUP_INSERT)
-            finally:
-                tick_edges.unpersist()
+            pages.write(kept, WriteOp.DEDUP_INSERT)
         finally:
             kept.unpersist()
+    # host graph on the SHARED maintainer skeleton: drain the pages
+    # commit log once per tick; page-owned (page, dst host) edge rows,
+    # stale edges of updated/dropped pages rewritten out, checkpoint
+    # persisted only after the edge commit — replay-idempotent
+    report["edges"] += maintain_link_edges(pages, edges, md, "target_uri")
     calc.save_next_run_state(units)
     md.save_changes()                       # AFTER the table commits
     return report
@@ -130,11 +132,13 @@ def frontier_report(spark: SparkSession, workdir: str,
     in 1e-12 units, highest first."""
     try:
         edges = TableSink(spark, os.path.join(workdir, "host_edges"),
-                          record_key_field="edge_key").read()
+                          record_key_field="report_key").read()
     except FileNotFoundError:
         # linkless crawls never commit an edge table: an empty ranking,
         # not a crash
         return spark.createDataFrame([], "node string, rank long")
+    # page-owned rows form a multigraph: a host linked by many pages
+    # carries more rank mass, which is the weighting a frontier wants
     pr = pagerank_integer(edges.select("src", "dst"), "src", "dst",
                           iters=5)
     return pr.orderBy(F.col("rank").desc(), "node").limit(top_n)

@@ -180,7 +180,19 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
                 report.write(fresh, WriteOp.INSERT)
         else:
             existing = report.read()
-            stale = (existing.join(affected, id_col, "left_semi")
+            # a key's rows may go stale only if the key was RE-DERIVED
+            # (it's in the after-images) or DROPPED from the base —
+            # ``affected`` alone over-reaches: an unpartitioned upsert
+            # rewrites the whole slice, so its removes manifest lists
+            # every SURVIVOR key too, and treating those as affected
+            # deleted unchanged keys' rows (caught by the link-edges
+            # maintainer's update test, r10)
+            touched = (latest.select(id_col)
+                       .unionByName(affected.join(
+                           base.read().select(id_col), id_col,
+                           "left_anti"))
+                       .distinct())
+            stale = (existing.join(touched, id_col, "left_semi")
                      .join(fresh.select("report_key"), "report_key",
                            "left_anti"))
             if stale.limit(1).count() > 0:

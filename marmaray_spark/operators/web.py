@@ -89,8 +89,240 @@ def registrable_domain(host_col: str) -> Column:
     return F.expr(f"CASE WHEN {two} = '' THEN {host_col} ELSE {two} END")
 
 
+def registrable_domain_psl(host_col: str, suffixes: set[str]) -> Column:
+    """Public-Suffix-List registrable domain (eTLD+1): the PSL swap the
+    two-label ``registrable_domain`` docstring promises — 'bbc.co.uk'
+    rolls up to 'bbc.co.uk', not 'co.uk', so UK/AU/JP ccTLD traffic
+    stops merging whole countries into one blocklist/rollup bucket.
+
+    ``suffixes`` is the rule set in publicsuffix.org list format:
+    plain suffixes ('com', 'co.uk'), wildcards ('*.ck'), exceptions
+    ('!www.ck'); matching follows the published algorithm (longest
+    matching rule wins, exception beats wildcard, no match => last
+    label). Implemented as an Arrow-batched pandas UDF with the rule
+    set captured in the task closure — the 'broadcast longest-suffix
+    map' shape: the list is index-sized (~10k entries), each task gets
+    one copy, the corpus never shuffles and no row multiplies (the
+    join formulation needs a per-row aggregate over candidate
+    suffixes, i.e. a corpus-scale shuffle). The dependency-free
+    two-label form stays the default everywhere; pass
+    ``corpus.psl_table`` in YAML (or this column directly) to opt in.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rules = frozenset(s.strip().lower() for s in suffixes if s.strip())
+
+    @pandas_udf("string")
+    def psl_lookup(hosts):
+        import pandas as pd
+
+        def one(host):
+            if host is None:
+                return None
+            labels = host.split(".")
+            if len(labels) < 2:
+                return host
+            # longest matching rule wins: walk suffixes longest-first
+            for i in range(len(labels)):
+                cand = ".".join(labels[i:])
+                if ("!" + cand) in rules:
+                    # exception rule: the candidate ITSELF is the
+                    # registrable domain (publicsuffix.org algorithm)
+                    return cand
+                wild = ".".join(["*"] + labels[i + 1:]) \
+                    if i + 1 <= len(labels) else None
+                if cand in rules or (wild and wild in rules):
+                    # cand is a public suffix -> registrable = one more
+                    # label; a host that IS a suffix has no registrable
+                    # domain -- pass it through like the two-label form
+                    return ".".join(labels[i - 1:]) if i > 0 else host
+            # no rule matched: implicit '*' rule (last label is the
+            # suffix), same answer as the two-label approximation
+            return ".".join(labels[-2:])
+
+        return pd.Series([one(h) for h in hosts])
+
+    return psl_lookup(F.col(host_col))
+
+
+def canonical_dedup(docs: DataFrame, id_col: str, url_col: str,
+                    canonical_col: str = "rel_canonical") -> DataFrame:
+    """Publisher-hint dedup: collapse pages that DECLARE the same
+    ``<link rel="canonical">`` target, keeping the first occurrence
+    (min ``id_col``) per target — the consumption stage for the
+    extractor's ``rel_canonical`` column (r9 verdict item 4). Strictly
+    stronger than URL canonicalization when the hint is present: two
+    DIFFERENT canonical URLs (print view, AMP mirror, tracking-free
+    twin) that both point at one canonical target collapse here, where
+    URL dedup alone sees two resources.
+
+    The target is resolved expression-only: an absolute hint is
+    canonicalized (``canonical_url``); a path-absolute hint ('/x')
+    resolves against the page's own scheme+host; anything else (empty,
+    NULL, relative-path, malformed) falls back to the page's OWN
+    canonical URL — a missing or junk hint must never merge unrelated
+    pages. First-occurrence-wins is the paragraph-dedup shape: one
+    groupBy at target cardinality for the keeper set, then a
+    broadcast-friendly semi-join — the corpus shuffles once on the
+    target key and carries (id, target), never payloads."""
+    scheme = (f"lower(regexp_extract({url_col}, "
+              f"'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))")
+    page_host = (f"lower(regexp_extract({url_col}, '://([^/?#]+)', 1))")
+    abs_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://'"
+    resolved = (
+        f"CASE WHEN {canonical_col} IS NULL OR trim({canonical_col}) = '' "
+        f"       THEN {url_col} "
+        f"     WHEN trim({canonical_col}) rlike {abs_re} "
+        f"       THEN trim({canonical_col}) "
+        f"     WHEN substring(trim({canonical_col}), 1, 1) = '/' "
+        f"          AND {scheme} != '' "
+        f"       THEN concat({scheme}, '://', {page_host}, "
+        f"                   trim({canonical_col})) "
+        f"     ELSE {url_col} END")
+    # two-step: materialize the resolved hint as its own column first —
+    # canonical_url() interpolates its argument expression several
+    # times, and nesting the CASE inside each copy explodes codegen
+    tagged = (docs.withColumn("__resolved", F.expr(resolved))
+              .withColumn("__canon_target", canonical_url("__resolved"))
+              .drop("__resolved"))
+    keepers = (tagged.groupBy("__canon_target")
+               .agg(F.min(id_col).alias(id_col))
+               .select(id_col))
+    return tagged.join(keepers, id_col, "left_semi") \
+        .drop("__canon_target")
+
+
+def sitemap_discovery_tick(discovered, parsed, seeds,
+                           bodies: DataFrame | None,
+                           new_sitemaps: DataFrame | None = None,
+                           url_col: str = "sitemap_url",
+                           body_col: str = "xml") -> dict:
+    """One tick of the sitemap DISCOVERY loop — the consumption stage
+    for ``robots_sitemaps`` / ``parse_sitemap`` (r9 verdict item 3):
+    sitemap references accrue, fetched bodies parse exactly once,
+    <urlset> entries become crawl-frontier SEED rows and <sitemapindex>
+    references feed back in — one index level per tick, the WARC
+    backlog-drain shape (the caller loops ticks; a 3-deep index chain
+    drains in 3 ticks). Returns the tick report.
+
+    State is three commit-logged TableSinks, all advanced by
+    DEDUP_INSERT under deterministic keys, so a crashed tick replays
+    onto IDENTICAL rows — replay safety by construction, no watermark
+    needed (mirror of the work-unit contract's effect,
+    M/common/sources/IWorkUnitCalculator.java:36-90, achieved through
+    idempotent sinks instead of checkpointed offsets):
+
+    - ``discovered`` (key ``sitemap_url``): every sitemap URL ever
+      seen — from robots.txt ``Sitemap:`` directives (pass
+      ``robots_sitemaps(robots)`` as ``new_sitemaps``) and from parsed
+      <sitemapindex> entries;
+    - ``parsed`` (key ``sitemap_url``): the consumed set (with ok/err
+      — a malformed body is consumed too, never retried forever);
+    - ``seeds`` (key ``url``): discovered page URLs with lastmod /
+      priority_milli, the frontier input next to PageRank.
+
+    ``bodies``: (sitemap_url, xml) rows the FETCH layer produced this
+    tick (this engine does not fetch); pending references without a
+    body simply stay pending. Scale: everything here is index-sized
+    (sitemaps per host x 50k URLs per sitemap by spec), joined and
+    deduped at sitemap/URL cardinality — corpus tables are never
+    touched."""
+    from marmaray_spark.sinks.table import WriteOp
+
+    report = {"new_sitemaps": 0, "parsed": 0, "seed_urls": 0,
+              "child_sitemaps": 0, "errors": 0}
+    def dedup_write(sink, df) -> int:
+        # skip the commit entirely for an empty batch — a nothing-new
+        # tick must not grow three commit logs per tick; 'written' in
+        # the returned count is POST-dedup, i.e. genuinely new rows
+        if df.limit(1).count() == 0:
+            return 0
+        c = sink.write(df, WriteOp.DEDUP_INSERT)
+        return c.counts.get("written", 0) if c else 0
+
+    if new_sitemaps is not None:
+        fresh = (new_sitemaps.select(F.col(url_col).alias("sitemap_url"))
+                 .filter(F.col("sitemap_url").isNotNull())
+                 .dropDuplicates(["sitemap_url"]))
+        report["new_sitemaps"] = dedup_write(discovered, fresh)
+    if discovered.is_empty() or bodies is None:
+        return report
+    pending = discovered.read().select("sitemap_url")
+    if not parsed.is_empty():
+        pending = pending.join(parsed.read().select("sitemap_url"),
+                               "sitemap_url", "left_anti")
+    todo = pending.join(
+        bodies.select(F.col(url_col).alias("sitemap_url"),
+                      F.col(body_col).alias(body_col)),
+        "sitemap_url")
+    rows = parse_sitemap(todo, src_col="sitemap_url",
+                         body_col=body_col).persist()
+    try:
+        urls = (rows.filter(F.col("kind") == "url")
+                .select(F.col("loc").alias("url"),
+                        F.col("src").alias("from_sitemap"),
+                        "lastmod", "priority_milli")
+                .dropDuplicates(["url"]))
+        report["seed_urls"] = dedup_write(seeds, urls)
+        children = (rows.filter(F.col("kind") == "sitemap")
+                    .select(F.col("loc").alias("sitemap_url"))
+                    .filter(F.col("sitemap_url").isNotNull())
+                    .dropDuplicates(["sitemap_url"]))
+        report["child_sitemaps"] = dedup_write(discovered, children)
+        consumed = (rows.groupBy(F.col("src").alias("sitemap_url"))
+                    .agg(F.min(F.col("ok").cast("int")).cast("boolean")
+                         .alias("ok"),
+                         F.max("err").alias("err")))
+        report["errors"] = consumed.filter(~F.col("ok")).count()
+        report["parsed"] = dedup_write(parsed, consumed)
+    finally:
+        rows.unpersist()
+    return report
+
+
+def maintain_link_edges(pages, edges, metadata, url_col: str,
+                        hosts_col: str = "link_hosts",
+                        checkpoint_key: str = "link_edges.last_commit",
+                        max_commits: int | None = None) -> int:
+    """Keep a host-edge table in sync with a PAGES TableSink's commit
+    log — the frontier path on the SHARED maintainer skeleton (r9
+    verdict item 6) instead of an ad-hoc per-tick dedup insert.
+
+    Edges are PAGE-OWNED rows: one (page, dst host) row per out-link,
+    ``edge_key = url_col || '->' || dst`` — unique per base row, so a
+    page UPDATE that drops a link REMOVES its edge (the sparse-report
+    stale story: re-derived pages whose fresh rows no longer assert an
+    edge rewrite it away), and a page deleted by overwrite takes its
+    edges with it. Repeated (src, dst) across pages stay as separate
+    rows — ``pagerank_integer`` over the multigraph weights a repeated
+    link naturally, and collapsing them would let one page's update
+    silently delete an edge other pages still assert.
+
+    Rides ``maintain_sparse_report``: drain the pages commit log,
+    re-derive edges for changed pages only (change-scale, never a base
+    rescan), DEDUP/UPSERT + stale rewrite, checkpoint persisted only
+    after the edge commit lands. Returns edge rows (re)derived."""
+    from marmaray_spark.operators.maintained import maintain_sparse_report
+
+    def edges_of(live: DataFrame) -> DataFrame:
+        e = (live.select(F.col(url_col),
+                         url_host(url_col).alias("src"),
+                         F.explode(hosts_col).alias("dst"))
+             .filter(F.col("src") != "")
+             .filter(F.col("src") != F.col("dst")))
+        return e.select(
+            F.concat_ws("->", url_col, "dst").alias("report_key"),
+            url_col, "src", "dst")
+
+    return maintain_sparse_report(
+        pages, edges, metadata, cols=[url_col, hosts_col],
+        id_col=url_col, report_fn=edges_of,
+        checkpoint_key=checkpoint_key, max_commits=max_commits)
+
+
 def domain_report(docs: DataFrame, url_col: str,
-                  tokens_col: str | None = None) -> DataFrame:
+                  tokens_col: str | None = None,
+                  psl_suffixes: set[str] | None = None) -> DataFrame:
     """Per-registrable-domain provenance rollup: (domain, n_docs,
     n_urls = distinct canonical URLs, dup_docs = docs sharing a
     canonical URL with another doc, token_bps = the domain's share of
@@ -98,12 +330,17 @@ def domain_report(docs: DataFrame, url_col: str,
 
     One groupBy at domain cardinality; the corpus-total token count
     rides a 1-row constant-key broadcast (operators.attach_scalar), not
-    a window over the corpus."""
+    a window over the corpus. ``psl_suffixes`` swaps the two-label
+    eTLD+1 approximation for the Public Suffix List rollup
+    (``registrable_domain_psl``); default stays the dependency-free
+    expression form."""
     from marmaray_spark.operators import attach_scalar
-    base = docs.select(
-        registrable_domain(
-            f"regexp_replace(lower(regexp_extract({url_col}, "
-            f"'://([^/?#]+)', 1)), ':[0-9]+$', '')").alias("domain"),
+    host_expr = (f"regexp_replace(lower(regexp_extract({url_col}, "
+                 f"'://([^/?#]+)', 1)), ':[0-9]+$', '')")
+    dom = (registrable_domain_psl("__h", psl_suffixes)
+           if psl_suffixes else registrable_domain("__h"))
+    base = docs.withColumn("__h", F.expr(host_expr)).select(
+        dom.alias("domain"),
         canonical_url(url_col).alias("__canon"),
         (F.col(tokens_col) if tokens_col is not None else F.lit(0))
         .cast("long").alias("__tok"))
@@ -121,16 +358,26 @@ def domain_report(docs: DataFrame, url_col: str,
 
 
 def blocklist_gate(docs: DataFrame, url_col: str,
-                   blocked_domains: DataFrame) -> tuple[DataFrame, DataFrame]:
+                   blocked_domains: DataFrame,
+                   psl_suffixes: set[str] | None = None
+                   ) -> tuple[DataFrame, DataFrame]:
     """(kept, blocked) by registrable domain against a broadcast
     blocklist frame with a ``domain`` column — the fork-operator
     valid|error shape applied to provenance: kept = broadcast
     LEFT ANTI, blocked = broadcast LEFT SEMI; the corpus never
-    shuffles."""
-    tagged = docs.withColumn(
-        "__dom", registrable_domain(
-            f"regexp_replace(lower(regexp_extract({url_col}, "
-            f"'://([^/?#]+)', 1)), ':[0-9]+$', '')"))
+    shuffles. ``psl_suffixes`` opts into the Public Suffix List
+    rollup (``registrable_domain_psl``) so 'bbc.co.uk' and
+    'news.co.uk' stop sharing one blocklist bucket; the two-label
+    expression form stays the default."""
+    host_expr = (f"regexp_replace(lower(regexp_extract({url_col}, "
+                 f"'://([^/?#]+)', 1)), ':[0-9]+$', '')")
+    if psl_suffixes:
+        tagged = (docs.withColumn("__h", F.expr(host_expr))
+                  .withColumn("__dom",
+                              registrable_domain_psl("__h", psl_suffixes))
+                  .drop("__h"))
+    else:
+        tagged = docs.withColumn("__dom", registrable_domain(host_expr))
     bl = F.broadcast(blocked_domains.select(F.col("domain").alias("__dom")))
     kept = tagged.join(bl, "__dom", "left_anti").drop("__dom")
     blocked = tagged.join(bl, "__dom", "left_semi").drop("__dom")

@@ -66,7 +66,28 @@ alone, no code):
     corpus.robots_user_agent  crawler identity for group selection
                               (default '*')
     corpus.robots_url_col     URL column to gate on (default:
-                              corpus.id_col)
+                              corpus.url_col, then corpus.id_col)
+    corpus.url_col            page-URL column shared by the provenance
+                              stages below (default: corpus.id_col)
+    corpus.blocklist_table    parquet dir of (domain) rows: a
+                              registrable-domain blocklist gate runs
+                              BEFORE everything (RefinedWeb §3.1 URL
+                              filtering — drop by provenance before
+                              any byte of text is parsed)
+    corpus.psl_table          parquet dir of (suffix) rows in
+                              publicsuffix.org format: the blocklist
+                              gate rolls hosts up with the Public
+                              Suffix List instead of the two-label
+                              approximation (bbc.co.uk stays
+                              bbc.co.uk, not co.uk)
+    corpus.canonical_dedup    true -> collapse pages declaring the same
+                              <link rel=canonical> target (publisher
+                              hint, first-occurrence-wins) — runs after
+                              HTML extraction produced rel_canonical,
+                              before the digest dedup
+    corpus.canonical_url_col  page-URL column the canonical hints
+                              resolve against (default: corpus.url_col,
+                              then corpus.id_col)
 
 Stages apply in that order (gates -> dedup -> sample -> mix), after the
 converter's valid stream and before every sink — dropped-by-gate rows are
@@ -172,11 +193,34 @@ def _corpus_stages(config: Configuration):
     html_col = config.get("corpus.html_col")
     html_min_words = config.get_int("corpus.html_min_block_words", 4)
     html_max_link = config.get_int("corpus.html_max_link_density_bps", 4000)
+    url_col = config.get("corpus.url_col") or id_col
     robots_table = config.get("corpus.robots_table")
     robots_ua = config.get("corpus.robots_user_agent", "*")
-    robots_url = config.get("corpus.robots_url_col") or id_col
+    robots_url = config.get("corpus.robots_url_col") or url_col
+    blocklist_table = config.get("corpus.blocklist_table")
+    psl_table = config.get("corpus.psl_table")
+    canon_dedup = config.get_bool("corpus.canonical_dedup", False)
+    canon_url = config.get("corpus.canonical_url_col") or url_col
 
     stages = []
+    if blocklist_table:
+        # provenance gate zero — RefinedWeb-style URL filtering drops
+        # whole documents by registrable domain before robots, HTML
+        # parse, or any text stage reads a byte. Both side tables are
+        # index-sized: the blocklist broadcasts into an anti-join, the
+        # optional PSL rides each task's closure.
+        def blocklist_stage(df, _p=blocklist_table, _psl=psl_table,
+                            _u=url_col):
+            from marmaray_spark.operators.web import blocklist_gate
+            blocked = df.sparkSession.read.parquet(_p)
+            suffixes = None
+            if _psl:
+                suffixes = {r[0] for r in
+                            df.sparkSession.read.parquet(_psl).collect()}
+            kept, _dropped = blocklist_gate(df, _u, blocked,
+                                            psl_suffixes=suffixes)
+            return kept
+        stages.append(blocklist_stage)
     if robots_table:
         # BEFORE everything, even the HTML extraction: a disallowed page
         # must not be parsed at all — retroactive RFC 9309 compliance
@@ -226,6 +270,15 @@ def _corpus_stages(config: Configuration):
             return out.withColumnRenamed("text", text_col) \
                 if text_col != "text" else out
         stages.append(html_extract)
+    if canon_dedup:
+        # right after extraction produced rel_canonical, before the
+        # digest dedup: the publisher's own hint collapses mirrors URL
+        # canonicalization can't see (print/AMP twins with different
+        # URLs), and doing it first shrinks what the digest pass hashes
+        def canonical_stage(df, _i=id_col, _u=canon_url):
+            from marmaray_spark.operators.web import canonical_dedup
+            return canonical_dedup(df, _i, _u)
+        stages.append(canonical_stage)
     if do_norm:
         # FIRST among the text stages: render-identical crawl variants
         # (NFKC / case) must be canonical before the digest dedup below

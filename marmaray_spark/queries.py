@@ -2601,7 +2601,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- grid lands on exact 2x2 cells, so each grid mean is a 4-pixel
     -- integer sum // 4 and the whole hash is closed-form
     dh_src AS (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
-               FROM documents WHERE doc_id < 512),
+               FROM documents WHERE doc_id < 128),
     dh_grid AS (
       SELECT s.doc_id, r.r, c.c,
              CASE WHEN r.r = s.k AND c.c = s.k THEN 0 ELSE
@@ -2653,7 +2653,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             +     (CASE WHEN c.c = s.k AND r.r = s.k THEN 0 ELSE
                    (s.g*(2*c.c+2) + 14*r.r + 7) % 251 END)) // 9 AS m
       FROM (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
-            FROM documents WHERE doc_id < 384) s,
+            FROM documents WHERE doc_id < 96) s,
            generate_series(0, 7) r(r), generate_series(0, 8) c(c)
     ),
     rz_bits AS (
@@ -2684,7 +2684,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              ((s.g*(2*q.q+1)*37 + 13*s.k) % 1999
             + (s.g*(2*q.q+2)*37 + 13*s.k) % 1999) // 2 AS e
       FROM (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
-            FROM documents WHERE doc_id < 256) s,
+            FROM documents WHERE doc_id < 64) s,
            generate_series(0, 64) q(q)
     ),
     ah_bits AS (
@@ -2724,7 +2724,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
               + (s.g*(2*c.c+1) + 14*r.r + 7 + 11*f.f) % 251
               + (s.g*(2*c.c+2) + 14*r.r + 7 + 11*f.f) % 251) // 4 END AS m
       FROM (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS k
-            FROM documents WHERE doc_id < 128) s,
+            FROM documents WHERE doc_id < 32) s,
            generate_series(0, 3) f(f),
            generate_series(0, 7) r(r), generate_series(0, 8) c(c)
     ),
@@ -2876,7 +2876,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banded pair join — without the barrier the BMP encode+decode+hash
     # kernels run twice
     ih = image_dhash(synth_gradient_bmp(
-        docs.select("doc_id").filter(F.col("doc_id") < 512), "doc_id"))
+        docs.select("doc_id").filter(F.col("doc_id") < 128), "doc_id"))
     ih = ih.persist()
     dhash_rows = ih.select(F.lit("dhash").alias("kind"), "media_id",
                            *fnulls, F.col("dhash"),
@@ -2893,7 +2893,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same persist rationale as ih: the audio hashes feed the 'adhash'
     # section AND the banded pair join
     ah = audio_dhash(synth_tone_wav(
-        docs.select("doc_id").filter(F.col("doc_id") < 256), "doc_id"))
+        docs.select("doc_id").filter(F.col("doc_id") < 64), "doc_id"))
     ah = ah.persist()
     adhash_rows = (ah
                    .select(F.lit("adhash").alias("kind"), "media_id",
@@ -2914,7 +2914,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the unresized one for most ids) breaks oracle equality
     resized = resize_images(
         synth_gradient_bmp(
-            docs.select("doc_id").filter(F.col("doc_id") < 384), "doc_id"),
+            docs.select("doc_id").filter(F.col("doc_id") < 96), "doc_id"),
         27, 24)
     resize_rows = (image_dhash(resized)
                    .select(F.lit("resize_dhash").alias("kind"), "media_id",
@@ -2926,7 +2926,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clip-level pairing; vf feeds both the per-frame section and the
     # pair join, so it gets the same persist barrier as ih
     vf = video_frame_dhash(synth_gif_video(
-        docs.select("doc_id").filter(F.col("doc_id") < 128), "doc_id",
+        docs.select("doc_id").filter(F.col("doc_id") < 32), "doc_id",
         n_frames=4), max_frames=4).persist()
     video_rows = (vf.select(F.lit("video_dhash").alias("kind"), "media_id",
                             *fnulls, F.col("dhash"),

@@ -553,3 +553,86 @@ def test_yaml_robots_gate_drops_disallowed_pages(spark, tmp_path):
     t = TableSink(spark, tmp_path / "pages", record_key_field="target_uri")
     assert {r["target_uri"] for r in t.read().collect()} == {
         "http://ex.com/keep/a", "http://open.org/anything"}
+
+
+def test_yaml_blocklist_gate_with_psl(spark, tmp_path):
+    """corpus.blocklist_table (+ corpus.psl_table): provenance gate zero
+    from config alone — a page whose PSL registrable domain is blocked
+    drops before any text stage; with the PSL in play the co.uk sibling
+    survives (the two-label rollup would have merged them)."""
+    docs = spark.createDataFrame(
+        [(1, "http://evil.co.uk/a", "plain words one"),
+         (2, "http://news.bbc.co.uk/b", "plain words two"),
+         (3, "http://ok.com/c", "plain words three")],
+        "doc_id long, url string, text string")
+    src = tmp_path / "src"
+    docs.write.parquet(str(src))
+    spark.createDataFrame([("evil.co.uk",)], "domain string") \
+        .write.parquet(str(tmp_path / "bl"))
+    spark.createDataFrame([("com",), ("uk",), ("co.uk",)],
+                          "suffix string") \
+        .write.parquet(str(tmp_path / "psl"))
+
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "blocklist_job"},
+        "source": {"type": "parquet", "path": str(src)},
+        "corpus": {"text_col": "text", "id_col": "doc_id",
+                   "url_col": "url",
+                   "blocklist_table": str(tmp_path / "bl"),
+                   "psl_table": str(tmp_path / "psl")},
+        "sink": {"type": "table", "path": str(tmp_path / "out"),
+                 "record_key": "doc_id", "op": "insert"},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    })
+    p = tmp_path / "bl.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+    t = TableSink(spark, tmp_path / "out", record_key_field="doc_id")
+    assert {r["doc_id"] for r in t.read().collect()} == {2, 3}
+
+
+def test_yaml_canonical_dedup_stage(spark, tmp_path):
+    """corpus.canonical_dedup: the rel=canonical consumer wired from
+    config — a crawl-shaped job whose print-view twin declares the main
+    article canonical collapses to one page, where the key-level dedup
+    insert alone would keep both (different target_uri)."""
+    from marmaray_spark.sources.warc import write_warc_gz
+
+    def page(u, body):
+        payload = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                   f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        return ({"WARC-Type": "response", "WARC-Record-ID": f"<{u}>",
+                 "WARC-Target-URI": u}, payload)
+
+    def good(extra=b""):
+        return (b"<html><head>" + extra + b"</head><body>"
+                b"<p>the quick brown fox jumps over the lazy dog while "
+                b"seven wizards brew strong coffee at dawn</p>"
+                b"</body></html>")
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg-00000.warc.gz").write_bytes(write_warc_gz([
+        page("http://ex.com/article", good()),
+        page("http://ex.com/article/print",
+             good(b'<link rel="canonical" href="http://ex.com/article">')),
+        page("http://ex.com/other", good())]))
+
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "canon_job"},
+        "source": {"type": "warc", "path": str(crawl),
+                   "decode_payload_col": "html", "http_ok_only": True},
+        "corpus": {"text_col": "text", "id_col": "target_uri",
+                   "html_col": "html", "canonical_dedup": True},
+        "sink": {"type": "table", "path": str(tmp_path / "pages"),
+                 "record_key": "target_uri", "op": "dedup_insert"},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    })
+    p = tmp_path / "canon.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+    t = TableSink(spark, tmp_path / "pages", record_key_field="target_uri")
+    assert {r["target_uri"] for r in t.read().collect()} == {
+        "http://ex.com/article", "http://ex.com/other"}

@@ -293,3 +293,31 @@ def test_maintained_semantic_replay_is_idempotent(spark, tmp_path):
     maintain_semantic_decontamination(base, report, md2, ev,
                                       threshold_dot_q=500_000)
     assert _sem_rows(report) == first
+
+
+def test_upsert_of_other_doc_leaves_survivor_report_rows(spark, tmp_path):
+    """Regression (r10): an unpartitioned UPSERT rewrites the whole
+    slice, so its removes manifest lists every SURVIVOR key; the sparse
+    stale-row logic must not treat those displaced-but-unchanged keys as
+    affected — doc 1's contamination row has to survive an update that
+    touched only doc 2."""
+    base = TableSink(spark, tmp_path / "base", "doc_id")
+    report = TableSink(spark, tmp_path / "rep", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    ev = _eval_sets(spark)
+
+    base.write(_docs(spark, [
+        (1, EVAL_A + " eta theta"),
+        (2, "quiet words overlapping nothing at all here ok")]),
+        WriteOp.INSERT)
+    maintain_decontamination_report(base, report, md, ev,
+                                    n=5, contaminated_bps=2000)
+    assert _report_rows(report) == [(1, "A", True)]
+
+    # update ONLY doc 2 (still clean): doc 1 is displaced into the new
+    # slice as a survivor, its stamp and content unchanged
+    base.write(_docs(spark, [(2, "still perfectly clean words here")]),
+               WriteOp.UPSERT)
+    maintain_decontamination_report(base, report, md, ev,
+                                    n=5, contaminated_bps=2000)
+    assert _report_rows(report) == [(1, "A", True)]

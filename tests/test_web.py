@@ -715,3 +715,187 @@ def test_robots_gate_survives_colliding_column_names(spark):
     # caller columns come back VERBATIM
     assert (row["allow"], row["spec"], row["like_pattern"], row["host"]) \
         == (False, 3, "yy", "g")
+
+
+# ---------------------------------------------------------------------------
+# round 10: PSL rollup, canonical-hint dedup, sitemap discovery loop,
+# maintained link edges — the discovery surface CONSUMED (r9 verdict 3-6)
+# ---------------------------------------------------------------------------
+
+
+def test_registrable_domain_psl_cctld_wildcard_exception(spark):
+    """The PSL option the two-label docstring promises: co.uk/com.au
+    hosts roll up to eTLD+1, wildcard and exception rules follow the
+    publicsuffix.org algorithm, and rule-less TLDs degrade to exactly
+    the two-label answer."""
+    from marmaray_spark.operators.web import registrable_domain_psl
+
+    psl = {"com", "uk", "co.uk", "au", "com.au", "ck", "*.ck", "!www.ck"}
+    df = spark.createDataFrame(
+        [(1, "news.bbc.co.uk"), (2, "a.example.com"), (3, "foo.com.au"),
+         (4, "single"), (5, "co.uk"), (6, "a.b.ck"), (7, "www.ck"),
+         (8, "x.unknown-tld"), (9, None)],
+        "i int, h string")
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", registrable_domain_psl("h", psl).alias("d")).collect()}
+    assert got[1] == "bbc.co.uk"      # two-label form would say 'co.uk'
+    assert got[2] == "example.com"
+    assert got[3] == "foo.com.au"     # two-label form would say 'com.au'
+    assert got[4] == "single"
+    assert got[5] == "co.uk"          # host IS a suffix: pass-through
+    assert got[6] == "a.b.ck"         # wildcard *.ck => b.ck is a suffix
+    assert got[7] == "www.ck"         # exception rule !www.ck
+    assert got[8] == "x.unknown-tld"  # no rule -> implicit-* (two-label)
+    assert got[9] is None
+
+
+def test_blocklist_gate_psl_separates_cctld_domains(spark):
+    """With the two-label form every *.co.uk host shares one bucket, so
+    blocking one UK site blocks the whole ccTLD; the PSL option keeps
+    them apart."""
+    from marmaray_spark.operators.web import blocklist_gate
+
+    docs = spark.createDataFrame(
+        [(1, "http://news.bbc.co.uk/x"), (2, "http://evil.co.uk/y"),
+         (3, "http://ok.com/z")], "i int, url string")
+    bl = spark.createDataFrame([("evil.co.uk",)], "domain string")
+    kept, blocked = blocklist_gate(
+        docs, "url", bl, psl_suffixes={"com", "uk", "co.uk"})
+    assert {r["i"] for r in blocked.collect()} == {2}
+    assert {r["i"] for r in kept.collect()} == {1, 3}
+    # the two-label default can't express this blocklist: both UK hosts
+    # roll up to 'co.uk' and the bbc page would be collateral damage
+    kept2, blocked2 = blocklist_gate(
+        docs, "url", spark.createDataFrame([("co.uk",)], "domain string"))
+    assert {r["i"] for r in blocked2.collect()} == {1, 2}
+
+
+def test_canonical_dedup_collapses_declared_duplicates(spark):
+    """The rel_canonical CONSUMER (r9 verdict item 4): pages declaring
+    the same canonical target collapse first-occurrence-wins — including
+    a print-view twin whose URL differs (URL dedup alone misses it) and
+    a path-absolute hint resolved against the page's own host; junk or
+    missing hints fall back to the page's own canonical URL and never
+    merge unrelated pages."""
+    from marmaray_spark.operators.web import canonical_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "http://ex.com/article", None),
+         # URL-canonical twin of 1 (tracking params): collapses via the
+         # own-URL fallback even with no hint
+         (2, "http://ex.com/article?utm_source=x", None),
+         # DIFFERENT URL, declares 1's URL canonical: only the hint
+         # can collapse this one
+         (3, "http://ex.com/article/print", "http://ex.com/article"),
+         # path-absolute hint resolves against the page's scheme+host
+         (4, "http://ex.com/amp/article", "/article"),
+         # junk hint -> own URL -> kept
+         (5, "http://ex.com/other", "not a url")],
+        "i int, url string, rel_canonical string")
+    kept = canonical_dedup(docs, "i", "url")
+    assert {r["i"] for r in kept.collect()} == {1, 5}
+    assert kept.columns == docs.columns
+
+
+def test_sitemap_discovery_two_ticks_and_replay(spark, tmp_path):
+    """The sitemap CONSUMER (r9 verdict item 3), e2e in the
+    warc-incremental-loop style: robots Sitemap: directives seed the
+    discovered set, a <sitemapindex> drains one level per tick (the WARC
+    backlog-drain shape), <urlset> entries accrue as deduped seed rows,
+    a malformed child is consumed (error counted, never retried), and a
+    replayed tick lands on identical rows."""
+    from marmaray_spark.operators.web import (robots_sitemaps,
+                                              sitemap_discovery_tick)
+    from marmaray_spark.sinks.table import TableSink
+
+    discovered = TableSink(spark, tmp_path / "disc", "sitemap_url")
+    parsed = TableSink(spark, tmp_path / "parsed", "sitemap_url")
+    seeds = TableSink(spark, tmp_path / "seeds", "url")
+
+    robots = spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /x\n"
+          "Sitemap: http://ex.com/index.xml\n")],
+        "host string, robots_txt string")
+    index_xml = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://ex.com/s1.xml</loc></sitemap>"
+        "<sitemap><loc>http://ex.com/s2.xml</loc></sitemap>"
+        "</sitemapindex>")
+    s1_xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://ex.com/a</loc><lastmod>2026-01-02</lastmod>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>http://ex.com/b</loc></url>"
+        "</urlset>")
+    bodies = spark.createDataFrame(
+        [("http://ex.com/index.xml", index_xml),
+         ("http://ex.com/s1.xml", s1_xml),
+         ("http://ex.com/s2.xml", "<notasitemap/>")],
+        "sitemap_url string, xml string")
+
+    # tick 1: only the robots-discovered index parses (its children are
+    # unknown until it parses — one level per tick)
+    r1 = sitemap_discovery_tick(discovered, parsed, seeds, bodies,
+                                new_sitemaps=robots_sitemaps(robots))
+    assert r1["new_sitemaps"] == 1 and r1["parsed"] == 1
+    assert r1["child_sitemaps"] == 2 and r1["seed_urls"] == 0
+
+    # tick 2: both children drain — s1 seeds two URLs, malformed s2 is
+    # consumed as an error row (not retried forever)
+    r2 = sitemap_discovery_tick(discovered, parsed, seeds, bodies)
+    assert r2["parsed"] == 2 and r2["seed_urls"] == 2
+    assert r2["errors"] == 1 and r2["child_sitemaps"] == 0
+    got = {r["url"]: (r["lastmod"], r["priority_milli"])
+           for r in seeds.read().collect()}
+    assert got == {"http://ex.com/a": ("2026-01-02", 800),
+                   "http://ex.com/b": (None, None)}
+
+    # tick 3 = replay / nothing new: every sink unchanged
+    before = (discovered.read().count(), parsed.read().count(),
+              seeds.read().count())
+    r3 = sitemap_discovery_tick(discovered, parsed, seeds, bodies,
+                                new_sitemaps=robots_sitemaps(robots))
+    assert (r3["new_sitemaps"], r3["parsed"], r3["seed_urls"]) == (0, 0, 0)
+    assert before == (discovered.read().count(), parsed.read().count(),
+                      seeds.read().count())
+
+
+def test_maintain_link_edges_updates_and_drops(spark, tmp_path):
+    """The frontier edge accrual on the SHARED maintainer skeleton (r9
+    verdict item 6): page-owned (page, dst) edge rows follow the pages
+    table's commit log — an update that drops a link removes its edge,
+    an overwrite-dropped page takes its edges along, and a no-change
+    drain is a no-op."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import maintain_link_edges
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    pages = TableSink(spark, tmp_path / "pages", "target_uri")
+    edges = TableSink(spark, tmp_path / "edges", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org", "c.net"]),
+         ("http://b.org/x", ["c.net", "b.org"])],   # self-link filtered
+        "target_uri string, link_hosts array<string>"), WriteOp.INSERT)
+    assert maintain_link_edges(pages, edges, md, "target_uri") == 3
+    got = {(r["src"], r["dst"]) for r in edges.read().collect()}
+    assert got == {("a.com", "b.org"), ("a.com", "c.net"),
+                   ("b.org", "c.net")}
+
+    # update page a: the c.net link disappears -> so must its edge
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org"])],
+        "target_uri string, link_hosts array<string>"), WriteOp.UPSERT)
+    maintain_link_edges(pages, edges, md, "target_uri")
+    got = {(r["src"], r["dst"]) for r in edges.read().collect()}
+    assert got == {("a.com", "b.org"), ("b.org", "c.net")}
+
+    # overwrite drops page b entirely: its edge leaves too
+    keep = pages.read().filter("target_uri = 'http://a.com/1'")
+    pages.write(keep, WriteOp.INSERT_OVERWRITE)
+    maintain_link_edges(pages, edges, md, "target_uri")
+    got = {(r["src"], r["dst"]) for r in edges.read().collect()}
+    assert got == {("a.com", "b.org")}
+    # drained dry: no-op
+    assert maintain_link_edges(pages, edges, md, "target_uri") == 0
