@@ -32,6 +32,13 @@ with the integer PageRank (operators/web.py pagerank_integer) — the
 "what should the crawler fetch next" view, fed by real extracted
 ``<a href>`` hosts rather than a synthetic edge list.
 
+The DISCOVERY side closes the loop: robots.txt ``Sitemap:``
+directives seed ``sitemap_discovery_tick`` (one index level per
+tick, replay-safe DEDUP_INSERT state), and ``fetch_frontier`` joins
+the discovered seed URLs against the crawled pages (anti),
+the robots rules (gate) and the host ranks (priority) into the
+actual ordered fetch list a crawler would drain next.
+
 Run:  python examples/crawl_ingest_pipeline.py
 (builds a synthetic two-archive crawl in a temp dir and ticks it twice).
 """
@@ -51,8 +58,12 @@ from marmaray_spark.metadata.manager import FileSystemMetadataManager  # noqa: E
 from marmaray_spark.operators.text import gopher_repetition_pass  # noqa: E402
 from marmaray_spark.operators.web import (canonical_dedup,  # noqa: E402
                                           extract_text_from_html,
+                                          fetch_frontier,
                                           maintain_link_edges,
-                                          pagerank_integer)
+                                          pagerank_integer,
+                                          parse_robots,
+                                          robots_sitemaps,
+                                          sitemap_discovery_tick)
 from marmaray_spark.sinks.table import TableSink, WriteOp  # noqa: E402
 from marmaray_spark.sources.warc import (WarcSource,  # noqa: E402
                                          WarcWorkUnitCalculator)
@@ -144,6 +155,40 @@ def frontier_report(spark: SparkSession, workdir: str,
     return pr.orderBy(F.col("rank").desc(), "node").limit(top_n)
 
 
+def discovery_tick(spark: SparkSession, workdir: str,
+                   robots_df, sitemap_bodies) -> dict:
+    """One sitemap-discovery tick + the resulting fetch list.
+
+    ``robots_df``: (host, robots_txt) rows the fetch layer collected;
+    ``sitemap_bodies``: (sitemap_url, xml) rows it fetched. Seed URLs
+    accrue replay-safe; the returned report carries the ordered
+    frontier = seeds - crawled pages, robots-gated, ranked by the host
+    graph's PageRank (publisher priority breaks ties within a host)."""
+    discovered = TableSink(spark, os.path.join(workdir, "sitemaps_seen"),
+                           record_key_field="sitemap_url")
+    parsed = TableSink(spark, os.path.join(workdir, "sitemaps_parsed"),
+                       record_key_field="sitemap_url")
+    seeds = TableSink(spark, os.path.join(workdir, "seed_urls"),
+                      record_key_field="url")
+    report = sitemap_discovery_tick(
+        discovered, parsed, seeds, sitemap_bodies,
+        new_sitemaps=robots_sitemaps(robots_df))
+    if seeds.is_empty():
+        report["frontier"] = []
+        return report
+    try:
+        crawled = TableSink(spark, os.path.join(workdir, "pages"),
+                            record_key_field="target_uri").read()
+    except FileNotFoundError:
+        crawled = None
+    ranks = frontier_report(spark, workdir, top_n=1000)
+    frontier = fetch_frontier(seeds.read(), crawled, ranks,
+                              rules=parse_robots(robots_df),
+                              crawled_url_col="target_uri")
+    report["frontier"] = [r["url"] for r in frontier.limit(10).collect()]
+    return report
+
+
 def _synth_crawl(archive_dir: str) -> None:
     from marmaray_spark.sources.warc import write_warc_gz
 
@@ -184,6 +229,25 @@ def main() -> None:
               crawl_tick(spark, workdir, archive_dir))
         print("frontier:", [(r["node"], r["rank"]) for r in
                             frontier_report(spark, workdir).collect()])
+        # the discovery side: robots Sitemap: directive -> sitemap XML
+        # (as the fetch layer would deliver it) -> seed URLs -> the
+        # ordered fetch list for the NEXT tick
+        robots_df = spark.createDataFrame(
+            [("ex.com", "User-agent: *\nDisallow: /spam\n"
+              "Sitemap: http://ex.com/sitemap.xml\n")],
+            "host string, robots_txt string")
+        bodies = spark.createDataFrame(
+            [("http://ex.com/sitemap.xml",
+              '<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9">'
+              "<url><loc>http://ex.com/a</loc></url>"           # crawled
+              "<url><loc>http://ex.com/fresh</loc>"
+              "<priority>0.9</priority></url>"
+              "<url><loc>http://ex.com/also-new</loc></url>"
+              "</urlset>")],
+            "sitemap_url string, xml string")
+        print("discovery:", discovery_tick(spark, workdir,
+                                           robots_df, bodies))
     spark.stop()
 
 

@@ -228,9 +228,20 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
     # silently diverge from cms_build(corpus) with no further error.
     try:
         commits_by_id = {c.commit_id: c for c in base.log.commits()}
-        deltas = []
+        # one schema inference for ALL pre-image reads this drain — the
+        # same per-commit footer-round cost consume_changes amortizes
+        # (r9 verdict item 7: 100-commit backlogs paid it per commit)
+        snap_schema = base.read(with_meta=True).schema
+        # + side: ONE tokenize+explode plan over the union of all
+        # after-images — a 100-commit backlog otherwise stacks 100
+        # explode subplans into the union and pays catalyst analysis
+        # per branch (measured: the per-commit shape spent ~20s of a
+        # 30s drain in plan work; r9 verdict item 7)
+        plus = batches[0][1].select(base.key, text_col)
+        for _, change_df in batches[1:]:
+            plus = plus.unionByName(change_df.select(base.key, text_col))
+        deltas = [_signed_cells(plus, text_col, depth, width, 1)]
         for cid, change_df in batches:
-            deltas.append(_signed_cells(change_df, text_col, depth, width, 1))
             commit = commits_by_id[cid]
             if not commit.removes:
                 continue  # pure append: nothing displaced
@@ -241,7 +252,7 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
                     f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
                     "the sketch cannot subtract the displaced terms — lower "
                     "the consumer lag or raise vacuum retain_last_n_commits")
-            pre = (base.spark.read.option("mergeSchema", "true")
+            pre = (base.spark.read.schema(snap_schema)
                    .parquet(*[str(base.table_path / s)
                               for s in commit.removes])
                    .select(base.key, text_col))

@@ -49,6 +49,10 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
     if not batches:
         return None, None
     commits_by_id = {c.commit_id: c for c in base.log.commits()}
+    # one schema inference for all pre-image reads this drain (the
+    # per-commit mergeSchema footer round cost a backlog 0.3s/commit —
+    # r9 verdict item 7)
+    snap_schema = base.read(with_meta=True).schema
     changed: DataFrame | None = None
     affected: DataFrame | None = None
     for seq, (cid, change_df) in enumerate(batches):
@@ -68,7 +72,7 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
                 "the maintained structure cannot identify the displaced "
                 "keys — lower the consumer lag or raise vacuum "
                 "retain_last_n_commits")
-        pre = (base.spark.read.option("mergeSchema", "true")
+        pre = (base.spark.read.schema(snap_schema)
                .parquet(*[str(base.table_path / s) for s in commit.removes])
                .select(id_col))
         affected = affected.unionByName(pre)

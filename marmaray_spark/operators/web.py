@@ -280,6 +280,54 @@ def sitemap_discovery_tick(discovered, parsed, seeds,
     return report
 
 
+def fetch_frontier(seeds: DataFrame, crawled: DataFrame | None,
+                   host_ranks: DataFrame | None,
+                   rules: DataFrame | None = None,
+                   url_col: str = "url",
+                   crawled_url_col: str | None = None) -> DataFrame:
+    """The prioritized fetch list — where the discovery loop's outputs
+    MEET: sitemap seed URLs (``sitemap_discovery_tick``), minus pages
+    already crawled, gated by robots rules, ranked by the host's
+    PageRank and the publisher's sitemap priority. Returns
+    (url, host, rank, priority_milli, lastmod?) ordered best-first;
+    ``limit(n)`` it for a fetch batch.
+
+    Priority: host rank first (the frontier signal PageRank exists
+    for), sitemap ``priority_milli`` second (publisher hint breaks
+    ties WITHIN a host), URL last (determinism). NULL rank (host not
+    in the graph yet) and NULL priority sort last in their tier — new
+    hosts are explored after known-good ones, the standard
+    crawl-scheduler default.
+
+    Scale: seeds and ranks are index/host-scale; the one corpus-scale
+    input is ``crawled``, touched ONLY as a key column in an anti-join
+    (no payloads move). The rank join is host-cardinality — the
+    planner broadcasts it on its own."""
+    out = seeds.select(
+        F.col(url_col).alias("url"),
+        url_host(url_col).alias("host"),
+        (F.col("priority_milli").cast("int")
+         if "priority_milli" in seeds.columns
+         else F.lit(None).cast("int")).alias("priority_milli"),
+        (F.col("lastmod") if "lastmod" in seeds.columns
+         else F.lit(None).cast("string")).alias("lastmod"))
+    if crawled is not None:
+        cc = crawled_url_col or url_col
+        out = out.join(crawled.select(F.col(cc).alias("url")),
+                       "url", "left_anti")
+    if rules is not None:
+        out, _blocked = robots_gate(out, "url", rules)
+    if host_ranks is not None:
+        out = out.join(host_ranks.select(F.col("node").alias("host"),
+                                         "rank"),
+                       "host", "left")
+    else:
+        out = out.withColumn("rank", F.lit(None).cast("long"))
+    return (out.select("url", "host", "rank", "priority_milli", "lastmod")
+            .orderBy(F.col("rank").desc_nulls_last(),
+                     F.col("priority_milli").desc_nulls_last(), "url"))
+
+
 def maintain_link_edges(pages, edges, metadata, url_col: str,
                         hosts_col: str = "link_hosts",
                         checkpoint_key: str = "link_edges.last_commit",

@@ -238,8 +238,8 @@ class TableSink:
         return df if with_meta or COMMIT_COL not in df.columns \
             else df.drop(COMMIT_COL)
 
-    def read_changes(self, commit_id: str,
-                     with_op: bool = True) -> DataFrame:
+    def read_changes(self, commit_id: str, with_op: bool = True,
+                     schema=None) -> DataFrame:
         """Change capture for one commit: the after-image of every record
         it introduced, tagged ``change_op`` = 'insert' (new key) or
         'update' (key overwritten an earlier record). Copy-on-write
@@ -260,7 +260,18 @@ class TableSink:
         per drained commit); the stamp filter still applies because an
         upsert's rewritten slices carry displaced-slice rows under
         their ORIGINAL commit ids. Adds vacuumed by later rewrites fail
-        loudly, same contract as the removes manifests."""
+        loudly, same contract as the removes manifests.
+
+        ``schema``: explicit read schema (StructType, COMMIT_COL
+        included). Every ``spark.read...parquet()`` without one EAGERLY
+        lists and reads footers on the driver to infer — ~0.3s per
+        call, which made a 100-commit backlog drain pay 100 sequential
+        inference rounds (30s of pure driver latency for 0.9s of actual
+        work; r9 verdict item 7). ``consume_changes`` infers the
+        snapshot schema ONCE per drain and passes it here; historical
+        slices are then projected onto the CURRENT table schema
+        (missing columns null — the same answer mergeSchema gives for
+        slices written before a column existed)."""
         by_id = {c.commit_id: c for c in self.log.commits()}
         if commit_id not in by_id:
             raise KeyError(f"unknown commit {commit_id!r}")
@@ -276,8 +287,10 @@ class TableSink:
                 f"commit {commit_id} adds vacuumed ({missing[:3]}...); "
                 "change capture for historical commits needs their "
                 "slices — raise vacuum retain_last_n_commits")
-        files = (self.spark.read.option("mergeSchema", "true")
-                 .parquet(*[str(self.table_path / s) for s in commit.adds]))
+        reader = (self.spark.read.schema(schema) if schema is not None
+                  else self.spark.read.option("mergeSchema", "true"))
+        files = reader.parquet(*[str(self.table_path / s)
+                                 for s in commit.adds])
         mine = (files.filter(F.col(COMMIT_COL) == commit_id)
                 .drop(COMMIT_COL))
         if not with_op:
@@ -659,7 +672,15 @@ class TableSink:
                    if c.commit_id > last and c.op not in ("compact", "restore")]
         if max_commits is not None:
             pending = pending[:max_commits]
-        out = [(c.commit_id, self.read_changes(c.commit_id, with_op=with_op))
+        # one schema inference per DRAIN, not per commit: without this a
+        # backlog of N commits pays N sequential driver-side footer
+        # rounds (measured 0.3s each at 100 commits — r9 verdict item 7)
+        schema = None
+        if pending and not self.is_empty():
+            schema = self.read(with_meta=True).schema
+        out = [(c.commit_id,
+                self.read_changes(c.commit_id, with_op=with_op,
+                                  schema=schema))
                for c in pending]
         if pending:
             metadata.set(checkpoint_key, pending[-1].commit_id)

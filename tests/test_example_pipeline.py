@@ -341,3 +341,27 @@ def test_crawl_ingest_pipeline_example(spark, tmp_path):
     assert frontier[0]["node"] == "hub.example.com"
     ranks = {r["node"]: r["rank"] for r in frontier}
     assert ranks["hub.example.com"] > ranks["ex.org"] > ranks["ex.com"]
+
+    # the discovery side: a robots Sitemap: directive seeds the loop,
+    # the fetch list excludes the already-crawled page and leads with
+    # the publisher-prioritized fresh URL; a replayed tick is a no-op
+    from crawl_ingest_pipeline import discovery_tick
+    robots_df = spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /spam\n"
+          "Sitemap: http://ex.com/sitemap.xml\n")],
+        "host string, robots_txt string")
+    bodies = spark.createDataFrame(
+        [("http://ex.com/sitemap.xml",
+          '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+          "<url><loc>http://ex.com/a</loc></url>"
+          "<url><loc>http://ex.com/fresh</loc>"
+          "<priority>0.9</priority></url>"
+          "<url><loc>http://ex.com/also-new</loc></url>"
+          "</urlset>")],
+        "sitemap_url string, xml string")
+    d1 = discovery_tick(spark, wd, robots_df, bodies)
+    assert d1["seed_urls"] == 3 and d1["frontier"] == [
+        "http://ex.com/fresh", "http://ex.com/also-new"]
+    d2 = discovery_tick(spark, wd, robots_df, bodies)
+    assert d2["seed_urls"] == 0 and d2["parsed"] == 0
+    assert d2["frontier"] == d1["frontier"]

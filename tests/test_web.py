@@ -899,3 +899,48 @@ def test_maintain_link_edges_updates_and_drops(spark, tmp_path):
     assert got == {("a.com", "b.org")}
     # drained dry: no-op
     assert maintain_link_edges(pages, edges, md, "target_uri") == 0
+
+
+def test_fetch_frontier_ranks_and_gates(spark):
+    """The discovery capstone: sitemap seeds minus crawled pages, robots
+    gated, ordered by host PageRank then publisher priority; unknown
+    hosts and missing priorities sort last in their tier."""
+    from marmaray_spark.operators.web import fetch_frontier, parse_robots
+
+    seeds = spark.createDataFrame(
+        [("http://big.com/new1", 800, "2026-01-01"),
+         ("http://big.com/new2", None, None),
+         ("http://big.com/old", 900, None),         # already crawled
+         ("http://big.com/private/x", 1000, None),  # robots-blocked
+         ("http://small.org/a", 500, None),
+         ("http://unknown.net/z", 1000, None)],     # host not in graph
+        "url string, priority_milli int, lastmod string")
+    crawled = spark.createDataFrame([("http://big.com/old",)],
+                                    "target_uri string")
+    ranks = spark.createDataFrame(
+        [("big.com", 900_000_000_000), ("small.org", 100_000_000_000)],
+        "node string, rank long")
+    rules = parse_robots(spark.createDataFrame(
+        [("big.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string"))
+    got = fetch_frontier(seeds, crawled, ranks, rules=rules,
+                         crawled_url_col="target_uri").collect()
+    assert [r["url"] for r in got] == [
+        "http://big.com/new1",      # top host, priority 800
+        "http://big.com/new2",      # top host, no priority -> after
+        "http://small.org/a",       # lower-ranked host
+        "http://unknown.net/z"]     # no rank -> explored last
+    assert got[0]["rank"] == 900_000_000_000
+    assert got[0]["lastmod"] == "2026-01-01"
+
+
+def test_fetch_frontier_minimal_inputs(spark):
+    """Seeds alone (no crawl history, no ranks, no robots) still yield
+    a deterministic list — the cold-start crawl."""
+    from marmaray_spark.operators.web import fetch_frontier
+
+    seeds = spark.createDataFrame([("http://a.com/1",), ("http://b.org/2",)],
+                                  "url string")
+    got = fetch_frontier(seeds, None, None).collect()
+    assert [r["url"] for r in got] == ["http://a.com/1", "http://b.org/2"]
+    assert all(r["rank"] is None for r in got)
