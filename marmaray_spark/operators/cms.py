@@ -230,8 +230,12 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
         commits_by_id = {c.commit_id: c for c in base.log.commits()}
         # one schema inference for ALL pre-image reads this drain — the
         # same per-commit footer-round cost consume_changes amortizes
-        # (r9 verdict item 7: 100-commit backlogs paid it per commit)
-        snap_schema = base.read(with_meta=True).schema
+        # (r9 verdict item 7: 100-commit backlogs paid it per commit).
+        # A purged base (zero active slices) has no snapshot to infer
+        # from; fall back to per-commit mergeSchema rather than crash
+        # (and permanently wedge) the drain
+        snap_schema = None if base.is_empty() \
+            else base.read(with_meta=True).schema
         # + side: ONE tokenize+explode plan over the union of all
         # after-images — a 100-commit backlog otherwise stacks 100
         # explode subplans into the union and pays catalyst analysis
@@ -252,7 +256,10 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
                     f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
                     "the sketch cannot subtract the displaced terms — lower "
                     "the consumer lag or raise vacuum retain_last_n_commits")
-            pre = (base.spark.read.schema(snap_schema)
+            reader = (base.spark.read.schema(snap_schema)
+                      if snap_schema is not None
+                      else base.spark.read.option("mergeSchema", "true"))
+            pre = (reader
                    .parquet(*[str(base.table_path / s)
                               for s in commit.removes])
                    .select(base.key, text_col))

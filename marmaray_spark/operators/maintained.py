@@ -51,8 +51,12 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
     commits_by_id = {c.commit_id: c for c in base.log.commits()}
     # one schema inference for all pre-image reads this drain (the
     # per-commit mergeSchema footer round cost a backlog 0.3s/commit —
-    # r9 verdict item 7)
-    snap_schema = base.read(with_meta=True).schema
+    # r9 verdict item 7). A PURGED base (partitioned overwrite with an
+    # empty batch -> zero active slices) has no snapshot to infer from;
+    # the rare pre-image read then falls back to per-commit mergeSchema
+    # instead of crashing the drain (review find, r10)
+    snap_schema = None if base.is_empty() \
+        else base.read(with_meta=True).schema
     changed: DataFrame | None = None
     affected: DataFrame | None = None
     for seq, (cid, change_df) in enumerate(batches):
@@ -72,7 +76,10 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
                 "the maintained structure cannot identify the displaced "
                 "keys — lower the consumer lag or raise vacuum "
                 "retain_last_n_commits")
-        pre = (base.spark.read.schema(snap_schema)
+        reader = (base.spark.read.schema(snap_schema)
+                  if snap_schema is not None
+                  else base.spark.read.option("mergeSchema", "true"))
+        pre = (reader
                .parquet(*[str(base.table_path / s) for s in commit.removes])
                .select(id_col))
         affected = affected.unionByName(pre)
@@ -121,30 +128,48 @@ def maintain_projection(base, derived, metadata, cols: list[str],
     from marmaray_spark.sinks.table import WriteOp
 
     derived_key = derived_key or id_col
-    latest, affected = consume_latest(base, metadata, cols, id_col,
-                                      checkpoint_key, max_commits)
-    if latest is None:
-        return 0
-    live = latest.join(base.read().select(id_col), id_col, "left_semi")
-    projected = project(live).persist()
+    # every raise after consume_latest advanced the drain checkpoint
+    # must roll it back to this pre-drain value, or a later
+    # save_changes() by the caller persists a checkpoint for commits
+    # whose projections never landed — the silent-divergence failure
+    # the cms maintainer's rollback (and its test) pin down
+    last = metadata.get(checkpoint_key) or ""
     try:
-        n = projected.count()
-        gone_keys = affected.join(base.read().select(id_col),
-                                  id_col, "left_anti")
-        if (not derived.is_empty()) and gone_keys.limit(1).count() > 0:
-            if derived.partition is not None:
-                raise ValueError(
-                    "stale-key rewrite needs an unpartitioned derived "
-                    f"table; it is partitioned by {derived.partition!r}")
-            gone = gone_keys.select(F.col(id_col).alias(derived_key)) \
-                .unionByName(projected.select(derived_key))
-            survivors = derived.read().join(gone, derived_key, "left_anti")
-            derived.write(survivors.unionByName(projected),
-                          WriteOp.INSERT_OVERWRITE, metadata=commit_meta)
-        elif n:
-            derived.write(projected, WriteOp.UPSERT, metadata=commit_meta)
-    finally:
-        projected.unpersist()
+        latest, affected = consume_latest(base, metadata, cols, id_col,
+                                          checkpoint_key, max_commits)
+        if latest is None:
+            return 0
+        # ONE eager snapshot read serves the live filter and the
+        # gone-keys probe; a purged base (no active slices) has an
+        # empty live set, not a FileNotFoundError
+        base_ids = (latest.select(id_col).filter(F.lit(False))
+                    if base.is_empty()
+                    else base.read().select(id_col))
+        live = latest.join(base_ids, id_col, "left_semi")
+        projected = project(live).persist()
+        try:
+            n = projected.count()
+            gone_keys = affected.join(base_ids, id_col, "left_anti")
+            if (not derived.is_empty()) and gone_keys.limit(1).count() > 0:
+                if derived.partition is not None:
+                    raise ValueError(
+                        "stale-key rewrite needs an unpartitioned derived "
+                        f"table; it is partitioned by {derived.partition!r}")
+                gone = gone_keys.select(F.col(id_col).alias(derived_key)) \
+                    .unionByName(projected.select(derived_key))
+                survivors = derived.read().join(gone, derived_key,
+                                                "left_anti")
+                derived.write(survivors.unionByName(projected),
+                              WriteOp.INSERT_OVERWRITE,
+                              metadata=commit_meta)
+            elif n:
+                derived.write(projected, WriteOp.UPSERT,
+                              metadata=commit_meta)
+        finally:
+            projected.unpersist()
+    except BaseException:
+        metadata.set(checkpoint_key, last)
+        raise
     metadata.save_changes()
     return n
 
@@ -169,50 +194,63 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
     story."""
     from marmaray_spark.sinks.table import WriteOp
 
-    latest, affected = consume_latest(base, metadata, cols, id_col,
-                                      checkpoint_key, max_commits)
-    if latest is None:
-        return 0
-    # keys dropped from the base report nothing automatically: only ids
-    # still present in the base snapshot are re-derived
-    live = latest.join(base.read().select(id_col), id_col, "left_semi")
-    fresh = report_fn(live).persist()
+    # same rollback contract as maintain_projection: a raise after the
+    # checkpoint advanced must restore the pre-drain value
+    last = metadata.get(checkpoint_key) or ""
     try:
-        n_rows = fresh.count()
-        if report.is_empty():
-            if n_rows:
-                report.write(fresh, WriteOp.INSERT)
-        else:
-            existing = report.read()
-            # a key's rows may go stale only if the key was RE-DERIVED
-            # (it's in the after-images) or DROPPED from the base —
-            # ``affected`` alone over-reaches: an unpartitioned upsert
-            # rewrites the whole slice, so its removes manifest lists
-            # every SURVIVOR key too, and treating those as affected
-            # deleted unchanged keys' rows (caught by the link-edges
-            # maintainer's update test, r10)
-            touched = (latest.select(id_col)
-                       .unionByName(affected.join(
-                           base.read().select(id_col), id_col,
-                           "left_anti"))
-                       .distinct())
-            stale = (existing.join(touched, id_col, "left_semi")
-                     .join(fresh.select("report_key"), "report_key",
-                           "left_anti"))
-            if stale.limit(1).count() > 0:
-                if report.partition is not None:
-                    raise ValueError(
-                        "stale-row rewrite needs an unpartitioned report "
-                        f"table; partitioned by {report.partition!r}")
-                survivors = existing.join(
-                    stale.select("report_key")
-                    .unionByName(fresh.select("report_key")),
-                    "report_key", "left_anti")
-                report.write(survivors.unionByName(fresh),
-                             WriteOp.INSERT_OVERWRITE)
-            elif n_rows:
-                report.write(fresh, WriteOp.UPSERT)
-    finally:
-        fresh.unpersist()
+        latest, affected = consume_latest(base, metadata, cols, id_col,
+                                          checkpoint_key, max_commits)
+        if latest is None:
+            return 0
+        # keys dropped from the base report nothing automatically: only
+        # ids still present in the base snapshot are re-derived. One
+        # eager snapshot read serves both consumers; a purged base has
+        # an empty live set, not a FileNotFoundError
+        base_ids = (latest.select(id_col).filter(F.lit(False))
+                    if base.is_empty()
+                    else base.read().select(id_col))
+        live = latest.join(base_ids, id_col, "left_semi")
+        fresh = report_fn(live).persist()
+        try:
+            n_rows = fresh.count()
+            if report.is_empty():
+                if n_rows:
+                    report.write(fresh, WriteOp.INSERT)
+            else:
+                existing = report.read()
+                # a key's rows may go stale only if the key was
+                # RE-DERIVED (it's in the after-images) or DROPPED from
+                # the base — ``affected`` alone over-reaches: an
+                # unpartitioned upsert rewrites the whole slice, so its
+                # removes manifest lists every SURVIVOR key too, and
+                # treating those as affected deleted unchanged keys'
+                # rows (caught by the link-edges maintainer's update
+                # test, r10)
+                touched = (latest.select(id_col)
+                           .unionByName(affected.join(base_ids, id_col,
+                                                      "left_anti"))
+                           .distinct())
+                stale = (existing.join(touched, id_col, "left_semi")
+                         .join(fresh.select("report_key"), "report_key",
+                               "left_anti"))
+                if stale.limit(1).count() > 0:
+                    if report.partition is not None:
+                        raise ValueError(
+                            "stale-row rewrite needs an unpartitioned "
+                            f"report table; partitioned by "
+                            f"{report.partition!r}")
+                    survivors = existing.join(
+                        stale.select("report_key")
+                        .unionByName(fresh.select("report_key")),
+                        "report_key", "left_anti")
+                    report.write(survivors.unionByName(fresh),
+                                 WriteOp.INSERT_OVERWRITE)
+                elif n_rows:
+                    report.write(fresh, WriteOp.UPSERT)
+        finally:
+            fresh.unpersist()
+    except BaseException:
+        metadata.set(checkpoint_key, last)
+        raise
     metadata.save_changes()
     return n_rows

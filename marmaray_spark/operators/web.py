@@ -129,9 +129,8 @@ def registrable_domain_psl(host_col: str, suffixes: set[str]) -> Column:
                     # exception rule: the candidate ITSELF is the
                     # registrable domain (publicsuffix.org algorithm)
                     return cand
-                wild = ".".join(["*"] + labels[i + 1:]) \
-                    if i + 1 <= len(labels) else None
-                if cand in rules or (wild and wild in rules):
+                wild = ".".join(["*"] + labels[i + 1:])
+                if cand in rules or wild in rules:
                     # cand is a public suffix -> registrable = one more
                     # label; a host that IS a suffix has no registrable
                     # domain -- pass it through like the two-label form
@@ -157,27 +156,46 @@ def canonical_dedup(docs: DataFrame, id_col: str, url_col: str,
     URL dedup alone sees two resources.
 
     The target is resolved expression-only: an absolute hint is
-    canonicalized (``canonical_url``); a path-absolute hint ('/x')
-    resolves against the page's own scheme+host; anything else (empty,
-    NULL, relative-path, malformed) falls back to the page's OWN
-    canonical URL — a missing or junk hint must never merge unrelated
-    pages. First-occurrence-wins is the paragraph-dedup shape: one
-    groupBy at target cardinality for the keeper set, then a
-    broadcast-friendly semi-join — the corpus shuffles once on the
-    target key and carries (id, target), never payloads."""
+    canonicalized (``canonical_url``) but honored ONLY when its
+    registrable domain matches the page's own — anything on the open
+    web can claim ``<link rel=canonical href="http://nytimes.com/...">``
+    and an unrestricted hint would let a hostile page EVICT the real
+    article it points at (the keeper is picked within the group);
+    same-site is the standard search-engine trust boundary. A
+    path-absolute hint ('/x') resolves against the page's own
+    scheme+host (userinfo/port stripped — host identity, the url_host
+    lesson); anything else (empty, NULL, relative-path, malformed,
+    cross-site) falls back to the page's OWN canonical URL — a missing
+    or junk hint must never merge unrelated pages. Rows whose resolved
+    target is NULL (a NULL page URL) bypass the dedup untouched: NULL
+    is one SQL group, and grouping them would silently collapse every
+    null-URL doc to a single survivor. First-occurrence-wins is the
+    paragraph-dedup shape: one groupBy at target cardinality for the
+    keeper set, then a broadcast-friendly semi-join — the corpus
+    shuffles once on the target key and carries (id, target), never
+    payloads."""
     scheme = (f"lower(regexp_extract({url_col}, "
               f"'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))")
-    page_host = (f"lower(regexp_extract({url_col}, '://([^/?#]+)', 1))")
+    page_host = (f"regexp_replace(lower(regexp_extract({url_col}, "
+                 f"'://([^/?#]+)', 1)), '^.*@', '')")
+    hint = f"trim({canonical_col})"
+    hint_host = (f"regexp_replace(regexp_replace(lower(regexp_extract("
+                 f"{hint}, '://([^/?#]+)', 1)), '^.*@', ''), "
+                 f"':[0-9]+$', '')")
+    page_host_bare = f"regexp_replace({page_host}, ':[0-9]+$', '')"
     abs_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://'"
+    same_site = (f"regexp_extract({hint_host}, '([^.]+\\\\.[^.]+)$', 0) "
+                 f"!= '' AND regexp_extract({hint_host}, "
+                 f"'([^.]+\\\\.[^.]+)$', 1) = regexp_extract("
+                 f"{page_host_bare}, '([^.]+\\\\.[^.]+)$', 1)")
     resolved = (
-        f"CASE WHEN {canonical_col} IS NULL OR trim({canonical_col}) = '' "
+        f"CASE WHEN {canonical_col} IS NULL OR {hint} = '' "
         f"       THEN {url_col} "
-        f"     WHEN trim({canonical_col}) rlike {abs_re} "
-        f"       THEN trim({canonical_col}) "
-        f"     WHEN substring(trim({canonical_col}), 1, 1) = '/' "
-        f"          AND {scheme} != '' "
-        f"       THEN concat({scheme}, '://', {page_host}, "
-        f"                   trim({canonical_col})) "
+        f"     WHEN {hint} rlike {abs_re} "
+        f"       THEN CASE WHEN {same_site} THEN {hint} "
+        f"                 ELSE {url_col} END "
+        f"     WHEN substring({hint}, 1, 1) = '/' AND {scheme} != '' "
+        f"       THEN concat({scheme}, '://', {page_host}, {hint}) "
         f"     ELSE {url_col} END")
     # two-step: materialize the resolved hint as its own column first —
     # canonical_url() interpolates its argument expression several
@@ -185,11 +203,14 @@ def canonical_dedup(docs: DataFrame, id_col: str, url_col: str,
     tagged = (docs.withColumn("__resolved", F.expr(resolved))
               .withColumn("__canon_target", canonical_url("__resolved"))
               .drop("__resolved"))
-    keepers = (tagged.groupBy("__canon_target")
+    grouped = tagged.filter(F.col("__canon_target").isNotNull())
+    keepers = (grouped.groupBy("__canon_target")
                .agg(F.min(id_col).alias(id_col))
                .select(id_col))
-    return tagged.join(keepers, id_col, "left_semi") \
-        .drop("__canon_target")
+    kept = grouped.join(keepers, id_col, "left_semi")
+    return (kept.unionByName(
+        tagged.filter(F.col("__canon_target").isNull()))
+        .drop("__canon_target"))
 
 
 def sitemap_discovery_tick(discovered, parsed, seeds,
@@ -255,28 +276,46 @@ def sitemap_discovery_tick(discovered, parsed, seeds,
         bodies.select(F.col(url_col).alias("sitemap_url"),
                       F.col(body_col).alias(body_col)),
         "sitemap_url")
+    todo = todo.persist()
     rows = parse_sitemap(todo, src_col="sitemap_url",
                          body_col=body_col).persist()
     try:
+        # one deterministic row per URL: a URL listed by several
+        # sitemaps merges by max(priority)/max(lastmod)/min(src) — a
+        # dropDuplicates pick is partition-order-dependent, and a
+        # crashed tick's replay must derive the SAME row (review find,
+        # r10)
         urls = (rows.filter(F.col("kind") == "url")
-                .select(F.col("loc").alias("url"),
-                        F.col("src").alias("from_sitemap"),
-                        "lastmod", "priority_milli")
-                .dropDuplicates(["url"]))
+                .groupBy(F.col("loc").alias("url"))
+                .agg(F.min("src").alias("from_sitemap"),
+                     F.max("lastmod").alias("lastmod"),
+                     F.max("priority_milli").alias("priority_milli")))
         report["seed_urls"] = dedup_write(seeds, urls)
         children = (rows.filter(F.col("kind") == "sitemap")
                     .select(F.col("loc").alias("sitemap_url"))
                     .filter(F.col("sitemap_url").isNotNull())
                     .dropDuplicates(["sitemap_url"]))
         report["child_sitemaps"] = dedup_write(discovered, children)
-        consumed = (rows.groupBy(F.col("src").alias("sitemap_url"))
+        # consumed = every sitemap a body was parsed FOR this tick —
+        # keyed off ``todo``, not off the output rows: a VALID but
+        # empty <urlset> emits no row at all, and deriving the
+        # consumed set from rows left it pending (and refetched)
+        # forever (review find, r10)
+        verdicts = (rows.groupBy(F.col("src").alias("sitemap_url"))
                     .agg(F.min(F.col("ok").cast("int")).cast("boolean")
                          .alias("ok"),
                          F.max("err").alias("err")))
+        consumed = (todo.select("sitemap_url")
+                    .join(verdicts, "sitemap_url", "left")
+                    .select("sitemap_url",
+                            F.coalesce(F.col("ok"), F.lit(True))
+                            .alias("ok"),
+                            "err"))
         report["errors"] = consumed.filter(~F.col("ok")).count()
         report["parsed"] = dedup_write(parsed, consumed)
     finally:
         rows.unpersist()
+        todo.unpersist()
     return report
 
 
@@ -383,8 +422,12 @@ def domain_report(docs: DataFrame, url_col: str,
     (``registrable_domain_psl``); default stays the dependency-free
     expression form."""
     from marmaray_spark.operators import attach_scalar
-    host_expr = (f"regexp_replace(lower(regexp_extract({url_col}, "
-                 f"'://([^/?#]+)', 1)), ':[0-9]+$', '')")
+    # userinfo stripped ('^.*@', last-@) like url_host: host IDENTITY
+    # feeds the rollup, and 'http://x@evil.com/' must not mint a
+    # domain bucket distinct from evil.com's
+    host_expr = (f"regexp_replace(regexp_replace(lower(regexp_extract("
+                 f"{url_col}, '://([^/?#]+)', 1)), '^.*@', ''), "
+                 f"':[0-9]+$', '')")
     dom = (registrable_domain_psl("__h", psl_suffixes)
            if psl_suffixes else registrable_domain("__h"))
     base = docs.withColumn("__h", F.expr(host_expr)).select(
@@ -416,9 +459,14 @@ def blocklist_gate(docs: DataFrame, url_col: str,
     shuffles. ``psl_suffixes`` opts into the Public Suffix List
     rollup (``registrable_domain_psl``) so 'bbc.co.uk' and
     'news.co.uk' stop sharing one blocklist bucket; the two-label
-    expression form stays the default."""
-    host_expr = (f"regexp_replace(lower(regexp_extract({url_col}, "
-                 f"'://([^/?#]+)', 1)), ':[0-9]+$', '')")
+    expression form stays the default.
+
+    Userinfo is stripped before the rollup — without it,
+    'http://x@evil.com/p' derives domain 'x@evil.com' and walks
+    straight past a blocklisted 'evil.com' (review find, r10)."""
+    host_expr = (f"regexp_replace(regexp_replace(lower(regexp_extract("
+                 f"{url_col}, '://([^/?#]+)', 1)), '^.*@', ''), "
+                 f"':[0-9]+$', '')")
     if psl_suffixes:
         tagged = (docs.withColumn("__h", F.expr(host_expr))
                   .withColumn("__dom",

@@ -820,6 +820,7 @@ def test_sitemap_discovery_two_ticks_and_replay(spark, tmp_path):
         '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
         "<sitemap><loc>http://ex.com/s1.xml</loc></sitemap>"
         "<sitemap><loc>http://ex.com/s2.xml</loc></sitemap>"
+        "<sitemap><loc>http://ex.com/s3.xml</loc></sitemap>"
         "</sitemapindex>")
     s1_xml = (
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
@@ -830,7 +831,13 @@ def test_sitemap_discovery_two_ticks_and_replay(spark, tmp_path):
     bodies = spark.createDataFrame(
         [("http://ex.com/index.xml", index_xml),
          ("http://ex.com/s1.xml", s1_xml),
-         ("http://ex.com/s2.xml", "<notasitemap/>")],
+         ("http://ex.com/s2.xml", "<notasitemap/>"),
+         # VALID but empty urlset: zero seed rows, yet it must still be
+         # marked parsed — deriving the consumed set from output rows
+         # left it pending (and refetched) forever (review find, r10)
+         ("http://ex.com/s3.xml",
+          '<urlset xmlns="http://www.sitemaps.org/schemas/'
+          'sitemap/0.9"></urlset>')],
         "sitemap_url string, xml string")
 
     # tick 1: only the robots-discovered index parses (its children are
@@ -838,12 +845,13 @@ def test_sitemap_discovery_two_ticks_and_replay(spark, tmp_path):
     r1 = sitemap_discovery_tick(discovered, parsed, seeds, bodies,
                                 new_sitemaps=robots_sitemaps(robots))
     assert r1["new_sitemaps"] == 1 and r1["parsed"] == 1
-    assert r1["child_sitemaps"] == 2 and r1["seed_urls"] == 0
+    assert r1["child_sitemaps"] == 3 and r1["seed_urls"] == 0
 
-    # tick 2: both children drain — s1 seeds two URLs, malformed s2 is
-    # consumed as an error row (not retried forever)
+    # tick 2: all three children drain — s1 seeds two URLs, malformed
+    # s2 is consumed as an error row (not retried forever), EMPTY s3 is
+    # consumed ok
     r2 = sitemap_discovery_tick(discovered, parsed, seeds, bodies)
-    assert r2["parsed"] == 2 and r2["seed_urls"] == 2
+    assert r2["parsed"] == 3 and r2["seed_urls"] == 2
     assert r2["errors"] == 1 and r2["child_sitemaps"] == 0
     got = {r["url"]: (r["lastmod"], r["priority_milli"])
            for r in seeds.read().collect()}
@@ -944,3 +952,87 @@ def test_fetch_frontier_minimal_inputs(spark):
     got = fetch_frontier(seeds, None, None).collect()
     assert [r["url"] for r in got] == ["http://a.com/1", "http://b.org/2"]
     assert all(r["rank"] is None for r in got)
+
+
+def test_blocklist_gate_userinfo_cannot_bypass(spark):
+    """'http://x@evil.com/p' must roll up to evil.com's bucket — a
+    userinfo prefix walked straight past the blocklist before the
+    host-identity strip (review find, r10); same on the PSL path."""
+    from marmaray_spark.operators.web import blocklist_gate
+
+    docs = spark.createDataFrame(
+        [(1, "http://x@evil.com/p"), (2, "http://evil.com/q"),
+         (3, "http://fine.org/r"), (4, "http://a@b@evil.co.uk/s")],
+        "i int, url string")
+    bl = spark.createDataFrame([("evil.com",), ("evil.co.uk",)],
+                               "domain string")
+    _, blocked = blocklist_gate(docs, "url", bl)
+    assert {r["i"] for r in blocked.collect()} == {1, 2}
+    _, blocked_psl = blocklist_gate(docs, "url", bl,
+                                    psl_suffixes={"com", "uk", "co.uk"})
+    assert {r["i"] for r in blocked_psl.collect()} == {1, 2, 4}
+
+
+def test_canonical_dedup_rejects_cross_site_hijack_and_null_urls(spark):
+    """An absolute hint is honored only same-registrable-domain — a
+    hostile page claiming another site's article as canonical must not
+    evict it — and null-URL rows bypass the dedup instead of collapsing
+    into one NULL group (review finds, r10)."""
+    from marmaray_spark.operators.web import canonical_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "http://ex.com/article", None),
+         # hijack attempt: spam page claims the article as canonical
+         (0, "http://aaa-spam.com/x", "http://ex.com/article"),
+         # legit same-site hint (www + port variance) still collapses
+         (2, "http://www.ex.com:80/article/print",
+          "http://ex.com/article"),
+         (7, None, None),
+         (8, None, "http://ex.com/article")],
+        "i int, url string, rel_canonical string")
+    kept = {r["i"] for r in canonical_dedup(docs, "i", "url").collect()}
+    # 0 kept (its hint ignored -> own URL), 1 kept, 2 collapsed into 1,
+    # both null-URL rows kept
+    assert kept == {0, 1, 7, 8}
+
+
+def test_maintain_link_edges_rolls_checkpoint_back_on_raise(spark, tmp_path):
+    """The shared maintainer skeleton restores the pre-drain checkpoint
+    when the drain raises (vacuumed pre-image) — the cms rollback
+    contract applied to maintain_projection/maintain_sparse_report
+    (review find, r10): without it a later caller save_changes()
+    persists a checkpoint for commits whose projections never landed."""
+    import shutil
+
+    import pytest
+
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import maintain_link_edges
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    pages = TableSink(spark, tmp_path / "pages", "target_uri")
+    edges = TableSink(spark, tmp_path / "edges", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org"])],
+        "target_uri string, link_hosts array<string>"), WriteOp.INSERT)
+    maintain_link_edges(pages, edges, md, "target_uri")
+    good = md.get("link_edges.last_commit")
+
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["c.net"])],
+        "target_uri string, link_hosts array<string>"), WriteOp.UPSERT)
+    for s in pages.log.commits()[-1].removes:
+        p = pages.table_path / s
+        shutil.rmtree(p) if p.is_dir() else p.unlink()
+    # the vacuumed slice surfaces either as the loud FileNotFoundError
+    # from the removes check or as the as_of read's AnalysisException
+    # (with_op change capture time-travels to the previous commit) —
+    # the rollback must cover both, hence except BaseException
+    with pytest.raises(Exception):
+        maintain_link_edges(pages, edges, md, "target_uri")
+    assert md.get("link_edges.last_commit") == good
+    md.save_changes()
+    assert FileSystemMetadataManager(str(tmp_path / "md")).get(
+        "link_edges.last_commit") == good
