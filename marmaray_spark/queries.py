@@ -3954,6 +3954,96 @@ _SQL_PAGERANK = f"""
              COUNT(*) AS n
       FROM v GROUP BY 1, 2
     )
+    UNION ALL
+    SELECT 'canonical', grp, item, n, CAST(0 AS INT) FROM (
+      WITH cu AS (
+        SELECT doc_id, source,
+          'HTTPS://WWW.' || source || '-corp.COM'
+            || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+            || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+            || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '?utm_source=x&ref=' || lang || '&fbclid=zz'
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+      ), ch AS (
+        SELECT doc_id, url,
+          CASE doc_id % 5
+            WHEN 1 THEN '/p/0'
+            WHEN 2 THEN 'https://www.' || source || '-corp.com/p/0'
+            WHEN 3 THEN 'https://evil.example/p/0'
+            WHEN 4 THEN 'not a url'
+            ELSE NULL END AS hint
+        FROM cu
+      ), cr AS (
+        SELECT doc_id, url, hint,
+          lower(coalesce(regexp_extract(url,
+            '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS pscheme,
+          regexp_replace(lower(coalesce(regexp_extract(url,
+            '://([^/?#]+)', 1), '')), '^.*@', '') AS phost
+        FROM ch
+      ), cres AS (
+        SELECT doc_id, url,
+          CASE WHEN hint IS NULL OR trim(hint) = '' THEN url
+               WHEN regexp_matches(trim(hint),
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN
+                 CASE WHEN coalesce(regexp_extract(
+                        regexp_replace(regexp_replace(lower(coalesce(
+                          regexp_extract(trim(hint), '://([^/?#]+)', 1),
+                          '')), '^.*@', ''), ':[0-9]+$', ''),
+                        '([^.]+\.[^.]+)$', 0), '') <> ''
+                      AND coalesce(regexp_extract(
+                        regexp_replace(regexp_replace(lower(coalesce(
+                          regexp_extract(trim(hint), '://([^/?#]+)', 1),
+                          '')), '^.*@', ''), ':[0-9]+$', ''),
+                        '([^.]+\.[^.]+)$', 1), '')
+                        = coalesce(regexp_extract(regexp_replace(phost,
+                          ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1), '')
+                   THEN trim(hint) ELSE url END
+               WHEN substring(trim(hint), 1, 1) = '/' AND pscheme <> ''
+                 THEN pscheme || '://' || phost || trim(hint)
+               ELSE url END AS resolved
+        FROM cr
+      ), k1 AS (
+        SELECT doc_id, url, regexp_replace(resolved, '#.*', '') AS base
+        FROM cres
+      ), k2 AS (
+        SELECT doc_id, url,
+          lower(coalesce(regexp_extract(base,
+            '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme,
+          lower(coalesce(regexp_extract(base, '://([^/?#]+)', 1), ''))
+            AS rawhost,
+          coalesce(regexp_extract(base, '://[^/?#]+([^?#]*)', 1), '')
+            AS rawpath,
+          coalesce(regexp_extract(base, '\?([^#]*)', 1), '') AS q
+        FROM k1
+      ), k3 AS (
+        SELECT doc_id, url, scheme,
+          regexp_replace(CASE
+            WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+            WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+            ELSE rawhost END, '^www\.', '') AS host,
+          CASE WHEN rawpath IN ('', '/') THEN '/'
+               ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+          coalesce(array_to_string(list_filter(string_split(q, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_|fbclid=|gclid=|msclkid=)')), '&'), '') AS cq
+        FROM k2
+      ), k4 AS (
+        SELECT doc_id, url,
+          scheme || '://' || host || path
+            || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon
+        FROM k3
+      ), keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM k4 GROUP BY canon
+      )
+      SELECT regexp_replace(regexp_replace(lower(regexp_extract(k4.url,
+               '://([^/?#]+)', 1)), '^.*@', ''), ':[0-9]+$', '') AS grp,
+             CAST(k4.doc_id AS VARCHAR) AS item,
+             CAST(k4.doc_id AS BIGINT) AS n
+      FROM k4 JOIN keep ON k4.doc_id = keep.doc_id
+    )
     """,
 )
 def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3994,10 +4084,16 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LIKE compilation, longest-match precedence, allow-wins-ties
     and no-rule-default-allow semantics (operators/web.py
     robots_gate); the robots.txt PARSER stays pytest-pinned against
-    the RFC examples."""
+    the RFC examples. Section (g) 'canonical' gates the rel=canonical
+    CONSUMER (operators/web.py canonical_dedup): deterministic hints
+    per doc (none / path-absolute / same-site absolute / cross-site
+    hijack / junk), the oracle recomputing hint resolution, the
+    same-registrable-domain trust boundary and the min-id keeper set —
+    the kept doc ids ARE the compared surface."""
     from marmaray_spark.operators.drift import term_drift
     from marmaray_spark.operators.text import lang_id, words
-    from marmaray_spark.operators.web import (domain_report,
+    from marmaray_spark.operators.web import (canonical_dedup,
+                                              domain_report,
                                               pagerank_integer,
                                               robots_gate, url_host)
 
@@ -4027,7 +4123,7 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("term").alias("item"), F.col("n").cast("long"),
                 F.lit(0).cast("int").alias("rank")))
     urls = dw.select(
-        "doc_id", F.size("w").alias("n_tok"),
+        "doc_id", F.size("w").alias("n_tok"), "source",
         F.expr(
             "'HTTPS://WWW.' || source || '-corp.COM'"
             " || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"
@@ -4092,9 +4188,32 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).cast("long").alias("n"))
               .select(F.lit("robots").alias("section"), "grp", "item",
                       "n", F.lit(0).cast("int").alias("rank")))
+    # section (g) 'canonical': the rel=canonical CONSUMER under the
+    # hash gate — each doc carries a deterministic hint by doc_id % 5
+    # (none / path-absolute / same-site absolute / cross-site hijack /
+    # junk); canonical_dedup resolves, trust-checks (same registrable
+    # domain only), canonicalizes and keeps min(doc_id) per target, and
+    # the oracle recomputes resolution + the same-site boundary + the
+    # keeper set in SQL. The kept doc ids themselves are the compared
+    # surface, so every per-row trust/resolve decision is pinned.
+    canon_in = (urls.select("doc_id", "source", "url")
+                .withColumn("rel_canonical", F.expr(
+                    "CASE doc_id % 5 "
+                    "WHEN 1 THEN '/p/0' "
+                    "WHEN 2 THEN 'https://www.' || source "
+                    "            || '-corp.com/p/0' "
+                    "WHEN 3 THEN 'https://evil.example/p/0' "
+                    "WHEN 4 THEN 'not a url' "
+                    "ELSE NULL END")))
+    canonical = (canonical_dedup(canon_in, "doc_id", "url")
+                 .select(F.lit("canonical").alias("section"),
+                         url_host("url").alias("grp"),
+                         F.col("doc_id").cast("string").alias("item"),
+                         F.col("doc_id").cast("long").alias("n"),
+                         F.lit(0).cast("int").alias("rank")))
     return (conf.unionByName(terms).unionByName(drift)
             .unionByName(domains).unionByName(prs)
-            .unionByName(robots))
+            .unionByName(robots).unionByName(canonical))
 
 
 # ---------------------------------------------------------------------------
