@@ -495,18 +495,42 @@ class TableSink:
 
     def _upsert(self, commit_id: str, df: DataFrame,
                 n_incoming: int) -> tuple[list[str], list[str]]:
-        """Partition-scoped copy-on-write merge; last-write-wins per key.
+        """Partition/slice-scoped copy-on-write merge; last-write-wins
+        per key.
 
         Incoming must be unique per key (caller dedups a batch first, as the
         reference's combine-before-upsert does).
-        """
+
+        Unpartitioned tables rewrite only the slices whose key RANGE
+        overlaps the incoming batch (key_stats footer index, the
+        _dedup_against_existing pruning applied to the merge path) —
+        the whole-table rewrite made every maintained-table tick pay
+        O(table) write amplification (the link-edges rehearsal measured
+        the maintainer losing to a full re-derive on exactly this), and
+        with cluster_by_key slices carrying tight disjoint ranges a
+        small batch touches few slices. Slices are read directly (not
+        via read()) so SURVIVORS KEEP their original commit stamps —
+        the read() form dropped COMMIT_COL and null-stamped every
+        displaced survivor, which silently removed them from all
+        incremental windows (r10 regression test pins this)."""
         slice_by_partition = self._active_by_partition()
         if self.partition is None:
-            old = self.read()
-            merged = (old.join(df.select(self.key), self.key, "left_anti")
-                      .unionByName(df, allowMissingColumns=True))
+            bounds = df.agg(F.min(self.key).alias("lo"),
+                            F.max(self.key).alias("hi")).collect()[0]
+            overlapping = (
+                self.slices_for_key_range(bounds["lo"], bounds["hi"])
+                if bounds["lo"] is not None else [])
+            if overlapping:
+                old = (self.spark.read.option("mergeSchema", "true")
+                       .parquet(*[str(self.table_path / s)
+                                  for s in overlapping]))
+                merged = (old.join(df.select(self.key), self.key,
+                                   "left_anti")
+                          .unionByName(df, allowMissingColumns=True))
+            else:
+                merged = df
             adds = self._write_slices(commit_id, merged, commit_id)
-            return adds, list(slice_by_partition.get(None, []))
+            return adds, overlapping
 
         touched = set(self._partition_values(df))
         old_slices = [s for p, ss in slice_by_partition.items()

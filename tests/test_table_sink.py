@@ -686,3 +686,36 @@ def test_rollup_vacuum_past_consumer_lag_fails_loud_not_stale(spark, tmp_path):
     assert meta.saved_count == saved_before
     got = {r["grp"]: (r["n"], r["total"]) for r in rollup.read().collect()}
     assert got == before
+
+
+def test_unpartitioned_upsert_keeps_survivor_stamps_and_prunes_slices(
+        spark, tmp_path):
+    """r10 regression: the unpartitioned upsert read the old table via
+    read(), which drops the commit stamp — every displaced survivor was
+    re-written NULL-stamped and silently vanished from all incremental
+    windows. Survivors must keep their ORIGINAL stamps, and the rewrite
+    must touch only slices whose key range overlaps the batch."""
+    from marmaray_spark.sinks.table import COMMIT_COL
+
+    t = TableSink(spark, tmp_path / "u", record_key_field="k",
+                  cluster_by_key=True)
+    c0 = t.write(spark.createDataFrame([(i, "a") for i in range(10)],
+                                       ["k", "v"]), WriteOp.INSERT)
+    # a second, key-disjoint slice far away from the upsert's range
+    c1 = t.write(spark.createDataFrame([(i, "b") for i in range(100, 110)],
+                                       ["k", "v"]), WriteOp.INSERT)
+    c2 = t.write(spark.createDataFrame([(5, "A")], ["k", "v"]),
+                 WriteOp.UPSERT)
+
+    stamps = {r["k"]: r[COMMIT_COL]
+              for r in t.read(with_meta=True).collect()}
+    assert stamps[5] == c2.commit_id
+    assert stamps[4] == c0.commit_id        # survivor keeps its stamp
+    assert stamps[105] == c1.commit_id
+    # every key is visible to a full incremental pull (null stamps were
+    # filtered out of every window)
+    assert {r["k"] for r in t.read_incremental("")
+            .collect()} == set(range(10)) | set(range(100, 110))
+    # the key-disjoint slice was not rewritten
+    assert set(c2.removes) == set(c0.adds)
+    assert t.read().count() == 20

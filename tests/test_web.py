@@ -1036,3 +1036,50 @@ def test_maintain_link_edges_rolls_checkpoint_back_on_raise(spark, tmp_path):
     md.save_changes()
     assert FileSystemMetadataManager(str(tmp_path / "md")).get(
         "link_edges.last_commit") == good
+
+
+def test_maintain_link_edges_dedup_insert_fast_path_exact(spark, tmp_path):
+    """dedup-insert drains ride the maintainers' append-only fast path
+    (new keys guaranteed -> no stale probe, no merge); the edge table
+    must still be EXACTLY the full re-derive after fast ticks, after a
+    mixed fast-then-slow sequence, and across both paths' writes."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import (link_host_edges,
+                                              maintain_link_edges)
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    pages = TableSink(spark, tmp_path / "pages", "target_uri")
+    edges = TableSink(spark, tmp_path / "edges", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    def full():
+        return {(r["src"], r["dst"]) for r in link_host_edges(
+            pages.read(), "target_uri").collect()}
+
+    def maintained():
+        return {(r["src"], r["dst"]) for r in edges.read().collect()}
+
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org"]), ("http://b.org/x", ["a.com"])],
+        "target_uri string, link_hosts array<string>"),
+        WriteOp.DEDUP_INSERT)
+    assert maintain_link_edges(pages, edges, md, "target_uri") == 2
+    assert maintained() == full()
+
+    # second fast tick, including a key-dup row the dedup filters out
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["SHOULD-NOT-LAND"]),
+         ("http://c.net/y", ["a.com", "b.org"])],
+        "target_uri string, link_hosts array<string>"),
+        WriteOp.DEDUP_INSERT)
+    maintain_link_edges(pages, edges, md, "target_uri")
+    assert maintained() == full()
+    assert ("a.com", "should-not-land") not in maintained()
+
+    # slow path after fast path: an update drops one of c's links
+    pages.write(spark.createDataFrame(
+        [("http://c.net/y", ["a.com"])],
+        "target_uri string, link_hosts array<string>"), WriteOp.UPSERT)
+    maintain_link_edges(pages, edges, md, "target_uri")
+    assert maintained() == full()
+    assert maintain_link_edges(pages, edges, md, "target_uri") == 0
