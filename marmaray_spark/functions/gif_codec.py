@@ -271,6 +271,16 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         cur = bytes([int(i)])
     if cur:
         emit(table[cur], width)
+        # the decoder adds its LAST table entry while processing this
+        # final code — an allocation the encoder never mirrors (its
+        # adds happen between emits, lagged one code behind). If that
+        # allocation lands exactly on 2^width the decoder bumps and
+        # reads END one bit wider than we wrote it (hypothesis-found:
+        # a 540-px frame whose final entry was code 256). At the tail
+        # both counters are equal, so apply the decoder's own bump
+        # rule here.
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)

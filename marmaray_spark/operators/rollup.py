@@ -53,71 +53,98 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
     Returns the number of groups rewritten (0 = nothing new)."""
     from marmaray_spark.sinks.table import WriteOp
 
-    batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
-                                   max_commits=max_commits)
-    if not batches:
-        return 0
-    commits_by_id = {c.commit_id: c for c in base.log.commits()}
-    affected: DataFrame | None = None
-    for cid, change_df in batches:
-        keys = change_df.select(group_col)
-        affected = keys if affected is None else affected.unionByName(keys)
-        commit = commits_by_id[cid]
-        if not commit.removes:
-            continue  # pure insert: no record left any group
-        missing = [s for s in commit.removes
-                   if not (base.table_path / s).exists()]
-        if missing:
-            # Vacuum deleted the displaced slices. This cannot happen
-            # silently in practice — consume_changes itself reads the
-            # pre-commit snapshot (a superset of these slices) and fails
-            # loudly first — so this only guards the vacuum-races-the-
-            # maintainer window. Retention contract: vacuum must retain
-            # at least (unconsumed commits + 1); a lagging consumer gets
-            # a loud error here or upstream, never a stale rollup.
-            raise FileNotFoundError(
-                f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
-                "rollup cannot recover the displaced groups — lower the "
-                "consumer lag or raise vacuum retain_last_n_commits")
-        pre = (base.spark.read.option("mergeSchema", "true")
-               .parquet(*[str(base.table_path / s) for s in commit.removes]))
-        if commit.op == WriteOp.INSERT_OVERWRITE.value:
-            # replaced partitions: any group they held may have lost rows
-            old_groups = pre.select(group_col)
-        else:
-            # upsert rewrite: old versions of the changed keys live in the
-            # removed slices — semi-join recovers exactly their old groups
-            changed_keys = change_df.select(base.key).distinct()
-            old_groups = (pre.join(changed_keys, base.key, "left_semi")
-                          .select(group_col))
-        affected = affected.unionByName(old_groups)
-    affected = affected.distinct()
+    # every raise after consume_changes advanced the checkpoint must
+    # roll it back (the shared maintainer contract, r10): otherwise a
+    # later caller save_changes() persists a checkpoint for commits
+    # whose groups were never re-aggregated
+    last = metadata.get(checkpoint_key) or ""
+    try:
+        # with_op=False: the insert/update tag is unused here, and
+        # computing it joins every commit against the entire previous
+        # snapshot's key set (the link-edges rehearsal measurement)
+        batches = base.consume_changes(metadata,
+                                       checkpoint_key=checkpoint_key,
+                                       max_commits=max_commits,
+                                       with_op=False)
+        if not batches:
+            return 0
+        commits_by_id = {c.commit_id: c for c in base.log.commits()}
+        # one schema inference for all pre-image reads this drain
+        snap_schema = None if base.is_empty() \
+            else base.read(with_meta=True).schema
+        affected: DataFrame | None = None
+        for cid, change_df in batches:
+            keys = change_df.select(group_col)
+            affected = keys if affected is None \
+                else affected.unionByName(keys)
+            commit = commits_by_id[cid]
+            if not commit.removes:
+                continue  # pure insert: no record left any group
+            missing = [s for s in commit.removes
+                       if not (base.table_path / s).exists()]
+            if missing:
+                # Vacuum deleted the displaced slices — the
+                # vacuum-races-the-maintainer window. Retention
+                # contract: vacuum must retain at least (unconsumed
+                # commits + 1); a lagging consumer gets a loud error,
+                # never a stale rollup.
+                raise FileNotFoundError(
+                    f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
+                    "rollup cannot recover the displaced groups — lower "
+                    "the consumer lag or raise vacuum "
+                    "retain_last_n_commits")
+            reader = (base.spark.read.schema(snap_schema)
+                      if snap_schema is not None
+                      else base.spark.read.option("mergeSchema", "true"))
+            pre = reader.parquet(*[str(base.table_path / s)
+                                   for s in commit.removes])
+            if commit.op == WriteOp.INSERT_OVERWRITE.value:
+                # replaced partitions: any group they held may have
+                # lost rows
+                old_groups = pre.select(group_col)
+            else:
+                # upsert rewrite: old versions of the changed keys live
+                # in the removed slices — semi-join recovers exactly
+                # their old groups
+                changed_keys = change_df.select(base.key).distinct()
+                old_groups = (pre.join(changed_keys, base.key,
+                                       "left_semi")
+                              .select(group_col))
+            affected = affected.unionByName(old_groups)
+        affected = affected.distinct()
 
-    # no broadcast hint: a backfill batch can touch every group; AQE
-    # broadcasts the affected-keys side when it is actually small
-    snapshot = base.read().join(affected, group_col, "left_semi")
-    partial = snapshot.groupBy(group_col).agg(
-        *[(F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col))
-          .alias(name) for name, (fn, col) in aggs.items()])
-    n = partial.count()
-    # affected groups with zero surviving rows must LEAVE the rollup;
-    # UPSERT can't remove, so rewrite the (small, one-row-per-group)
-    # rollup only when such tombstone groups actually exist
-    stale = affected.join(partial.select(group_col), group_col, "left_anti")
-    if not rollup.is_empty() and stale.limit(1).count() > 0:
-        if rollup.partition is not None:
-            # INSERT_OVERWRITE only replaces partitions the new frame
-            # touches — a rollup partition whose EVERY group went stale
-            # would silently survive. One row per group is tiny; keep the
-            # rollup unpartitioned (its group key is already the sort/
-            # lookup key) rather than risk that.
-            raise ValueError(
-                "tombstone rewrite needs an unpartitioned rollup table; "
-                f"rollup is partitioned by {rollup.partition!r}")
-        survivors = rollup.read().join(affected, group_col, "left_anti")
-        rollup.write(survivors.unionByName(partial), WriteOp.INSERT_OVERWRITE)
-    else:
-        rollup.write(partial, WriteOp.UPSERT)
+        # no broadcast hint: a backfill batch can touch every group; AQE
+        # broadcasts the affected-keys side when it is actually small
+        snapshot = base.read().join(affected, group_col, "left_semi")
+        partial = snapshot.groupBy(group_col).agg(
+            *[(F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col))
+              .alias(name) for name, (fn, col) in aggs.items()])
+        n = partial.count()
+        # affected groups with zero surviving rows must LEAVE the
+        # rollup; UPSERT can't remove, so rewrite the (small,
+        # one-row-per-group) rollup only when such tombstone groups
+        # actually exist
+        stale = affected.join(partial.select(group_col), group_col,
+                              "left_anti")
+        if not rollup.is_empty() and stale.limit(1).count() > 0:
+            if rollup.partition is not None:
+                # INSERT_OVERWRITE only replaces partitions the new
+                # frame touches — a rollup partition whose EVERY group
+                # went stale would silently survive. One row per group
+                # is tiny; keep the rollup unpartitioned (its group key
+                # is already the sort/lookup key) rather than risk that.
+                raise ValueError(
+                    "tombstone rewrite needs an unpartitioned rollup "
+                    f"table; rollup is partitioned by {rollup.partition!r}")
+            survivors = rollup.read().join(affected, group_col,
+                                           "left_anti")
+            rollup.write(survivors.unionByName(partial),
+                         WriteOp.INSERT_OVERWRITE)
+        else:
+            rollup.write(partial, WriteOp.UPSERT)
+    except BaseException:
+        metadata.set(checkpoint_key, last)
+        raise
     # durable only now — after the rollup commit (work-unit contract)
     metadata.save_changes()
     return n

@@ -165,3 +165,15 @@ def test_resize_gif_payload(spark):
     row = resize_images(df, 14, 10).first()
     out = decode_png(bytes(row["payload"]))
     assert out.shape == (10, 14, 3)
+
+
+def test_gif_lzw_tail_width_bump_regression():
+    """Hypothesis-found (r10): the decoder adds its last table entry
+    while processing the FINAL data code — an allocation the encoder's
+    lagged bump rule never mirrors. When that entry lands exactly on
+    2^width the decoder reads END one bit wider than written ('LZW
+    stream ended without END'). Pinned with the falsifying frame (the
+    final allocation is code 256)."""
+    rng = np.random.default_rng(938970918)
+    fr = rng.integers(0, len(PAL), (15, 36)).astype(np.uint8)
+    assert (decode_gif(encode_gif([fr], PAL)) == PAL[fr]).all()

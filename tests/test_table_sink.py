@@ -679,11 +679,15 @@ def test_rollup_vacuum_past_consumer_lag_fails_loud_not_stale(spark, tmp_path):
                                      ["id", "grp", "amount"]), WriteOp.UPSERT)
     base.vacuum(retain_last_n_commits=1)
     saved_before = meta.saved_count
+    ck_before = meta.get("rollup.last_commit")
     with pytest.raises(Exception):
         maintain_rollup(base, rollup, meta, "grp", aggs)
     # checkpoint not PERSISTED, rollup unchanged: re-runnable once the
     # operator restores history or accepts a full rebuild
     assert meta.saved_count == saved_before
+    # ...and the IN-MEMORY checkpoint rolled back too (r10): a later
+    # save_changes() by the caller must not persist the advanced value
+    assert meta.get("rollup.last_commit") == ck_before
     got = {r["grp"]: (r["n"], r["total"]) for r in rollup.read().collect()}
     assert got == before
 
