@@ -247,6 +247,16 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
         deltas = [_signed_cells(plus, text_col, depth, width, 1)]
         for cid, change_df in batches:
             commit = commits_by_id[cid]
+            if commit.delta:
+                # a merge-on-read delta upsert displaces versions with
+                # NO removes manifest — the subtraction side would
+                # silently skip them and the sketch diverge; same loud
+                # posture as geometry drift / vacuumed pre-images
+                raise ValueError(
+                    f"commit {cid} is a merge-on-read delta upsert; the "
+                    "sketch cannot locate the displaced versions — "
+                    "compact() the base before draining, or keep "
+                    "sketch-maintained bases copy-on-write")
             if not commit.removes:
                 continue  # pure append: nothing displaced
             missing = [s for s in commit.removes

@@ -78,6 +78,15 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
             affected = keys if affected is None \
                 else affected.unionByName(keys)
             commit = commits_by_id[cid]
+            if commit.delta:
+                # a merge-on-read delta upsert displaces versions with
+                # no removes manifest — a record MOVED to a new group
+                # would leave its old group silently un-reaggregated
+                raise ValueError(
+                    f"commit {cid} is a merge-on-read delta upsert; the "
+                    "rollup cannot recover the displaced groups — "
+                    "compact() the base before draining, or keep "
+                    "rollup-maintained bases copy-on-write")
             if not commit.removes:
                 continue  # pure insert: no record left any group
             missing = [s for s in commit.removes

@@ -25,6 +25,10 @@ module is the equivalent factory for this engine's parts. Keys:
     sink.partition_field      (table) optional partition column
     sink.op                   (table) insert|bulk_insert|dedup_insert|
                               upsert|insert_overwrite
+    sink.table_type           (table) cow (default) | mor — merge-on-
+                              read upserts append delta slices (batch-
+                              cost writes, latest-wins reads until
+                              compact) instead of rewriting slices
     sink.cluster_by_key       (table) sorted disjoint-range slices
     sink.target_file_size_mb  (table) parallelism auto-tune target
     sink.compression          (csv/json) lz4|gzip|snappy|zstd
@@ -565,7 +569,8 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                           partition_field=config.get("sink.partition_field"),
                           cluster_by_key=config.get_bool("sink.cluster_by_key", False),
                           target_file_size_mb=config.get_float(
-                              "sink.target_file_size_mb", 128.0))
+                              "sink.target_file_size_mb", 128.0),
+                          table_type=config.get("sink.table_type", "cow"))
         op = WriteOp(config.get("sink.op", "upsert"))
 
         # Two-phase: the write phase only STAGES slices (invisible to

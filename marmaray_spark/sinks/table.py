@@ -86,6 +86,11 @@ class Commit:
     # per-slice record-key range: {slice: [min_key, max_key]} — the
     # key-lookup index (HoodieIndex analogue, see TableSink.slices_for_keys)
     key_stats: dict[str, list] = field(default_factory=dict)
+    # merge-on-read delta commit: its adds SHADOW older versions of the
+    # same keys instead of rewriting them (removes stays empty); reads
+    # resolve latest-wins until compact() folds the deltas. Default
+    # False keeps every pre-existing commit JSON (and COW table) valid.
+    delta: bool = False
 
 
 class CommitLog:
@@ -195,7 +200,8 @@ class TableSink:
                  auto_tune_parallelism: bool = True,
                  bulk_insert_partitioner=None,
                  cluster_by_key: bool = False,
-                 metrics=None) -> None:
+                 metrics=None,
+                 table_type: str = "cow") -> None:
         """``bulk_insert_partitioner``: optional (df, n_partitions) -> df
         hook overriding the pre-write repartition — the
         UserDefinedBulkInsertPartitioner plugin point
@@ -209,7 +215,24 @@ class TableSink:
         ``metrics``: optional DataFeedMetrics; every published commit
         emits output_rowcount / total_file_count / total_write_size
         (HoodieSink HoodieWriteMetrics, TestHoodieSink.testHoodieSinkMetrics
-        names)."""
+        names).
+
+        ``table_type``: ``'cow'`` (default) or ``'mor'`` — the Hudi
+        COPY_ON_WRITE vs MERGE_ON_READ storage trade (the reference runs
+        Hudi COW; MOR is the same engine's other official mode). Under
+        ``'mor'`` an UPSERT appends a DELTA slice that shadows older
+        versions of its keys instead of rewriting the slices holding
+        them — write cost follows the batch, not the table (the
+        link-edges rehearsal measured COW update ticks paying an
+        O(table) rewrite) — and every read resolves latest-wins per key
+        until ``compact()`` folds the deltas back into plain slices.
+        The read tax is one window over the scanned rows whenever
+        uncompacted deltas are active; compacted or delta-free tables
+        read exactly like COW. Write-heavy maintained indices want
+        'mor' + periodic compact; read-heavy tables stay 'cow'."""
+        if table_type not in ("cow", "mor"):
+            raise ValueError(f"table_type must be 'cow' or 'mor', "
+                             f"got {table_type!r}")
         self.spark = spark
         self.table_path = Path(table_path)
         self.key = record_key_field
@@ -219,6 +242,7 @@ class TableSink:
         self.bulk_insert_partitioner = bulk_insert_partitioner
         self.cluster_by_key = cluster_by_key
         self.metrics = metrics
+        self.table_type = table_type
         self.log = CommitLog(table_path)
 
     # -- read path ---------------------------------------------------------
@@ -229,14 +253,43 @@ class TableSink:
         Cassandra sink's ALTER ADD analogue, SURVEY §1.4).
 
         ``as_of``: time travel — the table as of that commit id.
-        ``with_meta``: keep the per-record ``_commit_id`` stamp."""
+        ``with_meta``: keep the per-record ``_commit_id`` stamp.
+
+        Merge-on-read: when any ACTIVE slice is a delta (uncompacted
+        MOR upserts), the scan resolves latest-wins per key by commit
+        stamp — the MOR read tax; delta-free snapshots (all COW tables,
+        and MOR tables right after compact) skip it entirely."""
         slices = self.log.active_slices(as_of=as_of)
         if not slices:
             raise FileNotFoundError(f"table {self.table_path} has no commits")
         df = (self.spark.read.option("mergeSchema", "true")
               .parquet(*[str(self.table_path / s) for s in slices]))
+        if self._has_active_delta(as_of=as_of):
+            df = self._resolve_latest(df)
         return df if with_meta or COMMIT_COL not in df.columns \
             else df.drop(COMMIT_COL)
+
+    def _delta_slices(self) -> set[str]:
+        """Slice paths introduced by delta commits — a slice keeps its
+        delta nature for life (a restore re-adds old paths under a
+        non-delta commit, so membership is by ANY adding commit)."""
+        return {s for c in self.log.commits() if c.delta for s in c.adds}
+
+    def _has_active_delta(self, as_of: str | None = None) -> bool:
+        deltas = self._delta_slices()
+        if not deltas:
+            return False
+        return any(s in deltas for s in self.log.active_slices(as_of=as_of))
+
+    def _resolve_latest(self, df: DataFrame) -> DataFrame:
+        """Latest-wins per record key by commit stamp (shadowed older
+        versions drop out) — correct for COW rows too (each key appears
+        once, the window is a no-op), so mixed base+delta scans need no
+        per-slice branching."""
+        from pyspark.sql.window import Window as W
+        w = W.partitionBy(self.key).orderBy(F.col(COMMIT_COL).desc())
+        return (df.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1).drop("__rn__"))
 
     def read_changes(self, commit_id: str, with_op: bool = True,
                      schema=None) -> DataFrame:
@@ -391,8 +444,18 @@ class TableSink:
 
         # one count action feeds both the parallelism plan and the commit stats
         n_incoming = df.count()
+        is_delta = False
         if op_effective == WriteOp.UPSERT and not self.is_empty():
-            adds, removes = self._upsert(commit_id, df, n_incoming)
+            if self.table_type == "mor":
+                # merge-on-read: the upsert lands as a DELTA slice that
+                # SHADOWS older versions of its keys — a pure append,
+                # write cost follows the batch; reads resolve
+                # latest-wins until compact() folds the deltas
+                adds = self._append(commit_id, df, n_incoming)
+                removes = []
+                is_delta = True
+            else:
+                adds, removes = self._upsert(commit_id, df, n_incoming)
         elif op_effective == WriteOp.INSERT_OVERWRITE and not self.is_empty():
             adds, removes = self._insert_overwrite(commit_id, df, n_incoming)
         else:
@@ -402,7 +465,8 @@ class TableSink:
         commit = Commit(commit_id=commit_id, op=op.value, adds=adds,
                         removes=removes, metadata=meta,
                         counts={"written": n_incoming},
-                        key_stats=self._collect_key_stats(adds))
+                        key_stats=self._collect_key_stats(adds),
+                        delta=is_delta)
         return StagedWrite(commit=commit, metadata=metadata,
                            n_records=n_incoming)
 
@@ -643,14 +707,19 @@ class TableSink:
                 if s not in stats or not (stats[s][1] < lo or stats[s][0] > hi)]
 
     def lookup(self, key_value) -> DataFrame:
-        """Point lookup by record key, scanning only overlapping slices."""
+        """Point lookup by record key, scanning only overlapping slices.
+        Uncompacted MOR deltas resolve latest-wins AFTER the key filter
+        (all versions of one key live in overlapping slices, so the
+        window runs over a handful of rows, not the scan)."""
         slices = self.slices_for_key_range(key_value, key_value)
         if not slices:
             return self.read().limit(0)
         df = (self.spark.read.option("mergeSchema", "true")
-              .parquet(*[str(self.table_path / s) for s in slices]))
-        df = df.drop(COMMIT_COL) if COMMIT_COL in df.columns else df
-        return df.filter(F.col(self.key) == key_value)
+              .parquet(*[str(self.table_path / s) for s in slices])
+              .filter(F.col(self.key) == key_value))
+        if self._has_active_delta():
+            df = self._resolve_latest(df)
+        return df.drop(COMMIT_COL) if COMMIT_COL in df.columns else df
 
     # -- sizing ------------------------------------------------------------
 
@@ -721,8 +790,11 @@ class TableSink:
         if not slices:
             return None
         commit_id = self.log.next_commit_id()
-        df = (self.spark.read.option("mergeSchema", "true")
-              .parquet(*[str(self.table_path / s) for s in slices]))
+        # read() (not a raw slice union) so a merge-on-read table's
+        # deltas RESOLVE here — compaction is exactly the point where
+        # shadowed versions leave the storage; stamps survive because
+        # read(with_meta=True) keeps them
+        df = self.read(with_meta=True)
         n = df.count()
         adds = self._write_slices(commit_id, df, commit_id, n)
         commit = Commit(commit_id=commit_id, op="compact", adds=adds,

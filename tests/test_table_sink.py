@@ -723,3 +723,151 @@ def test_unpartitioned_upsert_keeps_survivor_stamps_and_prunes_slices(
     # the key-disjoint slice was not rewritten
     assert set(c2.removes) == set(c0.adds)
     assert t.read().count() == 20
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read (r10): delta upserts, latest-wins reads, compaction
+# ---------------------------------------------------------------------------
+
+
+def test_mor_upsert_appends_delta_and_reads_latest_wins(spark, tmp_path):
+    from marmaray_spark.sinks.table import COMMIT_COL
+
+    t = TableSink(spark, tmp_path / "m", record_key_field="k",
+                  table_type="mor")
+    c0 = t.write(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]), WriteOp.INSERT)
+    c1 = t.write(spark.createDataFrame(
+        [(2, "B"), (4, "d")], ["k", "v"]), WriteOp.UPSERT)
+    # the MOR promise: the upsert REWROTE NOTHING — pure delta append
+    assert c1.removes == [] and c1.delta is True
+    # ...but reads resolve latest-wins
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+        {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # shadowed version resolved away; stamps are the ORIGINAL ones
+    stamps = {r["k"]: r[COMMIT_COL] for r in t.read(with_meta=True).collect()}
+    assert stamps[1] == c0.commit_id and stamps[2] == c1.commit_id
+    # time travel to before the delta: the pre-upsert table
+    assert {(r["k"], r["v"]) for r in t.read(as_of=c0.commit_id).collect()} \
+        == {(1, "a"), (2, "b"), (3, "c")}
+    # incremental pull: only the delta's records
+    assert {(r["k"], r["v"])
+            for r in t.read_incremental(c0.commit_id).collect()} == \
+        {(2, "B"), (4, "d")}
+    # point lookup resolves too
+    assert [r["v"] for r in t.lookup(2).collect()] == ["B"]
+
+
+def test_mor_compact_folds_deltas_then_reads_like_cow(spark, tmp_path):
+    t = TableSink(spark, tmp_path / "m", record_key_field="k",
+                  table_type="mor")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+            WriteOp.INSERT)
+    t.write(spark.createDataFrame([(2, "B")], ["k", "v"]), WriteOp.UPSERT)
+    t.write(spark.createDataFrame([(1, "A2"), (3, "c")], ["k", "v"]),
+            WriteOp.UPSERT)
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert before == {(1, "A2"), (2, "B"), (3, "c")}
+    assert t._has_active_delta()
+
+    cc = t.compact()
+    assert cc.op == "compact"
+    # deltas folded: the active snapshot has no delta slices left, so
+    # reads skip the latest-wins window entirely
+    assert not t._has_active_delta()
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == before
+    # row-level: exactly one physical row per key survives compaction
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[str(t.table_path / s) for s in t.log.active_slices()])
+    assert raw.count() == 3
+    # and a post-compact upsert starts a fresh delta generation
+    c = t.write(spark.createDataFrame([(3, "C")], ["k", "v"]),
+                WriteOp.UPSERT)
+    assert c.delta and t._has_active_delta()
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+        {(1, "A2"), (2, "B"), (3, "C")}
+
+
+def test_mor_change_capture_and_dedup_insert(spark, tmp_path):
+    t = TableSink(spark, tmp_path / "m", record_key_field="k",
+                  table_type="mor")
+    c0 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+                 WriteOp.INSERT)
+    c1 = t.write(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+                 WriteOp.UPSERT)
+    ch1 = {(r["k"], r["v"], r["change_op"])
+           for r in t.read_changes(c1.commit_id).collect()}
+    assert ch1 == {(2, "B", "update"), (3, "c", "insert")}
+    # dedup-insert still filters against the RESOLVED key set
+    t.write(spark.createDataFrame([(2, "dup"), (9, "new")], ["k", "v"]),
+            WriteOp.DEDUP_INSERT)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "new"}
+    assert c0.delta is False
+
+
+def test_mor_base_refused_by_subtraction_maintainers(spark, tmp_path):
+    """A delta upsert displaces versions with no removes manifest —
+    the sketch/rollup maintainers must refuse loudly (compact first),
+    never silently diverge; the checkpoint rolls back so the drain is
+    re-runnable after a compact."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.cms import maintain_term_sketch
+    from marmaray_spark.operators.rollup import maintain_rollup
+
+    base = TableSink(spark, tmp_path / "b", record_key_field="doc_id",
+                     table_type="mor")
+    sketch = TableSink(spark, tmp_path / "sk", record_key_field="cell_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    base.write(spark.createDataFrame([(1, "alpha beta")],
+                                     ["doc_id", "text"]), WriteOp.INSERT)
+    maintain_term_sketch(base, sketch, md, depth=4, width=64)
+    good = md.get("term_sketch.last_commit")
+    base.write(spark.createDataFrame([(1, "gamma")], ["doc_id", "text"]),
+               WriteOp.UPSERT)
+    with pytest.raises(ValueError, match="merge-on-read delta"):
+        maintain_term_sketch(base, sketch, md, depth=4, width=64)
+    assert md.get("term_sketch.last_commit") == good
+
+    # after compact() the displaced version is physically gone and the
+    # drain sees a plain commit stream again... compact is a
+    # maintenance commit (skipped by consume_changes), but the delta
+    # commit itself is still in the pending window — the refusal holds
+    # until the consumer accepts a rebuild. Pin the rollup twin too.
+    rollup = TableSink(spark, tmp_path / "r", record_key_field="grp")
+    md2 = FileSystemMetadataManager(str(tmp_path / "md2"))
+    base2 = TableSink(spark, tmp_path / "b2", record_key_field="id",
+                      table_type="mor")
+    base2.write(spark.createDataFrame([(1, "a", 1.0)],
+                                      ["id", "grp", "x"]), WriteOp.INSERT)
+    maintain_rollup(base2, rollup, md2, "grp", {"n": ("count", "*")})
+    base2.write(spark.createDataFrame([(1, "b", 2.0)],
+                                      ["id", "grp", "x"]), WriteOp.UPSERT)
+    with pytest.raises(ValueError, match="merge-on-read delta"):
+        maintain_rollup(base2, rollup, md2, "grp", {"n": ("count", "*")})
+
+
+def test_mor_sparse_maintainer_works_without_removes(spark, tmp_path):
+    """maintain_sparse_report (the projection family) needs no removes
+    manifest — on a MOR base an update's stale rows are found through
+    re-derivation of the changed keys, so link edges stay exact."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import maintain_link_edges
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    pages = TableSink(spark, tmp_path / "p", "target_uri",
+                      table_type="mor")
+    edges = TableSink(spark, tmp_path / "e", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org", "c.net"])],
+        "target_uri string, link_hosts array<string>"), WriteOp.INSERT)
+    maintain_link_edges(pages, edges, md, "target_uri")
+    # the MOR update appends a delta; the sparse maintainer re-derives
+    # page a and rewrites its stale c.net edge away
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org"])],
+        "target_uri string, link_hosts array<string>"), WriteOp.UPSERT)
+    maintain_link_edges(pages, edges, md, "target_uri")
+    got = {(r["src"], r["dst"]) for r in edges.read().collect()}
+    assert got == {("a.com", "b.org")}
