@@ -230,12 +230,20 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
         commits_by_id = {c.commit_id: c for c in base.log.commits()}
         # one schema inference for ALL pre-image reads this drain — the
         # same per-commit footer-round cost consume_changes amortizes
-        # (r9 verdict item 7: 100-commit backlogs paid it per commit).
+        # (r9 verdict item 7: 100-commit backlogs paid it per commit) —
+        # LAZY: append-only drains never read a pre-image, and the
+        # eager form doubled the round consume_changes already paid.
         # A purged base (zero active slices) has no snapshot to infer
         # from; fall back to per-commit mergeSchema rather than crash
         # (and permanently wedge) the drain
-        snap_schema = None if base.is_empty() \
-            else base.read(with_meta=True).schema
+        _schema_cache: list = []
+
+        def snap_schema():
+            if not _schema_cache:
+                _schema_cache.append(
+                    None if base.is_empty()
+                    else base.read(with_meta=True).schema)
+            return _schema_cache[0]
         # + side: ONE tokenize+explode plan over the union of all
         # after-images — a 100-commit backlog otherwise stacks 100
         # explode subplans into the union and pays catalyst analysis
@@ -254,9 +262,13 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
                 # posture as geometry drift / vacuumed pre-images
                 raise ValueError(
                     f"commit {cid} is a merge-on-read delta upsert; the "
-                    "sketch cannot locate the displaced versions — "
-                    "compact() the base before draining, or keep "
-                    "sketch-maintained bases copy-on-write")
+                    "sketch cannot locate the displaced versions, and "
+                    "the commit stays pending (compact() cannot clear "
+                    "it — the delta commit itself is what's drained). "
+                    "Rebuild the sketch from the current snapshot and "
+                    "advance the checkpoint past the delta commits; "
+                    "keep sketch-maintained bases copy-on-write to "
+                    "prevent this")
             if not commit.removes:
                 continue  # pure append: nothing displaced
             missing = [s for s in commit.removes
@@ -266,8 +278,9 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
                     f"commit {cid} pre-image vacuumed ({missing[:3]}...); "
                     "the sketch cannot subtract the displaced terms — lower "
                     "the consumer lag or raise vacuum retain_last_n_commits")
-            reader = (base.spark.read.schema(snap_schema)
-                      if snap_schema is not None
+            schema = snap_schema()
+            reader = (base.spark.read.schema(schema)
+                      if schema is not None
                       else base.spark.read.option("mergeSchema", "true"))
             pre = (reader
                    .parquet(*[str(base.table_path / s)

@@ -49,7 +49,22 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
     insert/update tag, and computing it joins every commit's changes
     against the ENTIRE previous snapshot's key set — the link-edges
     rehearsal measured the tagged drain scanning the corpus once per
-    pending commit (r10)."""
+    pending commit (r10).
+
+    A ``restore`` after the checkpoint is REFUSED loudly (the cms
+    maintainer's posture, generalized r10): a rollback reverts keys to
+    older values with no change records, so the maintained structure
+    would keep rows derived from versions the base no longer holds —
+    rebuild from the current snapshot instead."""
+    last = metadata.get(checkpoint_key) or ""
+    restored = [c.commit_id for c in base.log.commits()
+                if c.commit_id > last and c.op == "restore"]
+    if restored:
+        raise ValueError(
+            f"base table was restored ({restored[0]}) after the "
+            "maintained structure's checkpoint; a rollback has no "
+            "change records to re-derive from — rebuild the derived "
+            "table from the current snapshot")
     batches = base.consume_changes(metadata, checkpoint_key=checkpoint_key,
                                    max_commits=max_commits, with_op=False)
     if not batches:
@@ -57,12 +72,20 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
     commits_by_id = {c.commit_id: c for c in base.log.commits()}
     # one schema inference for all pre-image reads this drain (the
     # per-commit mergeSchema footer round cost a backlog 0.3s/commit —
-    # r9 verdict item 7). A PURGED base (partitioned overwrite with an
-    # empty batch -> zero active slices) has no snapshot to infer from;
-    # the rare pre-image read then falls back to per-commit mergeSchema
-    # instead of crashing the drain (review find, r10)
-    snap_schema = None if base.is_empty() \
-        else base.read(with_meta=True).schema
+    # r9 verdict item 7) — computed LAZILY on the first removes-bearing
+    # commit: a pure-insert drain never reads a pre-image, and eager
+    # inference would double the footer round consume_changes already
+    # paid (review find, r10). A PURGED base (zero active slices) has
+    # no snapshot to infer from; the rare pre-image read then falls
+    # back to per-commit mergeSchema instead of crashing the drain
+    _schema_cache: list = []
+
+    def snap_schema():
+        if not _schema_cache:
+            _schema_cache.append(None if base.is_empty()
+                                 else base.read(with_meta=True).schema)
+        return _schema_cache[0]
+
     changed: DataFrame | None = None
     affected: DataFrame | None = None
     for seq, (cid, change_df) in enumerate(batches):
@@ -82,8 +105,8 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
                 "the maintained structure cannot identify the displaced "
                 "keys — lower the consumer lag or raise vacuum "
                 "retain_last_n_commits")
-        reader = (base.spark.read.schema(snap_schema)
-                  if snap_schema is not None
+        schema = snap_schema()
+        reader = (base.spark.read.schema(schema) if schema is not None
                   else base.spark.read.option("mergeSchema", "true"))
         pre = (reader
                .parquet(*[str(base.table_path / s) for s in commit.removes])
@@ -105,14 +128,20 @@ def _drained_append_only(base, last: str, upto: str) -> bool:
     This is the crawl-tick shape, and it licenses the maintainers' fast
     path: every after-image key is live, nothing existing can have gone
     stale, and no derived row can collide — so the derived write is a
-    pure APPEND with zero reads of the base snapshot or the derived
-    table. Without it, every tick pays the stale probe (a full derived
-    scan) and the copy-on-write merge (a table-sized rewrite): the
-    link-edges rehearsal measured the maintainer LOSING to a full
-    re-derive on exactly those costs (r10)."""
+    DEDUP-INSERT append (key-range-pruned anti-join, not a table merge)
+    with zero reads of the base snapshot. Without it, every tick pays
+    the stale probe (a full derived scan) and the copy-on-write merge
+    (a table-sized rewrite): the link-edges rehearsal measured the
+    maintainer LOSING to a full re-derive on exactly those costs (r10).
+
+    Only ``compact`` is transparent to the check: a ``restore`` in the
+    window CHANGES table contents with no change records — a key
+    dedup-inserted and then rolled back by restore would be resurrected
+    by an unfiltered append — so restore commits land in ``drained``
+    and (not being dedup-family) force the slow path, whose live
+    semi-join filters the dead keys."""
     drained = [c for c in base.log.commits()
-               if last < c.commit_id <= upto
-               and c.op not in ("compact", "restore")]
+               if last < c.commit_id <= upto and c.op != "compact"]
     return bool(drained) and all(
         c.op in ("dedup_insert", "dedup_bulk_insert") and not c.removes
         for c in drained)
@@ -170,13 +199,18 @@ def maintain_projection(base, derived, metadata, cols: list[str],
         if _drained_append_only(base, last,
                                 metadata.get(checkpoint_key) or ""):
             # new-keys-only drain: every after-image is live, nothing
-            # can be stale or displaced — append the projection, touch
-            # neither the base snapshot nor the derived table
+            # can be stale or displaced — append the projection without
+            # touching the base snapshot. DEDUP_INSERT (not INSERT):
+            # a crash between this commit and the checkpoint save
+            # replays the drain, and the replayed append must land on
+            # ZERO new rows, not duplicates (the slow path's UPSERT
+            # idempotency, kept at append cost — the anti-join prunes
+            # to key-range-overlapping slices only)
             projected = project(latest).persist()
             try:
                 n = projected.count()
                 if n:
-                    derived.write(projected, WriteOp.INSERT,
+                    derived.write(projected, WriteOp.DEDUP_INSERT,
                                   metadata=commit_meta)
             finally:
                 projected.unpersist()
@@ -248,12 +282,14 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
         if _drained_append_only(base, last,
                                 metadata.get(checkpoint_key) or ""):
             # new-keys-only drain: append the fresh rows, skip the
-            # stale probe (a full report scan) and the live semi-join
+            # stale probe (a full report scan) and the live semi-join.
+            # DEDUP_INSERT so a crash-replayed drain lands on zero new
+            # rows instead of duplicating every report row
             fresh = report_fn(latest).persist()
             try:
                 n_rows = fresh.count()
                 if n_rows:
-                    report.write(fresh, WriteOp.INSERT)
+                    report.write(fresh, WriteOp.DEDUP_INSERT)
             finally:
                 fresh.unpersist()
             metadata.save_changes()

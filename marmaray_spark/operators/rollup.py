@@ -69,9 +69,17 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
         if not batches:
             return 0
         commits_by_id = {c.commit_id: c for c in base.log.commits()}
-        # one schema inference for all pre-image reads this drain
-        snap_schema = None if base.is_empty() \
-            else base.read(with_meta=True).schema
+        # one schema inference for all pre-image reads this drain —
+        # lazy: pure-insert drains never read a pre-image, and eager
+        # inference doubles the footer round consume_changes just paid
+        _schema_cache: list = []
+
+        def snap_schema():
+            if not _schema_cache:
+                _schema_cache.append(
+                    None if base.is_empty()
+                    else base.read(with_meta=True).schema)
+            return _schema_cache[0]
         affected: DataFrame | None = None
         for cid, change_df in batches:
             keys = change_df.select(group_col)
@@ -84,9 +92,13 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
                 # would leave its old group silently un-reaggregated
                 raise ValueError(
                     f"commit {cid} is a merge-on-read delta upsert; the "
-                    "rollup cannot recover the displaced groups — "
-                    "compact() the base before draining, or keep "
-                    "rollup-maintained bases copy-on-write")
+                    "rollup cannot recover the displaced groups, and "
+                    "the commit stays pending (compact() cannot clear "
+                    "it — the delta commit itself is what's drained). "
+                    "Rebuild the rollup from the current snapshot and "
+                    "advance the checkpoint past the delta commits; "
+                    "keep rollup-maintained bases copy-on-write to "
+                    "prevent this")
             if not commit.removes:
                 continue  # pure insert: no record left any group
             missing = [s for s in commit.removes
@@ -102,8 +114,9 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
                     "rollup cannot recover the displaced groups — lower "
                     "the consumer lag or raise vacuum "
                     "retain_last_n_commits")
-            reader = (base.spark.read.schema(snap_schema)
-                      if snap_schema is not None
+            schema = snap_schema()
+            reader = (base.spark.read.schema(schema)
+                      if schema is not None
                       else base.spark.read.option("mergeSchema", "true"))
             pre = reader.parquet(*[str(base.table_path / s)
                                    for s in commit.removes])

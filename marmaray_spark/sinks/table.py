@@ -133,15 +133,28 @@ class CommitLog:
 
         ``as_of``: replay the log only up to and including that commit id
         — the time-travel view of the table at that commit."""
+        return self.active_state(as_of=as_of)[0]
+
+    def active_state(self, as_of: str | None = None
+                     ) -> tuple[list[str], bool]:
+        """(active slices, any active slice is a merge-on-read delta) in
+        ONE log replay — read() needs both, and deriving them separately
+        parsed every commit JSON twice per snapshot read (review find,
+        r10). Delta membership is by ANY adding commit (a restore
+        re-adds old paths under a non-delta commit; the slice keeps its
+        delta nature for life)."""
         active: list[str] = []
+        delta_slices: set[str] = set()
         for c in self.commits():
+            if c.delta:
+                delta_slices.update(c.adds)
             if as_of is not None and c.commit_id > as_of:
-                break
+                continue   # keep scanning: later commits still mark deltas
             for r in c.removes:
                 if r in active:
                     active.remove(r)
             active.extend(c.adds)
-        return active
+        return active, any(s in delta_slices for s in active)
 
     def latest_metadata(self) -> dict[str, str]:
         commits = self.commits()
@@ -259,27 +272,18 @@ class TableSink:
         MOR upserts), the scan resolves latest-wins per key by commit
         stamp — the MOR read tax; delta-free snapshots (all COW tables,
         and MOR tables right after compact) skip it entirely."""
-        slices = self.log.active_slices(as_of=as_of)
+        slices, has_delta = self.log.active_state(as_of=as_of)
         if not slices:
             raise FileNotFoundError(f"table {self.table_path} has no commits")
         df = (self.spark.read.option("mergeSchema", "true")
               .parquet(*[str(self.table_path / s) for s in slices]))
-        if self._has_active_delta(as_of=as_of):
+        if has_delta:
             df = self._resolve_latest(df)
         return df if with_meta or COMMIT_COL not in df.columns \
             else df.drop(COMMIT_COL)
 
-    def _delta_slices(self) -> set[str]:
-        """Slice paths introduced by delta commits — a slice keeps its
-        delta nature for life (a restore re-adds old paths under a
-        non-delta commit, so membership is by ANY adding commit)."""
-        return {s for c in self.log.commits() if c.delta for s in c.adds}
-
     def _has_active_delta(self, as_of: str | None = None) -> bool:
-        deltas = self._delta_slices()
-        if not deltas:
-            return False
-        return any(s in deltas for s in self.log.active_slices(as_of=as_of))
+        return self.log.active_state(as_of=as_of)[1]
 
     def _resolve_latest(self, df: DataFrame) -> DataFrame:
         """Latest-wins per record key by commit stamp (shadowed older

@@ -1083,3 +1083,70 @@ def test_maintain_link_edges_dedup_insert_fast_path_exact(spark, tmp_path):
     maintain_link_edges(pages, edges, md, "target_uri")
     assert maintained() == full()
     assert maintain_link_edges(pages, edges, md, "target_uri") == 0
+
+
+def test_maintain_link_edges_fast_path_crash_replay_no_duplicates(
+        spark, tmp_path):
+    """The append fast path writes DEDUP_INSERT, not INSERT: a crash
+    between the edge commit and the checkpoint save replays the drain,
+    and the replayed append must land on ZERO new rows — plain INSERT
+    would silently duplicate every edge (review find, r10)."""
+    import pytest
+
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import maintain_link_edges
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    pages = TableSink(spark, tmp_path / "pages", "target_uri")
+    edges = TableSink(spark, tmp_path / "edges", "report_key")
+    md_dir = str(tmp_path / "md")
+
+    class CrashyMd(FileSystemMetadataManager):
+        def save_changes(self):
+            raise RuntimeError("simulated crash before checkpoint")
+
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org", "c.net"])],
+        "target_uri string, link_hosts array<string>"),
+        WriteOp.DEDUP_INSERT)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maintain_link_edges(pages, edges, CrashyMd(md_dir), "target_uri")
+    assert edges.read().count() == 2      # the commit itself landed
+    # recovery drain replays the same commits: zero duplicates
+    maintain_link_edges(pages, edges,
+                        FileSystemMetadataManager(md_dir), "target_uri")
+    assert edges.read().count() == 2
+    rows = edges.read().groupBy("report_key").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+
+
+def test_maintainers_refuse_restored_base(spark, tmp_path):
+    """A restore rolls keys back to older values with NO change records
+    — every maintained twin would silently keep rows derived from
+    versions the base no longer holds, so consume_latest refuses loudly
+    (the cms posture, generalized; review find r10: the append fast
+    path would even have resurrected restore-dropped keys)."""
+    import pytest
+
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import maintain_link_edges
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    pages = TableSink(spark, tmp_path / "pages", "target_uri")
+    edges = TableSink(spark, tmp_path / "edges", "report_key")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    c0 = pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org"])],
+        "target_uri string, link_hosts array<string>"),
+        WriteOp.DEDUP_INSERT)
+    maintain_link_edges(pages, edges, md, "target_uri")
+    pages.write(spark.createDataFrame(
+        [("http://b.org/x", ["c.net"])],
+        "target_uri string, link_hosts array<string>"),
+        WriteOp.DEDUP_INSERT)
+    pages.restore(c0.commit_id)           # rolls the second page back
+    with pytest.raises(ValueError, match="restored"):
+        maintain_link_edges(pages, edges, md, "target_uri")
+    # nothing resurrected: the edge table still holds only page a's edge
+    assert {(r["src"], r["dst"]) for r in edges.read().collect()} == \
+        {("a.com", "b.org")}

@@ -105,7 +105,9 @@ def main() -> None:
     for t in range(n_ticks):
         # updates spread across the key space (the COW worst case the
         # link-edges rehearsal hit: lexical pruning can't skip slices)
-        batch = synth(spark, n_batch, offset=(t * 37) % (n_rows - n_batch),
+        # max(..., 1): ratio=1 (full-table update) makes the span zero
+        batch = synth(spark, n_batch,
+                      offset=(t * 37) % max(n_rows - n_batch, 1),
                       salt=t + 1)
         cow_tick = measure(f"cow_tick_{t}",
                            lambda: cow.write(batch, WriteOp.UPSERT)
