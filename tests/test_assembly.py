@@ -636,3 +636,34 @@ def test_yaml_canonical_dedup_stage(spark, tmp_path):
     t = TableSink(spark, tmp_path / "pages", record_key_field="target_uri")
     assert {r["target_uri"] for r in t.read().collect()} == {
         "http://ex.com/article", "http://ex.com/other"}
+
+
+def test_yaml_mor_table_sink(spark, tmp_path):
+    """sink.table_type: mor — a config-wired upsert job lands delta
+    commits (nothing rewritten) and readers see latest-wins."""
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    src1 = tmp_path / "src1"
+    docs.write.parquet(str(src1))
+
+    def cfg(src):
+        return Configuration.from_tree({
+            "job": {"name": "mor_job"},
+            "source": {"type": "parquet", "path": str(src)},
+            "sink": {"type": "table", "path": str(tmp_path / "out"),
+                     "record_key": "k", "op": "upsert",
+                     "table_type": "mor"},
+            "checkpoints": {"path": str(tmp_path / "ck")},
+        })
+
+    assert build_job_dag(spark, cfg(src1)).execute(spark) is True
+    src2 = tmp_path / "src2"
+    spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string") \
+        .write.parquet(str(src2))
+    assert build_job_dag(spark, cfg(src2)).execute(spark) is True
+
+    t = TableSink(spark, tmp_path / "out", record_key_field="k",
+                  table_type="mor")
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+        {(1, "a"), (2, "B"), (3, "c")}
+    last = t.log.commits()[-1]
+    assert last.delta is True and last.removes == []
