@@ -871,3 +871,66 @@ def test_mor_sparse_maintainer_works_without_removes(spark, tmp_path):
     maintain_link_edges(pages, edges, md, "target_uri")
     got = {(r["src"], r["dst"]) for r in edges.read().collect()}
     assert got == {("a.com", "b.org")}
+
+
+# ---------------------------------------------------------------------------
+# per-slice bloom key index (r10): Hudi BloomIndex parity
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_index_prunes_where_ranges_cannot(spark, tmp_path):
+    """Two slices with INTERLEAVED key ranges (every range overlaps
+    every probe — the URL-key weakness the link-edges rehearsal hit):
+    the bloom leg must prune a disjoint batch to zero slices, and a
+    duplicate-bearing batch must still dedup correctly (false positives
+    cost a scan, false negatives are impossible)."""
+    t = TableSink(spark, tmp_path / "b", record_key_field="k",
+                  bloom_min_bytes=0)
+    # evens then odds: both slices span [0..99]-ish, ranges useless
+    t.write(spark.createDataFrame([(i, "e") for i in range(0, 100, 2)],
+                                  ["k", "v"]), WriteOp.INSERT)
+    t.write(spark.createDataFrame([(i, "o") for i in range(1, 100, 2)],
+                                  ["k", "v"]), WriteOp.INSERT)
+
+    # range index admits both slices for any in-range probe...
+    assert len(t.slices_for_key_range(4, 5)) == 2
+    # ...the bloom narrows a point probe to the ONE slice that has it
+    kdf = spark.createDataFrame([(4,)], ["k"])
+    pruned = t._bloom_prune(t.slices_for_key_range(4, 4),
+                            t._positions_of(kdf))
+    assert len(pruned) == 1
+    assert [r["v"] for r in t.lookup(4).collect()] == ["e"]
+    assert [r["v"] for r in t.lookup(5).collect()] == ["o"]
+
+    # disjoint dedup batch: nothing survives the bloom -> pure append,
+    # and the rows all land
+    c = t.write(spark.createDataFrame([(i, "n") for i in range(200, 210)],
+                                      ["k", "v"]), WriteOp.DEDUP_INSERT)
+    assert c.counts["written"] == 10
+    # overlapping dedup batch: true duplicates still filtered
+    c2 = t.write(spark.createDataFrame([(4, "dup"), (5, "dup"),
+                                        (300, "new")], ["k", "v"]),
+                 WriteOp.DEDUP_INSERT)
+    assert c2.counts["written"] == 1
+    assert t.read().count() == 111
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[4] == "e" and got[5] == "o" and got[300] == "new"
+
+
+def test_bloom_missing_file_is_conservative(spark, tmp_path):
+    """A slice written before the index existed (or with bloom_index
+    off) has no bitmap: pruning must KEEP it — never silently treat it
+    as empty."""
+    t0 = TableSink(spark, tmp_path / "b", record_key_field="k",
+                   bloom_index=False)
+    t0.write(spark.createDataFrame([(1, "a")], ["k", "v"]), WriteOp.INSERT)
+    t = TableSink(spark, tmp_path / "b", record_key_field="k",
+                  bloom_min_bytes=0)
+    t.write(spark.createDataFrame([(2, "b")], ["k", "v"]), WriteOp.INSERT)
+    # lookup of key 1 must still find it through the bloom-less slice
+    assert [r["v"] for r in t.lookup(1).collect()] == ["a"]
+    # and dedup against it still filters
+    c = t.write(spark.createDataFrame([(1, "dup"), (9, "new")],
+                                      ["k", "v"]), WriteOp.DEDUP_INSERT)
+    assert c.counts["written"] == 1
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 9}
