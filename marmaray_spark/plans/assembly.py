@@ -29,6 +29,8 @@ module is the equivalent factory for this engine's parts. Keys:
                               read upserts append delta slices (batch-
                               cost writes, latest-wins reads until
                               compact) instead of rewriting slices
+    sink.bloom_min_bytes      (table) per-slice bloom key index build
+                              threshold (default 8 MiB; 0 = always)
     sink.cluster_by_key       (table) sorted disjoint-range slices
     sink.target_file_size_mb  (table) parallelism auto-tune target
     sink.compression          (csv/json) lz4|gzip|snappy|zstd
@@ -570,7 +572,9 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                           cluster_by_key=config.get_bool("sink.cluster_by_key", False),
                           target_file_size_mb=config.get_float(
                               "sink.target_file_size_mb", 128.0),
-                          table_type=config.get("sink.table_type", "cow"))
+                          table_type=config.get("sink.table_type", "cow"),
+                          bloom_min_bytes=config.get_int(
+                              "sink.bloom_min_bytes", 8 << 20))
         op = WriteOp(config.get("sink.op", "upsert"))
 
         # Two-phase: the write phase only STAGES slices (invisible to
