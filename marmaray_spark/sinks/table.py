@@ -162,13 +162,13 @@ class CommitLog:
         return self.active_state(as_of=as_of)[0]
 
     def active_state(self, as_of: str | None = None
-                     ) -> tuple[list[str], bool]:
-        """(active slices, any active slice is a merge-on-read delta) in
-        ONE log replay — read() needs both, and deriving them separately
-        parsed every commit JSON twice per snapshot read (review find,
-        r10). Delta membership is by ANY adding commit (a restore
-        re-adds old paths under a non-delta commit; the slice keeps its
-        delta nature for life)."""
+                     ) -> tuple[list[str], list[str]]:
+        """(active slices, the active ones that are merge-on-read
+        deltas) in ONE log replay — read() needs both, and deriving
+        them separately parsed every commit JSON twice per snapshot
+        read (review find, r10). Delta membership is by ANY adding
+        commit (a restore re-adds old paths under a non-delta commit;
+        the slice keeps its delta nature for life)."""
         active: list[str] = []
         delta_slices: set[str] = set()
         for c in self.commits():
@@ -180,7 +180,7 @@ class CommitLog:
                 if r in active:
                     active.remove(r)
             active.extend(c.adds)
-        return active, any(s in delta_slices for s in active)
+        return active, [s for s in active if s in delta_slices]
 
     def latest_metadata(self) -> dict[str, str]:
         commits = self.commits()
@@ -320,18 +320,31 @@ class TableSink:
         MOR upserts), the scan resolves latest-wins per key by commit
         stamp — the MOR read tax; delta-free snapshots (all COW tables,
         and MOR tables right after compact) skip it entirely."""
-        slices, has_delta = self.log.active_state(as_of=as_of)
+        slices, active_deltas = self.log.active_state(as_of=as_of)
         if not slices:
             raise FileNotFoundError(f"table {self.table_path} has no commits")
         df = (self.spark.read.option("mergeSchema", "true")
               .parquet(*[str(self.table_path / s) for s in slices]))
-        if has_delta:
+        if active_deltas:
             df = self._resolve_latest(df)
         return df if with_meta or COMMIT_COL not in df.columns \
             else df.drop(COMMIT_COL)
 
     def _has_active_delta(self, as_of: str | None = None) -> bool:
-        return self.log.active_state(as_of=as_of)[1]
+        return bool(self.log.active_state(as_of=as_of)[1])
+
+    def maybe_compact(self, max_delta_slices: int = 10) -> "Commit | None":
+        """Compaction POLICY for merge-on-read tables: fold the deltas
+        when at least ``max_delta_slices`` are active, else do nothing —
+        the knob that bounds the latest-wins read tax (one window over
+        every scanned row while deltas are live) without paying a table
+        rewrite per tick. Call it after each maintenance tick; the
+        measured trade (tools/scale_rehearsal_mor.py: 5 delta ticks +
+        one compact still 1.7x cheaper than 5 COW rewrites) says the
+        threshold can sit well above 1. No-op on COW tables."""
+        if len(self.log.active_state()[1]) < max_delta_slices:
+            return None
+        return self.compact()
 
     def _resolve_latest(self, df: DataFrame) -> DataFrame:
         """Latest-wins per record key by commit stamp (shadowed older

@@ -934,3 +934,59 @@ def test_bloom_missing_file_is_conservative(spark, tmp_path):
                                       ["k", "v"]), WriteOp.DEDUP_INSERT)
     assert c.counts["written"] == 1
     assert {r["k"] for r in t.read().collect()} == {1, 2, 9}
+
+
+def test_mor_maybe_compact_policy(spark, tmp_path):
+    """maybe_compact folds deltas only once the threshold is reached —
+    the knob bounding the MOR read tax without per-tick rewrites."""
+    t = TableSink(spark, tmp_path / "m", record_key_field="k",
+                  table_type="mor")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+            WriteOp.INSERT)
+    t.write(spark.createDataFrame([(1, "A")], ["k", "v"]), WriteOp.UPSERT)
+    assert t.maybe_compact(max_delta_slices=2) is None   # 1 delta: wait
+    t.write(spark.createDataFrame([(2, "B")], ["k", "v"]), WriteOp.UPSERT)
+    cc = t.maybe_compact(max_delta_slices=2)             # 2 deltas: fold
+    assert cc is not None and cc.op == "compact"
+    assert not t._has_active_delta()
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+        {(1, "A"), (2, "B")}
+    # COW tables: always a no-op
+    c = TableSink(spark, tmp_path / "c", record_key_field="k")
+    c.write(spark.createDataFrame([(1, "x")], ["k", "v"]), WriteOp.INSERT)
+    assert c.maybe_compact(max_delta_slices=1) is None
+
+
+def test_maintained_index_on_mor_derived_table(spark, tmp_path):
+    """The MOR payoff scenario: a maintained projection whose DERIVED
+    table is merge-on-read — every maintenance UPSERT lands as a delta
+    append instead of rewriting the index, probes read latest-wins, and
+    maybe_compact folds the deltas with identical content."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.maintained import maintain_projection
+
+    base = TableSink(spark, tmp_path / "b", record_key_field="k")
+    derived = TableSink(spark, tmp_path / "d", record_key_field="k",
+                        table_type="mor")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    def proj(df):
+        return df.select("k", (F.col("n") * 10).alias("feat"))
+
+    base.write(spark.createDataFrame([(1, 5), (2, 7)], ["k", "n"]),
+               WriteOp.INSERT)
+    maintain_projection(base, derived, md, ["k", "n"], "k", proj,
+                        checkpoint_key="proj.ck")
+    base.write(spark.createDataFrame([(2, 9), (3, 1)], ["k", "n"]),
+               WriteOp.UPSERT)
+    maintain_projection(base, derived, md, ["k", "n"], "k", proj,
+                        checkpoint_key="proj.ck")
+    # the maintenance upsert appended a delta, not a rewrite
+    assert derived.log.commits()[-1].delta is True
+    assert derived.log.commits()[-1].removes == []
+    want = {(1, 50), (2, 90), (3, 10)}
+    assert {(r["k"], r["feat"]) for r in derived.read().collect()} == want
+    # compaction changes storage, not content
+    derived.maybe_compact(max_delta_slices=1)
+    assert not derived._has_active_delta()
+    assert {(r["k"], r["feat"]) for r in derived.read().collect()} == want
