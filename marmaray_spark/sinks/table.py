@@ -56,27 +56,25 @@ COMMIT_COL = "_commit_id"  # per-record commit stamp (Hudi
 # Hudi default index): the min/max range index prunes nothing when keys
 # hash-distribute or interleave lexically (URL keys, measured in the
 # link-edges rehearsal), but a bloom answers "might this slice contain
-# key X" regardless of key order. One file per slice
+# key X" regardless of key order. One SELF-DESCRIBING file per slice
 # (data/<slice>/_key_bloom.bin — the '_' prefix hides it from Spark's
-# parquet file index, the _SUCCESS convention), 2^19 bits / 5 hashes:
-# ~64 KiB per slice, <1e-6 false-positive rate for point keys against
-# a 1M-key slice. No false NEGATIVES ever, so pruning is always safe.
-BLOOM_BITS = 1 << 19
-BLOOM_HASHES = 5
+# parquet file index, the _SUCCESS convention): an 8-byte magic, the
+# geometry (m bits, k hashes — SIZED from the written data through the
+# standard -n·ln(p)/ln2² formula shared with operators/bloomjoin, never
+# a constant: a fixed bitmap saturates on exactly the big slices worth
+# indexing), then the bit words. Probes read the header, so a bitmap
+# written under another geometry or version degrades to the
+# conservative no-bloom path instead of silently false-negating.
+# Hashing covers the key's NATIVE Spark type (bloomjoin's
+# xxhash64(seed, key) layout — ONE bloom implementation in the repo);
+# probe keys are CAST to the table's key type first, mirroring join
+# coercion, so type drift (a double probe against a long key) can only
+# add false positives, never lose a match. No false NEGATIVES ever, so
+# pruning is always safe.
 BLOOM_FILE = "_key_bloom.bin"
-
-
-def _bloom_positions_col(key_col):
-    """The k bit positions of a key, as an array column — xxhash64 with
-    k distinct literal seeds, string-normalized so probes hash the same
-    bytes the writer did. Probe-side position computation ALSO routes
-    through this column (a tiny local-relation job), never a Python
-    re-implementation of xxhash64 — a from-scratch hash that drifted by
-    one rotation would silently prune every lookup."""
-    return F.array(*[
-        F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(i)),
-               F.lit(BLOOM_BITS))
-        for i in range(BLOOM_HASHES)])
+BLOOM_MAGIC = b"KBLM1\x00\x00\x00"
+BLOOM_FPP = 0.001
+BLOOM_MAX_BITS = 1 << 25   # 4 MiB bitmap cap; beyond, fpp degrades
 
 
 class WriteOp(str, Enum):
@@ -605,69 +603,151 @@ class TableSink:
     # -- bloom key index (HoodieIndex BLOOM parity) --------------------------
 
     def _write_key_blooms(self, slices: list[str]) -> None:
-        """One ~64 KiB bloom per written slice: the distinct bit
-        positions come back via a bounded collect_set (at most
-        BLOOM_BITS ints, ~0.5 MB however large the slice), the driver
-        packs the bitmap. Files ride the slice's own directory, so
+        """Self-describing bloom per qualifying written slice, in TWO
+        Spark jobs per write (never per slice — a 50-partition commit
+        previously ran 50 sequential driver round-trips): one
+        approx-distinct count sizes this commit's geometry, one pass
+        folds every slice's bit positions into 64-bit words (the
+        bloomjoin bit_or word-fold: map-side combined, m/64 rows per
+        slice come back, not raw positions) grouped by each file's
+        slice directory. Files ride the slice's own directory, so
         vacuum/orphan-cleanup remove them with the data."""
         if not self.bloom_index:
             return
+        import re
+        import struct
+
         import numpy as np
-        for s in slices:
-            size = sum(f.stat().st_size for f in
-                       (self.table_path / s).rglob("*.parquet"))
-            if size < self.bloom_min_bytes:
-                continue   # small slices scan cheaper than they prune
-            row = (self.spark.read.parquet(str(self.table_path / s))
-                   .select(F.explode(_bloom_positions_col(self.key))
-                           .alias("p"))
-                   .agg(F.collect_set("p").alias("ps")).collect()[0])
-            bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
-            pos = np.asarray(row["ps"] or [], dtype=np.int64)
-            if pos.size:
-                np.bitwise_or.at(bits, pos // 8,
-                                 (1 << (pos % 8)).astype(np.uint8))
-            (self.table_path / s / BLOOM_FILE).write_bytes(bits.tobytes())
+
+        from marmaray_spark.operators.bloomjoin import _geometry, _positions
+
+        big = [s for s in slices
+               if sum(f.stat().st_size for f in
+                      (self.table_path / s).rglob("*.parquet"))
+               >= self.bloom_min_bytes]
+        if not big:
+            return
+        df = self.spark.read.parquet(
+            *[str(self.table_path / s) for s in big])
+        n = df.select(F.approx_count_distinct(self.key)).first()[0] or 1
+        m, k = _geometry(n, BLOOM_FPP)
+        # cap the bitmap; k stays sized for the ideal m, so a capped
+        # bloom degrades in fpp (keeps more slices), never correctness
+        m = min(m, BLOOM_MAX_BITS)
+        pos = F.explode(F.array(*_positions(F.col(self.key), m, k))) \
+            .alias("pos")
+        rows = (df.withColumn("__dir", F.expr(
+                    "regexp_replace(input_file_name(), '/[^/]*$', '')"))
+                .select("__dir", pos)
+                .select("__dir",
+                        (F.col("pos") / 64).cast("int").alias("w"),
+                        F.call_function("shiftleft",
+                                        F.lit(1).cast("bigint"),
+                                        F.pmod(F.col("pos"), F.lit(64))
+                                        .cast("int")).alias("bit"))
+                .groupBy("__dir", "w").agg(F.bit_or("bit").alias("word"))
+                .collect())
+        by_dir: dict[str, list] = {}
+        for r in rows:
+            # input_file_name is a URI (file:///...): strip the scheme
+            d = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "", r["__dir"])
+            by_dir.setdefault(os.path.normpath(d), []).append(
+                (r["w"], r["word"]))
+        header = BLOOM_MAGIC + struct.pack("<QI", m, k)
+        for s in big:
+            abs_dir = os.path.normpath(str((self.table_path / s).resolve()))
+            words = np.zeros(m // 64, dtype=np.int64)
+            for w, word in by_dir.get(abs_dir, []):
+                words[w] = word
+            (self.table_path / s / BLOOM_FILE).write_bytes(
+                header + words.tobytes())
 
     def _slice_bloom(self, s: str):
-        """The slice's bitmap, cached per sink instance (slices are
-        immutable — every write lands a new path); None when the slice
-        predates the index or it was disabled at write time."""
+        """(m, k, words int64 ndarray) or None, cached per sink instance
+        (slices are immutable — every write lands a new path, and the
+        cache is cleared when it grows past a bound so compacted/
+        vacuumed slices' bitmaps don't accumulate). None when the slice
+        predates the index, was below the build threshold, or the file
+        fails header validation — a bitmap from another geometry or
+        version must degrade to the conservative keep, never
+        false-negate."""
         if s in self._bloom_cache:
             return self._bloom_cache[s]
+        import struct
+
         import numpy as np
+        out = None
         p = self.table_path / s / BLOOM_FILE
-        bits = np.frombuffer(p.read_bytes(), dtype=np.uint8) \
-            if p.exists() else None
-        self._bloom_cache[s] = bits
-        return bits
+        if p.exists():
+            raw = p.read_bytes()
+            if raw[:8] == BLOOM_MAGIC and len(raw) >= 20:
+                m, k = struct.unpack("<QI", raw[8:20])
+                words = np.frombuffer(raw[20:], dtype="<i8")
+                if words.size * 64 == m and k >= 1:
+                    out = (int(m), int(k), words)
+        if len(self._bloom_cache) > 512:
+            self._bloom_cache.clear()
+        self._bloom_cache[s] = out
+        return out
 
-    def _positions_of(self, keys_df: DataFrame) -> list[list[int]]:
-        """Bit positions per probe key — computed by the SAME Spark
-        expression the writer used (never a Python xxhash64 twin that
-        could drift and silently prune everything)."""
-        return [r["pos"] for r in keys_df.select(
-            _bloom_positions_col(self.key).alias("pos")).collect()]
+    def _key_dtype(self):
+        """The table key's native Spark type (one cached footer read) —
+        probe keys CAST to it before hashing, mirroring join coercion,
+        so a double probe against a long key can only add false
+        positives (4.0 -> 4 hashes like the stored 4), never lose a
+        match the anti-join/filter would have made."""
+        if getattr(self, "_key_dtype_cache", None) is None:
+            active = self.log.active_slices()
+            if not active:
+                return None
+            sch = self.spark.read.parquet(
+                str(self.table_path / active[0])).schema
+            self._key_dtype_cache = sch[self.key].dataType
+        return self._key_dtype_cache
 
-    def _bloom_prune(self, slices: list[str],
-                     key_positions: list[list[int]]) -> list[str]:
-        """Slices that MIGHT contain any probed key (no-bloom slices
-        kept — conservative). False positives keep a slice that a scan
-        then proves empty; false negatives cannot happen."""
-        if not key_positions:
-            return []
+    def _bloom_filter_slices(self, slices: list[str], keys_df: DataFrame,
+                             cap: int | None = None) -> list[str]:
+        """Keep slices that MIGHT contain any probe key. Loads the
+        candidate bitmaps, computes every probe key's positions for
+        each DISTINCT geometry in ONE local job (geometry is per
+        commit, so a probe set usually sees one or two), then checks
+        all probes against each slice in one vectorized numpy pass.
+        No-bloom slices are kept; too many probe keys (> cap) skips
+        the bloom entirely. False positives cost a scan; false
+        negatives cannot happen."""
+        blooms = {s: self._slice_bloom(s) for s in slices}
+        geoms = {b[:2] for b in blooms.values() if b is not None}
+        if not geoms:
+            return slices
         import numpy as np
+
+        from marmaray_spark.operators.bloomjoin import _positions
+        kt = self._key_dtype()
+        key = F.col(self.key).cast(kt) if kt is not None else F.col(self.key)
+        cols = [F.array(*_positions(key, m, k)).alias(f"g_{m}_{k}")
+                for (m, k) in sorted(geoms)]
+        q = keys_df.filter(F.col(self.key).isNotNull()).select(*cols)
+        rows = (q.limit(cap + 1) if cap is not None else q).collect()
+        if cap is not None and len(rows) > cap:
+            return slices          # too many probe keys: bloom skipped
+        mats = {g: np.asarray([r[f"g_{g[0]}_{g[1]}"] for r in rows],
+                              dtype=np.int64).reshape(len(rows), g[1])
+                for g in geoms}
         kept = []
-        probes = [np.asarray(p, dtype=np.int64) for p in key_positions]
         for s in slices:
-            bits = self._slice_bloom(s)
-            if bits is None:
+            b = blooms[s]
+            if b is None:
                 kept.append(s)
                 continue
-            for pos in probes:
-                if bool(np.all((bits[pos // 8] >> (pos % 8)) & 1)):
-                    kept.append(s)
-                    break
+            m, k, words = b
+            mat = mats[(m, k)]
+            if mat.shape[0] == 0:
+                continue           # no probe keys: nothing can match
+            # arithmetic >> on int64 is fine: & 1 isolates the bit even
+            # when the sign bit propagated
+            hit = np.all((words[mat // 64] >> (mat % 64)) & 1, axis=1)
+            if bool(hit.any()):
+                kept.append(s)
         return kept
 
     def _append(self, commit_id: str, df: DataFrame, n_records: int) -> list[str]:
@@ -686,19 +766,15 @@ class TableSink:
                         F.max(self.key).alias("hi")).collect()[0]
         slices = self.slices_for_key_range(bounds["lo"], bounds["hi"]) \
             if bounds["lo"] is not None else []
-        if slices and self.bloom_index and len(slices) > 1:
+        if slices and self.bloom_index:
             # the bloom leg prunes slices the RANGE index can't (URL or
-            # hashed keys overlap every range) — bounded: probe keys
-            # are collected only up to the cap, a bigger batch keeps
-            # the range-pruned set (a batch that large overlaps most
-            # slices anyway)
-            cap = 20_000
-            probe = (df.select(_bloom_positions_col(self.key)
-                               .alias("pos"))
-                     .limit(cap + 1).collect())
-            if len(probe) <= cap:
-                slices = self._bloom_prune(slices,
-                                           [r["pos"] for r in probe])
+            # hashed keys overlap every range) — including down to ZERO
+            # on the single-big-slice post-compaction shape, where it
+            # skips the whole anti-join scan. Bounded: probe keys are
+            # collected only up to the cap; a bigger batch keeps the
+            # range-pruned set (it overlaps most slices anyway)
+            slices = self._bloom_filter_slices(
+                slices, df.select(self.key), cap=20_000)
         if not slices:
             return df
         existing = (self.spark.read.option("mergeSchema", "true")
@@ -866,7 +942,7 @@ class TableSink:
         slices = self.slices_for_key_range(key_value, key_value)
         if slices and self.bloom_index:
             kdf = self.spark.createDataFrame([(key_value,)], [self.key])
-            slices = self._bloom_prune(slices, self._positions_of(kdf))
+            slices = self._bloom_filter_slices(slices, kdf)
         if not slices:
             return self.read().limit(0)
         df = (self.spark.read.option("mergeSchema", "true")

@@ -896,8 +896,7 @@ def test_bloom_index_prunes_where_ranges_cannot(spark, tmp_path):
     assert len(t.slices_for_key_range(4, 5)) == 2
     # ...the bloom narrows a point probe to the ONE slice that has it
     kdf = spark.createDataFrame([(4,)], ["k"])
-    pruned = t._bloom_prune(t.slices_for_key_range(4, 4),
-                            t._positions_of(kdf))
+    pruned = t._bloom_filter_slices(t.slices_for_key_range(4, 4), kdf)
     assert len(pruned) == 1
     assert [r["v"] for r in t.lookup(4).collect()] == ["e"]
     assert [r["v"] for r in t.lookup(5).collect()] == ["o"]
@@ -990,3 +989,43 @@ def test_maintained_index_on_mor_derived_table(spark, tmp_path):
     derived.maybe_compact(max_delta_slices=1)
     assert not derived._has_active_delta()
     assert {(r["k"], r["feat"]) for r in derived.read().collect()} == want
+
+
+def test_bloom_probe_type_drift_cannot_false_negative(spark, tmp_path):
+    """Review find (r10, repro'd): the first cut hashed string-cast keys
+    while joins coerce numerically, so a DOUBLE probe against a LONG key
+    false-negated — lookup(4.0) returned nothing and DEDUP_INSERT landed
+    a duplicate. Probes now cast to the table's key type first: type
+    drift can only add false positives, never lose a match."""
+    t = TableSink(spark, tmp_path / "b", record_key_field="k",
+                  bloom_min_bytes=0)
+    t.write(spark.createDataFrame([(i, "a") for i in range(0, 100, 2)],
+                                  ["k", "v"]), WriteOp.INSERT)
+    t.write(spark.createDataFrame([(i, "o") for i in range(1, 100, 2)],
+                                  ["k", "v"]), WriteOp.INSERT)
+    assert [r["v"] for r in t.lookup(4.0).collect()] == ["a"]
+    # the dedup DECISION on a drifted frame (a drifted WRITE is illegal
+    # at the table level regardless — parquet schemas can't merge):
+    # the coercing anti-join must still see 4.0 == 4, so the bloom leg
+    # feeding it may not prune the slice that holds key 4
+    drift = spark.createDataFrame([(4.0, "dup"), (300.0, "new")],
+                                  "k double, v string")
+    kept = t._dedup_against_existing(drift)
+    assert [r["k"] for r in kept.collect()] == [300.0]
+
+
+def test_bloom_header_mismatch_degrades_to_keep(spark, tmp_path):
+    """A bitmap from another geometry/version must degrade to the
+    conservative no-bloom keep, never silently false-negate."""
+    t = TableSink(spark, tmp_path / "b", record_key_field="k",
+                  bloom_min_bytes=0)
+    c0 = t.write(spark.createDataFrame([(1, "a")], ["k", "v"]),
+                 WriteOp.INSERT)
+    from marmaray_spark.sinks.table import BLOOM_FILE
+    p = t.table_path / c0.adds[0] / BLOOM_FILE
+    p.write_bytes(b"JUNKJUNK" + b"\x00" * 64)     # bad magic
+    t._bloom_cache.clear()
+    assert [r["v"] for r in t.lookup(1).collect()] == ["a"]
+    p.write_bytes(p.read_bytes()[:12])            # truncated header
+    t._bloom_cache.clear()
+    assert [r["v"] for r in t.lookup(1).collect()] == ["a"]
