@@ -128,11 +128,13 @@ def _drained_append_only(base, last: str, upto: str) -> bool:
     This is the crawl-tick shape, and it licenses the maintainers' fast
     path: every after-image key is live, nothing existing can have gone
     stale, and no derived row can collide — so the derived write is a
-    DEDUP-INSERT append (key-range-pruned anti-join, not a table merge)
-    with zero reads of the base snapshot. Without it, every tick pays
-    the stale probe (a full derived scan) and the copy-on-write merge
-    (a table-sized rewrite): the link-edges rehearsal measured the
-    maintainer LOSING to a full re-derive on exactly those costs (r10).
+    plain INSERT append with zero reads of the base snapshot OR the
+    derived table (crash-replay safety comes from the consumed_through
+    fence, not a dedup anti-join — see ``_absorb_replayed``). Without
+    it, every tick pays the stale probe (a full derived scan) and the
+    copy-on-write merge (a table-sized rewrite): the link-edges
+    rehearsal measured the maintainer LOSING to a full re-derive on
+    exactly those costs (r10).
 
     Only ``compact`` is transparent to the check: a ``restore`` in the
     window CHANGES table contents with no change records — a key
@@ -145,6 +147,34 @@ def _drained_append_only(base, last: str, upto: str) -> bool:
     return bool(drained) and all(
         c.op in ("dedup_insert", "dedup_bulk_insert") and not c.removes
         for c in drained)
+
+
+_CONSUMED_META = "maintained.consumed_through."
+
+
+def _consumed_stamp(metadata, checkpoint_key: str) -> dict[str, str]:
+    """Commit-metadata stamp carrying the newest base commit this
+    derived write folded — read AFTER the drain advanced the in-memory
+    checkpoint, so it names exactly the drained window's end."""
+    return {_CONSUMED_META + checkpoint_key:
+            metadata.get(checkpoint_key) or ""}
+
+
+def _absorb_replayed(derived, metadata, checkpoint_key: str) -> None:
+    """Crash-replay fence (the cms maintainer's consumed_through
+    pattern, shared by both maintainers r10): every derived commit
+    stamps the newest base commit it folded; when a crash lands the
+    derived commit but not the checkpoint save, the next drain sees
+    the stamp ahead of the checkpoint and FAST-FORWARDS instead of
+    re-deriving. O(1) driver metadata — the first idempotency fix
+    wrote the fast path as a DEDUP_INSERT, whose anti-join re-scanned
+    the whole derived table every tick (rehearsal-measured: append
+    ticks went from 12k input rows back to 2M)."""
+    stamped = derived.log.latest_metadata().get(
+        _CONSUMED_META + checkpoint_key)
+    if stamped and stamped > (metadata.get(checkpoint_key) or ""):
+        metadata.set(checkpoint_key, stamped)
+        metadata.save_changes()
 
 
 def maintain_projection(base, derived, metadata, cols: list[str],
@@ -185,6 +215,9 @@ def maintain_projection(base, derived, metadata, cols: list[str],
     from marmaray_spark.sinks.table import WriteOp
 
     derived_key = derived_key or id_col
+    # crash-replay fence FIRST: a previous run may have committed the
+    # derived table and died before saving the checkpoint
+    _absorb_replayed(derived, metadata, checkpoint_key)
     # every raise after consume_latest advanced the drain checkpoint
     # must roll it back to this pre-drain value, or a later
     # save_changes() by the caller persists a checkpoint for commits
@@ -196,22 +229,21 @@ def maintain_projection(base, derived, metadata, cols: list[str],
                                           checkpoint_key, max_commits)
         if latest is None:
             return 0
+        stamp = {**(commit_meta or {}),
+                 **_consumed_stamp(metadata, checkpoint_key)}
         if _drained_append_only(base, last,
                                 metadata.get(checkpoint_key) or ""):
             # new-keys-only drain: every after-image is live, nothing
             # can be stale or displaced — append the projection without
-            # touching the base snapshot. DEDUP_INSERT (not INSERT):
-            # a crash between this commit and the checkpoint save
-            # replays the drain, and the replayed append must land on
-            # ZERO new rows, not duplicates (the slow path's UPSERT
-            # idempotency, kept at append cost — the anti-join prunes
-            # to key-range-overlapping slices only)
+            # touching the base snapshot or the derived table (plain
+            # INSERT; the consumed_through fence makes a crash-replayed
+            # drain a no-op instead of a duplicate append)
             projected = project(latest).persist()
             try:
                 n = projected.count()
                 if n:
-                    derived.write(projected, WriteOp.DEDUP_INSERT,
-                                  metadata=commit_meta)
+                    derived.write(projected, WriteOp.INSERT,
+                                  metadata=stamp)
             finally:
                 projected.unpersist()
             metadata.save_changes()
@@ -238,10 +270,10 @@ def maintain_projection(base, derived, metadata, cols: list[str],
                                                 "left_anti")
                 derived.write(survivors.unionByName(projected),
                               WriteOp.INSERT_OVERWRITE,
-                              metadata=commit_meta)
+                              metadata=stamp)
             elif n:
                 derived.write(projected, WriteOp.UPSERT,
-                              metadata=commit_meta)
+                              metadata=stamp)
         finally:
             projected.unpersist()
     except BaseException:
@@ -272,24 +304,29 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
     from marmaray_spark.sinks.table import WriteOp
 
     # same rollback contract as maintain_projection: a raise after the
-    # checkpoint advanced must restore the pre-drain value
+    # checkpoint advanced must restore the pre-drain value; the
+    # consumed_through fence first absorbs a crash-replayed drain
+    _absorb_replayed(report, metadata, checkpoint_key)
     last = metadata.get(checkpoint_key) or ""
     try:
         latest, affected = consume_latest(base, metadata, cols, id_col,
                                           checkpoint_key, max_commits)
         if latest is None:
             return 0
+        stamp = _consumed_stamp(metadata, checkpoint_key)
         if _drained_append_only(base, last,
                                 metadata.get(checkpoint_key) or ""):
             # new-keys-only drain: append the fresh rows, skip the
             # stale probe (a full report scan) and the live semi-join.
-            # DEDUP_INSERT so a crash-replayed drain lands on zero new
-            # rows instead of duplicating every report row
+            # Plain INSERT: the consumed_through fence makes a
+            # crash-replayed drain a no-op (the first idempotency fix
+            # used DEDUP_INSERT, whose anti-join re-scanned the whole
+            # report table per tick — rehearsal-measured regression)
             fresh = report_fn(latest).persist()
             try:
                 n_rows = fresh.count()
                 if n_rows:
-                    report.write(fresh, WriteOp.DEDUP_INSERT)
+                    report.write(fresh, WriteOp.INSERT, metadata=stamp)
             finally:
                 fresh.unpersist()
             metadata.save_changes()
@@ -307,7 +344,7 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
             n_rows = fresh.count()
             if report.is_empty():
                 if n_rows:
-                    report.write(fresh, WriteOp.INSERT)
+                    report.write(fresh, WriteOp.INSERT, metadata=stamp)
             else:
                 existing = report.read()
                 # a key's rows may go stale only if the key was
@@ -336,9 +373,9 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
                         .unionByName(fresh.select("report_key")),
                         "report_key", "left_anti")
                     report.write(survivors.unionByName(fresh),
-                                 WriteOp.INSERT_OVERWRITE)
+                                 WriteOp.INSERT_OVERWRITE, metadata=stamp)
                 elif n_rows:
-                    report.write(fresh, WriteOp.UPSERT)
+                    report.write(fresh, WriteOp.UPSERT, metadata=stamp)
         finally:
             fresh.unpersist()
     except BaseException:

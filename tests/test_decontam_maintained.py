@@ -93,6 +93,11 @@ def test_update_keeping_overlap_stays_change_scale_upsert(spark, tmp_path):
 
 
 def test_maintained_report_replay_is_idempotent(spark, tmp_path):
+    """Crash between the report commit and the checkpoint save: the
+    consumed_through fence (r10) ABSORBS the replay — the next run
+    fast-forwards the checkpoint and does zero work, instead of
+    re-deriving identical rows — and the report content is unchanged;
+    new work still flows after the fence."""
     base = TableSink(spark, tmp_path / "base", "doc_id")
     report = TableSink(spark, tmp_path / "rep", "report_key")
     ev = _eval_sets(spark)
@@ -106,10 +111,12 @@ def test_maintained_report_replay_is_idempotent(spark, tmp_path):
 
     md2 = FileSystemMetadataManager(str(tmp_path / "md"))
     assert maintain_decontamination_report(base, report, md2, ev,
-                                           n=5, contaminated_bps=2000) == 1
-    assert _report_rows(report) == before
-    assert maintain_decontamination_report(base, report, md2, ev,
                                            n=5, contaminated_bps=2000) == 0
+    assert _report_rows(report) == before
+    base.write(_docs(spark, [(2, EVAL_B + " nine ten")]), WriteOp.INSERT)
+    assert maintain_decontamination_report(base, report, md2, ev,
+                                           n=5, contaminated_bps=2000) == 1
+    assert len(_report_rows(report)) == 2
 
 
 def test_semantic_decontamination_paths_agree_and_match_bruteforce(spark):
