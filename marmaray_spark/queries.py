@@ -3992,14 +3992,14 @@ _SQL_PAGERANK = f"""
                         regexp_replace(regexp_replace(lower(coalesce(
                           regexp_extract(trim(hint), '://([^/?#]+)', 1),
                           '')), '^.*@', ''), ':[0-9]+$', ''),
-                        '([^.]+\.[^.]+)$', 0), '') <> ''
+                        '([^.]+\\.[^.]+)$', 0), '') <> ''
                       AND coalesce(regexp_extract(
                         regexp_replace(regexp_replace(lower(coalesce(
                           regexp_extract(trim(hint), '://([^/?#]+)', 1),
                           '')), '^.*@', ''), ':[0-9]+$', ''),
-                        '([^.]+\.[^.]+)$', 1), '')
+                        '([^.]+\\.[^.]+)$', 1), '')
                         = coalesce(regexp_extract(regexp_replace(phost,
-                          ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1), '')
+                          ':[0-9]+$', ''), '([^.]+\\.[^.]+)$', 1), '')
                    THEN trim(hint) ELSE url END
                WHEN substring(trim(hint), 1, 1) = '/' AND pscheme <> ''
                  THEN pscheme || '://' || phost || trim(hint)
@@ -4016,14 +4016,14 @@ _SQL_PAGERANK = f"""
             AS rawhost,
           coalesce(regexp_extract(base, '://[^/?#]+([^?#]*)', 1), '')
             AS rawpath,
-          coalesce(regexp_extract(base, '\?([^#]*)', 1), '') AS q
+          coalesce(regexp_extract(base, '\\?([^#]*)', 1), '') AS q
         FROM k1
       ), k3 AS (
         SELECT doc_id, url, scheme,
           regexp_replace(CASE
             WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
             WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
-            ELSE rawhost END, '^www\.', '') AS host,
+            ELSE rawhost END, '^www\\.', '') AS host,
           CASE WHEN rawpath IN ('', '/') THEN '/'
                ELSE regexp_replace(rawpath, '/+$', '') END AS path,
           coalesce(array_to_string(list_filter(string_split(q, '&'),

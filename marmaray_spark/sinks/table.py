@@ -616,6 +616,7 @@ class TableSink:
             return
         import re
         import struct
+        import urllib.parse
 
         import numpy as np
 
@@ -650,14 +651,33 @@ class TableSink:
         by_dir: dict[str, list] = {}
         for r in rows:
             # input_file_name is a URI (file:///...): strip the scheme
-            d = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "", r["__dir"])
+            # and PERCENT-DECODE — Hadoop URI-encodes path chars, so a
+            # partition value like '__pp__=New York' arrives as
+            # '__pp__=New%20York' and a raw string compare against the
+            # local path silently matches nothing
+            d = urllib.parse.unquote(
+                re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", "", r["__dir"]))
             by_dir.setdefault(os.path.normpath(d), []).append(
                 (r["w"], r["word"]))
         header = BLOOM_MAGIC + struct.pack("<QI", m, k)
         for s in big:
-            abs_dir = os.path.normpath(str((self.table_path / s).resolve()))
+            # Spark reports the path AS GIVEN to the reader (absolute,
+            # symlinks NOT resolved), so compare the unresolved abspath
+            # first; keep resolve() as a fallback for a filesystem that
+            # canonicalizes. If NEITHER form matched, the slice had rows
+            # we could not attribute (or none at all): FAIL SAFE by
+            # writing no bloom file — a missing bloom is a conservative
+            # keep-all, an all-zero bitmap is a false-negative machine
+            # that makes lookup() miss live keys and DEDUP_INSERT land
+            # duplicates.
+            cands = (os.path.normpath(os.path.abspath(
+                         str(self.table_path / s))),
+                     os.path.normpath(str((self.table_path / s).resolve())))
+            hits = next((by_dir[c] for c in cands if c in by_dir), None)
+            if hits is None:
+                continue
             words = np.zeros(m // 64, dtype=np.int64)
-            for w, word in by_dir.get(abs_dir, []):
+            for w, word in hits:
                 words[w] = word
             (self.table_path / s / BLOOM_FILE).write_bytes(
                 header + words.tobytes())

@@ -115,8 +115,13 @@ def test_backlog_with_overwrite_does_not_resurrect_dropped_keys(spark,
 
 
 def test_maintenance_replay_is_idempotent(spark, tmp_path):
-    """Crash between index commit and checkpoint save: the batch replays
-    and must converge to the same index (UPSERT idempotency)."""
+    """Crash between index commit and checkpoint save: the next drain
+    must converge to the same index. Since r10's ``_absorb_replayed``
+    fence (operators/maintained.py) every derived commit stamps the
+    newest base commit it folded, so the replayed drain detects the
+    landed-but-unchecked commit and FAST-FORWARDS the checkpoint —
+    zero rows re-projected — instead of re-upserting identical rows
+    (the pre-fence behavior this test used to pin)."""
     cents = _centroids(spark)
     base = TableSink(spark, tmp_path / "base", "vec_id")
     index = TableSink(spark, tmp_path / "idx", "vec_id")
@@ -130,7 +135,11 @@ def test_maintenance_replay_is_idempotent(spark, tmp_path):
     before = sorted(map(tuple, index.read().collect()))
 
     md2 = FileSystemMetadataManager(str(tmp_path / "md"))   # fresh reader
-    assert maintain_ann_index(base, index, md2, cents) == 25  # replayed
+    assert maintain_ann_index(base, index, md2, cents) == 0  # fence absorbs
     assert sorted(map(tuple, index.read().collect())) == before
     assert maintain_ann_index(base, index, md2, cents) == 0   # now durable
+    # the fence also persisted the fast-forwarded checkpoint: a THIRD
+    # fresh reader starts durable too
+    md3 = FileSystemMetadataManager(str(tmp_path / "md"))
+    assert maintain_ann_index(base, index, md3, cents) == 0
     del real_save

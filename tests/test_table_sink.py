@@ -1029,3 +1029,59 @@ def test_bloom_header_mismatch_degrades_to_keep(spark, tmp_path):
     p.write_bytes(p.read_bytes()[:12])            # truncated header
     t._bloom_cache.clear()
     assert [r["v"] for r in t.lookup(1).collect()] == ["a"]
+
+
+def test_bloom_survives_percent_encoded_partition_values(spark, tmp_path):
+    """Partition values with URI-reserved chars (spaces, unicode) come
+    back from input_file_name() percent-encoded; before the decode fix
+    the slice-dir compare matched nothing and the build wrote an
+    ALL-ZERO bitmap — a false-negative machine (lookup missed live
+    keys, DEDUP_INSERT landed duplicates). The bloom must map
+    correctly (non-zero bitmap) and point lookups/dedup must work."""
+    import numpy as np
+
+    from marmaray_spark.sinks.table import BLOOM_FILE
+
+    t = TableSink(spark, tmp_path / "b", record_key_field="k",
+                  partition_field="city", bloom_min_bytes=0)
+    c = t.write(spark.createDataFrame(
+        [(1, "New York"), (2, "São Paulo"), (3, "New York")],
+        ["k", "city"]), WriteOp.INSERT)
+    # every written slice carries a POPULATED bitmap (the mapping
+    # survived percent-encoding); an absent file would also be safe
+    # (conservative keep) but here the decode must have worked
+    for s in c.adds:
+        blm = t._slice_bloom(s)
+        assert blm is not None, f"no bloom written for {s}"
+        assert int(np.count_nonzero(blm[2])) > 0, f"all-zero bloom: {s}"
+    assert [r["city"] for r in t.lookup(2).collect()] == ["São Paulo"]
+    # duplicate keys must still be filtered (no false negatives)
+    c2 = t.write(spark.createDataFrame(
+        [(1, "New York"), (9, "Lisbon")], ["k", "city"]),
+        WriteOp.DEDUP_INSERT)
+    assert c2.counts["written"] == 1
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 9]
+
+
+def test_bloom_unmappable_slice_fails_safe_to_no_bloom(spark, tmp_path, monkeypatch):
+    """If the executor-reported file URI cannot be attributed to a
+    slice directory at all, the build must SKIP that slice's bloom
+    (missing file = conservative keep-all) rather than write zeros."""
+    import urllib.parse
+
+    from marmaray_spark.sinks.table import BLOOM_FILE
+
+    # force every URI->dir mapping to miss
+    monkeypatch.setattr(urllib.parse, "unquote",
+                        lambda s, *a, **k: s + "/__nomatch__")
+    t = TableSink(spark, tmp_path / "b", record_key_field="k",
+                  bloom_min_bytes=0)
+    c = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+                WriteOp.INSERT)
+    for s in c.adds:
+        assert not (t.table_path / s / BLOOM_FILE).exists()
+    # and the bloom-less slices stay fully visible
+    assert [r["v"] for r in t.lookup(1).collect()] == ["a"]
+    c2 = t.write(spark.createDataFrame([(1, "dup"), (5, "new")],
+                                       ["k", "v"]), WriteOp.DEDUP_INSERT)
+    assert c2.counts["written"] == 1
