@@ -145,7 +145,8 @@ def registrable_domain_psl(host_col: str, suffixes: set[str]) -> Column:
 
 
 def canonical_dedup(docs: DataFrame, id_col: str, url_col: str,
-                    canonical_col: str = "rel_canonical") -> DataFrame:
+                    canonical_col: str = "rel_canonical",
+                    psl_suffixes: set[str] | None = None) -> DataFrame:
     """Publisher-hint dedup: collapse pages that DECLARE the same
     ``<link rel="canonical">`` target, keeping the first occurrence
     (min ``id_col``) per target — the consumption stage for the
@@ -166,7 +167,17 @@ def canonical_dedup(docs: DataFrame, id_col: str, url_col: str,
     scheme+host (userinfo/port stripped — host identity, the url_host
     lesson); anything else (empty, NULL, relative-path, malformed,
     cross-site) falls back to the page's OWN canonical URL — a missing
-    or junk hint must never merge unrelated pages. Rows whose resolved
+    or junk hint must never merge unrelated pages. ``psl_suffixes``
+    (publicsuffix.org rule set, same contract as ``blocklist_gate``)
+    upgrades the trust boundary from the dependency-free two-label
+    approximation to the real registrable domain
+    (``registrable_domain_psl``): under two-label, every host on a
+    multi-label public suffix (co.uk, github.io) shares one
+    "registrable domain", so a hostile evil.github.io page could
+    declare rel=canonical at victim.github.io and — holding the
+    smaller id — EVICT the real page; under PSL they are distinct
+    registrable domains and the cross-site hint is refused (advisor
+    find, r10). Rows whose resolved
     target is NULL (a NULL page URL) bypass the dedup untouched: NULL
     is one SQL group, and grouping them would silently collapse every
     null-URL doc to a single survivor. First-occurrence-wins is the
@@ -184,10 +195,28 @@ def canonical_dedup(docs: DataFrame, id_col: str, url_col: str,
                  f"':[0-9]+$', '')")
     page_host_bare = f"regexp_replace({page_host}, ':[0-9]+$', '')"
     abs_re = "'^[a-zA-Z][a-zA-Z0-9+.-]*://'"
-    same_site = (f"regexp_extract({hint_host}, '([^.]+\\\\.[^.]+)$', 0) "
-                 f"!= '' AND regexp_extract({hint_host}, "
-                 f"'([^.]+\\\\.[^.]+)$', 1) = regexp_extract("
-                 f"{page_host_bare}, '([^.]+\\\\.[^.]+)$', 1)")
+    helper_cols: list[str] = []
+    if psl_suffixes:
+        # materialize both bare hosts, run the PSL rollup ONCE per row
+        # (Arrow pandas UDF, rule set in the task closure), and compare
+        # registrable domains; the hint-host validity guard (two
+        # non-empty trailing labels) matches the two-label branch so
+        # empty/malformed absolute hints stay untrusted
+        docs = (docs
+                .withColumn("__ch", F.expr(hint_host))
+                .withColumn("__ph", F.expr(page_host_bare))
+                .withColumn("__chd", registrable_domain_psl("__ch",
+                                                            psl_suffixes))
+                .withColumn("__phd", registrable_domain_psl("__ph",
+                                                            psl_suffixes)))
+        helper_cols = ["__ch", "__ph", "__chd", "__phd"]
+        same_site = ("regexp_extract(__ch, '([^.]+\\\\.[^.]+)$', 0) "
+                     "!= '' AND __chd = __phd")
+    else:
+        same_site = (f"regexp_extract({hint_host}, '([^.]+\\\\.[^.]+)$', 0) "
+                     f"!= '' AND regexp_extract({hint_host}, "
+                     f"'([^.]+\\\\.[^.]+)$', 1) = regexp_extract("
+                     f"{page_host_bare}, '([^.]+\\\\.[^.]+)$', 1)")
     resolved = (
         f"CASE WHEN {canonical_col} IS NULL OR {hint} = '' "
         f"       THEN {url_col} "
@@ -202,7 +231,7 @@ def canonical_dedup(docs: DataFrame, id_col: str, url_col: str,
     # times, and nesting the CASE inside each copy explodes codegen
     tagged = (docs.withColumn("__resolved", F.expr(resolved))
               .withColumn("__canon_target", canonical_url("__resolved"))
-              .drop("__resolved"))
+              .drop("__resolved", *helper_cols))
     grouped = tagged.filter(F.col("__canon_target").isNotNull())
     keepers = (grouped.groupBy("__canon_target")
                .agg(F.min(id_col).alias(id_col))

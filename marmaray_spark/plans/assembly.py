@@ -82,10 +82,13 @@ alone, no code):
                               any byte of text is parsed)
     corpus.psl_table          parquet dir of (suffix) rows in
                               publicsuffix.org format: the blocklist
-                              gate rolls hosts up with the Public
+                              gate AND the canonical-dedup trust
+                              boundary roll hosts up with the Public
                               Suffix List instead of the two-label
                               approximation (bbc.co.uk stays
-                              bbc.co.uk, not co.uk)
+                              bbc.co.uk, not co.uk; evil.github.io
+                              cannot claim canonical at
+                              victim.github.io)
     corpus.canonical_dedup    true -> collapse pages declaring the same
                               <link rel=canonical> target (publisher
                               hint, first-occurrence-wins) — runs after
@@ -281,9 +284,13 @@ def _corpus_stages(config: Configuration):
         # digest dedup: the publisher's own hint collapses mirrors URL
         # canonicalization can't see (print/AMP twins with different
         # URLs), and doing it first shrinks what the digest pass hashes
-        def canonical_stage(df, _i=id_col, _u=canon_url):
+        def canonical_stage(df, _i=id_col, _u=canon_url, _psl=psl_table):
             from marmaray_spark.operators.web import canonical_dedup
-            return canonical_dedup(df, _i, _u)
+            suffixes = None
+            if _psl:
+                suffixes = {r[0] for r in
+                            df.sparkSession.read.parquet(_psl).collect()}
+            return canonical_dedup(df, _i, _u, psl_suffixes=suffixes)
         stages.append(canonical_stage)
     if do_norm:
         # FIRST among the text stages: render-identical crawl variants

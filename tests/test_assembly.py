@@ -638,6 +638,42 @@ def test_yaml_canonical_dedup_stage(spark, tmp_path):
         "http://ex.com/article", "http://ex.com/other"}
 
 
+def test_yaml_canonical_dedup_uses_psl_boundary(spark, tmp_path):
+    """corpus.canonical_dedup + corpus.psl_table: the canonical stage's
+    trust boundary upgrades to the PSL registrable domain from config —
+    the github.io sibling hijack that the two-label form admits is
+    refused end-to-end (advisor find, r10)."""
+    docs = spark.createDataFrame(
+        [(5, "http://victim.github.io/post", None, "victim words"),
+         (1, "http://evil.github.io/spam",
+          "http://victim.github.io/post", "spam words")],
+        "doc_id long, url string, rel_canonical string, text string")
+    src = tmp_path / "src"
+    docs.write.parquet(str(src))
+    spark.createDataFrame([("com",), ("io",), ("github.io",)],
+                          "suffix string").write.parquet(
+        str(tmp_path / "psl"))
+
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "canon_psl_job"},
+        "source": {"type": "parquet", "path": str(src)},
+        "corpus": {"text_col": "text", "id_col": "doc_id",
+                   "url_col": "url", "canonical_dedup": True,
+                   "psl_table": str(tmp_path / "psl")},
+        "sink": {"type": "table", "path": str(tmp_path / "out"),
+                 "record_key": "doc_id", "op": "insert"},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    })
+    p = tmp_path / "cp.yaml"
+    p.write_text(cfg_yaml)
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+    t = TableSink(spark, tmp_path / "out", record_key_field="doc_id")
+    # both pages survive: evil's cross-registrable hint fell back to
+    # its own URL instead of evicting the victim
+    assert {r["doc_id"] for r in t.read().collect()} == {1, 5}
+
+
 def test_yaml_mor_table_sink(spark, tmp_path):
     """sink.table_type: mor — a config-wired upsert job lands delta
     commits (nothing rewritten) and readers see latest-wins."""

@@ -996,6 +996,33 @@ def test_canonical_dedup_rejects_cross_site_hijack_and_null_urls(spark):
     assert kept == {0, 1, 7, 8}
 
 
+def test_canonical_dedup_psl_trust_boundary(spark):
+    """Two-label trust treats every *.github.io sibling as same-site, so
+    evil.github.io can declare canonical at victim.github.io and (with
+    the smaller id) evict the real page — the advisor's r10 hijack.
+    With ``psl_suffixes`` the boundary is the PSL registrable domain:
+    the hijack is refused while legit same-registrable hints on a
+    multi-label suffix (www.bbc.co.uk -> bbc.co.uk) still collapse."""
+    from marmaray_spark.operators.web import canonical_dedup
+
+    psl = {"com", "io", "uk", "co.uk", "github.io"}
+    docs = spark.createDataFrame(
+        [(5, "http://victim.github.io/post", None),
+         (1, "http://evil.github.io/spam", "http://victim.github.io/post"),
+         (7, "http://www.bbc.co.uk/news/print", "http://bbc.co.uk/news"),
+         (9, "http://bbc.co.uk/news", None)],
+        "i int, url string, rel_canonical string")
+    # the two-label form is the documented weakness: the hijack lands
+    # (both hosts roll up to 'github.io') and the victim is evicted
+    two = {r["i"] for r in canonical_dedup(docs, "i", "url").collect()}
+    assert two == {1, 7}
+    # PSL: distinct registrable domains -> hint refused, victim kept;
+    # bbc print twin still collapses (min id wins)
+    kept = {r["i"] for r in
+            canonical_dedup(docs, "i", "url", psl_suffixes=psl).collect()}
+    assert kept == {1, 5, 7}
+
+
 def test_maintain_link_edges_rolls_checkpoint_back_on_raise(spark, tmp_path):
     """The shared maintainer skeleton restores the pre-drain checkpoint
     when the drain raises (vacuumed pre-image) — the cms rollback
