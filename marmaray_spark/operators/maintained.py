@@ -177,18 +177,45 @@ def _absorb_replayed(derived, metadata, checkpoint_key: str) -> None:
         metadata.save_changes()
 
 
+def _maybe_compact_mor(derived, max_delta_slices: int) -> None:
+    """Bound the MOR read tax BY POLICY at the place that creates it:
+    maintainer drains are exactly the write-heavy UPSERT stream
+    merge-on-read exists for, so each successful drain asks the policy
+    whether enough delta slices accrued to fold (r10 shipped
+    ``maybe_compact`` but nothing called it — a real MOR index's
+    latest-wins window grew until someone remembered). Runs AFTER the
+    checkpoint persisted: compaction is its own atomic commit and a
+    crash here just leaves the deltas for the next drain's policy
+    call. COW tables are untouched."""
+    if getattr(derived, "table_type", "cow") == "mor":
+        derived.maybe_compact(max_delta_slices)
+
+
 def maintain_projection(base, derived, metadata, cols: list[str],
                         id_col: str, project, checkpoint_key: str,
                         max_commits: int | None = None,
                         commit_meta: dict[str, str] | None = None,
-                        derived_key: str | None = None) -> int:
+                        derived_key: str | None = None,
+                        max_delta_slices: int = 10) -> int:
     """Keep ``derived == project(base)`` true across the base table's
     commit stream, for any per-row projection ``project(df) ->
     DataFrame`` that (a) keys its output by ``derived_key`` (default:
     the base's ``id_col``; pass it when the projection renames the key,
-    e.g. the ANN index's fixed ``vec_id`` schema) and (b) derives
+    e.g. the ANN index's fixed ``vec_id`` schema), (b) derives
     each output row from exactly one input row (cell assignment, digest
-    + LSH buckets, any featurizer). Returns rows (re)projected.
+    + LSH buckets, any featurizer), and (c) is INJECTIVE in the base
+    key: two different base ids must never emit the same
+    ``derived_key``, in this tick or any earlier one. (a)+(b) make the
+    slow path's UPSERT coalesce correctly; (c) is what the dedup-insert
+    APPEND-ONLY fast path below additionally relies on — it writes
+    plain INSERT without probing the derived table, so a cross-id
+    derived-key collision that UPSERT would have coalesced last-wins
+    ACCUMULATES as duplicate derived rows instead (advisor find, r10).
+    Every shipped consumer renames or decorates the base key
+    (``vec_id``, link-edge report keys embed the page id), which is
+    injective by construction; a projection that buckets ids together
+    must route through its own aggregation table, not this maintainer.
+    Returns rows (re)projected.
 
     Generalized from maintain_ann_index's body (now a thin wrapper over
     this): drain-and-collapse via ``consume_latest``,
@@ -247,6 +274,7 @@ def maintain_projection(base, derived, metadata, cols: list[str],
             finally:
                 projected.unpersist()
             metadata.save_changes()
+            _maybe_compact_mor(derived, max_delta_slices)
             return n
         # ONE eager snapshot read serves the live filter and the
         # gone-keys probe; a purged base (no active slices) has an
@@ -280,11 +308,13 @@ def maintain_projection(base, derived, metadata, cols: list[str],
         metadata.set(checkpoint_key, last)
         raise
     metadata.save_changes()
+    _maybe_compact_mor(derived, max_delta_slices)
     return n
 
 def maintain_sparse_report(base, report, metadata, cols: list[str],
                            id_col: str, report_fn, checkpoint_key: str,
-                           max_commits: int | None = None) -> int:
+                           max_commits: int | None = None,
+                           max_delta_slices: int = 10) -> int:
     """Maintained pattern for SPARSE per-key reports: projections that
     OMIT non-matching rows (contamination reports — zero-overlap docs
     have no row), where ``maintain_projection``'s one-row-per-key UPSERT
@@ -330,6 +360,7 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
             finally:
                 fresh.unpersist()
             metadata.save_changes()
+            _maybe_compact_mor(report, max_delta_slices)
             return n_rows
         # keys dropped from the base report nothing automatically: only
         # ids still present in the base snapshot are re-derived. One
@@ -382,4 +413,5 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
         metadata.set(checkpoint_key, last)
         raise
     metadata.save_changes()
+    _maybe_compact_mor(report, max_delta_slices)
     return n_rows

@@ -399,7 +399,8 @@ def fetch_frontier(seeds: DataFrame, crawled: DataFrame | None,
 def maintain_link_edges(pages, edges, metadata, url_col: str,
                         hosts_col: str = "link_hosts",
                         checkpoint_key: str = "link_edges.last_commit",
-                        max_commits: int | None = None) -> int:
+                        max_commits: int | None = None,
+                        max_delta_slices: int = 10) -> int:
     """Keep a host-edge table in sync with a PAGES TableSink's commit
     log — the frontier path on the SHARED maintainer skeleton (r9
     verdict item 6) instead of an ad-hoc per-tick dedup insert.
@@ -433,7 +434,8 @@ def maintain_link_edges(pages, edges, metadata, url_col: str,
     return maintain_sparse_report(
         pages, edges, metadata, cols=[url_col, hosts_col],
         id_col=url_col, report_fn=edges_of,
-        checkpoint_key=checkpoint_key, max_commits=max_commits)
+        checkpoint_key=checkpoint_key, max_commits=max_commits,
+        max_delta_slices=max_delta_slices)
 
 
 def domain_report(docs: DataFrame, url_col: str,

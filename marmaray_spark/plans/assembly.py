@@ -25,10 +25,17 @@ module is the equivalent factory for this engine's parts. Keys:
     sink.partition_field      (table) optional partition column
     sink.op                   (table) insert|bulk_insert|dedup_insert|
                               upsert|insert_overwrite
-    sink.table_type           (table) cow (default) | mor — merge-on-
-                              read upserts append delta slices (batch-
-                              cost writes, latest-wins reads until
-                              compact) instead of rewriting slices
+    sink.table_type           (table) cow | mor — merge-on-read
+                              upserts append delta slices (batch-cost
+                              writes, latest-wins reads until compact)
+                              instead of rewriting slices; omitted =
+                              adopt the type the table was created
+                              with (cow for a new table), a mismatch
+                              with the persisted type raises
+    sink.max_delta_slices     (table, mor) compact when this many
+                              delta slices are active (default 10) —
+                              fires after each published commit, so
+                              the read tax is bounded by policy
     sink.bloom_min_bytes      (table) per-slice bloom key index build
                               threshold (default 8 MiB; 0 = always)
     sink.cluster_by_key       (table) sorted disjoint-range slices
@@ -579,7 +586,10 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                           cluster_by_key=config.get_bool("sink.cluster_by_key", False),
                           target_file_size_mb=config.get_float(
                               "sink.target_file_size_mb", 128.0),
-                          table_type=config.get("sink.table_type", "cow"),
+                          # None = adopt the type the table was created
+                          # with (the persisted pin); an explicit YAML
+                          # value that disagrees raises at stage time
+                          table_type=config.get("sink.table_type"),
                           bloom_min_bytes=config.get_int(
                               "sink.bloom_min_bytes", 8 << 20))
         op = WriteOp(config.get("sink.op", "upsert"))
@@ -593,8 +603,14 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
         def write_table(df: DataFrame, _table=table, _op=op):
             state["staged"] = _table.stage(df, _op, metadata=meta.all())
 
-        def commit_table(_table=table):
+        def commit_table(_table=table,
+                         _mds=config.get_int("sink.max_delta_slices", 10)):
             _table.commit_staged(state.pop("staged", None))
+            # merge-on-read read tax is bounded by POLICY, not operator
+            # memory: every published commit asks whether enough delta
+            # slices accrued to fold (no-op on COW / below threshold)
+            if _table.table_type == "mor":
+                _table.maybe_compact(_mds)
 
         nodes.append(SinkNode("table", write_table, commit=commit_table,
                               priority=100))

@@ -238,7 +238,7 @@ class TableSink:
                  bulk_insert_partitioner=None,
                  cluster_by_key: bool = False,
                  metrics=None,
-                 table_type: str = "cow",
+                 table_type: str | None = None,
                  bloom_index: bool = True,
                  bloom_min_bytes: int = 8 << 20) -> None:
         """``bulk_insert_partitioner``: optional (df, n_partitions) -> df
@@ -256,7 +256,14 @@ class TableSink:
         (HoodieSink HoodieWriteMetrics, TestHoodieSink.testHoodieSinkMetrics
         names).
 
-        ``table_type``: ``'cow'`` (default) or ``'mor'`` — the Hudi
+        ``table_type``: ``'cow'``, ``'mor'``, or ``None`` (default:
+        adopt the type the table was CREATED with, 'cow' for a new
+        table). The type is persisted in ``_commits/_table_props.json``
+        on first open and a later explicit argument that DISAGREES
+        raises — reopening a MOR table as 'cow' would route an UPSERT
+        through the COW merge without latest-wins resolution, silently
+        reviving shadowed key versions as duplicate rows (advisor
+        find, r10). ``'cow'`` vs ``'mor'`` is the Hudi
         COPY_ON_WRITE vs MERGE_ON_READ storage trade (the reference runs
         Hudi COW; MOR is the same engine's other official mode). Under
         ``'mor'`` an UPSERT appends a DELTA slice that shadows older
@@ -286,7 +293,7 @@ class TableSink:
         itself exactly on the big slices this threshold selects.
         Probes keep bloom-less slices conservatively, so mixing
         indexed and unindexed slices is always correct."""
-        if table_type not in ("cow", "mor"):
+        if table_type not in ("cow", "mor", None):
             raise ValueError(f"table_type must be 'cow' or 'mor', "
                              f"got {table_type!r}")
         self.spark = spark
@@ -298,11 +305,47 @@ class TableSink:
         self.bulk_insert_partitioner = bulk_insert_partitioner
         self.cluster_by_key = cluster_by_key
         self.metrics = metrics
-        self.table_type = table_type
         self.bloom_index = bloom_index
         self.bloom_min_bytes = bloom_min_bytes
         self._bloom_cache: dict[str, object] = {}
         self.log = CommitLog(table_path)
+        self.table_type = self._pin_table_type(table_type)
+
+    def _pin_table_type(self, requested: str | None) -> str:
+        """The storage type is a property of the TABLE, not of whoever
+        opens it: persist it beside the commit log on first open and
+        refuse a later explicit argument that disagrees. Without the
+        pin, reopening a MOR table holding uncompacted delta slices as
+        'cow' routes an UPSERT through the COW merge — raw delta rows
+        (un-resolved key versions) merge into a non-delta commit and
+        shadowed versions of keys outside the batch come back as
+        duplicate rows; once no delta slice stays active, read() skips
+        latest-wins entirely. ``None`` adopts the stored type ('cow'
+        for a brand-new or pre-pin table), so read-only openers never
+        need to know."""
+        props_path = self.log.dir / "_table_props.json"
+        stored = None
+        if props_path.exists():
+            with open(props_path) as f:
+                stored = json.load(f).get("table_type")
+        if requested is None:
+            requested = stored or "cow"
+        if stored is not None and stored != requested:
+            raise ValueError(
+                f"table {self.table_path} was created table_type="
+                f"{stored!r}; reopening it as {requested!r} would "
+                f"corrupt merge-on-read semantics (delta slices would "
+                f"merge without latest-wins resolution)")
+        if stored is None:
+            fd, tmp = tempfile.mkstemp(dir=self.log.dir, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"table_type": requested}, f)
+                os.replace(tmp, props_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        return requested
 
     # -- read path ---------------------------------------------------------
 

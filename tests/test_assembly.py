@@ -703,3 +703,35 @@ def test_yaml_mor_table_sink(spark, tmp_path):
         {(1, "a"), (2, "B"), (3, "c")}
     last = t.log.commits()[-1]
     assert last.delta is True and last.removes == []
+
+
+def test_yaml_mor_compaction_policy_bounds_delta_slices(spark, tmp_path):
+    """sink.max_delta_slices: the commit phase asks the compaction
+    policy after every published commit, so a ticking MOR job's
+    latest-wins read tax is bounded by config, not operator memory
+    (r10 shipped maybe_compact with no consumer)."""
+    def cfg(src):
+        return Configuration.from_tree({
+            "job": {"name": "mor_tick"},
+            "source": {"type": "parquet", "path": str(src)},
+            "sink": {"type": "table", "path": str(tmp_path / "out"),
+                     "record_key": "k", "op": "upsert",
+                     "table_type": "mor", "max_delta_slices": 2},
+            "checkpoints": {"path": str(tmp_path / "ck")},
+        })
+
+    expected = {}
+    for tick in range(5):
+        rows = [(tick, f"t{tick}"), (tick + 1, f"t{tick}")]
+        expected.update(dict(rows))
+        src = tmp_path / f"src{tick}"
+        spark.createDataFrame(rows, "k long, v string")             .write.parquet(str(src))
+        assert build_job_dag(spark, cfg(src)).execute(spark) is True
+        t = TableSink(spark, tmp_path / "out", record_key_field="k")
+        # the policy folds as soon as the threshold is reached: never
+        # 2+ active deltas AFTER a commit phase completes
+        assert len(t.log.active_state()[1]) < 2
+        assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+            set(expected.items())
+    # at least one compact commit actually fired
+    assert any(c.op == "compact" for c in t.log.commits())

@@ -1085,3 +1085,29 @@ def test_bloom_unmappable_slice_fails_safe_to_no_bloom(spark, tmp_path, monkeypa
     c2 = t.write(spark.createDataFrame([(1, "dup"), (5, "new")],
                                        ["k", "v"]), WriteOp.DEDUP_INSERT)
     assert c2.counts["written"] == 1
+
+
+def test_table_type_is_pinned_per_table(spark, tmp_path):
+    """The storage type persists with the table (advisor find, r10):
+    reopening a MOR table as 'cow' must raise — its uncompacted delta
+    slices would merge through the COW path without latest-wins
+    resolution and shadowed key versions would come back as duplicate
+    rows — while an opener that passes no type ADOPTS the pinned one."""
+    t = TableSink(spark, tmp_path / "t", "k", table_type="mor")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+            WriteOp.INSERT)
+    t.write(spark.createDataFrame([(1, "a2")], ["k", "v"]),
+            WriteOp.UPSERT)   # delta slice now active
+
+    with pytest.raises(ValueError, match="table_type"):
+        TableSink(spark, tmp_path / "t", "k", table_type="cow")
+
+    t2 = TableSink(spark, tmp_path / "t", "k")   # no type: adopt pin
+    assert t2.table_type == "mor"
+    assert {(r["k"], r["v"]) for r in t2.read().collect()} == {
+        (1, "a2"), (2, "b")}
+    # a fresh table with no argument pins to the 'cow' default
+    t3 = TableSink(spark, tmp_path / "t3", "k")
+    assert t3.table_type == "cow"
+    assert TableSink(spark, tmp_path / "t3", "k",
+                     table_type="cow").table_type == "cow"

@@ -1177,3 +1177,35 @@ def test_maintainers_refuse_restored_base(spark, tmp_path):
     # nothing resurrected: the edge table still holds only page a's edge
     assert {(r["src"], r["dst"]) for r in edges.read().collect()} == \
         {("a.com", "b.org")}
+
+
+def test_maintain_link_edges_mor_compaction_bounded(spark, tmp_path):
+    """A merge-on-read edge table's latest-wins read tax is bounded BY
+    POLICY: every successful drain asks maybe_compact, so update ticks
+    can never accrue more than max_delta_slices active deltas (r10
+    shipped the policy with no consumer — this pins the wiring)."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import maintain_link_edges
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    pages = TableSink(spark, tmp_path / "pages", "target_uri")
+    edges = TableSink(spark, tmp_path / "edges", "report_key",
+                      table_type="mor")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    schema = "target_uri string, link_hosts array<string>, v int"
+
+    pages.write(spark.createDataFrame(
+        [("http://a.com/1", ["b.org"], 0)], schema), WriteOp.INSERT)
+    maintain_link_edges(pages, edges, md, "target_uri",
+                        max_delta_slices=2)
+    for i in range(1, 6):
+        # same edges, changed payload: each drain re-asserts the row as
+        # a change-scale UPSERT = one more MOR delta slice
+        pages.write(spark.createDataFrame(
+            [("http://a.com/1", ["b.org"], i)], schema), WriteOp.UPSERT)
+        maintain_link_edges(pages, edges, md, "target_uri",
+                            max_delta_slices=2)
+        assert len(edges.log.active_state()[1]) < 2
+        assert [(r["src"], r["dst"]) for r in edges.read().collect()] \
+            == [("a.com", "b.org")]
+    assert any(c.op == "compact" for c in edges.log.commits())
