@@ -4044,6 +4044,66 @@ _SQL_PAGERANK = f"""
              CAST(k4.doc_id AS BIGINT) AS n
       FROM k4 JOIN keep ON k4.doc_id = keep.doc_id
     )
+    UNION ALL
+    SELECT 'psl', dom, 'n_hosts', CAST(cnt AS BIGINT), CAST(0 AS INT)
+    FROM (
+      WITH ph AS (
+        SELECT CASE CAST(doc_id % 10 AS INT)
+          WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+          WHEN 1 THEN 'b' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+          WHEN 2 THEN 'c' || CAST(doc_id % 5 AS VARCHAR) || '.github.io'
+          WHEN 3 THEN 'd' || CAST(doc_id % 5 AS VARCHAR) || '.sub'
+                    || CAST(doc_id % 3 AS VARCHAR) || '.github.io'
+          WHEN 4 THEN 'e' || CAST(doc_id % 5 AS VARCHAR) || '.ck'
+          WHEN 5 THEN 'f' || CAST(doc_id % 5 AS VARCHAR) || '.g'
+                    || CAST(doc_id % 3 AS VARCHAR) || '.ck'
+          WHEN 6 THEN 'www.ck'
+          WHEN 7 THEN 'x' || CAST(doc_id % 5 AS VARCHAR) || '.y.z.co.uk'
+          WHEN 8 THEN 'intra' || CAST(doc_id % 5 AS VARCHAR)
+          ELSE 'n' || CAST(doc_id % 5 AS VARCHAR) || '.m'
+                   || CAST(doc_id % 3 AS VARCHAR) || '.zz'
+        END AS host
+        FROM documents
+      ), prules(r) AS (VALUES ('com'),('io'),('uk'),('co.uk'),
+        ('github.io'),('*.ck'),('!www.ck')
+      ), plab AS (
+        SELECT host, string_split(host, '.') AS ls
+        FROM (SELECT DISTINCT host FROM ph)
+      ), pcand AS (
+        -- the longest-match walk, unrolled: position i = the candidate
+        -- suffix starting at label i (1-based; i=1 is the full host)
+        SELECT l.host, i, array_to_string(l.ls[i:], '.') AS cand,
+          '*' || CASE WHEN i < len(l.ls)
+                      THEN '.' || array_to_string(l.ls[i+1:], '.')
+                      ELSE '' END AS wild
+        FROM plab l, UNNEST(generate_series(1, len(l.ls))) AS t(i)
+      ), phit AS (
+        SELECT host, i, cand,
+          ('!' || cand) IN (SELECT r FROM prules) AS exc,
+          (cand IN (SELECT r FROM prules)
+           OR wild IN (SELECT r FROM prules)) AS suf
+        FROM pcand
+      ), ppick AS (
+        -- first hit wins (smallest i = longest candidate); exception
+        -- and suffix at the same i resolve exception-first below
+        SELECT host, i, cand, exc,
+          row_number() OVER (PARTITION BY host ORDER BY i) AS rn
+        FROM phit WHERE exc OR suf
+      ), pres AS (
+        SELECT l.host,
+          CASE WHEN len(l.ls) < 2 THEN l.host
+               WHEN p.host IS NULL
+                 THEN array_to_string(l.ls[len(l.ls)-1:], '.')
+               WHEN p.exc THEN p.cand
+               WHEN p.i > 1 THEN array_to_string(l.ls[p.i-1:], '.')
+               ELSE l.host END AS dom
+        FROM plab l LEFT JOIN (SELECT * FROM ppick WHERE rn = 1) p
+          USING (host)
+      )
+      SELECT r.dom, COUNT(*) AS cnt
+      FROM ph JOIN pres r ON ph.host = r.host
+      GROUP BY r.dom
+    )
     """,
 )
 def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4089,7 +4149,17 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc (none / path-absolute / same-site absolute / cross-site
     hijack / junk), the oracle recomputing hint resolution, the
     same-registrable-domain trust boundary and the min-id keeper set —
-    the kept doc ids ARE the compared surface."""
+    the kept doc ids ARE the compared surface. Section (h) 'psl' gates
+    the Public Suffix List algorithm itself (operators/web.py
+    registrable_domain_psl, the r10-advisor trust-boundary upgrade —
+    previously pytest-only): ten deterministic host families cover
+    plain TLD, multi-label suffixes, deeper-than-suffix hosts, a host
+    that IS a wildcard suffix (passthrough), wildcard children, the
+    !exception rule, single-label passthrough and the no-match
+    implicit-* default; the oracle unrolls the longest-match walk in
+    SQL (label-suffix unnest, first hit by position,
+    exception-beats-wildcard), per-registrable-domain host counts as
+    the compared surface."""
     from marmaray_spark.operators.drift import term_drift
     from marmaray_spark.operators.text import lang_id, words
     from marmaray_spark.operators.web import (canonical_dedup,
@@ -4211,9 +4281,50 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("doc_id").cast("string").alias("item"),
                          F.col("doc_id").cast("long").alias("n"),
                          F.lit(0).cast("int").alias("rank")))
+    # section (h) 'psl': the Public Suffix List algorithm ITSELF under
+    # the hash gate (operators/web.py registrable_domain_psl — the
+    # advisor-driven trust-boundary upgrade was pytest-only until now).
+    # Deterministic hosts per doc exercise every branch of the
+    # published algorithm: plain TLD, multi-label suffix (co.uk,
+    # github.io), a host deeper than its suffix, a host that IS a
+    # wildcard suffix (passthrough), a wildcard-covered child, the
+    # exception rule (!www.ck), and the no-match implicit-* default.
+    # The oracle re-runs the longest-match walk in SQL (unnested label
+    # suffixes, first hit by position, exception-beats-wildcard), so a
+    # wrong precedence or off-by-one label slice flips the hash.
+    from marmaray_spark.operators.web import registrable_domain_psl
+    psl_rules = {"com", "io", "uk", "co.uk", "github.io",
+                 "*.ck", "!www.ck"}
+    phosts = docs.select(F.expr(
+        "CASE CAST(doc_id % 10 AS INT) "
+        "WHEN 0 THEN concat('a', CAST(doc_id % 5 AS STRING), '.com') "
+        "WHEN 1 THEN concat('b', CAST(doc_id % 5 AS STRING), '.co.uk') "
+        "WHEN 2 THEN concat('c', CAST(doc_id % 5 AS STRING), "
+        "                   '.github.io') "
+        "WHEN 3 THEN concat('d', CAST(doc_id % 5 AS STRING), '.sub', "
+        "                   CAST(doc_id % 3 AS STRING), '.github.io') "
+        "WHEN 4 THEN concat('e', CAST(doc_id % 5 AS STRING), '.ck') "
+        "WHEN 5 THEN concat('f', CAST(doc_id % 5 AS STRING), '.g', "
+        "                   CAST(doc_id % 3 AS STRING), '.ck') "
+        "WHEN 6 THEN 'www.ck' "
+        "WHEN 7 THEN concat('x', CAST(doc_id % 5 AS STRING), "
+        "                   '.y.z.co.uk') "
+        "WHEN 8 THEN concat('intra', CAST(doc_id % 5 AS STRING)) "
+        "ELSE concat('n', CAST(doc_id % 5 AS STRING), '.m', "
+        "            CAST(doc_id % 3 AS STRING), '.zz') "
+        "END").alias("__h"))
+    psl = (phosts
+           .withColumn("__dom", registrable_domain_psl("__h", psl_rules))
+           .groupBy("__dom").agg(F.count(F.lit(1)).alias("n"))
+           .select(F.lit("psl").alias("section"),
+                   F.col("__dom").alias("grp"),
+                   F.lit("n_hosts").alias("item"),
+                   F.col("n").cast("long").alias("n"),
+                   F.lit(0).cast("int").alias("rank")))
     return (conf.unionByName(terms).unionByName(drift)
             .unionByName(domains).unionByName(prs)
-            .unionByName(robots).unionByName(canonical))
+            .unionByName(robots).unionByName(canonical)
+            .unionByName(psl))
 
 
 # ---------------------------------------------------------------------------
