@@ -62,6 +62,7 @@ from marmaray_spark.operators.web import (canonical_dedup,  # noqa: E402
                                           maintain_link_edges,
                                           pagerank_integer,
                                           parse_robots,
+                                          refresh_host_ranks,
                                           robots_sitemaps,
                                           sitemap_discovery_tick)
 from marmaray_spark.sinks.table import TableSink, WriteOp  # noqa: E402
@@ -130,6 +131,13 @@ def crawl_tick(spark: SparkSession, workdir: str, archive_dir: str,
     # stale edges of updated/dropped pages rewritten out, checkpoint
     # persisted only after the edge commit — replay-idempotent
     report["edges"] += maintain_link_edges(pages, edges, md, "target_uri")
+    # ranks ride a POLICY CADENCE, not the tick: recompute only when
+    # new edge commits landed (measured: the 5-iteration pagerank is
+    # 2-10x a tick's cost, while the ranking barely moves per tick);
+    # fetch_frontier reads the stored table instead of recomputing
+    ranks = TableSink(spark, os.path.join(workdir, "host_ranks"),
+                      record_key_field="node")
+    report["ranked_hosts"] = refresh_host_ranks(edges, ranks, md)
     calc.save_next_run_state(units)
     md.save_changes()                       # AFTER the table commits
     return report
@@ -181,7 +189,13 @@ def discovery_tick(spark: SparkSession, workdir: str,
                             record_key_field="target_uri").read()
     except FileNotFoundError:
         crawled = None
-    ranks = frontier_report(spark, workdir, top_n=1000)
+    # the stored cadence-refreshed ranks table (crawl_tick maintains
+    # it); fall back to the ad-hoc recompute only when no tick has
+    # ranked yet
+    ranks_sink = TableSink(spark, os.path.join(workdir, "host_ranks"),
+                           record_key_field="node")
+    ranks = (frontier_report(spark, workdir, top_n=1000)
+             if ranks_sink.is_empty() else ranks_sink.read())
     frontier = fetch_frontier(seeds.read(), crawled, ranks,
                               rules=parse_robots(robots_df),
                               crawled_url_col="target_uri")

@@ -438,6 +438,52 @@ def maintain_link_edges(pages, edges, metadata, url_col: str,
         max_delta_slices=max_delta_slices)
 
 
+def refresh_host_ranks(edges, ranks, metadata, iters: int = 5,
+                       min_new_commits: int = 1,
+                       checkpoint_key: str = "host_ranks.last_commit",
+                       src_col: str = "src", dst_col: str = "dst") -> int:
+    """Cadence-refreshed PageRank TABLE for the frontier (r10 verdict
+    item 6, measured first: 5-iteration ``pagerank_integer`` costs 11s
+    at 2k hosts/100k edges and 23s at 1M hosts/20M edges on local[32] —
+    2-10x a crawl tick — so recomputing INSIDE every tick dominates the
+    loop while the ranking barely moves per tick).
+
+    Deliberately NOT a ``maintain_projection`` consumer: PageRank is
+    global — one new edge perturbs every node's rank — so there is no
+    per-key incremental fold to ride; the honest shape is a POLICY
+    CADENCE, the ``maybe_compact`` pattern applied to a derived
+    computation. Recompute only when at least ``min_new_commits``
+    non-compact edge commits landed since the last refresh,
+    INSERT_OVERWRITE the host-scale ranks table (node, rank), advance
+    the checkpoint only after the commit lands — a crash between them
+    replays the same recompute onto an idempotent overwrite. Consumers
+    (``fetch_frontier``) read the table every tick and pay one
+    host-scale scan. Returns ranked nodes written, 0 when the cadence
+    says skip. An edge table emptied by restore keeps the LAST ranking
+    (stale-but-ordered beats empty for a fetch prioritizer); the next
+    real edge commit refreshes it."""
+    from marmaray_spark.sinks.table import WriteOp
+
+    last = metadata.get(checkpoint_key) or ""
+    commits = edges.log.commits()
+    fresh = [c for c in commits
+             if c.commit_id > last and c.op != "compact"]
+    if len(fresh) < min_new_commits:
+        return 0
+    pr = pagerank_integer(edges.read().select(src_col, dst_col),
+                          src_col, dst_col, iters=iters).persist()
+    try:
+        n = pr.count()
+        if n:
+            ranks.write(pr.select("node", "rank"),
+                        WriteOp.INSERT_OVERWRITE)
+    finally:
+        pr.unpersist()
+    metadata.set(checkpoint_key, commits[-1].commit_id)
+    metadata.save_changes()
+    return n
+
+
 def domain_report(docs: DataFrame, url_col: str,
                   tokens_col: str | None = None,
                   psl_suffixes: set[str] | None = None) -> DataFrame:

@@ -1209,3 +1209,52 @@ def test_maintain_link_edges_mor_compaction_bounded(spark, tmp_path):
         assert [(r["src"], r["dst"]) for r in edges.read().collect()] \
             == [("a.com", "b.org")]
     assert any(c.op == "compact" for c in edges.log.commits())
+
+
+def test_refresh_host_ranks_cadence_and_replay(spark, tmp_path):
+    """The frontier ranks table rides a policy CADENCE (r10 verdict
+    item 6, measured: per-tick pagerank recompute is 2-10x a tick):
+    refresh fires only when >= min_new_commits edge commits landed,
+    the stored table equals the direct recompute, a no-news call is a
+    0-cost skip, and a crash between the ranks commit and the
+    checkpoint save replays onto the same idempotent overwrite."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import (pagerank_integer,
+                                              refresh_host_ranks)
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    edges = TableSink(spark, tmp_path / "edges", "report_key")
+    ranks = TableSink(spark, tmp_path / "ranks", "node")
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+
+    def edge_rows(pairs):
+        return spark.createDataFrame(
+            [(f"{s}->{d}", s, d) for s, d in pairs],
+            "report_key string, src string, dst string")
+
+    edges.write(edge_rows([("a", "b"), ("b", "c"), ("c", "a")]),
+                WriteOp.INSERT)
+    assert refresh_host_ranks(edges, ranks, md, min_new_commits=2) == 0
+    assert ranks.is_empty()                      # cadence said wait
+    edges.write(edge_rows([("c", "b")]), WriteOp.DEDUP_INSERT)
+    n = refresh_host_ranks(edges, ranks, md, min_new_commits=2)
+    assert n == 3
+    direct = {(r["node"], r["rank"]) for r in pagerank_integer(
+        edges.read().select("src", "dst"), "src", "dst", iters=5)
+        .collect()}
+    assert {(r["node"], r["rank"])
+            for r in ranks.read().collect()} == direct
+    # no new commits: skip, table untouched
+    assert refresh_host_ranks(edges, ranks, md, min_new_commits=1) == 0
+
+    # crash replay: the ranks overwrite landed but the checkpoint save
+    # did not -> the next refresh recomputes the SAME table
+    edges.write(edge_rows([("a", "c")]), WriteOp.DEDUP_INSERT)
+    md2 = FileSystemMetadataManager(str(tmp_path / "md"))
+    md2.save_changes = lambda: None
+    assert refresh_host_ranks(edges, ranks, md2) == 3
+    after = sorted(map(tuple, ranks.read().collect()))
+    md3 = FileSystemMetadataManager(str(tmp_path / "md"))
+    assert refresh_host_ranks(edges, ranks, md3) == 3   # replays
+    assert sorted(map(tuple, ranks.read().collect())) == after
+    assert refresh_host_ranks(edges, ranks, md3) == 0   # now durable
