@@ -38,6 +38,9 @@ module is the equivalent factory for this engine's parts. Keys:
                               the read tax is bounded by policy
     sink.bloom_min_bytes      (table) per-slice bloom key index build
                               threshold (default 8 MiB; 0 = always)
+    sink.stats_cols           (table) comma-separated non-key columns
+                              to index with per-slice [min,max] footer
+                              stats — TableSink.scan data skipping
     sink.cluster_by_key       (table) sorted disjoint-range slices
     sink.target_file_size_mb  (table) parallelism auto-tune target
     sink.compression          (csv/json) lz4|gzip|snappy|zstd
@@ -591,7 +594,10 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                           # value that disagrees raises at stage time
                           table_type=config.get("sink.table_type"),
                           bloom_min_bytes=config.get_int(
-                              "sink.bloom_min_bytes", 8 << 20))
+                              "sink.bloom_min_bytes", 8 << 20),
+                          stats_cols=[c.strip() for c in
+                                      (config.get("sink.stats_cols")
+                                       or "").split(",") if c.strip()])
         op = WriteOp(config.get("sink.op", "upsert"))
 
         # Two-phase: the write phase only STAGES slices (invisible to

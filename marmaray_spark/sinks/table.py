@@ -115,6 +115,11 @@ class Commit:
     # resolve latest-wins until compact() folds the deltas. Default
     # False keeps every pre-existing commit JSON (and COW table) valid.
     delta: bool = False
+    # per-slice [min, max] for NON-KEY columns the sink was told to
+    # index ({slice: {col: [lo, hi]}}) — the Hudi metadata-table
+    # column-stats analogue feeding TableSink.scan's data skipping.
+    # Default {} keeps pre-existing commit JSONs valid.
+    col_stats: dict[str, dict] = field(default_factory=dict)
 
 
 class CommitLog:
@@ -240,7 +245,8 @@ class TableSink:
                  metrics=None,
                  table_type: str | None = None,
                  bloom_index: bool = True,
-                 bloom_min_bytes: int = 8 << 20) -> None:
+                 bloom_min_bytes: int = 8 << 20,
+                 stats_cols: list[str] | None = None) -> None:
         """``bulk_insert_partitioner``: optional (df, n_partitions) -> df
         hook overriding the pre-write repartition — the
         UserDefinedBulkInsertPartitioner plugin point
@@ -292,7 +298,18 @@ class TableSink:
         cheaper than the job that would prune it); the index pays for
         itself exactly on the big slices this threshold selects.
         Probes keep bloom-less slices conservatively, so mixing
-        indexed and unindexed slices is always correct."""
+        indexed and unindexed slices is always correct.
+
+        ``stats_cols``: NON-KEY columns to index with per-slice
+        [min, max] footer stats in the commit log — the Hudi
+        metadata-table column-stats analogue. ``scan(col, lo, hi)``
+        then skips whole slices whose range cannot match, BEFORE Spark
+        ever lists or opens their files (Spark's own pruning is
+        per-row-group at execution time; at 100k slices the win is not
+        opening footers at all). Costs one driver-side footer pass per
+        write (the same pass that collects key stats — no extra I/O);
+        slices written before the column was configured simply lack
+        stats and are scanned conservatively."""
         if table_type not in ("cow", "mor", None):
             raise ValueError(f"table_type must be 'cow' or 'mor', "
                              f"got {table_type!r}")
@@ -307,6 +324,7 @@ class TableSink:
         self.metrics = metrics
         self.bloom_index = bloom_index
         self.bloom_min_bytes = bloom_min_bytes
+        self.stats_cols = list(stats_cols or [])
         self._bloom_cache: dict[str, object] = {}
         self.log = CommitLog(table_path)
         self.table_type = self._pin_table_type(table_type)
@@ -568,10 +586,11 @@ class TableSink:
             adds = self._append(commit_id, df, n_incoming)
             removes = []
 
+        key_stats, col_stats = self._collect_footer_stats(adds)
         commit = Commit(commit_id=commit_id, op=op.value, adds=adds,
                         removes=removes, metadata=meta,
                         counts={"written": n_incoming},
-                        key_stats=self._collect_key_stats(adds),
+                        key_stats=key_stats, col_stats=col_stats,
                         delta=is_delta)
         return StagedWrite(commit=commit, metadata=metadata,
                            n_records=n_incoming)
@@ -943,41 +962,61 @@ class TableSink:
 
     # -- key index (HoodieIndex analogue) ----------------------------------
 
-    def _collect_key_stats(self, adds: list[str]) -> dict[str, list]:
-        """Record-key [min, max] per written slice, from parquet FOOTERS
-        only (no Spark job, no data read) — the index feeds
-        ``slices_for_key_range`` so key lookups and dedup anti-joins scan
-        only slices whose key range overlaps."""
+    def _collect_footer_stats(self, adds: list[str]
+                              ) -> tuple[dict[str, list],
+                                         dict[str, dict[str, list]]]:
+        """(key_stats, col_stats) per written slice, from parquet
+        FOOTERS only (no Spark job, no data read) — ONE footer pass
+        covers the record key AND every ``stats_cols`` column. The key
+        index feeds ``slices_for_key_range`` so key lookups and dedup
+        anti-joins scan only slices whose key range overlaps; the
+        column index feeds ``scan``'s file-level data skipping (the
+        Hudi metadata-table col_stats analogue). A column whose footer
+        stats are absent or not JSON-serializable (e.g. raw timestamps)
+        is simply omitted for that slice — readers treat missing stats
+        as must-scan, so degradation is always conservative."""
         import pyarrow.parquet as pq
 
-        stats: dict[str, list] = {}
+        want = [self.key] + [c for c in self.stats_cols if c != self.key]
+        key_stats: dict[str, list] = {}
+        col_stats: dict[str, dict[str, list]] = {}
         for s in adds:
-            lo = hi = None
+            acc: dict[str, list | None] = {c: None for c in want}
             for f in sorted((self.table_path / s).rglob("*.parquet")):
                 try:
                     md = pq.ParquetFile(f).metadata
-                    ci = next((i for i in range(md.num_columns)
-                               if md.row_group(0).column(i).path_in_schema
-                               == self.key), None)
-                    if ci is None:
-                        continue
-                    for r in range(md.num_row_groups):
-                        st = md.row_group(r).column(ci).statistics
-                        if st is None or not st.has_min_max:
+                    cols = {md.row_group(0).column(i).path_in_schema: i
+                            for i in range(md.num_columns)}
+                    for c in want:
+                        ci = cols.get(c)
+                        if ci is None:
                             continue
-                        mn, mx = st.min, st.max
-                        lo = mn if lo is None or mn < lo else lo
-                        hi = mx if hi is None or mx > hi else hi
+                        for r in range(md.num_row_groups):
+                            st = md.row_group(r).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            mn, mx = st.min, st.max
+                            cur = acc[c]
+                            if cur is None:
+                                acc[c] = [mn, mx]
+                            else:
+                                cur[0] = mn if mn < cur[0] else cur[0]
+                                cur[1] = mx if mx > cur[1] else cur[1]
                 except Exception:   # noqa: BLE001 — stats are an optimization
-                    lo = hi = None
+                    acc = {c: None for c in want}
                     break
-            if lo is not None:
+            for c, rng in acc.items():
+                if rng is None:
+                    continue
                 try:
-                    json.dumps([lo, hi])
-                    stats[s] = [lo, hi]
+                    json.dumps(rng)
                 except (TypeError, ValueError):
-                    pass
-        return stats
+                    continue
+                if c == self.key:
+                    key_stats[s] = rng
+                else:
+                    col_stats.setdefault(s, {})[c] = rng
+        return key_stats, col_stats
 
     def key_stats(self) -> dict[str, list]:
         """Latest known [min, max] per ACTIVE slice (unknown slices absent)."""
@@ -993,6 +1032,60 @@ class TableSink:
         stats = self.key_stats()
         return [s for s in self.log.active_slices()
                 if s not in stats or not (stats[s][1] < lo or stats[s][0] > hi)]
+
+    def col_stats(self) -> dict[str, dict[str, list]]:
+        """Latest known per-column [min, max] per ACTIVE slice
+        ({slice: {col: [lo, hi]}}; slices/columns without stats absent)."""
+        out: dict[str, dict[str, list]] = {}
+        for c in self.log.commits():
+            for s, cols in (c.col_stats or {}).items():
+                out.setdefault(s, {}).update(cols)
+        active = set(self.log.active_slices())
+        return {s: v for s, v in out.items() if s in active}
+
+    def slices_for_col_range(self, col: str, lo, hi) -> list[str]:
+        """Active slices whose recorded range for ``col`` may overlap
+        [lo, hi]; slices with no stats for that column are kept
+        (conservative). ``None`` bounds are open-ended."""
+        stats = self.col_stats()
+        out = []
+        for s in self.log.active_slices():
+            rng = stats.get(s, {}).get(col)
+            if rng is None or not ((hi is not None and rng[0] > hi)
+                                   or (lo is not None and rng[1] < lo)):
+                out.append(s)
+        return out
+
+    def scan(self, col: str, lo=None, hi=None) -> DataFrame:
+        """``read()`` restricted to ``lo <= col <= hi`` (either bound
+        optional), with FILE-LEVEL data skipping: slices whose recorded
+        column range cannot overlap are never listed or opened — the
+        consumer-facing face of the ``stats_cols`` index (Hudi
+        metadata-table col_stats data skipping; Spark's own pruning is
+        per-row-group AFTER the file is opened). Semantically identical
+        to ``read().filter(...)`` always:
+
+        - slices without stats for ``col`` are scanned (conservative);
+        - a merge-on-read table with ACTIVE DELTAS skips no slices at
+          all — a non-key predicate may admit a slice holding the
+          SHADOWED version of a key while skipping the delta holding
+          its latest version, so pruning before latest-wins resolution
+          could resurrect overwritten rows; the filter still applies,
+          compacted tables regain full skipping."""
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        if self._has_active_delta():
+            return self.read().filter(pred)
+        slices = self.slices_for_col_range(col, lo, hi)
+        if not slices:
+            return self.read().limit(0).filter(pred)
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(*[str(self.table_path / s) for s in slices])
+              .filter(pred))
+        return df.drop(COMMIT_COL) if COMMIT_COL in df.columns else df
 
     def lookup(self, key_value) -> DataFrame:
         """Point lookup by record key, scanning only slices the range
@@ -1091,11 +1184,12 @@ class TableSink:
         df = self.read(with_meta=True)
         n = df.count()
         adds = self._write_slices(commit_id, df, commit_id, n)
+        key_stats, col_stats = self._collect_footer_stats(adds)
         commit = Commit(commit_id=commit_id, op="compact", adds=adds,
                         removes=list(slices),
                         metadata=self.log.latest_metadata(),
                         counts={"written": n},
-                        key_stats=self._collect_key_stats(adds))
+                        key_stats=key_stats, col_stats=col_stats)
         self.log.write(commit)
         return commit
 

@@ -1111,3 +1111,68 @@ def test_table_type_is_pinned_per_table(spark, tmp_path):
     assert t3.table_type == "cow"
     assert TableSink(spark, tmp_path / "t3", "k",
                      table_type="cow").table_type == "cow"
+
+
+# ---------------------------------------------------------------------------
+# column-stats index (r11): Hudi metadata-table col_stats / data skipping
+# ---------------------------------------------------------------------------
+
+
+def test_col_stats_scan_skips_files_and_matches_filter(spark, tmp_path):
+    """scan(col, lo, hi) must equal read().filter(...) while never
+    listing slices whose recorded [min,max] cannot overlap; a slice
+    written BEFORE the column was indexed has no stats and is scanned
+    conservatively."""
+    # slice written with stats off: must stay conservative forever
+    t0 = TableSink(spark, tmp_path / "t", "k")
+    t0.write(spark.createDataFrame([(0, 999, "old")], ["k", "v", "tag"]),
+             WriteOp.INSERT)
+    t = TableSink(spark, tmp_path / "t", "k", stats_cols=["v"])
+    t.write(spark.createDataFrame(
+        [(i, i * 10, "lo") for i in range(1, 6)], ["k", "v", "tag"]),
+        WriteOp.INSERT)                       # v in [10, 50]
+    t.write(spark.createDataFrame(
+        [(i, i * 10, "hi") for i in range(10, 16)], ["k", "v", "tag"]),
+        WriteOp.INSERT)                       # v in [100, 150]
+
+    # pruning: only the overlapping slice + the stats-less one survive
+    stats = t.col_stats()
+    assert sum(1 for v in stats.values() if "v" in v) == 2
+    admitted = t.slices_for_col_range("v", 100, 120)
+    assert len(admitted) == 2                 # hi slice + stats-less t0
+    assert len(t.slices_for_col_range("v", 60, 90)) == 1   # only t0
+
+    # semantics == read().filter, in every band
+    for lo, hi in [(100, 120), (60, 90), (None, 40), (140, None),
+                   (999, 999)]:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("v") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("v") <= hi)
+        got = sorted(r["k"] for r in t.scan("v", lo, hi).collect())
+        want = sorted(r["k"] for r in t.read().filter(cond).collect())
+        assert got == want, (lo, hi)
+
+
+def test_col_stats_scan_mor_deltas_disable_skipping(spark, tmp_path):
+    """With ACTIVE merge-on-read deltas, scan must not prune: a non-key
+    predicate could admit the slice holding a SHADOWED version of a key
+    while skipping the delta holding its latest — resurrecting an
+    overwritten row. After compact, skipping returns."""
+    t = TableSink(spark, tmp_path / "t", "k", table_type="mor",
+                  stats_cols=["v"])
+    t.write(spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]),
+            WriteOp.INSERT)
+    # delta moves key 1 OUT of the probed band (10 -> 1000)
+    t.write(spark.createDataFrame([(1, 1000)], ["k", "v"]),
+            WriteOp.UPSERT)
+    assert len(t.log.active_state()[1]) == 1
+    got = {(r["k"], r["v"]) for r in t.scan("v", 0, 100).collect()}
+    assert got == {(2, 20)}                   # key 1's old row must NOT
+    # resurface even though its slice's range [10,20] overlaps the band
+    t.compact()
+    assert {(r["k"], r["v"]) for r in t.scan("v", 0, 100).collect()} \
+        == {(2, 20)}
+    assert {(r["k"], r["v"]) for r in t.scan("v", 900, None).collect()} \
+        == {(1, 1000)}
