@@ -1,0 +1,110 @@
+"""table_changes Python DataSource (sources/table_stream.py): the
+Structured Streaming / incremental-batch tail of a TableSink commit
+log — Hudi streaming-read parity, Spark-4-native.
+
+Reference seam: the Hudi streaming source the reference's consumers
+would use to tail a HoodieSink table (HoodieSink.java commit timeline);
+after-image semantics mirror sinks/table.py read_changes."""
+
+import pytest
+
+from marmaray_spark.sinks.table import TableSink, WriteOp
+from marmaray_spark.sources.table_stream import TableChangesDataSource
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(TableChangesDataSource)
+    return spark
+
+
+def _mk_table(spark, path):
+    t = TableSink(spark, path, "k")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+            WriteOp.INSERT)                                # commit 0
+    t.write(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+            WriteOp.UPSERT)                                # commit 1
+    return t
+
+
+def test_batch_window_matches_read_changes(registered, spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "t")
+    df = (spark.read.format("table_changes")
+          .option("path", str(tmp_path / "t")).load())
+    got = {(r["k"], r["v"], r["_change_commit"]) for r in df.collect()}
+    # commit 0 introduced (1,a) and (2,b); commit 1 introduced (2,B)
+    # and (3,c); the upsert's rewritten survivor (1,a) keeps its
+    # ORIGINAL stamp so it appears once, under commit 0
+    assert got == {(1, "a", "000000000000"), (2, "b", "000000000000"),
+                   (2, "B", "000000000001"), (3, "c", "000000000001")}
+    # a start_commit window pulls only the later commit
+    df2 = (spark.read.format("table_changes")
+           .option("path", str(tmp_path / "t"))
+           .option("start_commit", "000000000000").load())
+    assert {(r["k"], r["v"]) for r in df2.collect()} == {(2, "B"),
+                                                         (3, "c")}
+
+
+def test_compact_and_restore_emit_nothing(registered, spark, tmp_path):
+    """Storage-maintenance commits rewrite rows under their ORIGINAL
+    stamps, so the tail never re-emits them (the read_changes stamp
+    contract)."""
+    t = TableSink(spark, tmp_path / "t", "k", table_type="mor")
+    t.write(spark.createDataFrame([(1, "a")], ["k", "v"]), WriteOp.INSERT)
+    t.write(spark.createDataFrame([(1, "A")], ["k", "v"]), WriteOp.UPSERT)
+    last = t.log.commits()[-1].commit_id
+    t.compact()
+    df = (spark.read.format("table_changes")
+          .option("path", str(tmp_path / "t"))
+          .option("start_commit", last).load())
+    assert df.count() == 0
+
+
+def test_streaming_tail_is_exactly_once_across_restarts(
+        registered, spark, tmp_path):
+    """availableNow drains the backlog into a fault-tolerant sink; a
+    restart with the same checkpoint emits ONLY commits that landed in
+    between (offsets ride the query checkpoint — the memory sink can't
+    recover a checkpoint, so the drain lands in parquet)."""
+    t = _mk_table(spark, tmp_path / "t")
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def drain():
+        q = (spark.readStream.format("table_changes")
+             .option("path", str(tmp_path / "t")).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["k"], r["v"], r["_change_commit"])
+                for r in spark.read.parquet(out).collect()}
+
+    first = drain()
+    assert first == {(1, "a", "000000000000"), (2, "b", "000000000000"),
+                     (2, "B", "000000000001"), (3, "c", "000000000001")}
+    # nothing new: the restarted query adds NOTHING to the sink
+    assert drain() == first
+    # two more commits land while the stream is down; the next restart
+    # emits exactly those (no re-emission of the first four)
+    t.write(spark.createDataFrame([(4, "d")], ["k", "v"]),
+            WriteOp.DEDUP_INSERT)
+    t.write(spark.createDataFrame([(4, "D")], ["k", "v"]), WriteOp.UPSERT)
+    got = drain()
+    assert got - first == {(4, "d", "000000000002"),
+                           (4, "D", "000000000003")}
+    assert len(got) == 6
+
+
+def test_schema_evolution_projects_old_files(registered, spark, tmp_path):
+    """A stream declared AFTER a column was added projects pre-evolution
+    commits onto the evolved schema (missing column null)."""
+    t = TableSink(spark, tmp_path / "t", "k")
+    t.write(spark.createDataFrame([(1, "a")], ["k", "v"]), WriteOp.INSERT)
+    t.write(spark.createDataFrame([(2, "b", 7)], ["k", "v", "extra"]),
+            WriteOp.INSERT)
+    df = (spark.read.format("table_changes")
+          .option("path", str(tmp_path / "t")).load())
+    got = {(r["k"], r["v"], r["extra"]) for r in df.collect()}
+    assert got == {(1, "a", None), (2, "b", 7)}

@@ -33,6 +33,7 @@ HALF1=(
   tests/test_schema_evolution.py tests/test_slice_e2e.py
   tests/test_streaming.py tests/test_web.py tests/test_zorder.py
   tests/test_fingerprint.py tests/test_live_wire.py tests/test_dhash.py
+  tests/test_table_stream.py
 )
 HALF2=(
   tests/test_ann_index.py tests/test_assembly.py
