@@ -41,6 +41,9 @@ module is the equivalent factory for this engine's parts. Keys:
     sink.stats_cols           (table) comma-separated non-key columns
                               to index with per-slice [min,max] footer
                               stats — TableSink.scan data skipping
+    sink.precombine_field     (table) Hudi preCombineField: upsert /
+                              dedup-insert batches keep one row per key
+                              (greatest value wins) before merging
     sink.cluster_by_key       (table) sorted disjoint-range slices
     sink.target_file_size_mb  (table) parallelism auto-tune target
     sink.compression          (csv/json) lz4|gzip|snappy|zstd
@@ -597,7 +600,9 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                               "sink.bloom_min_bytes", 8 << 20),
                           stats_cols=[c.strip() for c in
                                       (config.get("sink.stats_cols")
-                                       or "").split(",") if c.strip()])
+                                       or "").split(",") if c.strip()],
+                          precombine_field=config.get(
+                              "sink.precombine_field"))
         op = WriteOp(config.get("sink.op", "upsert"))
 
         # Two-phase: the write phase only STAGES slices (invisible to

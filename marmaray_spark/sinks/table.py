@@ -246,7 +246,8 @@ class TableSink:
                  table_type: str | None = None,
                  bloom_index: bool = True,
                  bloom_min_bytes: int = 8 << 20,
-                 stats_cols: list[str] | None = None) -> None:
+                 stats_cols: list[str] | None = None,
+                 precombine_field: str | None = None) -> None:
         """``bulk_insert_partitioner``: optional (df, n_partitions) -> df
         hook overriding the pre-write repartition — the
         UserDefinedBulkInsertPartitioner plugin point
@@ -309,7 +310,20 @@ class TableSink:
         opening footers at all). Costs one driver-side footer pass per
         write (the same pass that collects key stats — no extra I/O);
         slices written before the column was configured simply lack
-        stats and are scanned conservatively."""
+        stats and are scanned conservatively.
+
+        ``precombine_field``: Hudi preCombineField parity. UPSERT and
+        DEDUP_INSERT require incoming batches unique per record key
+        (combine-before-upsert, HoodieSink.java); without this option
+        the caller owns that dedup and a violation lands duplicate rows
+        SILENTLY (a streaming backlog drain delivering several versions
+        of one key in one microbatch is the canonical trigger). With
+        it, those ops keep only the row with the GREATEST precombine
+        value per key before merging; remaining ties break
+        deterministically by the other orderable columns descending, so
+        a crash-replayed batch re-picks the same winner. INSERT /
+        BULK_INSERT stay raw (append semantics admit duplicates by
+        design)."""
         if table_type not in ("cow", "mor", None):
             raise ValueError(f"table_type must be 'cow' or 'mor', "
                              f"got {table_type!r}")
@@ -325,6 +339,7 @@ class TableSink:
         self.bloom_index = bloom_index
         self.bloom_min_bytes = bloom_min_bytes
         self.stats_cols = list(stats_cols or [])
+        self.precombine_field = precombine_field
         self._bloom_cache: dict[str, object] = {}
         self.log = CommitLog(table_path)
         self.table_type = self._pin_table_type(table_type)
@@ -556,6 +571,10 @@ class TableSink:
         else:
             commit_id = self.log.next_commit_id()
 
+        if self.precombine_field and op in (WriteOp.UPSERT,
+                                            WriteOp.DEDUP_INSERT,
+                                            WriteOp.DEDUP_BULK_INSERT):
+            df = self._precombine(df)
         if op in (WriteOp.DEDUP_INSERT, WriteOp.DEDUP_BULK_INSERT):
             df = self._dedup_against_existing(df)
             op_effective = WriteOp.BULK_INSERT if op == WriteOp.DEDUP_BULK_INSERT \
@@ -863,6 +882,31 @@ class TableSink:
                     .parquet(*[str(self.table_path / s) for s in slices])
                     .select(F.col(self.key)).distinct())
         return df.join(existing, self.key, "left_anti")
+
+    def _precombine(self, df: DataFrame) -> DataFrame:
+        """Combine-before-upsert (Hudi preCombineField): one row per
+        record key survives — greatest ``precombine_field`` first,
+        remaining ties broken by every other ORDERABLE column
+        descending (maps can't order; skipping them keeps the pick
+        deterministic for any orderable payload, so a crash-replayed
+        batch converges on the same winner). One shuffle on the key —
+        the same exchange the merge itself needs."""
+        from pyspark.sql import Window
+        from pyspark.sql.types import MapType
+
+        pc = self.precombine_field
+        if pc not in df.columns:
+            raise ValueError(
+                f"precombine_field {pc!r} missing from batch columns "
+                f"{df.columns}")
+        tiebreak = [F.col(f.name).desc_nulls_last()
+                    for f in df.schema.fields
+                    if f.name not in (self.key, pc)
+                    and not isinstance(f.dataType, MapType)]
+        w = Window.partitionBy(self.key).orderBy(
+            F.col(pc).desc_nulls_last(), *tiebreak)
+        return (df.withColumn("__pc_rn", F.row_number().over(w))
+                .filter(F.col("__pc_rn") == 1).drop("__pc_rn"))
 
     def _upsert(self, commit_id: str, df: DataFrame,
                 n_incoming: int) -> tuple[list[str], list[str]]:

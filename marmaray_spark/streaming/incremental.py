@@ -298,6 +298,7 @@ def foreach_batch_table_sink(stream: DataFrame, table_path: str,
                              op: str,
                              checkpoint_dir: str,
                              transform: Callable[[DataFrame], DataFrame] | None = None,
+                             precombine_field: str | None = None,
                              ) -> DataStreamWriter:
     """Route a stream into a managed TableSink via foreachBatch.
 
@@ -329,8 +330,13 @@ def foreach_batch_table_sink(stream: DataFrame, table_path: str,
                 str(Path(checkpoint_dir).resolve()).encode()).hexdigest()[:16]
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # precombine matters MOST here: an availableNow backlog drain
+        # can deliver several versions of one key in a single batch,
+        # which upsert's unique-per-key contract otherwise rejects
+        # silently (duplicate rows)
         sink = TableSink(batch_df.sparkSession, table_path, record_key_field,
-                         partition_field)
+                         partition_field,
+                         precombine_field=precombine_field)
         epoch_key = f"{query_namespace()}:{epoch_id}"
         if any(c.metadata.get("epoch") == epoch_key for c in sink.log.commits()):
             return  # replayed batch of THIS query — already committed

@@ -1176,3 +1176,35 @@ def test_col_stats_scan_mor_deltas_disable_skipping(spark, tmp_path):
         == {(2, 20)}
     assert {(r["k"], r["v"]) for r in t.scan("v", 900, None).collect()} \
         == {(1, 1000)}
+
+
+def test_precombine_field_combines_before_upsert(spark, tmp_path):
+    """Hudi preCombineField parity: a batch carrying several versions
+    of one key keeps only the greatest-precombine row before the merge
+    — without it, upsert's unique-per-key contract is violated
+    SILENTLY and duplicates land."""
+    t = TableSink(spark, tmp_path / "t", "k", precombine_field="ts")
+    t.write(spark.createDataFrame(
+        [(1, 10, "old"), (1, 30, "new"), (1, 20, "mid"), (2, 5, "only")],
+        ["k", "ts", "v"]), WriteOp.UPSERT)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+        {(1, "new"), (2, "only")}
+    # next upsert batch: stale version loses even against the table
+    # (precombine is intra-batch; cross-batch last-write-wins is the
+    # upsert itself — arriving later means winning, Hudi semantics)
+    t.write(spark.createDataFrame([(1, 25, "later-batch")],
+                                  ["k", "ts", "v"]), WriteOp.UPSERT)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == \
+        {(1, "later-batch"), (2, "only")}
+    # dedup_insert: intra-batch combine, then existing keys filtered
+    c = t.write(spark.createDataFrame(
+        [(3, 1, "a"), (3, 2, "b"), (2, 99, "dup")], ["k", "ts", "v"]),
+        WriteOp.DEDUP_INSERT)
+    assert c.counts["written"] == 1
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(1, "later-batch"), (2, "only"), (3, "b")}
+    # a missing precombine column fails loudly, not silently raw
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="precombine_field"):
+        t.write(spark.createDataFrame([(9, "x")], ["k", "v"]),
+                WriteOp.UPSERT)
