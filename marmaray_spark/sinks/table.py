@@ -71,6 +71,10 @@ COMMIT_COL = "_commit_id"  # per-record commit stamp (Hudi
 # coercion, so type drift (a double probe against a long key) can only
 # add false positives, never lose a match. No false NEGATIVES ever, so
 # pruning is always safe.
+CLUSTER_DIR_COL = "__cb__"  # bucket-directory column used only while a
+# cluster() rewrite lands its range-disjoint slices; never read back
+# (each bucket dir is registered and scanned as its own slice)
+
 BLOOM_FILE = "_key_bloom.bin"
 BLOOM_MAGIC = b"KBLM1\x00\x00\x00"
 BLOOM_FPP = 0.001
@@ -1231,6 +1235,72 @@ class TableSink:
         key_stats, col_stats = self._collect_footer_stats(adds)
         commit = Commit(commit_id=commit_id, op="compact", adds=adds,
                         removes=list(slices),
+                        metadata=self.log.latest_metadata(),
+                        counts={"written": n},
+                        key_stats=key_stats, col_stats=col_stats)
+        self.log.write(commit)
+        return commit
+
+    def cluster(self, n_buckets: int | None = None,
+                target_slices: list[str] | None = None) -> "Commit | None":
+        """Hudi CLUSTERING table service: rewrite slices RANGE-BUCKETED
+        by record key, so the table's pruning granularity (the slice)
+        carries tight DISJOINT key ranges afterwards — many interleaved
+        commits each spanning the whole key space (every range overlaps
+        every probe) become ``n_buckets`` slices a point lookup prunes
+        to one. ``repartitionByRange`` + ``spark_partition_id`` assigns
+        the bucket (equal keys land together, so a key's versions never
+        split across buckets), each bucket lands as its OWN slice with
+        its own range stats and bloom. Contents and per-record commit
+        stamps are unchanged (slices read raw, not via read()), so time
+        travel, CDC and the table_changes tail all see nothing — a
+        storage reorganization, same class as compact.
+
+        Targets default to every active NON-DELTA slice; uncompacted
+        MOR deltas are never clustered (their rows shadow base versions
+        by commit stamp — folding them into plain slices is compact()'s
+        job, and the latest-wins resolution survives clustering the
+        bases under them). Unpartitioned tables only: a partitioned
+        table already buckets by partition value, and its write path
+        sorts within partitions via ``cluster_by_key``."""
+        if self.partition is not None:
+            raise ValueError(
+                "cluster() supports unpartitioned tables; partitioned "
+                "tables range-sort per partition at write time "
+                "(cluster_by_key)")
+        active, deltas = self.log.active_state()
+        if target_slices is not None:
+            bad = [s for s in target_slices if s not in active]
+            if bad:
+                raise ValueError(f"not active: {bad}")
+            bad = [s for s in target_slices if s in deltas]
+            if bad:
+                raise ValueError(
+                    f"delta slices cannot be clustered (compact first): "
+                    f"{bad}")
+            targets = list(target_slices)
+        else:
+            targets = [s for s in active if s not in deltas]
+        if not targets:
+            return None
+        commit_id = self.log.next_commit_id()
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(*[str(self.table_path / s) for s in targets]))
+        n = df.count()
+        n_buckets = n_buckets or self._plan_parallelism(n) or 1
+        base = self.table_path / "data" / commit_id
+        bucketed = (df.repartitionByRange(n_buckets, self.key)
+                    .withColumn(CLUSTER_DIR_COL, F.spark_partition_id())
+                    .sortWithinPartitions(self.key))
+        (bucketed.write.mode("overwrite").partitionBy(CLUSTER_DIR_COL)
+         .parquet(str(base)))
+        slices = [f"data/{commit_id}/{d.name}"
+                  for d in sorted(base.iterdir())
+                  if d.is_dir() and d.name.startswith(f"{CLUSTER_DIR_COL}=")]
+        self._write_key_blooms(slices)
+        key_stats, col_stats = self._collect_footer_stats(slices)
+        commit = Commit(commit_id=commit_id, op="cluster", adds=slices,
+                        removes=targets,
                         metadata=self.log.latest_metadata(),
                         counts={"written": n},
                         key_stats=key_stats, col_stats=col_stats)

@@ -1208,3 +1208,51 @@ def test_precombine_field_combines_before_upsert(spark, tmp_path):
     with _pytest.raises(ValueError, match="precombine_field"):
         t.write(spark.createDataFrame([(9, "x")], ["k", "v"]),
                 WriteOp.UPSERT)
+
+
+def test_cluster_tightens_ranges_and_preserves_everything(spark, tmp_path):
+    """cluster(): interleaved commits that each span the whole key
+    space become range-disjoint bucket slices — a point probe prunes
+    to ONE slice — while contents, per-record commit stamps (the CDC /
+    streaming-tail currency) and time travel stay byte-identical."""
+    t = TableSink(spark, tmp_path / "t", "k", bloom_min_bytes=0)
+    for r in range(4):   # every commit spans keys [r, 96+r]: all overlap
+        t.write(spark.createDataFrame(
+            [(i * 4 + r, f"c{r}") for i in range(25)], ["k", "v"]),
+            WriteOp.INSERT)
+    before = sorted(map(tuple, t.read(with_meta=True).collect()))
+    assert len(t.slices_for_key_range(50, 50)) == 4   # ranges useless
+
+    c = t.cluster(n_buckets=4)
+    assert c.op == "cluster" and len(c.adds) == 4
+    # disjoint ranges: the point probe now admits exactly one slice
+    assert len(t.slices_for_key_range(50, 50)) == 1
+    # contents AND stamps unchanged (storage reorganization only)
+    assert sorted(map(tuple, t.read(with_meta=True).collect())) == before
+    # time travel to the pre-cluster commit still works
+    assert t.read(as_of=c.commit_id).count() == 100
+    # lookup through the fresh blooms still lands
+    assert [r["v"] for r in t.lookup(50).collect()] == ["c2"]
+    # idempotent policy surface: clustering the clustered table again
+    # is allowed and keeps content
+    t.cluster(n_buckets=2)
+    assert sorted(map(tuple, t.read(with_meta=True).collect())) == before
+
+
+def test_cluster_skips_mor_deltas_and_keeps_resolution(spark, tmp_path):
+    """Active MOR deltas are never clustered: the bases under them
+    reorganize, the deltas keep shadowing by stamp, and latest-wins
+    survives."""
+    t = TableSink(spark, tmp_path / "t", "k", table_type="mor")
+    t.write(spark.createDataFrame([(i, "base") for i in range(20)],
+                                  ["k", "v"]), WriteOp.INSERT)
+    t.write(spark.createDataFrame([(5, "newer")], ["k", "v"]),
+            WriteOp.UPSERT)                      # delta shadows k=5
+    c = t.cluster(n_buckets=2)
+    assert all("000000000001" not in s for s in c.removes)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[5] == "newer" and got[4] == "base" and len(got) == 20
+    # explicit delta target refuses loudly
+    delta_slice = t.log.commits()[1].adds[0]
+    with pytest.raises(ValueError, match="delta"):
+        t.cluster(target_slices=[delta_slice])

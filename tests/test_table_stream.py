@@ -56,6 +56,7 @@ def test_compact_and_restore_emit_nothing(registered, spark, tmp_path):
     t.write(spark.createDataFrame([(1, "A")], ["k", "v"]), WriteOp.UPSERT)
     last = t.log.commits()[-1].commit_id
     t.compact()
+    t.cluster(n_buckets=2)   # clustering is stamp-preserving too
     df = (spark.read.format("table_changes")
           .option("path", str(tmp_path / "t"))
           .option("start_commit", last).load())
