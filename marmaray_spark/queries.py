@@ -4160,8 +4160,7 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (label-suffix unnest, first hit by position,
     exception-beats-wildcard), per-registrable-domain host counts as
     the compared surface."""
-    from marmaray_spark.operators.drift import term_drift
-    from marmaray_spark.operators.text import lang_id, words
+    from marmaray_spark.operators.text import lang_id
     from marmaray_spark.operators.web import (canonical_dedup,
                                               domain_report,
                                               pagerank_integer,
@@ -4174,24 +4173,38 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit("confusion").alias("section"), "grp", "item", "n",
                     F.lit(0).cast("int").alias("rank")))
-    counts = (docs.select(F.col("lang").alias("grp"),
-                          F.explode(words("text")).alias("item"))
-              .filter(F.col("item") != "")
-              .groupBy("grp", "item").agg(F.count("*").alias("n")))
+    dw = _with_words(docs)
+    # ONE corpus token explode feeds BOTH term-keyed sections (the
+    # term_heavy_hitters treatment, applied after measuring: persisting
+    # the token-ARRAY base lost — cache churn + a materialization
+    # barrier — but persisting this vocab-scale (lang, half, term)
+    # count frame is cheap and saves two of the three explode passes).
+    # The drift section needs no term_drift join at all: its output is
+    # per-half occurrence counts with n > 0, and a term absent from a
+    # half contributes a zero the filter drops — so the full-outer
+    # join + coalesce + stack collapses to a per-half re-aggregation.
+    counts3 = (dw.select("lang",
+                         (F.col("doc_id") % 2 == 0).alias("even"),
+                         F.explode("w").alias("item"))
+               .filter(F.col("item") != "")
+               .groupBy("lang", "even", "item")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .persist())
+    counts = (counts3.groupBy(F.col("lang").alias("grp"), "item")
+              .agg(F.sum("n").alias("n")))
     w = W.partitionBy("grp").orderBy(F.col("n").desc(), "item")
     terms = (counts.withColumn("rank", F.row_number().over(w).cast("int"))
              .filter(F.col("rank") <= 5)
              .select(F.lit("top_terms").alias("section"),
-                     "grp", "item", "n", "rank"))
-    dw = _with_words(docs)
-    td = term_drift(dw.filter(F.col("doc_id") % 2 == 0),
-                    dw.filter(F.col("doc_id") % 2 == 1), "w")
-    drift = (td.selectExpr(
-        "stack(2, 'snap_a', cnt_a, 'snap_b', cnt_b) AS (grp, n)", "term")
-        .filter(F.col("n") > 0)
-        .select(F.lit("drift").alias("section"), "grp",
-                F.col("term").alias("item"), F.col("n").cast("long"),
-                F.lit(0).cast("int").alias("rank")))
+                     "grp", "item", F.col("n").cast("long").alias("n"),
+                     "rank"))
+    drift = (counts3.groupBy("even", "item")
+             .agg(F.sum("n").alias("n"))
+             .select(F.lit("drift").alias("section"),
+                     F.when(F.col("even"), F.lit("snap_a"))
+                     .otherwise(F.lit("snap_b")).alias("grp"),
+                     "item", F.col("n").cast("long").alias("n"),
+                     F.lit(0).cast("int").alias("rank")))
     urls = dw.select(
         "doc_id", F.size("w").alias("n_tok"), "source",
         F.expr(
