@@ -1323,7 +1323,10 @@ class TableSink:
         # landed, so a slice re-activated by restore() inside the window
         # (removed early, re-added, removed again later) survives and
         # time travel / read_changes keep working for every retained commit.
-        retained = commits[-retain_last_n_commits:]
+        # slice gotcha: commits[-0:] is the WHOLE list, so retain=0
+        # silently kept every snapshot instead of only the current one
+        retained = (commits[-retain_last_n_commits:]
+                    if retain_last_n_commits > 0 else [])
         keep: set[str] = set()
         for c in retained:
             keep.update(self.log.active_slices(as_of=c.commit_id))

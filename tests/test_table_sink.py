@@ -1256,3 +1256,46 @@ def test_cluster_skips_mor_deltas_and_keeps_resolution(spark, tmp_path):
     delta_slice = t.log.commits()[1].adds[0]
     with pytest.raises(ValueError, match="delta"):
         t.cluster(target_slices=[delta_slice])
+
+
+def test_table_cli_surface(spark, tmp_path, capsys):
+    """tools/table_cli.py — the hudi-cli analogue: commits/stats read
+    the log without Spark; cluster/vacuum run the services and report
+    one parseable JSON line each."""
+    import json as _json
+    import sys as _sys
+    sys_path_added = str((tmp_path / "..").resolve())
+    del sys_path_added
+    _sys.path.insert(0, "/root/repo/tools")
+    try:
+        import table_cli
+    finally:
+        _sys.path.pop(0)
+
+    t = TableSink(spark, tmp_path / "t", "k", stats_cols=["v"],
+                  bloom_min_bytes=0)
+    for r in range(3):
+        t.write(spark.createDataFrame(
+            [(i * 3 + r, i) for i in range(10)], ["k", "v"]),
+            WriteOp.INSERT)
+
+    assert table_cli.main(["commits", str(tmp_path / "t")]) == 0
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert len(doc["commits"]) == 3 and doc["active_slices"] == 3
+
+    assert table_cli.main(["stats", str(tmp_path / "t")]) == 0
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert len(doc["key_ranges"]) == 3
+    assert all("v" in v for v in doc["col_ranges"].values())
+
+    assert table_cli.main(["cluster", str(tmp_path / "t"),
+                           "--key", "k", "--buckets", "2"]) == 0
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert doc["buckets"] == 2 and doc["rewrote_slices"] == 3
+    assert t.read().count() == 30
+
+    assert table_cli.main(["vacuum", str(tmp_path / "t"),
+                           "--key", "k", "--retain", "0"]) == 0
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert len(doc["deleted_slices"]) == 3   # the pre-cluster slices
+    assert t.read().count() == 30
