@@ -5,9 +5,12 @@ Reference parity: every reference job is wired from a YAML config
 module is the equivalent factory for this engine's parts. Keys:
 
     job.name                  pipeline / lock / metrics name
-    source.type               parquet | json | warc
+    source.type               parquet | json | warc | table
     source.path               table or directory path
     source.schema_json        (json source) StructType JSON string
+    source.max_commits        (table) per-run commit-drain cap
+    source.record_key         (table) upstream table's record key
+                              (informational; the pull reads stamps)
     source.max_archives       (warc) per-run archive cap (backlog drains
                               across ticks); default unlimited
     source.record_types       (warc) comma-separated WARC record types
@@ -156,7 +159,8 @@ from marmaray_spark.metadata import FileSystemMetadataManager, PartitionManager
 from marmaray_spark.operators.errors import write_error_table
 from marmaray_spark.plans.dag import JobDag, JobSubDag, SinkNode
 from marmaray_spark.sinks.file import FileSink
-from marmaray_spark.sinks.table import TableSink, WriteOp
+from marmaray_spark.sinks.table import (TableChangesWorkUnitCalculator,
+                                        TableSink, WriteOp)
 from marmaray_spark.sources.hive import ParquetSource, ParquetWorkUnitCalculator
 
 
@@ -472,6 +476,19 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
             __import__("json").loads(config.get_required("source.schema_json")))
         jsrc = JsonFileSource(spark, schema)
         get_data = lambda wu: jsrc.get_data(wu).valid  # noqa: E731
+    elif src_type == "table":
+        # chained pipelines: this job's source is ANOTHER job's managed
+        # table, consumed as the incremental pull of the commit window
+        # since the checkpoint — run job A, run job B, only A's new
+        # commits flow, collapsed to latest-version-per-key
+        src_table = TableSink(spark, config.get_required("source.path"),
+                              record_key_field=config.get(
+                                  "source.record_key", "_row_key"))
+        calc = TableChangesWorkUnitCalculator(
+            src_table, meta,
+            checkpoint_key=f"{name}.table_source.last_commit",
+            max_commits=(config.get_int("source.max_commits", 0) or None))
+        get_data = calc.get_data
     elif src_type == "warc":
         # the crawl first mile from YAML alone, TICKING: incremental
         # checkpointed archive pickup (watermark staged by the

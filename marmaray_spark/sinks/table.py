@@ -1193,11 +1193,12 @@ class TableSink:
         capped — the max_messages idea applied to commits) and advances
         the checkpoint in ``metadata`` (caller persists via
         save_changes() only after its own sinks commit — the standard
-        work-unit contract). Maintenance commits (compact/restore) are
-        skipped: they introduce no records."""
+        work-unit contract). Maintenance commits (compact/cluster/restore)
+        are skipped: they introduce no records."""
         last = metadata.get(checkpoint_key) or ""
         pending = [c for c in self.log.commits()
-                   if c.commit_id > last and c.op not in ("compact", "restore")]
+                   if c.commit_id > last
+                   and c.op not in ("compact", "cluster", "restore")]
         if max_commits is not None:
             pending = pending[:max_commits]
         # one schema inference per DRAIN, not per commit: without this a
@@ -1366,3 +1367,57 @@ class TableSink:
                 shutil.rmtree(d)
                 removed.append(rel)
         return removed
+
+
+class TableChangesWorkUnitCalculator:
+    """A managed table AS AN UPSTREAM SOURCE for a chained JobDag —
+    the reference's pattern of one pipeline's Hudi table feeding the
+    next (HiveSource over HoodieSink output, one partition per run),
+    at commit granularity: ONE work unit per run covering the commit
+    window (checkpoint, latest], materialized as the INCREMENTAL PULL
+    of that window — snapshot rows whose commit stamp falls inside it.
+    One frame per run (not one per commit) because the YAML sink's
+    two-phase staging commits once per run, and because the pull
+    collapses intermediate versions: a key updated three times since
+    the last run arrives ONCE, as its latest version — the correct
+    input for a downstream upsert (no intra-batch duplicate-key
+    hazard). Keys dropped by overwrite emit nothing (after-image
+    stream, no delete op — read_changes parity).
+
+    IWorkUnitCalculator contract: ``save_next_run_state`` advances the
+    in-memory checkpoint, JobDag persists only after every sink
+    committed, so a failed run replays the same window onto idempotent
+    sinks. ``max_commits`` caps a backlog drain (the Kafka
+    max-messages idea applied to commits); maintenance commits don't
+    count against the cap (their stamps never match rows)."""
+
+    def __init__(self, table: "TableSink", metadata: MetadataManager,
+                 checkpoint_key: str = "table_source.last_commit",
+                 max_commits: int | None = None) -> None:
+        self.table = table
+        self.metadata = metadata
+        self.checkpoint_key = checkpoint_key
+        self.max_commits = max_commits
+
+    def compute_work_units(self) -> list[dict]:
+        last = self.metadata.get(self.checkpoint_key) or ""
+        pending = [c.commit_id for c in self.table.log.commits()
+                   if c.commit_id > last
+                   and c.op not in ("compact", "cluster", "restore")]
+        if self.max_commits is not None:
+            pending = pending[:self.max_commits]
+        if not pending:
+            return []
+        return [{"since": last, "upto": pending[-1]}]
+
+    def save_next_run_state(self, units: list[dict]) -> None:
+        if units:
+            self.metadata.set(self.checkpoint_key, units[-1]["upto"])
+
+    def get_data(self, wu: dict) -> DataFrame:
+        # as_of pins the window's far edge at PLAN time, so commits
+        # landing mid-run wait for the next tick instead of slipping
+        # into this one past its checkpoint
+        snap = self.table.read(as_of=wu["upto"], with_meta=True)
+        return (snap.filter(F.col(COMMIT_COL) > wu["since"])
+                .drop(COMMIT_COL))

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from marmaray_spark.config import Configuration
 from marmaray_spark.plans.assembly import build_job_dag
-from marmaray_spark.sinks.table import TableSink
+from marmaray_spark.sinks.table import TableSink, WriteOp
 
 
 @pytest.fixture()
@@ -735,3 +735,39 @@ def test_yaml_mor_compaction_policy_bounds_delta_slices(spark, tmp_path):
             set(expected.items())
     # at least one compact commit actually fired
     assert any(c.op == "compact" for c in t.log.commits())
+
+
+def test_yaml_chained_table_source(spark, tmp_path):
+    """source.type: table — job B consumes job A's managed table
+    commit-by-commit behind the work-unit checkpoint: a re-run with
+    nothing new is a no-op, and only A's NEW commits flow on the next
+    run (the reference's chained-pipeline pattern at commit
+    granularity)."""
+    a = TableSink(spark, tmp_path / "a", "k")
+    a.write(spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"]),
+            WriteOp.INSERT)
+
+    cfg = Configuration.from_tree({
+        "job": {"name": "chain_b"},
+        "source": {"type": "table", "path": str(tmp_path / "a")},
+        "sink": {"type": "table", "path": str(tmp_path / "b"),
+                 "record_key": "k", "op": "upsert"},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    })
+    assert build_job_dag(spark, cfg).execute(spark) is True
+    b = TableSink(spark, tmp_path / "b", "k")
+    assert {(r["k"], r["v"]) for r in b.read().collect()} == \
+        {(1, "x"), (2, "y")}
+    # nothing new on A: execute reports no work, B untouched
+    assert build_job_dag(spark, cfg).execute(spark) is False
+    assert len(b.log.commits()) == 1
+    # two more commits on A (incl. an update) flow through exactly once;
+    # a cluster() maintenance commit on A must NOT re-emit anything
+    a.write(spark.createDataFrame([(2, "Y2")], ["k", "v"]),
+            WriteOp.UPSERT)
+    a.cluster(n_buckets=2)
+    a.write(spark.createDataFrame([(3, "z")], ["k", "v"]),
+            WriteOp.DEDUP_INSERT)
+    assert build_job_dag(spark, cfg).execute(spark) is True
+    assert {(r["k"], r["v"]) for r in b.read().collect()} == \
+        {(1, "x"), (2, "Y2"), (3, "z")}
