@@ -145,6 +145,13 @@ rows):
     frontier.hosts_col        extracted link-host array column
                               (default link_hosts, the HTML extractor's
                               output)
+    frontier.ranks_path       host-rank TableSink directory: after each
+                              edge commit, PageRank refreshes into it
+                              on the measured policy cadence
+                              (refresh_host_ranks) — consumers read
+                              the table instead of recomputing
+    frontier.ranks_min_new_commits  refresh only after this many new
+                              edge commits (default 1)
 
 Unknown sink/source types raise — fail at assembly, not mid-run.
 """
@@ -595,8 +602,20 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                                  F.concat_ws("->", "src", "dst")))
             state["fr_staged"] = _t.stage(edges, WriteOp.DEDUP_INSERT)
 
-        def commit_frontier(_t=fr_table):
+        ranks_path = config.get("frontier.ranks_path")
+
+        def commit_frontier(_t=fr_table, _rp=ranks_path,
+                            _mc=config.get_int(
+                                "frontier.ranks_min_new_commits", 1)):
             _t.commit_staged(state.pop("fr_staged", None))
+            if _rp:
+                # the measured policy cadence (refresh_host_ranks
+                # docstring): recompute PageRank into the ranks table
+                # only when enough edge commits accrued — consumers
+                # (fetch_frontier) read the table, never recompute
+                from marmaray_spark.operators.web import refresh_host_ranks
+                ranks = TableSink(spark, _rp, record_key_field="node")
+                refresh_host_ranks(_t, ranks, meta, min_new_commits=_mc)
 
         nodes.append(SinkNode("frontier_edges", write_frontier,
                               commit=commit_frontier, priority=90))

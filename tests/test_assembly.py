@@ -419,7 +419,8 @@ def test_yaml_warc_crawl_job_ticks_incrementally(spark, tmp_path):
                    "decode_payload_col": "html", "http_ok_only": True},
         "corpus": {"text_col": "text", "id_col": "target_uri",
                    "html_col": "html", "gopher_gate": True},
-        "frontier": {"edges_path": str(tmp_path / "edges")},
+        "frontier": {"edges_path": str(tmp_path / "edges"),
+                     "ranks_path": str(tmp_path / "ranks")},
         "sink": {"type": "table", "path": str(tmp_path / "pages"),
                  "record_key": "target_uri", "op": "dedup_insert"},
         "error_table": {"path": str(tmp_path / "errs")},
@@ -461,6 +462,12 @@ def test_yaml_warc_crawl_job_ticks_incrementally(spark, tmp_path):
         edges.read().select("src", "dst")).collect()}
     assert ranks["hub.example.com"] > max(ranks["ex.com"],
                                           ranks["ex.org"])
+    # frontier.ranks_path: the commit phase refreshed the RANKS TABLE on
+    # the policy cadence — consumers read it instead of recomputing, and
+    # it matches the direct recompute above exactly
+    ranks_t = TableSink(spark, tmp_path / "ranks", record_key_field="node")
+    assert {r["node"]: r["rank"]
+            for r in ranks_t.read().collect()} == ranks
 
 
 def test_yaml_warc_non_utf8_payload_survives_the_tick(spark, tmp_path):
