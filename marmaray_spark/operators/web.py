@@ -441,7 +441,8 @@ def maintain_link_edges(pages, edges, metadata, url_col: str,
 def refresh_host_ranks(edges, ranks, metadata, iters: int = 5,
                        min_new_commits: int = 1,
                        checkpoint_key: str = "host_ranks.last_commit",
-                       src_col: str = "src", dst_col: str = "dst") -> int:
+                       src_col: str = "src", dst_col: str = "dst",
+                       save_changes: bool = True) -> int:
     """Cadence-refreshed PageRank TABLE for the frontier (r10 verdict
     item 6, measured first: 5-iteration ``pagerank_integer`` costs 11s
     at 2k hosts/100k edges and 23s at 1M hosts/20M edges on local[32] —
@@ -461,7 +462,17 @@ def refresh_host_ranks(edges, ranks, metadata, iters: int = 5,
     host-scale scan. Returns ranked nodes written, 0 when the cadence
     says skip. An edge table emptied by restore keeps the LAST ranking
     (stale-but-ordered beats empty for a fetch prioritizer); the next
-    real edge commit refreshes it."""
+    real edge commit refreshes it.
+
+    ``save_changes=False`` advances the checkpoint only IN MEMORY —
+    required when called from a JobDag sink-commit phase, where the
+    SAME metadata manager also carries the source checkpoint that
+    save_next_run_state advanced in memory: persisting here (priority
+    90, before later sinks commit) would durably skip the source
+    window if a later sink then fails. The DAG's single
+    ``metadata.save_changes()`` after all commits is the persistence
+    point; a crash before it replays the recompute onto the
+    idempotent overwrite, exactly like every other sink."""
     from marmaray_spark.sinks.table import WriteOp
 
     last = metadata.get(checkpoint_key) or ""
@@ -480,7 +491,8 @@ def refresh_host_ranks(edges, ranks, metadata, iters: int = 5,
     finally:
         pr.unpersist()
     metadata.set(checkpoint_key, commits[-1].commit_id)
-    metadata.save_changes()
+    if save_changes:
+        metadata.save_changes()
     return n
 
 

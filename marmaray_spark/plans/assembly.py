@@ -236,22 +236,33 @@ def _corpus_stages(config: Configuration):
     canon_url = config.get("corpus.canonical_url_col") or url_col
 
     stages = []
+
+    # the PSL suffix set is immutable config data (index-sized), but two
+    # stages consume it and the transform chain re-runs per batch/tick —
+    # memoize the collect() in a shared cell so streaming pipelines pay
+    # the driver round-trip once, not once per stage per tick
+    _psl_cell: list = []
+
+    def _psl_suffixes(df):
+        if not psl_table:
+            return None
+        if not _psl_cell:
+            _psl_cell.append({r[0] for r in
+                              df.sparkSession.read.parquet(psl_table)
+                              .collect()})
+        return _psl_cell[0]
+
     if blocklist_table:
         # provenance gate zero — RefinedWeb-style URL filtering drops
         # whole documents by registrable domain before robots, HTML
         # parse, or any text stage reads a byte. Both side tables are
         # index-sized: the blocklist broadcasts into an anti-join, the
         # optional PSL rides each task's closure.
-        def blocklist_stage(df, _p=blocklist_table, _psl=psl_table,
-                            _u=url_col):
+        def blocklist_stage(df, _p=blocklist_table, _u=url_col):
             from marmaray_spark.operators.web import blocklist_gate
             blocked = df.sparkSession.read.parquet(_p)
-            suffixes = None
-            if _psl:
-                suffixes = {r[0] for r in
-                            df.sparkSession.read.parquet(_psl).collect()}
             kept, _dropped = blocklist_gate(df, _u, blocked,
-                                            psl_suffixes=suffixes)
+                                            psl_suffixes=_psl_suffixes(df))
             return kept
         stages.append(blocklist_stage)
     if robots_table:
@@ -308,13 +319,10 @@ def _corpus_stages(config: Configuration):
         # digest dedup: the publisher's own hint collapses mirrors URL
         # canonicalization can't see (print/AMP twins with different
         # URLs), and doing it first shrinks what the digest pass hashes
-        def canonical_stage(df, _i=id_col, _u=canon_url, _psl=psl_table):
+        def canonical_stage(df, _i=id_col, _u=canon_url):
             from marmaray_spark.operators.web import canonical_dedup
-            suffixes = None
-            if _psl:
-                suffixes = {r[0] for r in
-                            df.sparkSession.read.parquet(_psl).collect()}
-            return canonical_dedup(df, _i, _u, psl_suffixes=suffixes)
+            return canonical_dedup(df, _i, _u,
+                                   psl_suffixes=_psl_suffixes(df))
         stages.append(canonical_stage)
     if do_norm:
         # FIRST among the text stages: render-identical crawl variants
@@ -615,7 +623,14 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                 # (fetch_frontier) read the table, never recompute
                 from marmaray_spark.operators.web import refresh_host_ranks
                 ranks = TableSink(spark, _rp, record_key_field="node")
-                refresh_host_ranks(_t, ranks, meta, min_new_commits=_mc)
+                # save_changes=False: ``meta`` also carries the source
+                # checkpoint that JobDag advanced in memory; persisting
+                # here (priority 90, before the priority-100 table
+                # commit) would durably skip the source window if that
+                # later commit fails. JobDag's single save_changes()
+                # after ALL commits persists the ranks checkpoint too.
+                refresh_host_ranks(_t, ranks, meta, min_new_commits=_mc,
+                                   save_changes=False)
 
         nodes.append(SinkNode("frontier_edges", write_frontier,
                               commit=commit_frontier, priority=90))

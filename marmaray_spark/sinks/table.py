@@ -359,12 +359,22 @@ class TableSink:
         duplicate rows; once no delta slice stays active, read() skips
         latest-wins entirely. ``None`` adopts the stored type ('cow'
         for a brand-new or pre-pin table), so read-only openers never
-        need to know."""
+        need to know.
+
+        Persistence rule: an EXPLICIT argument persists the pin at
+        open; ``None`` adopts without writing and the pin lands at the
+        first actual write (``_persist_pin``). A read-only opener of a
+        pre-existing unpinned table (a change-stream source, table_cli,
+        an example reader) must not pin it 'cow' under the legitimate
+        MOR writer that opens next — that spurious conflict (or worse,
+        a silent 'cow' adoption) was exactly the corruption path the
+        pin exists to prevent."""
         props_path = self.log.dir / "_table_props.json"
         stored = None
         if props_path.exists():
             with open(props_path) as f:
                 stored = json.load(f).get("table_type")
+        explicit = requested is not None
         if requested is None:
             requested = stored or "cow"
         if stored is not None and stored != requested:
@@ -373,16 +383,44 @@ class TableSink:
                 f"{stored!r}; reopening it as {requested!r} would "
                 f"corrupt merge-on-read semantics (delta slices would "
                 f"merge without latest-wins resolution)")
-        if stored is None:
-            fd, tmp = tempfile.mkstemp(dir=self.log.dir, suffix=".tmp")
-            try:
-                with os.fdopen(fd, "w") as f:
-                    json.dump({"table_type": requested}, f)
-                os.replace(tmp, props_path)
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
+        self._type_pinned = stored is not None
+        if stored is None and explicit:
+            self._write_pin(requested)
         return requested
+
+    def _write_pin(self, table_type: str) -> None:
+        props_path = self.log.dir / "_table_props.json"
+        fd, tmp = tempfile.mkstemp(dir=self.log.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"table_type": table_type}, f)
+            os.replace(tmp, props_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        self._type_pinned = True
+
+    def _persist_pin(self) -> None:
+        """First-write hook: durably pin the adopted table type. Re-checks
+        the stored pin first — another opener may have pinned (or even
+        created delta slices under a 'mor' pin) since this handle
+        adopted, and clobbering its pin with our default would reopen
+        the corruption window the open-time check closed."""
+        if self._type_pinned:
+            return
+        props_path = self.log.dir / "_table_props.json"
+        if props_path.exists():
+            with open(props_path) as f:
+                stored = json.load(f).get("table_type")
+            if stored != self.table_type:
+                raise ValueError(
+                    f"table {self.table_path} was pinned table_type="
+                    f"{stored!r} by another writer after this handle "
+                    f"adopted {self.table_type!r}; reopen with the "
+                    f"correct type")
+            self._type_pinned = True
+            return
+        self._write_pin(self.table_type)
 
     # -- read path ---------------------------------------------------------
 
@@ -564,6 +602,7 @@ class TableSink:
         """
         if op == WriteOp.NO_OP:
             return None
+        self._persist_pin()
         meta = metadata.all() if isinstance(metadata, MetadataManager) else dict(metadata or {})
         if commit_id is not None:
             if len(commit_id) != 12 or not commit_id.isdigit():
@@ -896,7 +935,19 @@ class TableSink:
         batch converges on the same winner). One shuffle on the key —
         the same exchange the merge itself needs."""
         from pyspark.sql import Window
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _unorderable(dt) -> bool:
+            # Spark can't order ANY type embedding a map, not just a
+            # top-level MapType — array<map<..>> or a struct carrying a
+            # map makes orderBy raise AnalysisException
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _unorderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_unorderable(f.dataType) for f in dt.fields)
+            return False
 
         pc = self.precombine_field
         if pc not in df.columns:
@@ -906,7 +957,7 @@ class TableSink:
         tiebreak = [F.col(f.name).desc_nulls_last()
                     for f in df.schema.fields
                     if f.name not in (self.key, pc)
-                    and not isinstance(f.dataType, MapType)]
+                    and not _unorderable(f.dataType)]
         w = Window.partitionBy(self.key).orderBy(
             F.col(pc).desc_nulls_last(), *tiebreak)
         return (df.withColumn("__pc_rn", F.row_number().over(w))
@@ -1225,6 +1276,7 @@ class TableSink:
         slices = self.log.active_slices()
         if not slices:
             return None
+        self._persist_pin()
         commit_id = self.log.next_commit_id()
         # read() (not a raw slice union) so a merge-on-read table's
         # deltas RESOLVE here — compaction is exactly the point where
@@ -1284,6 +1336,7 @@ class TableSink:
             targets = [s for s in active if s not in deltas]
         if not targets:
             return None
+        self._persist_pin()
         commit_id = self.log.next_commit_id()
         df = (self.spark.read.option("mergeSchema", "true")
               .parquet(*[str(self.table_path / s) for s in targets]))
@@ -1360,12 +1413,17 @@ class TableSink:
             if not d.is_dir():
                 continue
             rel = f"data/{d.name}"
-            subdirs = [f"data/{d.name}/{x.name}" for x in d.iterdir()
-                       if x.is_dir() and x.name.startswith(f"{PARTITION_DIR_COL}=")]
-            refs = [rel] + subdirs
-            if not any(r in referenced for r in refs):
-                shutil.rmtree(d)
-                removed.append(rel)
+            # keep the dir if it IS a referenced slice or if ANY
+            # referenced slice lives under it — slices are registered at
+            # varying depths (data/<cid>, data/<cid>/__pp__=..,
+            # data/<cid>/__cb__=.. from cluster()), so enumerating known
+            # layouts here would silently rmtree live slices whenever a
+            # new layout appears (the cluster-wipe bug this replaced)
+            if rel in referenced or any(r.startswith(rel + "/")
+                                        for r in referenced):
+                continue
+            shutil.rmtree(d)
+            removed.append(rel)
         return removed
 
 

@@ -778,3 +778,79 @@ def test_yaml_chained_table_source(spark, tmp_path):
     assert build_job_dag(spark, cfg).execute(spark) is True
     assert {(r["k"], r["v"]) for r in b.read().collect()} == \
         {(1, "x"), (2, "Y2"), (3, "z")}
+
+
+def test_sink_commit_failure_after_frontier_keeps_source_window(
+        spark, tmp_path, monkeypatch):
+    """Persist-only-after-all-sinks-commit survives the frontier ranks
+    refresh (r11 advice, high): the priority-90 frontier commit
+    refreshes the RANKS table through the SHARED metadata manager that
+    already carries the in-memory source checkpoint. If that refresh
+    persisted the manager, a priority-100 pages-commit failure would
+    durably skip the source window (data loss). Inject exactly that
+    failure and verify the window REPLAYS."""
+    from marmaray_spark.sources.warc import write_warc_gz
+    import marmaray_spark.sinks.table as tbl
+
+    body = (b"<html><body>"
+            b'<nav><a href="http://hub.example.com/x">hub</a></nav>'
+            b"<p>the quick brown fox jumps over the lazy dog while "
+            b"seven wizards brew strong coffee at dawn for everyone"
+            b"</p></body></html>")
+
+    def page(u):
+        payload = (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                   f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        return ({"WARC-Type": "response", "WARC-Record-ID": f"<{u}>",
+                 "WARC-Target-URI": u}, payload)
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg-00000.warc.gz").write_bytes(
+        write_warc_gz([page("http://ex.com/a")]))
+    cfg_yaml = yaml.safe_dump({
+        "job": {"name": "ordering_job"},
+        "source": {"type": "warc", "path": str(crawl),
+                   "decode_payload_col": "html", "http_ok_only": True},
+        "corpus": {"text_col": "text", "id_col": "target_uri",
+                   "html_col": "html"},
+        "frontier": {"edges_path": str(tmp_path / "edges"),
+                     "ranks_path": str(tmp_path / "ranks")},
+        "sink": {"type": "table", "path": str(tmp_path / "pages"),
+                 "record_key": "target_uri", "op": "dedup_insert"},
+        "error_table": {"path": str(tmp_path / "errs")},
+        "checkpoints": {"path": str(tmp_path / "ck")},
+    })
+    p = tmp_path / "crawl.yaml"
+    p.write_text(cfg_yaml)
+
+    assert build_job_dag(spark, Configuration.from_yaml(p)) \
+        .execute(spark) is True                      # tick 1 clean
+
+    (crawl / "seg-00001.warc.gz").write_bytes(
+        write_warc_gz([page("http://ex.org/b")]))
+
+    orig = tbl.TableSink.commit_staged
+
+    def boom(self, staged):
+        if self.table_path.name == "pages":
+            raise RuntimeError("injected pages-commit failure")
+        return orig(self, staged)
+
+    monkeypatch.setattr(tbl.TableSink, "commit_staged", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        build_job_dag(spark, Configuration.from_yaml(p)).execute(spark)
+    monkeypatch.setattr(tbl.TableSink, "commit_staged", orig)
+
+    # the frontier committed (priority 90) before the injected failure,
+    # but the SOURCE window must not be durably consumed: the rerun
+    # replays seg-00001 and the page lands
+    dag = build_job_dag(spark, Configuration.from_yaml(p))
+    assert dag.execute(spark) is True
+    t = TableSink(spark, tmp_path / "pages", record_key_field="target_uri")
+    assert {r["target_uri"] for r in t.read().collect()} == {
+        "http://ex.com/a", "http://ex.org/b"}
+    # and the replayed frontier DEDUP_INSERT kept edges unique
+    edges = TableSink(spark, tmp_path / "edges", record_key_field="edge_key")
+    assert edges.read().count() == edges.read().select("edge_key") \
+        .distinct().count()

@@ -1299,3 +1299,101 @@ def test_table_cli_surface(spark, tmp_path, capsys):
     doc = _json.loads(capsys.readouterr().out.strip())
     assert len(doc["deleted_slices"]) == 3   # the pre-cluster slices
     assert t.read().count() == 30
+
+
+def test_clean_orphans_spares_cluster_slices(spark, tmp_path):
+    """clean_orphans must keep a data dir whenever ANY referenced slice
+    lives under it: cluster() registers slices as data/<cid>/__cb__=N
+    (not data/<cid> itself, and not the __pp__= layout), so a layout
+    allowlist in the orphan sweep rmtree'd the entire live cluster
+    commit — table_cli exposes 'cluster' and 'orphans' back to back,
+    making that a one-command table wipe."""
+    t = TableSink(spark, tmp_path / "t", "k", bloom_min_bytes=0)
+    for r in range(2):
+        t.write(spark.createDataFrame(
+            [(i * 2 + r, f"c{r}") for i in range(10)], ["k", "v"]),
+            WriteOp.INSERT)
+    before = sorted(map(tuple, t.read().collect()))
+    c = t.cluster(n_buckets=2)
+    assert all("__cb__=" in s for s in c.adds)
+
+    # a genuine crash leftover must still be swept in the same pass
+    orphan = tmp_path / "t" / "data" / "999999999999"
+    spark.createDataFrame([(99, "x")], ["k", "v"]) \
+        .write.parquet(str(orphan))
+
+    removed = t.clean_orphans()
+    assert removed == ["data/999999999999"]
+    assert not orphan.exists()
+    assert sorted(map(tuple, t.read().collect())) == before
+    # and the clustered slices physically survived
+    for s in c.adds:
+        assert (tmp_path / "t" / s).is_dir()
+
+
+def test_readonly_open_does_not_pin_table_type(spark, tmp_path):
+    """A read-only opener (change-stream source, table_cli, example
+    readers) must not write the table-type pin: a pre-existing
+    unpinned MOR table first opened by a reader got pinned 'cow', and
+    the legitimate MOR writer then hit a spurious ValueError — or,
+    opening with None, silently adopted 'cow' and routed upserts
+    through the COW merge. The pin lands only on an explicit request
+    or at first actual write."""
+    t = TableSink(spark, tmp_path / "t", "k", table_type="mor")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+            WriteOp.INSERT)
+    t.write(spark.createDataFrame([(2, "B")], ["k", "v"]), WriteOp.UPSERT)
+    props = tmp_path / "t" / "_commits" / "_table_props.json"
+    props.unlink()                      # simulate a pre-pin-era table
+
+    # reader opens with None: adopts in memory, writes NOTHING
+    reader = TableSink(spark, tmp_path / "t", "k")
+    assert reader.read().count() == 2
+    assert not props.exists()
+
+    # the real MOR writer reopens without conflict and keeps MOR
+    w = TableSink(spark, tmp_path / "t", "k", table_type="mor")
+    assert props.exists()               # explicit request pins at open
+    w.write(spark.createDataFrame([(3, "c")], ["k", "v"]), WriteOp.UPSERT)
+    assert json.loads(props.read_text())["table_type"] == "mor"
+    got = {r["k"]: r["v"] for r in w.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_adopted_type_pins_at_first_write(spark, tmp_path):
+    """Open-with-None on a fresh table stays unpinned until the first
+    write actually uses the adopted default — then it pins, and a
+    later conflicting opener is refused."""
+    t = TableSink(spark, tmp_path / "t", "k")
+    props = tmp_path / "t" / "_commits" / "_table_props.json"
+    assert not props.exists()           # adoption alone writes nothing
+    t.write(spark.createDataFrame([(1, "a")], ["k", "v"]), WriteOp.INSERT)
+    assert json.loads(props.read_text())["table_type"] == "cow"
+    with pytest.raises(ValueError, match="table_type"):
+        TableSink(spark, tmp_path / "t", "k", table_type="mor")
+
+
+def test_precombine_skips_nested_map_tiebreak(spark, tmp_path):
+    """Any type EMBEDDING a map is unorderable in Spark, not just a
+    top-level MapType: array<map<..>> in the tiebreak list made
+    _precombine's orderBy raise AnalysisException. Such columns are
+    skipped; orderable columns still break ties deterministically."""
+    from pyspark.sql.types import (ArrayType, IntegerType, MapType,
+                                   StringType, StructField, StructType)
+
+    schema = StructType([
+        StructField("k", IntegerType()),
+        StructField("ts", IntegerType()),
+        StructField("v", StringType()),
+        StructField("tags", ArrayType(MapType(StringType(), StringType()))),
+        StructField("props", StructType([
+            StructField("m", MapType(StringType(), IntegerType()))])),
+    ])
+    t = TableSink(spark, tmp_path / "t", "k", precombine_field="ts")
+    batch = spark.createDataFrame(
+        [(1, 5, "old", [{"a": "1"}], {"m": {"x": 1}}),
+         (1, 9, "new", [{"b": "2"}], {"m": {"y": 2}}),
+         (2, 1, "only", None, None)], schema)
+    t.write(batch, WriteOp.UPSERT)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "new", 2: "only"}

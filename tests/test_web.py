@@ -1258,3 +1258,42 @@ def test_refresh_host_ranks_cadence_and_replay(spark, tmp_path):
     assert refresh_host_ranks(edges, ranks, md3) == 3   # replays
     assert sorted(map(tuple, ranks.read().collect())) == after
     assert refresh_host_ranks(edges, ranks, md3) == 0   # now durable
+
+
+def test_refresh_host_ranks_save_changes_optout(spark, tmp_path):
+    """save_changes=False (the DAG commit-phase form): the ranks
+    checkpoint advances IN MEMORY only. The frontier commit runs at
+    priority 90 over the SAME metadata manager that already carries
+    the un-persisted source checkpoint; persisting inside the refresh
+    would durably skip the source window if the priority-100 table
+    commit then failed (the r11-advice data-loss ordering). The
+    caller's single save_changes() stays the only persistence point."""
+    from marmaray_spark.metadata.manager import FileSystemMetadataManager
+    from marmaray_spark.operators.web import refresh_host_ranks
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    edges = TableSink(spark, tmp_path / "edges", "report_key")
+    ranks = TableSink(spark, tmp_path / "ranks", "node")
+    edges.write(spark.createDataFrame(
+        [("a->b", "a", "b"), ("b->a", "b", "a")],
+        "report_key string, src string, dst string"), WriteOp.INSERT)
+
+    md = FileSystemMetadataManager(str(tmp_path / "md"))
+    md.set("source.ckpt", "window-1")        # un-persisted, like mid-DAG
+    assert refresh_host_ranks(edges, ranks, md, save_changes=False) == 2
+    # in-memory cadence satisfied: the same run skips a re-refresh
+    assert refresh_host_ranks(edges, ranks, md, save_changes=False) == 0
+    # but NOTHING was persisted — neither the ranks checkpoint nor the
+    # source checkpoint it rides with
+    md_crash = FileSystemMetadataManager(str(tmp_path / "md"))
+    assert not md_crash.get("host_ranks.last_commit")
+    assert not md_crash.get("source.ckpt")
+    # crash replay onto the idempotent overwrite converges
+    assert refresh_host_ranks(edges, ranks, md_crash,
+                              save_changes=False) == 2
+
+    # the happy path: the caller's save_changes() makes both durable
+    md.save_changes()
+    md_re = FileSystemMetadataManager(str(tmp_path / "md"))
+    assert md_re.get("source.ckpt") == "window-1"
+    assert refresh_host_ranks(edges, ranks, md_re) == 0   # durable skip
