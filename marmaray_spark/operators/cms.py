@@ -255,6 +255,18 @@ def maintain_term_sketch(base, sketch, metadata, text_col: str = "text",
         deltas = [_signed_cells(plus, text_col, depth, width, 1)]
         for cid, change_df in batches:
             commit = commits_by_id[cid]
+            if commit.op == WriteOp.DELETE.value:
+                # a delete has no after-image (its change_df is empty);
+                # the before-image rows — recoverable for both COW
+                # rewrites and MOR tombstone deltas — are exactly what
+                # leaves the sketch
+                if commit.tombstones:
+                    pre = (base.delete_preimages(cid,
+                                                 schema=snap_schema())
+                           .select(base.key, text_col))
+                    deltas.append(_signed_cells(pre, text_col, depth,
+                                                width, -1))
+                continue
             if commit.delta:
                 # a merge-on-read delta upsert displaces versions with
                 # NO removes manifest — the subtraction side would

@@ -95,6 +95,18 @@ def consume_latest(base, metadata, cols: list[str], id_col: str,
         ids = change_df.select(id_col)
         affected = ids if affected is None else affected.unionByName(ids)
         commit = commits_by_id[cid]
+        if commit.op == "delete":
+            # a delete's after-image is empty; its affected ids are the
+            # BEFORE-image rows (works for both COW rewrites and MOR
+            # tombstone deltas — delete_preimages resolves either).
+            # Cheaper than the removes path below too: a COW delete's
+            # removes slices also hold untouched survivors, which would
+            # be re-derived for nothing.
+            if commit.tombstones:
+                pre = (base.delete_preimages(cid, schema=snap_schema())
+                       .select(id_col))
+                affected = affected.unionByName(pre)
+            continue
         if not commit.removes:
             continue  # pure append: no key can have vanished
         missing = [s for s in commit.removes
@@ -222,10 +234,10 @@ def maintain_projection(base, derived, metadata, cols: list[str],
     restrict after-images to
     keys still live in the base (no backlog resurrection), project ONCE
     behind a persist barrier (count + write both consume the plan), then
-    UPSERT — or, when a commit's removes manifest dropped keys, rewrite
-    the derived table without the dropped AND re-projected keys (UPSERT
-    cannot delete; the rewrite guard refuses partitioned derived tables,
-    where INSERT_OVERWRITE only replaces touched partitions). The
+    UPSERT — plus, when keys were dropped from the base (overwrite or
+    DELETE), a key-scoped DELETE commit on the derived table (UPSERT
+    cannot remove; the delete is slice-pruned, so its cost follows the
+    gone keys, and partitioned derived tables are fine). The
     consumer checkpoint persists via ``metadata.save_changes()`` only
     after the derived commit lands (IWorkUnitCalculator contract,
     M/common/sources/IWorkUnitCalculator.java:36-90); a replayed batch
@@ -288,18 +300,19 @@ def maintain_projection(base, derived, metadata, cols: list[str],
             n = projected.count()
             gone_keys = affected.join(base_ids, id_col, "left_anti")
             if (not derived.is_empty()) and gone_keys.limit(1).count() > 0:
-                if derived.partition is not None:
-                    raise ValueError(
-                        "stale-key rewrite needs an unpartitioned derived "
-                        f"table; it is partitioned by {derived.partition!r}")
-                gone = gone_keys.select(F.col(id_col).alias(derived_key)) \
-                    .unionByName(projected.select(derived_key))
-                survivors = derived.read().join(gone, derived_key,
-                                                "left_anti")
-                derived.write(survivors.unionByName(projected),
-                              WriteOp.INSERT_OVERWRITE,
-                              metadata=stamp)
-            elif n:
+                # keys dropped from the base leave the derived table by
+                # a key-scoped DELETE commit (slice-pruned, cost follows
+                # the gone keys) — the earlier INSERT_OVERWRITE form
+                # rewrote the WHOLE derived table and refused
+                # partitioned ones. The delete carries the projection
+                # params but NOT the consumed_through stamp: the stamp
+                # must ride only the drain's FINAL commit, or a crash
+                # between the delete and the upsert would fast-forward
+                # the fence past a never-folded projection.
+                derived.write(
+                    gone_keys.select(F.col(id_col).alias(derived_key)),
+                    WriteOp.DELETE, metadata=dict(commit_meta or {}))
+            if n:
                 derived.write(projected, WriteOp.UPSERT,
                               metadata=stamp)
         finally:
@@ -323,10 +336,10 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
     ``report_fn(live) -> DataFrame`` re-derives the report rows for the
     changed keys only; its output must carry ``id_col`` plus a single
     ``report_key`` column (the report TableSink's key). Stale handling:
-    rows of AFFECTED keys not re-asserted by the fresh set are rewritten
-    out (INSERT_OVERWRITE of survivors + fresh); an update that keeps a
-    key's rows is a plain change-scale UPSERT — the rewrite fires only
-    when rows must actually disappear. Checkpoint persists only after
+    rows of AFFECTED keys not re-asserted by the fresh set leave by a
+    key-scoped DELETE commit; an update that keeps a key's rows is a
+    plain change-scale UPSERT — the delete fires only when rows must
+    actually disappear. Checkpoint persists only after
     the report commit lands, so crash-replay re-derives the same rows
     (idempotent). Extracted from maintain_decontamination_report so the
     n-gram and semantic maintainers share one copy of the stale-row
@@ -394,18 +407,15 @@ def maintain_sparse_report(base, report, metadata, cols: list[str],
                          .join(fresh.select("report_key"), "report_key",
                                "left_anti"))
                 if stale.limit(1).count() > 0:
-                    if report.partition is not None:
-                        raise ValueError(
-                            "stale-row rewrite needs an unpartitioned "
-                            f"report table; partitioned by "
-                            f"{report.partition!r}")
-                    survivors = existing.join(
-                        stale.select("report_key")
-                        .unionByName(fresh.select("report_key")),
-                        "report_key", "left_anti")
-                    report.write(survivors.unionByName(fresh),
-                                 WriteOp.INSERT_OVERWRITE, metadata=stamp)
-                elif n_rows:
+                    # stale rows leave by a key-scoped DELETE commit
+                    # (slice-pruned; the INSERT_OVERWRITE form rewrote
+                    # the whole report and refused partitioned ones).
+                    # No consumed_through stamp here — it must ride
+                    # only the drain's final commit (see
+                    # maintain_projection's gone-keys note).
+                    report.write(stale.select("report_key"),
+                                 WriteOp.DELETE)
+                if n_rows:
                     report.write(fresh, WriteOp.UPSERT, metadata=stamp)
         finally:
             fresh.unpersist()

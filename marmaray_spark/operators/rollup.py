@@ -25,7 +25,7 @@ commit's ``removes`` manifest: the rewritten/replaced slices are still
 on disk (until vacuum), so old groups are read from exactly the data the
 commit displaced — partition-scoped, never a second full-table pass.
 Affected groups that recompute to zero rows get their rollup rows
-DELETED (via a rollup rewrite), not left stale.
+DELETED (a key-scoped DELETE commit), not left stale.
 
 Exactly-once: the consumer checkpoint lives in the caller's
 MetadataManager and is persisted only after the rollup commit lands —
@@ -86,6 +86,18 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
             affected = keys if affected is None \
                 else affected.unionByName(keys)
             commit = commits_by_id[cid]
+            if commit.op == WriteOp.DELETE.value:
+                # deleted rows leave their groups: the before-images
+                # (recoverable for BOTH copy-on-write rewrites and
+                # merge-on-read tombstone deltas) name exactly the
+                # groups to re-aggregate — no removes scan, which for a
+                # COW delete also holds untouched survivors
+                if commit.tombstones:
+                    pre = (base.delete_preimages(cid,
+                                                 schema=snap_schema())
+                           .select(group_col))
+                    affected = affected.unionByName(pre)
+                continue
             if commit.delta:
                 # a merge-on-read delta upsert displaces versions with
                 # no removes manifest — a record MOVED to a new group
@@ -143,26 +155,15 @@ def maintain_rollup(base, rollup, metadata, group_col: str,
               .alias(name) for name, (fn, col) in aggs.items()])
         n = partial.count()
         # affected groups with zero surviving rows must LEAVE the
-        # rollup; UPSERT can't remove, so rewrite the (small,
-        # one-row-per-group) rollup only when such tombstone groups
-        # actually exist
+        # rollup — a key-scoped DELETE commit (slice-pruned, cost
+        # follows the stale groups; the earlier INSERT_OVERWRITE form
+        # rewrote the ENTIRE rollup whenever one group went stale, and
+        # had to refuse partitioned rollups outright)
         stale = affected.join(partial.select(group_col), group_col,
                               "left_anti")
         if not rollup.is_empty() and stale.limit(1).count() > 0:
-            if rollup.partition is not None:
-                # INSERT_OVERWRITE only replaces partitions the new
-                # frame touches — a rollup partition whose EVERY group
-                # went stale would silently survive. One row per group
-                # is tiny; keep the rollup unpartitioned (its group key
-                # is already the sort/lookup key) rather than risk that.
-                raise ValueError(
-                    "tombstone rewrite needs an unpartitioned rollup "
-                    f"table; rollup is partitioned by {rollup.partition!r}")
-            survivors = rollup.read().join(affected, group_col,
-                                           "left_anti")
-            rollup.write(survivors.unionByName(partial),
-                         WriteOp.INSERT_OVERWRITE)
-        else:
+            rollup.write(stale, WriteOp.DELETE)
+        if n:
             rollup.write(partial, WriteOp.UPSERT)
     except BaseException:
         metadata.set(checkpoint_key, last)

@@ -27,7 +27,9 @@ module is the equivalent factory for this engine's parts. Keys:
     sink.record_key           (table) record key field
     sink.partition_field      (table) optional partition column
     sink.op                   (table) insert|bulk_insert|dedup_insert|
-                              upsert|insert_overwrite
+                              upsert|insert_overwrite|delete (delete:
+                              the transformed frame's key column names
+                              the records to remove — the GDPR path)
     sink.table_type           (table) cow | mor — merge-on-read
                               upserts append delta slices (batch-cost
                               writes, latest-wins reads until compact)
@@ -49,6 +51,13 @@ module is the equivalent factory for this engine's parts. Keys:
                               (greatest value wins) before merging
     sink.cluster_by_key       (table) sorted disjoint-range slices
     sink.target_file_size_mb  (table) parallelism auto-tune target
+    sink.lock_dir             (table) directory for the per-table
+                              write lock (FileLockManager): concurrent
+                              PIPELINES writing one table serialize
+                              their stage→commit spans instead of
+                              racing the commit log; omit for the
+                              single-writer-per-table default
+    sink.lock_timeout_s       (table) lock wait budget (default 600)
     sink.compression          (csv/json) lz4|gzip|snappy|zstd
     error_table.path          optional error-table parquet dir
     checkpoints.path          metadata manager directory
@@ -169,6 +178,11 @@ from marmaray_spark.sinks.file import FileSink
 from marmaray_spark.sinks.table import (TableChangesWorkUnitCalculator,
                                         TableSink, WriteOp)
 from marmaray_spark.sources.hive import ParquetSource, ParquetWorkUnitCalculator
+
+
+def _mk_lock(lock_dir: str):
+    from marmaray_spark.plans.locking import FileLockManager
+    return FileLockManager(lock_dir)
 
 
 def _corpus_stages(config: Configuration):
@@ -653,7 +667,12 @@ def build_job_dag(spark: SparkSession, config: Configuration) -> JobDag:
                                       (config.get("sink.stats_cols")
                                        or "").split(",") if c.strip()],
                           precombine_field=config.get(
-                              "sink.precombine_field"))
+                              "sink.precombine_field"),
+                          lock_manager=(_mk_lock(config.get("sink.lock_dir"))
+                                        if config.get("sink.lock_dir")
+                                        else None),
+                          lock_timeout_s=config.get_float(
+                              "sink.lock_timeout_s", 600.0))
         op = WriteOp(config.get("sink.op", "upsert"))
 
         # Two-phase: the write phase only STAGES slices (invisible to

@@ -604,6 +604,79 @@ def table_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_delete_readback",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    deleted AS (SELECT * FROM base WHERE user_id % 7 = 0),
+    back AS (
+      SELECT user_id, event_id, CAST(-1.0 AS DOUBLE) AS value
+      FROM base WHERE user_id % 14 = 0
+    ),
+    final AS (
+      SELECT * FROM base WHERE user_id % 7 <> 0
+      UNION ALL SELECT * FROM back
+    )
+    SELECT 'cow' AS section, user_id, event_id, value FROM final
+    UNION ALL
+    SELECT 'mor' AS section, user_id, event_id, value FROM final
+    UNION ALL
+    SELECT 'cdc' AS section, user_id, event_id, value FROM deleted
+    """,
+)
+def table_delete_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END key-scoped DELETE (WriteOp.DELETE — the GDPR /
+    right-to-be-forgotten path): INSERT a per-user snapshot, DELETE a
+    deterministic key subset, re-UPSERT half of the deleted keys.
+
+    Sections: 'cow' = copy-on-write table snapshot after the sequence
+    (slice-pruned survivor rewrite); 'mor' = the SAME sequence on a
+    merge-on-read table — delete lands as a tombstone delta, the
+    re-insert shadows it, and a compact() folds tombstones out of
+    storage, so the section also proves compaction preserves delete
+    semantics; 'cdc' = the delete commit's change capture: the full
+    BEFORE-IMAGE of every removed record (``delete_preimages``; the
+    removed-then-re-inserted keys still show their pre-delete values).
+    The oracle recomputes all three sections relationally."""
+    import tempfile
+
+    from marmaray_spark.sinks.table import TableSink, WriteOp
+
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+    base = (events.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_id", "value"))
+    del_keys = base.filter(F.col("user_id") % 7 == 0).select("user_id")
+    back = (base.filter(F.col("user_id") % 14 == 0)
+            .select("user_id", "event_id",
+                    F.lit(-1.0).cast("double").alias("value")))
+
+    out = None
+    for section, ttype in (("cow", "cow"), ("mor", "mor")):
+        table = tempfile.mkdtemp(prefix=f"delete_readback_{ttype}_")
+        sink = TableSink(spark, table, "user_id", table_type=ttype)
+        sink.write(base, WriteOp.INSERT)
+        c_del = sink.write(del_keys, WriteOp.DELETE)
+        sink.write(back, WriteOp.UPSERT)
+        if ttype == "mor":
+            sink.compact()          # tombstones must fold away cleanly
+        snap = (sink.read().select("user_id", "event_id", "value")
+                .withColumn("section", F.lit(section)))
+        out = snap if out is None else out.unionByName(snap)
+        if ttype == "cow":
+            cdc = (sink.read_changes(c_del.commit_id)
+                   .select("user_id", "event_id", "value")
+                   .withColumn("section", F.lit("cdc")))
+            out = out.unionByName(cdc)
+    return out.select("section", "user_id", "event_id", "value")
+
+
+@register(
     "kafka_incremental_fair_split",
     """
     WITH RECURSIVE evt AS (

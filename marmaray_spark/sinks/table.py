@@ -35,6 +35,7 @@ import json
 import math
 import os
 import tempfile
+import uuid
 from dataclasses import dataclass, field
 from enum import Enum
 from pathlib import Path
@@ -51,6 +52,12 @@ COMMIT_COL = "_commit_id"  # per-record commit stamp (Hudi
 # _hoodie_commit_time analogue): set when a record is first written,
 # PRESERVED through upsert rewrites and compaction, so incremental pull
 # (read_incremental) selects exactly the records a commit introduced.
+
+TOMBSTONE_COL = "_deleted"  # merge-on-read delete marker: a DELETE on a
+# MOR table appends a delta slice of (key, _commit_id, _deleted=true)
+# rows; latest-wins resolution drops any key whose newest version is a
+# tombstone (the Hudi delete-block-in-log analogue). COW tables never
+# write the column (deletes rewrite slices physically).
 
 # Per-slice key BLOOM filter (HoodieIndex BLOOM parity — the reference's
 # Hudi default index): the min/max range index prunes nothing when keys
@@ -90,6 +97,7 @@ class WriteOp(str, Enum):
     DEDUP_BULK_INSERT = "dedup_bulk_insert"
     UPSERT = "upsert"
     INSERT_OVERWRITE = "insert_overwrite"   # replace touched partitions
+    DELETE = "delete"                       # drop records by key (GDPR path)
     NO_OP = "no_op"
 
 
@@ -124,6 +132,13 @@ class Commit:
     # column-stats analogue feeding TableSink.scan's data skipping.
     # Default {} keeps pre-existing commit JSONs valid.
     col_stats: dict[str, dict] = field(default_factory=dict)
+    # DELETE commits only: relative path of the deleted-key manifest
+    # (parquet of record keys, under <table>/_tombstones/<cid> — outside
+    # data/, so slice sweeps never touch it). Feeds change capture
+    # (read_changes emits delete events with before-images) and linear
+    # index maintainers. None for every other op (and pre-existing
+    # commit JSONs).
+    tombstones: str | None = None
 
 
 class CommitLog:
@@ -237,6 +252,22 @@ class SinkStatManager:
         self.metadata.set(self.KEY, f"{avg:.2f}")
 
 
+def _locked(fn):
+    """Serialize a whole-table maintenance op under the table lock (a
+    no-op without a lock manager). stage/commit_staged manage the lock
+    themselves because their span crosses two calls."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        self._acquire_table_lock()
+        try:
+            return fn(self, *args, **kwargs)
+        finally:
+            self._release_table_lock()
+    return wrapper
+
+
 class TableSink:
     """Writes DataFrames into a managed table with Hoodie-style ops."""
 
@@ -251,7 +282,9 @@ class TableSink:
                  bloom_index: bool = True,
                  bloom_min_bytes: int = 8 << 20,
                  stats_cols: list[str] | None = None,
-                 precombine_field: str | None = None) -> None:
+                 precombine_field: str | None = None,
+                 lock_manager=None,
+                 lock_timeout_s: float = 600.0) -> None:
         """``bulk_insert_partitioner``: optional (df, n_partitions) -> df
         hook overriding the pre-write repartition — the
         UserDefinedBulkInsertPartitioner plugin point
@@ -344,6 +377,23 @@ class TableSink:
         self.bloom_min_bytes = bloom_min_bytes
         self.stats_cols = list(stats_cols or [])
         self.precombine_field = precombine_field
+        # Multi-writer guard (the Hudi lock-provider idea): when a lock
+        # manager (plans.locking FileLockManager / CqlLockManager) is
+        # given, every mutating operation — stage→commit_staged spans,
+        # compact, cluster, vacuum, restore, clean_orphans — serializes
+        # under one per-table lock, so concurrent PROCESSES writing the
+        # same table publish in sequence instead of racing the commit
+        # log. Writers to DIFFERENT tables never contend (the key is
+        # derived from the table path); a crashed holder's lock goes
+        # stale and is broken by the manager's own policy. Without a
+        # manager the contract stays single-writer-per-table (the
+        # reference's JobManager model — one lock per JobDag).
+        self.lock_manager = lock_manager
+        self.lock_timeout_s = lock_timeout_s
+        import hashlib
+        self._lock_key = ("table-" + hashlib.md5(
+            str(Path(table_path).resolve()).encode()).hexdigest()[:16])
+        self._lock_depth = 0
         self._bloom_cache: dict[str, object] = {}
         self.log = CommitLog(table_path)
         self.table_type = self._pin_table_type(table_type)
@@ -438,7 +488,16 @@ class TableSink:
         and MOR tables right after compact) skip it entirely."""
         slices, active_deltas = self.log.active_state(as_of=as_of)
         if not slices:
-            raise FileNotFoundError(f"table {self.table_path} has no commits")
+            if not self.log.commits():
+                raise FileNotFoundError(
+                    f"table {self.table_path} has no commits")
+            # commits exist but nothing is active (every row deleted /
+            # overwritten to nothing): an EMPTY snapshot in the table's
+            # schema, not an error — readers and maintainers treat an
+            # emptied table like any other state
+            empty = self._empty_frame()
+            return empty if with_meta or COMMIT_COL not in empty.columns \
+                else empty.drop(COMMIT_COL)
         df = (self.spark.read.option("mergeSchema", "true")
               .parquet(*[str(self.table_path / s) for s in slices]))
         if active_deltas:
@@ -466,11 +525,22 @@ class TableSink:
         """Latest-wins per record key by commit stamp (shadowed older
         versions drop out) — correct for COW rows too (each key appears
         once, the window is a no-op), so mixed base+delta scans need no
-        per-slice branching."""
+        per-slice branching.
+
+        Tombstone resolution rides the same window: a key whose NEWEST
+        version is a merge-on-read delete marker is dropped entirely
+        (the row never existed as far as this snapshot is concerned); an
+        older tombstone shadowed by a re-insert loses like any shadowed
+        version. The marker column never leaves this function."""
         from pyspark.sql.window import Window as W
         w = W.partitionBy(self.key).orderBy(F.col(COMMIT_COL).desc())
-        return (df.withColumn("__rn__", F.row_number().over(w))
-                .filter(F.col("__rn__") == 1).drop("__rn__"))
+        out = (df.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") == 1).drop("__rn__"))
+        if TOMBSTONE_COL in out.columns:
+            out = (out.filter(~F.coalesce(F.col(TOMBSTONE_COL),
+                                          F.lit(False)))
+                   .drop(TOMBSTONE_COL))
+        return out
 
     def read_changes(self, commit_id: str, with_op: bool = True,
                      schema=None) -> DataFrame:
@@ -510,6 +580,17 @@ class TableSink:
         if commit_id not in by_id:
             raise KeyError(f"unknown commit {commit_id!r}")
         commit = by_id[commit_id]
+        if commit.op == WriteOp.DELETE.value:
+            # a delete introduces NO after-images. with_op=True emits
+            # the before-image rows tagged 'delete' (CDC consumers need
+            # what vanished); with_op=False keeps its raw-after-image
+            # contract and returns empty — manifest-driven consumers
+            # (the linear sketch maintainer) subtract via
+            # delete_preimages instead.
+            if not with_op:
+                return self._empty_frame()
+            return (self.delete_preimages(commit_id, schema=schema)
+                    .withColumn("change_op", F.lit("delete")))
         if not commit.adds:    # a zero-row commit introduces nothing
             empty = self._empty_frame()
             return empty.withColumn("change_op", F.lit("insert")) \
@@ -581,6 +662,32 @@ class TableSink:
 
     # -- write path --------------------------------------------------------
 
+    def _acquire_table_lock(self) -> None:
+        """Reentrant per-table mutation lock (no-op without a lock
+        manager). Depth-counted so stage() can hand the held lock to
+        commit_staged() — the two-phase YAML flow keeps the table
+        locked across the whole stage→publish span, which is what makes
+        the staged removes manifests still true at publish time."""
+        if self.lock_manager is None:
+            return
+        if self._lock_depth == 0:
+            if not self.lock_manager.acquire(self._lock_key,
+                                             timeout_s=self.lock_timeout_s):
+                from marmaray_spark.plans.locking import LockError
+                raise LockError(
+                    f"table {self.table_path}: could not acquire the "
+                    f"write lock within {self.lock_timeout_s}s — another "
+                    "writer holds it (or crashed inside the stale "
+                    "window)")
+        self._lock_depth += 1
+
+    def _release_table_lock(self) -> None:
+        if self.lock_manager is None or self._lock_depth == 0:
+            return
+        self._lock_depth -= 1
+        if self._lock_depth == 0:
+            self.lock_manager.release(self._lock_key)
+
     def stage(self, df: DataFrame, op: WriteOp = WriteOp.UPSERT,
               metadata: MetadataManager | dict[str, str] | None = None,
               commit_id: str | None = None) -> "StagedWrite | None":
@@ -599,9 +706,25 @@ class TableSink:
         several writes can pin the id, HoodieSink.java user-commit-time
         path). Must keep the log monotonic: 12 digits, greater than the
         last published commit; a duplicate fails at publish time.
+
+        With a lock manager configured, the table lock is acquired HERE
+        and released by ``commit_staged`` (success or staged=None) — the
+        whole two-phase span is serialized. A raise inside staging
+        releases it; a stage whose commit phase never runs (sibling-sink
+        failure) holds it until the manager's stale policy breaks it.
         """
         if op == WriteOp.NO_OP:
             return None
+        self._acquire_table_lock()
+        try:
+            return self._stage_impl(df, op, metadata, commit_id)
+        except BaseException:
+            self._release_table_lock()
+            raise
+
+    def _stage_impl(self, df: DataFrame, op: WriteOp,
+                    metadata: MetadataManager | dict[str, str] | None,
+                    commit_id: str | None) -> "StagedWrite | None":
         self._persist_pin()
         meta = metadata.all() if isinstance(metadata, MetadataManager) else dict(metadata or {})
         if commit_id is not None:
@@ -613,6 +736,24 @@ class TableSink:
                     f"(next sequential is {self.log.next_commit_id()!r})")
         else:
             commit_id = self.log.next_commit_id()
+
+        if op == WriteOp.DELETE:
+            # key-scoped removal: the incoming frame only contributes its
+            # key column; counts/stamping/precombine of the write path
+            # don't apply (nothing is "written" in the record sense)
+            if self.is_empty():
+                adds, removes, ts_path, n_del, is_delta = [], [], None, 0, False
+            else:
+                adds, removes, ts_path, n_del, is_delta = \
+                    self._delete(commit_id, df)
+            key_stats, col_stats = self._collect_footer_stats(adds)
+            commit = Commit(commit_id=commit_id, op=op.value, adds=adds,
+                            removes=removes, metadata=meta,
+                            counts={"deleted": n_del},
+                            key_stats=key_stats, col_stats=col_stats,
+                            delta=is_delta, tombstones=ts_path)
+            return StagedWrite(commit=commit, metadata=metadata,
+                               n_records=0)
 
         if self.precombine_field and op in (WriteOp.UPSERT,
                                             WriteOp.DEDUP_INSERT,
@@ -659,7 +800,21 @@ class TableSink:
 
     def commit_staged(self, staged: "StagedWrite | None") -> Commit | None:
         """Phase 2: atomically publish the staged commit (rename of the
-        commit JSON), persist the embedded checkpoint, update sink stats."""
+        commit JSON), persist the embedded checkpoint, update sink stats.
+        Releases the table lock stage() acquired, success or failure.
+
+        A concurrent publish race (no lock manager, two writers staged
+        against the same next-id) fails HERE with FileExistsError — a
+        clean abort: staging dirs are per-writer unique, so the loser's
+        data never touched the winner's and becomes a sweepable orphan
+        (clean_orphans)."""
+        try:
+            return self._commit_staged_impl(staged)
+        finally:
+            self._release_table_lock()
+
+    def _commit_staged_impl(self, staged: "StagedWrite | None"
+                            ) -> Commit | None:
         if staged is None:
             return None
         self.log.write(staged.commit)
@@ -696,8 +851,16 @@ class TableSink:
 
     def _write_slices(self, commit_id: str, df: DataFrame, subdir: str,
                       n_records: int | None = None) -> list[str]:
-        """Write df under data/<subdir>; returns slice paths (relative)."""
-        base = self.table_path / "data" / subdir
+        """Write df under data/<subdir>.<token>; returns slice paths
+        (relative). The random token makes every staging directory
+        UNIQUE per writer: two processes staging against the same
+        next-commit-id land in different dirs, so the loser of the
+        publish race aborts cleanly (its dir becomes a sweepable
+        orphan) instead of silently overwriting the winner's staged
+        files — slice paths are opaque manifest references, so nothing
+        downstream assumes data/<cid> naming."""
+        base = self.table_path / "data" / f"{subdir}.{uuid.uuid4().hex[:8]}"
+        subdir = base.name
         n_part = self._plan_parallelism(n_records) if n_records is not None else None
         if n_part is not None:
             if self.bulk_insert_partitioner is not None:
@@ -921,9 +1084,17 @@ class TableSink:
                 slices, df.select(self.key), cap=20_000)
         if not slices:
             return df
-        existing = (self.spark.read.option("mergeSchema", "true")
-                    .parquet(*[str(self.table_path / s) for s in slices])
-                    .select(F.col(self.key)).distinct())
+        scan = (self.spark.read.option("mergeSchema", "true")
+                .parquet(*[str(self.table_path / s) for s in slices]))
+        if self._has_active_delta():
+            # merge-on-read: a key whose latest version is a tombstone
+            # does NOT exist — without resolution, DEDUP_INSERT would
+            # silently refuse to re-insert a deleted key forever. The
+            # window runs at pruned-slice scale, and all versions of any
+            # probe key live in the admitted slices (pruning is
+            # conservative), so resolution here is complete.
+            scan = self._resolve_latest(scan)
+        existing = scan.select(F.col(self.key)).distinct()
         return df.join(existing, self.key, "left_anti")
 
     def _precombine(self, df: DataFrame) -> DataFrame:
@@ -1032,6 +1203,174 @@ class TableSink:
         adds = self._write_slices(commit_id, df, commit_id, n_incoming)
         return adds, removes
 
+    def _delete(self, commit_id: str, df: DataFrame
+                ) -> tuple[list[str], list[str], str | None, int, bool]:
+        """Key-scoped record removal (Hudi DELETE op; the GDPR /
+        right-to-be-forgotten path a training-data table needs at
+        scale). Returns (adds, removes, tombstone_manifest, n_deleted,
+        is_delta).
+
+        Copy-on-write: rewrite ONLY the slices whose key range + bloom
+        admit the delete keys (the same pruning as the upsert merge),
+        dropping matching rows; survivors keep their original commit
+        stamps, so incremental windows are undisturbed. Write cost
+        follows the touched slices, never the table.
+
+        Merge-on-read: append a TOMBSTONE delta slice of
+        (key, stamp, _deleted=true) rows — pure batch-scale append, the
+        Hudi delete-block analogue; latest-wins resolution drops
+        tombstoned keys on read and compact() folds them out of storage
+        for good. Only keys that currently EXIST are tombstoned
+        (resolution over the pruned scan), so a crash-replayed delete
+        is a no-op instead of stacking duplicate markers.
+
+        Either way the actually-deleted key set is persisted as a
+        manifest under ``_tombstones/<commit_id>`` (outside data/ —
+        orphan sweeps and slice reads never see it), which is what
+        change capture and linear index maintainers consume. A delete
+        of absent keys publishes a zero-count commit with no file
+        churn."""
+        keys = df.select(self.key).distinct()
+        bounds = keys.agg(F.min(self.key).alias("lo"),
+                          F.max(self.key).alias("hi")).collect()[0]
+        if bounds["lo"] is None:
+            return [], [], None, 0, False
+        overlapping = self.slices_for_key_range(bounds["lo"], bounds["hi"])
+        if overlapping and self.bloom_index:
+            overlapping = self._bloom_filter_slices(overlapping, keys,
+                                                    cap=20_000)
+        if not overlapping:
+            return [], [], None, 0, False
+        old = (self.spark.read.option("mergeSchema", "true")
+               .parquet(*[str(self.table_path / s) for s in overlapping]))
+
+        if self.table_type == "mor":
+            # all versions of a probe key live in the admitted slices
+            # (pruning is conservative), so resolution here is complete:
+            # already-tombstoned keys drop out and are not re-marked
+            live = self._resolve_latest(old)
+            vic_cols = [self.key] + ([self.partition] if self.partition
+                                     and self.partition in live.columns
+                                     else [])
+            victims = (live.join(keys, self.key, "left_semi")
+                       .select(*vic_cols).distinct().persist())
+            try:
+                n_del = victims.count()
+                if n_del == 0:
+                    return [], [], None, 0, False
+                tomb = (victims
+                        .withColumn(COMMIT_COL, F.lit(commit_id))
+                        .withColumn(TOMBSTONE_COL, F.lit(True)))
+                adds = self._write_slices(commit_id, tomb, commit_id)
+                ts_path = self._write_tombstone_manifest(commit_id, victims)
+            finally:
+                victims.unpersist()
+            return adds, [], ts_path, n_del, True
+
+        # copy-on-write: slices are read raw (not via read()) so
+        # survivors KEEP their original commit stamps — the same
+        # invariant as _upsert (r10 regression pin)
+        victims = (old.join(keys, self.key, "left_semi")
+                   .select(self.key).distinct().persist())
+        try:
+            n_del = victims.count()
+            if n_del == 0:
+                return [], [], None, 0, False
+            survivors = old.join(keys, self.key, "left_anti").persist()
+            try:
+                n_surv = survivors.count()
+                # an all-victims rewrite must not register an empty
+                # slice: a parquet dir with no data files breaks later
+                # schema inference
+                adds = (self._write_slices(commit_id, survivors,
+                                           commit_id)
+                        if n_surv else [])
+            finally:
+                survivors.unpersist()
+            ts_path = self._write_tombstone_manifest(commit_id, victims)
+        finally:
+            victims.unpersist()
+        return adds, overlapping, ts_path, n_del, False
+
+    def _write_tombstone_manifest(self, commit_id: str,
+                                  victims: DataFrame) -> str:
+        # same per-writer unique token as _write_slices: concurrent
+        # stagers of the same next-id must not clobber each other's
+        # manifests; the commit JSON records the exact path
+        rel = f"_tombstones/{commit_id}.{uuid.uuid4().hex[:8]}"
+        (victims.select(self.key).write.mode("overwrite")
+         .parquet(str(self.table_path / rel)))
+        return rel
+
+    def delete_preimages(self, commit_id: str, schema=None) -> DataFrame:
+        """The full BEFORE-IMAGE rows a DELETE commit removed — the
+        change-capture currency for deletes (a key alone can't tell a
+        maintained index what to subtract). Commit-scale I/O:
+
+        - copy-on-write: the displaced slices in the commit's removes
+          manifest still hold the pre-images until vacuum — read them,
+          semi-join the tombstone keys (one pre-delete version per key
+          by the COW invariant).
+        - merge-on-read: a tombstone delta removes nothing physically;
+          the shadowed versions are still ACTIVE as of the previous
+          commit — read the as-of-prev slices pruned by the tombstone
+          keys' range + blooms, semi-join, resolve latest-wins.
+
+        ``schema``: explicit read schema (same contract as
+        read_changes — one footer-inference per drain, not per commit).
+        Raises FileNotFoundError when vacuum already deleted the
+        pre-image slices, same posture as read_changes on vacuumed
+        adds."""
+        by_id = {c.commit_id: c for c in self.log.commits()}
+        if commit_id not in by_id:
+            raise KeyError(f"unknown commit {commit_id!r}")
+        commit = by_id[commit_id]
+        if commit.op != WriteOp.DELETE.value:
+            raise ValueError(f"commit {commit_id} is op={commit.op!r}, "
+                             "not a delete")
+        if not commit.tombstones:
+            return self._empty_frame()
+        keys = self.spark.read.parquet(
+            str(self.table_path / commit.tombstones)).distinct()
+        if commit.removes:          # copy-on-write pre-images
+            src_slices = list(commit.removes)
+        else:                       # merge-on-read: prev-active, pruned
+            ids = sorted(by_id)
+            i = ids.index(commit_id)
+            if i == 0:
+                return self._empty_frame()
+            src_slices = self.log.active_slices(as_of=ids[i - 1])
+            stats: dict[str, list] = {}
+            for c in self.log.commits():
+                stats.update(c.key_stats or {})
+            bounds = keys.agg(F.min(self.key).alias("lo"),
+                              F.max(self.key).alias("hi")).collect()[0]
+            if bounds["lo"] is not None:
+                src_slices = [
+                    s for s in src_slices
+                    if s not in stats
+                    or not (stats[s][1] < bounds["lo"]
+                            or stats[s][0] > bounds["hi"])]
+            if src_slices and self.bloom_index:
+                src_slices = self._bloom_filter_slices(src_slices, keys,
+                                                       cap=20_000)
+        if not src_slices:
+            return self._empty_frame()
+        missing = [s for s in src_slices
+                   if not (self.table_path / s).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"delete {commit_id} pre-images vacuumed "
+                f"({missing[:3]}...); raise vacuum retain_last_n_commits")
+        reader = (self.spark.read.schema(schema) if schema is not None
+                  else self.spark.read.option("mergeSchema", "true"))
+        pre = (reader.parquet(*[str(self.table_path / s)
+                                for s in src_slices])
+               .join(keys, self.key, "left_semi"))
+        pre = self._resolve_latest(pre)
+        return pre.drop(COMMIT_COL)
+
+    @_locked
     def restore(self, as_of: str) -> Commit:
         """Roll the table back to its state at commit ``as_of`` (Delta
         RESTORE / Hudi savepoint-rollback): a NEW commit whose manifest
@@ -1266,6 +1605,7 @@ class TableSink:
             metadata.set(checkpoint_key, pending[-1].commit_id)
         return out
 
+    @_locked
     def compact(self) -> Commit | None:
         """Rewrite the active slices into fresh right-sized ones — the
         small-file maintenance every copy-on-write table needs: many
@@ -1284,7 +1624,10 @@ class TableSink:
         # read(with_meta=True) keeps them
         df = self.read(with_meta=True)
         n = df.count()
-        adds = self._write_slices(commit_id, df, commit_id, n)
+        # a table whose every key was tombstoned compacts to NOTHING —
+        # registering a zero-row slice would break later schema
+        # inference, so the compact commit just retires the old slices
+        adds = self._write_slices(commit_id, df, commit_id, n) if n else []
         key_stats, col_stats = self._collect_footer_stats(adds)
         commit = Commit(commit_id=commit_id, op="compact", adds=adds,
                         removes=list(slices),
@@ -1294,6 +1637,7 @@ class TableSink:
         self.log.write(commit)
         return commit
 
+    @_locked
     def cluster(self, n_buckets: int | None = None,
                 target_slices: list[str] | None = None) -> "Commit | None":
         """Hudi CLUSTERING table service: rewrite slices RANGE-BUCKETED
@@ -1342,13 +1686,14 @@ class TableSink:
               .parquet(*[str(self.table_path / s) for s in targets]))
         n = df.count()
         n_buckets = n_buckets or self._plan_parallelism(n) or 1
-        base = self.table_path / "data" / commit_id
+        base = (self.table_path / "data"
+                / f"{commit_id}.{uuid.uuid4().hex[:8]}")
         bucketed = (df.repartitionByRange(n_buckets, self.key)
                     .withColumn(CLUSTER_DIR_COL, F.spark_partition_id())
                     .sortWithinPartitions(self.key))
         (bucketed.write.mode("overwrite").partitionBy(CLUSTER_DIR_COL)
          .parquet(str(base)))
-        slices = [f"data/{commit_id}/{d.name}"
+        slices = [f"data/{base.name}/{d.name}"
                   for d in sorted(base.iterdir())
                   if d.is_dir() and d.name.startswith(f"{CLUSTER_DIR_COL}=")]
         self._write_key_blooms(slices)
@@ -1361,6 +1706,7 @@ class TableSink:
         self.log.write(commit)
         return commit
 
+    @_locked
     def vacuum(self, retain_last_n_commits: int = 5) -> list[str]:
         """Physically delete slices that are no longer active AND were
         removed at least ``retain_last_n_commits`` commits ago. Bounds
@@ -1400,6 +1746,7 @@ class TableSink:
                     parent.rmdir()
         return deleted
 
+    @_locked
     def clean_orphans(self) -> list[str]:
         """Delete data dirs not referenced by any commit (crash leftovers)."""
         import shutil

@@ -1397,3 +1397,316 @@ def test_precombine_skips_nested_map_tiebreak(spark, tmp_path):
     t.write(batch, WriteOp.UPSERT)
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got == {1: "new", 2: "only"}
+
+
+# -- WriteOp.DELETE (key-scoped removal; the GDPR/forget path) -------------
+
+
+def test_delete_cow_prunes_rewrites_and_captures_changes(spark, tmp_path):
+    """Copy-on-write DELETE: matching rows leave, survivors keep their
+    original commit stamps (incremental windows undisturbed), the
+    commit records the deleted count + tombstone manifest, change
+    capture emits before-images tagged 'delete', and a replayed delete
+    of the same keys is a zero-count no-op with no file churn."""
+    t = TableSink(spark, tmp_path / "t", "k")
+    c0 = t.write(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], ["k", "v"]), WriteOp.INSERT)
+    c = t.write(spark.createDataFrame([(3,), (5,), (99,)], ["k"]),
+                WriteOp.DELETE)
+    assert c.op == "delete" and c.counts == {"deleted": 2}
+    assert c.tombstones.startswith(f"_tombstones/{c.commit_id}")
+    assert sorted(r["k"] for r in t.read().collect()) == \
+        [0, 1, 2, 4, 6, 7, 8, 9]
+    # survivors keep their ORIGINAL stamps: nothing re-enters the
+    # incremental window
+    assert t.read_incremental(since=c0.commit_id).count() == 0
+    # CDC: before-images, tagged
+    ch = t.read_changes(c.commit_id)
+    assert sorted((r["k"], r["v"], r["change_op"]) for r in ch.collect()) \
+        == [(3, "v3", "delete"), (5, "v5", "delete")]
+    # with_op=False keeps its after-image contract: a delete has none
+    assert t.read_changes(c.commit_id, with_op=False).count() == 0
+    # replay: nothing matches, zero-count commit, no slices touched
+    c2 = t.write(spark.createDataFrame([(3,), (5,)], ["k"]),
+                 WriteOp.DELETE)
+    assert c2.counts == {"deleted": 0} and c2.adds == [] \
+        and c2.removes == [] and c2.tombstones is None
+    # time travel straddles the delete
+    assert t.read(as_of=c0.commit_id).count() == 10
+
+
+def test_delete_mor_tombstone_delta(spark, tmp_path):
+    """Merge-on-read DELETE appends a tombstone delta (batch-scale, no
+    rewrite): reads and lookups drop the key, the before-image is the
+    LATEST pre-delete version, a deleted key can be re-inserted through
+    DEDUP_INSERT (the tombstone must not read as 'existing'), and
+    compact() folds tombstones out of storage."""
+    m = TableSink(spark, tmp_path / "m", "k", table_type="mor")
+    m.write(spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                                  ["k", "v"]), WriteOp.INSERT)
+    m.write(spark.createDataFrame([(4, "V4")], ["k", "v"]), WriteOp.UPSERT)
+    c = m.write(spark.createDataFrame([(4,), (7,)], ["k"]), WriteOp.DELETE)
+    assert c.delta is True and c.removes == [] \
+        and c.counts == {"deleted": 2}
+    assert sorted(r["k"] for r in m.read().collect()) == \
+        [0, 1, 2, 3, 5, 6, 8, 9]
+    assert m.lookup(4).count() == 0 and m.lookup(3).count() == 1
+    # before-image picks the newest shadowed version (V4, not v4)
+    assert sorted((r["k"], r["v"]) for r in
+                  m.delete_preimages(c.commit_id).collect()) == \
+        [(4, "V4"), (7, "v7")]
+    # _deleted never leaks into reader-facing schemas
+    assert "_deleted" not in m.read().columns
+    assert "_deleted" not in m.read_changes(c.commit_id).columns
+    # re-insert through the dedup gate: tombstoned key is NOT existing
+    m.write(spark.createDataFrame([(4, "back"), (3, "dup")], ["k", "v"]),
+            WriteOp.DEDUP_INSERT)
+    got = {r["k"]: r["v"] for r in m.read().collect()}
+    assert got[4] == "back" and got[3] == "v3" and len(got) == 9
+    # compact folds the tombstones; content unchanged, deltas gone
+    m.compact()
+    assert len(m.log.active_state()[1]) == 0
+    assert {r["k"]: r["v"] for r in m.read().collect()} == got
+    # deleting an absent key on MOR is also a zero-count no-op
+    assert m.write(spark.createDataFrame([(7,)], ["k"]),
+                   WriteOp.DELETE).counts == {"deleted": 0}
+
+
+def test_delete_partitioned_table(spark, tmp_path):
+    t = TableSink(spark, tmp_path / "t", "k", partition_field="p")
+    t.write(spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(8)], ["k", "p", "x"]),
+        WriteOp.INSERT)
+    c = t.write(spark.createDataFrame([(0,), (1,)], ["k"]), WriteOp.DELETE)
+    assert c.counts == {"deleted": 2}
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(2, 8))
+    assert sorted((r["k"], r["p"]) for r in
+                  t.read_changes(c.commit_id).select("k", "p").collect()) \
+        == [(0, "p0"), (1, "p1")]
+
+
+def test_delete_empties_table_and_reads_empty(spark, tmp_path):
+    """A table whose every row was deleted reads as an EMPTY frame in
+    its own schema (not an error), is_empty() is honest, and fresh
+    inserts bring it back."""
+    t = TableSink(spark, tmp_path / "t", "k")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+            WriteOp.INSERT)
+    c = t.write(spark.createDataFrame([(1,), (2,)], ["k"]), WriteOp.DELETE)
+    assert c.counts == {"deleted": 2} and c.adds == []
+    assert t.is_empty()
+    assert t.read().count() == 0
+    assert set(t.read().columns) == {"k", "v"}
+    t.write(spark.createDataFrame([(3, "c")], ["k", "v"]), WriteOp.INSERT)
+    assert [(r["k"], r["v"]) for r in t.read().collect()] == [(3, "c")]
+    # CDC for the emptying delete still serves before-images
+    assert t.read_changes(c.commit_id).count() == 2
+
+
+def test_delete_preimages_vacuumed_raises(spark, tmp_path):
+    t = TableSink(spark, tmp_path / "t", "k")
+    t.write(spark.createDataFrame([(i, str(i)) for i in range(5)],
+                                  ["k", "v"]), WriteOp.INSERT)
+    c = t.write(spark.createDataFrame([(2,)], ["k"]), WriteOp.DELETE)
+    for _ in range(6):   # push the delete's removes out of retention
+        t.write(spark.createDataFrame([(100, "x")], ["k", "v"]),
+                WriteOp.UPSERT)
+    t.vacuum(retain_last_n_commits=2)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.delete_preimages(c.commit_id).collect()
+
+
+def test_delete_then_reinsert_tags_insert_in_cdc(spark, tmp_path):
+    """A key re-inserted after a delete is a fresh 'insert' in change
+    capture — the pre-delete incarnation must not make it an
+    'update'."""
+    t = TableSink(spark, tmp_path / "t", "k")
+    t.write(spark.createDataFrame([(1, "a")], ["k", "v"]), WriteOp.INSERT)
+    t.write(spark.createDataFrame([(1,)], ["k"]), WriteOp.DELETE)
+    c = t.write(spark.createDataFrame([(1, "again")], ["k", "v"]),
+                WriteOp.UPSERT)
+    ch = t.read_changes(c.commit_id).collect()
+    assert [(r["k"], r["change_op"]) for r in ch] == [(1, "insert")]
+
+
+def test_rollup_tracks_base_deletes(spark, tmp_path):
+    """maintain_rollup over a base that takes DELETEs: deleted rows
+    leave their groups; a group emptied by the delete leaves the rollup
+    via a key-scoped DELETE commit (no whole-rollup rewrite)."""
+    from marmaray_spark.metadata.manager import InMemoryMetadataManager
+    from marmaray_spark.operators.rollup import maintain_rollup
+
+    base = TableSink(spark, tmp_path / "b", "k")
+    rollup = TableSink(spark, tmp_path / "r", "grp")
+    meta = InMemoryMetadataManager()
+    aggs = {"n": ("count", "*"), "total": ("sum", "x")}
+    base.write(spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)], ["k", "grp", "x"]),
+        WriteOp.INSERT)
+    maintain_rollup(base, rollup, meta, "grp", aggs)
+    base.write(spark.createDataFrame([(2,), (3,)], ["k"]), WriteOp.DELETE)
+    maintain_rollup(base, rollup, meta, "grp", aggs)
+    got = sorted((r["grp"], r["n"], r["total"])
+                 for r in rollup.read().collect())
+    assert got == [("a", 1, 10)]          # b emptied, a re-aggregated
+    assert any(c.op == "delete" for c in rollup.log.commits())
+    # idle tick after the delete: nothing pending
+    assert maintain_rollup(base, rollup, meta, "grp", aggs) == 0
+
+
+def test_term_sketch_tracks_base_deletes(spark, tmp_path):
+    """The linear CMS maintainer subtracts a DELETE's before-images:
+    after the delete the maintained sketch equals a from-scratch build
+    over the current corpus — for both COW and MOR bases."""
+    from marmaray_spark.metadata.manager import InMemoryMetadataManager
+    from marmaray_spark.operators.cms import cms_build, maintain_term_sketch
+
+    for ttype in ("cow", "mor"):
+        base = TableSink(spark, tmp_path / f"b_{ttype}", "k",
+                         table_type=ttype)
+        sketch = TableSink(spark, tmp_path / f"s_{ttype}", "cell_key")
+        meta = InMemoryMetadataManager()
+        base.write(spark.createDataFrame(
+            [(1, "alpha beta beta"), (2, "beta gamma"), (3, "alpha")],
+            ["k", "text"]), WriteOp.INSERT)
+        maintain_term_sketch(base, sketch, meta, text_col="text",
+                             depth=2, width=64)
+        base.write(spark.createDataFrame([(2,)], ["k"]), WriteOp.DELETE)
+        maintain_term_sketch(base, sketch, meta, text_col="text",
+                             depth=2, width=64)
+        toks = (base.read().select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                              r"\s+")).alias("t"))
+            .filter(F.col("t") != ""))
+        want = sorted(
+            (r["row"], r["cell"], r["cnt"]) for r in
+            cms_build(toks, "t", depth=2, width=64).collect()
+            if r["cnt"] != 0)
+        got = sorted((r["row"], r["cell"], r["cnt"])
+                     for r in sketch.read().collect() if r["cnt"] != 0)
+        assert got == want, ttype
+
+
+def test_dedup_index_tracks_base_deletes(spark, tmp_path):
+    """maintain_projection consumers drop deleted keys: a document
+    deleted from the corpus leaves the maintained dedup index (the
+    forget flow), via a key-scoped DELETE commit on the index."""
+    from marmaray_spark.metadata.manager import InMemoryMetadataManager
+    from marmaray_spark.operators.incdedup import (
+        exact_dups_against_index, maintain_dedup_index)
+
+    base = TableSink(spark, tmp_path / "b", "doc_id")
+    index = TableSink(spark, tmp_path / "i", "doc_id")
+    meta = InMemoryMetadataManager()
+    base.write(spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "wholly different text")],
+        ["doc_id", "text"]), WriteOp.INSERT)
+    maintain_dedup_index(base, index, meta)
+    assert sorted(r["doc_id"] for r in index.read().collect()) == [1, 2]
+
+    base.write(spark.createDataFrame([(1,)], ["doc_id"]), WriteOp.DELETE)
+    maintain_dedup_index(base, index, meta)
+    assert sorted(r["doc_id"] for r in index.read().collect()) == [2]
+    assert any(c.op == "delete" for c in index.log.commits())
+    # a re-submission of the forgotten content is NOT a dup anymore
+    probe = spark.createDataFrame([(9, "the quick brown fox")],
+                                  ["doc_id", "text"])
+    assert exact_dups_against_index(probe, index.read()).count() == 0
+
+
+# -- multi-writer guard (unique staging dirs + per-table lock) --------------
+
+
+def test_concurrent_writers_serialize_under_table_lock(spark, tmp_path):
+    """Three concurrent writer threads (each its own TableSink handle +
+    lock-manager identity, like three driver processes) upsert disjoint
+    key ranges under the per-table lock: every commit publishes, ids
+    stay contiguous-monotone, and the final content is exactly each
+    writer's last batch — no lost updates, no publish races."""
+    import threading
+
+    from marmaray_spark.plans.locking import FileLockManager
+
+    errs = []
+
+    def writer(wid: int):
+        try:
+            locks = FileLockManager(tmp_path / "locks")
+            t = TableSink(spark, tmp_path / "t", "k",
+                          lock_manager=locks, lock_timeout_s=120)
+            for b in range(3):
+                rows = [(wid * 100 + i, f"w{wid}b{b}") for i in range(5)]
+                t.write(spark.createDataFrame(rows, ["k", "v"]),
+                        WriteOp.UPSERT)
+        except Exception as e:   # noqa: BLE001 — surfaced via assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert errs == []
+    t = TableSink(spark, tmp_path / "t", "k")
+    ids = [c.commit_id for c in t.log.commits()]
+    assert len(ids) == 9 and ids == sorted(ids)
+    assert ids == [f"{i:012d}" for i in range(9)]   # no gaps, no dups
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 15
+    for wid in range(3):
+        for i in range(5):
+            assert got[wid * 100 + i] == f"w{wid}b2"
+
+
+def test_publish_race_without_lock_aborts_cleanly(spark, tmp_path):
+    """Two unlocked writers staging against the same next-commit-id:
+    the loser's publish fails with FileExistsError, the winner's data
+    is untouched (staging dirs are per-writer unique — before this, the
+    second stager silently OVERWROTE the first's files under
+    data/<cid>), and the loser's staging dir is a sweepable orphan."""
+    t1 = TableSink(spark, tmp_path / "t", "k")
+    t2 = TableSink(spark, tmp_path / "t", "k")
+    t1.write(spark.createDataFrame([(1, "base")], ["k", "v"]),
+             WriteOp.INSERT)
+    s1 = t1.stage(spark.createDataFrame([(2, "A")], ["k", "v"]),
+                  WriteOp.UPSERT)
+    s2 = t2.stage(spark.createDataFrame([(3, "B")], ["k", "v"]),
+                  WriteOp.UPSERT)
+    assert s1.commit.commit_id == s2.commit.commit_id   # the race
+    t1.commit_staged(s1)
+    with pytest.raises(FileExistsError):
+        t2.commit_staged(s2)
+    got = {r["k"]: r["v"] for r in t1.read().collect()}
+    assert got == {1: "base", 2: "A"}                   # winner intact
+    removed = t1.clean_orphans()                        # loser swept
+    assert len(removed) == 1
+    assert {r["k"]: r["v"] for r in t1.read().collect()} == got
+
+
+def test_stale_table_lock_is_broken(spark, tmp_path):
+    """A writer that died holding the table lock (staged, never
+    committed) must not wedge the table: the next writer breaks the
+    stale lock after the manager's staleness window and proceeds; the
+    dead writer's staged publish then loses cleanly."""
+    import time
+
+    from marmaray_spark.plans.locking import FileLockManager
+
+    crashed = TableSink(
+        spark, tmp_path / "t", "k",
+        lock_manager=FileLockManager(tmp_path / "locks",
+                                     stale_after_s=0.5))
+    s = crashed.stage(spark.createDataFrame([(1, "dead")], ["k", "v"]),
+                      WriteOp.INSERT)       # lock held; process "dies"
+    time.sleep(0.8)
+    alive = TableSink(
+        spark, tmp_path / "t", "k",
+        lock_manager=FileLockManager(tmp_path / "locks",
+                                     stale_after_s=0.5),
+        lock_timeout_s=30)
+    alive.write(spark.createDataFrame([(2, "alive")], ["k", "v"]),
+                WriteOp.INSERT)             # breaks the stale lock
+    with pytest.raises(FileExistsError):
+        crashed.commit_staged(s)            # zombie publish loses
+    assert {r["k"]: r["v"] for r in alive.read().collect()} == \
+        {2: "alive"}
