@@ -52,6 +52,22 @@ def rank_bucket(df: DataFrame, col: str, bits: int = 16,
         out, (F.ntile(1 << bits).over(W.orderBy(F.col(col))) - 1).cast("bigint"))
 
 
+def boundary_rank(col: str, boundaries: list[float]) -> Column:
+    """Rank-bucket ``col`` against a PRE-COMPUTED ascending boundary
+    list (e.g. from ``approxQuantile``): bucket = number of boundaries
+    strictly below the value — a codegen fold over the broadcast
+    literal array, no shuffle, no window. NULLs land in bucket 0. The
+    scale-honest alternative to ``rank_bucket``'s global-window ntile
+    (one quantile PASS sizes the boundaries; each row then pays an
+    O(len(boundaries)) expression, fine for the 255-entry 8-bit grid a
+    z-order layout wants)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.aggregate(
+        arr, F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.when(F.col(col).cast("double") > b,
+                                    F.lit(1)).otherwise(F.lit(0)))
+
+
 def zorder_cluster(df: DataFrame, cols: list[str], bits: int = 16,
                    num_partitions: int | None = None) -> DataFrame:
     """Cluster rows by Morton value: one range shuffle (the same cost a

@@ -1400,7 +1400,8 @@ class TableSink:
 
     # -- key index (HoodieIndex analogue) ----------------------------------
 
-    def _collect_footer_stats(self, adds: list[str]
+    def _collect_footer_stats(self, adds: list[str],
+                              extra_cols: list[str] | None = None
                               ) -> tuple[dict[str, list],
                                          dict[str, dict[str, list]]]:
         """(key_stats, col_stats) per written slice, from parquet
@@ -1415,7 +1416,10 @@ class TableSink:
         as must-scan, so degradation is always conservative."""
         import pyarrow.parquet as pq
 
-        want = [self.key] + [c for c in self.stats_cols if c != self.key]
+        want = [self.key] + [c for c in (list(self.stats_cols)
+                                         + list(extra_cols or []))
+                             if c != self.key]
+        want = list(dict.fromkeys(want))
         key_stats: dict[str, list] = {}
         col_stats: dict[str, dict[str, list]] = {}
         for s in adds:
@@ -1639,7 +1643,9 @@ class TableSink:
 
     @_locked
     def cluster(self, n_buckets: int | None = None,
-                target_slices: list[str] | None = None) -> "Commit | None":
+                target_slices: list[str] | None = None,
+                zorder_by: list[str] | None = None,
+                zorder_bits: int = 8) -> "Commit | None":
         """Hudi CLUSTERING table service: rewrite slices RANGE-BUCKETED
         by record key, so the table's pruning granularity (the slice)
         carries tight DISJOINT key ranges afterwards — many interleaved
@@ -1659,7 +1665,24 @@ class TableSink:
         job, and the latest-wins resolution survives clustering the
         bases under them). Unpartitioned tables only: a partitioned
         table already buckets by partition value, and its write path
-        sorts within partitions via ``cluster_by_key``."""
+        sorts within partitions via ``cluster_by_key``.
+
+        ``zorder_by``: MULTI-DIMENSIONAL layout instead of the key sort
+        (Delta/Iceberg OPTIMIZE ZORDER): each listed numeric/orderable
+        column is quantile-bucketized into ``2^zorder_bits`` rank
+        buckets (boundaries via one approxQuantile pass — sample-based,
+        skew-robust, index-scale on the driver; the per-row rank is a
+        codegen fold over the broadcast boundary array), the ranks
+        Morton-interleave (operators/zorder.py), and the range shuffle
+        runs on the z-value — so every written slice carries a compact
+        z-range, which means SIMULTANEOUSLY bounded footer min/max on
+        EVERY zorder column. The commit records per-slice col_stats for
+        those columns, and ``scan()`` then file-prunes predicates on
+        ANY of them. Trade (documented, inherent): record-KEY ranges
+        interleave across z-buckets, so point lookups lean on the bloom
+        index rather than disjoint key ranges — choose key clustering
+        OR z-ordering per table by query mix. len(zorder_by) *
+        zorder_bits must be <= 62."""
         if self.partition is not None:
             raise ValueError(
                 "cluster() supports unpartitioned tables; partitioned "
@@ -1688,16 +1711,44 @@ class TableSink:
         n_buckets = n_buckets or self._plan_parallelism(n) or 1
         base = (self.table_path / "data"
                 / f"{commit_id}.{uuid.uuid4().hex[:8]}")
-        bucketed = (df.repartitionByRange(n_buckets, self.key)
-                    .withColumn(CLUSTER_DIR_COL, F.spark_partition_id())
-                    .sortWithinPartitions(self.key))
+        if zorder_by:
+            from marmaray_spark.operators.zorder import (boundary_rank,
+                                                         zorder_value)
+            if len(zorder_by) * zorder_bits > 62:
+                raise ValueError("len(zorder_by) * zorder_bits must be "
+                                 "<= 62")
+            missing = [c for c in zorder_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"zorder_by columns not in table: "
+                                 f"{missing}")
+            probs = [i / (1 << zorder_bits)
+                     for i in range(1, 1 << zorder_bits)]
+            rank_cols = []
+            num = df.select(*[F.col(c).cast("double").alias(c)
+                              for c in zorder_by])
+            for i, c in enumerate(zorder_by):
+                bounds = num.approxQuantile(c, probs, 0.001)
+                rc = f"__zr_{i}"
+                df = df.withColumn(rc, boundary_rank(c, bounds))
+                rank_cols.append(rc)
+            zdf = df.withColumn("__zv", zorder_value(rank_cols,
+                                                     zorder_bits))
+            bucketed = (zdf.repartitionByRange(n_buckets, "__zv")
+                        .withColumn(CLUSTER_DIR_COL, F.spark_partition_id())
+                        .sortWithinPartitions("__zv")
+                        .drop("__zv", *rank_cols))
+        else:
+            bucketed = (df.repartitionByRange(n_buckets, self.key)
+                        .withColumn(CLUSTER_DIR_COL, F.spark_partition_id())
+                        .sortWithinPartitions(self.key))
         (bucketed.write.mode("overwrite").partitionBy(CLUSTER_DIR_COL)
          .parquet(str(base)))
         slices = [f"data/{base.name}/{d.name}"
                   for d in sorted(base.iterdir())
                   if d.is_dir() and d.name.startswith(f"{CLUSTER_DIR_COL}=")]
         self._write_key_blooms(slices)
-        key_stats, col_stats = self._collect_footer_stats(slices)
+        key_stats, col_stats = self._collect_footer_stats(
+            slices, extra_cols=zorder_by)
         commit = Commit(commit_id=commit_id, op="cluster", adds=slices,
                         removes=targets,
                         metadata=self.log.latest_metadata(),
@@ -1706,13 +1757,61 @@ class TableSink:
         self.log.write(commit)
         return commit
 
+    # -- savepoints (Hudi savepoint parity) --------------------------------
+
+    def savepoints(self) -> list[str]:
+        """Commit ids protected from vacuum (ascending)."""
+        p = self.log.dir / "_savepoints.json"
+        if not p.exists():
+            return []
+        with open(p) as f:
+            return sorted(json.load(f))
+
+    def _write_savepoints(self, ids: list[str]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.log.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(sorted(set(ids)), f)
+            os.replace(tmp, self.log.dir / "_savepoints.json")
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    @_locked
+    def savepoint(self, as_of: str | None = None) -> str:
+        """Pin the snapshot at commit ``as_of`` (default: latest)
+        against vacuum — the Hudi savepoint: however aggressive the
+        retention policy gets, every slice that snapshot references
+        survives, so ``restore(as_of)`` and ``read(as_of=...)`` keep
+        working for it. Returns the pinned commit id."""
+        commits = {c.commit_id for c in self.log.commits()}
+        if not commits:
+            raise FileNotFoundError(
+                f"table {self.table_path} has no commits")
+        cid = as_of if as_of is not None else max(commits)
+        if cid not in commits:
+            raise KeyError(f"unknown commit {cid!r}")
+        self._write_savepoints(self.savepoints() + [cid])
+        return cid
+
+    @_locked
+    def delete_savepoint(self, commit_id: str) -> bool:
+        """Unpin; the next vacuum may reclaim the snapshot's slices.
+        Returns whether the savepoint existed."""
+        sps = self.savepoints()
+        if commit_id not in sps:
+            return False
+        self._write_savepoints([s for s in sps if s != commit_id])
+        return True
+
     @_locked
     def vacuum(self, retain_last_n_commits: int = 5) -> list[str]:
         """Physically delete slices that are no longer active AND were
         removed at least ``retain_last_n_commits`` commits ago. Bounds
         storage growth of copy-on-write history; time travel / change
         capture older than the horizon stops working (the trade every
-        retention policy makes). Returns deleted slice paths."""
+        retention policy makes) — except at SAVEPOINTED commits, whose
+        snapshots are always kept. Returns deleted slice paths."""
         import shutil
 
         commits = self.log.commits()
@@ -1731,6 +1830,8 @@ class TableSink:
         for c in retained:
             keep.update(self.log.active_slices(as_of=c.commit_id))
         keep.update(self.log.active_slices())
+        for sp in self.savepoints():      # pinned snapshots never expire
+            keep.update(self.log.active_slices(as_of=sp))
         expired = [s for c in commits for s in c.adds if s not in keep]
         deleted = []
         for s in dict.fromkeys(expired):   # ordered unique

@@ -365,3 +365,59 @@ def test_crawl_ingest_pipeline_example(spark, tmp_path):
     d2 = discovery_tick(spark, wd, robots_df, bodies)
     assert d2["seed_urls"] == 0 and d2["parsed"] == 0
     assert d2["frontier"] == d1["frontier"]
+
+
+def test_forget_pipeline_example(spark, tmp_path):
+    """examples/forget_pipeline.py: a deletion request propagates
+    through the corpus table AND every maintained structure (dedup
+    index, term sketch, per-source rollup), each staying equal to a
+    from-scratch rebuild; after retention churn + vacuum the forgotten
+    payload is physically absent from every byte under the table."""
+    import forget_pipeline as fp
+    from pyspark.sql import functions as F
+
+    from marmaray_spark.operators.cms import cms_build
+    from marmaray_spark.operators.incdedup import exact_dups_against_index
+
+    wd = str(tmp_path)
+    fp.ingest_tick(spark, wd, [
+        (1, "web", "the quick brown fox jumps over the lazy dog"),
+        (2, "web", "SECRET-PAYLOAD-TO-FORGET alpha beta gamma"),
+        (3, "books", "call me ishmael some years ago never mind how")])
+    fp.ingest_tick(spark, wd, [
+        (4, "web", "wholly unrelated content about sailing ships"),
+        (5, "books", "it was the best of times it was the worst")])
+
+    out = fp.forget(spark, wd, [2])
+    assert out["deleted"] == 1
+    base, index, sketch, rollup, _md = fp._tables(spark, wd)
+    # corpus: doc 2 gone
+    assert sorted(r["doc_id"] for r in base.read().collect()) == \
+        [1, 3, 4, 5]
+    # dedup index: a re-submission of the forgotten content is NOT a dup
+    probe = spark.createDataFrame(
+        [(9, "SECRET-PAYLOAD-TO-FORGET alpha beta gamma")],
+        ["doc_id", "text"])
+    assert exact_dups_against_index(probe, index.read()).count() == 0
+    # sketch == rebuild over the post-forget corpus
+    toks = (base.read().select(F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"))
+        .filter(F.col("t") != ""))
+    want = {(r["row"], r["cell"]): r["cnt"]
+            for r in cms_build(toks, "t", depth=4, width=256).collect()
+            if r["cnt"]}
+    got = {(r["row"], r["cell"]): r["cnt"]
+           for r in sketch.read().collect() if r["cnt"]}
+    assert got == want
+    # rollup re-aggregated the group the deleted doc left
+    assert {r["source"]: r["n_docs"] for r in rollup.read().collect()} \
+        == {"web": 2, "books": 2}
+
+    # the pre-images are still on disk (the CDC window), then vacuum
+    # makes the forget physically irrecoverable
+    assert fp.payload_on_disk(wd, b"SECRET-PAYLOAD-TO-FORGET")
+    fp.erase_physically(spark, wd, [
+        [(10 + i, "web", f"churn document number {i}")] for i in range(6)])
+    assert not fp.payload_on_disk(wd, b"SECRET-PAYLOAD-TO-FORGET")
+    # and the table still reads fine afterwards
+    assert base.read().count() == 10

@@ -1710,3 +1710,78 @@ def test_stale_table_lock_is_broken(spark, tmp_path):
         crashed.commit_staged(s)            # zombie publish loses
     assert {r["k"]: r["v"] for r in alive.read().collect()} == \
         {2: "alive"}
+
+
+def test_cluster_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """cluster(zorder_by=[x, y]): after the Morton rewrite a narrow
+    predicate on EITHER column admits ~sqrt-bound slices (a 1-D key
+    sort would admit ALL slices for the non-sort column), contents and
+    stamps are byte-identical, and scan() stays semantically equal to
+    read().filter() on both columns."""
+    import random
+
+    t = TableSink(spark, tmp_path / "t", "k", bloom_min_bytes=0)
+    random.seed(7)
+    rows = [(i, random.randint(0, 9999), random.randint(0, 9999))
+            for i in range(8000)]
+    for c in range(4):              # interleaved commits span both dims
+        t.write(spark.createDataFrame(rows[c::4], ["k", "x", "y"]),
+                WriteOp.INSERT)
+    before = sorted(map(tuple, t.read(with_meta=True).collect()))
+
+    c = t.cluster(n_buckets=16, zorder_by=["x", "y"], zorder_bits=8)
+    assert c.op == "cluster" and len(c.adds) == 16
+    # contents AND stamps unchanged (storage reorganization only)
+    assert sorted(map(tuple, t.read(with_meta=True).collect())) == before
+    # simultaneous pruning: a ~1%-wide window on EITHER dim admits a
+    # strict subset of slices (Morton bound ~ sqrt(n_buckets)); before
+    # clustering every slice spanned both dims fully
+    for col in ("x", "y"):
+        admitted = len(t.slices_for_col_range(col, 100, 200))
+        assert admitted <= 8, (col, admitted)
+    # scan() == read().filter() on both dims
+    for col, lo, hi in (("x", 100, 200), ("y", 9000, 9100)):
+        a = sorted(r["k"] for r in t.scan(col, lo, hi).collect())
+        b = sorted(r["k"] for r in t.read()
+                   .filter((F.col(col) >= lo) & (F.col(col) <= hi))
+                   .collect())
+        assert a == b and a        # non-vacuous
+    # bad args fail loudly
+    with pytest.raises(ValueError, match="zorder_by columns"):
+        t.cluster(zorder_by=["nope"])
+    with pytest.raises(ValueError, match="<= 62"):
+        t.cluster(zorder_by=["x", "y"], zorder_bits=32)
+
+
+def test_savepoint_pins_snapshot_against_vacuum(spark, tmp_path):
+    """Hudi savepoint: a pinned commit's snapshot survives ANY vacuum
+    policy — time travel and restore keep working for it; dropping the
+    savepoint lets the next vacuum reclaim it."""
+    t = TableSink(spark, tmp_path / "t", "k")
+    c0 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+                 WriteOp.INSERT)
+    assert t.savepoint() == c0.commit_id          # default: latest
+    for i in range(8):                             # churn the key space
+        t.write(spark.createDataFrame([(1, f"u{i}"), (2, f"u{i}")],
+                                      ["k", "v"]), WriteOp.UPSERT)
+    t.vacuum(retain_last_n_commits=1)
+    # the pinned snapshot is fully readable and restorable
+    assert {r["v"] for r in t.read(as_of=c0.commit_id).collect()} == \
+        {"a", "b"}
+    t.restore(c0.commit_id)
+    assert {r["v"] for r in t.read().collect()} == {"a", "b"}
+    t.restore(t.log.commits()[-2].commit_id)       # back to newest data
+
+    # unpin -> the snapshot becomes reclaimable
+    assert t.delete_savepoint(c0.commit_id) is True
+    assert t.delete_savepoint(c0.commit_id) is False
+    t.write(spark.createDataFrame([(1, "z"), (2, "z")], ["k", "v"]),
+            WriteOp.UPSERT)
+    removed = t.vacuum(retain_last_n_commits=1)
+    assert any(s in c0.adds for s in removed)
+    from pyspark.errors import AnalysisException
+    with pytest.raises((AnalysisException, FileNotFoundError)):
+        t.read(as_of=c0.commit_id).collect()
+    # unknown commit refused
+    with pytest.raises(KeyError):
+        t.savepoint(as_of="999999999999")

@@ -7,7 +7,8 @@ operability surface for the commit-log tables this repo writes:
     python tools/table_cli.py commits  <table>           # timeline
     python tools/table_cli.py stats    <table> --key k   # range/col index
     python tools/table_cli.py compact  <table> --key k
-    python tools/table_cli.py cluster  <table> --key k [--buckets N]
+    python tools/table_cli.py savepoint <table> --key k [--as-of CID | --drop CID]
+    python tools/table_cli.py cluster  <table> --key k [--buckets N] [--zorder-by x,y]
     python tools/table_cli.py vacuum   <table> --key k [--retain N]
     python tools/table_cli.py restore  <table> --key k --as-of COMMIT
     python tools/table_cli.py orphans  <table> --key k    # clean staged
@@ -72,7 +73,10 @@ def cmd_compact(args) -> int:
 
 
 def cmd_cluster(args) -> int:
-    c = _sink(args).cluster(n_buckets=args.buckets)
+    zb = [c.strip() for c in (args.zorder_by or "").split(",") if c.strip()]
+    c = _sink(args).cluster(n_buckets=args.buckets,
+                            zorder_by=zb or None,
+                            zorder_bits=args.zorder_bits)
     print(json.dumps({"clustered": c.commit_id if c else None,
                       "buckets": len(c.adds) if c else 0,
                       "rewrote_slices": len(c.removes) if c else 0}))
@@ -92,6 +96,18 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_savepoint(args) -> int:
+    sink = _sink(args)
+    if args.drop:
+        print(json.dumps({"dropped": sink.delete_savepoint(args.drop),
+                          "savepoints": sink.savepoints()}))
+        return 0
+    cid = sink.savepoint(as_of=args.as_of)
+    print(json.dumps({"savepointed": cid,
+                      "savepoints": sink.savepoints()}))
+    return 0
+
+
 def cmd_orphans(args) -> int:
     removed = _sink(args).clean_orphans()
     print(json.dumps({"removed_orphans": removed}))
@@ -105,17 +121,28 @@ def main(argv: list[str] | None = None) -> int:
             ("commits", cmd_commits, False), ("stats", cmd_stats, False),
             ("compact", cmd_compact, True), ("cluster", cmd_cluster, True),
             ("vacuum", cmd_vacuum, True), ("restore", cmd_restore, True),
-            ("orphans", cmd_orphans, True)]:
+            ("orphans", cmd_orphans, True),
+            ("savepoint", cmd_savepoint, True)]:
         p = sub.add_parser(name)
         p.add_argument("table")
         p.add_argument("--key", required=needs_key,
                        help="record key field")
         if name == "cluster":
             p.add_argument("--buckets", type=int, default=None)
+            p.add_argument("--zorder-by", dest="zorder_by", default=None,
+                           help="comma-separated columns for a "
+                                "multi-dimensional Z-order layout "
+                                "instead of the key sort")
+            p.add_argument("--zorder-bits", dest="zorder_bits",
+                           type=int, default=8)
         if name == "vacuum":
             p.add_argument("--retain", type=int, default=5)
         if name == "restore":
             p.add_argument("--as-of", dest="as_of", required=True)
+        if name == "savepoint":
+            p.add_argument("--as-of", dest="as_of", default=None)
+            p.add_argument("--drop", default=None,
+                           help="commit id to unpin instead of pinning")
         p.set_defaults(fn=fn)
     args = ap.parse_args(argv)
     return args.fn(args)
