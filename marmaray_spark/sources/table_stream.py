@@ -16,10 +16,14 @@ the Hudi _hoodie_commit_time analogue). The stamp filter is what makes
 every storage-maintenance commit invisible for free: an upsert's
 rewritten slices carry displaced survivors under their ORIGINAL stamps,
 compaction preserves stamps wholesale, and a restore re-adds old
-slices — none of those rows carry the maintenance commit's id, so the
-tail never re-emits them. Removes manifests are ignored (CDC
-after-image stream, no delete op — reference parity: HoodieSink
-exposes none either).
+slices — none of those rows carry the maintenance commit's id; the
+planner skips those commits outright (reading them would re-scan the
+whole table to emit nothing). DELETE commits are skipped too in the
+default after-image mode; ``option("change_feed", "true")`` adds a
+``_change_op`` column ('upsert' | 'delete') and emits one key-only row
+per deleted record from the commit's tombstone manifest — the Hudi
+CDC-query analogue; full before-images stay behind
+``TableSink.delete_preimages`` (payload-scale, pull on demand).
 
 Scale: offsets are commit-id strings (O(1) driver state); each
 microbatch plans one InputPartition PER PARQUET FILE of the window's
@@ -42,7 +46,19 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader,
 
 COMMIT_COL = "_commit_id"   # sinks/table.py COMMIT_COL (duplicated so the
 # executor-side read path needs no marmaray_spark import)
+TOMBSTONE_COL = "_deleted"  # sinks/table.py TOMBSTONE_COL (same reason)
 OP_COL = "_change_commit"   # metadata column carried on emitted rows
+
+
+CHANGE_OP_COL = "_change_op"   # change-feed mode: 'upsert' | 'delete'
+
+# commits whose adds NEVER carry rows stamped with their own id — their
+# files would be read only to filter every row out (a compact in the
+# window = a full-table re-read emitting nothing), so the planner skips
+# them outright. 'delete' is also here for the PLAIN after-image mode: a
+# MOR delete's adds are tombstone marker rows stamped WITH the commit,
+# which the stamp filter alone would have emitted as phantom records.
+_SKIP_OPS = {"compact", "cluster", "restore", "delete"}
 
 
 @dataclass
@@ -50,6 +66,10 @@ class _FilePartition(InputPartition):
     file: str
     commit_id: str
     schema_bytes: bytes    # pickled pyarrow.Schema (data columns only)
+    # 'upsert' = after-image file (stamp-filtered); 'delete' = a
+    # tombstone-manifest file of deleted KEYS (change-feed mode only)
+    op: str = "upsert"
+    change_feed: bool = False
 
 
 def _commit_files(table_path: str) -> list[Path]:
@@ -76,11 +96,16 @@ def _data_schema(table_path: str):
     for p in reversed(_commit_files(table_path)):
         with open(p) as f:
             c = json.load(f)
+        if c.get("op") == "delete":
+            # a MOR delete's adds are tombstone MARKER rows (key +
+            # stamp + _deleted) — not a data schema
+            continue
         for s in c.get("adds") or []:
             files = sorted(Path(table_path, s).rglob("*.parquet"))
             if files:
                 schema = pq.ParquetFile(files[0]).schema_arrow
-                keep = [f for f in schema if f.name != COMMIT_COL]
+                keep = [f for f in schema
+                        if f.name not in (COMMIT_COL, TOMBSTONE_COL)]
                 import pyarrow as pa
                 return pa.schema(keep)
     raise FileNotFoundError(
@@ -88,9 +113,25 @@ def _data_schema(table_path: str):
 
 
 def _partitions(table_path: str, start: str, end: str,
-                schema_bytes: bytes) -> list[_FilePartition]:
+                schema_bytes: bytes,
+                change_feed: bool = False) -> list[_FilePartition]:
     parts = []
     for c in _commits_between(table_path, start, end):
+        op = c.get("op")
+        if op in _SKIP_OPS:
+            if change_feed and op == "delete" and c.get("tombstones"):
+                base = Path(table_path) / c["tombstones"]
+                if not base.exists():
+                    raise FileNotFoundError(
+                        f"commit {c['commit_id']} tombstone manifest "
+                        f"missing ({c['tombstones']}); the change feed "
+                        "needs it")
+                for f in sorted(base.rglob("*.parquet")):
+                    parts.append(_FilePartition(
+                        file=str(f), commit_id=c["commit_id"],
+                        schema_bytes=schema_bytes, op="delete",
+                        change_feed=True))
+            continue
         for s in c.get("adds") or []:
             base = Path(table_path) / s
             if not base.exists():
@@ -101,7 +142,15 @@ def _partitions(table_path: str, start: str, end: str,
             for f in sorted(base.rglob("*.parquet")):
                 parts.append(_FilePartition(file=str(f),
                                             commit_id=c["commit_id"],
-                                            schema_bytes=schema_bytes))
+                                            schema_bytes=schema_bytes,
+                                            change_feed=change_feed))
+    if not parts:
+        # a window of only skipped commits (maintenance / plain-mode
+        # deletes) still needs ONE partition — pyspark's DataSource
+        # machinery can't plan an empty list; the sentinel emits nothing
+        parts.append(_FilePartition(file="", commit_id="",
+                                    schema_bytes=schema_bytes,
+                                    change_feed=change_feed))
     return parts
 
 
@@ -116,9 +165,11 @@ def _read_partition(partition: _FilePartition) -> Iterator:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    if not partition.file:       # empty-window sentinel
+        return
     target: pa.Schema = pickle.loads(partition.schema_bytes)
     t = pq.read_table(partition.file)
-    if COMMIT_COL in t.column_names:
+    if partition.op == "upsert" and COMMIT_COL in t.column_names:
         t = t.filter(pc.equal(t[COMMIT_COL], partition.commit_id))
     n = t.num_rows
     if n == 0:
@@ -132,10 +183,16 @@ def _read_partition(partition: _FilePartition) -> Iterator:
             cols.append(col.combine_chunks() if isinstance(
                 col, pa.ChunkedArray) else col)
         else:
+            # a delete manifest carries ONLY the record key; every
+            # other column of the before-image is null in the feed (the
+            # full before-image lives behind TableSink.delete_preimages)
             cols.append(pa.nulls(n, field.type))
     cols.append(pa.array([partition.commit_id] * n, pa.string()))
-    out = pa.table(cols, schema=target.append(
-        pa.field(OP_COL, pa.string())))
+    schema = target.append(pa.field(OP_COL, pa.string()))
+    if partition.change_feed:
+        cols.append(pa.array([partition.op] * n, pa.string()))
+        schema = schema.append(pa.field(CHANGE_OP_COL, pa.string()))
+    out = pa.table(cols, schema=schema)
     yield from out.to_batches()
 
 
@@ -147,6 +204,9 @@ class _Tail:
         if not self.path:
             raise ValueError("table_changes needs option('path', <table>)")
         self.path = os.path.abspath(self.path)
+        self.change_feed = str(options.get("change_feed")
+                               or "").lower() == "true"
+
 
     def latest_commit(self) -> str:
         files = _commit_files(self.path)
@@ -162,7 +222,8 @@ class TableChangesBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         return _partitions(self.tail.path, self.start, self.end,
-                           self.schema_bytes)
+                           self.schema_bytes,
+                           change_feed=self.tail.change_feed)
 
     def read(self, partition) -> Iterator:
         return _read_partition(partition)
@@ -186,7 +247,8 @@ class TableChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
         return _partitions(self.tail.path, start["commit"], end["commit"],
-                           self.schema_bytes)
+                           self.schema_bytes,
+                           change_feed=self.tail.change_feed)
 
     def read(self, partition) -> Iterator:
         return _read_partition(partition)
@@ -213,7 +275,9 @@ class TableChangesDataSource(DataSource):
              .option("start_commit", "000000000001").load()
 
     Columns: the table's data columns plus ``_change_commit`` (the
-    commit that introduced each row).
+    commit that introduced each row); with ``option("change_feed",
+    "true")`` also ``_change_op`` ('upsert' | 'delete' — delete rows
+    carry the record key, other columns null).
     """
 
     @classmethod
@@ -226,10 +290,14 @@ class TableChangesDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import StringType, StructField
 
-        arrow = _data_schema(_Tail(self.options).path)
+        tail = _Tail(self.options)
+        arrow = _data_schema(tail.path)
         self._schema_bytes = pickle.dumps(arrow)
         st = from_arrow_schema(arrow)
-        return st.add(StructField(OP_COL, StringType(), True))
+        st = st.add(StructField(OP_COL, StringType(), True))
+        if tail.change_feed:
+            st = st.add(StructField(CHANGE_OP_COL, StringType(), True))
+        return st
 
     def _bytes(self) -> bytes:
         if not hasattr(self, "_schema_bytes"):

@@ -157,3 +157,86 @@ def test_table_to_table_incremental_etl(registered, spark, tmp_path):
     assert got == {(1, "ZZ", "000000000002"), (2, "B", "000000000001"),
                    (3, "C", "000000000001")}
     del n_commits
+
+
+def test_deletes_invisible_in_after_image_mode(registered, spark,
+                                               tmp_path):
+    """Plain mode keeps its after-image contract across BOTH delete
+    forms: a COW delete re-stamps nothing, and a MOR tombstone delta —
+    whose marker rows ARE stamped with the delete commit — must not
+    surface as phantom records."""
+    for ttype in ("cow", "mor"):
+        p = tmp_path / ttype
+        t = TableSink(spark, p, "k", table_type=ttype)
+        t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+                WriteOp.INSERT)
+        t.write(spark.createDataFrame([(1,)], ["k"]), WriteOp.DELETE)
+        df = (spark.read.format("table_changes")
+              .option("path", str(p)).load())
+        got = {(r["k"], r["v"]) for r in df.collect()}
+        assert got == {(1, "a"), (2, "b")}, ttype   # no phantom rows
+        assert "_change_op" not in df.columns
+
+
+def test_change_feed_emits_delete_keys(registered, spark, tmp_path):
+    """option('change_feed', 'true'): the batch window (and stream — one
+    schema path) tags rows 'upsert'/'delete'; delete rows carry the
+    record key from the tombstone manifest, other columns null, under
+    the delete commit's id."""
+    t = TableSink(spark, tmp_path / "t", "k")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+            WriteOp.INSERT)                                 # commit 0
+    t.write(spark.createDataFrame([(1,), (9,)], ["k"]),
+            WriteOp.DELETE)                                 # commit 1
+    t.write(spark.createDataFrame([(3, "c")], ["k", "v"]),
+            WriteOp.UPSERT)                                 # commit 2
+    df = (spark.read.format("table_changes")
+          .option("path", str(tmp_path / "t"))
+          .option("change_feed", "true").load())
+    got = {(r["k"], r["v"], r["_change_commit"], r["_change_op"])
+           for r in df.collect()}
+    assert got == {
+        (1, "a", "000000000000", "upsert"),
+        (2, "b", "000000000000", "upsert"),
+        (1, None, "000000000001", "delete"),    # key 9 never existed:
+        (3, "c", "000000000002", "upsert"),     # no delete event for it
+    }
+
+
+def test_change_feed_streaming_tail_includes_deletes(registered, spark,
+                                                     tmp_path):
+    """The streaming form of the change feed: a downstream mirror table
+    applies upserts AND deletes from the feed and converges to the
+    source snapshot."""
+    src = TableSink(spark, tmp_path / "src", "k")
+    src.write(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                    ["k", "v"]), WriteOp.INSERT)
+    src.write(spark.createDataFrame([(2,)], ["k"]), WriteOp.DELETE)
+    src.write(spark.createDataFrame([(4, "d"), (1, "A")], ["k", "v"]),
+              WriteOp.UPSERT)
+
+    mirror = TableSink(spark, tmp_path / "mirror", "k")
+
+    def apply_batch(batch_df, _epoch):
+        ups = batch_df.filter("_change_op = 'upsert'") \
+            .select("k", "v").orderBy("_change_commit")
+        dels = batch_df.filter("_change_op = 'delete'").select("k")
+        # per-key newest version within the microbatch wins
+        if ups.count():
+            mirror.write(ups, WriteOp.UPSERT)
+        if dels.count():
+            mirror.write(dels, WriteOp.DELETE)
+
+    q = (spark.readStream.format("table_changes")
+         .option("path", str(tmp_path / "src"))
+         .option("change_feed", "true").load()
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # NB: one availableNow run may fold all three commits into one
+    # microbatch; the delete key (2) was inserted in commit 0 and
+    # deleted in commit 1 — applying upserts-then-deletes inside the
+    # batch gets the ordering right for this history shape
+    got = {r["k"]: r["v"] for r in mirror.read().collect()}
+    assert got == {1: "A", 3: "c", 4: "d"}
