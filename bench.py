@@ -71,6 +71,8 @@ HEADLINE = [
     "table_profile",
     "dedup_modality_agreement",
     "language_report",
+    # round 12: key-scoped DELETE end-to-end (COW + MOR + CDC sections)
+    "table_delete_readback",
 ]
 
 
