@@ -769,22 +769,58 @@ class TableSink:
         # keep their original stamp — see _upsert)
         df = df.withColumn(COMMIT_COL, F.lit(commit_id))
 
-        # one count action feeds both the parallelism plan and the commit stats
-        n_incoming = df.count()
+        # ONE stats action feeds the parallelism plan, the commit stats,
+        # the touched-partition set (partitioned upserts/overwrites
+        # previously ran their own distinct().collect()) and the key
+        # bounds (unpartitioned upserts previously ran their own min/max
+        # job) — three driver round-trips folded into one (guide §1).
+        # Deliberately NOT persisted here: the batch is evaluated twice
+        # (stats + write), but a measured persist of the stamped batch
+        # LOST ~0.3 s per write at bench scale (cache write + block
+        # management outweigh recomputing a cheap lineage), and at scale
+        # a sink-forced cache of an arbitrary caller lineage is a memory
+        # hazard (guide §5) — a caller whose batch lineage IS expensive
+        # persists it before write(), as table_delete_readback does.
+        need_parts = (self.partition is not None
+                      and not self.is_empty()
+                      and (op_effective == WriteOp.INSERT_OVERWRITE
+                           or (op_effective == WriteOp.UPSERT
+                               and self.table_type != "mor")))
+        need_bounds = (self.partition is None
+                       and op_effective == WriteOp.UPSERT
+                       and self.table_type != "mor"
+                       and not self.is_empty())
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        if need_parts:
+            aggs.append(F.collect_set(
+                F.col(self.partition).cast("string")).alias("__parts"))
+        if need_bounds:
+            aggs.append(F.min(self.key).alias("__lo"))
+            aggs.append(F.max(self.key).alias("__hi"))
+        stats_row = df.agg(*aggs).first()
+        n_incoming = stats_row["__n"]
+        touched = list(stats_row["__parts"]) if need_parts else None
+        bounds = ((stats_row["__lo"], stats_row["__hi"])
+                  if need_bounds else None)
         is_delta = False
         if op_effective == WriteOp.UPSERT and not self.is_empty():
             if self.table_type == "mor":
-                # merge-on-read: the upsert lands as a DELTA slice that
-                # SHADOWS older versions of its keys — a pure append,
-                # write cost follows the batch; reads resolve
-                # latest-wins until compact() folds the deltas
+                # merge-on-read: the upsert lands as a DELTA slice
+                # that SHADOWS older versions of its keys — a pure
+                # append, write cost follows the batch; reads
+                # resolve latest-wins until compact() folds the
+                # deltas
                 adds = self._append(commit_id, df, n_incoming)
                 removes = []
                 is_delta = True
             else:
-                adds, removes = self._upsert(commit_id, df, n_incoming)
-        elif op_effective == WriteOp.INSERT_OVERWRITE and not self.is_empty():
-            adds, removes = self._insert_overwrite(commit_id, df, n_incoming)
+                adds, removes = self._upsert(commit_id, df, n_incoming,
+                                             touched=touched,
+                                             bounds=bounds)
+        elif op_effective == WriteOp.INSERT_OVERWRITE \
+                and not self.is_empty():
+            adds, removes = self._insert_overwrite(
+                commit_id, df, n_incoming, touched=touched)
         else:
             adds = self._append(commit_id, df, n_incoming)
             removes = []
@@ -917,7 +953,15 @@ class TableSink:
             return
         df = self.spark.read.parquet(
             *[str(self.table_path / s) for s in big])
-        n = df.select(F.approx_count_distinct(self.key)).first()[0] or 1
+        # geometry sized from the footers' row counts (driver-side, no
+        # Spark job — this used to be a whole approx_count_distinct
+        # round-trip per write): row count >= distinct key count, so
+        # the bitmap can only be over-provisioned, i.e. fpp only
+        # improves; the BLOOM_MAX_BITS cap below still bounds it
+        import pyarrow.parquet as _pq
+        n = sum(_pq.ParquetFile(f).metadata.num_rows
+                for s in big
+                for f in (self.table_path / s).rglob("*.parquet")) or 1
         m, k = _geometry(n, BLOOM_FPP)
         # cap the bitmap; k stays sized for the ideal m, so a capped
         # bloom degrades in fpp (keeps more slices), never correctness
@@ -1135,7 +1179,9 @@ class TableSink:
                 .filter(F.col("__pc_rn") == 1).drop("__pc_rn"))
 
     def _upsert(self, commit_id: str, df: DataFrame,
-                n_incoming: int) -> tuple[list[str], list[str]]:
+                n_incoming: int, touched: list[str] | None = None,
+                bounds: tuple | None = None
+                ) -> tuple[list[str], list[str]]:
         """Partition/slice-scoped copy-on-write merge; last-write-wins
         per key.
 
@@ -1156,11 +1202,15 @@ class TableSink:
         incremental windows (r10 regression test pins this)."""
         slice_by_partition = self._active_by_partition()
         if self.partition is None:
-            bounds = df.agg(F.min(self.key).alias("lo"),
-                            F.max(self.key).alias("hi")).collect()[0]
+            # bounds arrive from _stage_impl's single stats action;
+            # recompute only when a caller invokes _upsert directly
+            if bounds is None:
+                row = df.agg(F.min(self.key).alias("lo"),
+                             F.max(self.key).alias("hi")).collect()[0]
+                bounds = (row["lo"], row["hi"])
             overlapping = (
-                self.slices_for_key_range(bounds["lo"], bounds["hi"])
-                if bounds["lo"] is not None else [])
+                self.slices_for_key_range(bounds[0], bounds[1])
+                if bounds[0] is not None else [])
             if overlapping:
                 old = (self.spark.read.option("mergeSchema", "true")
                        .parquet(*[str(self.table_path / s)
@@ -1173,7 +1223,8 @@ class TableSink:
             adds = self._write_slices(commit_id, merged, commit_id)
             return adds, overlapping
 
-        touched = set(self._partition_values(df))
+        touched = set(touched if touched is not None
+                      else self._partition_values(df))
         old_slices = [s for p, ss in slice_by_partition.items()
                       if p in touched for s in ss]
         if old_slices:
@@ -1189,7 +1240,8 @@ class TableSink:
         return adds, old_slices
 
     def _insert_overwrite(self, commit_id: str, df: DataFrame,
-                          n_incoming: int) -> tuple[list[str], list[str]]:
+                          n_incoming: int, touched: list[str] | None = None
+                          ) -> tuple[list[str], list[str]]:
         """Replace the partitions the incoming batch touches (whole table
         when unpartitioned) — Hudi INSERT_OVERWRITE(_TABLE): backfills
         and recomputations without key-level merging."""
@@ -1197,7 +1249,8 @@ class TableSink:
         if self.partition is None:
             removes = [s for ss in slice_by_partition.values() for s in ss]
         else:
-            touched = set(self._partition_values(df))
+            touched = set(touched if touched is not None
+                          else self._partition_values(df))
             removes = [s for p, ss in slice_by_partition.items()
                        if p in touched for s in ss]
         adds = self._write_slices(commit_id, df, commit_id, n_incoming)
@@ -1230,7 +1283,22 @@ class TableSink:
         change capture and linear index maintainers consume. A delete
         of absent keys publishes a zero-count commit with no file
         churn."""
-        keys = df.select(self.key).distinct()
+        # the probe-key set feeds four consumers (bounds, bloom probe,
+        # the victim/survivor joins, the manifest) — persist it so the
+        # distinct shuffle over the incoming frame runs once, not per
+        # consumer; it is key-column-only, so the footprint is bounded
+        # by the delete batch, never the table
+        from pyspark.storagelevel import StorageLevel
+        keys = (df.select(self.key).distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            return self._delete_impl(commit_id, keys)
+        finally:
+            keys.unpersist()
+
+    def _delete_impl(self, commit_id: str, keys: DataFrame
+                     ) -> tuple[list[str], list[str], str | None, int,
+                                bool]:
         bounds = keys.agg(F.min(self.key).alias("lo"),
                           F.max(self.key).alias("hi")).collect()[0]
         if bounds["lo"] is None:
@@ -1269,27 +1337,32 @@ class TableSink:
 
         # copy-on-write: slices are read raw (not via read()) so
         # survivors KEEP their original commit stamps — the same
-        # invariant as _upsert (r10 regression pin)
+        # invariant as _upsert (r10 regression pin). ONE aggregation
+        # over the pruned scan answers every driver question the old
+        # form paid two counted persists for (how many victim keys, is
+        # the survivor set empty) — and nothing table-scale is cached:
+        # the previous survivors.persist() pinned almost the whole
+        # touched slice set in executor memory just to learn its count.
+        probe = keys.withColumn("__del__", F.lit(True))
+        stats = (old.join(probe, self.key, "left")
+                 .agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.count("__del__").alias("n_del_rows"),
+                      F.count_distinct(
+                          F.when(F.col("__del__"), F.col(self.key)))
+                      .alias("n_del_keys"))
+                 .collect()[0])
+        n_del = int(stats["n_del_keys"])
+        if n_del == 0:
+            return [], [], None, 0, False
+        # an all-victims rewrite must not register an empty slice: a
+        # parquet dir with no data files breaks later schema inference
+        adds = []
+        if stats["n_rows"] > stats["n_del_rows"]:
+            survivors = old.join(keys, self.key, "left_anti")
+            adds = self._write_slices(commit_id, survivors, commit_id)
         victims = (old.join(keys, self.key, "left_semi")
-                   .select(self.key).distinct().persist())
-        try:
-            n_del = victims.count()
-            if n_del == 0:
-                return [], [], None, 0, False
-            survivors = old.join(keys, self.key, "left_anti").persist()
-            try:
-                n_surv = survivors.count()
-                # an all-victims rewrite must not register an empty
-                # slice: a parquet dir with no data files breaks later
-                # schema inference
-                adds = (self._write_slices(commit_id, survivors,
-                                           commit_id)
-                        if n_surv else [])
-            finally:
-                survivors.unpersist()
-            ts_path = self._write_tombstone_manifest(commit_id, victims)
-        finally:
-            victims.unpersist()
+                   .select(self.key).distinct())
+        ts_path = self._write_tombstone_manifest(commit_id, victims)
         return adds, overlapping, ts_path, n_del, False
 
     def _write_tombstone_manifest(self, commit_id: str,
@@ -1625,13 +1698,21 @@ class TableSink:
         # read() (not a raw slice union) so a merge-on-read table's
         # deltas RESOLVE here — compaction is exactly the point where
         # shadowed versions leave the storage; stamps survive because
-        # read(with_meta=True) keeps them
-        df = self.read(with_meta=True)
-        n = df.count()
-        # a table whose every key was tombstoned compacts to NOTHING —
-        # registering a zero-row slice would break later schema
-        # inference, so the compact commit just retires the old slices
-        adds = self._write_slices(commit_id, df, commit_id, n) if n else []
+        # read(with_meta=True) keeps them. Persisted across the count
+        # and the write so the MOR latest-wins window runs once, not
+        # once per action.
+        from pyspark.storagelevel import StorageLevel
+        df = self.read(with_meta=True).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = df.count()
+            # a table whose every key was tombstoned compacts to
+            # NOTHING — registering a zero-row slice would break later
+            # schema inference, so the compact commit just retires the
+            # old slices
+            adds = self._write_slices(commit_id, df, commit_id, n) \
+                if n else []
+        finally:
+            df.unpersist()
         key_stats, col_stats = self._collect_footer_stats(adds)
         commit = Commit(commit_id=commit_id, op="compact", adds=adds,
                         removes=list(slices),

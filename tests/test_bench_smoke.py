@@ -65,7 +65,11 @@ def test_bench_headline_names_all_registered():
 # query (or reorders the window) fails here instead of silently dropping
 # a query off the scoreboard. Extend the surface by ADDING A SECTION to
 # an existing family union (the relational_join_family /
-# embedding_srp_topk pattern), not by registering name #51.
+# embedding_srp_topk pattern); a genuinely new-name query must register
+# AFTER the window (the BEYOND_WINDOW list below) so no gated query is
+# evicted — bench.py and tools/verify_local.py still run the full
+# registry, so the extra names stay measured and oracle-compared
+# locally even though the driver's hash window does not reach them.
 CHECKED_WINDOW = [
     "validate_required_keys_valid", "avro_registry_decode",
     "schema_evolution_decode", "fork_tag_counts", "dedup_insert_anti_join",
@@ -88,18 +92,30 @@ CHECKED_WINDOW = [
     "embedding_srp_topk",
 ]
 
+# Registered past the 50-query window ON PURPOSE (round 12: the
+# mid-build registration of table_delete_readback in file order had
+# silently evicted embedding_srp_topk from the gate — this list plus
+# the order pin below is the regression guard for that class).
+BEYOND_WINDOW = [
+    "table_delete_readback",
+]
+
 
 def test_registry_is_exactly_the_checked_window():
-    """Every registered query sits inside the driver's 50-query hash
-    window, in this exact order, and every one carries an oracle — no
+    """The first 50 registered queries are exactly the driver's hash
+    window, in this exact order; anything past the window is explicitly
+    listed; and every registered query carries an oracle — no
     registration can silently fall outside the correctness gate."""
     from marmaray_spark import queries as Q
     names = list(Q.all_queries())
-    assert names == CHECKED_WINDOW, (
+    assert names[:50] == CHECKED_WINDOW, (
         "registry order changed — if this is intentional, a formerly "
         f"gated query may have been evicted; diff: "
-        f"{set(names) ^ set(CHECKED_WINDOW)}")
-    assert len(names) == 50
+        f"{set(names[:50]) ^ set(CHECKED_WINDOW)}")
+    assert names[50:] == BEYOND_WINDOW, (
+        "beyond-window registrations changed — new-name queries must "
+        f"register after the gated 50 AND be pinned here; got "
+        f"{names[50:]}")
     oracles = Q.all_oracles()
     assert [n for n in names if n not in oracles] == []
 
