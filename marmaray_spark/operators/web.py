@@ -43,6 +43,21 @@ def canonical_url(url_col: str) -> Column:
     Non-URL-shaped inputs (no ``scheme://``) pass through unchanged —
     the gate for those is upstream schema validation, not silent nulls.
     """
+    return F.expr(_canonical_url_sql(url_col))
+
+
+def _canonical_url_sql(url_col: str) -> str:
+    """The canonical_url expression as SQL text over ``url_col``.
+
+    ``url_col`` is interpolated ~15 times. That is fine when it is a
+    COLUMN REFERENCE (or a lambda variable), but passing a computed
+    expression string here multiplies that whole expression's work by
+    15 — CollapseProject re-inlines even a pre-materialized helper
+    column (measured in canonical_dedup: ~3x row work and a multi-
+    second codegen compile of the exploded tree). Callers feeding a
+    computed value bind it once via a single-element higher-order
+    lambda: ``transform(array(<expr>), __u -> _canonical_url_sql('__u'))[0]``.
+    """
     base = f"regexp_replace({url_col}, '#.*', '')"
     scheme = f"lower(regexp_extract({base}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
     rawhost = f"lower(regexp_extract({base}, '://([^/?#]+)', 1))"
@@ -56,7 +71,7 @@ def canonical_url(url_col: str) -> Column:
     query = f"regexp_extract({base}, '\\\\?([^#]*)', 1)"
     cleaned = (f"array_join(filter(split({query}, '&'), "
                f"p -> p != '' AND NOT p rlike '{TRACKING_PARAM_RE}'), '&')")
-    return F.expr(
+    return (
         f"CASE WHEN {scheme} = '' THEN {url_col} "
         f"ELSE concat({scheme}, '://', {host}, {path}, "
         f"  CASE WHEN {cleaned} = '' THEN '' ELSE concat('?', {cleaned}) END) "
@@ -226,12 +241,19 @@ def canonical_dedup(docs: DataFrame, id_col: str, url_col: str,
         f"     WHEN substring({hint}, 1, 1) = '/' AND {scheme} != '' "
         f"       THEN concat({scheme}, '://', {page_host}, {hint}) "
         f"     ELSE {url_col} END")
-    # two-step: materialize the resolved hint as its own column first —
-    # canonical_url() interpolates its argument expression several
-    # times, and nesting the CASE inside each copy explodes codegen
-    tagged = (docs.withColumn("__resolved", F.expr(resolved))
-              .withColumn("__canon_target", canonical_url("__resolved"))
-              .drop("__resolved", *helper_cols))
+    # bind the resolved hint ONCE via a single-element higher-order
+    # lambda: canonical_url's SQL interpolates its argument ~15 times,
+    # and the earlier "materialize __resolved as a helper column" form
+    # was silently undone by CollapseProject, re-inlining this whole
+    # CASE (with its regex chain) into every copy — measured 3x row
+    # work warm and a multi-second codegen compile cold (r12). Inside
+    # the lambda, __u is a bound reference, so the resolve CASE
+    # evaluates once per row regardless of how many times the
+    # canonicalization references it.
+    tagged = (docs.withColumn("__canon_target", F.expr(
+                  f"transform(array({resolved}), "
+                  f"__u -> {_canonical_url_sql('__u')})[0]"))
+              .drop(*helper_cols))
     grouped = tagged.filter(F.col("__canon_target").isNotNull())
     keepers = (grouped.groupBy("__canon_target")
                .agg(F.min(id_col).alias(id_col))

@@ -1476,10 +1476,14 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — exactly equal to hashing every occurrence), the collocation
     # unigram joins and the token total. Only the bigram pass touches
     # the corpus again (it has to — pairs aren't derivable from counts).
+    # Single computation rides AQE exchange/stage REUSE, not a persist:
+    # every consumer sits above the identical groupBy(t) exchange, so
+    # the runtime dedupes the explode to one stage (r12 measured: the
+    # old persist barrier made this 14 jobs / 2.95s vs 7 jobs / 2.63s,
+    # and at scale it pinned a vocab-size cache for nothing).
     uni = (docs.select(
         F.explode(F.expr("filter(w, x -> x != '')")).alias("t"))
-        .groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-        .persist())
+        .groupBy("t").agg(F.count(F.lit(1)).alias("cnt")))
     top = uni.orderBy(F.col("cnt").desc(), "t").limit(25)
     w25 = W.orderBy(F.col("cnt").desc(), "t")
     exact = (top.withColumn("score", F.row_number().over(w25)
@@ -1878,8 +1882,16 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = deterministic_sample(docs, "doc_id", pct=10) \
         .withColumn("method", F.lit("hash10")) \
         .withColumn("n1", null_n1)
-    toks = _with_words(load(spark, sf_dir, "documents")) \
-        .select("doc_id", "lang", F.size("w").alias("n_tok"))
+    # ONE word-split feeds the shard leg, both unimax consumers, the
+    # corpus-total scalar AND the doc-count scalar (r12: toks was built
+    # from its own _with_words call and the two driver scalars each ran
+    # their own full split — three extra corpus tokenizations). toks is
+    # (id, lang, int) — a per-doc metadata proxy (guide §8), cheap to
+    # persist at any scale, and the two eager scalars below materialize
+    # it before the final action consumes it twice more.
+    dw = _with_words(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "lang", "w")
+    toks = dw.select("doc_id", "lang", F.size("w").alias("n_tok")).persist()
     shard = shard_assignments(toks, "doc_id", "n_tok",
                               budget_tokens=4000, salt="sh0") \
         .select("doc_id", "lang", F.lit("shard").alias("method"),
@@ -1888,18 +1900,25 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                           keep_bps=2000, salt="tm0") \
         .select("doc_id", "lang", F.lit("tempmix").alias("method"),
                 null_n1.alias("n1"))
-    dw = _with_words(load(spark, sf_dir, "documents")) \
-        .select("doc_id", "lang", "w")
+    # raw_stream is consumed twice (the bucket LM and the per-doc
+    # weights) under DIFFERENT exchange keys, so no runtime stage reuse
+    # applies; recomputing the map-only explode costs one extra corpus
+    # read, while persisting the token-scale feature stream costs a
+    # corpus-sized cache (guide §5) — measured r12: no-persist is also
+    # faster locally (3.41s -> 3.35s, 38 -> 35 jobs)
     raw_stream = hashed_feature_stream(dw, "doc_id", "w",
-                                       carry=("lang",)).persist()
-    raw_stream.count()
+                                       carry=("lang",))
     tgt_stream = hashed_feature_stream(
         dw.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)),
         "doc_id", "w")
     wts = dsir_log_weights(raw_stream, "doc_id",
                            bucket_lm(tgt_stream), bucket_lm(raw_stream),
                            carry=("lang",))
-    n_docs = load(spark, sf_dir, "documents").count()
+    # n_docs + corpus token total in ONE agg over the persisted proxy
+    # (was: a full documents count + a separate full-split sum)
+    totals = toks.agg(F.count(F.lit(1)).alias("d"),
+                      F.sum("n_tok").cast("long").alias("t")).first()
+    n_docs, total_toks = int(totals["d"]), int(totals["t"])
     kept = dsir_select(wts, k=n_docs * 2000 // 10000, id_col="doc_id")
     dsir = kept.select("doc_id", "lang", F.lit("dsir").alias("method"),
                        F.col("logw_milli").alias("n1"))
@@ -1907,8 +1926,6 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-scale driver scalar (the dsir n_docs precedent); the
     # allocation frame is group-scale and broadcast back for the
     # fractional-epoch subset.
-    total_toks = int(toks.agg(
-        F.sum("n_tok").cast("long").alias("t")).first()["t"])
     ua = unimax_allocation(toks, "lang", "n_tok",
                            budget_tokens=5 * total_toks // 2, epoch_cap=3)
     ua_alloc = ua.select(F.lit(None).cast("long").alias("doc_id"), "lang",
@@ -2077,8 +2094,7 @@ def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
       hash-checked. The heavily near-duplicated synthetic corpus makes
       whole lines collide for real.
     """
-    from marmaray_spark.operators.dedup import (duplicated_window_stats,
-                                                exact_dedup,
+    from marmaray_spark.operators.dedup import (exact_dedup,
                                                 remove_duplicate_paragraphs,
                                                 remove_duplicate_spans)
     from marmaray_spark.operators.fingerprint import winnow_fingerprints
@@ -2092,15 +2108,28 @@ def exact_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("keeper_id").cast("long").alias("n1"),
                       F.col("dup_count").cast("long").alias("n2"),
                       F.lit(None).cast("long").alias("n3")))
-    spans = (duplicated_window_stats(
-        _with_words(load(spark, sf_dir, "documents")), "doc_id", "w", window=3)
-        .select(F.lit("spans").alias("section"),
-                F.col("doc_id").cast("string").alias("k"),
-                F.col("n_windows").cast("long").alias("n1"),
-                F.col("dup_windows").cast("long").alias("n2"),
-                F.col("dup_bps").cast("long").alias("n3")))
-    cleaned = (remove_duplicate_spans(
-        _with_words(load(spark, sf_dir, "documents")), "doc_id", "w", window=3)
+    # ONE ExactSubstr pipeline feeds BOTH the 'spans' report and the
+    # 'cleaned' removal (r12 optimization): the two sections previously
+    # each ran the full explode -> groupBy(win) count -> join-back chain
+    # (duplicated_window_stats + remove_duplicate_spans are the same
+    # skeleton), i.e. the corpus paid the window-text shuffle twice for
+    # one answer. The report columns are exact derivations of the
+    # removal output: n_windows = n_tokens - (window-1) for docs long
+    # enough to have windows (shorter docs emit no 'spans' row, same as
+    # duplicated_window_stats), and dup_windows = n_dup_starts (both
+    # count positions whose window text occurs >1 times corpus-wide).
+    # Equivalence is hash-checked by the unchanged oracle.
+    rs = remove_duplicate_spans(
+        _with_words(load(spark, sf_dir, "documents")), "doc_id", "w",
+        window=3)
+    spans = (rs.filter(F.col("n_tokens") >= 3)
+             .select(F.lit("spans").alias("section"),
+                     F.col("doc_id").cast("string").alias("k"),
+                     (F.col("n_tokens") - 2).cast("long").alias("n1"),
+                     F.col("n_dup_starts").cast("long").alias("n2"),
+                     F.expr("CAST(n_dup_starts * 10000 div (n_tokens - 2) "
+                            "AS LONG)").alias("n3")))
+    cleaned = (rs
         .select(F.lit("cleaned").alias("section"),
                 F.concat_ws(":", F.col("doc_id").cast("string"),
                             F.md5("cleaned_text")).alias("k"),
@@ -2960,8 +2989,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the image hashes feed BOTH the 'dhash' section and the
     # banded pair join — without the barrier the BMP encode+decode+hash
     # kernels run twice
+    # the synthetic media frames are BOUNDED (id < 128/96/64/32 rows at
+    # any SF), but they inherit the corpus spread()'s 32 partitions, so
+    # each Arrow kernel ran 32 near-empty Python tasks whose per-task
+    # overhead dwarfed the decode (r12 measured on the image leg:
+    # 32 parts 1.03s warm / 2.79s cold -> 8 parts 0.59s / 0.64s)
     ih = image_dhash(synth_gradient_bmp(
-        docs.select("doc_id").filter(F.col("doc_id") < 128), "doc_id"))
+        docs.select("doc_id").filter(F.col("doc_id") < 128)
+        .repartition(8), "doc_id"))
     ih = ih.persist()
     dhash_rows = ih.select(F.lit("dhash").alias("kind"), "media_id",
                            *fnulls, F.col("dhash"),
@@ -2978,7 +3013,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same persist rationale as ih: the audio hashes feed the 'adhash'
     # section AND the banded pair join
     ah = audio_dhash(synth_tone_wav(
-        docs.select("doc_id").filter(F.col("doc_id") < 64), "doc_id"))
+        docs.select("doc_id").filter(F.col("doc_id") < 64)
+        .repartition(8), "doc_id"))
     ah = ah.persist()
     adhash_rows = (ah
                    .select(F.lit("adhash").alias("kind"), "media_id",
@@ -2999,7 +3035,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the unresized one for most ids) breaks oracle equality
     resized = resize_images(
         synth_gradient_bmp(
-            docs.select("doc_id").filter(F.col("doc_id") < 96), "doc_id"),
+            docs.select("doc_id").filter(F.col("doc_id") < 96)
+            .repartition(8), "doc_id"),
         27, 24)
     resize_rows = (image_dhash(resized)
                    .select(F.lit("resize_dhash").alias("kind"), "media_id",
@@ -3011,7 +3048,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clip-level pairing; vf feeds both the per-frame section and the
     # pair join, so it gets the same persist barrier as ih
     vf = video_frame_dhash(synth_gif_video(
-        docs.select("doc_id").filter(F.col("doc_id") < 32), "doc_id",
+        docs.select("doc_id").filter(F.col("doc_id") < 32)
+        .repartition(8), "doc_id",
         n_frames=4), max_frames=4).persist()
     video_rows = (vf.select(F.lit("video_dhash").alias("kind"), "media_id",
                             *fnulls, F.col("dhash"),
@@ -4302,6 +4340,7 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "         ELSE '' END"
             " || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END")
         .alias("url"))
+    urls = urls.persist()
     domains = (domain_report(urls, "url", "n_tok")
                .selectExpr("'domain' AS section", "domain AS grp",
                            "stack(4, 'n_docs', cast(n_docs as bigint), "
@@ -4316,7 +4355,12 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("d"),
                  ((F.col("doc_id") * 7919 + 13) % 211).cast("string"))
         .alias("dst"))
-    pr = pagerank_integer(edges, "src", "dst", iters=5)
+    # checkpoint only at the end (measured: the mid-run eager
+    # localCheckpoint at i=2 cost ~3.0s cold / ~0.2s warm here; a fixed
+    # 5-iteration plan is well inside safe lineage depth — the
+    # every-3-steps cadence is for long frontier runs)
+    pr = pagerank_integer(edges, "src", "dst", iters=5,
+                          checkpoint_every=5)
     prs = (pr.select(F.lit("pagerank").alias("section"),
                      F.col("node").alias("grp"),
                      F.lit("rank_x1e12").alias("item"),
