@@ -1469,7 +1469,11 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marmaray_spark.operators.cms import cms_build, cms_lookup
     from marmaray_spark.operators.text import collocation_lift, words
 
-    docs = (load(spark, sf_dir, "documents")
+    # spread BEFORE the expression-heavy passes: the sub-128MB scan is
+    # one unsplittable partition, and the bigram build (an interpreted
+    # higher-order transform) was measured serializing 2.6s on one core
+    # (r12 stage census) while 31 cores idled
+    docs = (spread(load(spark, sf_dir, "documents"), spark)
             .select(words("text").alias("w")))
     # ONE corpus token explode feeds everything term-keyed: the exact
     # top-k, the sketch (weighted build over the vocab-size dictionary

@@ -40,7 +40,16 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.scheduler.mode": "FAIR",
     "spark.ui.enabled": "false",
-    "spark.sql.shuffle.partitions": "32",
+    # AQE's coalescing floor (default 1 MiB) decides parallelism by
+    # shuffle BYTES, which starves stages whose work per byte is huge —
+    # measured r12: a 3.4 MB candidate-pair shuffle coalesced to 3
+    # tasks, putting a 472k-pair exact-dot verification on 3 of 32
+    # cores (embedding_near_dup_pairs 1.96s -> 1.07s at 64k). At real
+    # scale shuffles dwarf any floor, so this only ever binds on small
+    # inputs, where parallelism matters more than per-partition size.
+    # Env-overridable for deployments that prefer the 1m default.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+        os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
 }
 
 
@@ -59,6 +68,16 @@ class SparkFactory:
             self.conf.update(conf)
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         self.master = master or f"local[{cpus}]"
+        # shuffle.partitions scales WITH the core count instead of a
+        # constant 32 (r12): the driver benches at lower core counts
+        # too, where 32 reduce tasks on e.g. 8 cores is pure scheduling
+        # overhead on tiny data; AQE still coalesces/splits from this
+        # starting point, and an explicit conf (or env) wins. On a real
+        # cluster this should be ~2-3x total executor cores.
+        self.conf.setdefault(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                           str(max(8, int(cpus) if cpus.isdigit() else 32))))
 
     def get_or_create(self) -> SparkSession:
         builder = SparkSession.builder.master(self.master).appName(self.app_name)

@@ -1785,3 +1785,29 @@ def test_savepoint_pins_snapshot_against_vacuum(spark, tmp_path):
     # unknown commit refused
     with pytest.raises(KeyError):
         t.savepoint(as_of="999999999999")
+
+
+def test_read_slices_schema_shortcut_matches_mergeschema(spark, users,
+                                                         tmp_path):
+    """r12 optimization pin: _read_slices unifies slice schemas from one
+    parquet footer per slice on the driver (no distributed mergeSchema
+    job). On a schema-EVOLVED table (second batch adds a column) the
+    shortcut must return exactly what the mergeSchema reader returns:
+    same unified schema, same rows, old rows null-filled."""
+    sink = TableSink(spark, tmp_path / "t", "uid")
+    sink.write(users, WriteOp.INSERT)
+    evolved = users.withColumn("uid", F.col("uid") + 100) \
+                   .withColumn("tier", F.lit("gold"))
+    sink.write(evolved, WriteOp.UPSERT)
+    slices = sink.log.active_slices()
+    fast = sink._read_slices(slices)
+    slow = (spark.read.option("mergeSchema", "true")
+            .parquet(*[str(sink.table_path / s) for s in slices]))
+    assert dict(fast.dtypes) == dict(slow.dtypes)
+    key = [c for c in fast.columns if c != "_commit_id"]
+    a = sorted(fast.select(*key).collect())
+    b = sorted(slow.select(*key).collect())
+    assert a == b and len(a) == 8
+    # old-batch rows read the evolved column as null either way
+    assert fast.filter(F.col("uid") <= 4).filter(
+        F.col("tier").isNull()).count() == 4
