@@ -311,6 +311,7 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
         stepped = (labels.join(neighbor_min,
                                labels.node == neighbor_min.src, "left")
                    .select(F.col("node"),
+                           F.col("component").alias("__old"),
                            F.least(F.col("component"),
                                    F.coalesce(F.col("nbr_min"),
                                               F.col("component")))
@@ -320,19 +321,21 @@ def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
         # min-reachable-id invariant — it only short-circuits hops.
         as_map = stepped.select(F.col("node").alias("c"),
                                 F.col("component").alias("cc"))
+        # the previous label rides along as __old so convergence is a
+        # plain filter-count over the checkpointed partitions — no
+        # per-iteration new-vs-old join/shuffle
         new_labels = (stepped.join(as_map, stepped.component == as_map.c,
                                    "left")
-                      .select(F.col("node"),
+                      .select(F.col("node"), "__old",
                               F.least(F.col("component"),
                                       F.coalesce(F.col("cc"),
                                                  F.col("component")))
                               .alias("component"))
+                      .withColumn("__chg",
+                                  F.col("component") != F.col("__old"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
+        changed = new_labels.filter("__chg").count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     return labels

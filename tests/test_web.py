@@ -367,6 +367,20 @@ def test_pagerank_integer_matches_serial_mirror(spark):
     assert got == _pagerank_mirror(edges, iters=5)
 
 
+def test_pagerank_integer_multigraph_weights_match_mirror(spark):
+    from marmaray_spark.operators.web import pagerank_integer
+
+    # repeated u->v edges must contribute once per instance (the
+    # operator pre-aggregates them to weighted edges; w * (rank div
+    # outdeg) must equal the per-instance sum bit-for-bit)
+    edges = [("a", "b"), ("a", "b"), ("a", "b"), ("a", "c"),
+             ("b", "c"), ("c", "a"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_integer(df, iters=4).collect()}
+    assert got == _pagerank_mirror(edges, iters=4)
+
+
 def test_pagerank_integer_star_graph_ranks_hub_first(spark):
     from marmaray_spark.operators.web import pagerank_integer
 
