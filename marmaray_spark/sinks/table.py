@@ -34,13 +34,14 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import tempfile
 import uuid
 from dataclasses import dataclass, field
 from enum import Enum
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from marmaray_spark.metadata.manager import MetadataManager
@@ -951,6 +952,16 @@ class TableSink:
         self._write_key_blooms(slices)
         return slices
 
+    def _discard_staged(self, adds: list[str]) -> None:
+        """Remove just-staged (pre-publish) slice dirs: outcomes learned
+        from a write's own observed metrics (absent-key delete,
+        all-victims rewrite) retire the staged files instead of
+        registering them — slices are opaque until the commit JSON
+        publishes, so this is invisible to readers."""
+        for base in {s.split("/", 2)[1] for s in adds}:
+            shutil.rmtree(self.table_path / "data" / base,
+                          ignore_errors=True)
+
     # -- bloom key index (HoodieIndex BLOOM parity) --------------------------
 
     def _write_key_blooms(self, slices: list[str]) -> None:
@@ -1346,13 +1357,22 @@ class TableSink:
             victims = (live.join(keys, self.key, "left_semi")
                        .select(*vic_cols).distinct().persist())
             try:
-                n_del = victims.count()
-                if n_del == 0:
-                    return [], [], None, 0, False
+                # the tombstone write OBSERVES its own row count — the
+                # former separate victims.count() was a whole extra
+                # resolve pass (and driver round-trip) that existed only
+                # to learn n_del before writing; an absent-key delete is
+                # now detected from the staged write's metric and the
+                # staged dir discarded (guide §1.2)
+                obs = Observation()
                 tomb = (victims
                         .withColumn(COMMIT_COL, F.lit(commit_id))
-                        .withColumn(TOMBSTONE_COL, F.lit(True)))
+                        .withColumn(TOMBSTONE_COL, F.lit(True))
+                        .observe(obs, F.count(F.lit(1)).alias("n")))
                 adds = self._write_slices(commit_id, tomb, commit_id)
+                n_del = int(obs.get["n"])
+                if n_del == 0:
+                    self._discard_staged(adds)
+                    return [], [], None, 0, False
                 ts_path = self._write_tombstone_manifest(commit_id, victims)
             finally:
                 victims.unpersist()
@@ -1360,32 +1380,32 @@ class TableSink:
 
         # copy-on-write: slices are read raw (not via read()) so
         # survivors KEEP their original commit stamps — the same
-        # invariant as _upsert (r10 regression pin). ONE aggregation
-        # over the pruned scan answers every driver question the old
-        # form paid two counted persists for (how many victim keys, is
-        # the survivor set empty) — and nothing table-scale is cached:
-        # the previous survivors.persist() pinned almost the whole
-        # touched slice set in executor memory just to learn its count.
-        probe = keys.withColumn("__del__", F.lit(True))
-        stats = (old.join(probe, self.key, "left")
-                 .agg(F.count(F.lit(1)).alias("n_rows"),
-                      F.count("__del__").alias("n_del_rows"),
-                      F.count_distinct(
-                          F.when(F.col("__del__"), F.col(self.key)))
-                      .alias("n_del_keys"))
-                 .collect()[0])
-        n_del = int(stats["n_del_keys"])
-        if n_del == 0:
-            return [], [], None, 0, False
-        # an all-victims rewrite must not register an empty slice: a
-        # parquet dir with no data files breaks later schema inference
-        adds = []
-        if stats["n_rows"] > stats["n_del_rows"]:
-            survivors = old.join(keys, self.key, "left_anti")
-            adds = self._write_slices(commit_id, survivors, commit_id)
+        # invariant as _upsert (r10 regression pin). Each write OBSERVES
+        # its own row count, so the touched slices are read exactly
+        # twice (victim manifest + survivor rewrite) — the former
+        # up-front stats aggregation was a third full pass over the
+        # pruned scan that existed only to learn the counts before
+        # writing (guide §1.2); the rare no-op-delete / all-victims
+        # outcomes are handled by discarding the staged dir instead.
+        obs_v = Observation()
         victims = (old.join(keys, self.key, "left_semi")
-                   .select(self.key).distinct())
+                   .select(self.key).distinct()
+                   .observe(obs_v, F.count(F.lit(1)).alias("n")))
         ts_path = self._write_tombstone_manifest(commit_id, victims)
+        n_del = int(obs_v.get["n"])
+        if n_del == 0:
+            shutil.rmtree(self.table_path / ts_path, ignore_errors=True)
+            return [], [], None, 0, False
+        obs_s = Observation()
+        survivors = (old.join(keys, self.key, "left_anti")
+                     .observe(obs_s, F.count(F.lit(1)).alias("n")))
+        adds = self._write_slices(commit_id, survivors, commit_id)
+        if int(obs_s.get["n"]) == 0:
+            # an all-victims rewrite must not register an empty slice: a
+            # parquet dir with no data files breaks later schema
+            # inference — the staged zero-row dir is retired unregistered
+            self._discard_staged(adds)
+            adds = []
         return adds, overlapping, ts_path, n_del, False
 
     def _write_tombstone_manifest(self, commit_id: str,

@@ -1472,6 +1472,26 @@ def test_delete_mor_tombstone_delta(spark, tmp_path):
                    WriteOp.DELETE).counts == {"deleted": 0}
 
 
+def test_noop_delete_discards_staged_files(spark, tmp_path):
+    """Absent-key deletes learn their zero count from the staged write's
+    OBSERVED metric (no separate stats pass) — the staged survivor /
+    tombstone / delta dirs must be retired, leaving storage exactly as
+    before the no-op on both table types."""
+    for ttype in ("cow", "mor"):
+        t = TableSink(spark, tmp_path / ttype, "k", table_type=ttype)
+        t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+                WriteOp.INSERT)
+        before = sorted(p.name for p in (tmp_path / ttype / "data").iterdir())
+        c = t.write(spark.createDataFrame([(9,)], ["k"]), WriteOp.DELETE)
+        assert c.counts == {"deleted": 0} and c.adds == [] \
+            and c.tombstones is None
+        after = sorted(p.name for p in (tmp_path / ttype / "data").iterdir())
+        assert after == before
+        ts = tmp_path / ttype / "_tombstones"
+        assert not ts.exists() or not any(ts.iterdir())
+        assert sorted(r["k"] for r in t.read().collect()) == [1, 2]
+
+
 def test_delete_partitioned_table(spark, tmp_path):
     t = TableSink(spark, tmp_path / "t", "k", partition_field="p")
     t.write(spark.createDataFrame(
