@@ -3868,11 +3868,24 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (banded-SRP + exact quantized dot >= 0.4) agree? The report a corpus
     team reads before trusting either signal alone. Both inputs are the
     already-bucketed scale plans; the agreement is one full-outer
-    equi-join on the (a, b) pair key — uniform, never all-pairs."""
-    text = (minhash_lsh_candidates(spark, sf_dir)
-            .withColumn("t", F.lit(1)))
-    embed = (embedding_near_dup_pairs(spark, sf_dir)
-             .select("a", "b").withColumn("e", F.lit(1)))
+    equi-join on the (a, b) pair key — uniform, never all-pairs.
+
+    The two legs each materialize an eager fork-persist barrier during
+    construction; building them on a 2-thread pool overlaps those
+    independent jobs (guide §2.6 back-fill — the SAME plans, just not
+    serialized on the driver), so the slower leg's tail no longer adds
+    to the faster leg's whole runtime."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_text = pool.submit(inheritable_thread_target(
+            lambda: minhash_lsh_candidates(spark, sf_dir)))
+        f_embed = pool.submit(inheritable_thread_target(
+            lambda: embedding_near_dup_pairs(spark, sf_dir)))
+        text = f_text.result().withColumn("t", F.lit(1))
+        embed = f_embed.result().select("a", "b").withColumn("e", F.lit(1))
     joined = text.join(embed, ["a", "b"], "full")
     return joined.agg(
         F.count("t").cast("bigint").alias("n_text_pairs"),
