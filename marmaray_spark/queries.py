@@ -4375,9 +4375,24 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint only at the end (measured: the mid-run eager
     # localCheckpoint at i=2 cost ~3.0s cold / ~0.2s warm here; a fixed
     # 5-iteration plan is well inside safe lineage depth — the
-    # every-3-steps cadence is for long frontier runs)
-    pr = pagerank_integer(edges, "src", "dst", iters=5,
-                          checkpoint_every=5)
+    # every-3-steps cadence is for long frontier runs). The iteration
+    # jobs are node-scale (211 rows) and leave the cores idle, so the
+    # two corpus-scale persists this report unions with are
+    # materialized CONCURRENTLY on a second thread (guide §2.6
+    # back-fill): same caches the final action would build anyway,
+    # just not serialized behind the rank loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pr = pool.submit(inheritable_thread_target(
+            lambda: pagerank_integer(edges, "src", "dst", iters=5,
+                                     checkpoint_every=5)))
+        f_warm = pool.submit(inheritable_thread_target(
+            lambda: (counts3.count(), urls.count())))
+        pr = f_pr.result()
+        f_warm.result()
     prs = (pr.select(F.lit("pagerank").alias("section"),
                      F.col("node").alias("grp"),
                      F.lit("rank_x1e12").alias("item"),
