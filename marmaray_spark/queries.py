@@ -667,8 +667,21 @@ def table_delete_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_id",
                     F.lit(-1.0).cast("double").alias("value")))
 
-    out = None
-    for section, ttype in (("cow", "cow"), ("mor", "mor")):
+    # the two tables are fully independent (separate dirs, separate
+    # commit logs, same persisted inputs) and each section's write
+    # sequence is a serial chain of small jobs that leaves most cores
+    # idle — run the COW and MOR sequences CONCURRENTLY on two driver
+    # threads (guide §2.6 back-fill; the r12 census measured ~0.1 s of
+    # driver planning floor per SQL execution, 17 executions serial).
+    # Materialize the shared base cache FIRST so the threads don't race
+    # to build it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    base.count()
+
+    def run_section(ttype: str):
         table = tempfile.mkdtemp(prefix=f"delete_readback_{ttype}_")
         sink = TableSink(spark, table, "user_id", table_type=ttype)
         sink.write(base, WriteOp.INSERT)
@@ -676,14 +689,25 @@ def table_delete_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.write(back, WriteOp.UPSERT)
         if ttype == "mor":
             sink.compact()          # tombstones must fold away cleanly
-        snap = (sink.read().select("user_id", "event_id", "value")
-                .withColumn("section", F.lit(section)))
-        out = snap if out is None else out.unionByName(snap)
-        if ttype == "cow":
-            cdc = (sink.read_changes(c_del.commit_id)
-                   .select("user_id", "event_id", "value")
-                   .withColumn("section", F.lit("cdc")))
-            out = out.unionByName(cdc)
+        return sink, c_del
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cow = pool.submit(inheritable_thread_target(
+            lambda: run_section("cow")))
+        f_mor = pool.submit(inheritable_thread_target(
+            lambda: run_section("mor")))
+        cow_sink, cow_del = f_cow.result()
+        mor_sink, _ = f_mor.result()
+
+    out = (cow_sink.read().select("user_id", "event_id", "value")
+           .withColumn("section", F.lit("cow")))
+    out = out.unionByName(
+        cow_sink.read_changes(cow_del.commit_id)
+        .select("user_id", "event_id", "value")
+        .withColumn("section", F.lit("cdc")))
+    out = out.unionByName(
+        mor_sink.read().select("user_id", "event_id", "value")
+        .withColumn("section", F.lit("mor")))
     base.unpersist()   # the returned union reads only the table files
     return out.select("section", "user_id", "event_id", "value")
 

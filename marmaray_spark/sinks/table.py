@@ -83,6 +83,13 @@ CLUSTER_DIR_COL = "__cb__"  # bucket-directory column used only while a
 # cluster() rewrite lands its range-disjoint slices; never read back
 # (each bucket dir is registered and scanned as its own slice)
 
+PRUNE_MIN_SLICES = 4   # below this many active slices, key-range/bloom
+# slice pruning is skipped outright: the pruning job (a bounds pass over
+# the probe keys + a driver round-trip, plus bloom probes) costs more
+# than the at-most-few slice reads it could skip. Pruning only ever
+# REMOVES reads, so skipping it is always correct — just take every
+# slice. At scale (hundreds+ of slices) pruning runs exactly as before.
+
 BLOOM_FILE = "_key_bloom.bin"
 BLOOM_MAGIC = b"KBLM1\x00\x00\x00"
 BLOOM_FPP = 0.001
@@ -819,40 +826,95 @@ class TableSink:
                        and op_effective == WriteOp.UPSERT
                        and self.table_type != "mor"
                        and not self.is_empty())
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        if need_parts:
-            aggs.append(F.collect_set(
-                F.col(self.partition).cast("string")).alias("__parts"))
-        if need_bounds:
-            aggs.append(F.min(self.key).alias("__lo"))
-            aggs.append(F.max(self.key).alias("__hi"))
-        stats_row = df.agg(*aggs).first()
-        n_incoming = stats_row["__n"]
-        touched = list(stats_row["__parts"]) if need_parts else None
-        bounds = ((stats_row["__lo"], stats_row["__hi"])
-                  if need_bounds else None)
+        # ONE-PASS WRITE (guide §1.2): when nothing about the write PLAN
+        # depends on a pre-computed stat — no touched-partition pruning,
+        # no key-bounds slice pruning, and no caller partitioner / range
+        # clustering (both receive an n_part derived from the count) —
+        # the batch is scanned exactly once: the commit's row count rides
+        # the write itself via observe(), and file sizing comes from an
+        # AQE REBALANCE of the write (actual shuffle bytes vs the
+        # advisory partition size) instead of count*avgRecordSize/
+        # targetFileSize. The former stats action was a whole extra pass
+        # over the incoming batch for every INSERT / MOR upsert /
+        # empty-table write — which is also every streaming maintainer
+        # tick's append.
+        fold = (not need_parts and not need_bounds
+                and self.bulk_insert_partitioner is None
+                and not self.cluster_by_key)
         is_delta = False
-        if op_effective == WriteOp.UPSERT and not self.is_empty():
-            if self.table_type == "mor":
-                # merge-on-read: the upsert lands as a DELTA slice
-                # that SHADOWS older versions of its keys — a pure
-                # append, write cost follows the batch; reads
-                # resolve latest-wins until compact() folds the
-                # deltas
-                adds = self._append(commit_id, df, n_incoming)
+        if fold:
+            obs = Observation()
+            df_obs = df.observe(obs, F.count(F.lit(1)).alias("__n"))
+            if op_effective == WriteOp.UPSERT and not self.is_empty():
+                # merge-on-read only (a non-empty COW upsert always sets
+                # need_parts or need_bounds): the upsert lands as a DELTA
+                # slice that SHADOWS older versions of its keys — a pure
+                # append, write cost follows the batch; reads resolve
+                # latest-wins until compact() folds the deltas
+                adds = self._append(commit_id, df_obs, None)
                 removes = []
                 is_delta = True
+            elif op_effective == WriteOp.INSERT_OVERWRITE \
+                    and not self.is_empty():
+                adds, removes = self._insert_overwrite(
+                    commit_id, df_obs, None)
             else:
-                adds, removes = self._upsert(commit_id, df, n_incoming,
-                                             touched=touched,
-                                             bounds=bounds)
-        elif op_effective == WriteOp.INSERT_OVERWRITE \
-                and not self.is_empty():
-            adds, removes = self._insert_overwrite(
-                commit_id, df, n_incoming, touched=touched)
+                adds = self._append(commit_id, df_obs, None)
+                removes = []
+            try:
+                n_incoming = int(obs.get["__n"])
+            except Exception:   # noqa: BLE001
+                # a write whose plan runs ZERO tasks (e.g. a partitioned
+                # write of an empty batch) never lands a metrics row and
+                # Observation.get raises — treat as "count unknown" and
+                # let the sized fallback below recount and rewrite
+                n_incoming = None
+            if not n_incoming:
+                # an empty batch must land exactly what the sized path
+                # writes (an AQE-rebalanced empty write can emit no data
+                # file at all, and a fileless registered slice breaks
+                # later schema inference): discard the staged dir and
+                # re-write through the sized path — the batch is empty
+                # (or the observation failed, in which case this is just
+                # the classic two-pass write), so the re-run is cheap.
+                self._discard_staged(adds)
+                n_incoming = df.agg(
+                    F.count(F.lit(1)).alias("__n")).first()["__n"]
+                adds = self._write_slices(commit_id, df, commit_id,
+                                          n_incoming)
         else:
-            adds = self._append(commit_id, df, n_incoming)
-            removes = []
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            if need_parts:
+                aggs.append(F.collect_set(
+                    F.col(self.partition).cast("string")).alias("__parts"))
+            if need_bounds:
+                aggs.append(F.min(self.key).alias("__lo"))
+                aggs.append(F.max(self.key).alias("__hi"))
+            stats_row = df.agg(*aggs).first()
+            n_incoming = stats_row["__n"]
+            touched = list(stats_row["__parts"]) if need_parts else None
+            bounds = ((stats_row["__lo"], stats_row["__hi"])
+                      if need_bounds else None)
+            if op_effective == WriteOp.UPSERT and not self.is_empty():
+                if self.table_type == "mor":
+                    # merge-on-read with a partitioner hook / range
+                    # clustering configured (otherwise this folds above):
+                    # the upsert lands as a DELTA slice that SHADOWS
+                    # older versions of its keys
+                    adds = self._append(commit_id, df, n_incoming)
+                    removes = []
+                    is_delta = True
+                else:
+                    adds, removes = self._upsert(commit_id, df, n_incoming,
+                                                 touched=touched,
+                                                 bounds=bounds)
+            elif op_effective == WriteOp.INSERT_OVERWRITE \
+                    and not self.is_empty():
+                adds, removes = self._insert_overwrite(
+                    commit_id, df, n_incoming, touched=touched)
+            else:
+                adds = self._append(commit_id, df, n_incoming)
+                removes = []
 
         key_stats, col_stats = self._collect_footer_stats(adds)
         commit = Commit(commit_id=commit_id, op=op.value, adds=adds,
@@ -915,7 +977,8 @@ class TableSink:
         return [str(r[0]) for r in rows]
 
     def _write_slices(self, commit_id: str, df: DataFrame, subdir: str,
-                      n_records: int | None = None) -> list[str]:
+                      n_records: int | None = None,
+                      adaptive: bool = False) -> list[str]:
         """Write df under data/<subdir>.<token>; returns slice paths
         (relative). The random token makes every staging directory
         UNIQUE per writer: two processes staging against the same
@@ -926,7 +989,18 @@ class TableSink:
         downstream assumes data/<cid> naming."""
         base = self.table_path / "data" / f"{subdir}.{uuid.uuid4().hex[:8]}"
         subdir = base.name
+        # remembered so _discard_staged can retire the staged dir even
+        # when the write landed zero partition dirs (adds == [])
+        self._last_staged_base = subdir
         n_part = self._plan_parallelism(n_records) if n_records is not None else None
+        if adaptive and self.auto_tune and n_part is None:
+            # one-pass sizing: REBALANCE spreads by the same keys the
+            # sized repartition used, but AQE derives the partition
+            # count from the ACTUAL shuffle bytes (advisory partition
+            # size) at runtime — no up-front count of the batch needed
+            cols = (([self.partition] if self.partition is not None else [])
+                    + [self.key])
+            df = df.hint("rebalance", *cols)
         if n_part is not None:
             if self.bulk_insert_partitioner is not None:
                 df = self.bulk_insert_partitioner(df, n_part)
@@ -958,7 +1032,14 @@ class TableSink:
         all-victims rewrite) retire the staged files instead of
         registering them — slices are opaque until the commit JSON
         publishes, so this is invisible to readers."""
-        for base in {s.split("/", 2)[1] for s in adds}:
+        bases = {s.split("/", 2)[1] for s in adds}
+        if not bases and getattr(self, "_last_staged_base", None):
+            # a partitioned write of zero rows lands NO partition dirs,
+            # so adds is empty — but the staged base dir (with _SUCCESS)
+            # still exists and would be left an orphan (advisor find,
+            # r12): fall back to the base the last _write_slices staged
+            bases = {self._last_staged_base}
+        for base in bases:
             shutil.rmtree(self.table_path / "data" / base,
                           ignore_errors=True)
 
@@ -1140,8 +1221,12 @@ class TableSink:
                 kept.append(s)
         return kept
 
-    def _append(self, commit_id: str, df: DataFrame, n_records: int) -> list[str]:
-        return self._write_slices(commit_id, df, commit_id, n_records)
+    def _append(self, commit_id: str, df: DataFrame,
+                n_records: int | None) -> list[str]:
+        # n_records=None → the one-pass fold: sizing is adaptive
+        # (REBALANCE) and the count rides the caller's observe()
+        return self._write_slices(commit_id, df, commit_id, n_records,
+                                  adaptive=n_records is None)
 
     def _dedup_against_existing(self, df: DataFrame) -> DataFrame:
         """filterExists: drop incoming whose key is already in the table
@@ -1152,6 +1237,18 @@ class TableSink:
         side."""
         if self.is_empty():
             return df
+        active = self.log.active_slices()
+        if len(active) <= PRUNE_MIN_SLICES:
+            # same scale-adaptive skip as _delete_impl: the bounds pass
+            # over the batch can't pay for itself against this few
+            # candidate slices; keeping extra slices only widens the
+            # anti-join's build side, never changes its result
+            slices = list(active)
+            scan = self._read_slices(slices)
+            if self._has_active_delta():
+                scan = self._resolve_latest(scan)
+            existing = scan.select(F.col(self.key)).distinct()
+            return df.join(existing, self.key, "left_anti")
         bounds = df.agg(F.min(self.key).alias("lo"),
                         F.max(self.key).alias("hi")).collect()[0]
         slices = self.slices_for_key_range(bounds["lo"], bounds["hi"]) \
@@ -1275,7 +1372,8 @@ class TableSink:
         return adds, old_slices
 
     def _insert_overwrite(self, commit_id: str, df: DataFrame,
-                          n_incoming: int, touched: list[str] | None = None
+                          n_incoming: int | None,
+                          touched: list[str] | None = None
                           ) -> tuple[list[str], list[str]]:
         """Replace the partitions the incoming batch touches (whole table
         when unpartitioned) — Hudi INSERT_OVERWRITE(_TABLE): backfills
@@ -1288,7 +1386,8 @@ class TableSink:
                           else self._partition_values(df))
             removes = [s for p, ss in slice_by_partition.items()
                        if p in touched for s in ss]
-        adds = self._write_slices(commit_id, df, commit_id, n_incoming)
+        adds = self._write_slices(commit_id, df, commit_id, n_incoming,
+                                  adaptive=n_incoming is None)
         return adds, removes
 
     def _delete(self, commit_id: str, df: DataFrame
@@ -1334,14 +1433,27 @@ class TableSink:
     def _delete_impl(self, commit_id: str, keys: DataFrame
                      ) -> tuple[list[str], list[str], str | None, int,
                                 bool]:
-        bounds = keys.agg(F.min(self.key).alias("lo"),
-                          F.max(self.key).alias("hi")).collect()[0]
-        if bounds["lo"] is None:
-            return [], [], None, 0, False
-        overlapping = self.slices_for_key_range(bounds["lo"], bounds["hi"])
-        if overlapping and self.bloom_index:
-            overlapping = self._bloom_filter_slices(overlapping, keys,
-                                                    cap=20_000)
+        active = self.log.active_slices()
+        if len(active) <= PRUNE_MIN_SLICES:
+            # pruning exists to SKIP slice reads; with this few slices
+            # the bounds aggregation (a full pass over the key set + a
+            # driver round-trip) and the bloom probe cost more than the
+            # at-most-few reads they could save — take every slice.
+            # Reading more slices is always safe (the joins below decide
+            # what is deleted); an EMPTY key set, which the bounds row
+            # used to detect, now falls out of the observed write count
+            # (n_del == 0 → staged dir discarded, no-op commit).
+            overlapping = list(active)
+        else:
+            bounds = keys.agg(F.min(self.key).alias("lo"),
+                              F.max(self.key).alias("hi")).collect()[0]
+            if bounds["lo"] is None:
+                return [], [], None, 0, False
+            overlapping = self.slices_for_key_range(bounds["lo"],
+                                                    bounds["hi"])
+            if overlapping and self.bloom_index:
+                overlapping = self._bloom_filter_slices(overlapping, keys,
+                                                        cap=20_000)
         if not overlapping:
             return [], [], None, 0, False
         old = self._read_slices(overlapping)
@@ -1738,21 +1850,46 @@ class TableSink:
         # read() (not a raw slice union) so a merge-on-read table's
         # deltas RESOLVE here — compaction is exactly the point where
         # shadowed versions leave the storage; stamps survive because
-        # read(with_meta=True) keeps them. Persisted across the count
-        # and the write so the MOR latest-wins window runs once, not
-        # once per action.
-        from pyspark.storagelevel import StorageLevel
-        df = self.read(with_meta=True).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            n = df.count()
-            # a table whose every key was tombstoned compacts to
-            # NOTHING — registering a zero-row slice would break later
-            # schema inference, so the compact commit just retires the
-            # old slices
-            adds = self._write_slices(commit_id, df, commit_id, n) \
-                if n else []
-        finally:
-            df.unpersist()
+        # read(with_meta=True) keeps them.
+        df = self.read(with_meta=True)
+        if self.bulk_insert_partitioner is None and not self.cluster_by_key:
+            # ONE PASS (guide §1.2): the rewritten row count rides the
+            # write via observe() and sizing comes from an AQE REBALANCE
+            # — the former count+persist+write both scanned the table
+            # twice AND cached the WHOLE table across the two actions,
+            # a sink-forced memory hazard at scale (guide §5)
+            obs = Observation()
+            adds = self._write_slices(
+                commit_id, df.observe(obs, F.count(F.lit(1)).alias("__n")),
+                commit_id, None, adaptive=True)
+            try:
+                n = int(obs.get["__n"])
+            except Exception:   # noqa: BLE001 — zero-task write plan
+                n = None
+            if not n:
+                # a table whose every key was tombstoned compacts to
+                # NOTHING — registering a zero-row slice would break
+                # later schema inference, so the compact commit just
+                # retires the old slices. (n is None only when the
+                # observation never landed: recount and, if rows exist
+                # after all, rewrite through the sized path.)
+                self._discard_staged(adds)
+                n = df.count()
+                adds = self._write_slices(commit_id, df, commit_id, n) \
+                    if n else []
+        else:
+            # sized path: the partitioner hook / range clustering need
+            # an n_part derived from the count — persist across the
+            # count and the write so the MOR latest-wins window runs
+            # once, not once per action
+            from pyspark.storagelevel import StorageLevel
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                n = df.count()
+                adds = self._write_slices(commit_id, df, commit_id, n) \
+                    if n else []
+            finally:
+                df.unpersist()
         key_stats, col_stats = self._collect_footer_stats(adds)
         commit = Commit(commit_id=commit_id, op="compact", adds=adds,
                         removes=list(slices),

@@ -50,20 +50,19 @@ def main() -> None:
     starts, ends = {}, {}
     for path in [p for p in glob.glob(log_dir + "/**", recursive=True)
                  if os.path.isfile(p)]:
-        if True:
-            with open(path) as f:
-                for line in f:
-                    try:
-                        ev = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    if ev.get("Event") == "SparkListenerJobStart":
-                        starts[ev["Job ID"]] = (
-                            ev["Submission Time"],
-                            ev.get("Properties", {})
-                            .get("spark.job.description", ""))
-                    elif ev.get("Event") == "SparkListenerJobEnd":
-                        ends[ev["Job ID"]] = ev["Completion Time"]
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") == "SparkListenerJobStart":
+                    starts[ev["Job ID"]] = (
+                        ev["Submission Time"],
+                        ev.get("Properties", {})
+                        .get("spark.job.description", ""))
+                elif ev.get("Event") == "SparkListenerJobEnd":
+                    ends[ev["Job ID"]] = ev["Completion Time"]
     rows = []
     for jid, (t, desc) in starts.items():
         if jid in group_ids and jid in ends:
