@@ -228,15 +228,27 @@ def main() -> None:
             df = registry[name](spark, sf_dir)
             n = df.count()  # force full execution without driver-side collect
             runs.append(time.time() - t0)
+            # MEASUREMENT FIX (r13, carried from the r12 verdict): the
+            # cache is cleared between ITERATIONS, not just between
+            # queries. Spark's CacheManager matches persists by
+            # canonicalized plan, so without this a warm iteration of a
+            # query that persists intermediates (LSH buckets,
+            # language_report's token counts) silently REUSES the blocks
+            # iteration 1 materialized instead of re-persisting inside
+            # its own timed run — warm then measures only the tail of
+            # the query. Every iteration now pays its own persists, so
+            # warm == what one steady-state end-to-end run of the query
+            # actually costs (and isolation re-measures agree with the
+            # in-bench numbers). This also stops cache-pressure
+            # crosstalk between queries. Warm numbers before/after the
+            # protocol fix are NOT comparable for persisting queries;
+            # OPTIMIZATION_r13.md records both axes for the round.
+            spark.catalog.clearCache()
         cold[name] = round(runs[0], 3)
         warm[name] = round(min(runs[1:]), 3)
         print(f"# {name}: {n} rows, cold {runs[0]:.2f}s "
               f"warm {warm[name]:.2f}s (runs {runs[1]:.2f}/{runs[2]:.2f})",
               file=sys.stderr)
-        # queries that persist (LSH bucket barriers) re-persist inside
-        # their own timed run; dropping leftovers between queries stops
-        # cache-pressure crosstalk from skewing later measurements
-        spark.catalog.clearCache()
 
     # round-over-round guard: per-query warm deltas vs the last recorded
     # round, so a regression the one-number total hides is visible in the

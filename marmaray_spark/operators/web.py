@@ -775,11 +775,23 @@ def extract_text_from_html(df: DataFrame, id_col: str,
         .mapInPandas(kernel, out_schema)
 
 
+PAGERANK_DRIVER_MAX_NODES = 1024   # graphs at or below this node count
+PAGERANK_DRIVER_MAX_EDGES = 1 << 17  # ... and this many weighted distinct
+# edges iterate ON THE DRIVER in plain Python integers (bit-identical
+# floor arithmetic) instead of running iters x (join+agg) node-scale
+# Spark stages: a 211-node frontier costs ~25 sub-100ms stages whose
+# scheduling floor dwarfs the compute (guide §1.2 — the distributed
+# algorithm is wrong for a bounded subproblem). Collect volume is capped
+# by BOTH bounds, so the driver never pulls more than ~128k small rows.
+
+
 def pagerank_integer(edges: DataFrame, src_col: str = "src",
                      dst_col: str = "dst", iters: int = 5,
                      scale: int = 10 ** 12,
                      damping_pct: int = 85,
-                     checkpoint_every: int = 3) -> DataFrame:
+                     checkpoint_every: int = 3,
+                     driver_max_nodes: int = PAGERANK_DRIVER_MAX_NODES
+                     ) -> DataFrame:
     """Crawl-frontier ranking: PageRank by fixed-point POWER ITERATION
     in scaled integer arithmetic (Page et al. 1999; Common Crawl ranks
     its host frontier with centrality scores of exactly this family).
@@ -823,6 +835,15 @@ def pagerank_integer(edges: DataFrame, src_col: str = "src",
     ``n_nodes`` arrives via ``count()`` — a scalar, never row data,
     same as IVF's centroid count (so this operator is eager by
     construction; the final eager checkpoint adds no new semantics).
+
+    Graphs bounded by ``driver_max_nodes`` nodes AND
+    ``PAGERANK_DRIVER_MAX_EDGES`` weighted distinct edges iterate on
+    the DRIVER in plain Python integers instead (bit-identical floor
+    arithmetic; the collect is capped by both bounds): at that size the
+    distributed loop is iters x (join+agg) of sub-100ms stages whose
+    scheduling floor dwarfs the compute. Real frontier graphs exceed
+    the bounds and take the distributed loop unchanged; pass
+    ``driver_max_nodes=0`` to force it.
     """
     nodes = (edges.select(F.col(src_col).alias("node"))
              .unionByName(edges.select(F.col(dst_col).alias("node")))
@@ -837,8 +858,35 @@ def pagerank_integer(edges: DataFrame, src_col: str = "src",
            .agg(F.count(F.lit(1)).alias("__w")))
     outdeg = (wed.groupBy(src_col)
               .agg(F.sum("__w").alias("outdeg")))
-    ed = wed.join(outdeg, src_col).persist()
+    ed = wed.join(outdeg, src_col)
     teleport = (scale * (100 - damping_pct) // 100) // n_nodes
+    if 0 < n_nodes <= driver_max_nodes:
+        head = ed.take(PAGERANK_DRIVER_MAX_EDGES + 1)
+        if len(head) <= PAGERANK_DRIVER_MAX_EDGES:
+            # driver path: same pre-aggregated weighted relation, same
+            # floor arithmetic (Python // == Spark div on the
+            # non-negative ranks/degrees here), same dangling-mass
+            # semantics — null-src edges were already dropped by the
+            # outdeg inner join, exactly as the rank join drops them
+            # distributed. Bit-identity is pinned by
+            # test_pagerank_integer_driver_path_matches_distributed.
+            node_field = nodes.schema.fields[0]
+            node_vals = [r["node"] for r in nodes.collect()]
+            nodes.unpersist()
+            rank = {v: scale // n_nodes for v in node_vals}
+            for _ in range(iters):
+                s = dict.fromkeys(node_vals, 0)
+                for e in head:
+                    s[e[dst_col]] += e["__w"] * (rank[e[src_col]]
+                                                 // e["outdeg"])
+                rank = {v: teleport + (damping_pct * s[v]) // 100
+                        for v in node_vals}
+            from pyspark.sql import types as T
+            out_schema = T.StructType([
+                node_field, T.StructField("rank", T.LongType())])
+            return edges.sparkSession.createDataFrame(
+                [(v, rank[v]) for v in node_vals], out_schema)
+    ed = ed.persist()
     zeros = nodes.select("node", F.lit(0).cast("long").alias("c"))
     ranks = nodes.select("node", F.lit(scale // n_nodes).cast("long")
                          .alias("rank"))

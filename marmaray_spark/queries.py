@@ -4396,33 +4396,17 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("d"),
                  ((F.col("doc_id") * 7919 + 13) % 211).cast("string"))
         .alias("dst"))
-    # checkpoint only at the end (measured: the mid-run eager
-    # localCheckpoint at i=2 cost ~3.0s cold / ~0.2s warm here; a fixed
-    # 5-iteration plan is well inside safe lineage depth — the
-    # every-3-steps cadence is for long frontier runs). The iteration
-    # jobs are node-scale (211 rows) and leave the cores idle, so the
-    # two corpus-scale persists this report unions with are
-    # materialized CONCURRENTLY on a second thread (guide §2.6
-    # back-fill): same caches the final action would build anyway,
-    # just not serialized behind the rank loop.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import inheritable_thread_target
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_pr = pool.submit(inheritable_thread_target(
-            lambda: pagerank_integer(edges, "src", "dst", iters=5,
-                                     checkpoint_every=5)))
-        f_warm = pool.submit(inheritable_thread_target(
-            lambda: (counts3.count(), urls.count())))
-        pr = f_pr.result()
-        f_warm.result()
-    prs = (pr.select(F.lit("pagerank").alias("section"),
-                     F.col("node").alias("grp"),
-                     F.lit("rank_x1e12").alias("item"),
-                     F.col("rank").alias("n"))
-           .withColumn("rank", F.row_number().over(
-               W.orderBy(F.col("n").desc(), "grp")).cast("int")))
+    def _mk_prs() -> DataFrame:
+        # eager by construction (pagerank counts nodes; bounded graphs
+        # iterate on the driver) — runs as a wave task below
+        pr = pagerank_integer(edges, "src", "dst", iters=5,
+                              checkpoint_every=5)
+        return (pr.select(F.lit("pagerank").alias("section"),
+                          F.col("node").alias("grp"),
+                          F.lit("rank_x1e12").alias("item"),
+                          F.col("rank").alias("n"))
+                .withColumn("rank", F.row_number().over(
+                    W.orderBy(F.col("n").desc(), "grp")).cast("int")))
     # section (f) 'robots': the RFC 9309 gate's longest-match
     # precedence under the hash gate — a deterministic 3-rule policy
     # per synthetic host ('/p/3' disallowed, the LONGER '/p/3/' allow
@@ -4519,10 +4503,51 @@ def language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit("n_hosts").alias("item"),
                    F.col("n").cast("long").alias("n"),
                    F.lit(0).cast("int").alias("rank")))
-    return (conf.unionByName(terms).unionByName(drift)
-            .unionByName(domains).unionByName(prs)
-            .unionByName(robots).unionByName(canonical)
-            .unionByName(psl))
+    # The eight sections are independent aggregations sharing only the
+    # two persisted intermediates (counts3 for terms/drift, urls for
+    # domains/robots/canonical). Executed as one union action they run
+    # as AQE's dependency-ordered stage waves, each tiny stage paying
+    # the ~0.1 s scheduling/planning floor in sequence; instead every
+    # section is materialized EAGERLY as its own concurrent job (guide
+    # §2.6) via localCheckpoint — section outputs are report-scale
+    # (hundreds of rows at ANY SF, all post-aggregation), and
+    # checkpoint blocks are context-cleaned when the frames drop, so
+    # nothing leaks across calls. Wave 1 runs the cache-independent
+    # sections while counts3/urls materialize; wave 2 runs the
+    # cache-consumers. The caches themselves are unpersisted before
+    # returning: the returned union reads only checkpointed sections.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _chk(df: DataFrame):
+        return lambda: df.localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        def sub(fn):
+            return pool.submit(inheritable_thread_target(fn))
+        f_c3 = sub(lambda: counts3.count())
+        f_u = sub(lambda: urls.count())
+        f_conf = sub(_chk(conf))
+        f_psl = sub(_chk(psl))
+        f_prs = sub(lambda: _mk_prs().localCheckpoint(eager=True))
+        f_c3.result()
+        f_terms = sub(_chk(terms))
+        f_drift = sub(_chk(drift))
+        f_u.result()
+        f_dom = sub(_chk(domains))
+        f_rob = sub(_chk(robots))
+        f_can = sub(_chk(canonical))
+        out = (f_conf.result().unionByName(f_terms.result())
+               .unionByName(f_drift.result())
+               .unionByName(f_dom.result())
+               .unionByName(f_prs.result())
+               .unionByName(f_rob.result())
+               .unionByName(f_can.result())
+               .unionByName(f_psl.result()))
+    counts3.unpersist()
+    urls.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

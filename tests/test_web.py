@@ -2,6 +2,7 @@
 table of hostile URLs, registrable-domain extraction, the per-domain
 provenance rollup, and the blocklist fork."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from marmaray_spark.operators.web import (blocklist_gate, canonical_url,
@@ -353,7 +354,10 @@ def _pagerank_mirror(edges, iters=5, scale=10 ** 12, damping_pct=85):
     return rank
 
 
-def test_pagerank_integer_matches_serial_mirror(spark):
+@pytest.mark.parametrize("driver_max_nodes", [1024, 0])
+def test_pagerank_integer_matches_serial_mirror(spark, driver_max_nodes):
+    # both execution paths (bounded-graph driver iteration and the
+    # distributed loop) must match the mirror bit-for-bit
     from marmaray_spark.operators.web import pagerank_integer
 
     # affine-mixed residue graph, same family as the declared query's
@@ -363,11 +367,14 @@ def test_pagerank_integer_matches_serial_mirror(spark):
              for i in range(400)]
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["rank"]
-           for r in pagerank_integer(df, iters=5).collect()}
+           for r in pagerank_integer(
+               df, iters=5, driver_max_nodes=driver_max_nodes).collect()}
     assert got == _pagerank_mirror(edges, iters=5)
 
 
-def test_pagerank_integer_multigraph_weights_match_mirror(spark):
+@pytest.mark.parametrize("driver_max_nodes", [1024, 0])
+def test_pagerank_integer_multigraph_weights_match_mirror(
+        spark, driver_max_nodes):
     from marmaray_spark.operators.web import pagerank_integer
 
     # repeated u->v edges must contribute once per instance (the
@@ -377,8 +384,25 @@ def test_pagerank_integer_multigraph_weights_match_mirror(spark):
              ("b", "c"), ("c", "a"), ("c", "a")]
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["rank"]
-           for r in pagerank_integer(df, iters=4).collect()}
+           for r in pagerank_integer(
+               df, iters=4, driver_max_nodes=driver_max_nodes).collect()}
     assert got == _pagerank_mirror(edges, iters=4)
+
+
+def test_pagerank_integer_driver_path_matches_distributed(spark):
+    """The bounded-graph driver iteration must return exactly the
+    distributed loop's ranks AND schema — node dtype preserved, long
+    ranks — including on a graph with dangling nodes and a
+    dst-only node."""
+    from marmaray_spark.operators.web import pagerank_integer
+
+    edges = [(i % 23, (i * 7 + 3) % 29) for i in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = pagerank_integer(df, iters=5)
+    slow = pagerank_integer(df, iters=5, driver_max_nodes=0)
+    assert fast.schema == slow.schema
+    assert ({(r["node"], r["rank"]) for r in fast.collect()}
+            == {(r["node"], r["rank"]) for r in slow.collect()})
 
 
 def test_pagerank_integer_star_graph_ranks_hub_first(spark):
@@ -422,8 +446,8 @@ def test_pagerank_plan_depth_constant_in_iters(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
         "src string, dst string")
-    p2 = pagerank_integer(edges, iters=2)
-    p9 = pagerank_integer(edges, iters=9)
+    p2 = pagerank_integer(edges, iters=2, driver_max_nodes=0)
+    p9 = pagerank_integer(edges, iters=9, driver_max_nodes=0)
     d2 = p2._jdf.queryExecution().optimizedPlan().toString()
     d9 = p9._jdf.queryExecution().optimizedPlan().toString()
     assert len(d9.splitlines()) == len(d2.splitlines())
