@@ -70,19 +70,26 @@ def hashed_feature_stream(docs: DataFrame, id_col: str, words_col: str,
                            f"{n_buckets})").alias("bucket")))
 
 
-def bucket_lm(stream: DataFrame,
-              n_buckets: int = N_BUCKETS) -> tuple[DataFrame, DataFrame]:
+def bucket_lm(stream: DataFrame, n_buckets: int = N_BUCKETS,
+              cnt_col: str | None = None) -> tuple[DataFrame, DataFrame]:
     """Add-one-smoothed bucket unigram model over a feature stream.
 
     Returns (lm, floor): ``lm`` is (bucket, logp_milli) for OBSERVED
     buckets — logp_milli = round(ln((cnt+1)/(total+B)) * 1000); ``floor``
     is the 1-row (floor_milli) an unobserved bucket costs,
     round(ln(1/(total+B)) * 1000). Both are bounded by n_buckets —
-    broadcastable by construction."""
+    broadcastable by construction.
+
+    ``cnt_col``: the stream is PRE-AGGREGATED — one row per
+    (…, bucket) carrying its instance count — instead of one row per
+    feature instance. Counting becomes sum(cnt): bit-identical model,
+    and a caller that feeds several consumers from one explode pass
+    (sampling_methods) aggregates the explode exactly once."""
     from marmaray_spark.operators import attach_scalar
 
-    cnts = stream.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    total = stream.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    c = F.count(F.lit(1)) if cnt_col is None else F.sum(cnt_col)
+    cnts = stream.groupBy("bucket").agg(c.alias("cnt"))
+    total = stream.groupBy().agg(c.alias("total"))
     lm = (attach_scalar(cnts, total)
           .select("bucket",
                   F.round(F.log((F.col("cnt") + 1) /
@@ -97,10 +104,16 @@ def bucket_lm(stream: DataFrame,
 def dsir_log_weights(stream: DataFrame, id_col: str,
                      target: tuple[DataFrame, DataFrame],
                      raw: tuple[DataFrame, DataFrame],
-                     carry: tuple[str, ...] = ()) -> DataFrame:
+                     carry: tuple[str, ...] = (),
+                     cnt_col: str | None = None) -> DataFrame:
     """(id[, carry...], n_feats, logw_milli): per-doc importance weight
     sum_features [logp_target(b) - logp_raw(b)] in milli-nats. Both
-    models broadcast; one agg on the feature stream."""
+    models broadcast; one agg on the feature stream.
+
+    ``cnt_col``: pre-aggregated stream (one row per (id, bucket) with
+    its instance count) — n_feats = sum(cnt) and the weight becomes
+    sum(cnt * delta), the exact integer sum of cnt identical terms
+    (the pagerank weighted-edge identity)."""
     from marmaray_spark.operators import attach_scalar
 
     t_lm, t_floor = target
@@ -114,9 +127,13 @@ def dsir_log_weights(stream: DataFrame, id_col: str,
     j = attach_scalar(j, r_floor.withColumnRenamed("floor_milli", "__fr"))
     delta = (F.coalesce(F.col("__lt"), F.col("__ft"))
              - F.coalesce(F.col("__lr"), F.col("__fr")))
+    if cnt_col is None:
+        n_feats, w = F.count(F.lit(1)), F.sum(delta)
+    else:
+        n_feats, w = F.sum(cnt_col), F.sum(F.col(cnt_col) * delta)
     return (j.groupBy(id_col, *carry)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
-                 F.sum(delta).cast("long").alias("logw_milli")))
+            .agg(n_feats.cast("long").alias("n_feats"),
+                 w.cast("long").alias("logw_milli")))
 
 
 def gumbel_milli(id_col: str, salt: str = "dg0") -> Column:

@@ -133,3 +133,31 @@ def test_dsir_end_to_end_biases_toward_target(spark, documents):
     drop = [(d, w) for d, w in allw if d not in kept_ids]
     drop_mean = sum(w for _, w in drop) / max(len(drop), 1)
     assert kept_mean > drop_mean
+
+
+def test_weighted_count_path_matches_instance_stream(spark, documents):
+    """The pre-aggregated (id, bucket, cnt) form (cnt_col) must produce
+    bit-identical models and per-doc weights to the one-row-per-instance
+    stream — the factorization sampling_methods rides to run the
+    feature explode once for all three DSIR consumers."""
+    docs = documents.withColumn("w", words("text")) \
+        .select("doc_id", "lang", "w")
+    raw_s = hashed_feature_stream(docs, "doc_id", "w", carry=("lang",))
+    tgt_s = hashed_feature_stream(
+        docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)),
+        "doc_id", "w")
+    wts_ref = dsir_log_weights(raw_s, "doc_id", bucket_lm(tgt_s),
+                               bucket_lm(raw_s), carry=("lang",))
+
+    fc = (raw_s.groupBy("doc_id", "lang", "bucket")
+          .agg(F.count(F.lit(1)).alias("__cnt")))
+    tgt_fc = fc.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    wts_fc = dsir_log_weights(fc, "doc_id",
+                              bucket_lm(tgt_fc, cnt_col="__cnt"),
+                              bucket_lm(fc, cnt_col="__cnt"),
+                              carry=("lang",), cnt_col="__cnt")
+    ref = {(r["doc_id"], r["lang"], r["n_feats"], r["logw_milli"])
+           for r in wts_ref.collect()}
+    got = {(r["doc_id"], r["lang"], r["n_feats"], r["logw_milli"])
+           for r in wts_fc.collect()}
+    assert got == ref
