@@ -42,13 +42,21 @@ def decontaminate(corpus: DataFrame, test_set: DataFrame, *,
     would be a full-corpus output for a hygiene report).
     """
     grams = distinct_ngrams(words_col, n)
-    corpus_grams = corpus.select(F.col(id_col), F.explode(grams).alias("g"))
+    # the doc's total distinct-gram count RIDES the exploded rows (one
+    # extra int per row into a broadcast join that never shuffles), so
+    # the per-doc totals need NO second shingle pass over the corpus
+    # and NO hits-to-totals join — any_value folds it out of the same
+    # aggregation (guide §2.4; the oracle SQL always spelled it this
+    # way). A doc with zero overlap never reaches the report in either
+    # form, so the result is identical.
+    corpus_grams = corpus.select(F.col(id_col),
+                                 F.size(grams).alias("__ng"),
+                                 F.explode(grams).alias("g"))
     test_grams = test_set.select(F.explode(grams).alias("g")).distinct()
-    totals = corpus.select(F.col(id_col), F.size(grams).alias("n_grams"))
-    hits = (corpus_grams.join(F.broadcast(test_grams), "g")
+    return (corpus_grams.join(F.broadcast(test_grams), "g")
             .groupBy(id_col)
-            .agg(F.count("*").cast("long").alias("n_overlap")))
-    return (hits.join(totals, id_col)
+            .agg(F.any_value("__ng").alias("n_grams"),
+                 F.count("*").cast("long").alias("n_overlap"))
             .withColumn("overlap_bps",
                         F.expr("CAST(n_overlap * 10000 div greatest(n_grams, 1) AS INT)"))
             .withColumn("contaminated", F.col("overlap_bps") >= contaminated_bps)
@@ -76,12 +84,16 @@ def decontaminate_many(corpus: DataFrame,
         tagged = t if tagged is None else tagged.unionByName(t)
     if tagged is None:
         raise ValueError("eval_sets must not be empty")
-    corpus_grams = corpus.select(F.col(id_col), F.explode(grams).alias("g"))
-    totals = corpus.select(F.col(id_col), F.size(grams).alias("n_grams"))
-    hits = (corpus_grams.join(F.broadcast(tagged), "g")
+    # same carried-total shape as decontaminate() above: no second
+    # shingle pass, no totals join — any_value(n_grams) folds into the
+    # one (id, eval_set) aggregation
+    corpus_grams = corpus.select(F.col(id_col),
+                                 F.size(grams).alias("__ng"),
+                                 F.explode(grams).alias("g"))
+    return (corpus_grams.join(F.broadcast(tagged), "g")
             .groupBy(id_col, "eval_set")
-            .agg(F.count("*").cast("long").alias("n_overlap")))
-    return (hits.join(totals, id_col)
+            .agg(F.any_value("__ng").alias("n_grams"),
+                 F.count("*").cast("long").alias("n_overlap"))
             .withColumn("overlap_bps",
                         F.expr("CAST(n_overlap * 10000 "
                                "div greatest(n_grams, 1) AS INT)"))
