@@ -673,13 +673,13 @@ def table_delete_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idle — run the COW and MOR sequences CONCURRENTLY on two driver
     # threads (guide §2.6 back-fill; the r12 census measured ~0.1 s of
     # driver planning floor per SQL execution, 17 executions serial).
-    # Materialize the shared base cache FIRST so the threads don't race
-    # to build it.
+    # The threads' first writes both touch the shared base cache;
+    # BlockManager's per-partition write locks make the second builder
+    # wait-and-read instead of recomputing, so no up-front count is
+    # needed to materialize it.
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
-
-    base.count()
 
     def run_section(ttype: str):
         table = tempfile.mkdtemp(prefix=f"delete_readback_{ttype}_")
