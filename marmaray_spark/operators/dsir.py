@@ -169,7 +169,6 @@ def dsir_select(weights: DataFrame, k: int, id_col: str,
               .withColumn("__key", F.col(weight_col)
                           + gumbel_milli(id_col, salt))
               .persist())
-    scored.count()
     hist = scored.groupBy("__key").agg(F.count(F.lit(1)).alias("__c"))
     from pyspark.sql.window import Window as W
     cum = hist.withColumn(
