@@ -1831,3 +1831,34 @@ def test_read_slices_schema_shortcut_matches_mergeschema(spark, users,
     # old-batch rows read the evolved column as null either way
     assert fast.filter(F.col("uid") <= 4).filter(
         F.col("tier").isNull()).count() == 4
+
+
+def test_read_slices_schema_shortcut_exotic_types(spark, tmp_path):
+    """ADVICE r12: the driver-side pyarrow schema union must agree with
+    Spark's mergeSchema reader beyond the add-a-string-column case —
+    timestamp, decimal, array and struct columns, plus an evolved batch
+    that both adds an array column and reorders fields."""
+    from decimal import Decimal
+
+    sink = TableSink(spark, tmp_path / "x", "k")
+    b1 = spark.createDataFrame(
+        [(1, Decimal("1.25"), ["a", "b"], (7, "s"))],
+        "k long, d decimal(12,2), arr array<string>, "
+        "st struct<a:int, b:string>").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    sink.write(b1, WriteOp.INSERT)
+    b2 = spark.createDataFrame(
+        [(2, Decimal("2.50"), [[1, 2], [3]], (8, "t"))],
+        "k long, d decimal(12,2), nested array<array<int>>, "
+        "st struct<a:int, b:string>").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_800_000_000)))
+    sink.write(b2, WriteOp.UPSERT)
+    slices = sink.log.active_slices()
+    fast = sink._read_slices(slices)
+    slow = (spark.read.option("mergeSchema", "true")
+            .parquet(*[str(sink.table_path / s) for s in slices]))
+    assert dict(fast.dtypes) == dict(slow.dtypes)
+    cols = sorted(c for c in fast.columns if c != "_commit_id")
+    a = sorted(map(str, fast.select(*cols).collect()))
+    b = sorted(map(str, slow.select(*cols).collect()))
+    assert a == b and len(a) == 2
