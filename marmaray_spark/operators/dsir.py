@@ -101,6 +101,41 @@ def bucket_lm(stream: DataFrame, n_buckets: int = N_BUCKETS,
     return lm, floor
 
 
+def bucket_lm_pair(stream: DataFrame, tgt_cond,
+                   n_buckets: int = N_BUCKETS
+                   ) -> tuple[tuple[DataFrame, DataFrame],
+                              tuple[DataFrame, DataFrame]]:
+    """(target_model, raw_model) from ONE pass over the feature stream,
+    where the target corpus is ``stream.filter(tgt_cond)``: the raw and
+    conditional counts ride the same map-side-combined bucket
+    aggregation, so the stream (a corpus-scale explode) is evaluated
+    once instead of once per model. Bit-identical to
+    ``bucket_lm(stream.filter(tgt_cond))`` + ``bucket_lm(stream)`` —
+    a bucket unobserved in the target is absent from its lm (the floor
+    applies), exactly as the filtered form produces. The shared bucket
+    frame (≤ n_buckets rows — bounded at any SF) is persisted so the
+    two broadcast model builds don't each re-run the stream pass."""
+    agg = (stream.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("__cr"),
+                F.count(F.when(tgt_cond, 1)).alias("__ct"))
+           .persist())
+
+    def model(cnt_col: str) -> tuple[DataFrame, DataFrame]:
+        tot = agg.agg(F.sum(cnt_col).cast("long").alias("total"))
+        from marmaray_spark.operators import attach_scalar
+        lm = (attach_scalar(agg.filter(F.col(cnt_col) > 0), tot)
+              .select("bucket",
+                      F.round(F.log((F.col(cnt_col) + 1) /
+                                    (F.col("total") + n_buckets)) * 1000)
+                      .cast("long").alias("logp_milli")))
+        floor = tot.select(
+            F.round(F.log(1.0 / (F.col("total") + n_buckets)) * 1000)
+            .cast("long").alias("floor_milli"))
+        return lm, floor
+
+    return model("__ct"), model("__cr")
+
+
 def dsir_log_weights(stream: DataFrame, id_col: str,
                      target: tuple[DataFrame, DataFrame],
                      raw: tuple[DataFrame, DataFrame],

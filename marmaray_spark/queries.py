@@ -1891,7 +1891,8 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast back; dsir adds the feature explode + two
     broadcast-model joins and one per-doc agg — the corpus itself never
     shuffles."""
-    from marmaray_spark.operators.dsir import (bucket_lm, dsir_log_weights,
+    from marmaray_spark.operators.dsir import (bucket_lm_pair,
+                                               dsir_log_weights,
                                                dsir_select,
                                                hashed_feature_stream)
     from marmaray_spark.operators.shard import shard_assignments
@@ -1928,19 +1929,21 @@ def sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
                           keep_bps=2000, salt="tm0") \
         .select("doc_id", "lang", F.lit("tempmix").alias("method"),
                 null_n1.alias("n1"))
-    # raw_stream is consumed twice (the bucket LM and the per-doc
-    # weights) under DIFFERENT exchange keys, so no runtime stage reuse
-    # applies; recomputing the map-only explode costs one extra corpus
-    # read, while persisting the token-scale feature stream costs a
-    # corpus-sized cache (guide §5) — measured r12: no-persist is also
-    # faster locally (3.41s -> 3.35s, 38 -> 35 jobs)
+    # Both bucket models come from ONE pass over the feature stream
+    # (bucket_lm_pair: the target is a FILTER of the raw stream, so its
+    # counts ride the same map-side-combined aggregation) — previously
+    # the target model ran its own filtered explode. The stream itself
+    # is still evaluated twice (models + per-doc weights) under
+    # DIFFERENT exchange keys, so no runtime stage reuse applies there;
+    # recomputing the map-only explode costs one corpus read, while
+    # persisting the token-scale feature stream costs a corpus-sized
+    # cache (guide §5) — measured r12: no-persist is also faster
+    # locally (3.41s -> 3.35s, 38 -> 35 jobs).
     raw_stream = hashed_feature_stream(dw, "doc_id", "w",
                                        carry=("lang",))
-    tgt_stream = hashed_feature_stream(
-        dw.filter((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)),
-        "doc_id", "w")
-    wts = dsir_log_weights(raw_stream, "doc_id",
-                           bucket_lm(tgt_stream), bucket_lm(raw_stream),
+    t_model, r_model = bucket_lm_pair(
+        raw_stream, (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    wts = dsir_log_weights(raw_stream, "doc_id", t_model, r_model,
                            carry=("lang",))
     # n_docs + corpus token total in ONE agg over the persisted proxy
     # (was: a full documents count + a separate full-split sum)

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from marmaray_spark.operators.dsir import (N_BUCKETS, bucket_lm,
+                                           bucket_lm_pair,
                                            dsir_log_weights, dsir_select,
                                            gumbel_milli,
                                            hashed_feature_stream)
@@ -161,3 +162,22 @@ def test_weighted_count_path_matches_instance_stream(spark, documents):
     got = {(r["doc_id"], r["lang"], r["n_feats"], r["logw_milli"])
            for r in wts_fc.collect()}
     assert got == ref
+
+
+def test_bucket_lm_pair_matches_separate_models(spark, documents):
+    """bucket_lm_pair (both models from one stream pass, target = a
+    filter condition) must produce bit-identical lm/floor frames to
+    bucket_lm over the filtered and full streams separately."""
+    docs = documents.withColumn("w", words("text")) \
+        .select("doc_id", "lang", "w")
+    stream = hashed_feature_stream(docs, "doc_id", "w", carry=("lang",))
+    cond = (F.col("lang") == "en") & (F.col("doc_id") % 5 == 0)
+    (t_lm, t_fl), (r_lm, r_fl) = bucket_lm_pair(stream, cond)
+    t_ref, t_ref_fl = bucket_lm(stream.filter(cond))
+    r_ref, r_ref_fl = bucket_lm(stream)
+    for got, ref in ((t_lm, t_ref), (r_lm, r_ref)):
+        assert ({(r["bucket"], r["logp_milli"]) for r in got.collect()}
+                == {(r["bucket"], r["logp_milli"]) for r in ref.collect()})
+    for got, ref in ((t_fl, t_ref_fl), (r_fl, r_ref_fl)):
+        assert (got.first()["floor_milli"]
+                == ref.first()["floor_milli"])
